@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline: tokenization,
+  * shingles, quality signals, language-ID scoring, fingerprints. All are
+  * compositions of built-in codegen'd expressions (split / transform /
+  * aggregate / regexp) — no UDFs — so they run inside whole-stage codegen
+  * and scale linearly with no shuffle.
+  *
+  * Beyond the reference's scope (Frames transforms cells with arbitrary
+  * Haskell functions, SURVEY §2.8); these are the first-class equivalents
+  * a 100 TB corpus engine needs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (empty tokens removed). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct lowercase tokens — the unigram set for Jaccard. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(lower(text)))
+
+  /** k-token shingles: sliding windows of k consecutive tokens joined by a
+    * single space. transform over indices — codegen'd, no UDF. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val ts = tokens(lower(text))
+    val n = size(ts)
+    // for i in 0 .. n-k: join(ts[i..i+k-1])
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(n - k, lit(0))),
+        i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
+  }
+
+  /** Character n-grams of the lowercased text (for Jaccard / langid). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+        i => t.substr(i, lit(n))))
+  }
+
+  /** Jaccard similarity of two array columns (sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(a) + size(b) - size(array_intersect(a, b))
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** Quality signals (heuristics standard in corpus filtering):
+    * mean token length, alpha ratio, digit ratio, whitespace ratio. All
+    * deterministic arithmetic -> ANSI-SQL-expressible for the oracle. */
+  def meanTokenLength(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    when(nTok === 0, 0.0).otherwise(nonSpace.cast("double") / nTok)
+  }
+
+  def alphaRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, 0.0).otherwise(
+      (len - length(regexp_replace(text, "[A-Za-z]", ""))).cast("double") / len)
+  }
+
+  def digitRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, 0.0).otherwise(
+      (len - length(regexp_replace(text, "[0-9]", ""))).cast("double") / len)
+  }
+
+  /** Composite quality score in [0,1]: favors alpha-heavy text with
+    * mid-length tokens; penalizes digit soup. Deterministic, documented
+    * formula so the DuckDB oracle can reproduce it exactly. */
+  def qualityScore(text: Column): Column =
+    round(
+      alphaRatio(text) * 0.6
+        + (lit(1.0) - digitRatio(text)) * 0.2
+        + least(meanTokenLength(text) / 10.0, lit(1.0)) * 0.2,
+      6)
+
+  /** Stopword fraction against a fixed stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ts = tokens(lower(text))
+    val sw = array(stopwords.map(lit): _*)
+    val n = size(ts)
+    when(n === 0, 0.0).otherwise(
+      size(filter(ts, t => array_contains(sw, t))).cast("double") / n)
+  }
+
+  /** Language-ID by stopword-profile scoring: score(text, lang) =
+    * stopword fraction under each language's profile; pick the argmax
+    * (ties -> lexicographically first lang). An n-gram/stopword heuristic,
+    * not a model — deterministic and cheap at scale. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"))
+
+  def langScores(text: Column): Column = {
+    val entries = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(lit(lang).as("lang"), round(stopwordRatio(text, words), 6).as("score"))
+    }
+    array(entries: _*)
+  }
+
+  /** Best language: highest score, ties to first (languages pre-sorted). */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // array_sort by (-score, lang): comparator returns int
+    val best = array_sort(
+      scores,
+      (l, r) =>
+        when(l("score") > r("score"), -1)
+          .when(l("score") < r("score"), 1)
+          .when(l("lang") < r("lang"), -1)
+          .when(l("lang") > r("lang"), 1)
+          .otherwise(0))
+    element_at(best, 1)("lang")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit polynomial rolling hash over a string's UTF-8 bytes:
+  * `h_{i+1} = h_i * 1000003 + byte_i` (wrapping). A deterministic document
+  * fingerprint for a training-data pipeline (content-defined identity,
+  * stable across runs/partitions/engines).
+  *
+  * Implemented as a native Catalyst `Expression` with `doGenCode` — it
+  * inlines into whole-stage codegen (one tight Java loop per row), which a
+  * Scala UDF cannot (SerDe boundary + closure call per row). This is the
+  * SURVEY §7.3 "custom Expression beats UDF" path.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1000003L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $b = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $h = $h * 1000003L + ($b[$i] & 0xFFL);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHash {
+  /** Column-level entry point: `fingerprint($"text")`. */
+  def fingerprint(c: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`) — SURVEY §7.1 north-star component.
+  *
+  * Two paths:
+  *   - [[bruteForceKnn]]: exact baseline. Broadcast the (small) query set
+  *     against the corpus — a map-side nested loop, no corpus shuffle, then
+  *     a per-query top-k window. Correct at any corpus size as long as the
+  *     query set is broadcastable.
+  *   - [[ivfKnn]]: IVF-style scale path. A deterministic coarse quantizer
+  *     (centroid list, broadcast) assigns every corpus vector to a cell
+  *     (narrow); queries probe their `nProbe` closest cells, so each query
+  *     scans ~nProbe/nCells of the corpus instead of all of it.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` must be
+    * small (it is broadcast). Ranking uses the rounded score with the
+    * neighbor id as tiebreak, so results are deterministic. */
+  def bruteForceKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c
+      .join(q, col("query_id") =!= col("neighbor_id")) // broadcast NL join
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic coarse centroids: every `stride`-th corpus vector.
+    * Driver-side collect of nCells vectors only (bounded, small). */
+  def sampleCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int): Array[(Long, Seq[Double])] = {
+    val w = Window.orderBy(col(idCol))
+    corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      .filter(((col("__rn") - 1) % greatest(floor(col("__n") / nCells), lit(1))) === 0)
+      .limit(nCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+  }
+
+  /** IVF probe: assign corpus rows to their nearest centroid cell (narrow,
+    * broadcast centroids), queries probe `nProbe` nearest cells; the join
+    * is an equi-join on cell id — ONE shuffle keyed by cell, never n^2. */
+  def ivfKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Long, Seq[Double])],
+      nProbe: Int = 4): DataFrame = {
+    val centroidArr = array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+    def cellsFor(vec: org.apache.spark.sql.Column, n: Int) = {
+      val scored = transform(
+        centroidArr,
+        c => struct(
+          round(cosine(vec, c("cv")), 9).as("s"),
+          c("cid").as("cid")))
+      val sorted = array_sort(
+        scored,
+        (l, r) =>
+          when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+            .when(l("cid") < r("cid"), -1).when(l("cid") > r("cid"), 1)
+            .otherwise(0))
+      slice(transform(sorted, s => s("cid")), 1, n)
+    }
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"),
+      element_at(cellsFor(col(vecCol).cast("array<double>"), 1), 1).as("cell"))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"),
+      explode(cellsFor(col(vecCol).cast("array<double>"), nProbe)).as("cell"))
+    val scored = q
+      .join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.expressions.RollingHash
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data-pipeline coverage over the `documents` and `embeddings`
+  * tables: text analysis, dedup (exact / MinHash / SimHash / n-gram
+  * Jaccard / embedding-cosine), similarity search. Oracles are provided
+  * wherever DuckDB can express the same deterministic arithmetic; LSH
+  * pipelines are rows-only checked (not SQL-expressible) but each has a
+  * ScalaTest spec asserting ground-truth behavior on known near-dups.
+  */
+object Corpus {
+
+  // ---------------- text analysis ----------------
+
+  val t01_token_stats = QueryDef(
+    "t01_token_stats",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          tokenCount(col("text")).as("n_tokens"),
+          size(tokenSet(col("text"))).as("n_distinct_tokens"))
+        .orderBy(col("doc_id")),
+    // documents.text is single-space word soup -> token count is
+    // (spaces + 1); distinct via list functions.
+    Some("""
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+             length(list_distinct(string_split(lower(text), ' '))) AS n_distinct_tokens
+      FROM documents ORDER BY doc_id"""),
+    bench = true)
+
+  val t02_quality = QueryDef(
+    "t02_quality",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          round(alphaRatio(col("text")), 6).as("alpha_ratio"),
+          round(digitRatio(col("text")), 6).as("digit_ratio"),
+          round(meanTokenLength(col("text")), 6).as("mean_token_len"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+        round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0
+              / length(text), 6) AS alpha_ratio,
+        round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+              / length(text), 6) AS digit_ratio,
+        round(length(replace(text, ' ', '')) * 1.0
+              / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS mean_token_len,
+        round(((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0
+               / length(text)) * 0.6
+          + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+               / length(text)) * 0.2
+          + least((length(replace(text, ' ', '')) * 1.0
+               / (length(text) - length(replace(text, ' ', '')) + 1)) / 10.0, 1.0) * 0.2,
+          6) AS quality
+      FROM documents ORDER BY doc_id"""),
+    bench = true)
+
+  val t03_langid = QueryDef(
+    "t03_langid",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          langId(col("text")).as("predicted_lang"))
+        .orderBy(col("doc_id")),
+    None) // stopword-profile argmax — not portably SQL-expressible
+
+  val t04_fingerprint = QueryDef(
+    "t04_fingerprint",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          RollingHash.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    None, // custom 64-bit rolling hash — no DuckDB equivalent
+    bench = true)
+
+  // ---------------- dedup ----------------
+
+  val d01_dedup_exact = QueryDef(
+    "d01_dedup_exact",
+    (s, dir) =>
+      Dedup
+        .exact(Tables(s, dir).documents, keys = Seq("text"), keep = "doc_id")
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+      FROM documents GROUP BY text ORDER BY 1"""))
+
+  val d02_dedup_exact_norm = QueryDef(
+    "d02_dedup_exact_norm",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .withColumn(
+          "__norm",
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      Dedup
+        .exact(docs, keys = Seq("__norm"), keep = "doc_id")
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+      FROM documents
+      GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      ORDER BY 1"""))
+
+  val d03_minhash_pairs = QueryDef(
+    "d03_minhash_pairs",
+    (s, dir) =>
+      Dedup
+        .minhashPairs(
+          Tables(s, dir).documents, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16)
+        .filter(col("jaccard") >= 0.4)
+        .orderBy(col("id_a"), col("id_b")),
+    None, // LSH banding — rows-only check; ScalaTest asserts recall on known dups
+    bench = true)
+
+  val d04_simhash_pairs = QueryDef(
+    "d04_simhash_pairs",
+    (s, dir) =>
+      Dedup
+        .simhashPairs(Tables(s, dir).documents, "doc_id", "text", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b")),
+    None,
+    bench = true)
+
+  val d05_ngram_jaccard = QueryDef(
+    "d05_ngram_jaccard",
+    (s, dir) =>
+      Dedup
+        .ngramJaccardPairs(
+          Tables(s, dir).documents, "doc_id", "text",
+          blockCol = "lang", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(length(list_intersect(list_distinct(string_split(lower(a.text), ' ')),
+                                         list_distinct(string_split(lower(b.text), ' ')))) * 1.0
+               / (length(list_distinct(string_split(lower(a.text), ' ')))
+                  + length(list_distinct(string_split(lower(b.text), ' ')))
+                  - length(list_intersect(list_distinct(string_split(lower(a.text), ' ')),
+                                          list_distinct(string_split(lower(b.text), ' '))))),
+               6) AS jaccard
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE round(length(list_intersect(list_distinct(string_split(lower(a.text), ' ')),
+                                        list_distinct(string_split(lower(b.text), ' ')))) * 1.0
+               / (length(list_distinct(string_split(lower(a.text), ' ')))
+                  + length(list_distinct(string_split(lower(b.text), ' ')))
+                  - length(list_intersect(list_distinct(string_split(lower(a.text), ' ')),
+                                          list_distinct(string_split(lower(b.text), ' '))))),
+               6) >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  val d06_embed_neardup = QueryDef(
+    "d06_embed_neardup",
+    (s, dir) =>
+      Dedup
+        .embeddingNearDupPairs(
+          Tables(s, dir).embeddings, "vec_id", "embedding",
+          dim = 64, threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b")),
+    None, // LSH-bucketed — recall asserted in ScalaTest vs brute force
+    bench = true)
+
+  // ---------------- similarity search ----------------
+
+  val s01_knn_brute = QueryDef(
+    "s01_knn_brute",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity
+        .bruteForceKnn(
+          corpus = emb,
+          queries = emb.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                       CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                          c.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""),
+    bench = true)
+
+  val s02_knn_ivf = QueryDef(
+    "s02_knn_ivf",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nCells = 16)
+      Similarity
+        .ivfKnn(
+          corpus = emb,
+          queries = emb.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", k = 5,
+          centroids = centroids, nProbe = 6)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None, // approximate by construction — recall vs s01 asserted in ScalaTest
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(
+    t01_token_stats, t02_quality, t03_langid, t04_fingerprint,
+    d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
+    d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
+    s01_knn_brute, s02_knn_ivf)
+}

@@ -1,0 +1,19 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator demonstration: a Spark query over the driver's
+  * parquet tables plus (when SQL-expressible) an equivalent DuckDB oracle.
+  *
+  * Every query orders its output deterministically and rounds/decimal-
+  * accumulates floating aggregates so the driver's value-hash compare is
+  * reproducible across engines and partitionings (double addition is not
+  * associative; decimal accumulation is — see Aggregates.sumExact).
+  *
+  * `bench = true` marks the headline queries timed by `graft.Bench`.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)

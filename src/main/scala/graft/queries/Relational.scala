@@ -1,0 +1,559 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.Frame
+import graft.operators.{Aggregates, Joins, Melt}
+
+/** Relational operator coverage (SURVEY §2.1-§2.7): every query runs the
+  * library operator and carries a DuckDB oracle. Aggregate doubles are
+  * decimal-accumulated (order-independent) and averages rounded, so both
+  * engines produce bit-identical values.
+  */
+object Relational {
+
+  /** exact decimal sum -> double, same text in Spark and DuckDB SQL. */
+  private def sumExactSql(c: String, scale: Int = 2) =
+    s"cast(sum(cast($c as decimal(28,$scale))) as double)"
+
+  val q01_agg_pricing = QueryDef(
+    "q01_agg_pricing",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_shipdate") <= expr("timestamp'2000-01-01 00:00:00'"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Aggregates.sumExact(col("l_quantity")).as("sum_qty"),
+          Aggregates.sumExact(col("l_extendedprice")).as("sum_base_price"),
+          Aggregates
+            .sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          Aggregates
+            .sumExact(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+                * (lit(1.0) + col("l_tax")),
+              6)
+            .as("sum_charge"),
+          Aggregates.avgExact(col("l_quantity")).as("avg_qty"),
+          Aggregates.avgExact(col("l_extendedprice")).as("avg_price"),
+          Aggregates.avgExact(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${sumExactSql("l_quantity")} AS sum_qty,
+             ${sumExactSql("l_extendedprice")} AS sum_base_price,
+             ${sumExactSql("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+             ${sumExactSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+             round(${sumExactSql("l_quantity")} / count(*), 6) AS avg_qty,
+             round(${sumExactSql("l_extendedprice")} / count(*), 6) AS avg_price,
+             round(${sumExactSql("l_discount")} / count(*), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    bench = true)
+
+  val q02_filter_project = QueryDef(
+    "q02_filter_project",
+    (s, dir) => {
+      Frame(Tables(s, dir).lineitem)
+        .filter(
+          col("l_shipdate") >= expr("timestamp'1996-01-01 00:00:00'")
+            && col("l_shipdate") < expr("timestamp'1997-01-01 00:00:00'")
+            && col("l_discount").between(0.03, 0.08)
+            && col("l_quantity") < 30)
+        .df
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * col("l_discount")).as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice * l_discount AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.03 AND 0.08
+        AND l_quantity < 30
+      ORDER BY l_orderkey, l_linenumber"""),
+    bench = true)
+
+  val q03_join_inner = QueryDef(
+    "q03_join_inner",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val li = t.lineitem.select("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+      val p = t.part
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .withColumnRenamed("p_partkey", "l_partkey")
+      Joins.innerJoin(Seq("l_partkey"))(li, p)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l.l_partkey, l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+             p.p_brand, p.p_retailprice
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      ORDER BY l.l_orderkey, l.l_linenumber"""),
+    bench = true)
+
+  val q04_join_left = QueryDef(
+    "q04_join_left",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val c = t.customer.select("c_custkey", "c_name")
+      val o = t.orders
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumnRenamed("o_custkey", "c_custkey")
+      Joins.leftJoin(Seq("c_custkey"))(c, o)
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+    },
+    Some("""
+      SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      ORDER BY c.c_custkey NULLS FIRST, o.o_orderkey NULLS FIRST"""))
+
+  val q05_join_right = QueryDef(
+    "q05_join_right",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val sup = t.supplier
+        .select("s_nationkey", "s_suppkey", "s_name")
+        .withColumnRenamed("s_nationkey", "n_nationkey")
+      val n = t.nation.select("n_nationkey", "n_name")
+      Joins.rightJoin(Seq("n_nationkey"))(sup, n)
+        .orderBy(asc_nulls_first("n_nationkey"), asc_nulls_first("s_suppkey"))
+    },
+    Some("""
+      SELECT n.n_nationkey, s.s_suppkey, s.s_name, n.n_name
+      FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      ORDER BY n.n_nationkey NULLS FIRST, s.s_suppkey NULLS FIRST"""))
+
+  val q06_join_full = QueryDef(
+    "q06_join_full",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val c = t.customer.select(col("c_nationkey").as("nationkey")).distinct()
+        .withColumn("has_customer", lit(1L))
+      val sup = t.supplier.select(col("s_nationkey").as("nationkey")).distinct()
+        .withColumn("has_supplier", lit(1L))
+      Joins.outerJoin(Seq("nationkey"))(c, sup)
+        .orderBy(asc_nulls_first("nationkey"))
+    },
+    Some("""
+      SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+             c.has_customer, s.has_supplier
+      FROM (SELECT DISTINCT c_nationkey AS nationkey, 1::BIGINT AS has_customer FROM customer) c
+      FULL JOIN (SELECT DISTINCT s_nationkey AS nationkey, 1::BIGINT AS has_supplier FROM supplier) s
+        ON c.nationkey = s.nationkey
+      ORDER BY coalesce(c.nationkey, s.nationkey) NULLS FIRST"""))
+
+  val q07_union = QueryDef(
+    "q07_union",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val urgent = Frame(
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+      val low = Frame(
+        o.filter(col("o_orderpriority") === "5-LOW")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+      urgent.concat(low).df.orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderpriority = '5-LOW'
+      ORDER BY o_orderkey"""))
+
+  val q08_melt = QueryDef(
+    "q08_melt",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      Melt
+        .melt(li, idCols = Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("variable"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, variable, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber, variable"""),
+    bench = true)
+
+  val q09_topk = QueryDef(
+    "q09_topk",
+    (s, dir) =>
+      Tables(s, dir).orders
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+
+  val q10_argmax = QueryDef(
+    "q10_argmax",
+    (s, dir) =>
+      Aggregates
+        .argmax(
+          Tables(s, dir).orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+          groupCols = Seq("o_custkey"),
+          ord = col("o_totalprice"),
+          tiebreak = col("o_orderkey"))
+        .orderBy(col("o_custkey")),
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) WHERE rn = 1
+      ORDER BY o_custkey"""))
+
+  val q11_distinct = QueryDef(
+    "q11_distinct",
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  val q12_window_running = QueryDef(
+    "q12_window_running",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        row_number().over(w).as("order_seq"),
+        sum(col("o_totalprice").cast("decimal(28,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double")
+          .as("running_total"))
+        .orderBy(col("o_custkey"), col("order_seq"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER w AS order_seq,
+             cast(sum(cast(o_totalprice as decimal(28,2))) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+               AS running_total
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, order_seq"""),
+    bench = true)
+
+  val q13_rollup = QueryDef(
+    "q13_rollup",
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          Aggregates.sumExact(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             ${sumExactSql("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  val q14_na_fill = QueryDef(
+    "q14_na_fill",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val perCust = t.orders
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Aggregates.sumExact(col("o_totalprice")).as("total_spend"))
+      Frame(
+        Joins.leftJoin(Seq("c_custkey"))(
+          t.customer.select("c_custkey", "c_name"), perCust))
+        .fillNa(Map("n_orders" -> 0L, "total_spend" -> 0.0))
+        .df
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""
+      SELECT c.c_custkey, c.c_name,
+             coalesce(o.n_orders, 0) AS n_orders,
+             coalesce(o.total_spend, 0.0) AS total_spend
+      FROM customer c LEFT JOIN (
+        SELECT o_custkey, count(*) AS n_orders,
+               ${sumExactSql("o_totalprice")} AS total_spend
+        FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+      ORDER BY c.c_custkey"""))
+
+  val q15_semi_join = QueryDef(
+    "q15_semi_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val urgent = t.orders
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      Joins.semiJoin(Seq("c_custkey"))(
+        t.customer.select("c_custkey", "c_name"), urgent)
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""))
+
+  val q16_anti_join = QueryDef(
+    "q16_anti_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val urgent = t.orders
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      Joins.antiJoin(Seq("c_custkey"))(
+        t.customer.select("c_custkey", "c_name"), urgent)
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""))
+
+  val q17_join5_revenue = QueryDef(
+    "q17_join5_revenue",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // TPC-H Q5 shape: revenue per nation for one region & order-date year.
+      // customer/supplier/nation/region are dims — Catalyst/AQE broadcasts
+      // them; lineitem|x|orders is the only large shuffle.
+      val r = t.region.filter(col("r_name") === "ASIA")
+      val n = t.nation.withColumnRenamed("n_regionkey", "r_regionkey")
+      val c = t.customer
+        .withColumnRenamed("c_nationkey", "n_nationkey")
+        .select("c_custkey", "n_nationkey")
+      val o = t.orders
+        .filter(
+          col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'")
+            && col("o_orderdate") < expr("timestamp'1998-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      val li = t.lineitem
+        .select(
+          col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val sup = t.supplier
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey").as("n_nationkey"))
+      val dims = Joins.innerJoin(Seq("r_regionkey"))(n, r) // nation in region
+      val custDim = Joins.innerJoin(Seq("n_nationkey"))(c, dims)
+      val ordersF = Joins.innerJoin(Seq("c_custkey"))(o, custDim)
+      val liJoined = Joins.innerJoin(Seq("o_orderkey"))(li, ordersF)
+      // supplier nation must match customer nation (Q5 semantics)
+      val matched = Joins.innerJoin(Seq("l_suppkey", "n_nationkey"))(liJoined, sup)
+      matched
+        .groupBy(col("n_name"))
+        .agg(
+          Aggregates
+            .sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"))
+        .orderBy(col("n_name"))
+    },
+    Some(s"""
+      SELECT n_name,
+             ${sumExactSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY n_name"""),
+    bench = true)
+
+  val q18_pivot = QueryDef(
+    "q18_pivot",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+      Melt
+        .pivot(
+          li, Seq("l_returnflag"), "l_linestatus", "l_quantity",
+          pivotValues = Seq("F", "O"), agg = c => count(c))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_linestatus = 'F') AS F,
+             count(*) FILTER (WHERE l_linestatus = 'O') AS O
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val q19_zip = QueryDef(
+    "q19_zip",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      Frame(t.part.select("p_partkey", "p_name"))
+        .zip(
+          Seq(col("p_partkey")),
+          Frame(t.supplier.select("s_suppkey", "s_name")),
+          Seq(col("s_suppkey")))
+        .df
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name
+      FROM (SELECT p_partkey, p_name,
+                   row_number() OVER (ORDER BY p_partkey) AS rn FROM part) p
+      JOIN (SELECT s_suppkey, s_name,
+                   row_number() OVER (ORDER BY s_suppkey) AS rn FROM supplier) s
+        ON p.rn = s.rn
+      ORDER BY p.p_partkey"""))
+
+  val q20_take_drop = QueryDef(
+    "q20_take_drop",
+    (s, dir) =>
+      Frame(
+        Tables(s, dir).lineitem
+          .select("l_orderkey", "l_linenumber", "l_quantity"))
+        .dropRows(100, Seq(col("l_orderkey"), col("l_linenumber")))
+        .df
+        .limit(50),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      ORDER BY l_orderkey, l_linenumber LIMIT 50 OFFSET 100"""))
+
+  val q21_chunks = QueryDef(
+    "q21_chunks",
+    (s, dir) =>
+      Frame(
+        Tables(s, dir).lineitem
+          .select("l_orderkey", "l_linenumber", "l_quantity"))
+        .chunkIds(1000, Seq(col("l_orderkey"), col("l_linenumber")))
+        .df
+        .groupBy(col("chunk"))
+        .agg(
+          count(lit(1)).as("n"),
+          Aggregates.sumExact(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("chunk")),
+    Some(s"""
+      SELECT cast(floor((rn - 1) / 1000) as bigint) AS chunk, count(*) AS n,
+             ${sumExactSql("l_quantity")} AS sum_qty
+      FROM (SELECT l_quantity,
+                   row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+            FROM lineitem)
+      GROUP BY 1 ORDER BY 1"""))
+
+  val q22_stats_multi = QueryDef(
+    "q22_stats_multi",
+    (s, dir) =>
+      Aggregates.describe(
+        Tables(s, dir).lineitem,
+        Seq("l_quantity", "l_extendedprice", "l_discount")),
+    Some(s"""
+      SELECT round(${sumExactSql("l_quantity")} / count(*), 6) AS avg_l_quantity,
+             min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity,
+             round(${sumExactSql("l_extendedprice")} / count(*), 6) AS avg_l_extendedprice,
+             min(l_extendedprice) AS min_l_extendedprice, max(l_extendedprice) AS max_l_extendedprice,
+             round(${sumExactSql("l_discount")} / count(*), 6) AS avg_l_discount,
+             min(l_discount) AS min_l_discount, max(l_discount) AS max_l_discount,
+             count(*) AS n_rows
+      FROM lineitem"""),
+    bench = true)
+
+  val q23_events_window = QueryDef(
+    "q23_events_window",
+    (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          Aggregates.sumExact(col("value")).as("sum_value"))
+        .orderBy(col("hour"), col("event_type")),
+    Some(s"""
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+             ${sumExactSql("value")} AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
+
+  val q24_json_extract = QueryDef(
+    "q24_json_extract",
+    (s, dir) =>
+      Tables(s, dir).events
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, sum(cast(props->>'$.k' as bigint)) AS sum_k,
+             count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val q25_cube = QueryDef(
+    "q25_cube",
+    (s, dir) =>
+      Tables(s, dir).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  val q26_intersect = QueryDef(
+    "q26_intersect",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.select(col("c_nationkey").as("nationkey"))
+        .intersect(t.supplier.select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    },
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nationkey"""))
+
+  val q27_except = QueryDef(
+    "q27_except",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.select(col("c_nationkey").as("nationkey"))
+        .except(t.supplier.select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    },
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nationkey"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
+    q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
+    q10_argmax, q11_distinct, q12_window_running, q13_rollup, q14_na_fill,
+    q15_semi_join, q16_anti_join, q17_join5_revenue, q18_pivot, q19_zip,
+    q20_take_drop, q21_chunks, q22_stats_multi, q23_events_window,
+    q24_json_extract, q25_cube, q26_intersect, q27_except)
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's package-private Expression<->Column conversion
+  * (Spark 4 moved it behind `org.apache.spark.sql.classic`). Lives in the
+  * spark.sql namespace solely to satisfy the access modifier; the single
+  * consumer is graft's custom Catalyst expressions. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Ground-truth tests for the LSH dedup operators: plant known near-dups
+  * and assert they are recalled; plant unrelated rows and assert they are
+  * not falsely paired (at verified thresholds). */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "under the warm sun near the old stone bridge by the river bank"
+
+  // doc 1 = near-dup of 0 (one word changed); doc 2 = unrelated
+  private lazy val docs = Seq(
+    (0L, baseText),
+    (1L, baseText.replace("cat", "kitten")),
+    (2L, "completely different content about spark catalyst optimizer " +
+      "rules and whole stage code generation for tungsten execution"),
+    (3L, baseText.replace("dog", "hound").replace("sun", "moon")))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps one survivor per key with dup counts") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+    val got = Dedup.exact(df, Seq("k"), "id").orderBy("id").collect()
+    assert(got.map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_dups"))).toSeq ==
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH recalls planted near-dups, not the unrelated doc") {
+    val pairs = Dedup
+      .minhashPairs(docs, "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16)
+      .filter(col("jaccard") >= 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((0L, 1L)), "one-word-changed near-dup must be recalled")
+    assert(pairs.contains((0L, 3L)), "two-word-changed near-dup must be recalled")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
+  }
+
+  test("simhash of identical text is identical; near-dup within hamming 8") {
+    val sh = docs
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(1L)) <= 8)
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) > 8)
+    val pairs = Dedup
+      .simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard pairs finds the planted pair within its block") {
+    val blocked = docs.withColumn("lang", lit("en"))
+    val pairs = Dedup
+      .ngramJaccardPairs(blocked, "doc_id", "text", "lang", threshold = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("embedding LSH recalls a planted high-cosine pair") {
+    val dim = 16
+    val v = (0 until dim).map(i => math.sin(i + 1).toFloat)
+    val vNear = v.updated(0, v(0) + 0.01f) // cosine ~ 1
+    val vFar = (0 until dim).map(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq((0L, v), (1L, vNear), (2L, vFar))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup
+      .embeddingNearDupPairs(emb, "vec_id", "embedding", dim = dim, threshold = 0.98)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("IVF knn reaches >=60% recall vs brute force on real embeddings") {
+    val emb = Tables(spark, sf0001).embeddings
+    val queries = emb.filter(col("vec_id") < 10)
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = resultSet(
+      Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", k = 5))
+    val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nCells = 16)
+    val approx = resultSet(
+      Similarity.ivfKnn(emb, queries, "vec_id", "embedding", k = 5, centroids, nProbe = 6))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall below 0.6")
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Joins, Melt}
+
+/** Reference-surface semantics of the Frame facade, joins and melt
+  * (golden behaviors from SURVEY §2 / FIXTURES.md). */
+class FrameSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val managers = Seq(
+    (1L, "Joe", 38L, 80000.0),
+    (2L, "Sarah", 41L, 95000.0)).toDF("id", "manager", "age", "pay")
+
+  lazy val employees = Seq(
+    (1L, "Fred", 28L, 40000.0, 1L),
+    (2L, "Sally", 29L, 50000.0, 2L),
+    (3L, "Bob", 30L, 45000.0, 1L)).toDF("id", "employee", "age", "pay", "manager_id")
+
+  test("select projects and reorders") {
+    val got = Frame(managers).select("pay", "manager")
+    assert(got.df.columns.toSeq == Seq("pay", "manager"))
+  }
+
+  test("withColumns updates a subset, keeps the rest (rsubset semantics)") {
+    val got = Frame(managers)
+      .withColumns(Map("pay" -> (col("pay") * 2)))
+      .df.orderBy("id").collect()
+    assert(got.map(_.getAs[Double]("pay")).toSeq == Seq(160000.0, 190000.0))
+    assert(got.head.getAs[String]("manager") == "Joe")
+  }
+
+  test("join output schema = left ++ (right minus keys) (mergeRec order)") {
+    val l = employees.withColumnRenamed("id", "eid")
+      .withColumnRenamed("manager_id", "id")
+    val got = Joins.innerJoin(Seq("id"))(
+      l.select("id", "employee", "pay"),
+      managers.select("id", "manager"))
+    assert(got.columns.toSeq == Seq("id", "employee", "pay", "manager"))
+    assert(got.count() == 3)
+  }
+
+  test("outer join nulls only the unmatched side (documented divergence)") {
+    val l = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
+    val r = Seq((2L, "x"), (3L, "y")).toDF("k", "rv")
+    val got = Joins.outerJoin(Seq("k"))(l, r).orderBy("k").collect()
+    assert(got.length == 3)
+    assert(got(0).isNullAt(2) && !got(0).isNullAt(1))
+    assert(got(2).isNullAt(1) && !got(2).isNullAt(2))
+  }
+
+  test("melt stacks value columns; row count = n x |value cols|") {
+    val got = Melt.melt(managers, idCols = Seq("id", "manager"))
+    assert(got.columns.toSeq == Seq("id", "manager", "variable", "value"))
+    assert(got.count() == 4) // 2 rows x (age, pay)
+    val joe = got.filter(col("manager") === "Joe")
+      .orderBy("variable").collect()
+    assert(joe.map(_.getAs[String]("variable")).toSeq == Seq("age", "pay"))
+    assert(joe.map(_.getAs[Double]("value")).toSeq == Seq(38.0, 80000.0))
+  }
+
+  test("melt of mixed types falls back to string value column") {
+    val df = Seq((1L, "x", 2.5)).toDF("id", "s", "d")
+    val got = Melt.melt(df, idCols = Seq("id"))
+    assert(got.schema("value").dataType.typeName == "string")
+  }
+
+  test("pivot inverts melt for pinned values") {
+    val melted = Melt.melt(managers.select("id", "age", "pay"), idCols = Seq("id"))
+    val back = Melt.pivot(melted, Seq("id"), "variable", "value", Seq("age", "pay"))
+      .orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 38.0, 80000.0), (2L, 41.0, 95000.0)))
+  }
+
+  test("concat is UNION ALL by name") {
+    val a = managers.select("id", "pay")
+    val b = managers.select("pay", "id") // different order, same names
+    assert(Frame(a).concat(Frame(b)).df.count() == 4)
+  }
+
+  test("takeRows/dropRows slice deterministically under explicit order") {
+    val taken = Frame(managers).takeRows(1, Seq(col("id"))).df.collect()
+    assert(taken.map(_.getLong(0)).toSeq == Seq(1L))
+    val dropped = Frame(managers).dropRows(1, Seq(col("id"))).df.collect()
+    assert(dropped.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("zip matches rows by rank, truncates to shorter input") {
+    val left = Seq("a", "b", "c").toDF("l")
+    val right = Seq((10L, "x"), (20L, "y")).toDF("k", "r")
+    val got = Frame(left)
+      .zip(Seq(col("l")), Frame(right), Seq(col("k")))
+      .df.orderBy("l").collect()
+    assert(got.length == 2)
+    assert(got.map(r => (r.getAs[String]("l"), r.getAs[String]("r"))).toSeq ==
+      Seq(("a", "x"), ("b", "y")))
+  }
+
+  test("chunkIds assigns consecutive chunks of the requested size") {
+    val df = (1 to 25).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val got = Frame(df).chunkIds(10, Seq(col("id"))).df
+      .groupBy("chunk").count().orderBy("chunk").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 10L), (1L, 10L), (2L, 5L)))
+  }
+
+  test("fillNa / dropNa mirror MissingData defaults and recMaybe") {
+    val df = Seq[(java.lang.Long, String)]((1L, null), (null, "b"), (2L, "c"))
+      .toDF("a", "s")
+    assert(Frame(df).dropNa().df.count() == 1)
+    val filled = Frame(df).fillNa(Map("a" -> 0L, "s" -> "?")).df
+      .orderBy("a").collect()
+    assert(filled.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((0L, "b"), (1L, "?"), (2L, "c")))
+  }
+
+  test("showFrame renders header + separator-joined rows") {
+    val s = Frame(managers.orderBy("id")).showFrame(" | ")
+    val lines = s.split("\n")
+    assert(lines(0) == "id | manager | age | pay")
+    assert(lines(1) == "1 | Joe | 38 | 80000.0")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+/** Smoke + value checks for every SparkEntry query at sf0.001. The heavy
+  * value verification is the driver's DuckDB hash-compare at sf0.01 (all
+  * oracle-bearing queries were validated against DuckDB locally via
+  * tools/compare_oracle.py); here we pin structural invariants so
+  * regressions surface in `sbt test`. */
+class QueriesSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001 and yields a stable schema") {
+    SparkEntry.allQueries.foreach { q =>
+      val df = q.run(spark, sf0001)
+      val n = df.count()
+      assert(n >= 0, s"${q.name} failed to run")
+      assert(df.columns.nonEmpty, s"${q.name} has no columns")
+      assert(
+        df.columns.map(_.toLowerCase).distinct.length == df.columns.length,
+        s"${q.name} has duplicate column names")
+    }
+  }
+
+  test("q01 groups cover every filtered lineitem row exactly once") {
+    val rows = SparkEntry.queries("q01_agg_pricing")(spark, sf0001).collect()
+    assert(rows.length == 6)
+    val totalCount = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables(spark, sf0001).lineitem
+      .filter(org.apache.spark.sql.functions.expr(
+        "l_shipdate <= timestamp'2000-01-01 00:00:00'"))
+      .count()
+    assert(totalCount == expected)
+  }
+
+  test("q11 distinct returns exactly the flag x status combinations") {
+    val rows = SparkEntry.queries("q11_distinct")(spark, sf0001).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("A", "F"), ("N", "F"), ("N", "O"), ("R", "F")) ||
+      rows.length == 6) // sf-dependent; sf0.01 has all 6
+  }
+
+  test("q19 zip truncates to the shorter side (10 suppliers at sf0.001)") {
+    assert(SparkEntry.queries("q19_zip")(spark, sf0001).count() == 10)
+  }
+
+  test("q20 take/drop returns exactly 50 rows after offset 100") {
+    assert(SparkEntry.queries("q20_take_drop")(spark, sf0001).count() == 50)
+  }
+
+  test("s01 knn returns k=5 neighbors for each of 10 queries, ranked") {
+    val rows = SparkEntry.queries("s01_knn_brute")(spark, sf0001).collect()
+    assert(rows.length == 50)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+      val cosines = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("t04 fingerprints are deterministic across runs") {
+    val a = SparkEntry.queries("t04_fingerprint")(spark, sf0001).collect()
+    val b = SparkEntry.queries("t04_fingerprint")(spark, sf0001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+}
