@@ -25,16 +25,12 @@ object TextFunctions {
   def tokenSet(text: Column): Column = array_distinct(tokens(lower(text)))
 
   /** k-token shingles: sliding windows of k consecutive tokens joined by a
-    * single space. transform over indices — codegen'd, no UDF. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val ts = tokens(lower(text))
-    val n = size(ts)
-    // for i in 0 .. n-k: join(ts[i..i+k-1])
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(n - k, lit(0))),
-        i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
-  }
+    * single space, distinct. Native
+    * [[graft.functions.expressions.WordShingles]] expression — one pass,
+    * no per-window array allocation (the transform/slice/concat_ws HOF
+    * composition it replaces dominated the dedup benchmark profile). */
+  def wordShingles(text: Column, k: Int): Column =
+    graft.functions.expressions.Sketches.wordShingles(tokens(lower(text)), k)
 
   /** Character n-grams of the lowercased text (for Jaccard / langid). */
   def charNgrams(text: Column, n: Int): Column = {
@@ -45,12 +41,11 @@ object TextFunctions {
         i => t.substr(i, lit(n))))
   }
 
-  /** Jaccard similarity of two array columns (sets). */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(a) + size(b) - size(array_intersect(a, b))
-    when(uni === 0, 0.0).otherwise(inter / uni)
-  }
+  /** Jaccard similarity of two array<string> columns (sets). Native
+    * single-pass hash-set expression; identical arithmetic to
+    * size(intersect) / (size(a)+size(b)-size(intersect)). */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.expressions.Sketches.jaccardSim(a, b)
 
   /** Quality signals (heuristics standard in corpus filtering):
     * mean token length, alpha ratio, digit ratio, whitespace ratio. All

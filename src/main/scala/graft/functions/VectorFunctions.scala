@@ -25,12 +25,14 @@ object VectorFunctions {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null-safe-ish: 0 when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm2(a) * norm2(b)
-    when(n === 0.0, 0.0).otherwise(d / n)
-  }
+  /** Cosine similarity; 0 when either norm is 0. Native
+    * [[graft.functions.expressions.CosineSim]] expression — a single
+    * allocation-free fused loop per pair (the HOF dot/norm composition
+    * allocates an intermediate array per zip_with), numerically identical
+    * (same in-order double accumulation). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.Sketches.cosineSim(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   /** L2 (Euclidean) distance. */
   def l2(a: Column, b: Column): Column =
@@ -47,16 +49,13 @@ object VectorFunctions {
 
   /** Sign-bit signature against a fixed list of hyperplanes: bit i is set
     * iff dot(v, planes(i)) >= 0. Returns a long (up to 64 planes) — the
-    * random-hyperplane LSH key for cosine similarity. Planes are passed as
-    * literal arrays (deterministic, seeded by the caller). */
+    * random-hyperplane LSH key for cosine similarity. Planes are baked
+    * into the native [[graft.functions.expressions.HyperplaneSig]]
+    * expression (deterministic, seeded by the caller): all plane dots in
+    * one fused loop per row. */
   def hyperplaneSignature(v: Column, planes: Seq[Seq[Double]]): Column = {
     require(planes.nonEmpty && planes.size <= 64, "1..64 hyperplanes")
-    planes.zipWithIndex
-      .map { case (p, i) =>
-        val planeCol = array(p.map(lit): _*)
-        when(dot(v, planeCol) >= 0.0, lit(1L << i)).otherwise(lit(0L))
-      }
-      .reduce(_.bitwiseOR(_))
+    graft.functions.expressions.Sketches.hyperplaneSig(v.cast("array<double>"), planes)
   }
 
   /** Deterministic pseudo-random unit-ish hyperplanes from a seed (pure

@@ -28,23 +28,27 @@ object Dedup {
   /** MinHash signature (array<long> of length `numHashes`) over a column
     * of string shingles. Hash function i is `xxhash64(seed+i, baseHash)` —
     * a distinct 64-bit hash per seed, wrapping internally (safe under ANSI
-    * mode, unlike explicit multiply-add families). Per-row, no shuffle. */
-  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val baseHashes = transform(shingles, s => xxhash64(s))
-    val sig = (0 until numHashes).map { i =>
-      array_min(transform(baseHashes, h => xxhash64(lit(seed + i), h)))
-    }
-    array(sig: _*)
-  }
+    * mode, unlike explicit multiply-add families). Computed by the native
+    * [[graft.functions.expressions.MinHashSig]] expression: one
+    * allocation-free pass per row, inlined into whole-stage codegen,
+    * bit-identical to the xxhash64 HOF composition. Per-row, no shuffle. */
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    graft.functions.expressions.Sketches.minhashSig(shingles, numHashes, seed)
 
   /** MinHash + LSH banding: returns candidate duplicate pairs
     * (id_a < id_b) whose signatures collide in >= 1 of `bands` bands, with
     * their exact shingle-Jaccard similarity attached.
     *
-    * Pipeline: shingle -> signature (narrow) -> explode bands (xB rows) ->
-    * ONE shuffle grouping by (band, bandHash) -> in-bucket self-join ->
-    * exact verify. Bucket join is on the band hash, so skew only occurs if
-    * a near-identical cluster is huge — cap with `maxBucket`. */
+    * Pipeline: shingle -> signature (narrow) -> explode bands (xB rows,
+    * carrying ONLY (id, band, bandHash) — never the shingle arrays) ->
+    * ONE shuffle grouping by (band, bandHash) -> in-bucket self-join on
+    * ids -> dedup candidate pairs -> re-attach the shingle sets with two
+    * id-keyed joins -> exact verify. Keeping the banding payload to three
+    * scalars bounds shuffle bytes at O(rows x bands x 24B) regardless of
+    * document size; the full sets move exactly twice (once per join side),
+    * keyed by id, and AQE broadcasts the candidate side when it is small.
+    * Bucket join is on the band hash, so skew only occurs if a
+    * near-identical cluster is huge — cap with `maxBucket`. */
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -56,21 +60,21 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = df
+    val sets = df
       .select(col(idCol), wordShingles(col(textCol), shingleSize).as("__sh"))
       .filter(size(col("__sh")) > 0)
+    val banded = sets
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
-    val banded = withSig.select(
-      col(idCol),
-      col("__sh"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            xxhash64(concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows))))
-              .as("bh")))).as("__band"))
-      .select(col(idCol), col("__sh"), col("__band.band"), col("__band.bh"))
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(
+              b.as("band"),
+              xxhash64(concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows))))
+                .as("bh")))).as("__band"))
+      .select(col(idCol), col("__band.band"), col("__band.bh"))
     // cap pathological buckets (all-identical spam clusters)
     val capped = banded
       .withColumn(
@@ -80,80 +84,82 @@ object Dedup {
             .partitionBy(col("band"), col("bh"))
             .orderBy(col(idCol))))
       .filter(col("__rn") <= maxBucket)
-    val a = capped.select(
-      col("band"), col("bh"),
-      col(idCol).as("id_a"), col("__sh").as("__sh_a"))
-    val b = capped.select(
-      col("band"), col("bh"),
-      col(idCol).as("id_b"), col("__sh").as("__sh_b"))
-    a.join(b, Seq("band", "bh"))
+    val candidates = capped
+      .select(col("band"), col("bh"), col(idCol).as("id_a"))
+      .join(capped.select(col("band"), col("bh"), col(idCol).as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .select(
         col("id_a"), col("id_b"),
         round(jaccard(col("__sh_a"), col("__sh_b")), 6).as("jaccard"))
-      .distinct()
   }
 
   /** 64-bit SimHash over token hashes: bit j of the result is the sign of
     * sum over tokens of (+1 if bit j of xxhash64(token) else -1).
-    * Per-row array arithmetic, codegen'd, no shuffle. */
-  /** The 64 single-bit masks as a literal array column (static, so no
-    * dynamic shifts are needed inside lambdas — everything stays
-    * codegen-friendly). */
-  private val bitMasks: Seq[Long] = (0 until 64).map(j => 1L << j)
-
-  def simhash(text: Column): Column = {
-    val hashes = transform(tokens(lower(text)), t => xxhash64(t))
-    val maskArr = array(bitMasks.map(lit): _*)
-    val counts = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) =>
-        zip_with(
-          acc,
-          transform(maskArr, m =>
-            when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)),
-          (a, d) => a + d))
-    aggregate(
-      zip_with(counts, maskArr, (c, m) => when(c > 0, m).otherwise(0L)),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
-  }
+    * Computed by the native [[graft.functions.expressions.SimHash64]]
+    * expression — one tight loop per row inside whole-stage codegen;
+    * per-row, no shuffle. */
+  def simhash(text: Column): Column =
+    graft.functions.expressions.Sketches.simhash64(tokens(lower(text)))
 
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxHamming.
-    * The 64 bits are banded into `maxHamming + 1` contiguous chunks, so by
-    * pigeonhole any pair within the distance bound collides on at least
-    * one chunk — recall is guaranteed, and the only shuffle is the
-    * chunk-value equi-join. */
+    *
+    * Index design (multi-index hashing, chosen for bucket cardinality that
+    * survives 100 TB — a 7-bit bucket key is a cartesian in disguise):
+    *   - r <= 3: split the 64 bits into `r+1` contiguous blocks (each
+    *     >= 16 bits, >= 65536 bucket values). Pigeonhole: r flipped bits
+    *     leave >= 1 block untouched, so every qualifying pair collides on
+    *     at least one single-block index — recall guaranteed.
+    *   - r > 3: split into `m = r+2` blocks and index every PAIR of blocks
+    *     (C(m,2) indexes keyed by the concatenated pair of block values,
+    *     >= 12 bits each). Pigeonhole: r flips touch at most m-2 blocks,
+    *     leaving >= 2 clean blocks whose pair index collides — recall
+    *     guaranteed, with bucket keys fine-grained enough that in-bucket
+    *     joins stay near-linear.
+    * Each exploded row carries only (keys, id, 64-bit sketch): the shuffle
+    * payload is O(rows x indexes x 40B), independent of document size. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
-    val nChunks = maxHamming + 1
-    val sh = df.select(col(idCol), simhash(col(textCol)).as("__sim"))
-    // contiguous bit ranges with widths differing by <= 1; shift amounts
-    // are static so this is a plain Scala-side loop of literal structs
-    val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
-    val chunkStructs = (0 until nChunks).map { c =>
+    val m = if (maxHamming <= 3) maxHamming + 1 else maxHamming + 2
+    val bounds = (0 to m).map(c => c * 64 / m)
+    def blockVal(c: Int): Column = {
       val lo = bounds(c)
       val width = bounds(c + 1) - lo
       val mask = if (width == 64) -1L else (1L << width) - 1L
-      struct(
-        lit(c).as("chunk"),
-        shiftright(col("__sim"), lo).bitwiseAND(mask).as("cv"))
+      shiftright(col("__sim"), lo).bitwiseAND(mask)
     }
-    val chunked = sh.select(
-      col(idCol),
-      col("__sim"),
-      explode(array(chunkStructs: _*)).as("__c"))
-      .select(col(idCol), col("__sim"), col("__c.chunk"), col("__c.cv"))
-    val a = chunked.select(
-      col("chunk"), col("cv"), col(idCol).as("id_a"), col("__sim").as("__sim_a"))
-    val b = chunked.select(
-      col("chunk"), col("cv"), col(idCol).as("id_b"), col("__sim").as("__sim_b"))
-    a.join(b, Seq("chunk", "cv"))
+    // static key structs: (index id, key value(s)) — plain literal shifts,
+    // fully codegen'd
+    val keyStructs: Seq[Column] =
+      if (maxHamming <= 3)
+        (0 until m).map(c =>
+          struct(lit(c).as("k1"), lit(-1).as("k2"),
+            blockVal(c).as("v1"), lit(0L).as("v2")))
+      else
+        for { i <- 0 until m; j <- i + 1 until m } yield
+          struct(lit(i).as("k1"), lit(j).as("k2"),
+            blockVal(i).as("v1"), blockVal(j).as("v2"))
+    val keyed = df
+      .select(col(idCol), simhash(col(textCol)).as("__sim"))
+      .select(col(idCol), col("__sim"), explode(array(keyStructs: _*)).as("__c"))
+      .select(
+        col(idCol), col("__sim"),
+        col("__c.k1"), col("__c.k2"), col("__c.v1"), col("__c.v2"))
+    val a = keyed.select(
+      col("k1"), col("k2"), col("v1"), col("v2"),
+      col(idCol).as("id_a"), col("__sim").as("__sim_a"))
+    val b = keyed.select(
+      col("k1"), col("k2"), col("v1"), col("v2"),
+      col(idCol).as("id_b"), col("__sim").as("__sim_b"))
+    a.join(b, Seq("k1", "k2", "v1", "v2"))
       .filter(col("id_a") < col("id_b"))
       .select(
         col("id_a"), col("id_b"),
@@ -188,12 +194,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin principle): order all tokens by ascending global
+    * document frequency (ties by token); each set emits only its first
+    * `|s| - ceil(t*|s|) + 1` tokens as blocking keys. Any pair with
+    * J >= t shares >= ceil(t*|s|) tokens, so its smallest common token
+    * under that order falls inside BOTH prefixes — recall is exact, no
+    * LSH miss probability. Frequent tokens sort last and almost never
+    * enter a prefix, so block sizes are bounded by token rarity rather
+    * than by an attribute's value cardinality.
+    *
+    * Shuffles, all keyed and linear: token df (groupBy), rank-back join
+    * on token, per-id window, prefix self-join on token, candidate dedup,
+    * two id-keyed verify joins carrying the sets exactly once per side. */
+  def jaccardSimilarityJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      useUnigrams: Boolean = true,
+      shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val setExpr =
+      if (useUnigrams) tokenSet(col(textCol))
+      else wordShingles(col(textCol), shingleSize)
+    val sets = df
+      .select(col(idCol).as("__id"), setExpr.as("__set"))
+      .filter(size(col("__set")) > 0)
+    val toks = sets.select(col("__id"), explode(col("__set")).as("__tok"))
+    val tokenDf = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("__df"), col("__tok"))
+    val sizeW = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+    val prefix = toks
+      .join(tokenDf, Seq("__tok"))
+      .withColumn("__rn", row_number().over(rankW))
+      .withColumn("__sz", count(lit(1)).over(sizeW))
+      .filter(col("__rn") <= col("__sz") - ceil(col("__sz") * threshold) + 1)
+      .select(col("__tok"), col("__id"))
+    val candidates = prefix
+      .select(col("__tok"), col("__id").as("id_a"))
+      .join(prefix.select(col("__tok"), col("__id").as("id_b")), Seq("__tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("__id").as("id_a"), col("__set").as("__set_a")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__set").as("__set_b")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("__set_a"), col("__set_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Embedding near-dup via random-hyperplane LSH with OR-amplification:
     * `nTables` independent hash tables of `planesPerTable` sign bits each.
     * A pair is a candidate if it collides in ANY table (recall
     * `1-(1-p^planes)^tables`, p = 1 - angle/pi), then verified with exact
-    * cosine. One shuffle keyed by (table, signature); candidates never
-    * approach n^2. */
+    * cosine. The signature explode carries ONLY (id, table, signature) —
+    * the vectors move exactly twice, in the two id-keyed verify joins —
+    * so shuffle bytes stay O(rows x tables x 24B) + 2x vector payload
+    * instead of (tables x vector) payload. One shuffle keyed by
+    * (table, signature); candidates never approach n^2. */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -203,27 +265,28 @@ object Dedup {
       planesPerTable: Int = 6,
       nTables: Int = 6,
       seed: Long = 42L): DataFrame = {
+    val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val tableSigs = (0 until nTables).map { t =>
       val planes =
         VectorFunctions.seededPlanes(planesPerTable, dim, seed + 7919L * t)
       struct(
         lit(t).as("tbl"),
-        VectorFunctions.hyperplaneSignature(col(vecCol), planes).as("sig"))
+        VectorFunctions.hyperplaneSignature(col("__v"), planes).as("sig"))
     }
-    val sigd = df.select(
-      col(idCol),
-      col(vecCol).cast("array<double>").as("__v"),
-      explode(array(tableSigs: _*)).as("__t"))
-      .select(col(idCol), col("__v"), col("__t.tbl"), col("__t.sig"))
-    val a = sigd.select(
-      col("tbl"), col("sig"), col(idCol).as("id_a"), col("__v").as("__va"))
-    val b = sigd.select(
-      col("tbl"), col("sig"), col(idCol).as("id_b"), col("__v").as("__vb"))
-    a.join(b, Seq("tbl", "sig"))
+    val sigd = vecs
+      .select(col(idCol), explode(array(tableSigs: _*)).as("__t"))
+      .select(col(idCol), col("__t.tbl"), col("__t.sig"))
+    val candidates = sigd
+      .select(col("tbl"), col("sig"), col(idCol).as("id_a"))
+      .join(sigd.select(col("tbl"), col("sig"), col(idCol).as("id_b")), Seq("tbl", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col("__v").as("__vb")), Seq("id_b"))
       .withColumn("cosine", round(VectorFunctions.cosine(col("__va"), col("__vb")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-      .distinct()
   }
 }

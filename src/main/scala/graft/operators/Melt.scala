@@ -41,11 +41,17 @@ object Melt {
       else df.columns.filterNot(idCols.contains).toSeq
     require(valueCols.nonEmpty, "melt: no value columns")
     val vt = valueType(df, valueCols).sql
+    // backtick-quote identifiers with doubled-backtick escape; single-quote
+    // string literals with both quote and backslash escaped — arbitrary
+    // column names (including ` and ') survive the generated stack expr
+    def ident(c: String) = "`" + c.replace("`", "``") + "`"
+    def strLit(c: String) =
+      "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val pairs = valueCols
-      .map(c => s"'${c.replace("'", "\\'")}', cast(`$c` as $vt)")
+      .map(c => s"${strLit(c)}, cast(${ident(c)} as $vt)")
       .mkString(", ")
     val stackExpr =
-      expr(s"stack(${valueCols.size}, $pairs) as (`$varName`, `$valName`)")
+      expr(s"stack(${valueCols.size}, $pairs) as (${ident(varName)}, ${ident(valName)})")
     df.select(idCols.map(col) :+ stackExpr: _*)
   }
 

@@ -44,24 +44,23 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Deterministic coarse centroids: every `stride`-th corpus vector.
-    * Driver-side collect of nCells vectors only (bounded, small). */
+  /** Deterministic coarse centroids: the `nCells` corpus vectors with the
+    * smallest `xxhash64(id)` — a pseudo-random but reproducible sample.
+    * `orderBy(...).limit(n)` plans as TakeOrderedAndProject: each
+    * partition keeps its local top-n and only those tiny heads reach the
+    * driver — no global sort, no single-task funnel, bounded collect. */
   def sampleCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      nCells: Int): Array[(Long, Seq[Double])] = {
-    val w = Window.orderBy(col(idCol))
+      nCells: Int): Array[(Long, Seq[Double])] =
     corpus
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
-      .filter(((col("__rn") - 1) % greatest(floor(col("__n") / nCells), lit(1))) === 0)
+      .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nCells)
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
-  }
 
   /** IVF probe: assign corpus rows to their nearest centroid cell (narrow,
     * broadcast centroids), queries probe `nProbe` nearest cells; the join

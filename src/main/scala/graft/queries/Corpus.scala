@@ -129,22 +129,29 @@ object Corpus {
     None, // LSH banding — rows-only check; ScalaTest asserts recall on known dups
     bench = true)
 
+  /** r=3 on a 64-bit sketch is the published operating point for web-scale
+    * simhash near-dup (Manku, Jain & Sarma, WWW'07): 4 blocks of 16 bits,
+    * guaranteed recall, 2^16-value buckets. Larger radii use the
+    * pair-of-blocks indexes (exactness unit-tested at r=8 in DedupSpec). */
   val d04_simhash_pairs = QueryDef(
     "d04_simhash_pairs",
     (s, dir) =>
       Dedup
-        .simhashPairs(Tables(s, dir).documents, "doc_id", "text", maxHamming = 8)
+        .simhashPairs(Tables(s, dir).documents, "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b")),
     None,
     bench = true)
 
+  /** Exact similarity join — prefix filtering, NOT attribute blocking: the
+    * oracle is the full all-pairs Jaccard >= 0.5 with no language block,
+    * and the engine must reproduce it exactly (guaranteed recall, unlike
+    * LSH), while never materializing the n^2 cross product. */
   val d05_ngram_jaccard = QueryDef(
     "d05_ngram_jaccard",
     (s, dir) =>
       Dedup
-        .ngramJaccardPairs(
-          Tables(s, dir).documents, "doc_id", "text",
-          blockCol = "lang", threshold = 0.5)
+        .jaccardSimilarityJoin(
+          Tables(s, dir).documents, "doc_id", "text", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b")),
     Some("""
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -156,7 +163,7 @@ object Corpus {
                                           list_distinct(string_split(lower(b.text), ' '))))),
                6) AS jaccard
       FROM documents a JOIN documents b
-        ON a.lang = b.lang AND a.doc_id < b.doc_id
+        ON a.doc_id < b.doc_id
       WHERE round(length(list_intersect(list_distinct(string_split(lower(a.text), ' ')),
                                         list_distinct(string_split(lower(b.text), ' ')))) * 1.0
                / (length(list_distinct(string_split(lower(a.text), ' ')))

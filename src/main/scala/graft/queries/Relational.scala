@@ -505,7 +505,7 @@ object Relational {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
         .orderBy(col("event_type")),
     Some("""
-      SELECT event_type, sum(cast(props->>'$.k' as bigint)) AS sum_k,
+      SELECT event_type, sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
              count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
 

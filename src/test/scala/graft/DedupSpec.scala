@@ -69,6 +69,45 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("simhash block indexes are exact vs brute-force hamming (r=3 and r=8)") {
+    val sh = docs
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    for (r <- Seq(3, 8)) {
+      val got = Dedup
+        .simhashPairs(docs, "doc_id", "text", maxHamming = r)
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+        .toSet
+      val brute = (for {
+        (ia, ha) <- sh; (ib, hb) <- sh
+        if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= r
+      } yield (ia, ib)).toSet
+      assert(got == brute, s"simhashPairs(r=$r) must equal brute force")
+    }
+  }
+
+  test("prefix-filter jaccard join equals brute-force all-pairs exactly") {
+    import graft.functions.TextFunctions
+    val got = Dedup
+      .jaccardSimilarityJoin(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+      .toSet
+    val sets = docs.select(col("doc_id"), TextFunctions.tokenSet(col("text")).as("s"))
+    val brute = sets.select(col("doc_id").as("id_a"), col("s").as("sa"))
+      .crossJoin(sets.select(col("doc_id").as("id_b"), col("s").as("sb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(TextFunctions.jaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+      .toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "planted near-dups must qualify at 0.5")
+  }
+
   test("embedding LSH recalls a planted high-cosine pair") {
     val dim = 16
     val v = (0 until dim).map(i => math.sin(i + 1).toFloat)
