@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Categorical
+import graft.sources.Csv
+import graft.sources.Csv.ParserOptions
+
+/** CSV front-door coverage (SURVEY §2.1): strict / maybe reads, header
+  * override, comma-double + intish parse quirks, categorical encoding —
+  * each oracle re-reads the SAME file in DuckDB (`read_csv` all_varchar)
+  * and replicates the reference parse semantics in portable SQL, so the
+  * hash compare exercises tokenizer + inference + cast plan end-to-end.
+  *
+  * Fixture files are the reference's own test corpus (read-only, at
+  * /root/reference/test/data — FIXTURES.md), the source of the published
+  * golden values these queries anchor to.
+  */
+object CsvQueries {
+
+  private val refData = "/root/reference/test/data"
+
+  /** DuckDB-side replicas of the reference parse semantics
+    * (ColumnTypeable.hs:61-80), matching graft.functions.Parsing. */
+  private def sqlIntOk(c: String) =
+    s"regexp_matches(trim($c), '^[+-]?\\d+(\\.0)?$$')"
+  private def sqlInt(c: String) =
+    s"cast(regexp_replace(trim($c), '\\.0$$', '') as bigint)"
+  private def sqlDoubleOk(c: String) =
+    s"regexp_matches(replace(trim($c), ',', ''), '^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$$')"
+  private def sqlDouble(c: String) =
+    s"cast(replace(trim($c), ',', '') as double)"
+
+  private val prestigeNames =
+    Seq("_c0", "education", "income", "women", "prestige", "census", "type")
+  private val prestigeNamesSql = prestigeNames.map(n => s"'$n'").mkString(", ")
+
+  /** Strict read of prestigePartial.csv: the 4 rows with a blank
+    * `prestige` cell are silently dropped (readTable semantics,
+    * CSV.hs:364-387; fixture per test/UncurryFoldPartialData.hs). */
+  val q28_csv_strict = QueryDef(
+    "q28_csv_strict",
+    (s, _) =>
+      Csv.readTable(s, s"$refData/prestigePartial.csv")
+        .orderBy(col("_c0")),
+    Some(s"""
+      SELECT _c0, ${sqlDouble("education")} AS education,
+             ${sqlInt("income")} AS income, ${sqlDouble("women")} AS women,
+             ${sqlDouble("prestige")} AS prestige, ${sqlInt("census")} AS census, type
+      FROM read_csv('$refData/prestigePartial.csv', header=true,
+                    names=[$prestigeNamesSql], all_varchar=true)
+      WHERE ${sqlDoubleOk("education")} AND ${sqlIntOk("income")}
+        AND ${sqlDoubleOk("women")} AND ${sqlDoubleOk("prestige")}
+        AND ${sqlIntOk("census")}
+      ORDER BY _c0"""))
+
+  /** Maybe read + the reference numeric golden: rows where `prestige`
+    * failed to parse -> (count=4, avg income=3344.5)
+    * (test/UncurryFoldPartialData.hs:23-30, test/Spec.hs:192-197). */
+  val q29_csv_maybe = QueryDef(
+    "q29_csv_maybe",
+    (s, _) =>
+      Csv.readTableMaybe(s, s"$refData/prestigePartial.csv")
+        .filter(col("prestige").isNull)
+        .agg(
+          count(lit(1)).as("n"),
+          avg(col("income")).as("avg_income")),
+    Some(s"""
+      SELECT count(*) AS n, avg(${sqlInt("income")}) AS avg_income
+      FROM read_csv('$refData/prestigePartial.csv', header=true,
+                    names=[$prestigeNamesSql], all_varchar=true)
+      WHERE NOT coalesce(${sqlDoubleOk("prestige")}, false)"""))
+
+  /** managers.csv: quoted comma-grouped doubles ("80,000" -> 80000.0,
+    * ColumnTypeable.hs:77-80) through the full reader. */
+  val q30_csv_managers = QueryDef(
+    "q30_csv_managers",
+    (s, _) =>
+      Csv.readTable(s, s"$refData/managers.csv")
+        .orderBy(col("id")),
+    Some(s"""
+      SELECT ${sqlInt("id")} AS id, manager, ${sqlInt("age")} AS age,
+             ${sqlDouble("pay")} AS pay
+      FROM read_csv('$refData/managers.csv', header=true,
+                    names=['id','manager','age','pay'], all_varchar=true)
+      WHERE ${sqlIntOk("id")} AND ${sqlIntOk("age")} AND ${sqlDoubleOk("pay")}
+      ORDER BY id"""))
+
+  /** Header override on a headerless file (test/NoHeader.hs:15-34): the
+    * first line is data, user-supplied names; avg(Money/Respect) must
+    * equal the with-header value (test/Spec.hs:188-191). */
+  val q31_csv_noheader = QueryDef(
+    "q31_csv_noheader",
+    (s, _) =>
+      Csv.readTable(
+          s, s"$refData/prestigeNoHeader.csv",
+          ParserOptions(headerOverride = Some(Seq(
+            "Job", "Schooling", "Money", "Females", "Respect", "Census", "Category"))))
+        .agg(round(avg(col("Money") / col("Respect")), 6).as("avg_ratio")),
+    Some(s"""
+      SELECT round(avg(${sqlInt("Money")} * 1.0 / ${sqlDouble("Respect")}), 6) AS avg_ratio
+      FROM read_csv('$refData/prestigeNoHeader.csv', header=false,
+                    names=['Job','Schooling','Money','Females','Respect','Census','Category'],
+                    all_varchar=true)
+      WHERE ${sqlIntOk("Money")} AND ${sqlDoubleOk("Respect")}
+        AND ${sqlDoubleOk("Schooling")} AND ${sqlDoubleOk("Females")}
+        AND ${sqlIntOk("Census")}"""))
+
+  /** Categorical end-to-end (test/Categorical.hs:20-31): catSmall's month
+    * column (5 distinct <= 8) is inferred categorical; encode to dense
+    * codes over the sorted dictionary. */
+  val q32_csv_categorical = QueryDef(
+    "q32_csv_categorical",
+    (s, _) => {
+      val df = Csv.readTable(s, s"$refData/catSmall.csv")
+      Categorical.encode(df, "month")
+        .select(col("id"), col("month"), col("month_code"))
+        .orderBy(col("id"))
+    },
+    Some(s"""
+      SELECT ${sqlInt("id")} AS id, month,
+             CASE month WHEN 'April' THEN 0 WHEN 'February' THEN 1
+                        WHEN 'January' THEN 2 WHEN 'March' THEN 3
+                        WHEN 'May' THEN 4 END AS month_code
+      FROM read_csv('$refData/catSmall.csv', header=true,
+                    names=['id','month'], all_varchar=true)
+      WHERE ${sqlIntOk("id")}
+      ORDER BY id"""))
+
+  /** FL2 benchmark scan (36,634 rows): the reference's published
+    * correctness anchor — mean lat 28.087476512228815, mean lon
+    * -81.90356506136422 (README.org:68-69; BASELINE.md). Inference
+    * prefix 2500 exactly as the reference benchmark sets it
+    * (benchmarks/BenchDemo.hs:22 — a Double appears at data row 2439). */
+  val q33_csv_fl2_means = QueryDef(
+    "q33_csv_fl2_means",
+    (s, _) =>
+      Csv.readTable(
+          s, "/root/reference/data/FL2.csv",
+          ParserOptions(inferencePrefix = 2500))
+        .agg(
+          round(avg(col("point_latitude")), 9).as("mean_lat"),
+          round(avg(col("point_longitude")), 9).as("mean_lon")),
+    Some("""
+      SELECT round(avg(point_latitude), 9) AS mean_lat,
+             round(avg(point_longitude), 9) AS mean_lon
+      FROM read_csv('/root/reference/data/FL2.csv', header=true)"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q28_csv_strict, q29_csv_maybe, q30_csv_managers, q31_csv_noheader,
+    q32_csv_categorical, q33_csv_fl2_means)
+}

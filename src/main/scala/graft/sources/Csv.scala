@@ -1,0 +1,301 @@
+package graft.sources
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Parsing
+import graft.schema.Inference
+import graft.schema.Inference.{ColInfo, TBool, TDouble, TInt, TText}
+
+/** The CSV front door — the reference's primary entry point
+  * (acowley/Frames: every program starts with `tableTypes` + `readTable`),
+  * re-expressed as runtime schema inference feeding Spark's distributed
+  * CSV source.
+  *
+  * Three read modes mirror the reference exactly:
+  *   - [[Csv.readTable]] — strict: silently drops any row with an
+  *     unparseable cell (`src/Frames/CSV.hs:364-387`; a row survives iff
+  *     every typed cell parses — Text always parses);
+  *   - [[Csv.readTableMaybe]] — per-cell nullable: a failed parse yields
+  *     null in that cell, the row survives (`src/Frames/CSV.hs:281-330`);
+  *   - [[Csv.readTableDebug]] — strict rows plus a corrupt-row side
+  *     channel listing which columns failed (`src/Frames/CSV.hs:403-429`,
+  *     which prints per-cell Left/Right to stderr).
+  *
+  * Scale design: only schema inference reads a bounded prefix (<=
+  * `inferencePrefix` rows) on the driver; the data path is
+  * `spark.read.csv` with an explicit all-string schema — distributed,
+  * splittable, filter-pushdown-friendly — followed by codegen'd parse
+  * expressions ([[graft.functions.Parsing]]). No UDFs, no collect.
+  *
+  * Known divergence (documented): Spark's reader surfaces an empty cell
+  * as null, the reference's Text parse of `""` yields `""` — so Text
+  * columns carry null where the reference carries an empty string. All
+  * other cells agree: `""`/`"NA"` fail every non-Text parse in both
+  * engines.
+  */
+object Csv {
+
+  /** Quoting modes, mirroring `src/Frames/CSV.hs:63-67`. */
+  sealed trait QuotingMode
+  case object NoQuoting extends QuotingMode
+  /** Doubled-quote escape, no embedded newlines (`CSV.hs:104-146`). */
+  final case class RFC4180Quoting(quote: Char = '"') extends QuotingMode
+
+  /** Mirror of the reference `ParserOptions` (`src/Frames/CSV.hs:68-96`)
+    * plus the inference knobs that are compile-time in the reference
+    * (`src/Frames/TH.hs:134-136` prefix; categorical cardinality from
+    * `CommonColumnsCat`, `src/Frames/ColumnUniverse.hs:237`).
+    * As in the reference, `headerOverride` implies the file has NO header
+    * row — the first line is data (`test/NoHeader.hs:15-34`). */
+  final case class ParserOptions(
+      headerOverride: Option[Seq[String]] = None,
+      separator: String = ",",
+      quoting: QuotingMode = RFC4180Quoting('"'),
+      encoding: String = "UTF-8",
+      inferencePrefix: Int = 1000,
+      categoricalMaxCardinality: Int = 8)
+
+  // ------------------------------------------------------------------
+  // Tokenizer — driver-side, used ONLY for the bounded inference prefix.
+  // Replicates `tokenizeRow` / `reassembleRFC4180QuotedParts`
+  // (`src/Frames/CSV.hs:104-146`): split on the separator, re-join
+  // quoted fields, strip unquoted tokens, unescape doubled quotes.
+  // ------------------------------------------------------------------
+
+  private def splitLiteral(line: String, sep: String): List[String] = {
+    val out = List.newBuilder[String]
+    var from = 0
+    var i = line.indexOf(sep)
+    while (i >= 0) {
+      out += line.substring(from, i)
+      from = i + sep.length
+      i = line.indexOf(sep, from)
+    }
+    out += line.substring(from)
+    out.result()
+  }
+
+  def tokenizeRow(line: String, opts: ParserOptions): List[String] = {
+    val parts = splitLiteral(line, opts.separator)
+    opts.quoting match {
+      case NoQuoting => parts
+      case RFC4180Quoting(q) => reassembleQuoted(parts, opts.separator, q)
+    }
+  }
+
+  private def reassembleQuoted(parts: List[String], sep: String, q: Char): List[String] = {
+    val qs = q.toString
+    def unescape(s: String) = s.replace(qs + qs, qs)
+    def go(ps: List[String]): List[String] = ps match {
+      case Nil => Nil
+      case part :: rest if part.isEmpty => "" :: go(rest)
+      case part :: rest if part.head == q =>
+        if (part.endsWith(qs))
+          unescape(part.drop(1).dropRight(1)) :: go(rest)
+        else {
+          val (h, t) = rest.span(p => !p.endsWith(qs))
+          t match {
+            case Nil => List(unescape((part.drop(1) :: h).mkString(sep)))
+            case last :: ts =>
+              unescape(((part.drop(1) :: h) :+ last.dropRight(1)).mkString(sep)) :: go(ts)
+          }
+        }
+      case part :: rest => part.trim :: go(rest)
+    }
+    go(parts)
+  }
+
+  // ------------------------------------------------------------------
+  // Inference — bounded driver-side prefix -> per-column lattice fold.
+  // ------------------------------------------------------------------
+
+  /** First regular file for a path that may be a directory (e.g. a
+    * Spark-written CSV directory). */
+  private def firstFile(path: String): java.nio.file.Path = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala
+        .filter { f =>
+          val n = f.getFileName.toString
+          Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .toSeq.sortBy(_.toString)
+        .headOption.getOrElse(sys.error(s"no files under $path"))
+    else p
+  }
+
+  /** Read up to n lines with the configured encoding (driver-side,
+    * bounded). */
+  private def prefixLines(path: String, n: Int, encoding: String): Vector[String] = {
+    val reader = Files.newBufferedReader(firstFile(path), Charset.forName(encoding))
+    try {
+      val out = Vector.newBuilder[String]
+      var line = reader.readLine()
+      var k = 0
+      while (line != null && k < n) {
+        out += line
+        k += 1
+        line = reader.readLine()
+      }
+      out.result()
+    } finally reader.close()
+  }
+
+  private def sanitize(names: Seq[String]): Seq[String] =
+    names.zipWithIndex.map { case (n, i) => if (n.trim.isEmpty) s"_c$i" else n.trim }
+
+  /** Column names + inferred per-column types from a bounded file prefix
+    * (EP1 of SURVEY §3: the runtime analogue of `tableTypes`).
+    * Column-count mismatches in the prefix are a hard error, mirroring
+    * `CSV.hs:192-206` (embedded newlines unsupported). */
+  def inferSchema(path: String, opts: ParserOptions = ParserOptions()): Seq[ColInfo] = {
+    val hasHeader = opts.headerOverride.isEmpty
+    val lines = prefixLines(
+      path, opts.inferencePrefix + (if (hasHeader) 1 else 0), opts.encoding)
+    require(lines.nonEmpty, s"empty CSV: $path")
+    val names = sanitize(
+      opts.headerOverride.getOrElse(tokenizeRow(lines.head, opts)))
+    val dataLines = if (hasHeader) lines.tail else lines
+    val rows = dataLines.map(l => tokenizeRow(l, opts))
+    Inference.inferFromRows(
+      names, rows,
+      Inference.Options(opts.inferencePrefix, opts.categoricalMaxCardinality))
+  }
+
+  // ------------------------------------------------------------------
+  // Distributed read path.
+  // ------------------------------------------------------------------
+
+  /** All-string distributed scan with the inferred names. The explicit
+    * schema keeps the read splittable (no Spark-side inference pass). */
+  private def rawRead(
+      spark: SparkSession,
+      path: String,
+      names: Seq[String],
+      opts: ParserOptions): DataFrame = {
+    val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
+    val quote = opts.quoting match {
+      case RFC4180Quoting(q) => q.toString
+      case NoQuoting => "\u0000" // univocity: NUL quote char disables quoting
+    }
+    spark.read
+      .schema(schema)
+      .option("header", opts.headerOverride.isEmpty)
+      .option("sep", opts.separator)
+      .option("quote", quote)
+      .option("escape", quote) // doubled-quote escape (RFC4180)
+      .option("encoding", opts.encoding)
+      .option("multiLine", value = false)
+      .option("ignoreLeadingWhiteSpace", value = true) // T.strip parity, CSV.hs:146
+      .option("ignoreTrailingWhiteSpace", value = true)
+      // lenient unescaped-quote recovery matching the reference's
+      // suffix-quote reassembly (CSV.hs:117-141; exercised by
+      // test/data/issue114.csv, whose inner quote is NOT doubled)
+      .option("unescapedQuoteHandling", "STOP_AT_CLOSING_QUOTE")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+  }
+
+  private def parseExpr(ci: ColInfo): Column = {
+    val raw = col(ci.name)
+    ci.colType match {
+      case TBool => Parsing.parseBool(raw)
+      case TInt => Parsing.parseIntish(raw)
+      case TDouble => Parsing.parseDouble(raw)
+      case TText => raw
+    }
+  }
+
+  private def typedProjection(raw: DataFrame, cols: Seq[ColInfo]): DataFrame =
+    raw.select(cols.map(ci => parseExpr(ci).as(ci.name, ci.toField.metadata)): _*)
+
+  /** Conjunction: every typed (non-Text) cell parsed. */
+  private def allTypedParsed(cols: Seq[ColInfo]): Column =
+    cols.filter(_.colType != TText)
+      .map(ci => parseExpr(ci).isNotNull)
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  /** Strict read: infer, parse, silently drop rows with any unparseable
+    * typed cell (`readTable`, `src/Frames/CSV.hs:364-387`). */
+  def readTable(
+      spark: SparkSession,
+      path: String,
+      opts: ParserOptions = ParserOptions()): DataFrame = {
+    val cols = inferSchema(path, opts)
+    val raw = rawRead(spark, path, cols.map(_.name), opts)
+    typedProjection(raw.filter(allTypedParsed(cols)), cols)
+  }
+
+  /** Strict read with a KNOWN column plan, skipping inference — the
+    * analogue of re-reading with the compile-time row type (the
+    * reference's write->read round trip, `test/Spec.hs:118-146`, re-reads
+    * with the original `tableTypes`; re-inference would canonicalize
+    * `80000.0` back to Int via the intish rule). */
+  def readTableWith(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[ColInfo],
+      opts: ParserOptions = ParserOptions()): DataFrame = {
+    val raw = rawRead(spark, path, cols.map(_.name), opts)
+    typedProjection(raw.filter(allTypedParsed(cols)), cols)
+  }
+
+  /** Per-cell-nullable read: failed parses become nulls, rows survive
+    * (`readTableMaybe`, `src/Frames/CSV.hs:281-330`). */
+  def readTableMaybe(
+      spark: SparkSession,
+      path: String,
+      opts: ParserOptions = ParserOptions()): DataFrame = {
+    val cols = inferSchema(path, opts)
+    typedProjection(rawRead(spark, path, cols.map(_.name), opts), cols)
+  }
+
+  /** Debug read: the strict rows plus a corrupt-row side channel — the
+    * raw values of every dropped row with the list of columns that failed
+    * to parse (`readTableDebug`, `src/Frames/CSV.hs:403-429`). */
+  final case class DebugResult(rows: DataFrame, corrupt: DataFrame)
+
+  def readTableDebug(
+      spark: SparkSession,
+      path: String,
+      opts: ParserOptions = ParserOptions()): DebugResult = {
+    val cols = inferSchema(path, opts)
+    val raw = rawRead(spark, path, cols.map(_.name), opts)
+    val failedCols = array_compact(array(
+      cols.filter(_.colType != TText).map(ci =>
+        when(parseExpr(ci).isNull, lit(ci.name))): _*))
+    val corrupt = raw
+      .filter(!allTypedParsed(cols))
+      .withColumn("_failed_columns", failedCols)
+    DebugResult(typedProjection(raw.filter(allTypedParsed(cols)), cols), corrupt)
+  }
+
+  // ------------------------------------------------------------------
+  // Write path (`writeCSV`/`writeDSV`, `src/Frames/CSV.hs:456-530`).
+  // ------------------------------------------------------------------
+
+  /** Distributed CSV write with header, mirroring `writeDSV`'s separator
+    * option. `singleFile` coalesces to one part (driver-scale convenience
+    * matching the reference's single-file output; leave false at scale). */
+  def writeCsv(
+      df: DataFrame,
+      path: String,
+      separator: String = ",",
+      header: Boolean = true,
+      singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write
+      .option("header", header)
+      .option("sep", separator)
+      .option("emptyValue", "")
+      .mode("overwrite")
+      .csv(path)
+  }
+}
