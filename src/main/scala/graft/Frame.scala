@@ -73,6 +73,27 @@ final case class Frame(df: DataFrame) {
       df.withColumn(chunkCol, ((row_number().over(w) - 1) / size).cast("long")))
   }
 
+  /** Frame Monad `>>=` / `concatMap` — one output row per element of the
+    * generator expression evaluated on each input row (Frames
+    * `src/Frames/Frame.hs:58-62`). The reference's bind lets a row expand
+    * into an arbitrary sub-frame; the declarative Spark form is a lateral
+    * `Generate` over an array-valued expression (`array`, `sequence`,
+    * `split`, `transform`, …) — codegen'd, shuffle-free, and Catalyst
+    * still prunes/pushes through it. Rows whose generator is empty or
+    * null produce no output, matching monadic bind (use
+    * `explode_outer` semantics via [[concatMapOuter]] to keep them). */
+  def concatMap(gen: Column, as: String): Frame =
+    Frame(df.withColumn(as, org.apache.spark.sql.functions.explode(gen)))
+
+  /** [[concatMap]] keeping empty/null-generator rows with a null element
+    * (`explode_outer`). */
+  def concatMapOuter(gen: Column, as: String): Frame =
+    Frame(df.withColumn(as, explode_outer(gen)))
+
+  /** [[concatMap]] with the element's 0-based position (`posexplode`). */
+  def concatMapWithPosition(gen: Column, posAs: String, as: String): Frame =
+    Frame(df.select(col("*"), posexplode(gen).as(Seq(posAs, as))))
+
   /** Default-fill of missing cells from per-column defaults
     * (Frames `demo/MissingData.hs:64-72`). */
   def fillNa(defaults: Map[String, Any]): Frame = Frame(df.na.fill(defaults))

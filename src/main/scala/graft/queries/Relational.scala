@@ -549,11 +549,53 @@ object Relational {
       SELECT s_nationkey FROM supplier
       ORDER BY nationkey"""))
 
+  /** Frame Monad `>>=` / concatMap (Frames `src/Frames/Frame.hs:58-62`):
+    * lateral explode of the embedding array — a `Generate` node, no
+    * shuffle, whole-stage codegen'd. */
+  val q34_explode = QueryDef(
+    "q34_explode",
+    (s, dir) =>
+      Frame(Tables(s, dir).embeddings.filter(col("vec_id") < 50))
+        .concatMapWithPosition(col("embedding"), "pos", "__v")
+        .df
+        .select(
+          col("vec_id"),
+          col("pos"),
+          round(col("__v").cast("double"), 6).as("val"))
+        .orderBy(col("vec_id"), col("pos")),
+    Some("""
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+      FROM embeddings WHERE vec_id < 50 ORDER BY vec_id, pos"""))
+
+  /** `rdel` + `mapMono` through the facade (Frames
+    * `src/Frames/RecF.hs:99-124`): project, delete columns, apply one
+    * expression to a homogeneous column selection. All narrow — the plan
+    * is a single scan+project, filters/pruning reach parquet. */
+  val q35_rdel_mapmono = QueryDef(
+    "q35_rdel_mapmono",
+    (s, dir) =>
+      Frame(Tables(s, dir).lineitem)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+        .drop("l_returnflag")
+        .mapMono(
+          Seq("l_quantity", "l_extendedprice"),
+          c => round(c * lit(2), 2))
+        .df
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             round(l_quantity * 2, 2) AS l_quantity,
+             round(l_extendedprice * 2, 2) AS l_extendedprice
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
     q10_argmax, q11_distinct, q12_window_running, q13_rollup, q14_na_fill,
     q15_semi_join, q16_anti_join, q17_join5_revenue, q18_pivot, q19_zip,
     q20_take_drop, q21_chunks, q22_stats_multi, q23_events_window,
-    q24_json_extract, q25_cube, q26_intersect, q27_except)
+    q24_json_extract, q25_cube, q26_intersect, q27_except,
+    q34_explode, q35_rdel_mapmono)
 }

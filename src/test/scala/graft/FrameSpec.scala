@@ -106,6 +106,42 @@ class FrameSpec extends SparkSpec {
       Seq((0L, 10L), (1L, 10L), (2L, 5L)))
   }
 
+  test("concatMap is monadic bind: empty generators vanish, outer keeps them") {
+    val df = Seq(
+      (1L, Seq("a", "b")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("c"))).toDF("id", "xs")
+    val bound = Frame(df).concatMap(col("xs"), "x").df
+      .select("id", "x").orderBy("id", "x").collect()
+    assert(bound.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (1L, "b"), (3L, "c")))
+    val outer = Frame(df).concatMapOuter(col("xs"), "x").df
+    assert(outer.count() == 4) // id=2 survives with null element
+    val withPos = Frame(df).concatMapWithPosition(col("xs"), "pos", "x").df
+      .filter(col("id") === 1L).orderBy("pos").collect()
+    assert(withPos.map(r => (r.getAs[Int]("pos"), r.getAs[String]("x"))).toSeq ==
+      Seq((0, "a"), (1, "b")))
+  }
+
+  test("concatMap satisfies left identity with a computed generator") {
+    // return x >>= f == f x: a single row bound through a sequence
+    // generator expands exactly to the generator's image.
+    val one = Seq(Tuple1(3L)).toDF("n")
+    val got = Frame(one)
+      .concatMap(sequence(lit(1L), col("n")), "i").df
+      .select("i").orderBy("i").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("inCore caches the plan and keeps results identical") {
+    val f = Frame(managers.select("id", "pay")).inCore()
+    assert(f.df.storageLevel.useMemory)
+    assert(f.df.count() == 2)
+    assert(f.df.orderBy("id").collect().map(_.getDouble(1)).toSeq ==
+      Seq(80000.0, 95000.0))
+    f.df.unpersist()
+  }
+
   test("fillNa / dropNa mirror MissingData defaults and recMaybe") {
     val df = Seq[(java.lang.Long, String)]((1L, null), (null, "b"), (2L, "c"))
       .toDF("a", "s")
