@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Corpus, CsvQueries, QueryDef, Relational}
+import graft.queries.{Corpus, CsvQueries, MultimodalQueries, QueryDef, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{Corpus, CsvQueries, QueryDef, Relational}
   */
 object SparkEntry {
 
-  val allQueries: Seq[QueryDef] = Relational.all ++ Corpus.all ++ CsvQueries.all
+  val allQueries: Seq[QueryDef] =
+    Relational.all ++ Corpus.all ++ CsvQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,167 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+
+/** Native Catalyst expressions over opaque `binary` columns — the
+  * multimodal (image/audio/video blob) analysis kernels of the builder
+  * brief. The reference has no binary surface at all (acowley/Frames cells
+  * are text-parsed scalars, `src/Frames/ColumnTypeable.hs:24-59`); this is
+  * training-pipeline extension territory.
+  *
+  * Each kernel is one pass over the blob's bytes, inlined into whole-stage
+  * codegen via `doGenCode` — at 100 TB the metadata/fingerprint pass
+  * touches every blob, so it must stream through the scan with zero
+  * per-row allocation beyond its fixed-size accumulators, and must never
+  * require the blob to be shuffled (all outputs are tiny scalars/arrays;
+  * downstream ops join on those, not on the bytes).
+  */
+object BinaryUtil {
+  /** Single-pass blob statistics: length, exact byte sum (integers — safe
+    * to oracle-compare), mean, distinct byte values, Shannon entropy in
+    * bits/byte (fixed 0..255 accumulation order ⇒ deterministic across
+    * partitionings). */
+  def blobStats(bytes: Array[Byte]): InternalRow = {
+    val counts = new Array[Long](256)
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      counts(b) += 1
+      sum += b
+      i += 1
+    }
+    val n = bytes.length.toLong
+    var distinct = 0
+    var entropy = 0.0
+    var v = 0
+    while (v < 256) {
+      if (counts(v) > 0) {
+        distinct += 1
+        val p = counts(v).toDouble / n
+        entropy -= p * (math.log(p) / math.log(2.0))
+      }
+      v += 1
+    }
+    val mean = if (n == 0) 0.0 else sum.toDouble / n
+    new GenericInternalRow(Array[Any](n, sum, mean, distinct, entropy))
+  }
+
+  /** Fixed-width byte-value histogram: bucket `b * bins / 256` (bins must
+    * divide 256 for equal widths; any 1..256 accepted). */
+  def byteHistogram(bytes: Array[Byte], bins: Int): GenericArrayData = {
+    val counts = new Array[Long](bins)
+    var i = 0
+    while (i < bytes.length) {
+      counts(((bytes(i) & 0xff) * bins) >>> 8) += 1
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  /** `n` XXH64 fingerprints of evenly spaced `frameBytes`-wide windows —
+    * the frame-sampling analog for opaque video/audio blobs: identical
+    * blobs give identical frame sets; a local edit disturbs only the
+    * frames covering it. Windows are clamped to the blob; blobs shorter
+    * than one frame yield a single whole-blob fingerprint; empty blobs
+    * yield an empty array. */
+  def frameFingerprints(bytes: Array[Byte], frameBytes: Int, n: Int): GenericArrayData = {
+    val len = bytes.length
+    if (len == 0) return new GenericArrayData(new Array[Any](0))
+    val frames = math.min(n, math.max(len / math.max(frameBytes, 1), 1))
+    val out = new Array[Any](frames)
+    val span = math.max(len - frameBytes, 0)
+    var f = 0
+    while (f < frames) {
+      val off = if (frames == 1) 0 else (span.toLong * f / (frames - 1)).toInt
+      val w = math.min(frameBytes, len - off)
+      out(f) = XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + off, w, SketchUtil.SparkSeed)
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `blob_stats(binary) -> struct<byte_len,byte_sum,mean_byte,distinct_bytes,entropy>`. */
+case class BlobStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BlobStats.schema
+
+  override def nullSafeEval(input: Any): Any =
+    BinaryUtil.blobStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.BinaryUtil.blobStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): BlobStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "blob_stats"
+}
+
+object BlobStats {
+  val schema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("byte_sum", LongType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false),
+    StructField("distinct_bytes", IntegerType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+
+  def apply(c: Column): Column =
+    ColumnBridge.column(BlobStats(ColumnBridge.expression(c)))
+}
+
+/** `byte_histogram(binary, bins) -> array<long>` (length `bins`). */
+case class ByteHistogram(child: Expression, bins: Int) extends UnaryExpression {
+  require(bins >= 1 && bins <= 256, "bins in [1, 256]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    BinaryUtil.byteHistogram(input.asInstanceOf[Array[Byte]], bins)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.BinaryUtil.byteHistogram($c, $bins);")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+    copy(child = newChild)
+
+  override def prettyName: String = "byte_histogram"
+}
+
+object ByteHistogram {
+  def apply(c: Column, bins: Int): Column =
+    ColumnBridge.column(ByteHistogram(ColumnBridge.expression(c), bins))
+}
+
+/** `frame_fingerprints(binary, frameBytes, n) -> array<long>`. */
+case class FrameFingerprints(child: Expression, frameBytes: Int, n: Int)
+    extends UnaryExpression {
+  require(frameBytes >= 1 && n >= 1, "frameBytes >= 1, n >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    BinaryUtil.frameFingerprints(input.asInstanceOf[Array[Byte]], frameBytes, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.BinaryUtil.frameFingerprints($c, $frameBytes, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): FrameFingerprints =
+    copy(child = newChild)
+
+  override def prettyName: String = "frame_fingerprints"
+}
+
+object FrameFingerprints {
+  def apply(c: Column, frameBytes: Int, n: Int): Column =
+    ColumnBridge.column(FrameFingerprints(ColumnBridge.expression(c), frameBytes, n))
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.{BlobStats, ByteHistogram, FrameFingerprints}
+
+/** Decoded-blob record produced by the batch decode path — the typed
+  * schema a real image/audio codec would emit. */
+final case class DecodedBlob(
+    id: Long,
+    format: String,
+    width: Int,
+    height: Int,
+    channels: Int,
+    byte_len: Long)
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata (builder brief — beyond the reference's scope; acowley/Frames
+  * has no binary cells).
+  *
+  * Scale design:
+  *  - Metadata / fingerprint / feature kernels are native expressions
+  *    ([[graft.functions.expressions.BinaryUtil]]) evaluated INSIDE the
+  *    scan's whole-stage codegen — the blob bytes never move: every
+  *    output is a small scalar/array, and all downstream ops (dedup,
+  *    joins, sampling decisions) key on those outputs, not the bytes.
+  *  - The only unavoidable blob movement is initial ingest; use
+  *    [[repartitionBySize]] so partitions are balanced by BYTES (blob
+  *    sizes are heavy-tailed — count-balanced partitions stall on the
+  *    task holding the big blobs).
+  *  - CODEC STUB: this container has no image/audio libraries, so
+  *    [[stubCodec]] fabricates deterministic dimensions from the blob's
+  *    own bytes. The Spark-side contract around it — expression slot,
+  *    typed output schema, iterator-to-iterator batching, per-partition
+  *    codec initialization — is the real, tested plumbing; swap
+  *    `stubCodec` for a JNI/JavaCV codec without touching the plan.
+  */
+object Multimodal {
+
+  /** Magic-number format sniff over the blob's leading bytes — a codegen'd
+    * `CASE` chain, no UDF. Unknown prefixes classify as `"raw"`. */
+  def sniffFormat(blob: Column): Column = {
+    def magic(bytes: Int*): Column =
+      lit(bytes.map(_.toByte).toArray)
+    when(substring(blob, 1, 8) === magic(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "png")
+      .when(substring(blob, 1, 3) === magic(0xff, 0xd8, 0xff), "jpeg")
+      .when(substring(blob, 1, 4) === magic(0x47, 0x49, 0x46, 0x38), "gif")
+      .when(substring(blob, 1, 4) === magic(0x52, 0x49, 0x46, 0x46), "riff") // wav/avi container
+      .when(substring(blob, 1, 3) === magic(0x49, 0x44, 0x33), "mp3")
+      .when(substring(blob, 5, 4) === magic(0x66, 0x74, 0x79, 0x70), "mp4")
+      .when(substring(blob, 1, 4) === magic(0x25, 0x50, 0x44, 0x46), "pdf")
+      .otherwise("raw")
+  }
+
+  /** Ingest: attach the typed metadata struct every multimodal pipeline
+    * keys on — format, exact size, content digests. One scan, zero
+    * shuffle; `md5`/`xxhash64` are Spark built-ins (codegen'd). */
+  def ingest(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    df.withColumn(
+      "meta",
+      struct(
+        sniffFormat(col(blobCol)).as("format"),
+        length(col(blobCol)).cast("long").as("byte_len"),
+        md5(col(blobCol)).as("digest_md5"),
+        xxhash64(col(blobCol)).as("fingerprint")))
+
+  /** Per-blob statistics + fixed-width byte histogram — the cheap,
+    * always-on feature pass (quality filtering, corruption triage,
+    * compression-ratio proxies via entropy). */
+  def features(df: DataFrame, idCol: String, blobCol: String, histogramBins: Int = 16): DataFrame =
+    df.select(
+      col(idCol),
+      BlobStats(col(blobCol)).as("stats"),
+      ByteHistogram(col(blobCol), histogramBins).as("histogram"))
+
+  /** DECODE STUB — deterministic fake image decode, expression-composed.
+    * Dimensions are fabricated from the blob's own fingerprint (stable
+    * across runs/partitions); mean intensity is the true byte mean. A real
+    * deployment replaces this `struct` with a codec expression or the
+    * [[decodeBatch]] path below; every downstream consumer sees the same
+    * schema either way. */
+  def decodeImageStub(blob: Column): Column = {
+    val h = abs(xxhash64(blob))
+    struct(
+      (lit(16) + pmod(h, lit(113)) * 16).cast("int").as("width"),
+      (lit(16) + pmod(shiftright(h, 7), lit(113)) * 16).cast("int").as("height"),
+      lit(3).as("channels"),
+      BlobStats(blob).getField("mean_byte").as("mean_intensity"))
+  }
+
+  /** Resize STUB — metadata transform on a decoded struct: scales the
+    * fabricated dimensions, preserving the decode contract (a real
+    * implementation would also re-encode pixels). */
+  def resizeStub(decoded: Column, factor: Double): Column =
+    struct(
+      greatest(lit(1), (decoded.getField("width") * factor).cast("int")).as("width"),
+      greatest(lit(1), (decoded.getField("height") * factor).cast("int")).as("height"),
+      decoded.getField("channels").as("channels"),
+      decoded.getField("mean_intensity").as("mean_intensity"))
+
+  /** Frame sampling: `n` evenly spaced `frameBytes`-wide window
+    * fingerprints per blob, exploded to one row per frame — the shape a
+    * video near-dup or scene-dedup pass consumes. The generate happens in
+    * the scan stage; only (id, idx, hash) rows ever shuffle. */
+  def frameSample(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      n: Int,
+      frameBytes: Int): DataFrame =
+    df.select(
+      col(idCol),
+      posexplode(FrameFingerprints(col(blobCol), frameBytes, n))
+        .as(Seq("frame_idx", "frame_hash")))
+
+  /** Batched decode through `mapPartitions` — the Scala analog of the
+    * brief's `mapInPandas` plumbing, for codecs that cannot be expressed
+    * as Catalyst expressions (native libraries holding per-thread state).
+    * Iterator-to-iterator: the codec is initialized once per partition
+    * (task), rows stream through without materializing the partition, and
+    * Spark's pipelined execution keeps memory flat regardless of blob
+    * count. `codec` maps raw bytes to (width, height, channels) —
+    * [[stubCodec]] by default in this container. */
+  def decodeBatch(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      codec: Array[Byte] => (Int, Int, Int) = stubCodec): Dataset[DecodedBlob] = {
+    implicit val enc: Encoder[DecodedBlob] = Encoders.product[DecodedBlob]
+    val withFormat = df.select(
+      col(idCol).cast("long").as("id"),
+      sniffFormat(col(blobCol)).as("format"),
+      col(blobCol).as("blob"))
+    withFormat.mapPartitions { rows =>
+      // per-partition codec init would go here (native lib handle)
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]]("blob")
+        val (w, h, c) = codec(blob)
+        DecodedBlob(r.getLong(0), r.getString(1), w, h, c, blob.length.toLong)
+      }
+    }
+  }
+
+  /** Deterministic stand-in codec: dimensions derived from blob length and
+    * a simple content checksum — stable, partition-order-independent. */
+  def stubCodec(blob: Array[Byte]): (Int, Int, Int) = {
+    var checksum = 0L
+    var i = 0
+    while (i < blob.length) { checksum = checksum * 31 + (blob(i) & 0xff); i += 1 }
+    val w = 16 + (((checksum % 113) + 113) % 113).toInt * 16
+    val h = 16 + ((((checksum >> 7) % 113) + 113) % 113).toInt * 16
+    (w, h, 3)
+  }
+
+  /** Byte-balanced repartitioning for heavy-tailed blob tables: chooses
+    * the partition count from the TOTAL byte volume (one cheap aggregate —
+    * the same statistics pass AQE does) and round-robins rows so no task
+    * is stuck with a run of large blobs. Use before an expensive decode
+    * stage; metadata-only passes don't need it (they never move blobs). */
+  def repartitionBySize(
+      df: DataFrame,
+      blobCol: String,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    val total = df.select(sum(length(col(blobCol)).cast("long"))).head.getLong(0)
+    val n = math.max(1, math.ceil(total.toDouble / targetPartitionBytes).toInt)
+    df.repartition(n)
+  }
+}

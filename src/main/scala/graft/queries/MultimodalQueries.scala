@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Multimodal (opaque-binary) coverage. The driver testdata has no blob
+  * table, so each query derives its blobs from `documents.text`'s UTF-8
+  * bytes (a deterministic cast of driver data, not synthesized inputs) —
+  * the operators themselves are byte-level and format-agnostic.
+  *
+  * m01 carries a full DuckDB oracle (exact integer stats + digests over
+  * the same bytes). The decode/frame kernels (m02/m03) hash with XXH64,
+  * which DuckDB lacks — rows-only checked by the driver, with determinism
+  * and ground-truth asserted in MultimodalSpec.
+  */
+object MultimodalQueries {
+
+  private def blobs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      col("text").cast("binary").as("blob"))
+
+  val m01_blob_meta = QueryDef(
+    "m01_blob_meta",
+    (s, dir) =>
+      Multimodal.ingest(blobs(s, dir), "doc_id", "blob")
+        .withColumn("stats", graft.functions.expressions.BlobStats(col("blob")))
+        .select(
+          col("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.byte_len").as("byte_len"),
+          col("meta.digest_md5").as("digest_md5"),
+          sha2(col("blob"), 256).as("digest_sha256"),
+          col("stats.byte_sum").as("byte_sum"),
+          col("stats.distinct_bytes").as("distinct_bytes"))
+        .orderBy(col("doc_id")),
+    // documents.text is ASCII ⇒ per-character code points ARE the UTF-8
+    // bytes; all compared stats are exact integers or hex digests.
+    Some("""
+      SELECT doc_id,
+             'raw' AS format,
+             octet_length(encode(text)) AS byte_len,
+             md5(text) AS digest_md5,
+             sha256(text) AS digest_sha256,
+             list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS byte_sum,
+             length(list_distinct(list_transform(string_split(text, ''), c -> ascii(c)))) AS distinct_bytes
+      FROM documents ORDER BY doc_id"""),
+    bench = true)
+
+  val m02_blob_features = QueryDef(
+    "m02_blob_features",
+    (s, dir) =>
+      Multimodal.features(blobs(s, dir), "doc_id", "blob", histogramBins = 16)
+        .select(
+          col("doc_id"),
+          col("stats.byte_len").as("byte_len"),
+          round(col("stats.mean_byte"), 6).as("mean_byte"),
+          round(col("stats.entropy"), 6).as("entropy"),
+          col("histogram"))
+        .orderBy(col("doc_id")),
+    None, // entropy/histogram not DuckDB-expressible; spec-tested vs JVM reference
+    bench = true)
+
+  val m03_frame_sample = QueryDef(
+    "m03_frame_sample",
+    (s, dir) =>
+      Multimodal
+        .frameSample(blobs(s, dir), "doc_id", "blob", n = 8, frameBytes = 64)
+        .orderBy(col("doc_id"), col("frame_idx")),
+    None, // XXH64 window hashes — determinism + locality spec-tested
+    bench = true)
+
+  /** Decode-stub pipeline: sniff + fabricate dims + resize, all metadata.
+    * Deterministic ⇒ rows-only driver check + spec ground truth. */
+  val m04_decode_resize = QueryDef(
+    "m04_decode_resize",
+    (s, dir) =>
+      blobs(s, dir)
+        .withColumn("decoded", Multimodal.decodeImageStub(col("blob")))
+        .withColumn("thumb", Multimodal.resizeStub(col("decoded"), 0.25))
+        .select(
+          col("doc_id"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("thumb.width").as("thumb_width"),
+          col("thumb.height").as("thumb_height"),
+          round(col("decoded.mean_intensity"), 6).as("mean_intensity"))
+        .orderBy(col("doc_id")),
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    m01_blob_meta, m02_blob_features, m03_frame_sample, m04_decode_resize)
+}

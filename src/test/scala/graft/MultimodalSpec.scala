@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.{BlobStats, ByteHistogram, FrameFingerprints}
+import graft.operators.Multimodal
+
+/** Ground truth for the multimodal binary kernels: stats vs a JVM-side
+  * reference computation, histogram/frame invariants, format sniffing,
+  * and the batched-decode plumbing. */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    .select(col("doc_id"), col("text").cast("binary").as("blob"), col("text"))
+
+  test("blob_stats matches an independent JVM computation on real docs") {
+    val got = docs.limit(50)
+      .select(col("doc_id"), col("text"), BlobStats(col("blob")).as("s"))
+      .select(col("doc_id"), col("text"),
+        col("s.byte_len"), col("s.byte_sum"), col("s.mean_byte"),
+        col("s.distinct_bytes"), col("s.entropy"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val bytes = r.getAs[String]("text").getBytes("UTF-8")
+      val expLen = bytes.length.toLong
+      val expSum = bytes.map(b => (b & 0xff).toLong).sum
+      val expDistinct = bytes.map(_ & 0xff).distinct.length
+      val counts = bytes.groupBy(_ & 0xff).view.mapValues(_.length).toMap
+      val expEntropy = -counts.values.map { c =>
+        val p = c.toDouble / expLen
+        p * (math.log(p) / math.log(2.0))
+      }.sum
+      assert(r.getAs[Long]("byte_len") == expLen)
+      assert(r.getAs[Long]("byte_sum") == expSum)
+      assert(r.getAs[Int]("distinct_bytes") == expDistinct)
+      assert(math.abs(r.getAs[Double]("mean_byte") - expSum.toDouble / expLen) < 1e-12)
+      assert(math.abs(r.getAs[Double]("entropy") - expEntropy) < 1e-9)
+    }
+  }
+
+  test("byte_histogram buckets correctly and sums to byte_len") {
+    val one = Seq(Tuple1(Array[Byte](0, 1, 15, 16, 0xff.toByte)))
+      .toDF("blob")
+    val h = one.select(ByteHistogram(col("blob"), 16)).head.getSeq[Long](0)
+    assert(h.length == 16)
+    assert(h.head == 3L) // bytes 0,1,15 -> bin 0; 16 -> bin 1; 255 -> bin 15
+    assert(h(1) == 1L)
+    assert(h(15) == 1L)
+    val sums = docs.limit(20)
+      .select(length(col("blob")).cast("long").as("len"),
+        aggregate(ByteHistogram(col("blob"), 16), lit(0L), _ + _).as("histSum"))
+      .collect()
+    sums.foreach(r => assert(r.getAs[Long]("len") == r.getAs[Long]("histSum")))
+  }
+
+  test("frame fingerprints: deterministic, n-bounded, edit-local") {
+    val base = ("A" * 640).getBytes("UTF-8")
+    val edited = base.clone(); edited(600) = 'B'.toByte
+    val df = Seq((1L, base), (2L, base), (3L, edited)).toDF("id", "blob")
+    val rows = df.select(col("id"), FrameFingerprints(col("blob"), 64, 8).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1).length == 8)
+    assert(rows(1) == rows(2)) // identical blobs -> identical frames
+    assert(rows(1) != rows(3)) // edit detected
+    // the edit at offset 600 must not disturb the earliest frames
+    assert(rows(1).take(4) == rows(3).take(4))
+    // shorter than one frame -> single whole-blob fingerprint
+    val tiny = Seq(Tuple1("xy".getBytes("UTF-8"))).toDF("blob")
+      .select(FrameFingerprints(col("blob"), 64, 8)).head.getSeq[Long](0)
+    assert(tiny.length == 1)
+    val empty = Seq(Tuple1(Array.empty[Byte])).toDF("blob")
+      .select(FrameFingerprints(col("blob"), 64, 8)).head.getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
+
+  test("sniffFormat recognizes magic numbers, falls back to raw") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 1, 2)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 9)
+    val mp4 = Array[Byte](0, 0, 0, 0x18, 0x66, 0x74, 0x79, 0x70, 0x6d)
+    val text = "hello world".getBytes("UTF-8")
+    val got = Seq((1L, png), (2L, jpeg), (3L, mp4), (4L, text)).toDF("id", "blob")
+      .select(col("id"), Multimodal.sniffFormat(col("blob")).as("fmt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "mp4", 4L -> "raw"))
+  }
+
+  test("decodeBatch streams through mapPartitions with the stub codec") {
+    val decoded = Multimodal.decodeBatch(docs.limit(30), "doc_id", "blob")
+    val rows = decoded.collect()
+    assert(rows.length == 30)
+    rows.foreach { d =>
+      assert(d.width >= 16 && d.height >= 16 && d.channels == 3 && d.byte_len > 0)
+    }
+    // determinism across independent runs
+    val rows2 = Multimodal.decodeBatch(docs.limit(30), "doc_id", "blob").collect()
+    assert(rows.sortBy(_.id).toSeq == rows2.sortBy(_.id).toSeq)
+  }
+
+  test("resizeStub scales decode dims, clamps at 1") {
+    val d = docs.limit(5)
+      .withColumn("decoded", Multimodal.decodeImageStub(col("blob")))
+      .withColumn("thumb", Multimodal.resizeStub(col("decoded"), 0.25))
+      .select(col("decoded.width"), col("thumb.width")).collect()
+    d.foreach { r =>
+      assert(r.getInt(1) == math.max(1, (r.getInt(0) * 0.25).toInt))
+    }
+  }
+
+  test("repartitionBySize sizes partition count from byte volume") {
+    val small = Multimodal.repartitionBySize(docs, "blob", targetPartitionBytes = 10000L)
+    assert(small.rdd.getNumPartitions >= 2) // ~500 docs x ~300B >> 10KB
+    val big = Multimodal.repartitionBySize(docs, "blob", targetPartitionBytes = Long.MaxValue)
+    assert(big.rdd.getNumPartitions == 1)
+  }
+}
