@@ -590,6 +590,38 @@ object Relational {
              round(l_extendedprice * 2, 2) AS l_extendedprice
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Gap-based sessionization via the unified batch/streaming plan
+    * (`graft.streaming.EventStreams.sessionWindowAgg` — the same code
+    * runs under Structured Streaming with watermarked state; batch here
+    * so DuckDB can oracle it with gaps-and-islands SQL). Spark merges
+    * events with inter-arrival < gap, session end = last event + gap. */
+  val q36_session_window = QueryDef(
+    "q36_session_window",
+    (s, dir) =>
+      graft.streaming.EventStreams
+        .sessionWindowAgg(
+          Tables(s, dir).events, gap = "6 hours",
+          totalValue = c => Aggregates.sumExact(c, 6))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""
+      WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT min(ts) AS session_start, max(ts) + INTERVAL 6 HOUR AS session_end,
+             user_id, count(*) AS n_events,
+             cast(sum(cast(value as decimal(28,6))) as double) AS total_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -597,5 +629,5 @@ object Relational {
     q15_semi_join, q16_anti_join, q17_join5_revenue, q18_pivot, q19_zip,
     q20_take_drop, q21_chunks, q22_stats_multi, q23_events_window,
     q24_json_extract, q25_cube, q26_intersect, q27_except,
-    q34_explode, q35_rdel_mapmono)
+    q34_explode, q35_rdel_mapmono, q36_session_window)
 }

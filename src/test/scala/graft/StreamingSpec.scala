@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{EventRow, EventStreams}
+
+/** Structured Streaming semantics driven through MemoryStream: windowed
+  * aggregation (and its batch equivalence — same plan, both engines),
+  * watermark-bounded dedup, and custom-state sessionization. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private def ev(id: Long, min: Long, user: Long, typ: String, v: Double) =
+    EventRow(id, ts(min), user, typ, v)
+
+  private def checkpoint(): String =
+    Files.createTempDirectory("graft-ckpt").toString
+
+  test("windowedCounts: streaming result equals the batch plan on the same data") {
+    val events = Seq(
+      ev(1, 1, 1, "click", 1.0), ev(2, 5, 1, "click", 2.0),
+      ev(3, 61, 2, "view", 3.0), ev(4, 62, 1, "click", 4.0),
+      ev(5, 125, 2, "view", 5.0))
+
+    val input = MemoryStream[EventRow](spark)
+    val q = EventStreams.windowedCounts(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("win_counts")
+        .orderBy("window_start", "event_type").collect()
+
+      val batch = EventStreams.windowedCounts(events.toDF(), "1 hour", "10 minutes")
+        .orderBy("window_start", "event_type").collect()
+
+      assert(streaming.toSeq == batch.toSeq)
+      assert(streaming.length == 4) // (h0 click), (h1 view), (h1 click), (h2 view)
+      assert(streaming.head.getAs[Long]("n") == 2)
+      assert(streaming.head.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("streamingDedup drops repeats of a key within the watermark horizon") {
+    val input = MemoryStream[EventRow](spark)
+    val q = EventStreams.streamingDedup(input.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      input.addData(ev(10, 1, 1, "click", 1.0), ev(10, 2, 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(10, 3, 1, "click", 1.0), ev(11, 4, 1, "view", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(got.toSeq == Seq(10L, 11L))
+    } finally q.stop()
+  }
+
+  test("sessionize emits closed sessions exactly once with totals") {
+    val input = MemoryStream[EventRow](spark)
+    val sessions = EventStreams.sessionize(
+      input.toDS().withWatermark("ts", "0 seconds").as[EventRow],
+      gapMs = 10 * 60000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      // user 1: events at 1m and 5m (one session); user 2: event at 2m
+      input.addData(ev(1, 1, 1, "a", 1.0), ev(2, 5, 1, "a", 2.0), ev(3, 2, 2, "b", 5.0))
+      q.processAllAvailable()
+      // 100m pushes the watermark far past both sessions' end + gap
+      input.addData(ev(4, 100, 3, "c", 0.0))
+      q.processAllAvailable()
+      // one more trigger so the timeout fires after the watermark advance
+      input.addData(ev(5, 101, 3, "c", 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions_out")
+        .orderBy("user_id").as[graft.streaming.UserSession].collect()
+      assert(got.map(_.user_id).toSeq == Seq(1L, 2L))
+      val u1 = got(0)
+      assert(u1.n_events == 2 && u1.total_value == 3.0)
+      assert(u1.session_start == ts(1) && u1.session_end == ts(5))
+      val u2 = got(1)
+      assert(u2.n_events == 1 && u2.total_value == 5.0)
+
+      // an in-trigger gap split closes the first session immediately
+      input.addData(ev(6, 200, 4, "d", 1.0), ev(7, 230, 4, "d", 2.0))
+      q.processAllAvailable()
+      val u4 = spark.table("sessions_out").filter(col("user_id") === 4L)
+        .as[graft.streaming.UserSession].collect()
+      assert(u4.length == 1 && u4.head.n_events == 1 && u4.head.total_value == 1.0)
+    } finally q.stop()
+  }
+
+  test("sessionWindowAgg (declarative) agrees with sessionize on closed sessions") {
+    val events = Seq(
+      ev(1, 1, 1, "a", 1.0), ev(2, 5, 1, "a", 2.0), ev(3, 2, 2, "b", 5.0),
+      ev(6, 200, 4, "d", 1.0), ev(7, 230, 4, "d", 2.0))
+    // batch run of the built-in session_window with the same 10m gap
+    val got = EventStreams.sessionWindowAgg(events.toDF(), "10 minutes", "0 seconds")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    assert(got.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 5.0), (4L, 1L, 1.0), (4L, 1L, 2.0)))
+  }
+}
