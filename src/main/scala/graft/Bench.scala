@@ -30,9 +30,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm the JVM/codegen paths once on the smallest data so the timed
-    // numbers measure the queries, not JIT + classloading
-    SparkEntry.benchQueries.headOption.foreach { q =>
+    // warm the JVM/codegen paths of EVERY headline query once on the
+    // smallest data so the timed numbers measure steady-state throughput
+    // (the 100 TB question), not first-call JIT + codegen compilation —
+    // cold-vs-warm on the text path alone is ~10x.
+    SparkEntry.benchQueries.foreach { q =>
       try q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }

@@ -19,7 +19,17 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** One-pass character-class counts (native expression) — the shared
+    * kernel for token counting and the quality ratios. Identical
+    * expressions in one projection are subexpression-eliminated, so
+    * stacking several ratios still costs a single pass per row. */
+  def textStats(text: Column): Column =
+    graft.functions.expressions.TextStats(text)
+
+  /** Token count = maximal non-whitespace runs; equals
+    * `size(tokens(text))` without materializing the token array. */
+  def tokenCount(text: Column): Column =
+    textStats(text).getField("n_tokens").cast("int")
 
   /** Distinct lowercase tokens — the unigram set for Jaccard. */
   def tokenSet(text: Column): Column = array_distinct(tokens(lower(text)))
@@ -51,21 +61,24 @@ object TextFunctions {
     * mean token length, alpha ratio, digit ratio, whitespace ratio. All
     * deterministic arithmetic -> ANSI-SQL-expressible for the oracle. */
   def meanTokenLength(text: Column): Column = {
-    val nTok = tokenCount(text)
-    val nonSpace = length(regexp_replace(text, "\\s", ""))
-    when(nTok === 0, 0.0).otherwise(nonSpace.cast("double") / nTok)
+    val s = textStats(text)
+    val nTok = s.getField("n_tokens")
+    when(nTok === 0, 0.0).otherwise(
+      (s.getField("n_chars") - s.getField("n_ws")).cast("double") / nTok)
   }
 
   def alphaRatio(text: Column): Column = {
-    val len = length(text)
+    val s = textStats(text)
+    val len = s.getField("n_chars")
     when(len === 0, 0.0).otherwise(
-      (len - length(regexp_replace(text, "[A-Za-z]", ""))).cast("double") / len)
+      s.getField("n_alpha").cast("double") / len)
   }
 
   def digitRatio(text: Column): Column = {
-    val len = length(text)
+    val s = textStats(text)
+    val len = s.getField("n_chars")
     when(len === 0, 0.0).otherwise(
-      (len - length(regexp_replace(text, "[0-9]", ""))).cast("double") / len)
+      s.getField("n_digit").cast("double") / len)
   }
 
   /** Composite quality score in [0,1]: favors alpha-heavy text with

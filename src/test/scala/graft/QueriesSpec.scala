@@ -61,6 +61,37 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("text_stats equals the regex formulations it replaced") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val samples = Seq(
+      "The quick brown fox 42 jumps.",
+      "  leading and trailing  ",
+      "",
+      "tabs\tand\nnewlines\r\nhere",
+      "unicode: café über straße 中文 123",
+      "a",
+      "    ",
+      "12345 67890").toDF("t")
+    val got = samples.select(
+      col("t"),
+      graft.functions.expressions.TextStats(col("t")).as("s"),
+      length(col("t")).as("len_ref"),
+      (length(col("t")) - length(regexp_replace(col("t"), "[A-Za-z]", ""))).as("alpha_ref"),
+      (length(col("t")) - length(regexp_replace(col("t"), "[0-9]", ""))).as("digit_ref"),
+      (length(col("t")) - length(regexp_replace(col("t"), "\\s", ""))).as("ws_ref"),
+      size(filter(split(col("t"), "\\s+"), x => x =!= "")).as("tok_ref"))
+      .collect()
+    got.foreach { r =>
+      val s = r.getStruct(1)
+      assert(s.getAs[Long]("n_chars") == r.getAs[Int]("len_ref").toLong, r.getString(0))
+      assert(s.getAs[Long]("n_alpha") == r.getAs[Int]("alpha_ref").toLong, r.getString(0))
+      assert(s.getAs[Long]("n_digit") == r.getAs[Int]("digit_ref").toLong, r.getString(0))
+      assert(s.getAs[Long]("n_ws") == r.getAs[Int]("ws_ref").toLong, r.getString(0))
+      assert(s.getAs[Long]("n_tokens") == r.getAs[Int]("tok_ref").toLong, r.getString(0))
+    }
+  }
+
   test("t04 fingerprints are deterministic across runs") {
     val a = SparkEntry.queries("t04_fingerprint")(spark, sf0001).collect()
     val b = SparkEntry.queries("t04_fingerprint")(spark, sf0001).collect()
