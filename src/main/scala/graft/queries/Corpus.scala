@@ -66,6 +66,34 @@ object Corpus {
       FROM documents ORDER BY doc_id"""),
     bench = true)
 
+  /** DuckDB oracle for the stopword-profile argmax, generated from the
+    * SAME `langProfiles` the engine scores with: per-language stopword
+    * ratios rounded to 6, argmax with lexicographic tie-break (first lang
+    * whose score >= all others, langs pre-sorted). */
+  private def langIdOracleSql: String = {
+    val langs = graft.functions.TextFunctions.langProfiles.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (l, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"    round(len(list_filter(ts, t -> list_contains($arr, t))) * 1.0 / len(ts), 6) AS r_$l"
+    }.mkString(",\n")
+    val names = langs.map(_._1)
+    val cases = names.init.map { l =>
+      val conds = names.filter(_ != l).map(o => s"r_$l >= r_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, lang AS labeled_lang,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      scored AS (
+        SELECT doc_id, labeled_lang,
+$scoreCols
+        FROM toks)
+      SELECT doc_id, labeled_lang, CASE $cases ELSE '${names.last}' END AS predicted_lang
+      FROM scored ORDER BY doc_id"""
+  }
+
   val t03_langid = QueryDef(
     "t03_langid",
     (s, dir) =>
@@ -73,7 +101,7 @@ object Corpus {
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           langId(col("text")).as("predicted_lang"))
         .orderBy(col("doc_id")),
-    None) // stopword-profile argmax — not portably SQL-expressible
+    Some(langIdOracleSql))
 
   val t04_fingerprint = QueryDef(
     "t04_fingerprint",
@@ -83,7 +111,20 @@ object Corpus {
           col("doc_id"),
           RollingHash.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id")),
-    None, // custom 64-bit rolling hash — no DuckDB equivalent
+    // The wrapping 64-bit polynomial hash, emulated in DuckDB with
+    // HUGEINT arithmetic mod 2^64 then mapped back to signed — exact for
+    // the ASCII documents corpus (ascii(c) == the UTF-8 byte).
+    Some("""
+      SELECT doc_id,
+        CAST(CASE WHEN r >= 9223372036854775808::HUGEINT
+                  THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fingerprint
+      FROM (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(0::HUGEINT, list_transform(string_split(text, ''), c -> ascii(c)::HUGEINT)),
+            (a, b) -> (a * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT) AS r
+        FROM documents)
+      ORDER BY doc_id"""),
     bench = true)
 
   // ---------------- dedup ----------------

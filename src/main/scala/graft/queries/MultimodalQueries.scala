@@ -59,7 +59,23 @@ object MultimodalQueries {
           round(col("stats.entropy"), 6).as("entropy"),
           col("histogram"))
         .orderBy(col("doc_id")),
-    None, // entropy/histogram not DuckDB-expressible; spec-tested vs JVM reference
+    // Exact list-comprehension oracle over the same bytes (ASCII corpus:
+    // ascii(c) == the UTF-8 byte); entropy/mean survive round(.,6) across
+    // engines since the accumulated integers are identical.
+    Some("""
+      WITH b AS (
+        SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS bs
+        FROM documents),
+      c AS (
+        SELECT doc_id, bs, len(bs) AS n, list_sum(bs) AS s FROM b)
+      SELECT doc_id,
+        n::BIGINT AS byte_len,
+        round(s * 1.0 / n, 6) AS mean_byte,
+        round(-list_sum(list_transform(list_sort(list_distinct(bs)), v ->
+            (len(list_filter(bs, x -> x = v)) * 1.0 / n)
+            * log2(len(list_filter(bs, x -> x = v)) * 1.0 / n))), 6) AS entropy,
+        list_transform(range(16), bin -> len(list_filter(bs, x -> x // 16 = bin))::BIGINT) AS histogram
+      FROM c ORDER BY doc_id"""),
     bench = true)
 
   val m03_frame_sample = QueryDef(
