@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions._
+
+/** SQL registration for graft's native Catalyst expressions, so `spark.sql`
+  * users get the same codegen'd kernels as the Column API:
+  *
+  * {{{
+  *   // at session build time (cluster-wide, e.g. spark-defaults):
+  *   //   spark.sql.extensions=graft.functions.GraftExtensions
+  *   // or on a live session:
+  *   GraftFunctions.registerAll(spark)
+  *   spark.sql("SELECT text_stats(text).n_tokens FROM docs")
+  * }}}
+  *
+  * Scalar-parameterized expressions (shingle size, histogram bins, …)
+  * take foldable integer arguments, resolved at plan time — the SQL form
+  * is exactly as static as the Column form.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name must be an integer literal, got $other")
+    }
+  }
+
+  private def longArg(e: Expression, name: String): Long = {
+    require(e.foldable, s"$name must be a literal")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$name must be an integer literal, got $other")
+    }
+  }
+
+  /** (name, usage, builder) for every SQL-exposed graft expression. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash",
+      "rolling_hash(str) - 64-bit polynomial rolling hash of the UTF-8 bytes",
+      { case Seq(c) => RollingHash(c) }),
+    ("text_stats",
+      "text_stats(str) - struct<n_chars,n_alpha,n_digit,n_ws,n_tokens> in one pass",
+      { case Seq(c) => TextStats(c) }),
+    ("blob_stats",
+      "blob_stats(bin) - struct<byte_len,byte_sum,mean_byte,distinct_bytes,entropy>",
+      { case Seq(c) => BlobStats(c) }),
+    ("byte_histogram",
+      "byte_histogram(bin, bins) - byte-value histogram with `bins` buckets",
+      { case Seq(c, b) => ByteHistogram(c, intArg(b, "bins")) }),
+    ("frame_fingerprints",
+      "frame_fingerprints(bin, frameBytes, n) - n evenly spaced window hashes",
+      { case Seq(c, f, n) =>
+        FrameFingerprints(c, intArg(f, "frameBytes"), intArg(n, "n")) }),
+    ("simhash64",
+      "simhash64(array<string>) - 64-bit SimHash of token hashes",
+      { case Seq(c) => SimHash64(c) }),
+    ("minhash_sig",
+      "minhash_sig(array<string>, numHashes, seed) - MinHash signature",
+      { case Seq(c, n, s) =>
+        MinHashSig(c, intArg(n, "numHashes"), longArg(s, "seed")) }),
+    ("word_shingles",
+      "word_shingles(array<string>, k) - distinct k-token shingles",
+      { case Seq(c, k) => WordShingles(c, intArg(k, "k")) }),
+    ("jaccard_sim",
+      "jaccard_sim(a, b) - Jaccard similarity of two string arrays",
+      { case Seq(a, b) => JaccardSim(a, b) }),
+    ("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two double arrays",
+      { case Seq(a, b) => CosineSim(a, b) }))
+
+  /** Register into a live session (idempotent; `createOrReplace`). */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerTempFunction(spark, name, builder)
+    }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        builder))
+    }
+}

@@ -90,12 +90,21 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // exact verify: re-attach the raw TEXT (smaller than the shingle
+    // arrays) and shingle only the candidate-matched rows — the corpus
+    // pays the shingle pass once (banding), not three times, and the
+    // verify joins move text bytes instead of k-gram arrays.
+    val texts = df.select(col(idCol), col(textCol))
     candidates
-      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__t_a")), Seq("id_a"))
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__t_b")), Seq("id_b"))
       .select(
         col("id_a"), col("id_b"),
-        round(jaccard(col("__sh_a"), col("__sh_b")), 6).as("jaccard"))
+        round(
+          jaccard(
+            wordShingles(col("__t_a"), shingleSize),
+            wordShingles(col("__t_b"), shingleSize)),
+          6).as("jaccard"))
   }
 
   /** 64-bit SimHash over token hashes: bit j of the result is the sign of
