@@ -53,9 +53,10 @@ final case class Frame(df: DataFrame) {
 
   /** `zipFrames` — horizontal concat by row index; result length = min of
     * the inputs (Frames `src/Frames/Frame.hs:64-70`). Each side must carry
-    * its own explicit ordering; rows are matched by rank. The rank join is
-    * a shuffle on the synthetic index — unavoidable for index-zip
-    * semantics; prefer a key join where a real key exists. */
+    * its own explicit ordering; rows are matched by global index (computed
+    * partition-parallel, see [[Frame.withRowIndex]]). The index join is a
+    * shuffle on the synthetic key — unavoidable for index-zip semantics;
+    * prefer a key join where a real key exists. */
   def zip(order: Seq[Column], other: Frame, otherOrder: Seq[Column]): Frame = {
     val l = withRowIndex(df, order, "__zip_idx")
     val r = withRowIndex(other.df, otherOrder, "__zip_idx")
@@ -64,13 +65,16 @@ final case class Frame(df: DataFrame) {
 
   /** `frameChunks` — tag each row with a chunk id of `size` consecutive
     * rows under the given ordering (Frames `src/Frames/InCore.hs:256-260`).
-    * For physical (partition-wise) chunking at scale use
-    * `df.repartitionByRange` instead; this logical form matches the
-    * reference's test semantics exactly. */
+    * Built on the partition-parallel global row index ([[Frame.withRowIndex]]);
+    * for physical (partition-wise) chunking `df.repartitionByRange` also
+    * works — this logical form matches the reference's test semantics
+    * exactly. */
   def chunkIds(size: Int, order: Seq[Column], chunkCol: String = "chunk"): Frame = {
-    val w = Window.orderBy(order: _*)
+    val indexed = Frame.withRowIndex(df, order, "__chunk_idx")
     Frame(
-      df.withColumn(chunkCol, ((row_number().over(w) - 1) / size).cast("long")))
+      indexed
+        .withColumn(chunkCol, (col("__chunk_idx") / size).cast("long"))
+        .drop("__chunk_idx"))
   }
 
   /** Frame Monad `>>=` / `concatMap` — one output row per element of the
@@ -121,13 +125,32 @@ final case class Frame(df: DataFrame) {
 }
 
 object Frame {
-  /** Attach a dense 1-based rank under an explicit ordering. A global
-    * window (no partition) serializes through one task — acceptable for
-    * the order-sensitive reference semantics only; all scale-critical
-    * operators avoid it. */
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder}
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import org.apache.spark.sql.types.LongType
+  import graft.plans.{GraftPlans, RowIndexPlan}
+
+  /** Attach a dense 0-based global row index under an explicit ordering —
+    * partition-parallel via the custom [[graft.plans.RowIndexExec]]
+    * operator (range-partitioned sort + per-partition offsets), NOT the
+    * single-task `row_number() OVER (ORDER BY ...)` window. This keeps
+    * the reference's order-sensitive operators (`zip`, `chunkIds`)
+    * cluster-scalable. */
   private[graft] def withRowIndex(
       df: DataFrame,
       order: Seq[Column],
-      name: String): DataFrame =
-    df.withColumn(name, row_number().over(Window.orderBy(order: _*)))
+      name: String): DataFrame = {
+    GraftPlans.register(df.sparkSession)
+    val sortOrders = order.map(c =>
+      ColumnBridge.convertedExpression(c) match {
+        case so: SortOrder => so
+        case e => SortOrder(e, Ascending)
+      })
+    ColumnBridge.ofRows(
+      df.sparkSession,
+      RowIndexPlan(
+        df.queryExecution.logical,
+        AttributeReference(name, LongType, nullable = false)(),
+        sortOrders))
+  }
 }

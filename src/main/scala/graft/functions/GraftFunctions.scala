@@ -90,13 +90,16 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions=graft.functions.GraftExtensions` entry point. */
+/** `spark.sql.extensions=graft.functions.GraftExtensions` entry point:
+  * native SQL functions + graft's planner strategies. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
         builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.RowIndexStrategy)
+  }
 }
