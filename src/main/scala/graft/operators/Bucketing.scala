@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table support — the shuffle-elimination story for repeated
+  * large-to-large joins (builder brief: "bucketing for co-located
+  * joins").
+  *
+  * At 100 TB the dominant cost of a fact-to-fact join is shuffling both
+  * sides on the key. Writing both tables bucketed (hash-partitioned into
+  * a fixed bucket count, sorted within buckets) pays that shuffle ONCE at
+  * write time; every subsequent equi-join or aggregation on the bucket
+  * key plans with zero Exchange — Catalyst recognizes the matching
+  * `HashPartitioning(outputPartitioning)` and goes straight to SortMergeJoin
+  * over co-located buckets. Pick a bucket count that divides the target
+  * cluster's parallelism (e.g. 4x executors) and keep it IDENTICAL on
+  * both join sides — mismatched counts re-shuffle the smaller side.
+  *
+  * The reference has no storage layer at all (in-memory vectors,
+  * acowley/Frames `src/Frames/InCore.hs`); this is Spark-native
+  * infrastructure the 100 TB deployment needs.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed table (parquet). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val sorted = if (sortCols.isEmpty) bucketCols else sortCols
+    df.write
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Join two tables bucketed on the same key with the same bucket count:
+    * plans with no Exchange on either side. */
+  def bucketedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      keys: Seq[String],
+      joinType: String = "inner"): DataFrame =
+    Joins.join(keys, joinType)(spark.table(leftTable), spark.table(rightTable))
+}

@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions.broadcast
   * no analogue: Spark's hash joins are O(n) per partition and distribute.
   */
 object Joins {
+  /** General USING-join with an explicit join type. */
+  def join(keys: Seq[String], joinType: String)(l: DataFrame, r: DataFrame): DataFrame =
+    l.join(r, keys, joinType)
+
   def innerJoin(keys: Seq[String])(l: DataFrame, r: DataFrame): DataFrame =
     l.join(r, keys, "inner")
 
