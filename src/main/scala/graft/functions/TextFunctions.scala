@@ -34,6 +34,20 @@ object TextFunctions {
   /** Distinct lowercase tokens — the unigram set for Jaccard. */
   def tokenSet(text: Column): Column = array_distinct(tokens(lower(text)))
 
+  /** GPT-2-style BPE pretokenizer (simplified): contractions, optional
+    * leading space + letter runs / digit runs / punctuation runs, then
+    * whitespace runs. Deliberately lookahead-free so Java regex and RE2
+    * (DuckDB, for the oracle) produce identical token streams. This is
+    * the pretokenization step; actual BPE merges are vocabulary-dependent
+    * and belong to the model, not the engine — pretoken counts are the
+    * standard corpus-size proxy. */
+  val bpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** k-token shingles: sliding windows of k consecutive tokens joined by a
     * single space, distinct. Native
     * [[graft.functions.expressions.WordShingles]] expression — one pass,

@@ -127,6 +127,23 @@ $scoreCols
       ORDER BY doc_id"""),
     bench = true)
 
+  /** BPE-ish pretokenization counts — the corpus-size proxy a training
+    * pipeline budgets by. Oracle runs the IDENTICAL pattern under RE2. */
+  val t05_bpe_tokens = QueryDef(
+    "t05_bpe_tokens",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          element_at(bpeTokens(col("text")), 1).as("first_token"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+             len(regexp_extract_all(text, $$$$${graft.functions.TextFunctions.bpePattern}$$$$)) AS n_bpe_tokens,
+             regexp_extract_all(text, $$$$${graft.functions.TextFunctions.bpePattern}$$$$)[1] AS first_token
+      FROM documents ORDER BY doc_id"""))
+
   // ---------------- dedup ----------------
 
   val d01_dedup_exact = QueryDef(
@@ -271,7 +288,7 @@ $scoreCols
     bench = true)
 
   val all: Seq[QueryDef] = Seq(
-    t01_token_stats, t02_quality, t03_langid, t04_fingerprint,
+    t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     s01_knn_brute, s02_knn_ivf)
