@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, col, last, lit}
 
 /** Multi-column equi-joins on identically-named columns, mirroring the
   * reference's four joins (acowley/Frames `src/Frames/Joins.hs:44-249`):
@@ -48,4 +49,50 @@ object Joins {
     * dimension tables below the AQE threshold that statistics miss. */
   def innerJoinBroadcast(keys: Seq[String])(l: DataFrame, dim: DataFrame): DataFrame =
     l.join(broadcast(dim), keys, "inner")
+
+  /** As-of join (left): for each left row, attach `valueCols` from the
+    * single most recent right row with `right.tsCol <= left.tsCol` in the
+    * same key group; left rows with no prior right row get nulls.
+    *
+    * Spark has no as-of operator; this is the builder-brief path (a) —
+    * compose existing ops: tag both inputs, union, and sweep a
+    * `last(_, ignoreNulls)` window PARTITIONED BY the keys (never
+    * global), ordered by (ts, side) so a right row at exactly left.ts is
+    * visible (`<=` semantics, matching DuckDB/kdb ASOF). One shuffle on
+    * the key — identical cost shape to a regular join of the two inputs;
+    * at 100 TB the window state per group is O(|valueCols|), streamed.
+    *
+    * `right` must be unique per (keys, tsCol) — pre-aggregate duplicates
+    * (the result would otherwise be tie-ambiguous in ANY engine). Right
+    * `valueCols` must not collide with left column names, and null right
+    * values are treated as missing (skipped by the sweep). */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.intersect(leftCols).isEmpty,
+      s"right value columns collide with left: ${valueCols.intersect(leftCols)}")
+    val outCols = leftCols ++ valueCols
+    val lTagged = valueCols.foldLeft(left.withColumn("__side", lit(1))) {
+      (d, c) => d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val rTagged = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+      .foldLeft(right.withColumn("__side", lit(0))) {
+        (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val unioned = lTagged.select((outCols :+ "__side").map(col): _*)
+      .unionByName(rTagged.select((outCols :+ "__side").map(col): _*))
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols
+      .foldLeft(unioned)((d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
 }

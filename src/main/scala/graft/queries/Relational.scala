@@ -622,6 +622,67 @@ object Relational {
       ORDER BY user_id, session_start"""),
     bench = true)
 
+  /** Custom typed fold (the reference's Control.Foldl extension point,
+    * SURVEY §2.9) driven through the Dataset API: per-group count +
+    * geometric mean via `graft.operators.Folds`. Partial aggregation of
+    * accumulator structs map-side, one keyed shuffle. */
+  val q37_fold_typed = QueryDef(
+    "q37_fold_typed",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Folds
+      Tables(s, dir).lineitem
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .as[(String, Double)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(Folds.countAndSum.name("cs"), Folds.geometricMean.name("gm"))
+        .toDF("l_returnflag", "cs", "gm")
+        .select(
+          col("l_returnflag"),
+          col("cs._1").as("n"),
+          round(col("gm"), 6).as("geomean"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, count(l_extendedprice) AS n,
+             round(exp(avg(ln(l_extendedprice))), 6) AS geomean
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** As-of join (operator Spark lacks; composed per brief path (a)):
+    * each click event joined to the user's most recent purchase at or
+    * before it. DuckDB's native ASOF JOIN is the oracle. */
+  val q38_asof_join = QueryDef(
+    "q38_asof_join",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      Joins
+        .asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 6).as("value"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, ts, max(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT c.event_id, c.user_id, c.ts,
+             round(c.value, 6) AS value,
+             round(p.purchase_value, 6) AS purchase_value
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.event_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -629,5 +690,6 @@ object Relational {
     q15_semi_join, q16_anti_join, q17_join5_revenue, q18_pivot, q19_zip,
     q20_take_drop, q21_chunks, q22_stats_multi, q23_events_window,
     q24_json_extract, q25_cube, q26_intersect, q27_except,
-    q34_explode, q35_rdel_mapmono, q36_session_window)
+    q34_explode, q35_rdel_mapmono, q36_session_window, q37_fold_typed,
+    q38_asof_join)
 }

@@ -152,6 +152,36 @@ class FrameSpec extends SparkSpec {
       Set((0L, "b"), (1L, "?"), (2L, "c")))
   }
 
+  test("asofJoin attaches the latest right row at-or-before, nulls before any") {
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val left = Seq(
+      (1L, 10L, ts(5)), (2L, 10L, ts(15)), (3L, 10L, ts(30)),
+      (4L, 20L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(5), 100.0), (10L, ts(20), 200.0),
+      (20L, ts(11), 999.0)).toDF("user_id", "ts", "px")
+    val got = Joins.asofJoin(left, right, Seq("user_id"), "ts", Seq("px"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)))
+    assert(got.toSeq == Seq(
+      (1L, Some(100.0)),   // exact tie: right at same ts is visible (<=)
+      (2L, Some(100.0)),   // before the 20m purchase
+      (3L, Some(200.0)),   // after it
+      (4L, None)))         // user 20: no purchase at/before 10m
+  }
+
+  test("fold aggregator reproduces the reference UncurryFold golden (4, 3344.5)") {
+    import graft.operators.Folds
+    // prestigePartial: income column with missing cells dropped
+    // (/root/reference/test/UncurryFoldPartialData.hs:23-30)
+    val incomes = Seq(Some(1500.0), None, Some(844.5), Some(500.0), None, Some(500.0))
+      .toDF("income")
+    val ds = incomes.na.drop().select(col("income")).as[Double]
+    val (n, sum) = ds.select(Folds.countAndSum).head()
+    assert((n, sum) == ((4L, 3344.5)))
+  }
+
   test("showFrame renders header + separator-joined rows") {
     val s = Frame(managers.orderBy("id")).showFrame(" | ")
     val lines = s.split("\n")
