@@ -146,7 +146,44 @@ object CsvQueries {
              round(avg(point_longitude), 9) AS mean_lon
       FROM read_csv('/root/reference/data/FL2.csv', header=true)"""))
 
+  private val timestampFixturePath = "/tmp/graft_fixture_timestamps.csv"
+
+  /** Custom cell type through the inference lattice (the reference's
+    * Parseable-instance extension point + TimeIn demo,
+    * `demo/TimeZones/src/TimeIn.hs`): a `%F %T` timestamp column is
+    * inferred as Timestamp and parsed with a null-on-failure cast;
+    * readTableMaybe keeps rows with missing cells as nulls. The fixture
+    * is written deterministically so the DuckDB oracle reads the SAME
+    * file. */
+  val q39_csv_timestamp = QueryDef(
+    "q39_csv_timestamp",
+    (s, _) => {
+      writeTimestampFixture()
+      Csv.readTableMaybe(
+          s, timestampFixturePath,
+          ParserOptions(customTypes = Seq(Csv.timestampCell)))
+        .orderBy(col("id"))
+    },
+    Some(s"""
+      SELECT cast(id as bigint) AS id,
+             CASE WHEN regexp_matches(trim(ts), '^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$$')
+                  THEN strptime(trim(ts), '%Y-%m-%d %H:%M:%S') END AS ts,
+             CASE WHEN ${sqlDoubleOk("v")} THEN ${sqlDouble("v")} END AS v
+      FROM read_csv('$timestampFixturePath', header=true,
+                    names=['id','ts','v'], all_varchar=true)
+      ORDER BY id"""))
+
+  private def writeTimestampFixture(): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(timestampFixturePath),
+      """id,ts,v
+        |1,2024-01-01 10:30:00,3.5
+        |2,2024-02-03 04:05:06,7.25
+        |3,NA,1.0
+        |4,2024-12-31 23:59:59,NA
+        |""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
     q28_csv_strict, q29_csv_maybe, q30_csv_managers, q31_csv_noheader,
-    q32_csv_categorical, q33_csv_fl2_means)
+    q32_csv_categorical, q33_csv_fl2_means, q39_csv_timestamp)
 }

@@ -59,7 +59,30 @@ object Csv {
       quoting: QuotingMode = RFC4180Quoting('"'),
       encoding: String = "UTF-8",
       inferencePrefix: Int = 1000,
-      categoricalMaxCardinality: Int = 8)
+      categoricalMaxCardinality: Int = 8,
+      customTypes: Seq[Inference.CustomCellType] = Nil)
+
+  /** `%F %T` local timestamps as a custom cell type — the reference's
+    * TimeIn user-extension demo (`demo/TimeZones/src/TimeIn.hs:28-43`):
+    * register it and `tableTypes`-style inference produces a Timestamp
+    * column. `try_to_timestamp` keeps failed cells null (strict reads
+    * then drop the row; maybe reads keep it null). */
+  def timestampCell: Inference.CustomCellType = Inference.CustomCellType(
+    key = "timestamp",
+    matches = s => TimestampCellRe.pattern.matcher(s).matches(),
+    dataType = TimestampType,
+    parse = c => try_to_timestamp(trim(c), lit("yyyy-MM-dd HH:mm:ss")))
+
+  /** TimeIn-with-zone: parse as local time in `zone`, store UTC
+    * (`demo/TimeZones/src/TimeIn.hs:36-43`, `timeIn "America/Chicago"`). */
+  def timestampInZoneCell(zone: String): Inference.CustomCellType =
+    timestampCell.copy(
+      key = s"timestamp_$zone",
+      parse = c =>
+        to_utc_timestamp(try_to_timestamp(trim(c), lit("yyyy-MM-dd HH:mm:ss")), zone))
+
+  private val TimestampCellRe =
+    "^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$".r
 
   // ------------------------------------------------------------------
   // Tokenizer — driver-side, used ONLY for the bounded inference prefix.
@@ -165,7 +188,8 @@ object Csv {
     val rows = dataLines.map(l => tokenizeRow(l, opts))
     Inference.inferFromRows(
       names, rows,
-      Inference.Options(opts.inferencePrefix, opts.categoricalMaxCardinality))
+      Inference.Options(
+        opts.inferencePrefix, opts.categoricalMaxCardinality, opts.customTypes))
   }
 
   // ------------------------------------------------------------------
@@ -208,6 +232,7 @@ object Csv {
       case TBool => Parsing.parseBool(raw)
       case TInt => Parsing.parseIntish(raw)
       case TDouble => Parsing.parseDouble(raw)
+      case Inference.TCustom(_) => ci.custom.get.parse(raw)
       case TText => raw
     }
   }

@@ -193,6 +193,49 @@ class CsvSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - -81.90356506136422) < eps)
   }
 
+  // ---------------- custom cell types (TimeIn demo) ----------------
+
+  test("custom timestamp cell type: inferred, parsed, lattice-safe") {
+    val path = "/tmp/graft_test_custom_ts.csv"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path),
+      """id,ts,mixed
+        |1,2024-01-01 10:30:00,2024-01-01 10:30:00
+        |2,2024-02-03 04:05:06,not-a-time
+        |3,NA,2024-03-04 05:06:07
+        |""".stripMargin)
+    val opts = ParserOptions(customTypes = Seq(Csv.timestampCell))
+    val cols = Csv.inferSchema(path, opts)
+    // pure ts column -> TimestampType (nullable: has a missing cell)
+    assert(cols(1).sparkType == org.apache.spark.sql.types.TimestampType)
+    assert(cols(1).nullable)
+    // mixed custom+text -> falls back to Text (custom joins only itself)
+    assert(cols(2).sparkType == org.apache.spark.sql.types.StringType)
+
+    // maybe read: all rows survive, missing ts is null
+    val maybe = Csv.readTableMaybe(spark, path, opts).orderBy("id").collect()
+    assert(maybe.length == 3)
+    assert(maybe(0).getTimestamp(1).toString == "2024-01-01 10:30:00.0")
+    assert(maybe(2).isNullAt(1))
+    // strict read: the missing-ts row is dropped
+    assert(Csv.readTable(spark, path, opts).count() == 2)
+  }
+
+  test("timestampInZoneCell stores UTC for a zoned local time (timeIn)") {
+    val path = "/tmp/graft_test_zoned_ts.csv"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path),
+      """when
+        |2024-06-01 12:00:00
+        |""".stripMargin)
+    val got = Csv.readTable(
+        spark, path,
+        ParserOptions(customTypes = Seq(Csv.timestampInZoneCell("America/Chicago"))))
+      .head().getTimestamp(0)
+    // noon CDT (UTC-5) == 17:00 UTC; session TZ is UTC
+    assert(got.toString == "2024-06-01 17:00:00.0")
+  }
+
   // ---------------- chunk golden ----------------
 
   test("frameChunks golden: first education per 10-row chunk (test/Spec.hs:221-228)") {
