@@ -50,6 +50,40 @@ object Joins {
   def innerJoinBroadcast(keys: Seq[String])(l: DataFrame, dim: DataFrame): DataFrame =
     l.join(broadcast(dim), keys, "inner")
 
+  /** Interval (range) join: pairs each point row with every interval row
+    * whose `[loCol, hiCol]` contains `ptCol` (inclusive, matching SQL
+    * BETWEEN) — with NO equi-key. Spark plans a raw
+    * `p.ts BETWEEN i.lo AND i.hi` as a broadcast-nested-loop (O(n*m));
+    * this composition bins time into `binSeconds`-wide buckets, explodes
+    * each interval over the bins it covers, and equi-joins on the
+    * point's single bin — one hash shuffle, candidate set bounded by
+    * bin occupancy. Each matching pair meets in exactly one bin (the
+    * point's), so no dedup pass is needed. Choose `binSeconds` near the
+    * typical interval length: explode factor ~ len/bin + 1, per-bin
+    * fan-out ~ points-per-bin x intervals-per-bin. (The same binning
+    * trick behind Databricks' range-join hints / interval indexes.) */
+  def intervalJoin(
+      points: DataFrame,
+      ptCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binSeconds: Long): DataFrame = {
+    val pb = points.withColumn(
+      "__bin", floorDiv(col(ptCol), binSeconds))
+    val ib = intervals.withColumn(
+      "__bin",
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.sequence(
+          floorDiv(col(loCol), binSeconds), floorDiv(col(hiCol), binSeconds))))
+    pb.join(ib, Seq("__bin"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
+  private def floorDiv(ts: org.apache.spark.sql.Column, binSeconds: Long) =
+    org.apache.spark.sql.functions.floor(ts.cast("long") / binSeconds)
+
   /** As-of join (left): for each left row, attach `valueCols` from the
     * single most recent right row with `right.tsCol <= left.tsCol` in the
     * same key group; left rows with no prior right row get nulls.

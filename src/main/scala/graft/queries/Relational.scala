@@ -683,6 +683,56 @@ object Relational {
       ORDER BY c.event_id"""),
     bench = true)
 
+  /** Keyless range join via bin-explode equi-join (Joins.intervalJoin):
+    * events matched to 30 daily maintenance windows. A raw BETWEEN join
+    * would plan broadcast-nested-loop; this shape is one hash shuffle. */
+  val q40_interval_join = QueryDef(
+    "q40_interval_join",
+    (s, dir) => {
+      val intervals = s.range(0, 30).select(
+        col("id").as("window_id"),
+        expr("timestampadd(DAY, cast(id as int), timestamp'2024-01-01 02:00:00')").as("lo"),
+        expr("timestampadd(DAY, cast(id as int), timestamp'2024-01-01 05:59:59')").as("hi"))
+      Joins
+        .intervalJoin(
+          Tables(s, dir).events.select(col("event_id"), col("ts"), col("value")),
+          "ts", intervals, "lo", "hi", binSeconds = 4 * 3600)
+        .groupBy(col("window_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          Aggregates.sumExact(col("value"), 6).as("total_value"))
+        .orderBy(col("window_id"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT d AS window_id,
+               TIMESTAMP '2024-01-01 02:00:00' + d * INTERVAL 1 DAY AS lo,
+               TIMESTAMP '2024-01-01 05:59:59' + d * INTERVAL 1 DAY AS hi
+        FROM generate_series(0, 29) t(d))
+      SELECT w.window_id, count(*) AS n,
+             cast(sum(cast(e.value as decimal(28,6))) as double) AS total_value
+      FROM events e JOIN w ON e.ts BETWEEN w.lo AND w.hi
+      GROUP BY w.window_id ORDER BY w.window_id"""))
+
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont` — both the linear-interpolation definition). */
+  val q41_percentiles = QueryDef(
+    "q41_percentiles",
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+             round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+             round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -691,5 +741,5 @@ object Relational {
     q20_take_drop, q21_chunks, q22_stats_multi, q23_events_window,
     q24_json_extract, q25_cube, q26_intersect, q27_except,
     q34_explode, q35_rdel_mapmono, q36_session_window, q37_fold_typed,
-    q38_asof_join)
+    q38_asof_join, q40_interval_join, q41_percentiles)
 }

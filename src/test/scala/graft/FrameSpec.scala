@@ -171,6 +171,24 @@ class FrameSpec extends SparkSpec {
       (4L, None)))         // user 20: no purchase at/before 10m
   }
 
+  test("intervalJoin equals the naive BETWEEN join, without nested loops") {
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val points = (0L until 200L by 7L).map(m => (m, ts(m))).toDF("pid", "ts")
+    val intervals = Seq(
+      (1L, ts(10), ts(40)), (2L, ts(35), ts(60)), // overlapping intervals
+      (3L, ts(150), ts(150)), (4L, ts(500), ts(600))) // point-width + empty
+      .toDF("iid", "lo", "hi")
+    val got = Joins.intervalJoin(points, "ts", intervals, "lo", "hi", binSeconds = 600)
+      .select("pid", "iid").orderBy("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = points.join(
+        intervals, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("pid", "iid").orderBy("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == naive.toSeq)
+    assert(got.nonEmpty && got.count(_._2 == 4L) == 0)
+    // a point inside both overlapping intervals appears once per interval
+    assert(got.count(_._1 == 35L) == 2)
+  }
+
   test("fold aggregator reproduces the reference UncurryFold golden (4, 3344.5)") {
     import graft.operators.Folds
     // prestigePartial: income column with missing cells dropped
