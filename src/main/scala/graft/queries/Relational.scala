@@ -733,6 +733,60 @@ object Relational {
              round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Window-function breadth: lag/lead/rank/dense_rank/ntile over a
+    * keyed partition (never a global window). */
+  val q42_window_suite = QueryDef(
+    "q42_window_suite",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir).orders
+        .filter(col("o_custkey") < 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             lag(o_totalprice, 1) OVER w AS prev_price,
+             lead(o_totalprice, 1) OVER w AS next_price,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4) OVER w AS quartile
+      FROM orders WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** Deterministic stratified sampling — per-group quota by a pseudo-
+    * random but engine-portable permutation (Knuth multiplicative hash of
+    * the id), the per-language corpus-balancing pattern. Partitioned
+    * window + filter: one keyed shuffle, exact quotas, reproducible on
+    * any cluster. */
+  val q43_stratified_sample = QueryDef(
+    "q43_stratified_sample",
+    (s, dir) => {
+      val shuffleKey = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val w = Window.partitionBy(col("lang")).orderBy(shuffleKey, col("doc_id"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), shuffleKey.as("shuffle_key"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 25)
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    },
+    Some("""
+      SELECT lang, doc_id, rn FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 25 ORDER BY lang, rn"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -741,5 +795,6 @@ object Relational {
     q20_take_drop, q21_chunks, q22_stats_multi, q23_events_window,
     q24_json_extract, q25_cube, q26_intersect, q27_except,
     q34_explode, q35_rdel_mapmono, q36_session_window, q37_fold_typed,
-    q38_asof_join, q40_interval_join, q41_percentiles)
+    q38_asof_join, q40_interval_join, q41_percentiles, q42_window_suite,
+    q43_stratified_sample)
 }
