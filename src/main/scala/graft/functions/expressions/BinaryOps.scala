@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -91,7 +91,9 @@ object BinaryUtil {
 }
 
 /** `blob_stats(binary) -> struct<byte_len,byte_sum,mean_byte,distinct_bytes,entropy>`. */
-case class BlobStats(child: Expression) extends UnaryExpression {
+case class BlobStats(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = BlobStats.schema
 
   override def nullSafeEval(input: Any): Any =
@@ -120,8 +122,10 @@ object BlobStats {
 }
 
 /** `byte_histogram(binary, bins) -> array<long>` (length `bins`). */
-case class ByteHistogram(child: Expression, bins: Int) extends UnaryExpression {
+case class ByteHistogram(child: Expression, bins: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
   require(bins >= 1 && bins <= 256, "bins in [1, 256]")
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -144,8 +148,9 @@ object ByteHistogram {
 
 /** `frame_fingerprints(binary, frameBytes, n) -> array<long>`. */
 case class FrameFingerprints(child: Expression, frameBytes: Int, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(frameBytes >= 1 && n >= 1, "frameBytes >= 1, n >= 1")
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =

@@ -1,10 +1,10 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit polynomial rolling hash over a string's UTF-8 bytes:
@@ -17,7 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scala UDF cannot (SerDe boundary + closure call per row). This is the
   * SURVEY §7.3 "custom Expression beats UDF" path.
   */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {

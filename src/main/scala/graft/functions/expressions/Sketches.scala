@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -59,8 +59,9 @@ object SketchUtil {
 
   /** MinHash signature: element i is the minimum over shingles of
     * hash_i(s) = hashLong(xxhash64(s), hashLong(seed+i, 42)). Identical to
-    * the xxhash64(lit(seed+i), xxhash64(s)) expression composition.
-    * Returns null for an empty input (as array_min over empty would). */
+    * the xxhash64(lit(seed+i), xxhash64(s)) expression composition for
+    * non-empty input. An empty shingle array yields a NULL signature (no
+    * content, no sketch) — callers filter empties before banding. */
   def minhashSig(shingles: ArrayData, numHashes: Int, seed: Long): GenericArrayData = {
     val n = shingles.numElements()
     if (n == 0) return null
@@ -182,8 +183,10 @@ object SketchUtil {
 }
 
 /** `word_shingles(array<string>, k) -> array<string>`. */
-case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
   require(k >= 1, "shingle size >= 1")
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -200,7 +203,9 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 }
 
 /** `jaccard_sim(array, array) -> double`. */
-case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
+case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -217,7 +222,9 @@ case class JaccardSim(left: Expression, right: Expression) extends BinaryExpress
 }
 
 /** `simhash64(array<string>) -> long`. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
@@ -235,7 +242,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 /** `minhash_sig(array<string>, k, seed) -> array<long>` (null on empty). */
 case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -256,7 +264,8 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
 
 /** `hyperplane_sig(array<double>) -> long` against literal seeded planes. */
 case class HyperplaneSig(child: Expression, planes: Array[Double], dim: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
   require(planes.length % dim == 0 && planes.length / dim <= 64, "<= 64 planes")
   override def dataType: DataType = LongType
 
@@ -276,7 +285,9 @@ case class HyperplaneSig(child: Expression, planes: Array[Double], dim: Int)
 }
 
 /** `cosine_sim(array<double>, array<double>) -> double`. */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any =

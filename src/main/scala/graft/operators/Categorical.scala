@@ -36,9 +36,15 @@ object Categorical {
     when(pos === 0, lit(null)).otherwise((pos - 1).cast("int"))
   }
 
-  /** 0-based code -> label (null when out of range). */
-  def decodeExpr(code: Column, categories: Seq[String]): Column =
-    element_at(array(categories.map(lit): _*), code.cast("int") + 1)
+  /** 0-based code -> label (null when null or out of range; the range
+    * guard matters under ANSI mode, where a bare element_at on a stray
+    * code would error instead). */
+  def decodeExpr(code: Column, categories: Seq[String]): Column = {
+    val c = code.cast("int")
+    when(
+      c.isNotNull && c >= 0 && c < categories.size,
+      element_at(array(categories.map(lit): _*), c + 1))
+  }
 
   /** Append `<col>_code` using the dictionary recorded in the column's
     * metadata. Fails fast if the column was not inferred categorical. */

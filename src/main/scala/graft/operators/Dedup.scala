@@ -49,6 +49,9 @@ object Dedup {
     * keyed by id, and AQE broadcasts the candidate side when it is small.
     * Bucket join is on the band hash, so skew only occurs if a
     * near-identical cluster is huge — cap with `maxBucket`. */
+  /* `idCol` must uniquely identify rows (it is the document identity the
+   * candidate pairs and verify joins key on); duplicate ids fan out the
+   * verify join — dedupe upstream with [[exact]] first. */
   def minhashPairs(
       df: DataFrame,
       idCol: String,

@@ -120,17 +120,21 @@ object Multimodal {
     * (task), rows stream through without materializing the partition, and
     * Spark's pipelined execution keeps memory flat regardless of blob
     * count. `codec` maps raw bytes to (width, height, channels) —
-    * [[stubCodec]] by default in this container. */
+    * [[stubCodec]] by default in this container. Null blobs (outer joins,
+    * permissive ingest) are skipped, matching the null-safe expression
+    * kernels. */
   def decodeBatch(
       df: DataFrame,
       idCol: String,
       blobCol: String,
       codec: Array[Byte] => (Int, Int, Int) = stubCodec): Dataset[DecodedBlob] = {
     implicit val enc: Encoder[DecodedBlob] = Encoders.product[DecodedBlob]
-    val withFormat = df.select(
-      col(idCol).cast("long").as("id"),
-      sniffFormat(col(blobCol)).as("format"),
-      col(blobCol).as("blob"))
+    val withFormat = df
+      .filter(col(blobCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("id"),
+        sniffFormat(col(blobCol)).as("format"),
+        col(blobCol).as("blob"))
     withFormat.mapPartitions { rows =>
       // per-partition codec init would go here (native lib handle)
       rows.map { r =>
@@ -161,7 +165,9 @@ object Multimodal {
       df: DataFrame,
       blobCol: String,
       targetPartitionBytes: Long = 128L * 1024 * 1024): DataFrame = {
-    val total = df.select(sum(length(col(blobCol)).cast("long"))).head.getLong(0)
+    val total = df
+      .select(coalesce(sum(length(col(blobCol)).cast("long")), lit(0L)))
+      .head.getLong(0)
     val n = math.max(1, math.ceil(total.toDouble / targetPartitionBytes).toInt)
     df.repartition(n)
   }

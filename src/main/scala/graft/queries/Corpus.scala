@@ -136,7 +136,9 @@ $scoreCols
         .select(
           col("doc_id"),
           bpeTokenCount(col("text")).as("n_bpe_tokens"),
-          element_at(bpeTokens(col("text")), 1).as("first_token"))
+          // try_: an empty document has no pretokens; plain element_at
+          // would error under ANSI (DuckDB's [1] yields NULL)
+          try_element_at(bpeTokens(col("text")), lit(1)).as("first_token"))
         .orderBy(col("doc_id")),
     Some(s"""
       SELECT doc_id,

@@ -115,11 +115,18 @@ object Csv {
   private def reassembleQuoted(parts: List[String], sep: String, q: Char): List[String] = {
     val qs = q.toString
     def unescape(s: String) = s.replace(qs + qs, qs)
+    // REFERENCE semantics, not strict RFC4180: a quoted field closes at
+    // the first part that ENDS with a quote (the reference's suffix-quote
+    // reassembly, CSV.hs:117-141) — which is what makes its lenient
+    // unescaped-inner-quote files (test/data/issue114.csv: `"MUSSER, B W
+    // "B""`) parse. Deliberate divergence: a strict-RFC field whose
+    // content ends in an escaped quote right before an embedded separator
+    // (`"x"",y"`) closes early here, exactly as it does in the reference.
     def go(ps: List[String]): List[String] = ps match {
       case Nil => Nil
       case part :: rest if part.isEmpty => "" :: go(rest)
       case part :: rest if part.head == q =>
-        if (part.endsWith(qs))
+        if (part.length > 1 && part.endsWith(qs))
           unescape(part.drop(1).dropRight(1)) :: go(rest)
         else {
           val (h, t) = rest.span(p => !p.endsWith(qs))
@@ -142,15 +149,18 @@ object Csv {
     * Spark-written CSV directory). */
   private def firstFile(path: String): java.nio.file.Path = {
     val p = Paths.get(path)
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala
-        .filter { f =>
-          val n = f.getFileName.toString
-          Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
-        }
-        .toSeq.sortBy(_.toString)
-        .headOption.getOrElse(sys.error(s"no files under $path"))
-    else p
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try
+        stream.iterator().asScala
+          .filter { f =>
+            val n = f.getFileName.toString
+            Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .toSeq.sortBy(_.toString)
+          .headOption.getOrElse(sys.error(s"no files under $path"))
+      finally stream.close()
+    } else p
   }
 
   /** Read up to n lines with the configured encoding (driver-side,

@@ -29,6 +29,13 @@ final case class SessionState(
     n: Long,
     total: Double)
 
+/** State-store value for [[EventStreams.sessionize]]: all of a user's
+  * not-yet-emitted sessions, sorted by start. More than one stays open
+  * only while out-of-order events inside the watermark horizon could
+  * still bridge them — so the list length is bounded by
+  * (watermark delay / gap) + 1, O(1) for any fixed configuration. */
+final case class OpenSessions(sessions: Seq[SessionState])
+
 /** Structured Streaming surface over event streams (builder brief; beyond
   * the reference — acowley/Frames "streaming" is finite single-threaded
   * pipes with no event time, SURVEY §2.10).
@@ -106,47 +113,61 @@ object EventStreams {
       events: Dataset[EventRow],
       gapMs: Long = 30L * 60 * 1000): Dataset[UserSession] = {
     implicit val sessEnc: Encoder[UserSession] = Encoders.product[UserSession]
-    implicit val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+    implicit val stateEnc: Encoder[OpenSessions] = Encoders.product[OpenSessions]
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+    // fold one event into the sorted session list: merge into any session
+    // whose [start-gap, end+gap] hull contains it (extending start OR end
+    // — out-of-order events within the watermark handled correctly),
+    // else insert a new singleton; then re-merge adjacent sessions the
+    // event may have bridged.
+    def insert(sessions: Seq[SessionState], t: Long, v: Double): Seq[SessionState] = {
+      val withEvent =
+        sessions.indexWhere(s => t >= s.startMs - gapMs && t <= s.endMs + gapMs) match {
+          case -1 =>
+            (sessions :+ SessionState(t, t, 1, v)).sortBy(_.startMs)
+          case i =>
+            val s = sessions(i)
+            sessions.updated(i,
+              SessionState(math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1, s.total + v))
+        }
+      withEvent.foldLeft(Vector.empty[SessionState]) { (acc, s) =>
+        acc.lastOption match {
+          case Some(p) if s.startMs - p.endMs <= gapMs =>
+            acc.init :+ SessionState(
+              p.startMs, math.max(p.endMs, s.endMs), p.n + s.n, p.total + s.total)
+          case _ => acc :+ s
+        }
+      }
+    }
+
+    def emitAndKeep(
+        userId: Long,
+        sessions: Seq[SessionState],
+        state: GroupState[OpenSessions]): Iterator[UserSession] = {
+      // a session is final once no event >= watermark can merge into it
+      // (kept sessions have end+gap > wm, so the timeout set below is
+      // always strictly past the watermark, as GroupState requires)
+      val wm = state.getCurrentWatermarkMs()
+      val (closed, open) = sessions.partition(_.endMs + gapMs <= wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(OpenSessions(open))
+        state.setTimeoutTimestamp(open.map(_.endMs).min + gapMs)
+      }
+      closed.iterator.map(s =>
+        UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total))
+    }
 
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, UserSession](
+      .flatMapGroupsWithState[OpenSessions, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed the open session's end + gap: close it
-            val s = state.get
-            state.remove()
-            Iterator.single(
-              UserSession(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total))
-          } else {
-            // merge this trigger's events (per-group, already co-located;
-            // sort is bounded by the trigger's batch for this user)
-            val sorted = rows.toArray.sortBy(_.ts.getTime)
-            var open = state.getOption
-            val closed = Seq.newBuilder[UserSession]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  open = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1, s.total + e.value))
-                case Some(s) =>
-                  closed += UserSession(
-                    userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
-                  open = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  open = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            open match {
-              case Some(s) =>
-                state.update(s)
-                state.setTimeoutTimestamp(s.endMs + gapMs)
-              case None => ()
-            }
-            closed.result().iterator
-          }
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[OpenSessions]) =>
+          val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val merged = rows.foldLeft(existing)((acc, e) =>
+            insert(acc, e.ts.getTime, e.value))
+          emitAndKeep(userId, merged, state)
       }
   }
 }

@@ -97,12 +97,51 @@ class StreamingSpec extends SparkSpec {
       val u2 = got(1)
       assert(u2.n_events == 1 && u2.total_value == 5.0)
 
-      // an in-trigger gap split closes the first session immediately
+      // an in-trigger gap split: two sessions; the first closes once the
+      // watermark passes its end + gap (no premature emission — a late
+      // event inside the horizon could still have extended it)
       input.addData(ev(6, 200, 4, "d", 1.0), ev(7, 230, 4, "d", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(8, 235, 5, "e", 0.0)) // watermark -> 235: past 200+gap, NOT past 230+gap
+      q.processAllAvailable()
+      input.addData(ev(9, 236, 5, "e", 0.0))
       q.processAllAvailable()
       val u4 = spark.table("sessions_out").filter(col("user_id") === 4L)
         .as[graft.streaming.UserSession].collect()
       assert(u4.length == 1 && u4.head.n_events == 1 && u4.head.total_value == 1.0)
+    } finally q.stop()
+  }
+
+  test("sessionize merges an out-of-order event into the right session") {
+    val input = MemoryStream[EventRow](spark)
+    val sessions = EventStreams.sessionize(
+      input.toDS().withWatermark("ts", "2 hours").as[EventRow],
+      gapMs = 10 * 60000L)
+    val q = sessions.writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      // trigger 1: one event at 60m -> open session [60, 60]
+      input.addData(ev(1, 60, 1, "a", 1.0))
+      q.processAllAvailable()
+      // trigger 2: a LATE event at 55m (within watermark, within gap of
+      // the open session) must extend session_start backward, and one at
+      // 10m (outside the gap) must form its OWN earlier session
+      input.addData(ev(2, 55, 1, "a", 2.0), ev(3, 10, 1, "a", 4.0))
+      q.processAllAvailable()
+      // advance the watermark far past everything, then let timeouts fire
+      input.addData(ev(4, 500, 2, "b", 0.0))
+      q.processAllAvailable()
+      input.addData(ev(5, 501, 2, "b", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ooo_sessions").filter(col("user_id") === 1L)
+        .orderBy("session_start").as[graft.streaming.UserSession].collect()
+      assert(got.length == 2)
+      assert(got(0).session_start == ts(10) && got(0).n_events == 1
+        && got(0).total_value == 4.0)
+      assert(got(1).session_start == ts(55) && got(1).session_end == ts(60)
+        && got(1).n_events == 2 && got(1).total_value == 3.0)
     } finally q.stop()
   }
 
