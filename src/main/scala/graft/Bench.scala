@@ -42,12 +42,13 @@ object Bench {
     val results = SparkEntry.benchQueries.map { q =>
       q.name -> timeOne(q.name, q.run)
     }
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,9 +17,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame = t("lineitem")
 
   /** The events parquet stores TIMESTAMP(NANOS), which Spark's reader
-    * rejects by default. Read nanos as long and convert to a microsecond
-    * timestamp (floor division — sub-microsecond precision is below any
-    * window/bucket granularity the engine exposes). */
+    * rejects by default. Reads nanos as long and converts to a
+    * microsecond timestamp (`div` truncation == floor for these
+    * post-epoch timestamps; sub-microsecond precision is below any
+    * window/bucket granularity the engine exposes).
+    *
+    * DELIBERATE side effect: flips the session-wide
+    * `nanosAsLong` legacy flag — there is no per-read option for it, and
+    * the driver invokes queries on its own session, so the accessor must
+    * be self-sufficient. The flag only changes behavior for other
+    * TIMESTAMP(NANOS) reads, which this engine always wants read as
+    * longs. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events").withColumn(

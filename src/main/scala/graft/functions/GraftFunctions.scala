@@ -47,40 +47,51 @@ object GraftFunctions {
     }
   }
 
+  /** Arity guard: a clear error instead of a raw MatchError when a SQL
+    * call passes the wrong number of arguments. */
+  private def arity(name: String, n: Int)(
+      pf: PartialFunction[Seq[Expression], Expression]): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument(s), got ${args.length}")
+      pf(args)
+    }
+
   /** (name, usage, builder) for every SQL-exposed graft expression. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash",
       "rolling_hash(str) - 64-bit polynomial rolling hash of the UTF-8 bytes",
-      { case Seq(c) => RollingHash(c) }),
+      arity("rolling_hash", 1)({ case Seq(c) => RollingHash(c) })),
     ("text_stats",
       "text_stats(str) - struct<n_chars,n_alpha,n_digit,n_ws,n_tokens> in one pass",
-      { case Seq(c) => TextStats(c) }),
+      arity("text_stats", 1)({ case Seq(c) => TextStats(c) })),
     ("blob_stats",
       "blob_stats(bin) - struct<byte_len,byte_sum,mean_byte,distinct_bytes,entropy>",
-      { case Seq(c) => BlobStats(c) }),
+      arity("blob_stats", 1)({ case Seq(c) => BlobStats(c) })),
     ("byte_histogram",
       "byte_histogram(bin, bins) - byte-value histogram with `bins` buckets",
-      { case Seq(c, b) => ByteHistogram(c, intArg(b, "bins")) }),
+      arity("byte_histogram", 2)({ case Seq(c, b) => ByteHistogram(c, intArg(b, "bins")) })),
     ("frame_fingerprints",
       "frame_fingerprints(bin, frameBytes, n) - n evenly spaced window hashes",
-      { case Seq(c, f, n) =>
-        FrameFingerprints(c, intArg(f, "frameBytes"), intArg(n, "n")) }),
+      arity("frame_fingerprints", 3)({ case Seq(c, f, n) =>
+        FrameFingerprints(c, intArg(f, "frameBytes"), intArg(n, "n")) })),
     ("simhash64",
       "simhash64(array<string>) - 64-bit SimHash of token hashes",
-      { case Seq(c) => SimHash64(c) }),
+      arity("simhash64", 1)({ case Seq(c) => SimHash64(c) })),
     ("minhash_sig",
       "minhash_sig(array<string>, numHashes, seed) - MinHash signature",
-      { case Seq(c, n, s) =>
-        MinHashSig(c, intArg(n, "numHashes"), longArg(s, "seed")) }),
+      arity("minhash_sig", 3)({ case Seq(c, n, s) =>
+        MinHashSig(c, intArg(n, "numHashes"), longArg(s, "seed")) })),
     ("word_shingles",
       "word_shingles(array<string>, k) - distinct k-token shingles",
-      { case Seq(c, k) => WordShingles(c, intArg(k, "k")) }),
+      arity("word_shingles", 2)({ case Seq(c, k) => WordShingles(c, intArg(k, "k")) })),
     ("jaccard_sim",
       "jaccard_sim(a, b) - Jaccard similarity of two string arrays",
-      { case Seq(a, b) => JaccardSim(a, b) }),
+      arity("jaccard_sim", 2)({ case Seq(a, b) => JaccardSim(a, b) })),
     ("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two double arrays",
-      { case Seq(a, b) => CosineSim(a, b) }))
+      arity("cosine_sim", 2)({ case Seq(a, b) => CosineSim(a, b) })))
 
   /** Register into a live session (idempotent; `createOrReplace`). */
   def registerAll(spark: SparkSession): Unit =

@@ -24,9 +24,11 @@ object Parsing {
   val DoubleRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
   val BoolRe = "^(?i)(true|false)$"
 
-  /** Null out the reference's missing-value markers (`""`, `"NA"`). */
-  def naToNull(c: Column): Column =
-    when(trim(c) === "" || trim(c) === "NA", lit(null)).otherwise(c)
+  // NOTE: there is deliberately no naToNull helper: missing-marker
+  // handling lives in the parse regexes ("" / "NA" fail every non-Text
+  // parse) and Text columns keep the literal "NA", matching the
+  // reference's Text Parseable (a marker-nulling pass on Text would
+  // diverge from it).
 
   /** Intish parse: `"5"` and `"5.0"` -> 5L; anything else -> null. */
   def parseIntish(c: Column): Column = {

@@ -63,9 +63,12 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // blank docs first: wordShingles of an empty token array is [""]
+    // (one degenerate shingle), which would put every empty/whitespace
+    // document into the same bucket of every band
     val sets = df
+      .filter(trim(col(textCol)) =!= "")
       .select(col(idCol), wordShingles(col(textCol), shingleSize).as("__sh"))
-      .filter(size(col("__sh")) > 0)
     val banded = sets
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
       .select(
@@ -194,7 +197,9 @@ object Dedup {
     val setExpr =
       if (useUnigrams) tokenSet(col(textCol))
       else wordShingles(col(textCol), shingleSize)
-    val prepared = df.select(col(blockCol).as("__blk"), col(idCol), setExpr.as("__set"))
+    val prepared = df
+      .filter(trim(col(textCol)) =!= "") // blank docs: shingles would be [""]
+      .select(col(blockCol).as("__blk"), col(idCol), setExpr.as("__set"))
     val a = prepared.select(
       col("__blk"), col(idCol).as("id_a"), col("__set").as("__set_a"))
     val b = prepared.select(
@@ -231,6 +236,7 @@ object Dedup {
       if (useUnigrams) tokenSet(col(textCol))
       else wordShingles(col(textCol), shingleSize)
     val sets = df
+      .filter(trim(col(textCol)) =!= "") // blank docs: shingles would be [""]
       .select(col(idCol).as("__id"), setExpr.as("__set"))
       .filter(size(col("__set")) > 0)
     val toks = sets.select(col("__id"), explode(col("__set")).as("__tok"))

@@ -55,7 +55,7 @@ object Multimodal {
   /** Ingest: attach the typed metadata struct every multimodal pipeline
     * keys on — format, exact size, content digests. One scan, zero
     * shuffle; `md5`/`xxhash64` are Spark built-ins (codegen'd). */
-  def ingest(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+  def ingest(df: DataFrame, blobCol: String): DataFrame =
     df.withColumn(
       "meta",
       struct(

@@ -24,7 +24,7 @@ object MultimodalQueries {
   val m01_blob_meta = QueryDef(
     "m01_blob_meta",
     (s, dir) =>
-      Multimodal.ingest(blobs(s, dir), "doc_id", "blob")
+      Multimodal.ingest(blobs(s, dir), "blob")
         .withColumn("stats", graft.functions.expressions.BlobStats(col("blob")))
         .select(
           col("doc_id"),

@@ -329,6 +329,10 @@ object Csv {
     out.write
       .option("header", header)
       .option("sep", separator)
+      // RFC4180 doubled-quote escape, matching every read path (the
+      // univocity default backslash escape would corrupt the round trip
+      // for values containing quotes)
+      .option("escape", "\"")
       .option("emptyValue", "")
       .mode("overwrite")
       .csv(path)

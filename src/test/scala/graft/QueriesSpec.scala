@@ -36,9 +36,12 @@ class QueriesSpec extends SparkSpec {
 
   test("q11 distinct returns exactly the flag x status combinations") {
     val rows = SparkEntry.queries("q11_distinct")(spark, sf0001).collect()
-    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
-      Set(("A", "F"), ("N", "F"), ("N", "O"), ("R", "F")) ||
-      rows.length == 6) // sf-dependent; sf0.01 has all 6
+    val got = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    // the exact sf0.001 combination set, computed independently
+    val expected = Tables(spark, sf0001).lineitem
+      .select("l_returnflag", "l_linestatus").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected && rows.length == expected.size)
   }
 
   test("q19 zip truncates to the shorter side (10 suppliers at sf0.001)") {

@@ -58,6 +58,31 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("wrong arity raises a named argument-count error, not a MatchError") {
+    GraftFunctions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT rolling_hash('a', 2)").collect()
+    }
+    assert(e.getMessage.contains("rolling_hash expects 1 argument"))
+  }
+
+  test("vector/text helper functions: charNgrams, normalize, l2") {
+    import graft.functions.VectorFunctions
+    val row = Seq((Array(3.0, 4.0), Array(0.0, 0.0), "abcd")).toDF("v", "z", "t")
+      .select(
+        VectorFunctions.normalize(col("v")).as("unit"),
+        VectorFunctions.norm2(VectorFunctions.normalize(col("v"))).as("unitNorm"),
+        VectorFunctions.l2(col("v"), col("v")).as("selfDist"),
+        VectorFunctions.l2(col("v"), col("z")).as("origDist"),
+        TextFunctions.charNgrams(col("t"), 2).as("bigrams"))
+      .head()
+    assert(row.getSeq[Double](0) == Seq(0.6, 0.8))
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+    assert(row.getDouble(2) == 0.0)
+    assert(row.getDouble(3) == 5.0)
+    assert(row.getSeq[String](4) == Seq("ab", "bc", "cd"))
+  }
+
   test("GraftExtensions injects every function without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext) // must not throw
