@@ -159,6 +159,23 @@ class CsvSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("write->read round trip preserves embedded quotes, commas, newline-free text") {
+    import spark.implicits._
+    val orig = Seq(
+      (1L, """MUSSER, B W "B""""),
+      (2L, """say "hi", twice"""),
+      (3L, "plain")).toDF("id", "name")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_q").toFile
+    val out = new java.io.File(dir, "quoted_out").getAbsolutePath
+    Csv.writeCsv(orig, out, singleFile = true)
+    val back = spark.read
+      .schema(orig.schema)
+      .option("header", true).option("quote", "\"").option("escape", "\"")
+      .csv(out)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("""MUSSER, B W "B"""", """say "hi", twice""", "plain"))
+  }
+
   // ---------------- categorical ----------------
 
   test("categorical: catSmall <= 8 distinct -> dictionary + codes; catLarge > 8 -> none") {
