@@ -787,6 +787,47 @@ object Relational {
         FROM documents)
       WHERE rn <= 25 ORDER BY lang, rn"""))
 
+  /** Multiple COUNT(DISTINCT) in one aggregation — Catalyst's Expand
+    * rewrite (one shuffle carrying the expanded rows, partial aggs per
+    * distinct column). */
+  val q44_count_distinct = QueryDef(
+    "q44_count_distinct",
+    (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** The SQL entry path: the same engine through `spark.sql` over a temp
+    * view (TPC-H Q6 shape — filters reach the parquet scan through the
+    * view exactly as through the DataFrame API). */
+  val q45_sql_revenue = QueryDef(
+    "q45_sql_revenue",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_v")
+      s.sql(s"""
+        SELECT cast(sum(cast(l_extendedprice * l_discount as decimal(28,6))) as double) AS revenue,
+               count(*) AS n
+        FROM lineitem_v
+        WHERE l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    },
+    Some("""
+      SELECT cast(sum(cast(l_extendedprice * l_discount as decimal(28,6))) as double) AS revenue,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -796,5 +837,5 @@ object Relational {
     q24_json_extract, q25_cube, q26_intersect, q27_except,
     q34_explode, q35_rdel_mapmono, q36_session_window, q37_fold_typed,
     q38_asof_join, q40_interval_join, q41_percentiles, q42_window_suite,
-    q43_stratified_sample)
+    q43_stratified_sample, q44_count_distinct, q45_sql_revenue)
 }
