@@ -30,24 +30,18 @@ object Parsing {
   // reference's Text Parseable (a marker-nulling pass on Text would
   // diverge from it).
 
-  /** Intish parse: `"5"` and `"5.0"` -> 5L; anything else -> null. */
-  def parseIntish(c: Column): Column = {
-    val t = trim(c)
-    when(t.rlike(IntishRe), regexp_replace(t, "\\.0$", "").cast("long"))
-  }
+  /** Intish parse: `"5"` and `"5.0"` -> 5L; anything else -> null.
+    * Native single-pass kernel ([[expressions.ParseIntish]]) — a W-column
+    * read runs one parse per cell, and the regex formulation's ~1µs/cell
+    * was the dominant cost of the whole CSV read path. */
+  def parseIntish(c: Column): Column = expressions.ParseOps.parseIntish(c)
 
   /** Lenient double: strips grouping commas (`"80,000"` -> 80000.0). */
-  def parseDouble(c: Column): Column = {
-    val t = regexp_replace(trim(c), ",", "")
-    when(t.rlike(DoubleRe), t.cast("double"))
-  }
+  def parseDouble(c: Column): Column = expressions.ParseOps.parseLenientDouble(c)
 
   /** Bool parse (`true`/`false`, case-insensitive like Haskell's Read
     * accepts `True`/`False`; we accept both casings). */
-  def parseBool(c: Column): Column = {
-    val t = trim(c)
-    when(t.rlike(BoolRe), lower(t) === "true")
-  }
+  def parseBool(c: Column): Column = expressions.ParseOps.parseBool(c)
 
   /** Timestamp parse for the reference's TimeZones demo formats
     * (`%F %T` and `%F`, TimeIn.hs:28-31). */

@@ -144,7 +144,11 @@ object CsvQueries {
     Some("""
       SELECT round(avg(point_latitude), 9) AS mean_lat,
              round(avg(point_longitude), 9) AS mean_lon
-      FROM read_csv('/root/reference/data/FL2.csv', header=true)"""))
+      FROM read_csv('/root/reference/data/FL2.csv', header=true)"""),
+    // the ONE directly baseline-comparable measurement: the reference's
+    // benchdemo (BASELINE.md: 0.37 s single-thread) is exactly this
+    // workload — infer + read FL2.csv, mean of two Double columns
+    bench = true)
 
   private val timestampFixturePath = "/tmp/graft_fixture_timestamps.csv"
 

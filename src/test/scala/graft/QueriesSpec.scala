@@ -95,6 +95,42 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("native parse kernels equal the regex formulations they replaced") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Parsing
+    import spark.implicits._
+    val cells = Seq(
+      "5", "5.0", "5.00", "+7", "-12.0", " 42 ", "007",
+      "80,000", "80,000.5", "3.14", ".5", "5.", "-.25", "1e3", "2.5E-2", "+1e+2",
+      "true", "FALSE", "True", " false ",
+      "", "NA", "abc", "1.2.3", "e5", ".", "+", "-", "1,2,3", "12a", "a12",
+      "9223372036854775807").toDF("c")
+    val got = cells.select(
+      col("c"),
+      Parsing.parseIntish(col("c")).as("i"),
+      Parsing.parseDouble(col("c")).as("d"),
+      Parsing.parseBool(col("c")).as("b"),
+      // the original regex formulations, inline
+      when(trim(col("c")).rlike(Parsing.IntishRe),
+        regexp_replace(trim(col("c")), "\\.0$", "").cast("long")).as("iRef"),
+      when(regexp_replace(trim(col("c")), ",", "").rlike(Parsing.DoubleRe),
+        regexp_replace(trim(col("c")), ",", "").cast("double")).as("dRef"),
+      when(trim(col("c")).rlike(Parsing.BoolRe),
+        lower(trim(col("c"))) === "true").as("bRef"))
+      .collect()
+    got.foreach { r =>
+      val cell = r.getString(0)
+      assert(r.get(1) == r.get(4), s"intish '$cell'")
+      assert(r.get(2) == r.get(5), s"double '$cell'")
+      assert(r.get(3) == r.get(6), s"bool '$cell'")
+    }
+    // overflow: native yields null where the regex+ANSI-cast pipeline
+    // would error the whole job
+    val over = Seq("9223372036854775808").toDF("c")
+      .select(Parsing.parseIntish(col("c"))).head()
+    assert(over.isNullAt(0))
+  }
+
   test("t04 fingerprints are deterministic across runs") {
     val a = SparkEntry.queries("t04_fingerprint")(spark, sf0001).collect()
     val b = SparkEntry.queries("t04_fingerprint")(spark, sf0001).collect()
