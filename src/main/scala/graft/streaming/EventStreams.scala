@@ -107,7 +107,10 @@ object EventStreams {
     *
     * Requires a streaming Dataset with a watermark on `ts`
     * (EventTimeTimeout contract). Use [[sessionWindowAgg]] for the
-    * batch/declarative form.
+    * batch/declarative form. Boundary note: two events exactly `gap`
+    * apart merge here (`<=`), while the built-in `session_window` treats
+    * its half-open windows as distinct (`<`) — irrelevant off the exact
+    * millisecond boundary.
     */
   def sessionize(
       events: Dataset[EventRow],
