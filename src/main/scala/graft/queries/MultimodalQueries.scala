@@ -43,7 +43,7 @@ object MultimodalQueries {
              octet_length(encode(text)) AS byte_len,
              md5(text) AS digest_md5,
              sha256(text) AS digest_sha256,
-             list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS byte_sum,
+             cast(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) as bigint) AS byte_sum,
              length(list_distinct(list_transform(string_split(text, ''), c -> ascii(c)))) AS distinct_bytes
       FROM documents ORDER BY doc_id"""),
     bench = true)
@@ -57,7 +57,9 @@ object MultimodalQueries {
           col("stats.byte_len").as("byte_len"),
           round(col("stats.mean_byte"), 6).as("mean_byte"),
           round(col("stats.entropy"), 6).as("entropy"),
-          col("histogram"))
+          // string-join: the driver's pandas compare sorts on every output
+          // column and list cells crash it (unhashable ndarray)
+          concat_ws(",", col("histogram")).as("histogram"))
         .orderBy(col("doc_id")),
     // Exact list-comprehension oracle over the same bytes (ASCII corpus:
     // ascii(c) == the UTF-8 byte); entropy/mean survive round(.,6) across
@@ -74,7 +76,7 @@ object MultimodalQueries {
         round(-list_sum(list_transform(list_sort(list_distinct(bs)), v ->
             (len(list_filter(bs, x -> x = v)) * 1.0 / n)
             * log2(len(list_filter(bs, x -> x = v)) * 1.0 / n))), 6) AS entropy,
-        list_transform(range(16), bin -> len(list_filter(bs, x -> x // 16 = bin))::BIGINT) AS histogram
+        array_to_string(list_transform(range(16), bin -> len(list_filter(bs, x -> x // 16 = bin))), ',') AS histogram
       FROM c ORDER BY doc_id"""),
     bench = true)
 

@@ -505,7 +505,9 @@ object Relational {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
         .orderBy(col("event_type")),
     Some("""
-      SELECT event_type, sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
+      -- outer CAST: DuckDB sum(BIGINT) returns HUGEINT, which lands in the
+      -- driver's pandas compare as float64 ("99111.0" vs Spark's "99111")
+      SELECT event_type, cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
              count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
 

@@ -11,16 +11,23 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(rel):
+    """Canonicalize through pandas, like the driver does: DuckDB HUGEINT
+    (integer sum()/list_sum() results) becomes float64 there, so an oracle
+    whose fetchall() looks identical can still hash-mismatch. Going through
+    .df() reproduces that dtype path; list cells raise, like the driver's
+    sort_values does."""
+    df = rel.df()
+    cols = sorted(df.columns, key=str.lower)
     out = []
-    for r in rows:
+    for r in df[cols].itertuples(index=False):
         vals = []
-        for i in order:
-            v = r[i]
+        for v in r:
             if isinstance(v, float):
                 if math.isnan(v): v = "NaN"
                 else: v = repr(round(v, 9))
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                raise TypeError(f"list-typed output column (driver compare crashes on these): {v!r:.60}")
             vals.append(str(v))
         out.append("|".join(vals))
     return sorted(out)
@@ -39,18 +46,22 @@ def main(sfdir, outdir):
             continue
         try:
             o = con.sql(sql)
-            ocols, orows = [d[0] for d in o.description], o.fetchall()
+            ocols, co = [d[0] for d in o.description], canon(o)
         except Exception as e:
             print(f"ORACLE-FAIL {name}: {e}")
             n_bad += 1
             continue
-        s = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-        scols, srows = [d[0] for d in s.description], s.fetchall()
+        try:
+            s = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            scols, cs = [d[0] for d in s.description], canon(s)
+        except Exception as e:
+            print(f"SPARK-SIDE-FAIL {name}: {e}")
+            n_bad += 1
+            continue
         if sorted(map(str.lower, ocols)) != sorted(map(str.lower, scols)):
             print(f"SCHEMA-MISMATCH {name}: oracle={sorted(ocols)} spark={sorted(scols)}")
             n_bad += 1
             continue
-        co, cs = canon(orows, [c.lower() for c in ocols]), canon(srows, [c.lower() for c in scols])
         if len(co) != len(cs):
             print(f"ROWCOUNT {name}: oracle={len(co)} spark={len(cs)}")
             n_bad += 1
