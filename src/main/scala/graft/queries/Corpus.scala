@@ -177,6 +177,60 @@ $scoreCols
       GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
       ORDER BY 1"""))
 
+  /** Exact DuckDB oracle for d03: re-runs the ENTIRE minhash pipeline —
+    * shingling, 64-hash signatures (XXH64 via [[OracleSql]]), 16-band
+    * hashing of the signed-decimal signature strings, bucket cap,
+    * candidate pairing, exact-Jaccard verify — so the compare covers the
+    * LSH index itself, not just the verified output. The 64 inner seeds
+    * are constants (hashLong(42+i, 42)): computed here with Spark's own
+    * XXH64 and inlined as literals. */
+  private val d03Oracle: String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val M = BigInt(1) << 64
+    val seeds = (0 until 64)
+      .map(i => (BigInt(XXH64.hashLong(42L + i, 42L)) + M) % M)
+      .mkString("[", ",", "]::HUGEINT[]")
+    val mins = (0 until 64).map(j => s"min(gl[${j + 1}]) AS g$j").mkString(", ")
+    val sigList = (0 until 64).map(j => s"g$j").mkString("list_value(", ", ", ")")
+    s"""
+      WITH base AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), __t -> __t <> '') AS toks
+        FROM documents WHERE trim(text) <> ''),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(len(toks) - 2),
+                        __i -> toks[__i+1] || ' ' || toks[__i+2] || ' ' || toks[__i+3]) END) AS sset
+        FROM base),
+      ds AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+      sb AS (SELECT s, ${OracleSql.xxh64Ascii("s")} AS hb
+             FROM (SELECT DISTINCT s FROM ds)),
+      sigl AS (
+        SELECT ds.doc_id,
+               list_transform($seeds, __sk -> ${OracleSql.u2s(OracleSql.xxh64Long("hb", "__sk"))}) AS gl
+        FROM ds JOIN sb USING (s)),
+      sigs AS (SELECT doc_id, $mins FROM sigl GROUP BY doc_id),
+      sigarr AS (SELECT doc_id, $sigList AS sig FROM sigs),
+      banded AS (
+        SELECT doc_id, bs.band AS band,
+               ${OracleSql.xxh64Ascii("array_to_string(list_slice(sig, 4*bs.band + 1, 4*bs.band + 4), ',')")} AS bh
+        FROM sigarr CROSS JOIN (SELECT unnest(range(16)) AS band) bs
+        QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= 1000),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT id_a, id_b,
+               length(list_intersect(sa.sset, sb2.sset)) AS i,
+               length(sa.sset) AS na, length(sb2.sset) AS nb
+        FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+                  JOIN sh sb2 ON cand.id_b = sb2.doc_id)
+      SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
+      FROM verified
+      WHERE round(i * 1.0 / (na + nb - i), 6) >= 0.4
+      ORDER BY id_a, id_b"""
+  }
+
   val d03_minhash_pairs = QueryDef(
     "d03_minhash_pairs",
     (s, dir) =>
@@ -186,20 +240,57 @@ $scoreCols
           shingleSize = 3, numHashes = 64, bands = 16)
         .filter(col("jaccard") >= 0.4)
         .orderBy(col("id_a"), col("id_b")),
-    None, // LSH banding — rows-only check; ScalaTest asserts recall on known dups
+    Some(d03Oracle),
     bench = true)
 
   /** r=3 on a 64-bit sketch is the published operating point for web-scale
     * simhash near-dup (Manku, Jain & Sarma, WWW'07): 4 blocks of 16 bits,
     * guaranteed recall, 2^16-value buckets. Larger radii use the
     * pair-of-blocks indexes (exactness unit-tested at r=8 in DedupSpec). */
+  /** Exact DuckDB oracle for d04: the multi-index recall guarantee
+    * (pigeonhole over 4x16-bit blocks) means the engine's output IS the
+    * full hamming<=3 pair set — so the oracle recomputes every document's
+    * 64-bit SimHash from scratch (per-token XXH64 via [[OracleSql]]'s
+    * validated HUGEINT emulation, per-bit majority vote) and all-pairs
+    * compares. No LSH emulation needed: approximate index, exact output. */
+  private val d04Oracle: String = {
+    // hash each DISTINCT token once (word-soup corpora have a small
+    // vocabulary); 64 per-bit majority votes as one aggregation pass
+    val votes = (0 until 64)
+      .map(j => s"sum(CASE WHEN (h // ${(BigInt(1) << j).toString}) % 2 = 1 THEN 1 ELSE -1 END) AS c$j")
+      .mkString(",\n               ")
+    val assemble = (0 until 64)
+      .map(j => s"CASE WHEN c$j > 0 THEN ${(BigInt(1) << j).toString}::HUGEINT ELSE 0::HUGEINT END")
+      .mkString(" + ")
+    s"""
+      WITH th AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), __t -> __t <> '')) AS tok
+        FROM documents),
+      hd AS (
+        SELECT tok, ${OracleSql.xxh64Ascii("tok")} AS h FROM (SELECT DISTINCT tok FROM th)),
+      bits AS (
+        SELECT th.doc_id,
+               $votes
+        FROM th JOIN hd ON th.tok = hd.tok
+        GROUP BY th.doc_id),
+      sim AS (
+        SELECT doc_id, ($assemble) AS s FROM bits),
+      allsim AS (
+        SELECT d.doc_id, coalesce(s.s, 0)::UBIGINT AS s
+        FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.s, b.s))::INT AS hamming
+      FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 3"""
+  }
+
   val d04_simhash_pairs = QueryDef(
     "d04_simhash_pairs",
     (s, dir) =>
       Dedup
         .simhashPairs(Tables(s, dir).documents, "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b")),
-    None,
+    Some(d04Oracle),
     bench = true)
 
   /** Exact similarity join — prefix filtering, NOT attribute blocking: the
@@ -213,24 +304,21 @@ $scoreCols
         .jaccardSimilarityJoin(
           Tables(s, dir).documents, "doc_id", "text", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b")),
+    // token sets built once per document, intersection computed once per
+    // pair (the inlined original recomputed the split 6x per pair — 80x
+    // slower in DuckDB at sf0.01)
     Some("""
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(length(list_intersect(list_distinct(string_split(lower(a.text), ' ')),
-                                         list_distinct(string_split(lower(b.text), ' ')))) * 1.0
-               / (length(list_distinct(string_split(lower(a.text), ' ')))
-                  + length(list_distinct(string_split(lower(b.text), ' ')))
-                  - length(list_intersect(list_distinct(string_split(lower(a.text), ' ')),
-                                          list_distinct(string_split(lower(b.text), ' '))))),
-               6) AS jaccard
-      FROM documents a JOIN documents b
-        ON a.doc_id < b.doc_id
-      WHERE round(length(list_intersect(list_distinct(string_split(lower(a.text), ' ')),
-                                        list_distinct(string_split(lower(b.text), ' ')))) * 1.0
-               / (length(list_distinct(string_split(lower(a.text), ' ')))
-                  + length(list_distinct(string_split(lower(b.text), ' ')))
-                  - length(list_intersect(list_distinct(string_split(lower(a.text), ' ')),
-                                          list_distinct(string_split(lower(b.text), ' '))))),
-               6) >= 0.5
+      WITH s AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+        FROM documents),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               length(list_intersect(a.ts, b.ts)) AS i,
+               length(a.ts) AS na, length(b.ts) AS nb
+        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
+      FROM p
+      WHERE round(i * 1.0 / (na + nb - i), 6) >= 0.5
       ORDER BY id_a, id_b"""))
 
   val d06_embed_neardup = QueryDef(
