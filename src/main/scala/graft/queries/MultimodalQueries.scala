@@ -80,17 +80,65 @@ object MultimodalQueries {
       FROM c ORDER BY doc_id"""),
     bench = true)
 
+  /** Exact oracle: recomputes every evenly-spaced window's XXH64 in
+    * DuckDB ([[OracleSql]] emulation) with the same offset arithmetic as
+    * [[graft.functions.expressions.BinaryUtil.frameFingerprints]]. ASCII
+    * corpus => byte count = length(text), bytes = ascii codes. */
+  private val m03Oracle: String = {
+    import graft.queries.OracleSql
+    s"""
+      WITH b AS (
+        SELECT doc_id, ${OracleSql.asciiBytes("text")} AS bs, length(text) AS n
+        FROM documents WHERE length(text) > 0),
+      fr AS (
+        SELECT doc_id, bs, n, least(8, greatest(n // 64, 1)) AS frames FROM b),
+      fx AS (
+        SELECT doc_id, bs, n, frames, unnest(range(frames)) AS frame_idx FROM fr),
+      ox AS (
+        SELECT doc_id, bs, n, frame_idx,
+               CASE WHEN frames = 1 THEN 0 ELSE ((n - 64) * frame_idx) // (frames - 1) END AS o
+        FROM fx)
+      SELECT doc_id, frame_idx,
+             (${OracleSql.u2s(OracleSql.xxh64Bytes("list_slice(bs, o + 1, o + least(64, n - o))"))})::BIGINT AS frame_hash
+      FROM ox ORDER BY doc_id, frame_idx"""
+  }
+
   val m03_frame_sample = QueryDef(
     "m03_frame_sample",
     (s, dir) =>
       Multimodal
         .frameSample(blobs(s, dir), "doc_id", "blob", n = 8, frameBytes = 64)
         .orderBy(col("doc_id"), col("frame_idx")),
-    None, // XXH64 window hashes — determinism + locality spec-tested
+    Some(m03Oracle),
     bench = true)
 
   /** Decode-stub pipeline: sniff + fabricate dims + resize, all metadata.
-    * Deterministic ⇒ rows-only driver check + spec ground truth. */
+    * Exact oracle: the fabricated dimensions derive from abs(xxhash64) of
+    * the blob bytes — recomputed in DuckDB via [[OracleSql]]; widths are
+    * multiples of 16 so the 0.25 resize is exact integer arithmetic. */
+  private val m04Oracle: String = {
+    import graft.queries.OracleSql
+    val habs = OracleSql.bind(OracleSql.u2s(OracleSql.xxh64Ascii("text"))) { s =>
+      s"(CASE WHEN $s < 0 THEN -($s) ELSE $s END)"
+    }
+    s"""
+      WITH h AS (
+        SELECT doc_id, text, $habs AS a,
+               length(text) AS n
+        FROM documents),
+      d AS (
+        SELECT doc_id, text, n,
+               (16 + (a % 113) * 16)::INT AS width,
+               (16 + ((a // 128) % 113) * 16)::INT AS height
+        FROM h)
+      SELECT doc_id, width, height,
+             greatest(1, trunc(width * 0.25)::INT) AS thumb_width,
+             greatest(1, trunc(height * 0.25)::INT) AS thumb_height,
+             round(list_sum(list_transform(string_split(text, ''), __c -> ascii(__c))) * 1.0 / n, 6)
+               AS mean_intensity
+      FROM d ORDER BY doc_id"""
+  }
+
   val m04_decode_resize = QueryDef(
     "m04_decode_resize",
     (s, dir) =>
@@ -105,7 +153,7 @@ object MultimodalQueries {
           col("thumb.height").as("thumb_height"),
           round(col("decoded.mean_intensity"), 6).as("mean_intensity"))
         .orderBy(col("doc_id")),
-    None)
+    Some(m04Oracle))
 
   val all: Seq[QueryDef] = Seq(
     m01_blob_meta, m02_blob_features, m03_frame_sample, m04_decode_resize)
