@@ -321,6 +321,46 @@ $scoreCols
       WHERE round(i * 1.0 / (na + nb - i), 6) >= 0.5
       ORDER BY id_a, id_b"""))
 
+  /** Exact DuckDB oracle for d06: the hyperplanes are deterministic
+    * (splitmix64 from the seed), so they are computed HERE at oracle-build
+    * time and inlined as double literals (shortest-round-trip formatting
+    * parses to identical bits). Signatures use the same left-fold dot
+    * order as the Spark kernel; candidate pairing and the cosine verify
+    * mirror the operator. */
+  private val d06Oracle: String = {
+    val nTables = 6; val planesPerTable = 6; val dim = 64
+    def dot(t: Int, p: Int): String = {
+      val plane = graft.functions.VectorFunctions
+        .seededPlanes(planesPerTable, dim, 42L + 7919L * t)(p)
+      val lit = plane.map(_.toString).mkString("[", ",", "]::DOUBLE[]")
+      s"list_reduce(list_transform(range($dim), __i -> e[__i+1] * ($lit)[__i+1]), (__a, __b) -> __a + __b)"
+    }
+    def sig(t: Int): String =
+      (0 until planesPerTable)
+        .map(p => s"(CASE WHEN ${dot(t, p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    val sigCols = (0 until nTables).map(t => s"${sig(t)} AS s$t").mkString(",\n        ")
+    val sigArr = (0 until nTables).map(t => s"s$t").mkString("[", ",", "]")
+    s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      sigs AS (
+        SELECT vec_id,
+        $sigCols
+        FROM v),
+      b AS (
+        SELECT vec_id, tt.t AS tbl, $sigArr[tt.t + 1] AS sig
+        FROM sigs CROSS JOIN (SELECT unnest(range($nTables)) AS t) tt),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+        FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.sig = b2.sig AND a.vec_id < b2.vec_id)
+      SELECT id_a, id_b,
+             round(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+      FROM cand JOIN v va ON cand.id_a = va.vec_id
+                JOIN v vb ON cand.id_b = vb.vec_id
+      WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.35
+      ORDER BY id_a, id_b"""
+  }
+
   val d06_embed_neardup = QueryDef(
     "d06_embed_neardup",
     (s, dir) =>
@@ -329,7 +369,7 @@ $scoreCols
           Tables(s, dir).embeddings, "vec_id", "embedding",
           dim = 64, threshold = 0.35)
         .orderBy(col("id_a"), col("id_b")),
-    None, // LSH-bucketed — recall asserted in ScalaTest vs brute force
+    Some(d06Oracle),
     bench = true)
 
   // ---------------- similarity search ----------------
@@ -361,6 +401,49 @@ $scoreCols
       ORDER BY query_id, rank"""),
     bench = true)
 
+  /** Exact DuckDB oracle for s02: the whole IVF pipeline is deterministic
+    * — centroids are the 16 corpus vectors with the smallest xxhash64(id)
+    * (emulated via [[OracleSql]]), cells assign by round(cosine,9) with
+    * cid tiebreak, queries probe their 6 best cells, and the final top-5
+    * ranks by round(cosine,6) with neighbor-id tiebreak. Cosines use
+    * [[OracleSql.cosineExact]] (bit-identical op order), so the rounded
+    * quantizer decisions match Spark exactly. */
+  private val s02Oracle: String = {
+    val hash = OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("vec_id")))
+    val cellScore = OracleSql.cosineExact("v.e", "cent.cv")
+    val pairScore = OracleSql.cosineExact("qv.e", "nv.e")
+    s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      hashed AS (SELECT vec_id, e, $hash AS h FROM v),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, e AS cv
+        FROM hashed
+        QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16),
+      cscore AS (
+        SELECT v.vec_id, cent.cid, round($cellScore, 9) AS s
+        FROM v CROSS JOIN cent),
+      cassign AS (
+        SELECT vec_id, cid AS cell FROM cscore
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1),
+      qprobe AS (
+        SELECT vec_id AS query_id, cid AS cell FROM cscore WHERE vec_id < 10
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) <= 6),
+      scored AS (
+        SELECT q.query_id, ca.vec_id AS neighbor_id,
+               round($pairScore, 6) AS cosine
+        FROM qprobe q
+        JOIN cassign ca ON q.cell = ca.cell AND q.query_id <> ca.vec_id
+        JOIN v qv ON q.query_id = qv.vec_id
+        JOIN v nv ON ca.vec_id = nv.vec_id)
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""
+  }
+
   val s02_knn_ivf = QueryDef(
     "s02_knn_ivf",
     (s, dir) => {
@@ -374,7 +457,7 @@ $scoreCols
           centroids = centroids, nProbe = 6)
         .orderBy(col("query_id"), col("rank"))
     },
-    None, // approximate by construction — recall vs s01 asserted in ScalaTest
+    Some(s02Oracle),
     bench = true)
 
   val all: Seq[QueryDef] = Seq(

@@ -187,4 +187,29 @@ object OracleSql {
 
   /** signed long -> unsigned u64. */
   def s2u(sExpr: String): String = u64(s"(($sExpr)::HUGEINT + $Ms)")
+
+  private def foldSum(listExpr: String): String = {
+    val x = fresh("__s"); val y = fresh("__t")
+    s"list_reduce($listExpr, ($x, $y) -> $x + $y)"
+  }
+
+  /** Cosine similarity with the EXACT double-op order of the Spark kernel
+    * ([[graft.functions.expressions.SketchUtil.cosine]]): left-fold dot and
+    * norms, sqrt*sqrt, 0.0 on zero norm. IEEE +,*,sqrt are correctly
+    * rounded, so identical op order => identical bits — safe to round at
+    * any precision on both sides. Inputs must be non-empty DOUBLE[]. */
+  def cosineExact(aExpr: String, bExpr: String): String =
+    bind(aExpr) { a =>
+      bind(bExpr) { b =>
+        val i = fresh("__i"); val j = fresh("__j"); val k = fresh("__k")
+        val d = foldSum(s"list_transform(range(least(len($a), len($b))), $i -> ($a)[$i+1] * ($b)[$i+1])")
+        val na = foldSum(s"list_transform(range(len($a)), $j -> ($a)[$j+1] * ($a)[$j+1])")
+        val nb = foldSum(s"list_transform(range(len($b)), $k -> ($b)[$k+1] * ($b)[$k+1])")
+        bind(d) { dv =>
+          bind(s"sqrt($na) * sqrt($nb)") { norm =>
+            s"(CASE WHEN $norm = 0 THEN 0.0 ELSE $dv / $norm END)"
+          }
+        }
+      }
+    }
 }

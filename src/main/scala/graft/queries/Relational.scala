@@ -830,6 +830,79 @@ object Relational {
       WHERE l_discount BETWEEN 0.05 AND 0.07
         AND l_quantity < 24"""))
 
+  /** GROUPING SETS through the SQL entry path (the DataFrame facade gets
+    * rollup/cube; arbitrary set lists are a SQL-surface feature).
+    * grouping_id disambiguates real NULL keys from subtotal rows. */
+  val q46_grouping_sets = QueryDef(
+    "q46_grouping_sets",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid,
+               cast(sum(cast(l_quantity as decimal(28,2))) as double) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag, l_linestatus""")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid,
+             cast(sum(cast(l_quantity as decimal(28,2))) as double) AS sum_qty,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, l_returnflag, l_linestatus"""))
+
+  /** String-function suite over supplier names — the §2.8 scalar surface
+    * the reference leaves to host-language lambdas, exercised through
+    * codegen'd built-ins only (every one cross-engine exact). */
+  val q47_string_funcs = QueryDef(
+    "q47_string_funcs",
+    (s, dir) =>
+      Tables(s, dir).supplier
+        .select(
+          col("s_suppkey"),
+          upper(col("s_name")).as("up"),
+          reverse(col("s_name")).as("rev"),
+          length(col("s_name")).as("len"),
+          substring(col("s_name"), 3, 5).as("sub"),
+          lpad(col("s_name"), 22, ".").as("padded"),
+          translate(col("s_name"), "#", "-").as("tr"),
+          instr(col("s_name"), "Supplier").as("pos"),
+          levenshtein(col("s_name"), lit("Supplier#000000001")).as("edit_dist"))
+        .orderBy(col("s_suppkey")),
+    Some("""
+      SELECT s_suppkey,
+             upper(s_name) AS up,
+             reverse(s_name) AS rev,
+             length(s_name) AS len,
+             substring(s_name, 3, 5) AS sub,
+             lpad(s_name, 22, '.') AS padded,
+             replace(s_name, '#', '-') AS tr,
+             strpos(s_name, 'Supplier') AS pos,
+             levenshtein(s_name, 'Supplier#000000001') AS edit_dist
+      FROM supplier ORDER BY s_suppkey"""))
+
+  /** Deterministic list aggregation: collect_list is unordered by
+    * contract, so sort_array pins the result before the string join —
+    * the portable way to oracle any array-valued aggregate. */
+  val q48_array_agg = QueryDef(
+    "q48_array_agg",
+    (s, dir) =>
+      Tables(s, dir).nation
+        .groupBy(col("n_regionkey"))
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey")),
+    Some("""
+      SELECT n_regionkey,
+             array_to_string(list_sort(list(n_name)), ',') AS nations,
+             count(*) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -839,5 +912,6 @@ object Relational {
     q24_json_extract, q25_cube, q26_intersect, q27_except,
     q34_explode, q35_rdel_mapmono, q36_session_window, q37_fold_typed,
     q38_asof_join, q40_interval_join, q41_percentiles, q42_window_suite,
-    q43_stratified_sample, q44_count_distinct, q45_sql_revenue)
+    q43_stratified_sample, q44_count_distinct, q45_sql_revenue,
+    q46_grouping_sets, q47_string_funcs, q48_array_agg)
 }
