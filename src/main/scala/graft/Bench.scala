@@ -39,8 +39,16 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.benchQueries.map { q =>
-      q.name -> timeOne(q.name, q.run)
+    // profiling aids (unused by the driver): `runMain graft.Bench q01 q03`
+    // restricts the set; SPARK_GRAFT_REPS=N times each query N times and
+    // reports the minimum (steady-state number, JIT/scan-cache noise out).
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.benchQueries
+      else SparkEntry.benchQueries.filter(q => wanted.exists(q.name.startsWith))
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val results = selected.map { q =>
+      q.name -> (0 until reps).map(_ => timeOne(q.name, q.run)).min
     }
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results

@@ -18,9 +18,15 @@ object Aggregates {
   /** Exact decimal-accumulated sum surfaced as double. Used wherever the
     * result must be independent of partition/summation order (double
     * addition is not associative; decimal addition is). The cast keeps the
-    * user-facing schema simple. */
+    * user-facing schema simple.
+    *
+    * Input precision 18: per-row values stay in Spark Decimal's compact
+    * long representation (precision <= 18), avoiding the BigDecimal slow
+    * path on the hot per-row cast; the SUM accumulator is widened by
+    * Catalyst to precision 28 regardless, so group sums stay exact up to
+    * 10^28 — comfortably past 100 TB row counts. */
   def sumExact(c: Column, scale: Int = 2): Column =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(28, scale))).cast("double")
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
 
   /** Order-independent average: exact decimal sum / count. */
   def avgExact(c: Column, scale: Int = 2, roundTo: Int = 6): Column =
