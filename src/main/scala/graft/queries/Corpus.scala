@@ -70,17 +70,26 @@ object Corpus {
     * SAME `langProfiles` the engine scores with: per-language stopword
     * ratios rounded to 6, argmax with lexicographic tie-break (first lang
     * whose score >= all others, langs pre-sorted). */
-  private def langIdOracleSql: String = {
+  /** Stopword-ratio score columns over a token-list column `ts` (one per
+    * language, pre-sorted) and the argmax CASE — shared by t03 and the
+    * p01 pipeline oracle. */
+  private def langScoreCols: String = {
     val langs = graft.functions.TextFunctions.langProfiles.toSeq.sortBy(_._1)
-    val scoreCols = langs.map { case (l, words) =>
+    langs.map { case (l, words) =>
       val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
       s"    round(len(list_filter(ts, t -> list_contains($arr, t))) * 1.0 / len(ts), 6) AS r_$l"
     }.mkString(",\n")
-    val names = langs.map(_._1)
+  }
+  private def langCase: String = {
+    val names = graft.functions.TextFunctions.langProfiles.keys.toSeq.sorted
     val cases = names.init.map { l =>
       val conds = names.filter(_ != l).map(o => s"r_$l >= r_$o").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString(" ")
+    s"CASE $cases ELSE '${names.last}' END"
+  }
+
+  private def langIdOracleSql: String =
     s"""
       WITH toks AS (
         SELECT doc_id, lang AS labeled_lang,
@@ -88,11 +97,10 @@ object Corpus {
         FROM documents),
       scored AS (
         SELECT doc_id, labeled_lang,
-$scoreCols
+$langScoreCols
         FROM toks)
-      SELECT doc_id, labeled_lang, CASE $cases ELSE '${names.last}' END AS predicted_lang
+      SELECT doc_id, labeled_lang, $langCase AS predicted_lang
       FROM scored ORDER BY doc_id"""
-  }
 
   val t03_langid = QueryDef(
     "t03_langid",
@@ -145,6 +153,117 @@ $scoreCols
              len(regexp_extract_all(text, $$$$${graft.functions.TextFunctions.bpePattern}$$$$)) AS n_bpe_tokens,
              regexp_extract_all(text, $$$$${graft.functions.TextFunctions.bpePattern}$$$$)[1] AS first_token
       FROM documents ORDER BY doc_id"""))
+
+  /** The t02 quality formula verbatim (double-op order matters: the
+    * pipeline oracles must produce bit-identical rounded doubles). */
+  private val qualitySql: String =
+    """round(((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0
+               / length(text)) * 0.6
+          + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+               / length(text)) * 0.2
+          + least((length(replace(text, ' ', '')) * 1.0
+               / (length(text) - length(replace(text, ' ', '')) + 1)) / 10.0, 1.0) * 0.2,
+          6)"""
+
+  /** End-to-end corpus-cleaning pipeline — the composition a training-
+    * data run actually executes: quality-score -> threshold filter ->
+    * language-consistency filter (predicted == labeled) -> normalized
+    * exact dedup -> per-language budget stats. Exercises that the text,
+    * dedup and aggregate operators COMPOSE in one plan: all narrow
+    * per-row kernels fused into the scan, then one dedup shuffle and one
+    * stats shuffle. Oracle replays the identical chain in DuckDB CTEs. */
+  private val p01Oracle: String =
+    s"""
+      WITH scored AS (
+        SELECT doc_id, lang, text,
+               $qualitySql AS q,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts,
+               length(text) - length(replace(text, ' ', '')) + 1 AS nt
+        FROM documents),
+      langed AS (
+        SELECT doc_id, lang, text, q, nt,
+$langScoreCols
+        FROM scored),
+      kept AS (
+        SELECT doc_id, lang, text, q, nt,
+               CASE WHEN ($langCase) = lang THEN 1 ELSE 0 END AS consistent
+        FROM langed WHERE q >= 0.78),
+      surv AS (
+        SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        FROM kept GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+      j AS (SELECT k.lang, k.nt, k.q, k.consistent, s.n_dups
+            FROM surv s JOIN kept k USING (doc_id))
+      SELECT lang, count(*) AS n_docs,
+             cast(sum(n_dups) as bigint) AS n_raw_docs,
+             cast(sum(consistent) as bigint) AS n_lang_consistent,
+             cast(sum(nt) as bigint) AS sum_tokens,
+             round(cast(sum(cast(q as decimal(18,6))) as double) / count(*), 6) AS avg_quality
+      FROM j GROUP BY lang ORDER BY lang"""
+
+  val p01_corpus_pipeline = QueryDef(
+    "p01_corpus_pipeline",
+    (s, dir) => {
+      val scored = Tables(s, dir).documents.select(
+        col("doc_id"), col("lang"), col("text"),
+        qualityScore(col("text")).as("q"),
+        langId(col("text")).as("pl"),
+        tokenCount(col("text")).as("nt"))
+      val kept = scored
+        .filter(col("q") >= 0.78)
+        .withColumn("consistent", when(col("pl") === col("lang"), 1L).otherwise(0L))
+        .withColumn("__norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      val surv = Dedup
+        .exact(kept, keys = Seq("__norm"), keep = "doc_id")
+        .select(col("doc_id"), col("n_dups"))
+      surv.join(kept, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_dups")).as("n_raw_docs"),
+          sum(col("consistent")).as("n_lang_consistent"),
+          sum(col("nt")).as("sum_tokens"),
+          graft.operators.Aggregates.avgExact(col("q"), 6, 6).as("avg_quality"))
+        .orderBy(col("lang"))
+    },
+    Some(p01Oracle),
+    bench = true)
+
+  /** Per-language token-budget selection: best-quality documents first
+    * until the running token count crosses the (2000-token) budget — the "fill the
+    * training mix" pattern. One keyed window (partition-parallel by
+    * language); deterministic via the rounded score + id tiebreak. */
+  val p02_token_budget = QueryDef(
+    "p02_token_budget",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"), col("lang"),
+          qualityScore(col("text")).as("q"),
+          tokenCount(col("text")).as("nt"))
+        .withColumn("cum_tokens", sum(col("nt")).over(w))
+        .filter(col("cum_tokens") - col("nt") < 2000)
+        .select(col("lang"), col("doc_id"), col("q"), col("nt"), col("cum_tokens"))
+        .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang, $qualitySql AS q,
+               length(text) - length(replace(text, ' ', '')) + 1 AS nt
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id, q, nt,
+               cast(sum(nt) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tokens
+        FROM scored)
+      SELECT lang, doc_id, q, nt, cum_tokens FROM c
+      WHERE cum_tokens - nt < 2000
+      ORDER BY lang, cum_tokens, doc_id"""))
 
   // ---------------- dedup ----------------
 
@@ -464,5 +583,5 @@ $scoreCols
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
-    s01_knn_brute, s02_knn_ivf)
+    s01_knn_brute, s02_knn_ivf, p01_corpus_pipeline, p02_token_budget)
 }
