@@ -6,9 +6,10 @@ import graft.queries.{Corpus, CsvQueries, MultimodalQueries, QueryDef, Relationa
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every entry in [[queries]] is an operator demonstration from SURVEY §2
-  * or a training-pipeline extension (dedup / similarity / text analysis);
-  * entries with a DuckDB-equivalent SQL appear in [[oracleSql]] and are
-  * hash-compared by the driver at sf0.01.
+  * or a training-pipeline extension (dedup / similarity / text analysis /
+  * multimodal / pipeline composition); EVERY entry has a DuckDB oracle in
+  * [[oracleSql]] hash-compared by the driver at sf0.01 — the hash-sketch
+  * pipelines via [[graft.queries.OracleSql]]'s exact xxhash64 emulation.
   */
 object SparkEntry {
 

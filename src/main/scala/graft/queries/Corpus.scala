@@ -8,10 +8,11 @@ import graft.operators.{Dedup, Similarity}
 
 /** Training-data-pipeline coverage over the `documents` and `embeddings`
   * tables: text analysis, dedup (exact / MinHash / SimHash / n-gram
-  * Jaccard / embedding-cosine), similarity search. Oracles are provided
-  * wherever DuckDB can express the same deterministic arithmetic; LSH
-  * pipelines are rows-only checked (not SQL-expressible) but each has a
-  * ScalaTest spec asserting ground-truth behavior on known near-dups.
+  * Jaccard / embedding-cosine), similarity search, and end-to-end
+  * pipeline composition (p01/p02). EVERY query carries an exact DuckDB
+  * oracle — the LSH/sketch pipelines via [[OracleSql]]'s bit-exact
+  * xxhash64 emulation — and the approximate ones additionally have
+  * ScalaTest recall specs on known near-dups.
   */
 object Corpus {
 
@@ -66,13 +67,10 @@ object Corpus {
       FROM documents ORDER BY doc_id"""),
     bench = true)
 
-  /** DuckDB oracle for the stopword-profile argmax, generated from the
-    * SAME `langProfiles` the engine scores with: per-language stopword
-    * ratios rounded to 6, argmax with lexicographic tie-break (first lang
-    * whose score >= all others, langs pre-sorted). */
-  /** Stopword-ratio score columns over a token-list column `ts` (one per
-    * language, pre-sorted) and the argmax CASE — shared by t03 and the
-    * p01 pipeline oracle. */
+  /** Stopword-ratio score columns over a token-list column `ts`,
+    * generated from the SAME `langProfiles` the engine scores with
+    * (rounded to 6; argmax CASE with lexicographic tie-break, langs
+    * pre-sorted) — shared by t03 and the p01 pipeline oracle. */
   private def langScoreCols: String = {
     val langs = graft.functions.TextFunctions.langProfiles.toSeq.sortBy(_._1)
     langs.map { case (l, words) =>

@@ -9,10 +9,9 @@ import graft.operators.Multimodal
   * bytes (a deterministic cast of driver data, not synthesized inputs) —
   * the operators themselves are byte-level and format-agnostic.
   *
-  * m01 carries a full DuckDB oracle (exact integer stats + digests over
-  * the same bytes). The decode/frame kernels (m02/m03) hash with XXH64,
-  * which DuckDB lacks — rows-only checked by the driver, with determinism
-  * and ground-truth asserted in MultimodalSpec.
+  * All four queries carry exact DuckDB oracles: integer stats and
+  * digests directly (m01/m02), and the XXH64-based frame/decode kernels
+  * (m03/m04) via [[OracleSql]]'s bit-exact xxhash64 emulation.
   */
 object MultimodalQueries {
 

@@ -99,6 +99,18 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-static enrichment join: every micro-batch joins against the
+    * (slowly-changing) static dimension, which Spark re-resolves per
+    * trigger — dimension updates flow in without restarting the query.
+    * The dimension side is broadcast, so the event stream itself never
+    * shuffles: stateless, no watermark needed, and at 100 TB/day the
+    * per-executor cost is one dim-table lookup per event. */
+  def enrich(
+      events: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Custom-state sessionization via `flatMapGroupsWithState` — for when
     * session emission logic is richer than an aggregate (here: emit each
     * CLOSED session exactly once, carrying count + value totals; the open

@@ -156,4 +156,27 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
     assert(got.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 5.0), (4L, 1L, 1.0), (4L, 1L, 2.0)))
   }
+
+  test("enrich joins each micro-batch against the broadcast static dimension") {
+    val dim = Seq(("click", 2.0), ("view", 0.5)).toDF("event_type", "weight")
+    val input = MemoryStream[EventRow](spark)
+    val q = EventStreams.enrich(input.toDF(), dim, Seq("event_type"))
+      .withColumn("weighted", col("value") * coalesce(col("weight"), lit(0.0)))
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      input.addData(
+        ev(1, 1, 1, "click", 3.0), ev(2, 2, 2, "view", 4.0),
+        ev(3, 3, 3, "purchase", 5.0)) // no dim row -> left join null -> weight 0
+      q.processAllAvailable()
+      val got = spark.table("enriched_out")
+        .orderBy("event_id")
+        .select("event_id", "weighted")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq == Seq((1L, 6.0), (2L, 2.0), (3L, 0.0)))
+    } finally q.stop()
+  }
 }
