@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.{Corpus, Relational}
+
+/** Plan-shape regression tests: the SCALE.md claims, asserted. These pin
+  * the properties that make the plans survive a 100-1000x scale-up —
+  * filters reaching the parquet scan, projection pruning, no cartesian
+  * products, partial aggregation before exchanges, broadcast dimensions —
+  * so a refactor that silently loses one fails CI, not the cluster. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = sf0001
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString("UTF-8")
+  }
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = formatted(Relational.q01_agg_pricing.run(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: aggregation is partial before the exchange") {
+    val p = formatted(Relational.q01_agg_pricing.run(spark, sf))
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q02: scan reads only the projected columns") {
+    val p = formatted(Relational.q02_filter_project.run(spark, sf))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // projection pruning: the lineitem scan must not read all 16 columns
+    assert(!read.contains("l_comment") && !read.contains("l_tax"), read)
+  }
+
+  test("q17: five-way join plans without a cartesian product") {
+    val p = planOf(Relational.q17_join5_revenue.run(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q17: dimension tables broadcast (no shuffle on the small side)") {
+    val p = planOf(Relational.q17_join5_revenue.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("d03: LSH banding never plans a cartesian product") {
+    val p = planOf(Corpus.d03_minhash_pairs.run(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("t01/m01 text+blob kernels stay scan-local (no exchange before project)") {
+    // whole pipeline of per-row kernels: exactly zero shuffles except the
+    // oracle-mandated output sort
+    val p = planOf(Corpus.t01_token_stats.run(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    val rangeExchanges = "rangepartitioning".r.findAllIn(p).length
+    assert(exchanges == rangeExchanges, s"non-sort exchange in t01:\n${p.take(2000)}")
+  }
+
+  test("s01: corpus side is not shuffled (queries broadcast)") {
+    val p = planOf(Corpus.s01_knn_brute.run(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+}
