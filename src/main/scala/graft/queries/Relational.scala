@@ -903,6 +903,68 @@ object Relational {
              count(*) AS n
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
+  /** Correlated subqueries through the SQL path: EXISTS (semi), NOT
+    * EXISTS (anti) and a scalar subquery in one statement — Catalyst
+    * rewrites all three to joins (no per-row re-execution). */
+  val q49_subqueries = QueryDef(
+    "q49_subqueries",
+    (s, dir) => {
+      Tables(s, dir).customer.createOrReplaceTempView("customer_sq")
+      Tables(s, dir).orders.createOrReplaceTempView("orders_sq")
+      s.sql("""
+        SELECT c_custkey, c_nationkey,
+               (SELECT count(*) FROM orders_sq o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders_sq o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 1000)
+        ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey, c_nationkey,
+             (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                          AND o.o_totalprice < 1000)
+      ORDER BY c_custkey"""))
+
+  /** Date/time function suite over event timestamps — the §2.8 temporal
+    * surface (the reference's TimeIn demo territory), cross-engine-stable
+    * functions only. */
+  val q50_date_funcs = QueryDef(
+    "q50_date_funcs",
+    (s, dir) =>
+      Tables(s, dir).events
+        .select(
+          col("event_id"),
+          date_trunc("day", col("ts")).as("day"),
+          year(col("ts")).as("y"),
+          month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("mi"),
+          dayofweek(col("ts")).as("dow"),
+          last_day(col("ts")).as("month_end"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("days_since"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             date_trunc('day', ts) AS day,
+             year(ts) AS y,
+             month(ts) AS m,
+             day(ts) AS d,
+             hour(ts) AS h,
+             minute(ts) AS mi,
+             dayofweek(ts) + 1 AS dow,
+             last_day(ts) AS month_end,
+             datediff('day', DATE '2024-01-01', ts::DATE) AS days_since
+      FROM events ORDER BY event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -913,5 +975,6 @@ object Relational {
     q34_explode, q35_rdel_mapmono, q36_session_window, q37_fold_typed,
     q38_asof_join, q40_interval_join, q41_percentiles, q42_window_suite,
     q43_stratified_sample, q44_count_distinct, q45_sql_revenue,
-    q46_grouping_sets, q47_string_funcs, q48_array_agg)
+    q46_grouping_sets, q47_string_funcs, q48_array_agg,
+    q49_subqueries, q50_date_funcs)
 }
