@@ -949,7 +949,10 @@ object Relational {
           hour(col("ts")).as("h"),
           minute(col("ts")).as("mi"),
           dayofweek(col("ts")).as("dow"),
-          last_day(col("ts")).as("month_end"),
+          // render as string: DATE-typed outputs are untested through the
+          // driver's pandas compare (every proven query emits timestamps,
+          // numbers or strings) — don't gamble on date stringification
+          date_format(last_day(col("ts")), "yyyy-MM-dd").as("month_end"),
           datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("days_since"))
         .orderBy(col("event_id")),
     Some("""
@@ -961,7 +964,7 @@ object Relational {
              hour(ts) AS h,
              minute(ts) AS mi,
              dayofweek(ts) + 1 AS dow,
-             last_day(ts) AS month_end,
+             strftime(last_day(ts), '%Y-%m-%d') AS month_end,
              datediff('day', DATE '2024-01-01', ts::DATE) AS days_since
       FROM events ORDER BY event_id"""))
 
