@@ -111,6 +111,50 @@ object EventStreams {
       keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
+  /** Streaming NEAR-duplicate suppression via the SimHash block index —
+    * the streaming face of `Dedup.simhashPairs`' multi-index. Each
+    * document's 64-bit SimHash splits into 4 16-bit blocks; the stream
+    * deduplicates on (block, value) within the watermark, then counts
+    * each document's first-seen blocks in a tumbling window. A document
+    * with `n_new_blocks == 4` is novel; any hamming<=3 near-dup of a
+    * previously seen document collides on >= 1 block (pigeonhole), so it
+    * surfaces with n_new_blocks < 4 — guaranteed, not probabilistic.
+    * Unrelated documents are flagged only on rare 16-bit collisions.
+    *
+    * Scale shape: two keyed stateful stages (block-hash shuffle, then
+    * doc-id shuffle) — state is 4 tiny rows per novel document, expiring
+    * with the watermark; no global structure, no driver state. Chained
+    * stateful operators require append mode (Spark >= 3.5). */
+  def streamingNearDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String = "ts",
+      windowDuration: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val sim = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(
+        col(idCol), col(tsCol),
+        graft.functions.expressions.Sketches
+          .simhash64(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+          .as("__sim"))
+    val blockStructs = (0 until 4).map { c =>
+      struct(
+        lit(c).as("blk"),
+        shiftright(col("__sim"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))
+    }
+    sim
+      .select(col(idCol), col(tsCol), explode(array(blockStructs: _*)).as("__b"))
+      .select(col(idCol), col(tsCol), col("__b.blk"), col("__b.v"))
+      .dropDuplicatesWithinWatermark("blk", "v")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(count(lit(1)).as("n_new_blocks"))
+      .select(
+        col("window.start").as("window_start"),
+        col(idCol), col("n_new_blocks"))
+  }
+
   /** Custom-state sessionization via `flatMapGroupsWithState` — for when
     * session emission logic is richer than an aggregate (here: emit each
     * CLOSED session exactly once, carrying count + value totals; the open

@@ -157,6 +157,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 5.0), (4L, 1L, 1.0), (4L, 1L, 2.0)))
   }
 
+  test("streamingNearDedup: hamming<=3 near-dup surfaces with missing blocks") {
+    val baseText =
+      "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+        "under the warm sun near the old stone bridge by the river bank"
+    import StreamingSpec.Doc
+    val input = MemoryStream[Doc](spark)
+    val q = EventStreams
+      .streamingNearDedup(input.toDF(), "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("neardedup_out")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      input.addData(
+        // doc 1 duplicates doc 0's content under a different id: simhash
+        // identical -> every block collides -> zero first-seen blocks.
+        // (The hamming<=3 -> >=1 shared block pigeonhole is exactness-
+        // tested against brute force in DedupSpec.)
+        Doc(0L, ts(1), baseText),
+        Doc(1L, ts(2), baseText),
+        Doc(2L, ts(3), "completely different content about spark catalyst " +
+          "optimizer rules and whole stage code generation"))
+      q.processAllAvailable()
+      // advance the watermark past the first window so the counts emit
+      input.addData(Doc(99L, ts(70), "watermark advancing document"))
+      q.processAllAvailable()
+      val got = spark.table("neardedup_out")
+        .filter(col("doc_id") < 99)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_new_blocks")))
+        .toMap
+      assert(got(0L) == 4L, s"first doc must be fully novel: $got")
+      assert(got.getOrElse(1L, 0L) < 4L, s"duplicate must collide on blocks: $got")
+      assert(got(2L) == 4L, s"unrelated doc must be fully novel: $got")
+    } finally q.stop()
+  }
+
   test("enrich joins each micro-batch against the broadcast static dimension") {
     val dim = Seq(("click", 2.0), ("view", 0.5)).toDF("event_type", "weight")
     val input = MemoryStream[EventRow](spark)
@@ -179,4 +216,9 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq == Seq((1L, 6.0), (2L, 2.0), (3L, 0.0)))
     } finally q.stop()
   }
+}
+
+object StreamingSpec {
+  /** Top-level so Spark can derive a product encoder (TypeTag). */
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
 }
