@@ -1,0 +1,123 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** HyperLogLog distinct-count sketch as a custom
+  * `TypedImperativeAggregate` — the SURVEY §2.9 "custom aggregation"
+  * extension point taken past `Fold`s: a mergeable fixed-size state
+  * (2^p byte registers) that aggregates partially map-side, merges
+  * across partitions in any order, and evaluates to the classic HLL
+  * estimate (Flajolet et al. 2007, with the small-range linear-counting
+  * correction; no HLL++ bias tables — documented approximation).
+  *
+  * Determinism by construction (what makes an EXACT cross-engine oracle
+  * possible for an "approximate" aggregate):
+  *   - value hashing is Spark's own XXH64 (seed 42) — emulated in DuckDB
+  *     by [[graft.queries.OracleSql]];
+  *   - registers are integer maxima — order-free;
+  *   - the harmonic sum is computed as an INTEGER numerator
+  *     sum(2^(CAP-reg)) / 2^CAP, so no floating addition order exists;
+  *     the single BigInt->double conversion is correctly rounded in both
+  *     engines, and the remaining float ops are one multiply + divide.
+  *
+  * At 100 TB: constant 256-byte state per group per task, one partial
+  * per partition, merge is elementwise max — the canonical distributed
+  * sketch shape (contrast: exact count_distinct shuffles every value).
+  */
+case class HllDistinct(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]]
+  with ImplicitCastInputTypes
+  with UnaryLike[Expression] {
+
+  import HllDistinct._
+
+  override def inputTypes = Seq(LongType) // AbstractDataType is private[sql] in Spark 4
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_distinct"
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](M)
+
+  override def update(buf: Array[Int], row: InternalRow): Array[Int] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val h = XXH64.hashLong(v.asInstanceOf[Long], SketchUtil.SparkSeed)
+      val idx = (h & (M - 1)).toInt
+      val w = h >>> P
+      val rho = if (w == 0L) RhoCap else java.lang.Long.numberOfLeadingZeros(w) - P + 1
+      if (rho > buf(idx)) buf(idx) = rho
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    // integer harmonic numerator: sum of 2^(RhoCap - reg) — order-free
+    var num = BigInt(0)
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      if (buf(i) == 0) zeros += 1
+      num += BigInt(1) << (RhoCap - buf(i))
+      i += 1
+    }
+    val raw = AlphaMM * Pow2Cap / num.toDouble
+    val e =
+      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+      else raw
+    // 6 dp: absorbs the only non-correctly-rounded op (ln) cross-engine
+    math.rint(e * 1e6) / 1e6
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](M)
+    var i = 0
+    while (i < M) { out(i) = buf(i).toByte; i += 1 } // rho <= 57 fits a byte
+    out
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](M)
+    var i = 0
+    while (i < M) { out(i) = bytes(i).toInt; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllDistinct =
+    copy(child = newChild)
+}
+
+object HllDistinct {
+  /** precision bits: 2^8 = 256 registers (~6.5% standard error). */
+  final val P = 8
+  final val M = 1 << P
+  /** max rho: leading zeros of the (64-P)-bit suffix, + 1. */
+  final val RhoCap = 64 - P + 1
+  /** alpha_m * m^2 for m=256 (Flajolet et al. 2007, public constants). */
+  final val AlphaMM: Double = 0.7213 / (1.0 + 1.079 / M) * M * M
+  /** 2^RhoCap as an exact double. */
+  final val Pow2Cap: Double = java.lang.Math.scalb(1.0, RhoCap)
+
+  /** Column entry point: `hllDistinct(col)` in `groupBy(...).agg(...)`. */
+  def apply(c: Column): Column =
+    ColumnBridge.column(
+      HllDistinct(ColumnBridge.expression(c)).toAggregateExpression())
+}

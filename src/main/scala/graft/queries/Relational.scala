@@ -968,6 +968,63 @@ object Relational {
              datediff('day', DATE '2024-01-01', ts::DATE) AS days_since
       FROM events ORDER BY event_id"""))
 
+  /** Exact oracle for the custom HLL aggregate: DuckDB replays the same
+    * public algorithm — XXH64 values ([[OracleSql]]), register maxima,
+    * integer harmonic numerator (order-free), one multiply + divide, the
+    * same banker's-rounding at 6 dp. The CASE chain is the exact integer
+    * bit-length of the 56-bit suffix (no float log2 at bucket
+    * boundaries). */
+  private val q51Oracle: String = {
+    import graft.functions.expressions.HllDistinct
+    import graft.functions.expressions.HllDistinct.{AlphaMM, M, RhoCap}
+    val pw = (0 to RhoCap).map(k => (BigInt(1) << k).toString)
+      .mkString("[", ",", "]::HUGEINT[]")
+    val rhoCase = ((64 - HllDistinct.P - 1) to 0 by -1)
+      .map(k => s"WHEN w >= ${(BigInt(1) << k).toString} THEN ${64 - HllDistinct.P - k}")
+      .mkString("CASE ", " ", s" ELSE $RhoCap END")
+    val pow2Cap = s"${(BigInt(1) << RhoCap).toString}"
+    s"""
+      WITH h AS (
+        SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+      hh AS (
+        SELECT event_type, ${OracleSql.xxh64Long(OracleSql.s2u("user_id"))} AS hu FROM h),
+      rr0 AS (
+        SELECT event_type, (hu % $M)::INT AS idx, (hu // $M) AS w FROM hh),
+      rr AS (
+        SELECT event_type, idx, $rhoCase AS rho FROM rr0),
+      regs AS (
+        SELECT event_type, idx, max(rho) AS reg FROM rr GROUP BY 1, 2),
+      est AS (
+        SELECT event_type,
+               (sum(($pw)[${RhoCap + 1} - reg]) + ($M - count(*)) * $pow2Cap::HUGEINT) AS num,
+               ($M - count(*)) AS zeros
+        FROM regs GROUP BY event_type),
+      fin AS (
+        SELECT event_type, $AlphaMM * $pow2Cap.0 / num::DOUBLE AS raw, zeros FROM est)
+      SELECT f.event_type,
+             round_even((CASE WHEN raw <= ${2.5 * M} AND zeros > 0
+               THEN $M * ln($M.0 / zeros) ELSE raw END) * 1000000.0, 0) / 1000000.0
+               AS approx_users,
+             x.exact_users
+      FROM fin f JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                       FROM events GROUP BY 1) x USING (event_type)
+      ORDER BY event_type"""
+  }
+
+  /** Custom mergeable sketch aggregate (TypedImperativeAggregate):
+    * approximate distinct users per event type next to the exact count —
+    * 256 bytes of state per group vs a full value shuffle. */
+  val q51_hll_distinct = QueryDef(
+    "q51_hll_distinct",
+    (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(
+          graft.functions.expressions.HllDistinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type")),
+    Some(q51Oracle))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -979,5 +1036,5 @@ object Relational {
     q38_asof_join, q40_interval_join, q41_percentiles, q42_window_suite,
     q43_stratified_sample, q44_count_distinct, q45_sql_revenue,
     q46_grouping_sets, q47_string_funcs, q48_array_agg,
-    q49_subqueries, q50_date_funcs)
+    q49_subqueries, q50_date_funcs, q51_hll_distinct)
 }
