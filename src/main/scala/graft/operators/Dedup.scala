@@ -265,6 +265,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph (HashMin label
+    * propagation): every node's label converges to the minimum id
+    * reachable from it — the canonical "dedup cluster" step that turns
+    * pairwise matches into groups with one representative each.
+    *
+    * Scale shape: O(diameter) iterations, each ONE keyed shuffle
+    * (neighbor-min message + label join); near-dup clusters have tiny
+    * diameters, so this is a handful of rounds even at 100 TB. The loop
+    * is driver-side but each step is fully distributed; `persist` +
+    * `unpersist` keeps lineage flat (use checkpointing for
+    * adversarially deep graphs). Deterministic fixpoint — exact,
+    * whatever the partitioning or iteration count past convergence. */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val msgs = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("nbr"))
+      val next = labels
+        .join(msgs, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old"))
+        .limit(1)
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-dup via random-hyperplane LSH with OR-amplification:
     * `nTables` independent hash tables of `planesPerTable` sign bits each.
     * A pair is a candidate if it collides in ANY table (recall

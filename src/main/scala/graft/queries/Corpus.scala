@@ -410,6 +410,37 @@ $langScoreCols
     Some(d04Oracle),
     bench = true)
 
+  /** Dedup clustering: connected components over d03's verified pair
+    * graph — pairwise matches become groups with a minimum-id
+    * representative. Oracle: the same d03 pipeline as the edge source,
+    * then a recursive CTE computing min-reachable-id (the exact CC
+    * fixpoint, independent of iteration strategy). */
+  private val d07Oracle: String =
+    s"""
+      WITH RECURSIVE pairs AS (SELECT * FROM ($d03Oracle) __d03),
+      edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT s AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+      SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"""
+
+  val d07_dedup_clusters = QueryDef(
+    "d07_dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup
+        .minhashPairs(
+          Tables(s, dir).documents, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16)
+        .filter(col("jaccard") >= 0.4)
+      Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy(col("id"))
+    },
+    Some(d07Oracle))
+
   /** Exact similarity join — prefix filtering, NOT attribute blocking: the
     * oracle is the full all-pairs Jaccard >= 0.5 with no language block,
     * and the engine must reproduce it exactly (guaranteed recall, unlike
@@ -581,5 +612,6 @@ $langScoreCols
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
-    s01_knn_brute, s02_knn_ivf, p01_corpus_pipeline, p02_token_budget)
+    d07_dedup_clusters, s01_knn_brute, s02_knn_ivf,
+    p01_corpus_pipeline, p02_token_budget)
 }

@@ -58,6 +58,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("connectedComponents: chain and isolated pair form min-id clusters") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L), got)
+  }
+
+  test("connectedComponents of an empty pair set is empty") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs).isEmpty)
+  }
+
   test("ngram jaccard pairs finds the planted pair within its block") {
     val blocked = docs.withColumn("lang", lit("en"))
     val pairs = Dedup
