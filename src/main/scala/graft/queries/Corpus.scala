@@ -549,6 +549,46 @@ $langScoreCols
       ORDER BY query_id, rank"""),
     bench = true)
 
+  /** Exact oracle for s03: same per-vector symmetric int8 quantization,
+    * exact integer dot products, same rescale/round — all deterministic
+    * arithmetic, replayed verbatim. */
+  private val s03Oracle: String =
+    s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      m AS (SELECT vec_id, e, list_max(list_transform(e, __x -> abs(__x))) AS ma FROM v),
+      qt AS (
+        SELECT vec_id, ma / 127.0 AS s,
+               CASE WHEN ma = 0 THEN list_transform(e, __x -> 0)
+                    ELSE list_transform(e, __x -> round(__x / (ma / 127.0), 0)::INT) END AS q
+        FROM m),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(list_reduce(
+                 list_transform(range(len(a.q)), __i -> a.q[__i+1]::BIGINT * b.q[__i+1]),
+                 (__s, __t) -> __s + __t)::DOUBLE * a.s * b.s, 6) AS score
+        FROM qt a JOIN qt b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      SELECT query_id, rank, neighbor_id, score FROM (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""
+
+  val s03_knn_quantized = QueryDef(
+    "s03_knn_quantized",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity
+        .quantizedKnn(
+          corpus = emb,
+          queries = emb.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s03Oracle),
+    bench = true)
+
   /** Exact DuckDB oracle for s02: the whole IVF pipeline is deterministic
     * — centroids are the 16 corpus vectors with the smallest xxhash64(id)
     * (emulated via [[OracleSql]]), cells assign by round(cosine,9) with
@@ -612,6 +652,6 @@ $langScoreCols
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
-    d07_dedup_clusters, s01_knn_brute, s02_knn_ivf,
+    d07_dedup_clusters, s01_knn_brute, s02_knn_ivf, s03_knn_quantized,
     p01_corpus_pipeline, p02_token_budget)
 }
