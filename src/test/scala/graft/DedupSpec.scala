@@ -152,4 +152,17 @@ class DedupSpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"IVF recall $recall below 0.6")
   }
+
+  test("int8-quantized knn reaches >=80% recall vs float brute force") {
+    val emb = Tables(spark, sf0001).embeddings
+    val queries = emb.filter(col("vec_id") < 10)
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = resultSet(
+      Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", k = 5))
+    val quant = resultSet(
+      Similarity.quantizedKnn(emb, queries, "vec_id", "embedding", k = 5))
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 quantization recall $recall below 0.8")
+  }
 }
