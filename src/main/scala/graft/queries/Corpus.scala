@@ -227,9 +227,17 @@ $langScoreCols
     bench = true)
 
   /** Per-language token-budget selection: best-quality documents first
-    * until the running token count crosses the (2000-token) budget — the "fill the
-    * training mix" pattern. One keyed window (partition-parallel by
-    * language); deterministic via the rounded score + id tiebreak. */
+    * until the running token count crosses the (2000-token) budget — the
+    * "fill the training mix" pattern. One keyed window, deterministic via
+    * the rounded score + id tiebreak.
+    *
+    * SCALE CAVEAT: the window key has ~5 values, so each language's sort
+    * lands on one task — fine for demo corpora, a bottleneck at 100 TB.
+    * The scale path is two-phase: (1) approximate the per-language
+    * quality cutoff from a quantile sketch sized so expected tokens ~
+    * budget (one aggregation, fully parallel), (2) window only the thin
+    * boundary stratum around the cutoff. Same output, sort bounded to
+    * the boundary slice. */
   val p02_token_budget = QueryDef(
     "p02_token_budget",
     (s, dir) => {

@@ -67,4 +67,17 @@ class PlanSpec extends SparkSpec {
     val p = planOf(Corpus.s01_knn_brute.run(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("s01: top-k rank filter plans as WindowGroupLimit (partial per-partition top-k)") {
+    // the property that makes per-query top-k scale: each partition keeps
+    // only its local k before the window shuffle, instead of sorting the
+    // full candidate set in one task per query
+    val p = planOf(Corpus.s01_knn_brute.run(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q43: stratified-sample quota filter also gets WindowGroupLimit") {
+    val p = planOf(Relational.q43_stratified_sample.run(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
 }
