@@ -132,6 +132,72 @@ object TextFunctions {
     array(entries: _*)
   }
 
+  // ---- repetition signals (Gopher-style corpus filters) ----
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 - distinct/total. 0 for empty text. */
+  def dupTokenRatio(text: Column): Column = {
+    val ts = tokens(lower(text))
+    val n = size(ts)
+    when(n === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(ts)).cast("double") / n)
+  }
+
+  /** Fraction of tokens taken by the single most frequent token — the
+    * "top n-gram fraction" repetition filter at n=1. Expression-only, no
+    * shuffle: the max frequency equals the longest equal-run in the
+    * SORTED token array, computed in one aggregate pass with (prev, run,
+    * best) state — O(n log n) per row vs the O(distinct x n) nested
+    * filter-count formulation (which dominated the t06 bench profile). */
+  def topTokenRatio(text: Column): Column = {
+    val ts = array_sort(tokens(lower(text)))
+    val n = size(ts)
+    val st = aggregate(
+      ts,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      })
+    when(n === 0, 0.0).otherwise(st("best").cast("double") / n)
+  }
+
+  /** Fraction of k-token windows that repeat an earlier window:
+    * 1 - distinct_windows / total_windows, total = max(n-k+1, 1)
+    * (a doc with <= k tokens is its own single window -> ratio 0). */
+  def dupShingleRatio(text: Column, k: Int): Column = {
+    val n = size(tokens(lower(text)))
+    val total = greatest(n - (k - 1), lit(1))
+    when(n === 0, 0.0).otherwise(
+      lit(1.0) - size(wordShingles(text, k)).cast("double") / total)
+  }
+
+  // ---- PII scan / redaction ----
+  // Patterns restricted to syntax with identical semantics under Java
+  // regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+  // repetition, \b word boundaries — no lookaround, no backrefs.
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+  def piiIpCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(ipv4Pattern), lit(0)))
+  def piiPhoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+
+  /** Replace every email / IPv4 / phone match with a typed placeholder.
+    * Order matters and is fixed: emails first (their domains may contain
+    * digits), then IPs, then phones. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
   /** Best language: highest score, ties to first (languages pre-sorted). */
   def langId(text: Column): Column = {
     val scores = langScores(text)

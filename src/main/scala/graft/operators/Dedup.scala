@@ -317,6 +317,92 @@ object Dedup {
     labels
   }
 
+  /** Chunk-level exact dedup across the WHOLE corpus (the exact-substring
+    * dedup pattern of Lee et al. 2022 at chunk granularity, and C4's
+    * repeated-paragraph removal): split every document into disjoint
+    * windows of `chunkTokens` tokens, keep only the globally FIRST
+    * occurrence of each distinct chunk (ordered by (id, position)), and
+    * reassemble each document from its surviving chunks.
+    *
+    * Scale shape: one narrow chunking pass (posexplode of per-row slices),
+    * ONE shuffle keyed by the chunk text to pick winners (row_number over
+    * a high-cardinality key — no small-key skew), one id-keyed shuffle to
+    * reassemble, one id-keyed left join back to the corpus. Chunk payload
+    * rides the shuffle once; at 100 TB, swap the chunk string for its
+    * xxhash64 in the winner shuffle and re-attach text by (id, pos).
+    *
+    * Returns one row per input row: (id, n_chunks, n_kept, text_dedup) —
+    * text_dedup empty when every chunk was seen earlier. */
+  def chunkExactDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 20): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val n = chunkTokens
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .withColumn("__nc", ceil(size(col("__ts")).cast("double") / n).cast("int"))
+    val chunked = base.select(
+      col(idCol), col("__nc"),
+      // guard: sequence(0, -1) is the DESCENDING [0, -1] in Spark, not []
+      posexplode_outer(
+        when(col("__nc") === 0, array().cast("array<string>")).otherwise(
+          transform(
+            sequence(lit(0), col("__nc") - 1),
+            i => array_join(slice(col("__ts"), i * n + 1, lit(n)), " ")))))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__chunk")
+    val keptW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__chunk"))
+      .orderBy(col(idCol), col("__pos"))
+    val kept = chunked
+      .filter(col("__chunk").isNotNull)
+      .withColumn("__rn", row_number().over(keptW))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__chunk")))),
+            s => s("__chunk")),
+          " ").as("text_dedup"))
+    base.select(col(idCol), col("__nc").cast("long").as("n_chunks"))
+      .join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** Benchmark decontamination: for every training document, count the
+    * distinct k-token shingles it shares with any evaluation document.
+    * Returns (train_id, eval_id, n_shared) pairs — downstream either
+    * drops trains over a threshold or audits per-benchmark leakage.
+    *
+    * Scale shape: both sides reduce to (id, xxhash64(shingle)) — the
+    * shuffle carries 16-byte pairs, never the text — then ONE equi-join
+    * keyed by the 64-bit shingle hash and one keyed count. The eval side
+    * (benchmarks: thousands of docs) is broadcast by AQE against a 100 TB
+    * train side; shingle distinctness per doc bounds fan-out. */
+  def crossCorpusOverlap(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    def grams(df: DataFrame, out: String): DataFrame = df
+      .filter(trim(col(textCol)) =!= "")
+      .select(
+        col(idCol).as(out),
+        explode(wordShingles(col(textCol), shingleSize)).as("__g"))
+      .select(col(out), xxhash64(col("__g")).as("__h"))
+    grams(train, "train_id")
+      .join(grams(eval, "eval_id"), Seq("__h"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Embedding near-dup via random-hyperplane LSH with OR-amplification:
     * `nTables` independent hash tables of `planesPerTable` sign bits each.
     * A pair is a candidate if it collides in ANY table (recall

@@ -656,10 +656,270 @@ $langScoreCols
     Some(s02Oracle),
     bench = true)
 
+  // ---------------- round-4 additions ----------------
+
+  /** Gopher-style repetition signals (Rae et al. 2021 quality filters):
+    * duplicate-token ratio, top-token fraction, duplicate-3-gram ratio.
+    * All expression-only (no shuffle); the oracle replays the identical
+    * double-op order. */
+  val t06_repetition = QueryDef(
+    "t06_repetition",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          round(dupTokenRatio(col("text")), 6).as("dup_token_ratio"),
+          round(topTokenRatio(col("text")), 6).as("top_token_ratio"),
+          round(dupShingleRatio(col("text"), 3), 6).as("dup_3gram_ratio"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               length(text) - length(replace(text, ' ', '')) + 1 AS nt,
+               list_filter(string_split(lower(text), ' '), __t -> __t <> '') AS ts
+        FROM documents),
+      sh AS (
+        SELECT doc_id, nt, ts,
+               list_distinct(CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+                 ELSE list_transform(range(len(ts) - 2),
+                        __i -> ts[__i+1] || ' ' || ts[__i+2] || ' ' || ts[__i+3]) END) AS sset
+        FROM toks)
+      SELECT doc_id, nt AS n_tokens,
+        round(CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(ts)) * 1.0 / len(ts) END, 6) AS dup_token_ratio,
+        round(CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE list_max(list_transform(list_distinct(ts),
+                     __t -> len(list_filter(ts, __x -> __x = __t)))) * 1.0 / len(ts) END,
+              6) AS top_token_ratio,
+        round(CASE WHEN len(ts) = 0 THEN 0.0
+              ELSE 1.0 - len(sset) * 1.0 / greatest(len(ts) - 2, 1) END, 6) AS dup_3gram_ratio
+      FROM sh ORDER BY doc_id"""),
+    bench = true)
+
+  /** PII scan + redaction. The corpus carries no PII, so deterministic
+    * synthetic PII is injected per doc_id (email on even ids, an IPv4
+    * always, a phone on ids % 3 = 0) and then scanned/redacted — proving
+    * the patterns match AND the negatives stay untouched. Patterns are
+    * Java-regex/RE2-portable (classes + bounded repetition + \b only). */
+  val t07_pii_redact = QueryDef(
+    "t07_pii_redact",
+    (s, dir) => {
+      import graft.functions.TextFunctions._
+      val aug = concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" tel 555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+            lit("-"),
+            lpad(pmod(col("doc_id") * 31, lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables(s, dir).documents
+        .select(col("doc_id"), aug.as("__aug"))
+        .select(
+          col("doc_id"),
+          piiEmailCount(col("__aug")).as("n_emails"),
+          piiIpCount(col("__aug")).as("n_ips"),
+          piiPhoneCount(col("__aug")).as("n_phones"),
+          redactPii(col("__aug")).as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH aug AS (
+        SELECT doc_id,
+          text ||
+          CASE WHEN doc_id % 2 = 0
+               THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com'
+               ELSE '' END ||
+          ' host 10.0.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR ||
+          CASE WHEN doc_id % 3 = 0
+               THEN ' tel 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                    || lpad(((doc_id * 31) % 10000)::VARCHAR, 4, '0')
+               ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(t, '${graft.functions.TextFunctions.emailPattern}')) AS n_emails,
+        len(regexp_extract_all(t, '${graft.functions.TextFunctions.ipv4Pattern}')) AS n_ips,
+        len(regexp_extract_all(t, '${graft.functions.TextFunctions.phonePattern}')) AS n_phones,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '${graft.functions.TextFunctions.emailPattern}', '<EMAIL>', 'g'),
+          '${graft.functions.TextFunctions.ipv4Pattern}', '<IP>', 'g'),
+          '${graft.functions.TextFunctions.phonePattern}', '<PHONE>', 'g') AS redacted
+      FROM aug ORDER BY doc_id"""))
+
+  /** Deterministic train/val/test split: bucket = pmod(xxhash64(id), 100),
+    * train < 80 <= val < 90 <= test — stable under reshuffling, reruns and
+    * corpus growth (a doc's split never changes), the standard way to cut
+    * a 100 TB corpus without a sort. Oracle recomputes the hash via
+    * [[OracleSql]]'s bit-exact emulation. */
+  val p03_split = QueryDef(
+    "p03_split",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("nt"),
+          pmod(xxhash64(col("doc_id")), lit(100)).as("bucket"))
+        .withColumn(
+          "split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("sum_tokens"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split")),
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+               length(text) - length(replace(text, ' ', '')) + 1 AS nt,
+               ((${OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("doc_id")))} % 100) + 100) % 100 AS bucket
+        FROM documents),
+      sp AS (
+        SELECT doc_id, nt,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b)
+      SELECT split, cast(count(*) as bigint) AS n_docs,
+             cast(sum(nt) as bigint) AS sum_tokens,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM sp GROUP BY split ORDER BY split"""))
+
+  /** Temperature-weighted language mixture (alpha = 0.5, the multilingual
+    * sampling rule): weight_l proportional to sqrt(tokens_l), plus the
+    * oversample factor vs natural frequency. Sqrt is correctly rounded
+    * IEEE and the weight total is summed in decimal, so the oracle is
+    * bit-exact. */
+  val p04_mixture = QueryDef(
+    "p04_mixture",
+    (s, dir) => {
+      val w = Tables(s, dir).documents
+        .groupBy(col("lang"))
+        .agg(sum(tokenCount(col("text"))).as("sum_tokens"))
+        .withColumn("w_raw", round(sqrt(col("sum_tokens").cast("double")), 6))
+      val tot = w.agg(
+        sum(col("w_raw").cast("decimal(18,6)")).cast("double").as("__wt"),
+        sum(col("sum_tokens")).cast("double").as("__tt"))
+      w.crossJoin(broadcast(tot))
+        .select(
+          col("lang"), col("sum_tokens"),
+          round(col("w_raw") / col("__wt"), 6).as("weight"),
+          round(col("w_raw") / col("__wt") * col("__tt")
+            / col("sum_tokens").cast("double"), 6).as("oversample"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH lt AS (
+        SELECT lang,
+               cast(sum(length(text) - length(replace(text, ' ', '')) + 1) as bigint) AS sum_tokens
+        FROM documents GROUP BY lang),
+      w AS (SELECT lang, sum_tokens, round(sqrt(sum_tokens::DOUBLE), 6) AS w_raw FROM lt),
+      t AS (SELECT cast(sum(cast(w_raw AS decimal(18,6))) as double) AS wt,
+                   cast(sum(sum_tokens) as double) AS tt FROM w)
+      SELECT lang, sum_tokens,
+             round(w_raw / wt, 6) AS weight,
+             round(w_raw / wt * tt / sum_tokens::DOUBLE, 6) AS oversample
+      FROM w CROSS JOIN t ORDER BY lang"""))
+
+  /** Corpus-wide chunk-level exact dedup (Lee et al. 2022 exact-substring
+    * dedup at chunk granularity / C4 repeated-paragraph removal): only the
+    * globally first occurrence of every 10-token chunk survives; documents
+    * are reassembled from surviving chunks. */
+  val d08_chunk_dedup = QueryDef(
+    "d08_chunk_dedup",
+    (s, dir) =>
+      Dedup
+        .chunkExactDedup(Tables(s, dir).documents, "doc_id", "text", chunkTokens = 10)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), __t -> __t <> '') AS ts
+        FROM documents),
+      base AS (
+        SELECT doc_id, cast(ceil(len(ts) / 10.0) AS BIGINT) AS n_chunks, ts
+        FROM toks),
+      ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(n_chunks),
+                 __i -> struct_pack(pos := __i,
+                   chunk := array_to_string(list_slice(ts, __i*10 + 1, __i*10 + 10), ' ')))) AS c
+        FROM base),
+      flat AS (SELECT doc_id, c.pos AS pos, c.chunk AS chunk FROM ch),
+      -- first global occurrence = lexicographic min (doc_id, pos) per
+      -- chunk, as two grouped mins (DuckDB rejects window functions over
+      -- the lateral unnest above)
+      w1 AS (SELECT chunk, min(doc_id) AS doc_id FROM flat GROUP BY chunk),
+      kept AS (
+        SELECT f.doc_id, min(f.pos) AS pos, f.chunk
+        FROM flat f JOIN w1 ON f.chunk = w1.chunk AND f.doc_id = w1.doc_id
+        GROUP BY f.doc_id, f.chunk),
+      agg AS (
+        SELECT doc_id, cast(count(*) as bigint) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
+        FROM kept GROUP BY doc_id)
+      SELECT b.doc_id, b.n_chunks,
+             coalesce(a.n_kept, 0) AS n_kept,
+             coalesce(a.text_dedup, '') AS text_dedup
+      FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+      ORDER BY b.doc_id"""),
+    bench = true)
+
+  /** Benchmark decontamination: distinct 3-gram shingle overlap between
+    * the training split (doc_id % 10 != 0) and the held-out split
+    * (doc_id % 10 = 0). The engine joins on xxhash64(shingle) — 16-byte
+    * shuffle rows — and the oracle replays the identical hash via
+    * [[OracleSql]], so even hash collisions would agree. */
+  private val d09Oracle: String =
+    s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), __t -> __t <> '') AS ts
+        FROM documents WHERE trim(text) <> ''),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+                 ELSE list_transform(range(len(ts) - 2),
+                        __i -> ts[__i+1] || ' ' || ts[__i+2] || ' ' || ts[__i+3]) END) AS sset
+        FROM toks),
+      g AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+      hb AS (SELECT s, ${OracleSql.u2s(OracleSql.xxh64Ascii("s"))} AS h
+             FROM (SELECT DISTINCT s FROM g)),
+      gh AS (SELECT doc_id, h FROM g JOIN hb USING (s)),
+      tr AS (SELECT doc_id AS train_id, h FROM gh WHERE doc_id % 10 <> 0),
+      ev AS (SELECT doc_id AS eval_id, h FROM gh WHERE doc_id % 10 = 0)
+      SELECT train_id, eval_id, cast(count(*) as bigint) AS n_shared
+      FROM tr JOIN ev USING (h)
+      GROUP BY train_id, eval_id
+      ORDER BY train_id, eval_id"""
+
+  val d09_decontaminate = QueryDef(
+    "d09_decontaminate",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup
+        .crossCorpusOverlap(
+          train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          eval = docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          idCol = "doc_id", textCol = "text", shingleSize = 3)
+        .orderBy(col("train_id"), col("eval_id"))
+    },
+    Some(d09Oracle),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
+    t06_repetition, t07_pii_redact,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
-    d07_dedup_clusters, s01_knn_brute, s02_knn_ivf, s03_knn_quantized,
-    p01_corpus_pipeline, p02_token_budget)
+    d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate,
+    s01_knn_brute, s02_knn_ivf, s03_knn_quantized,
+    p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture)
 }

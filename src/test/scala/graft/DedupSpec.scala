@@ -165,4 +165,54 @@ class DedupSpec extends SparkSpec {
     val recall = (exact intersect quant).size.toDouble / exact.size
     assert(recall >= 0.8, s"int8 quantization recall $recall below 0.8")
   }
+
+  test("chunkExactDedup keeps only the first global occurrence of a chunk") {
+    // 4-token chunks: doc 10 = [A B], doc 20 = [B C] (B repeats doc 10's
+    // second chunk), doc 30 = [A] (repeats doc 10's first chunk), doc 40
+    // empty.
+    val a = "alpha beta gamma delta"
+    val b = "epsilon zeta eta theta"
+    val c = "iota kappa lambda mu"
+    val df = Seq(
+      (10L, s"$a $b"), (20L, s"$b $c"), (30L, a), (40L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup
+      .chunkExactDedup(df, "doc_id", "text", chunkTokens = 4)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (10L, 2L, 2L, s"$a $b"), // first occurrence of both chunks
+      (20L, 2L, 1L, c),        // B already seen in doc 10
+      (30L, 1L, 0L, ""),       // A already seen in doc 10
+      (40L, 0L, 0L, "")))      // empty doc: zero chunks
+  }
+
+  test("chunkExactDedup prefers the earliest (id, pos) occurrence within one doc") {
+    // one doc whose two chunks are identical: position 0 wins, 1 dropped
+    val df = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val got = Dedup
+      .chunkExactDedup(df, "doc_id", "text", chunkTokens = 2)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((2L, 1L, "x y")))
+  }
+
+  test("crossCorpusOverlap counts distinct shared shingles per (train, eval) pair") {
+    val train = Seq(
+      (1L, "one two three four"),     // shingles: {one two three, two three four}
+      (2L, "five six seven"))         // {five six seven}
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "one two three nine"),   // shares "one two three" with train 1
+      (200L, "totally different words here")) // shares nothing
+      .toDF("doc_id", "text")
+    val got = Dedup
+      .crossCorpusOverlap(train, eval, "doc_id", "text", shingleSize = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, 100L, 1L)))
+  }
 }

@@ -87,4 +87,48 @@ class SqlFunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext) // must not throw
   }
+
+  test("repetition signals: known duplicate structure") {
+    val df = Seq(
+      ("a b c d", 0.0),       // all distinct
+      ("a a a a", 0.75),      // 3 of 4 repeat
+      ("", 0.0))              // empty
+      .toDF("text", "want")
+    val got = df
+      .select(round(TextFunctions.dupTokenRatio(col("text")), 6).as("r"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+
+    // top token 'a' takes 3 of 5 tokens
+    val top = df.sparkSession.range(1)
+      .select(TextFunctions.topTokenRatio(lit("a b a c a")).as("t"))
+      .head.getDouble(0)
+    assert(math.abs(top - 0.6) < 1e-9)
+
+    // "x y x y x y": 3-gram windows = 4, distinct = 2 -> ratio 0.5
+    val sh = df.sparkSession.range(1)
+      .select(TextFunctions.dupShingleRatio(lit("x y x y x y"), 3).as("s"))
+      .head.getDouble(0)
+    assert(math.abs(sh - 0.5) < 1e-9)
+  }
+
+  test("PII redaction replaces emails, IPs, phones and counts them") {
+    val s = "write bob.smith+x@corp.example.org from 192.168.001.1 or call 555-123-4567 now"
+    val row = spark.range(1)
+      .select(
+        TextFunctions.piiEmailCount(lit(s)).as("e"),
+        TextFunctions.piiIpCount(lit(s)).as("i"),
+        TextFunctions.piiPhoneCount(lit(s)).as("p"),
+        TextFunctions.redactPii(lit(s)).as("r"))
+      .head
+    assert(row.getInt(0) == 1 && row.getInt(1) == 1 && row.getInt(2) == 1)
+    assert(row.getString(3) ==
+      "write <EMAIL> from <IP> or call <PHONE> now")
+
+    // negatives: plain words, bare numbers, 5-digit groups stay untouched
+    val neg = "meet at 5 o clock on 12-31 near gate 55555"
+    val kept = spark.range(1)
+      .select(TextFunctions.redactPii(lit(neg)).as("r")).head.getString(0)
+    assert(kept == neg)
+  }
 }
