@@ -914,6 +914,48 @@ $langScoreCols
     Some(d09Oracle),
     bench = true)
 
+  /** Quality-weighted deterministic subsampling: each doc survives with
+    * probability quality * 0.5 — soft filtering, the standard way to
+    * downsample low-quality strata without a hard cutoff. The decision is
+    * pmod(xxhash64(id), 1e6) < (q * 0.5) * 1e6: reproducible across
+    * reruns/partitionings, no RNG, no sampling pass; oracle replays the
+    * exact hash and IEEE multiply order. */
+  val p05_weighted_sample = QueryDef(
+    "p05_weighted_sample",
+    (s, dir) => {
+      val scored = Tables(s, dir).documents
+        .select(
+          col("doc_id"), col("lang"),
+          qualityScore(col("text")).as("q"),
+          tokenCount(col("text")).as("nt"))
+        .withColumn(
+          "keep",
+          graft.operators.Sampling
+            .weightedKeep(col("doc_id"), col("q") * lit(0.5)))
+      scored
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("nt").cast("long")).otherwise(0L))
+            .as("sum_tokens_kept"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang, $qualitySql AS q,
+               length(text) - length(replace(text, ' ', '')) + 1 AS nt,
+               ((${OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("doc_id")))} % 1000000) + 1000000) % 1000000 AS h
+        FROM documents),
+      k AS (
+        SELECT lang, nt,
+               CASE WHEN h::DOUBLE < (q * 0.5) * 1000000.0 THEN 1 ELSE 0 END AS keep
+        FROM scored)
+      SELECT lang, cast(count(*) as bigint) AS n_docs,
+             cast(sum(keep) as bigint) AS n_kept,
+             cast(sum(CASE WHEN keep = 1 THEN nt ELSE 0 END) as bigint) AS sum_tokens_kept
+      FROM k GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact,
@@ -921,5 +963,6 @@ $langScoreCols
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized,
-    p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture)
+    p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
+    p05_weighted_sample)
 }

@@ -1025,6 +1025,56 @@ object Relational {
         .orderBy(col("event_type")),
     Some(q51Oracle))
 
+  /** Ordered-sequence funnel over the event stream: per user, the first
+    * view, the first click strictly after that view, the first purchase
+    * strictly after that click — then one summary row with stage
+    * conversion counts and the exact total view->purchase lag (summed in
+    * microseconds: integer-exact across any partitioning). Three keyed
+    * aggregations on user_id, no windows, no sort of the raw events. */
+  val q52_funnel = QueryDef(
+    "q52_funnel",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id"), col("t_view"), col("t_click"))
+        .agg(min(col("ts")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view")).crossJoin(
+          c.agg(count(lit(1)).as("n_click_after_view")))
+        .crossJoin(
+          p.agg(
+            count(lit(1)).as("n_purchase_after_click"),
+            sum(unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+              .as("sum_view_to_purchase_us")))
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id, v.t_view),
+      p AS (
+        SELECT e.user_id, c.t_view, c.t_click, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id, c.t_view, c.t_click)
+      SELECT (SELECT cast(count(*) as bigint) FROM v) AS n_view,
+             (SELECT cast(count(*) as bigint) FROM c) AS n_click_after_view,
+             (SELECT cast(count(*) as bigint) FROM p) AS n_purchase_after_click,
+             (SELECT cast(sum(epoch_us(t_purchase) - epoch_us(t_view)) as bigint) FROM p)
+               AS sum_view_to_purchase_us"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1036,5 +1086,5 @@ object Relational {
     q38_asof_join, q40_interval_join, q41_percentiles, q42_window_suite,
     q43_stratified_sample, q44_count_distinct, q45_sql_revenue,
     q46_grouping_sets, q47_string_funcs, q48_array_agg,
-    q49_subqueries, q50_date_funcs, q51_hll_distinct)
+    q49_subqueries, q50_date_funcs, q51_hll_distinct, q52_funnel)
 }

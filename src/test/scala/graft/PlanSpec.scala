@@ -80,4 +80,30 @@ class PlanSpec extends SparkSpec {
     val p = planOf(Relational.q43_stratified_sample.run(spark, sf))
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
+
+  test("d08: chunk dedup plans hash joins only, winner shuffle keyed by chunk") {
+    val p = planOf(Corpus.d08_chunk_dedup.run(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the winner window partitions by the chunk text — high-cardinality
+    // key, the property that prevents skew at scale
+    assert(p.contains("hashpartitioning(__chunk"), p.take(3000))
+  }
+
+  test("d09: decontamination joins on the shingle hash, never all-pairs") {
+    val p = planOf(Corpus.d09_decontaminate.run(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // equi-join keyed by the 64-bit shingle hash (__h)
+    assert(p.contains("__h"), p.take(3000))
+  }
+
+  test("p03: deterministic split is one partial-aggregated exchange, no sort of the data") {
+    val p = planOf(Corpus.p03_split.run(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2000))
+    // only the 3-row output sort may range-partition; the corpus itself
+    // is never range-shuffled
+    val rangeExchanges = "rangepartitioning".r.findAllIn(p).length
+    assert(rangeExchanges <= 1, p.take(3000))
+  }
 }
