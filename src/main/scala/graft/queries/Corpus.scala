@@ -228,35 +228,26 @@ $langScoreCols
 
   /** Per-language token-budget selection: best-quality documents first
     * until the running token count crosses the (2000-token) budget — the
-    * "fill the training mix" pattern. One keyed window, deterministic via
-    * the rounded score + id tiebreak.
-    *
-    * SCALE CAVEAT: the window key has ~5 values, so each language's sort
-    * lands on one task — fine for demo corpora, a bottleneck at 100 TB.
-    * The scale path is two-phase: (1) approximate the per-language
-    * quality cutoff from a quantile sketch sized so expected tokens ~
-    * budget (one aggregation, fully parallel), (2) window only the thin
-    * boundary stratum around the cutoff. Same output, sort bounded to
-    * the boundary slice. */
+    * "fill the training mix" pattern. Runs through
+    * [[graft.operators.Budget.tokenBudgetSelect]]: stratum aggregation +
+    * broadcast offsets + a window bounded to one (lang, quality) stratum
+    * per task — never a whole language on one task. Proven equal to the
+    * direct one-window formulation in BudgetSpec; the oracle (which IS
+    * that direct formulation, in SQL) is the same proof cross-engine. */
   val p02_token_budget = QueryDef(
     "p02_token_budget",
-    (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang"))
-        .orderBy(col("q").desc, col("doc_id"))
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      Tables(s, dir).documents
-        .select(
-          col("doc_id"), col("lang"),
-          qualityScore(col("text")).as("q"),
-          tokenCount(col("text")).as("nt"))
-        .withColumn("cum_tokens", sum(col("nt")).over(w))
-        .filter(col("cum_tokens") - col("nt") < 2000)
+    (s, dir) =>
+      graft.operators.Budget
+        .tokenBudgetSelect(
+          Tables(s, dir).documents
+            .select(
+              col("doc_id"), col("lang"),
+              qualityScore(col("text")).as("q"),
+              tokenCount(col("text")).as("nt")),
+          groupCol = "lang", idCol = "doc_id", qCol = "q", ntCol = "nt",
+          budget = 2000L)
         .select(col("lang"), col("doc_id"), col("q"), col("nt"), col("cum_tokens"))
-        .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
-    },
+        .orderBy(col("lang"), col("cum_tokens"), col("doc_id")),
     Some(s"""
       WITH scored AS (
         SELECT doc_id, lang, $qualitySql AS q,
