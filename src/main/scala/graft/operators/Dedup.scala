@@ -325,11 +325,16 @@ object Dedup {
     * reassemble each document from its surviving chunks.
     *
     * Scale shape: one narrow chunking pass (posexplode of per-row slices),
-    * ONE shuffle keyed by the chunk text to pick winners (row_number over
-    * a high-cardinality key — no small-key skew), one id-keyed shuffle to
-    * reassemble, one id-keyed left join back to the corpus. Chunk payload
-    * rides the shuffle once; at 100 TB, swap the chunk string for its
-    * xxhash64 in the winner shuffle and re-attach text by (id, pos).
+    * ONE shuffle keyed by the chunk to pick winners (row_number over a
+    * high-cardinality key — no small-key skew), one id-keyed shuffle to
+    * reassemble, one id-keyed left join back to the corpus.
+    *
+    * `hashShuffle = true` is the 100 TB variant: the winner shuffle
+    * carries (id, pos, xxhash64(chunk)) — 24-byte rows instead of the
+    * chunk text — and the surviving (id, pos) pairs re-attach their text
+    * from a second narrow chunking pass joined on (id, pos). Trade-off:
+    * a 2^-64 per-pair collision chance silently drops a unique chunk
+    * (mode equality asserted on real data in DedupSpec).
     *
     * Returns one row per input row: (id, n_chunks, n_kept, text_dedup) —
     * text_dedup empty when every chunk was seen earlier. */
@@ -337,12 +342,13 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      chunkTokens: Int = 20): DataFrame = {
+      chunkTokens: Int = 20,
+      hashShuffle: Boolean = false): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     val n = chunkTokens
     val base = df.select(col(idCol), tokens(col(textCol)).as("__ts"))
       .withColumn("__nc", ceil(size(col("__ts")).cast("double") / n).cast("int"))
-    val chunked = base.select(
+    def chunksOf(b: DataFrame): DataFrame = b.select(
       col(idCol), col("__nc"),
       // guard: sequence(0, -1) is the DESCENDING [0, -1] in Spark, not []
       posexplode_outer(
@@ -352,13 +358,31 @@ object Dedup {
             i => array_join(slice(col("__ts"), i * n + 1, lit(n)), " ")))))
       .withColumnRenamed("pos", "__pos")
       .withColumnRenamed("col", "__chunk")
-    val keptW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__chunk"))
-      .orderBy(col(idCol), col("__pos"))
-    val kept = chunked
       .filter(col("__chunk").isNotNull)
-      .withColumn("__rn", row_number().over(keptW))
-      .filter(col("__rn") === 1)
+    val chunked = chunksOf(base)
+    val survivors =
+      if (!hashShuffle) {
+        val keptW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__chunk"))
+          .orderBy(col(idCol), col("__pos"))
+        chunked
+          .withColumn("__rn", row_number().over(keptW))
+          .filter(col("__rn") === 1)
+      } else {
+        // winner shuffle moves only (id, pos, 8-byte chunk hash); text is
+        // re-attached to the (sparse) winners by an (id, pos) equi-join
+        // against a recomputed narrow chunking pass
+        val keptW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__ck"))
+          .orderBy(col(idCol), col("__pos"))
+        val winners = chunked
+          .select(col(idCol), col("__pos"), xxhash64(col("__chunk")).as("__ck"))
+          .withColumn("__rn", row_number().over(keptW))
+          .filter(col("__rn") === 1)
+          .select(col(idCol), col("__pos"))
+        winners.join(chunksOf(base), Seq(idCol, "__pos"))
+      }
+    val kept = survivors
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_kept"),

@@ -199,6 +199,20 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 1L, "x y")))
   }
 
+  test("chunkExactDedup hashShuffle mode equals the text-keyed mode on real data") {
+    val docsReal = spark.read.parquet(s"$sf0001/documents.parquet")
+    def rows(hash: Boolean) = Dedup
+      .chunkExactDedup(docsReal, "doc_id", "text", chunkTokens = 10, hashShuffle = hash)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val plain = rows(hash = false)
+    val hashed = rows(hash = true)
+    assert(plain == hashed)
+    // non-vacuous: the corpus must actually contain repeated chunks
+    assert(plain.exists(r => r._2 != r._3), "no duplicate chunks — vacuous")
+  }
+
   test("crossCorpusOverlap counts distinct shared shingles per (train, eval) pair") {
     val train = Seq(
       (1L, "one two three four"),     // shingles: {one two three, two three four}
