@@ -91,7 +91,10 @@ object GraftFunctions {
       arity("jaccard_sim", 2)({ case Seq(a, b) => JaccardSim(a, b) })),
     ("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two double arrays",
-      arity("cosine_sim", 2)({ case Seq(a, b) => CosineSim(a, b) })))
+      arity("cosine_sim", 2)({ case Seq(a, b) => CosineSim(a, b) })),
+    ("token_counts",
+      "token_counts(array<string>) - struct(n_tokens, n_distinct, top_count)",
+      arity("token_counts", 1)({ case Seq(c) => TokenCounts(c) })))
 
   /** Register into a live session (idempotent; `createOrReplace`). */
   def registerAll(spark: SparkSession): Unit =

@@ -134,32 +134,30 @@ object TextFunctions {
 
   // ---- repetition signals (Gopher-style corpus filters) ----
 
+  /** One-pass token frequency stats (native
+    * [[graft.functions.expressions.TokenCounts]] kernel): n_tokens,
+    * n_distinct, top_count from a single hash-map sweep per row. The two
+    * ratios below share one kernel call via subexpression elimination. */
+  def tokenFreqStats(text: Column): Column =
+    graft.functions.expressions.Sketches.tokenCounts(tokens(lower(text)))
+
   /** Fraction of tokens that are repeats of an earlier token:
     * 1 - distinct/total. 0 for empty text. */
   def dupTokenRatio(text: Column): Column = {
-    val ts = tokens(lower(text))
-    val n = size(ts)
+    val s = tokenFreqStats(text)
+    val n = s.getField("n_tokens")
     when(n === 0, 0.0)
-      .otherwise(lit(1.0) - size(array_distinct(ts)).cast("double") / n)
+      .otherwise(lit(1.0) - s.getField("n_distinct").cast("double") / n)
   }
 
   /** Fraction of tokens taken by the single most frequent token — the
-    * "top n-gram fraction" repetition filter at n=1. Expression-only, no
-    * shuffle: the max frequency equals the longest equal-run in the
-    * SORTED token array, computed in one aggregate pass with (prev, run,
-    * best) state — O(n log n) per row vs the O(distinct x n) nested
-    * filter-count formulation (which dominated the t06 bench profile). */
+    * "top n-gram fraction" repetition filter at n=1. One native kernel
+    * pass, no sort (the array_sort + run-length aggregate this replaces
+    * dominated the t06 bench profile). */
   def topTokenRatio(text: Column): Column = {
-    val ts = array_sort(tokens(lower(text)))
-    val n = size(ts)
-    val st = aggregate(
-      ts,
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
-      })
-    when(n === 0, 0.0).otherwise(st("best").cast("double") / n)
+    val s = tokenFreqStats(text)
+    val n = s.getField("n_tokens")
+    when(n === 0, 0.0).otherwise(s.getField("top_count").cast("double") / n)
   }
 
   /** Fraction of k-token windows that repeat an earlier window:

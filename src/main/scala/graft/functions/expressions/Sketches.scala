@@ -137,6 +137,27 @@ object SketchUtil {
     new GenericArrayData(out)
   }
 
+  /** One-pass token frequency stats for the repetition filters:
+    * (n_tokens, n_distinct, top_count) via a single hash-map sweep —
+    * replaces an array_sort + run-length aggregate (top count) plus an
+    * array_distinct (distinct count), with identical values. */
+  def tokenCounts(tokens: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = tokens.numElements()
+    val freq = new java.util.HashMap[UTF8String, Int](n * 2)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val v = tokens.getUTF8String(i)
+        val c = freq.merge(v, 1, (a, b) => a + b)
+        if (c > top) top = c
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, freq.size, top))
+  }
+
   /** Jaccard over array<string> columns, replicating
     * size(intersect)/(size(a)+size(b)-size(intersect)) with RAW input
     * sizes and distinct intersection (array_intersect semantics);
@@ -200,6 +221,29 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression
     copy(child = newChild)
 
   override def prettyName: String = "word_shingles"
+}
+
+/** `token_counts(array<string>) -> struct<n_tokens:int, n_distinct:int,
+  * top_count:int>` — the repetition-filter kernel, one hash-map pass. */
+case class TokenCounts(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_count", IntegerType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    SketchUtil.tokenCounts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.SketchUtil.tokenCounts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_counts"
 }
 
 /** `jaccard_sim(array, array) -> double`. */
@@ -330,4 +374,7 @@ object Sketches {
   def jaccardSim(a: Column, b: Column): Column =
     ColumnBridge.column(
       JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def tokenCounts(tokens: Column): Column =
+    ColumnBridge.column(TokenCounts(ColumnBridge.expression(tokens)))
 }
