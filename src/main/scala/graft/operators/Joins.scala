@@ -50,6 +50,40 @@ object Joins {
   def innerJoinBroadcast(keys: Seq[String])(l: DataFrame, dim: DataFrame): DataFrame =
     l.join(broadcast(dim), keys, "inner")
 
+  /** Skew-salted equi-join: when one join key dominates (a hot user, a
+    * null-ish default, a viral document), the plain shuffle puts that
+    * key's entire population on ONE task. Salting splits it `factor`
+    * ways: every left row gets a deterministic salt in [0, factor) —
+    * pmod(xxhash64(saltSource), factor), reproducible across retries —
+    * and the right side is replicated once per salt value, so the join
+    * key becomes (keys..., salt) and the hot key spreads over `factor`
+    * tasks. Result identical to the plain join (asserted in JoinsSpec);
+    * cost: right side shuffles factor x (use for fact-to-medium joins
+    * where the right side is modest but too big to broadcast — for small
+    * right sides broadcast instead, and prefer AQE skew handling when
+    * its split thresholds fit; salting also covers aggregations AQE
+    * cannot re-split, e.g. a skewed groupBy fed by this join's output).
+    *
+    * `how` may be "inner" or "left" (right/full would need the
+    * replicated side deduped back — not supported). */
+  def saltedJoin(
+      keys: Seq[String],
+      saltSource: org.apache.spark.sql.Column,
+      factor: Int,
+      how: String = "inner")(l: DataFrame, r: DataFrame): DataFrame = {
+    require(factor >= 2, "salt factor >= 2")
+    require(how == "inner" || how == "left", s"unsupported salted join type: $how")
+    val salted = l.withColumn(
+      "__salt",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(saltSource), lit(factor)))
+    val replicated = r.withColumn(
+      "__salt",
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.sequence(lit(0L), lit(factor - 1L))))
+    salted.join(replicated, keys :+ "__salt", how).drop("__salt")
+  }
+
   /** Interval (range) join: pairs each point row with every interval row
     * whose `[loCol, hiCol]` contains `ptCol` (inclusive, matching SQL
     * BETWEEN) — with NO equi-key. Spark plans a raw

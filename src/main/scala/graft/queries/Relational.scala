@@ -1075,6 +1075,37 @@ object Relational {
              (SELECT cast(sum(epoch_us(t_purchase) - epoch_us(t_view)) as bigint) FROM p)
                AS sum_view_to_purchase_us"""))
 
+  /** Skew-salted fact-to-fact join (the brief's "salting for skew" path):
+    * lineitem joins orders on a salted (o_orderkey, salt) key — every
+    * left row salted by a deterministic per-row hash, the right side
+    * replicated across the salt space — so a hot orderkey would spread
+    * over `factor` tasks instead of one. Result provably identical to
+    * the plain join: the oracle IS the plain join in SQL. */
+  val q53_salted_join = QueryDef(
+    "q53_salted_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      graft.operators.Joins
+        .saltedJoin(
+          keys = Seq("o_orderkey"),
+          saltSource = struct(col("o_orderkey"), col("l_linenumber")),
+          factor = 8)(
+          t.lineitem.select(
+            col("l_orderkey").as("o_orderkey"),
+            col("l_linenumber"), col("l_quantity")),
+          t.orders.select(col("o_orderkey"), col("o_orderpriority")))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          Aggregates.sumExact(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""
+      SELECT o.o_orderpriority, count(*) AS n_lines,
+             ${sumExactSql("l.l_quantity")} AS sum_qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1086,5 +1117,6 @@ object Relational {
     q38_asof_join, q40_interval_join, q41_percentiles, q42_window_suite,
     q43_stratified_sample, q44_count_distinct, q45_sql_revenue,
     q46_grouping_sets, q47_string_funcs, q48_array_agg,
-    q49_subqueries, q50_date_funcs, q51_hll_distinct, q52_funnel)
+    q49_subqueries, q50_date_funcs, q51_hll_distinct, q52_funnel,
+    q53_salted_join)
 }

@@ -41,6 +41,30 @@ class FrameSpec extends SparkSpec {
     assert(got.count() == 3)
   }
 
+  test("salted join equals the plain join (inner and left), hot key spread over salts") {
+    import org.apache.spark.sql.functions.{col, struct}
+    // hot key: 1000 left rows share k=1; right has k=1..3
+    val l = spark.range(1010)
+      .select(
+        (when(col("id") < 1000, 1L).otherwise(col("id") - 998L)).as("k"),
+        col("id").as("rowid"))
+    val r = Seq((1L, "a"), (2L, "b"), (3L, "c"), (99L, "z")).toDF("k", "rv")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getAs[String]("rv"))).toSet
+    for (how <- Seq("inner", "left")) {
+      val plain = rows(l.join(r, Seq("k"), how))
+      val salted = rows(
+        Joins.saltedJoin(Seq("k"), struct(col("rowid")), factor = 8, how = how)(l, r))
+      assert(plain == salted, s"$how salted join diverges from plain")
+    }
+    // the hot key's 1000 rows must actually land on several salt values
+    val salts = l.filter(col("k") === 1L)
+      .select(org.apache.spark.sql.functions
+        .pmod(org.apache.spark.sql.functions.xxhash64(struct(col("rowid"))), lit(8)))
+      .distinct().count()
+    assert(salts >= 6, s"hot key used only $salts of 8 salts")
+  }
+
   test("outer join nulls only the unmatched side (documented divergence)") {
     val l = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
     val r = Seq((2L, "x"), (3L, "y")).toDF("k", "rv")
