@@ -98,6 +98,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__h"), p.take(3000))
   }
 
+  test("q53: salted join shuffles on (key, salt) — the hot-key spread") {
+    val p = planOf(Relational.q53_salted_join.run(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("__salt"), p.take(3000))
+  }
+
   test("p03: deterministic split is one partial-aggregated exchange, no sort of the data") {
     val p = planOf(Corpus.p03_split.run(spark, sf))
     assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2000))
