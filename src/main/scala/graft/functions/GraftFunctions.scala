@@ -115,5 +115,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.RowIndexStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.GlobalRowNumberRule)
   }
 }

@@ -53,6 +53,7 @@ final case class RowIndexExec(
     order: Seq[SortOrder]) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ indexAttr
+  override def producedAttributes: AttributeSet = AttributeSet(indexAttr)
 
   /** Range partitioning + in-partition sort: global order, parallel. */
   override def requiredChildDistribution: Seq[Distribution] =
@@ -94,10 +95,52 @@ object RowIndexStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule rewriting the global-window scale antipattern: a
+  * `row_number() OVER (ORDER BY ... )` with NO partition key plans as a
+  * WindowExec on a single partition — the whole dataset through one task.
+  * This rule replaces exactly that shape (one window expression, empty
+  * partition spec, row_number's default running row frame) with
+  * [[RowIndexPlan]] + 1, which plans as the range-partitioned parallel
+  * [[RowIndexExec]] — identical values, every partition parallel. Rows
+  * tied on the order key may permute within the tie, exactly as the
+  * single-task window's own sort may. Any other window (partitioned,
+  * other functions, extra expressions) is left untouched. */
+object GlobalRowNumberRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Cast, CurrentRow, Literal, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
+  import org.apache.spark.sql.types.IntegerType
+
+  private val runningRowFrame =
+    SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case w: Window
+        if w.partitionSpec.isEmpty && w.windowExpressions.size == 1 =>
+      w.windowExpressions.head match {
+        case a @ Alias(
+              WindowExpression(RowNumber(), WindowSpecDefinition(Seq(), order, frame)),
+              _) if order.nonEmpty && frame == runningRowFrame =>
+          val idx = AttributeReference("__row_index", LongType, nullable = false)()
+          Project(
+            w.child.output :+
+              Alias(Cast(Add(idx, Literal(1L)), IntegerType), a.name)(
+                a.exprId, a.qualifier),
+            RowIndexPlan(w.child, idx, order))
+        case _ => w
+      }
+  }
+}
+
 object GraftPlans {
-  /** Idempotently add graft's planner strategies to a live session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Idempotently add graft's planner strategies + optimizer rules to a
+    * live session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(RowIndexStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ RowIndexStrategy
+    if (!spark.experimental.extraOptimizations.contains(GlobalRowNumberRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GlobalRowNumberRule
+  }
 }

@@ -62,4 +62,38 @@ class RowIndexSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1)))
     assert(chunks.toSeq == Seq((0L, 30L), (1L, 30L), (2L, 30L), (3L, 10L)))
   }
+
+  test("GlobalRowNumberRule rewrites unpartitioned row_number to RowIndexExec") {
+    val prev = spark.experimental.extraOptimizations
+    try {
+      plans.GraftPlans.register(spark)
+      val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber")
+      val global = df.withColumn(
+        "rn",
+        row_number().over(Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
+      val p = global.queryExecution.executedPlan.toString
+      assert(p.contains("RowIndex"), p.take(2000))
+      assert(!p.contains("Window ["), p.take(2000))
+      // values identical to the builtin semantics: rn = 1..n in key order
+      val got = global.orderBy("rn").limit(5).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+      val want = df.orderBy("l_orderkey", "l_linenumber").limit(5).collect()
+        .map(_.toSeq).zipWithIndex
+        .map { case (s, i) => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Int], i + 1) }
+        .toSeq
+      assert(got == want)
+      // output column type matches the builtin (row_number is IntegerType)
+      assert(global.schema("rn").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+
+      // negative: a PARTITIONED row_number is untouched
+      val part = df.withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))))
+      val pp = part.queryExecution.executedPlan.toString
+      assert(!pp.contains("RowIndex"), pp.take(2000))
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
