@@ -84,6 +84,43 @@ object Joins {
     salted.join(replicated, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Bloom-pruned equi-join: an explicit runtime filter. Builds a Bloom
+    * filter over the (small / pre-filtered) right side's join keys in one
+    * aggregation pass ([[graft.functions.expressions.BloomAgg]] — bitwise-
+    * OR mergeable state), broadcasts the bytes as a single-row cross
+    * join, and filters the big left side BEFORE its join shuffle: rows
+    * whose key cannot exist on the right never enter the exchange. No
+    * false negatives, so the result is IDENTICAL to the plain join; false
+    * positives (rate (1-e^(-kn/m))^k) merely survive until the real join
+    * discards them.
+    *
+    * Spark's `InjectRuntimeFilter` does this automatically only under
+    * narrow preconditions (creation-side selective filter, size
+    * thresholds); this operator makes the pattern deterministic and
+    * composable. Keys are fingerprinted with xxhash64 (any arity/type);
+    * at 100 TB the build side ships `numBits/8` bytes (1 MB default) to
+    * each task while the fact side's shuffle shrinks by the right side's
+    * key selectivity — the canonical semi-join reduction. */
+  def bloomPrunedJoin(
+      keys: Seq[String],
+      numBits: Int = 1 << 23,
+      numHashes: Int = 4,
+      how: String = "inner")(l: DataFrame, r: DataFrame): DataFrame = {
+    import graft.functions.expressions.Bloom
+    keys.foreach { k =>
+      require(l.schema(k).dataType == r.schema(k).dataType,
+        s"bloomPrunedJoin key '$k' differs in type across sides " +
+          s"(${l.schema(k).dataType} vs ${r.schema(k).dataType}) — xxhash64 " +
+          "fingerprints are type-sensitive; cast the sides to match first")
+    }
+    val fp = org.apache.spark.sql.functions.xxhash64(keys.map(col): _*)
+    val bloom = broadcast(r.agg(Bloom.agg(fp, numBits, numHashes).as("__bloom")))
+    l.crossJoin(bloom)
+      .filter(Bloom.mightContain(col("__bloom"), fp, numHashes))
+      .drop("__bloom")
+      .join(r, keys, how)
+  }
+
   /** Interval (range) join: pairs each point row with every interval row
     * whose `[loCol, hiCol]` contains `ptCol` (inclusive, matching SQL
     * BETWEEN) — with NO equi-key. Spark plans a raw

@@ -1106,6 +1106,89 @@ object Relational {
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""))
 
+  /** Exact oracle for the Count-Min sketch: DuckDB replays the sketch —
+    * per distinct key, the XXH64(seed 42+r) bucket in each of the D rows
+    * ([[OracleSql.xxh64Long]]); per (row, bucket), the counter is the sum
+    * of the exact counts of every key hashing there; the estimate is the
+    * min over rows. Pure integer arithmetic — no float, no order. */
+  private val q54Oracle: String = {
+    import graft.functions.expressions.CountMin.{D, W}
+    s"""
+      WITH v AS (
+        SELECT l_suppkey::BIGINT AS k, count(*)::BIGINT AS exact_cnt
+        FROM lineitem GROUP BY 1),
+      b AS (
+        SELECT r.range AS r, v.k, v.exact_cnt,
+               (${OracleSql.xxh64Long(OracleSql.s2u("v.k"), "42 + r.range")} % $W) AS bucket
+        FROM v CROSS JOIN range($D) r),
+      bs AS (
+        SELECT r, bucket, sum(exact_cnt)::BIGINT AS c FROM b GROUP BY 1, 2),
+      est AS (
+        SELECT b.k, min(bs.c) AS est_cnt
+        FROM b JOIN bs USING (r, bucket) GROUP BY b.k)
+      SELECT v.k AS suppkey, est.est_cnt, v.exact_cnt
+      FROM v JOIN est ON v.k = est.k
+      ORDER BY est_cnt DESC, suppkey LIMIT 25"""
+  }
+
+  /** Heavy-hitters via a Count-Min sketch (custom mergeable
+    * TypedImperativeAggregate): ONE pass builds a 16 KB sketch, which is
+    * broadcast to probe candidate keys — at 100 TB the raw values are
+    * never shuffled; only D*W counters merge. The exact per-key count
+    * rides alongside to exhibit the one-sided error (est >= exact). */
+  val q54_cms_topk = QueryDef(
+    "q54_cms_topk",
+    (s, dir) => {
+      import graft.functions.expressions.CountMin
+      val keys = Tables(s, dir).lineitem
+        .select(col("l_suppkey").cast("long").as("k"))
+      val sketch = keys.agg(CountMin.sketch(col("k")).as("sk"))
+      keys.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(sketch))
+        .select(
+          col("k").as("suppkey"),
+          CountMin.estimate(col("sk"), col("k")).as("est_cnt"),
+          col("exact_cnt"))
+        .orderBy(col("est_cnt").desc, col("suppkey"))
+        .limit(25)
+    },
+    Some(q54Oracle),
+    bench = true)
+
+  /** Bloom-pruned fact-to-dim join (explicit runtime filter): the
+    * filtered orders slice (~1% of orders) builds a Bloom filter whose
+    * bytes broadcast to prefilter lineitem BEFORE the join shuffle — no
+    * false negatives, so the oracle is the PLAIN join SQL. */
+  val q55_bloom_join = QueryDef(
+    "q55_bloom_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val dim = t.orders
+        .filter(
+          col("o_orderdate") >= expr("timestamp'1995-03-01 00:00:00'")
+            && col("o_orderdate") < expr("timestamp'1995-04-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val fact = t.lineitem.select(
+        col("l_orderkey").as("o_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+      Joins.bloomPrunedJoin(Seq("o_orderkey"))(fact, dim)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          Aggregates
+            .sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""
+      SELECT o.o_orderpriority, count(*) AS n_lines,
+             ${sumExactSql("l.l_extendedprice * (1.0 - l.l_discount)", 6)} AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1118,5 +1201,5 @@ object Relational {
     q43_stratified_sample, q44_count_distinct, q45_sql_revenue,
     q46_grouping_sets, q47_string_funcs, q48_array_agg,
     q49_subqueries, q50_date_funcs, q51_hll_distinct, q52_funnel,
-    q53_salted_join)
+    q53_salted_join, q54_cms_topk, q55_bloom_join)
 }
