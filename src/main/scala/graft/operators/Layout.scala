@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.ZOrderN
+
+/** Multi-dimensional data layout: Z-order clustering for write-once /
+  * scan-many tables (the Delta/Iceberg OPTIMIZE ZORDER technique).
+  *
+  * A table range-partitioned and sorted by ONE column skips files only
+  * for predicates on that column; a conjunctive box predicate on two+
+  * columns still touches every file. Interleaving the columns' bin bits
+  * ([[ZOrderN]]) gives every file a tight min/max bounding box in ALL
+  * dimensions, so parquet footer stats (or partition pruning over an
+  * explicit z-range column) exclude files on every predicate column at
+  * once. At 100 TB this is the difference between scanning ~1/sqrt(F) of
+  * the files per dimension and scanning all of them.
+  *
+  * Binning: linear min/max scaling to [0, 2^bits) — computed as a
+  * single tiny aggregate broadcast into the plan (no driver collect, no
+  * second job over the data). Linear bins are the documented choice:
+  * rank/quantile bins are skew-robust but cost a sort; for key-like
+  * integer columns (the common layout case) linear is exact enough.
+  * Bin and z-value arithmetic is pure integer math — deterministic and
+  * replayable in any engine (the q56 oracle recomputes it in SQL).
+  */
+object Layout {
+
+  /** The z-value of `cols` binned to [0, 2^bits) by per-column min/max:
+    * appends `zCol` plus one broadcast-aggregate join; no data shuffle.
+    * Rows where any col is null get a null z-value (sort them last). */
+  def withZValue(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 12,
+      zCol: String = "__z"): DataFrame = {
+    require(cols.size >= 2, "z-order needs at least 2 columns")
+    val maxBin = (1L << bits) - 1
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        min(col(c)).cast("long").as(s"__lo$i"),
+        max(col(c)).cast("long").as(s"__hi$i"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val bins: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>
+      // integer-exact linear bin (`div`, never float `/`); degenerate
+      // (lo==hi) maps to bin 0
+      when(col(s"__hi$i") === col(s"__lo$i"), lit(0L))
+        .otherwise(expr(
+          s"((cast(`$c` as bigint) - __lo$i) * ${maxBin}L) div (__hi$i - __lo$i)"))
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn(zCol, ZOrderN(bits)(bins: _*))
+      .drop(cols.indices.flatMap(i => Seq(s"__lo$i", s"__hi$i")): _*)
+  }
+
+  /** Cluster `df` for multi-column scans: z-value, range-partition on it
+    * (files = contiguous z-ranges = tight N-dim boxes), sort within
+    * partitions so parquet row-group stats are tight too, drop the
+    * helper column. Write the result with `.write.parquet(...)`. */
+  def zorderLayout(
+      df: DataFrame,
+      cols: Seq[String],
+      numPartitions: Int,
+      bits: Int = 12): DataFrame = {
+    val z = withZValue(df, cols, bits)
+    z.repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

@@ -1189,6 +1189,52 @@ object Relational {
       GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""),
     bench = true)
 
+  /** Exact oracle for the Z-order layout key: DuckDB recomputes the
+    * linear min/max bin (pure integer `//`) and the 12-bit interleave as
+    * a sum of shifted bit terms — bit i of column j at position i*2+j. */
+  private val q56Oracle: String = {
+    val bits = 12
+    val maxBin = (1L << bits) - 1
+    def term(src: String, i: Int, j: Int) =
+      s"(($src // ${1L << i}) % 2) * ${BigInt(1) << (i * 2 + j)}"
+    val interleave = (0 until bits)
+      .flatMap(i => Seq(term("xb", i, 0), term("yb", i, 1)))
+      .mkString(" + ")
+    s"""
+      WITH s AS (
+        SELECT min(l_partkey)::BIGINT AS lo0, max(l_partkey)::BIGINT AS hi0,
+               min(l_suppkey)::BIGINT AS lo1, max(l_suppkey)::BIGINT AS hi1
+        FROM lineitem),
+      b AS (
+        SELECT l_partkey, l_suppkey,
+               CASE WHEN hi0 = lo0 THEN 0
+                    ELSE ((l_partkey::BIGINT - lo0) * $maxBin) // (hi0 - lo0) END AS xb,
+               CASE WHEN hi1 = lo1 THEN 0
+                    ELSE ((l_suppkey::BIGINT - lo1) * $maxBin) // (hi1 - lo1) END AS yb
+        FROM lineitem CROSS JOIN s)
+      SELECT l_partkey, l_suppkey, ($interleave)::BIGINT AS z, count(*)::BIGINT AS n
+      FROM b GROUP BY 1, 2, 3
+      ORDER BY z, l_partkey, l_suppkey LIMIT 200"""
+  }
+
+  /** Z-order clustering key ([[graft.operators.Layout.withZValue]]):
+    * min/max-binned bit interleave of (l_partkey, l_suppkey) — the value
+    * a zorderLayout write range-partitions on so every file gets a tight
+    * bounding box in BOTH dimensions (multi-column data skipping).
+    * Stats come from one broadcast aggregate; no driver collect. */
+  val q56_zorder_key = QueryDef(
+    "q56_zorder_key",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem.select(col("l_partkey"), col("l_suppkey"))
+      graft.operators.Layout.withZValue(li, Seq("l_partkey", "l_suppkey"), 12, "z")
+        .groupBy(col("l_partkey"), col("l_suppkey"), col("z"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("z"), col("l_partkey"), col("l_suppkey"))
+        .limit(200)
+    },
+    Some(q56Oracle),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1201,5 +1247,5 @@ object Relational {
     q43_stratified_sample, q44_count_distinct, q45_sql_revenue,
     q46_grouping_sets, q47_string_funcs, q48_array_agg,
     q49_subqueries, q50_date_funcs, q51_hll_distinct, q52_funnel,
-    q53_salted_join, q54_cms_topk, q55_bloom_join)
+    q53_salted_join, q54_cms_topk, q55_bloom_join, q56_zorder_key)
 }
