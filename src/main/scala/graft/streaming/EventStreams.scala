@@ -87,6 +87,30 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Per-window heavy-hitters sketch: the Count-Min aggregate
+    * ([[graft.functions.expressions.CmsSketch]]) inside a watermarked
+    * tumbling window — the SAME mergeable 16 KB state that runs batch
+    * runs incrementally here, so the streaming sketch is bit-identical
+    * to the batch sketch over the same events (pinned in StreamingSpec).
+    * State per window is one sketch row, independent of event volume or
+    * key cardinality — the property that makes per-window top-k feasible
+    * on a 100 TB/day stream; probe the emitted bytes downstream with
+    * `CountMin.estimate` against whatever candidate keys matter. */
+  def windowedHeavyHitters(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(
+        graft.functions.expressions.CountMin.sketch(col("user_id")).as("cms"),
+        count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("cms"), col("n"))
+
   /** Streaming exact dedup on content identity (e.g. a document
     * fingerprint column) — state holds one key per distinct id seen
     * within the watermark horizon, then expires. The streaming face of

@@ -112,4 +112,26 @@ class PlanSpec extends SparkSpec {
     val rangeExchanges = "rangepartitioning".r.findAllIn(p).length
     assert(rangeExchanges <= 1, p.take(3000))
   }
+
+  test("q55: bloom membership filter evaluates on the scan side, below the join") {
+    val p = planOf(Relational.q55_bloom_join.run(spark, sf))
+    assert(p.contains("bloom_might_contain"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("hive-partitioned write prunes partitions at the source (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-partwrite").toString
+    val events = Tables(spark, sf).events
+      .withColumn("day", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")))
+    events.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val read = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("day") ===
+        java.sql.Date.valueOf("2024-01-02"))
+    val p = formatted(read)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    // the day predicate must prune directories, not filter rows post-scan
+    assert(pf.contains("isnotnull(day") || pf.contains("(day"), p.take(3000))
+    assert(read.count() > 0)
+  }
 }

@@ -51,6 +51,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHeavyHitters: streaming CMS sketch is bit-identical to batch") {
+    import graft.functions.expressions.CountMin
+    // user 7 is hot in hour 0: 5 of 7 events
+    val events = Seq(
+      ev(1, 1, 7, "c", 1.0), ev(2, 2, 7, "c", 1.0), ev(3, 3, 7, "c", 1.0),
+      ev(4, 4, 7, "c", 1.0), ev(5, 5, 7, "c", 1.0), ev(6, 6, 1, "c", 1.0),
+      ev(7, 7, 2, "c", 1.0), ev(8, 61, 3, "c", 1.0))
+
+    val input = MemoryStream[EventRow](spark)
+    val q = EventStreams.windowedHeavyHitters(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("hh").orderBy("window_start")
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getSeq[Long](r.fieldIndex("cms")), r.getAs[Long]("n")))
+      val batch = EventStreams.windowedHeavyHitters(events.toDF(), "1 hour", "10 minutes")
+        .orderBy("window_start")
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getSeq[Long](r.fieldIndex("cms")), r.getAs[Long]("n")))
+      assert(streaming.toSeq == batch.toSeq)
+      // probing the hour-0 sketch finds the hot user with CMS guarantees
+      val hour0 = spark.table("hh").orderBy("window_start").limit(1)
+      val est = hour0.select(
+        CountMin.estimate(col("cms"), lit(7L)).as("hot"),
+        CountMin.estimate(col("cms"), lit(999L)).as("absent")).head
+      assert(est.getLong(0) >= 5L)
+      assert(est.getLong(1) <= 2L) // tiny load: collisions near zero
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeats of a key within the watermark horizon") {
     val input = MemoryStream[EventRow](spark)
     val q = EventStreams.streamingDedup(input.toDF(), Seq("event_id"), "1 hour")
