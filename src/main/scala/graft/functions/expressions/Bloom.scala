@@ -152,4 +152,13 @@ object Bloom {
     ColumnBridge.column(
       BloomMightContain(
         ColumnBridge.expression(bloom), ColumnBridge.expression(v), numHashes))
+
+  /** membership probe against materialized filter bytes embedded as a
+    * plan literal — codegen references ONE constant array (no per-row
+    * binary-column copy; see [[graft.operators.Joins.bloomPrunedJoin]]). */
+  def mightContainLit(bloom: Array[Byte], v: Column, numHashes: Int = 4): Column =
+    ColumnBridge.column(
+      BloomMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloom, BinaryType),
+        ColumnBridge.expression(v), numHashes))
 }

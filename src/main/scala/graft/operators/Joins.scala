@@ -114,10 +114,14 @@ object Joins {
           "fingerprints are type-sensitive; cast the sides to match first")
     }
     val fp = org.apache.spark.sql.functions.xxhash64(keys.map(col): _*)
-    val bloom = broadcast(r.agg(Bloom.agg(fp, numBits, numHashes).as("__bloom")))
-    l.crossJoin(bloom)
-      .filter(Bloom.mightContain(col("__bloom"), fp, numHashes))
-      .drop("__bloom")
+    // Materialize the filter bytes NOW (one bounded job — numBits/8 bytes
+    // to the driver, exactly what Spark's InjectRuntimeFilter's scalar
+    // subquery materializes) and embed them as a plan LITERAL. Shipping
+    // them as a cross-joined binary COLUMN instead is a trap:
+    // UnsafeRow.getBinary copies the whole array per probed row — a 1 MB
+    // filter times the fact-side row count of memcpy.
+    val bytes = r.agg(Bloom.agg(fp, numBits, numHashes)).head.getAs[Array[Byte]](0)
+    l.filter(Bloom.mightContainLit(bytes, fp, numHashes))
       .join(r, keys, how)
   }
 
