@@ -947,9 +947,49 @@ $langScoreCols
              cast(sum(CASE WHEN keep = 1 THEN nt ELSE 0 END) as bigint) AS sum_tokens_kept
       FROM k GROUP BY lang ORDER BY lang"""))
 
+  /** Corpus-wide TF-IDF signature terms ([[graft.operators.TfIdf]]):
+    * top-5 terms per document (smooth idf, sklearn form), output
+    * restricted to doc_id < 50 while scores stay corpus-wide. The oracle
+    * replays the identical float op order — tf * (ln((N+1)/(df+1)) + 1) —
+    * division and product are correctly-rounded IEEE ops, ln agrees
+    * across engines at the 6-dp rint rounding (same technique as the HLL
+    * oracle); rank ties (equal tf, df) break on the term string. */
+  val t08_tfidf = QueryDef(
+    "t08_tfidf",
+    (s, dir) => {
+      graft.operators.TfIdf
+        .topTerms(Tables(s, dir).documents, "doc_id", "text", 5,
+          docFilter = Some(col("doc_id") < 50))
+        .select(
+          col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+          (rint(col("tfidf") * lit(1e6)) / lit(1e6)).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2),
+      dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+               tf.tf::DOUBLE * (ln((n.n_docs::DOUBLE + 1.0) / (dfr.df::DOUBLE + 1.0)) + 1.0) AS tfidf
+        FROM tf JOIN dfr USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tf, df, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        FROM scored WHERE doc_id < 50)
+      SELECT doc_id, rank, term, tf, df,
+             round_even(tfidf * 1000000.0, 0) / 1000000.0 AS tfidf
+      FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"""),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
-    t06_repetition, t07_pii_redact,
+    t06_repetition, t07_pii_redact, t08_tfidf,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate,

@@ -113,6 +113,14 @@ class PlanSpec extends SparkSpec {
     assert(rangeExchanges <= 1, p.take(3000))
   }
 
+  test("t08: tf-idf top-k window plans as WindowGroupLimit, no global sort of terms") {
+    val p = planOf(Corpus.t08_tfidf.run(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    // the (term) join must be a hash join, not nested-loop/cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")
+      || p.contains("n_docs"), p.take(3000)) // the 1-row N broadcast is the only NL join allowed
+  }
+
   test("q55: bloom membership filter evaluates on the scan side, below the join") {
     val p = planOf(Relational.q55_bloom_join.run(spark, sf))
     assert(p.contains("bloom_might_contain"), p.take(3000))
