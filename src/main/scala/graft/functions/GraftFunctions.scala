@@ -94,7 +94,32 @@ object GraftFunctions {
       arity("cosine_sim", 2)({ case Seq(a, b) => CosineSim(a, b) })),
     ("token_counts",
       "token_counts(array<string>) - struct(n_tokens, n_distinct, top_count)",
-      arity("token_counts", 1)({ case Seq(c) => TokenCounts(c) })))
+      arity("token_counts", 1)({ case Seq(c) => TokenCounts(c) })),
+    ("hll_distinct",
+      "hll_distinct(long) - HyperLogLog approximate distinct count (aggregate)",
+      arity("hll_distinct", 1)({ case Seq(c) => HllDistinct(c).toAggregateExpression() })),
+    ("cms_sketch",
+      "cms_sketch(long) - Count-Min frequency sketch, array<long> of DxW counters (aggregate)",
+      arity("cms_sketch", 1)({ case Seq(c) => CmsSketch(c).toAggregateExpression() })),
+    ("cms_estimate",
+      "cms_estimate(sketch, long) - Count-Min point frequency estimate (est >= exact)",
+      arity("cms_estimate", 2)({ case Seq(s, v) => CmsEstimate(s, v) })),
+    ("bloom_agg",
+      "bloom_agg(long, numBits, numHashes) - Bloom filter bytes over the group (aggregate)",
+      arity("bloom_agg", 3)({ case Seq(c, m, k) =>
+        BloomAgg(c, intArg(m, "numBits"), intArg(k, "numHashes")).toAggregateExpression() })),
+    ("bloom_might_contain",
+      "bloom_might_contain(filterBytes, long, numHashes) - membership probe (no false negatives)",
+      arity("bloom_might_contain", 3)({ case Seq(b, v, k) =>
+        BloomMightContain(b, v, intArg(k, "numHashes")) })),
+    ("zorder",
+      "zorder(bits, c1, c2, ...) - Morton interleave of pre-binned longs for multi-column clustering",
+      args => {
+        if (args.length < 3)
+          throw new IllegalArgumentException(
+            s"zorder expects (bits, c1, c2, ...), got ${args.length} argument(s)")
+        ZOrderN(args.tail, intArg(args.head, "bits"))
+      }))
 
   /** Register into a live session (idempotent; `createOrReplace`). */
   def registerAll(spark: SparkSession): Unit =

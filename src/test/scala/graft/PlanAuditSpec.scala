@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.{GraftPlans, PlanAudit}
+import graft.queries.{Corpus, Relational}
+
+/** The plan linter: flags the scale antipatterns on plans built to
+  * exhibit them, stays silent on the library's own query plans, and —
+  * the payoff — goes silent on a global row_number once
+  * GlobalRowNumberRule rewrites it to the parallel operator. */
+class PlanAuditSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    .select("l_orderkey", "l_linenumber", "l_quantity")
+
+  test("flags an unpartitioned window as ERROR") {
+    val bad = li.withColumn("rn",
+      row_number().over(Window.orderBy("l_orderkey", "l_linenumber")))
+    val findings = PlanAudit.audit(bad)
+    assert(findings.exists(_.startsWith("ERROR: unpartitioned window")), findings)
+    intercept[IllegalArgumentException] { PlanAudit.assertScalable(bad) }
+  }
+
+  test("the GlobalRowNumberRule rewrite silences the global-window ERROR") {
+    val prev = spark.experimental.extraOptimizations
+    try {
+      GraftPlans.register(spark)
+      val rewritten = li.withColumn("rn",
+        row_number().over(Window.orderBy("l_orderkey", "l_linenumber")))
+      assert(PlanAudit.errors(rewritten).isEmpty, PlanAudit.audit(rewritten))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("flags cartesian and single-partition shuffles") {
+    // under the broadcast threshold a crossJoin plans as a nested-loop
+    // broadcast (WARN); above it, a true CartesianProduct (ERROR)
+    val nl = li.crossJoin(li.select(col("l_quantity").as("q2")))
+    assert(PlanAudit.audit(nl).exists(_.contains("BroadcastNestedLoopJoin")),
+      PlanAudit.audit(nl))
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    // the plan resolves lazily at audit time, so the conf must still be
+    // in force when audit() walks it
+    val cartFindings =
+      try {
+        spark.conf.set(thresholdKey, "-1")
+        PlanAudit.audit(li.crossJoin(li.select(col("l_quantity").as("q2"))))
+      } finally spark.conf.set(thresholdKey, prev)
+    assert(cartFindings.exists(_.contains("CartesianProduct")), cartFindings)
+    val one = li.repartition(1).groupBy("l_orderkey").count()
+    assert(PlanAudit.audit(one).exists(_.contains("SINGLE partition")),
+      PlanAudit.audit(one))
+  }
+
+  test("top-k and partitioned windows pass clean") {
+    val topk = li.orderBy(col("l_quantity").desc).limit(10)
+    assert(PlanAudit.errors(topk).isEmpty, PlanAudit.audit(topk))
+    val winOk = li.withColumn("rn",
+      row_number().over(
+        Window.partitionBy("l_orderkey").orderBy("l_linenumber")))
+    assert(PlanAudit.errors(winOk).isEmpty, PlanAudit.audit(winOk))
+  }
+
+  test("the library's own headline queries carry no ERROR antipattern") {
+    // q19/q20/q21 (zip/slice/chunks) use RowIndexExec by construction;
+    // everything else must be clean too
+    val exempt = Set.empty[String]
+    val qs = (Relational.all ++ Corpus.all).filter(q => !exempt(q.name))
+    val offenders = qs.flatMap { q =>
+      val errs =
+        try PlanAudit.errors(q.run(spark, sf0001))
+        catch { case _: Throwable => Nil } // csv fixtures etc. handled in their own specs
+      if (errs.isEmpty) Nil else Seq(q.name -> errs)
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}

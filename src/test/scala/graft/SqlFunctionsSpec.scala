@@ -41,6 +41,32 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSql.map(_.toSeq).toSeq == viaCols.map(_.toSeq).toSeq)
   }
 
+  test("sketch aggregates and zorder are callable from SQL, equal to Column API") {
+    GraftFunctions.registerAll(spark)
+    (1L to 200L).flatMap(k => Seq.fill((k % 7).toInt + 1)(k)).toDF("v")
+      .createOrReplaceTempView("vals_sql")
+    // aggregates: HLL + CMS build/probe + bloom build/probe, via pure SQL
+    val row = spark.sql("""
+      WITH sk AS (SELECT hll_distinct(v) AS h, cms_sketch(v) AS cms,
+                         bloom_agg(v, 65536, 4) AS bf
+                  FROM vals_sql)
+      SELECT h, cms_estimate(cms, 3L) AS est3,
+             bloom_might_contain(bf, 7L, 4) AS has7,
+             bloom_might_contain(bf, 999999L, 4) AS has_absent
+      FROM sk""").head
+    val viaCols = spark.table("vals_sql")
+      .agg(graft.functions.expressions.HllDistinct(col("v"))).head.getDouble(0)
+    assert(row.getDouble(0) == viaCols)
+    assert(row.getLong(1) >= 4L) // v=3 appears (3%7)+1 = 4 times
+    assert(row.getBoolean(2) && !row.getBoolean(3))
+    // zorder: SQL form equals the Column form
+    val z = spark.sql("SELECT zorder(8, 5L, 9L) AS z").head.getLong(0)
+    val zc = spark.range(1)
+      .select(graft.functions.expressions.ZOrderN(8)(lit(5L), lit(9L)).as("z"))
+      .head.getLong(0)
+    assert(z == zc)
+  }
+
   test("jaccard_sim and cosine_sim SQL forms work on array literals") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql("""
