@@ -113,6 +113,35 @@ object Multimodal {
       posexplode(FrameFingerprints(col(blobCol), frameBytes, n))
         .as(Seq("frame_idx", "frame_hash")))
 
+  /** Blob near-duplicate pairs via shared frame fingerprints: blobs whose
+    * sampled windows collide on >= `minShared` hashes — exact copies
+    * share all `n`, same-length variants share every window the edit
+    * missed (offsets are length-derived, so only equal-length blobs can
+    * partially collide; that IS the semantics: copy / re-container / small
+    * in-place-edit detection, the video-dedup shape).
+    *
+    * Plan: fingerprints stay scan-local; only (id, hash) rows shuffle
+    * into the equi-join on `frame_hash` — the same bucketed LSH shape as
+    * Dedup.minhashPairs, never all-pairs. Pair aggregation counts
+    * distinct shared hashes ((id, hash) deduped before the join). */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      n: Int = 8,
+      frameBytes: Int = 64,
+      minShared: Int = 2): DataFrame = {
+    val fr = frameSample(df, idCol, blobCol, n, frameBytes)
+      .select(col(idCol), col("frame_hash")).distinct()
+    val a = fr.select(col(idCol).as("id_a"), col("frame_hash"))
+    val b = fr.select(col(idCol).as("id_b"), col("frame_hash"))
+    a.join(b, "frame_hash")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
+
   /** Batched decode through `mapPartitions` — the Scala analog of the
     * brief's `mapInPandas` plumbing, for codecs that cannot be expressed
     * as Catalyst expressions (native libraries holding per-thread state).

@@ -987,9 +987,59 @@ $langScoreCols
       FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"""),
     bench = true)
 
+  /** Vocabulary coverage — the tokenizer-design question "what fraction
+    * of corpus tokens does a top-V vocabulary cover?". Token counts
+    * aggregate with map-side partials; the frequency rank comes from the
+    * partition-parallel [[graft.plans.RowIndexExec]] (range-partitioned
+    * sort + offsets), NOT a single-task global window — this query is the
+    * operator's production face beyond zip/chunks. (cnt DESC, term) is a
+    * total order, so ranks are deterministic; coverage is one correctly-
+    * rounded division, identical cross-engine. */
+  val t09_vocab_coverage = QueryDef(
+    "t09_vocab_coverage",
+    (s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val counts = Tables(s, dir).documents
+        .select(explode(tokens(lower(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val indexed = graft.Frame.withRowIndex(
+        counts, Seq(col("cnt").desc, col("term").asc), "idx")
+      val tot = counts.agg(sum(col("cnt")).as("total"))
+      val sizes = Seq(100, 1000)
+      indexed
+        .crossJoin(broadcast(tot))
+        .select(
+          explode(array(sizes.map(lit): _*)).as("v"),
+          col("idx"), col("cnt"), col("total"))
+        .filter(col("idx") < col("v"))
+        .groupBy(col("v"))
+        .agg(
+          count(lit(1)).as("vocab_terms"),
+          sum(col("cnt")).as("covered"),
+          (rint((sum(col("cnt")).cast("double") / first(col("total")).cast("double")) * lit(1e6))
+            / lit(1e6)).as("coverage"))
+        .orderBy(col("v"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      c AS (
+        SELECT term, count(*)::BIGINT AS cnt
+        FROM toks WHERE term <> '' GROUP BY 1),
+      r AS (
+        SELECT term, cnt,
+               row_number() OVER (ORDER BY cnt DESC, term) - 1 AS idx
+        FROM c),
+      tot AS (SELECT sum(cnt)::BIGINT AS total FROM c)
+      SELECT v, count(*)::BIGINT AS vocab_terms, sum(cnt)::BIGINT AS covered,
+             round_even((sum(cnt)::DOUBLE / any_value(total)::DOUBLE) * 1000000.0, 0)
+               / 1000000.0 AS coverage
+      FROM r CROSS JOIN (VALUES (100), (1000)) s(v) CROSS JOIN tot
+      WHERE idx < v GROUP BY v ORDER BY v"""))
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
-    t06_repetition, t07_pii_redact, t08_tfidf,
+    t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate,

@@ -83,12 +83,15 @@ object MultimodalQueries {
     * DuckDB ([[OracleSql]] emulation) with the same offset arithmetic as
     * [[graft.functions.expressions.BinaryUtil.frameFingerprints]]. ASCII
     * corpus => byte count = length(text), bytes = ascii codes. */
-  private val m03Oracle: String = {
+  /** The frame-fingerprint CTE chain over a source relation with
+    * (doc_id, text) — shared by m03 (raw documents) and m05 (augmented
+    * corpus). Emits CTEs `b, fr, fx, ox` and a final `fp(doc_id,
+    * frame_idx, frame_hash)`. */
+  private def frameCtes(src: String): String = {
     import graft.queries.OracleSql
-    s"""
-      WITH b AS (
+    s"""b AS (
         SELECT doc_id, ${OracleSql.asciiBytes("text")} AS bs, length(text) AS n
-        FROM documents WHERE length(text) > 0),
+        FROM $src WHERE length(text) > 0),
       fr AS (
         SELECT doc_id, bs, n, least(8, greatest(n // 64, 1)) AS frames FROM b),
       fx AS (
@@ -96,11 +99,18 @@ object MultimodalQueries {
       ox AS (
         SELECT doc_id, bs, n, frame_idx,
                CASE WHEN frames = 1 THEN 0 ELSE ((n - 64) * frame_idx) // (frames - 1) END AS o
-        FROM fx)
-      SELECT doc_id, frame_idx,
-             (${OracleSql.u2s(OracleSql.xxh64Bytes("list_slice(bs, o + 1, o + least(64, n - o))"))})::BIGINT AS frame_hash
-      FROM ox ORDER BY doc_id, frame_idx"""
+        FROM fx),
+      fp AS (
+        SELECT doc_id, frame_idx,
+               (${OracleSql.u2s(OracleSql.xxh64Bytes("list_slice(bs, o + 1, o + least(64, n - o))"))})::BIGINT AS frame_hash
+        FROM ox)"""
   }
+
+  private val m03Oracle: String =
+    s"""
+      WITH ${frameCtes("documents")}
+      SELECT doc_id, frame_idx, frame_hash
+      FROM fp ORDER BY doc_id, frame_idx"""
 
   val m03_frame_sample = QueryDef(
     "m03_frame_sample",
@@ -154,6 +164,51 @@ object MultimodalQueries {
         .orderBy(col("doc_id")),
     Some(m04Oracle))
 
+  /** Blob near-dup detection. The corpus has no byte-identical blobs, so
+    * deterministic variants are injected (the t07 pattern): an exact copy
+    * (id+10000) for doc_id % 7 = 0, and a same-length single-char
+    * mutation at the midpoint (id+20000) for doc_id % 13 = 0. Exact
+    * copies share all 8 frame hashes; same-length mutants share every
+    * window the edit missed. Oracle replays fingerprints + the pair join
+    * in SQL over the same augmented corpus. */
+  val m05_blob_neardup = QueryDef(
+    "m05_blob_neardup",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val copies = docs
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val mutants = docs
+        .filter(pmod(col("doc_id"), lit(13)) === 0 && length(col("text")) >= 2)
+        .select(
+          (col("doc_id") + 20000).as("doc_id"),
+          concat(
+            expr("substring(text, 1, length(text) div 2 - 1)"),
+            lit("~"),
+            expr("substring(text, length(text) div 2 + 1)")).as("text"))
+      val aug = docs.unionByName(copies).unionByName(mutants)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      Multimodal.nearDupPairs(aug, "doc_id", "blob", n = 8, frameBytes = 64, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 20000,
+               substr(text, 1, length(text) // 2 - 1) || '~' || substr(text, length(text) // 2 + 1)
+        FROM documents WHERE doc_id % 13 = 0 AND length(text) >= 2),
+      ${frameCtes("aug")},
+      dfp AS (SELECT DISTINCT doc_id, frame_hash FROM fp)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_frames
+      FROM dfp a JOIN dfp b USING (frame_hash)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[QueryDef] = Seq(
-    m01_blob_meta, m02_blob_features, m03_frame_sample, m04_decode_resize)
+    m01_blob_meta, m02_blob_features, m03_frame_sample, m04_decode_resize,
+    m05_blob_neardup)
 }

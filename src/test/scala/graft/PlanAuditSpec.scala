@@ -17,11 +17,19 @@ class PlanAuditSpec extends SparkSpec {
     .select("l_orderkey", "l_linenumber", "l_quantity")
 
   test("flags an unpartitioned window as ERROR") {
-    val bad = li.withColumn("rn",
-      row_number().over(Window.orderBy("l_orderkey", "l_linenumber")))
-    val findings = PlanAudit.audit(bad)
-    assert(findings.exists(_.startsWith("ERROR: unpartitioned window")), findings)
-    intercept[IllegalArgumentException] { PlanAudit.assertScalable(bad) }
+    // other suites may have registered GlobalRowNumberRule on the shared
+    // session (any Frame zip/chunks call does) — strip it so the window
+    // actually plans as the single-task WindowExec under audit
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        prev.filterNot(_ == graft.plans.GlobalRowNumberRule)
+      val bad = li.withColumn("rn",
+        row_number().over(Window.orderBy("l_orderkey", "l_linenumber")))
+      val findings = PlanAudit.audit(bad)
+      assert(findings.exists(_.startsWith("ERROR: unpartitioned window")), findings)
+      intercept[IllegalArgumentException] { PlanAudit.assertScalable(bad) }
+    } finally spark.experimental.extraOptimizations = prev
   }
 
   test("the GlobalRowNumberRule rewrite silences the global-window ERROR") {
