@@ -153,4 +153,31 @@ object Frame {
         AttributeReference(name, LongType, nullable = false)(),
         sortOrders))
   }
+
+  /** Attach a dense global index AND the EXCLUSIVE running sum of a
+    * long-valued weight under an explicit ordering — the distributed
+    * prefix-sum primitive ([[graft.plans.PrefixSumExec]]): parallel
+    * range-partitioned sort + per-partition (count, sum) offsets, never
+    * a single-task window. Powers [[graft.operators.Packing]]. */
+  private[graft] def withPrefixSum(
+      df: DataFrame,
+      order: Seq[Column],
+      weight: Column,
+      idxName: String,
+      sumName: String): DataFrame = {
+    GraftPlans.register(df.sparkSession)
+    val sortOrders = order.map(c =>
+      ColumnBridge.convertedExpression(c) match {
+        case so: SortOrder => so
+        case e => SortOrder(e, Ascending)
+      })
+    ColumnBridge.ofRows(
+      df.sparkSession,
+      graft.plans.PrefixSumPlan(
+        df.queryExecution.logical,
+        AttributeReference(idxName, LongType, nullable = false)(),
+        AttributeReference(sumName, LongType, nullable = false)(),
+        ColumnBridge.convertedExpression(weight),
+        sortOrders))
+  }
 }

@@ -141,5 +141,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPlannerStrategy(_ => graft.plans.RowIndexStrategy)
     ext.injectOptimizerRule(_ => graft.plans.GlobalRowNumberRule)
+    ext.injectOptimizerRule(_ => graft.plans.GlobalRunningSumRule)
   }
 }

@@ -87,10 +87,94 @@ final case class RowIndexExec(
     copy(child = newChild)
 }
 
+/** Distributed prefix sum (exclusive scan) under a total order — the
+  * generalization of [[RowIndexPlan]] from counting to an arbitrary
+  * long-valued weight: each row gets `sum(weight)` over all STRICTLY
+  * preceding rows, plus its dense 0-based index. Same two-job shape as
+  * the row index: range-partitioned parallel sort, one O(#partitions)
+  * job collecting per-partition (count, weight-sum) partials, then a
+  * streamed second pass adding partition offsets — the classic
+  * distributed scan primitive (Blelloch 1990), never a single-task
+  * global window.
+  *
+  * This is what makes order-dependent corpus ops cluster-scalable:
+  * sequence packing (cumulative token counts -> context-window ids,
+  * [[graft.operators.Packing]]), byte offsets in concatenated archives,
+  * quota cuts over ranked corpora. */
+final case class PrefixSumPlan(
+    child: LogicalPlan,
+    indexAttr: AttributeReference,
+    sumAttr: AttributeReference,
+    weight: org.apache.spark.sql.catalyst.expressions.Expression,
+    order: Seq[SortOrder]) extends UnaryNode {
+  require(order.nonEmpty, "prefixSum needs an explicit ordering")
+  override def output: Seq[Attribute] = child.output :+ indexAttr :+ sumAttr
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(indexAttr, sumAttr))
+  override protected def withNewChildInternal(newChild: LogicalPlan): PrefixSumPlan =
+    copy(child = newChild)
+}
+
+final case class PrefixSumExec(
+    child: SparkPlan,
+    indexAttr: AttributeReference,
+    sumAttr: AttributeReference,
+    weight: org.apache.spark.sql.catalyst.expressions.Expression,
+    order: Seq[SortOrder]) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ indexAttr :+ sumAttr
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(indexAttr, sumAttr))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(OrderedDistribution(order))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = order
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val input = child.execute()
+    val boundW = org.apache.spark.sql.catalyst.expressions.BindReferences
+      .bindReference(weight, child.output)
+    // one pass per partition for (row count, weight sum) — O(#partitions)
+    // longs to the driver, never data
+    val partials = input.mapPartitions({ it =>
+      var n = 0L; var s = 0L
+      it.foreach { row =>
+        n += 1
+        val w = boundW.eval(row)
+        if (w != null) s += w.asInstanceOf[Long]
+      }
+      Iterator.single((n, s))
+    }, preservesPartitioning = true).collect()
+    val idxOffsets = partials.map(_._1).scanLeft(0L)(_ + _)
+    val sumOffsets = partials.map(_._2).scanLeft(0L)(_ + _)
+    val types = output.map(_.dataType).toArray
+    input.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(types)
+      val joined = new JoinedRow
+      val extra = new GenericInternalRow(2)
+      var i = idxOffsets(pid)
+      var s = sumOffsets(pid)
+      it.map { row =>
+        extra.update(0, i)
+        extra.update(1, s) // EXCLUSIVE prefix: offset before this row
+        i += 1
+        val w = boundW.eval(row)
+        if (w != null) s += w.asInstanceOf[Long]
+        proj(joined(row, extra))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): PrefixSumExec =
+    copy(child = newChild)
+}
+
 object RowIndexStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case RowIndexPlan(child, attr, order) =>
       RowIndexExec(planLater(child), attr, order) :: Nil
+    case PrefixSumPlan(child, idxAttr, sumAttr, weight, order) =>
+      PrefixSumExec(planLater(child), idxAttr, sumAttr, weight, order) :: Nil
     case _ => Nil
   }
 }
@@ -132,6 +216,45 @@ object GlobalRowNumberRule
   }
 }
 
+/** Companion rewrite for global running totals: a
+  * `sum(expr) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING..CURRENT ROW)`
+  * with NO partition key and a NON-NULLABLE long operand becomes
+  * [[PrefixSumPlan]]'s exclusive prefix + the row's own weight — the
+  * distributed scan instead of the single-task window. (Nullable
+  * operands keep the built-in window: SQL's sum-over-frame skips nulls
+  * and yields null for all-null prefixes, which the scan's plain
+  * addition does not reproduce. RANGE frames — the default when only
+  * ORDER BY is written — are also left alone: they sum ties together.) */
+object GlobalRunningSumRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Add, Alias, CurrentRow, RowFrame, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+  import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
+
+  private val runningRowFrame =
+    SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case w: Window
+        if w.partitionSpec.isEmpty && w.windowExpressions.size == 1 =>
+      w.windowExpressions.head match {
+        case a @ Alias(
+              WindowExpression(
+                AggregateExpression(Sum(e, _), _, false, _, _),
+                WindowSpecDefinition(Seq(), order, frame)),
+              _)
+            if order.nonEmpty && frame == runningRowFrame &&
+              !e.nullable && e.dataType == LongType =>
+          val idx = AttributeReference("__ps_idx", LongType, nullable = false)()
+          val acc = AttributeReference("__ps_sum", LongType, nullable = false)()
+          Project(
+            w.child.output :+ Alias(Add(acc, e), a.name)(a.exprId, a.qualifier),
+            PrefixSumPlan(w.child, idx, acc, e, order))
+        case _ => w
+      }
+  }
+}
+
 object GraftPlans {
   /** Idempotently add graft's planner strategies + optimizer rules to a
     * live session. */
@@ -142,5 +265,8 @@ object GraftPlans {
     if (!spark.experimental.extraOptimizations.contains(GlobalRowNumberRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GlobalRowNumberRule
+    if (!spark.experimental.extraOptimizations.contains(GlobalRunningSumRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GlobalRunningSumRule
   }
 }

@@ -1037,6 +1037,41 @@ $langScoreCols
       FROM r CROSS JOIN (VALUES (100), (1000)) s(v) CROSS JOIN tot
       WHERE idx < v GROUP BY v ORDER BY v"""))
 
+  /** Sequence packing ([[graft.operators.Packing]]): concatenate docs in
+    * doc_id order, cut into 2048-token context windows. The cumulative
+    * offset comes from the distributed prefix-sum operator
+    * (PrefixSumExec — range-partitioned sort + O(#partitions) offsets),
+    * never a single-task window; the oracle replays it with a running
+    * window in DuckDB. Token counts use the t01-established formula
+    * (single-space corpus: spaces + 1). */
+  val p06_sequence_pack = QueryDef(
+    "p06_sequence_pack",
+    (s, dir) => {
+      import graft.functions.TextFunctions.tokenCount
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing
+        .packSequences(docs, "n_tokens", seqLen = 2048, order = Seq(col("doc_id")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tokens
+        FROM documents),
+      p AS (
+        SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER
+                 (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS off
+        FROM d)
+      SELECT doc_id, n_tokens,
+             off // 2048 AS pack_id,
+             off % 2048 AS pack_offset,
+             (off + n_tokens - 1) // 2048 AS end_pack
+      FROM p ORDER BY doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
@@ -1045,5 +1080,5 @@ $langScoreCols
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
-    p05_weighted_sample)
+    p05_weighted_sample, p06_sequence_pack)
 }
