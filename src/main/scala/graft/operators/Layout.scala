@@ -68,4 +68,45 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** File-level min/max manifest of a written table — the Iceberg/Delta
+    * manifest idea as a plain relation: one row per file with each
+    * column's bounds. Build it ONCE per written table (one distributed
+    * scan), then every subsequent query prunes against metadata instead
+    * of data. Persist it next to the table for reuse. */
+  def fileStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Conjunctive-range file pruning over a manifest: keep files whose
+    * [min,max] box intersects EVERY requested range. On a z-ordered
+    * table the boxes are tight in all clustered dimensions, so this
+    * eliminates most files for a multi-column box predicate (LayoutSpec
+    * proves superset-correctness and the pruning ratio). */
+  def pruneFiles(
+      manifest: DataFrame,
+      ranges: Map[String, (Long, Long)]): DataFrame =
+    ranges.foldLeft(manifest) { case (m, (c, (lo, hi))) =>
+      m.filter(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
+    }
+
+  /** Read only the files a box predicate can touch (bounded driver
+    * collect of FILE NAMES — metadata, never data). The result is a
+    * SUPERSET of the matching rows; apply the row predicate after. */
+  def prunedRead(
+      spark: org.apache.spark.sql.SparkSession,
+      manifest: DataFrame,
+      ranges: Map[String, (Long, Long)]): DataFrame = {
+    val files = pruneFiles(manifest, ranges)
+      .select("file").collect().map(_.getString(0))
+    require(files.nonEmpty, "no file intersects the requested ranges")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
 }

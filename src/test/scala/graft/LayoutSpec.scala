@@ -49,13 +49,15 @@ class LayoutSpec extends SparkSpec {
   test("z-ordered layout prunes a box predicate; single-column order does not") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    // sf0.001 ranges: l_partkey 0..199, l_suppkey 0..9 — box must be inside
     val parts = 32
-    val box = col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 30)
+    val box = col("l_partkey").between(50, 120) && col("l_suppkey").between(2, 4)
 
     def touched(df: org.apache.spark.sql.DataFrame): Long =
       df.withColumn("__pid", spark_partition_id())
         .filter(box).select("__pid").distinct().count()
 
+    assert(li.filter(box).count() > 0, "box predicate must match rows")
     val zed = Layout.zorderLayout(li, Seq("l_partkey", "l_suppkey"), parts)
     val singleOrdered = li.repartitionByRange(parts, col("l_orderkey"))
     val zTouched = touched(zed)
@@ -64,6 +66,29 @@ class LayoutSpec extends SparkSpec {
       s"z-order touched $zTouched of $parts, single-column $sTouched")
     // and the layout loses no rows
     assert(zed.count() == li.count())
+  }
+
+  test("manifest pruning: pruned read is a superset, equality after filter, fewer files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    Layout.zorderLayout(li, Seq("l_partkey", "l_suppkey"), 32)
+      .write.mode("overwrite").parquet(dir)
+    val manifest = Layout.fileStats(spark, dir, Seq("l_partkey", "l_suppkey")).cache()
+    val totalFiles = manifest.count()
+    val ranges = Map("l_partkey" -> (50L, 120L), "l_suppkey" -> (2L, 4L))
+    val keptFiles = Layout.pruneFiles(manifest, ranges).count()
+    assert(keptFiles > 0 && keptFiles * 2 <= totalFiles,
+      s"pruning kept $keptFiles of $totalFiles files")
+    val predicate = col("l_partkey").between(50, 120) &&
+      col("l_suppkey").between(2, 4)
+    val viaPruned = Layout.prunedRead(spark, manifest, ranges)
+      .filter(predicate)
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").collect()
+    val viaFull = spark.read.parquet(dir).filter(predicate)
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").collect()
+    assert(viaPruned.toSeq == viaFull.toSeq)
+    assert(viaFull.nonEmpty)
   }
 
   test("withZValue is deterministic and integer-exact across partitionings") {
