@@ -299,10 +299,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("nbr"))
-      val next = labels
+      val stepped = labels
         .join(msgs, Seq("id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .persist()
+      // every few rounds, truncate lineage: persist() caches the DATA but
+      // the logical plan still deepens linearly with iterations —
+      // analysis and task serialization grow per round until the driver
+      // chokes on a long-diameter graph. localCheckpoint materializes
+      // AND cuts the plan (use a reliable checkpoint dir instead when
+      // executor loss must be survivable mid-computation).
+      val next =
+        if (iter % 5 == 4) stepped.localCheckpoint(true)
+        else stepped.persist()
       val changed = next
         .join(labels.withColumnRenamed("comp", "old"), "id")
         .filter(col("comp") =!= col("old"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.plans.{GraftPlans, PlanAudit}
-import graft.queries.{Corpus, Relational}
+import graft.queries.{Corpus, MultimodalQueries, Relational}
 
 /** The plan linter: flags the scale antipatterns on plans built to
   * exhibit them, stays silent on the library's own query plans, and —
@@ -76,7 +76,8 @@ class PlanAuditSpec extends SparkSpec {
     // q19/q20/q21 (zip/slice/chunks) use RowIndexExec by construction;
     // everything else must be clean too
     val exempt = Set.empty[String]
-    val qs = (Relational.all ++ Corpus.all).filter(q => !exempt(q.name))
+    val qs = (Relational.all ++ Corpus.all ++ MultimodalQueries.all)
+      .filter(q => !exempt(q.name))
     val offenders = qs.flatMap { q =>
       val errs =
         try PlanAudit.errors(q.run(spark, sf0001))
