@@ -123,6 +123,44 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream join: attribute each `click` to the same
+    * user's `view` at most `within` BEFORE it (inclusive bounds). Both
+    * sides carry watermarks and the join condition bounds event time in
+    * BOTH directions, so the state store provably expires rows: each
+    * side holds at most `within` + watermark-delay of data per key — the
+    * requirement for an unbounded 100 TB/day stream-stream join to run
+    * forever. The same call on batch frames computes the identical
+    * attribution (pinned in StreamingSpec).
+    *
+    * Inputs need columns (user_id, ts, ...); output pairs each click
+    * with every qualifying view (dedupe downstream if one-to-one
+    * attribution is wanted — e.g. argmax on view_ts per click). */
+  def attributeClicks(
+      views: DataFrame,
+      clicks: DataFrame,
+      within: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val v = views
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        col("user_id"),
+        col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    v.join(
+      c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * (slowly-changing) static dimension, which Spark re-resolves per
     * trigger — dimension updates flow in without restarting the query.

@@ -86,6 +86,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributeClicks: stream-stream join equals the batch join, bounded state") {
+    // user 1: view@1 -> clicks@10,25 (both within 30m); click@40 beyond
+    // user 2: view@5 -> click@20; user 3: click@8 with no view
+    val views = Seq(ev(101, 1, 1, "view", 0), ev(102, 5, 2, "view", 0))
+    val clicks = Seq(
+      ev(201, 10, 1, "click", 0), ev(202, 25, 1, "click", 0),
+      ev(203, 40, 1, "click", 0), ev(204, 20, 2, "click", 0),
+      ev(205, 8, 3, "click", 0))
+
+    val vIn = MemoryStream[EventRow](spark)
+    val cIn = MemoryStream[EventRow](spark)
+    val q = EventStreams.attributeClicks(vIn.toDF(), cIn.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      vIn.addData(views: _*)
+      cIn.addData(clicks: _*)
+      q.processAllAvailable()
+      // advance both watermarks far past every event so all joins emit
+      vIn.addData(ev(900, 600, 99, "view", 0))
+      cIn.addData(ev(901, 600, 99, "click", 0))
+      q.processAllAvailable()
+
+      val streaming = spark.table("attrib")
+        .filter(col("user_id") =!= 99) // drop the watermark-advance sentinels
+        .select("user_id", "view_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val batch = EventStreams
+        .attributeClicks(views.toDF(), clicks.toDF(), "30 minutes")
+        .select("user_id", "view_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(streaming == batch)
+      assert(streaming == Seq((1L, 101L, 201L), (1L, 101L, 202L), (2L, 102L, 204L)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeats of a key within the watermark horizon") {
     val input = MemoryStream[EventRow](spark)
     val q = EventStreams.streamingDedup(input.toDF(), Seq("event_id"), "1 hour")
