@@ -112,6 +112,10 @@ object GraftFunctions {
       "bloom_might_contain(filterBytes, long, numHashes) - membership probe (no false negatives)",
       arity("bloom_might_contain", 3)({ case Seq(b, v, k) =>
         BloomMightContain(b, v, intArg(k, "numHashes")) })),
+    ("bottom_k",
+      "bottom_k(long, k) - k values with smallest xxhash64: deterministic consistent sample (aggregate)",
+      arity("bottom_k", 2)({ case Seq(c, k) =>
+        BottomK(c, intArg(k, "k")).toAggregateExpression() })),
     ("zorder",
       "zorder(bits, c1, c2, ...) - Morton interleave of pre-binned longs for multi-column clustering",
       args => {

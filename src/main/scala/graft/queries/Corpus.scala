@@ -1072,6 +1072,32 @@ $langScoreCols
       FROM p ORDER BY doc_id"""),
     bench = true)
 
+  /** Per-language consistent sample ([[graft.functions.expressions.BottomK]]):
+    * the 16 doc_ids with smallest xxhash64 per stratum — a deterministic
+    * uniform sample drawn in ONE mergeable pass, identical on any
+    * cluster, maximally overlapping across corpus snapshots. The oracle
+    * replays it as an unsigned-hash rank per language. */
+  val p07_consistent_sample = QueryDef(
+    "p07_consistent_sample",
+    (s, dir) => {
+      import graft.functions.expressions.BottomK
+      Tables(s, dir).documents
+        .groupBy(col("lang"))
+        .agg(BottomK(col("doc_id"), 16).as("sample"))
+        .select(col("lang"), posexplode(col("sample")).as(Seq("pos", "doc_id")))
+        .orderBy(col("lang"), col("pos"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT lang, doc_id,
+               ${OracleSql.xxh64Long(OracleSql.s2u("doc_id"))} AS hu
+        FROM documents),
+      r AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY hu) - 1 AS pos
+        FROM h)
+      SELECT lang, pos, doc_id FROM r WHERE pos < 16 ORDER BY lang, pos"""))
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
@@ -1080,5 +1106,5 @@ $langScoreCols
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
-    p05_weighted_sample, p06_sequence_pack)
+    p05_weighted_sample, p06_sequence_pack, p07_consistent_sample)
 }
