@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.Frame
-import graft.operators.{Aggregates, Joins, Melt}
+import graft.operators.{Aggregates, Incremental, Joins, Melt}
 
 /** Relational operator coverage (SURVEY §2.1-§2.7): every query runs the
   * library operator and carries a DuckDB oracle. Aggregate doubles are
@@ -1235,6 +1235,78 @@ object Relational {
     Some(q56Oracle),
     bench = true)
 
+  /** CDC merge ([[Incremental.mergeLatest]]), exercised INCREMENTALLY:
+    * the events log is split at a watermark; the pre-split history folds
+    * to a base snapshot, the post-split delta is merged on top, and the
+    * result must equal (and the oracle IS) the latest-wins fold of the
+    * full log. `event_type = 'error'` plays the delete op. One keyed
+    * shuffle per fold; the rn=1 filter plans as WindowGroupLimit, so
+    * each task forwards at most one row per key before the exchange. */
+  val q57_merge_upsert = QueryDef(
+    "q57_merge_upsert",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      def snap(changes: org.apache.spark.sql.DataFrame) =
+        Incremental.mergeLatest(
+          changes,
+          keys = Seq("user_id"),
+          seqCols = Seq(col("ts"), col("event_id")),
+          isDelete = col("event_type") === "error")
+      val split = expr("timestamp'2024-01-20 00:00:00'")
+      val base = snap(ev.filter(col("ts") < split))
+      val delta = ev.filter(col("ts") >= split)
+      snap(base.unionByName(delta))
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, event_type AS last_type, value AS last_value,
+             ts AS last_ts
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id"""),
+    bench = true)
+
+  /** SCD2 history build ([[Incremental.scd2]]): each user's event_type
+    * stream collapses into validity intervals — one row per run of equal
+    * values with [valid_from, valid_to) bounds, a version ordinal, and
+    * an is_current flag. lag/lead/row_number share one (key, seq) window
+    * spec = one shuffle + one sort per key partition. */
+  val q58_scd2 = QueryDef(
+    "q58_scd2",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      Incremental.scd2(
+          ev,
+          keys = Seq("user_id"),
+          attrs = Seq("event_type"),
+          seqCol = col("ts"),
+          tiebreak = Seq(col("event_id")))
+        .withColumn("is_current", col("is_current").cast("int"))
+        .orderBy(col("user_id"), col("version"))
+    },
+    Some("""
+      WITH runs AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM (SELECT user_id, ts, event_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+              FROM events)
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             cast(row_number() OVER w AS bigint) AS version,
+             cast(lead(ts) OVER w IS NULL AS int) AS is_current
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1247,5 +1319,6 @@ object Relational {
     q43_stratified_sample, q44_count_distinct, q45_sql_revenue,
     q46_grouping_sets, q47_string_funcs, q48_array_agg,
     q49_subqueries, q50_date_funcs, q51_hll_distinct, q52_funnel,
-    q53_salted_join, q54_cms_topk, q55_bloom_join, q56_zorder_key)
+    q53_salted_join, q54_cms_topk, q55_bloom_join, q56_zorder_key,
+    q57_merge_upsert, q58_scd2)
 }
