@@ -1307,6 +1307,51 @@ object Relational {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, version"""))
 
+  /** Per-key hourly resample + forward fill
+    * ([[graft.operators.TimeSeries.resampleFfill]]): each user's hourly
+    * activity is densified onto that user's own [first, last] hour grid
+    * and the running value carried through gap hours. The grid is
+    * generated per key (sum of spans, not global-span × keys), the gap
+    * join is keyed, and the fill is a per-key window — no global ops. */
+  val q59_resample_ffill = QueryDef(
+    "q59_resample_ffill",
+    (s, dir) => {
+      val observed = Tables(s, dir).events
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(
+          Aggregates.sumExact(col("value")).as("sum_value"),
+          count(lit(1)).as("n_events"))
+      graft.operators.TimeSeries
+        .resampleFfill(observed, Seq("user_id"), "hour", "1 hour",
+          fillCols = Seq("sum_value"))
+        .select(col("user_id"), col("hour"), col("sum_value"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"), col("is_observed"))
+        .orderBy(col("user_id"), col("hour"))
+    },
+    Some(s"""
+      WITH observed AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               ${sumExactSql("value")} AS sum_value, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      spans AS (
+        SELECT user_id, min(hour) AS lo, max(hour) AS hi
+        FROM observed GROUP BY 1),
+      grid AS (
+        SELECT s.user_id, g.h AS hour
+        FROM spans s, LATERAL unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS g(h)),
+      j AS (
+        SELECT g.user_id, g.hour, o.sum_value, o.n_events,
+               cast(o.user_id IS NOT NULL AS int) AS is_observed
+        FROM grid g LEFT JOIN observed o
+          ON g.user_id = o.user_id AND g.hour = o.hour)
+      SELECT user_id, hour,
+             last_value(sum_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+             coalesce(n_events, 0) AS n_events, is_observed
+      FROM j ORDER BY user_id, hour"""),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1320,5 +1365,5 @@ object Relational {
     q46_grouping_sets, q47_string_funcs, q48_array_agg,
     q49_subqueries, q50_date_funcs, q51_hll_distinct, q52_funnel,
     q53_salted_join, q54_cms_topk, q55_bloom_join, q56_zorder_key,
-    q57_merge_upsert, q58_scd2)
+    q57_merge_upsert, q58_scd2, q59_resample_ffill)
 }
