@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, col, last, lit}
+import org.apache.spark.sql.functions.{broadcast, col, last, levenshtein, lit}
 
 /** Multi-column equi-joins on identically-named columns, mirroring the
   * reference's four joins (acowley/Frames `src/Frames/Joins.hs:44-249`):
@@ -203,5 +203,43 @@ object Joins {
         d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
       .drop("__side")
+  }
+
+  /** Blocked fuzzy self-join (record linkage / dictionary
+    * canonicalization): all pairs of distinct `c` values within edit
+    * distance `maxDistance`, restricted to pairs sharing at least one
+    * blocking key. A naive fuzzy join is all-pairs O(n²); multi-key
+    * blocking makes it a union of equi-joins — each block function maps
+    * a value to a coarse key (first token, last token, a phonetic code,
+    * a length band), candidates are pairs agreeing on ANY key, and only
+    * candidates pay the levenshtein. Recall = pairs whose edit
+    * happens inside every blocking key are missed (the standard
+    * blocking trade-off; add block functions to close gaps).
+    *
+    * Scale shape: dedupe to the value dictionary FIRST (one keyed
+    * shuffle — a 100 TB corpus has a vocabulary-sized dictionary), then
+    * equi-join the keyed dictionary with itself on (blockIdx, blockKey).
+    * Never all-pairs; per-block fan-out is bounded by the block's
+    * cardinality, and the `a < b` predicate halves candidates before
+    * the distinct. */
+  def fuzzySelfJoin(
+      values: DataFrame,
+      c: String,
+      maxDistance: Int,
+      blocks: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column]): DataFrame = {
+    require(blocks.nonEmpty, "need at least one blocking function")
+    val dict = values.select(col(c).as("a")).distinct()
+    val keyed = blocks.zipWithIndex
+      .map { case (f, i) =>
+        dict.select(col("a"), lit(i).as("__bi"), f(col("a")).as("__bk"))
+      }
+      .reduce(_ unionByName _)
+    keyed
+      .join(keyed.withColumnRenamed("a", "b"), Seq("__bi", "__bk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= maxDistance)
   }
 }

@@ -1352,6 +1352,35 @@ object Relational {
       FROM j ORDER BY user_id, hour"""),
     bench = true)
 
+  /** Blocked fuzzy join ([[Joins.fuzzySelfJoin]]): spelling-variant
+    * pairs among the distinct part names within edit distance 2,
+    * blocked on (first token | last token) — a union of equi-joins over
+    * the name dictionary, never an all-pairs cross join. */
+  val q60_fuzzy_join = QueryDef(
+    "q60_fuzzy_join",
+    (s, dir) => {
+      val names = Tables(s, dir).part.select(col("p_name"))
+      Joins
+        .fuzzySelfJoin(names, "p_name", maxDistance = 2,
+          blocks = Seq(
+            n => split(n, " ").getItem(0),
+            n => element_at(split(n, " "), -1)))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""
+      WITH dict AS (SELECT DISTINCT p_name AS n FROM part),
+      keyed AS (
+        SELECT n, 0 AS bi, string_split(n, ' ')[1] AS bk FROM dict
+        UNION ALL
+        SELECT n, 1 AS bi, string_split(n, ' ')[-1] AS bk FROM dict),
+      cand AS (
+        SELECT DISTINCT l.n AS a, r.n AS b
+        FROM keyed l JOIN keyed r
+          ON l.bi = r.bi AND l.bk = r.bk AND l.n < r.n)
+      SELECT a, b, levenshtein(a, b) AS dist
+      FROM cand WHERE levenshtein(a, b) <= 2
+      ORDER BY a, b"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1365,5 +1394,5 @@ object Relational {
     q46_grouping_sets, q47_string_funcs, q48_array_agg,
     q49_subqueries, q50_date_funcs, q51_hll_distinct, q52_funnel,
     q53_salted_join, q54_cms_topk, q55_bloom_join, q56_zorder_key,
-    q57_merge_upsert, q58_scd2, q59_resample_ffill)
+    q57_merge_upsert, q58_scd2, q59_resample_ffill, q60_fuzzy_join)
 }

@@ -77,6 +77,21 @@ class IncrementalSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 1), ("b", 2), ("a", 3)))
   }
 
+  test("fuzzySelfJoin finds within-block pairs, misses cross-block ones (documented recall)") {
+    import graft.operators.Joins
+    val names = Seq("red bolt", "red bol", "blue bolt", "blu belt").toDF("n")
+    val got = Joins.fuzzySelfJoin(names, "n", maxDistance = 2,
+        blocks = Seq(
+          c => split(c, " ").getItem(0),
+          c => element_at(split(c, " "), -1)))
+      .orderBy("a", "b")
+      .as[(String, String, Int)].collect().toSeq
+    // "red bolt"/"red bol" share the first-token block (dist 1);
+    // "blue bolt"/"red bolt" share the last-token block but dist 3 > 2;
+    // "blu belt"/"blue bolt" is dist 3 AND shares no block — absent twice over.
+    assert(got == Seq(("red bol", "red bolt", 1)))
+  }
+
   test("mergeLatest rn=1 filter plans as WindowGroupLimit (per-partition top-1)") {
     val p = snap(history).queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), p.take(2000))
