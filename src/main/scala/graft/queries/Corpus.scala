@@ -1098,9 +1098,39 @@ $langScoreCols
         FROM h)
       SELECT lang, pos, doc_id FROM r WHERE pos < 16 ORDER BY lang, pos"""))
 
+  /** Overlapping context-window chunking
+    * ([[graft.operators.Chunking.overlappingChunks]]): 40-token windows
+    * at stride 30 (10-token overlap) — the retrieval-index / training-
+    * example preparation step. Scan-local generator, no shuffle; the
+    * oracle replays the same slicing with DuckDB list functions. */
+  val t10_chunk_overlap = QueryDef(
+    "t10_chunk_overlap",
+    (s, dir) =>
+      graft.operators.Chunking
+        .overlappingChunks(Tables(s, dir).documents, "doc_id", "text",
+          window = 40, stride = 30)
+        .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents),
+      starts AS (
+        SELECT doc_id, ts, unnest(range(0, greatest(len(ts), 1), 30)) AS st
+        FROM toks),
+      w AS (
+        SELECT doc_id, cast(st // 30 AS int) AS chunk_id,
+               list_slice(ts, st + 1, st + 40) AS wt
+        FROM starts)
+      SELECT doc_id, chunk_id, cast(len(wt) AS int) AS n_tokens,
+             array_to_string(wt, ' ') AS chunk_text
+      FROM w WHERE len(wt) > 0
+      ORDER BY doc_id, chunk_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
+    t10_chunk_overlap,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate,
