@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus retrieval scoring — BM25 top-k over a document table, the
+  * ranking step of retrieval-based curation (benchmark decontamination
+  * by retrieval, nearest-document audits, RAG index QA).
+  *
+  * Scale shape: the corpus text never shuffles. Tokenization and the
+  * query-term filter run in the scan stage, so the only shuffled
+  * relation is (doc_id, dl, term, tf) for MATCHING terms — bounded by
+  * |query| × matching docs. Document frequencies and corpus stats are
+  * tiny aggregates broadcast back; the final top-k plans as
+  * TakeOrderedAndProject (per-partition heaps, no global sort).
+  *
+  * Determinism (cross-engine exactness): this is the "rational idf"
+  * BM25 variant — idf = (N - df + 0.5) / (df + 0.5), i.e. the classic
+  * formula without the log, which is monotone in it and keeps the
+  * whole score inside IEEE double +,*,/ (no transcendental whose
+  * last-ulp differs between runtimes). Per-document summation adds the
+  * per-term partial scores in the FIXED query-term order (each term's
+  * group-sum has exactly one nonzero addend, and x + 0.0 is exact), so
+  * the result is bit-identical regardless of partitioning — the same
+  * discipline as Aggregates.sumExact, achieved without rounding.
+  */
+object Retrieval {
+
+  /** Top-k documents by BM25 against `queryTerms` (lowercased match).
+    * Output: (idCol, score), score descending, ties broken by id.
+    * Documents matching no query term score 0 and are not returned. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    val toks = docs.select(
+      col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("__ts"))
+    val dls = toks.select(
+      col(idCol), size(col("__ts")).cast("long").as("dl"), col("__ts"))
+    val stats = dls.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = dls
+      .select(col(idCol), col("dl"), explode(col("__ts")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val s = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    val scored = tf
+      .join(broadcast(dfRel), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", s)
+    val termSums = queryTerms.map(t =>
+      sum(when(col("term") === t, col("__s")).otherwise(lit(0.0))).as(s"__s_$t"))
+    scored
+      .groupBy(col(idCol))
+      .agg(termSums.head, termSums.tail: _*)
+      .select(
+        col(idCol),
+        queryTerms.map(t => col(s"__s_$t")).reduce(_ + _).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1127,10 +1127,50 @@ $langScoreCols
       ORDER BY doc_id, chunk_id"""),
     bench = true)
 
+  /** BM25 retrieval ([[graft.operators.Retrieval.bm25TopK]]): top 25
+    * documents for a 4-term query, rational-idf BM25 (k1=1.2, b=0.75).
+    * The oracle replays the identical double arithmetic — same
+    * association order, fixed-order term summation — so raw scores
+    * hash-match without rounding. */
+  val t11_bm25 = QueryDef(
+    "t11_bm25",
+    (s, dir) =>
+      graft.operators.Retrieval.bm25TopK(
+        Tables(s, dir).documents, "doc_id", "text",
+        queryTerms = Seq("join", "hash", "scan", "filter"), k = 25),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      dls AS (SELECT doc_id, cast(len(ts) AS bigint) AS dl, ts FROM toks),
+      stats AS (
+        SELECT cast(count(*) AS bigint) AS n_docs, cast(sum(dl) AS bigint) AS sum_dl
+        FROM dls),
+      tf AS (
+        SELECT doc_id, dl, term, cast(count(*) AS bigint) AS tf
+        FROM (SELECT doc_id, dl, unnest(ts) AS term FROM dls)
+        WHERE term IN ('join', 'hash', 'scan', 'filter')
+        GROUP BY 1, 2, 3),
+      dfr AS (SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               ((n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+                 (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                   (cast(sum_dl AS double) / cast(n_docs AS double)))) AS s
+        FROM tf JOIN dfr USING (term) CROSS JOIN stats)
+      SELECT doc_id,
+             (sum(CASE WHEN term = 'join' THEN s ELSE 0.0 END)
+              + sum(CASE WHEN term = 'hash' THEN s ELSE 0.0 END)
+              + sum(CASE WHEN term = 'scan' THEN s ELSE 0.0 END)
+              + sum(CASE WHEN term = 'filter' THEN s ELSE 0.0 END)) AS score
+      FROM scored GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 25"""),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
-    t10_chunk_overlap,
+    t10_chunk_overlap, t11_bm25,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate,

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** BM25 semantics + determinism ([[graft.operators.Retrieval]]). */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "cat cat cat dog filler filler filler filler"),
+    (2L, "cat dog filler filler filler filler filler filler"),
+    (3L, "filler filler filler filler filler filler filler filler"),
+    (4L, "cat dog")
+  ).toDF("id", "text")
+
+  test("more matching occurrences rank higher at equal length; non-matching docs absent") {
+    val got = Retrieval.bm25TopK(docs, "id", "text", Seq("cat", "dog"), k = 10)
+      .select("id").as[Long].collect().toSeq
+    // doc 4 is short (high per-term weight), doc 1 has tf=3 — both beat doc 2;
+    // doc 3 matches nothing and must not appear
+    assert(!got.contains(3L))
+    assert(got.indexOf(1L) < got.indexOf(2L))
+    assert(got.indexOf(4L) < got.indexOf(2L))
+  }
+
+  test("scores are bit-identical under repartitioning (order-independent summation)") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopK(df, "id", "text", Seq("cat", "dog"), k = 10)
+        .as[(Long, Double)].collect().toSeq
+    assert(run(docs) == run(docs.repartition(7)))
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = Retrieval.bm25TopK(docs, "id", "text", Seq("cat"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+}
