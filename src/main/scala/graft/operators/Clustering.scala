@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantic clustering over embedding columns: Lloyd's k-means with
+  * deterministic initialization, in QUANTIZED integer space.
+  *
+  * Floating-point k-means is nondeterministic on a cluster (summation
+  * order varies per run) and never bit-comparable across engines. This
+  * variant quantizes each coordinate once to a fixed grid
+  * (`round(x * scale)` as long); from there EVERY step is exact integer
+  * arithmetic: distances are integer sums of squared diffs, argmin
+  * tie-breaks on the lower cluster id, and the centroid update is the
+  * truncating integer mean — so results are bit-identical under any
+  * partitioning, any engine, any run. Quantization error (≤ 0.5/scale
+  * per coordinate) is orders below embedding noise.
+  *
+  * Scale shape per iteration (the classic distributed Lloyd's):
+  *   - assignment: k centroids broadcast to the corpus scan, distance +
+  *     argmin computed scan-locally (the rn=1 window partitions by
+  *     vector id — but the real plan keeps it cheap: WindowGroupLimit
+  *     forwards one row per vector);
+  *   - update: one keyed shuffle of (cluster, dim, value) scalars —
+  *     vectors themselves never shuffle; map-side partial sums make the
+  *     exchange O(k × dims) per task.
+  * Driver holds nothing but the plan; k and iters are small constants.
+  */
+object Clustering {
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L),
+      (acc, t) => acc + t)
+
+  /** Assignments (idCol, cluster, dist) after `iters` Lloyd iterations
+    * from the deterministic seed: initial centroids are the quantized
+    * vectors of the `k` smallest ids (cluster id = rank order). `dist`
+    * is the final squared distance on the integer grid. */
+  def kmeansQuantized(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scale: Double = 1e6): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val q = vectors.select(
+      col(idCol),
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * lit(scale), 0).cast("long")).as("__q"))
+
+    // Deterministic seed: the k lowest-id vectors, cluster = rank 0..k-1.
+    // Ranked by the partition-parallel RowIndexPlan, not an unpartitioned
+    // row_number window (PlanAudit-clean even though only k rows remain).
+    var centroids = graft.Frame
+      .withRowIndex(q.orderBy(col(idCol).asc).limit(k), Seq(col(idCol)), "__rank")
+      .select(col("__rank").cast("int").as("cluster"), col("__q").as("__c"))
+
+    def assign(cs: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("dist").asc, col("cluster").asc)
+      q.crossJoin(broadcast(cs))
+        .withColumn("dist", sqDist(col("__q"), col("__c")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(idCol), col("cluster"), col("dist"), col("__q"))
+    }
+
+    for (_ <- 0 until iters) {
+      val assigned = assign(centroids)
+      // Exact integer mean per (cluster, dim): decimal-free, order-free.
+      // Truncating division matches DuckDB's trunc(sum/n) bit for bit
+      // (both divide exact longs as IEEE doubles, then truncate).
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("__q")).as(Seq("__pos", "__v")))
+        .groupBy(col("cluster"), col("__pos"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .withColumn("__m",
+          (col("__s").cast("double") / col("__n").cast("double")).cast("long"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
+        .select(col("cluster"),
+          transform(col("__pm"), e => e.getField("__m")).as("__newc"))
+      // An emptied cluster keeps its previous centroid (never vanishes).
+      centroids = centroids
+        .join(updated, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("__newc"), col("__c")).as("__c"))
+    }
+    assign(centroids).select(col(idCol), col("cluster"), col("dist"))
+  }
+}

@@ -1167,13 +1167,75 @@ $langScoreCols
       ORDER BY score DESC, doc_id LIMIT 25"""),
     bench = true)
 
+  /** Exact oracle for d10: DuckDB replays quantized k-means verbatim —
+    * same 1e6 grid, integer distances via list_reduce, argmin with the
+    * cluster-id tie-break, truncating-integer-mean update — with the
+    * `iters` Lloyd iterations unrolled as CTE pairs (a_i, c_i). */
+  private def d10Oracle(k: Int, iters: Int, dims: Int): String = {
+    def dist(q: String, c: String) =
+      s"""list_reduce(list_transform(range($dims),
+         __i -> ($q[__i + 1] - $c[__i + 1]) * ($q[__i + 1] - $c[__i + 1])),
+         (__s, __t) -> __s + __t)"""
+    def assignCte(name: String, cs: String) = s"""
+      $name AS (
+        SELECT vec_id, cluster, dist, q FROM (
+          SELECT vec_id, cluster, dist, q, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+          FROM (SELECT qv.vec_id, $cs.cluster, ${dist("qv.q", s"$cs.c")} AS dist, qv.q
+                FROM qv CROSS JOIN $cs))
+        WHERE rn = 1)"""
+    def updateCte(prevA: String, prevC: String, name: String) = s"""
+      __u_$name AS (
+        SELECT cluster, list(m ORDER BY pos) AS c FROM (
+          SELECT cluster, pos,
+                 CAST(trunc(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+          FROM (SELECT cluster, r.range + 1 AS pos, q[r.range + 1] AS v
+                FROM $prevA CROSS JOIN range($dims) r)
+          GROUP BY cluster, pos)
+        GROUP BY cluster),
+      $name AS (
+        SELECT $prevC.cluster, coalesce(__u_$name.c, $prevC.c) AS c
+        FROM $prevC LEFT JOIN __u_$name USING (cluster))"""
+    val steps = (1 to iters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + "," + updateCte(s"a$i", s"c${i - 1}", s"c$i")
+    }.mkString(",")
+    s"""
+      WITH qv AS (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               __x -> CAST(round(__x * 1000000.0, 0) AS BIGINT)) AS q
+        FROM embeddings),
+      c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+               q AS c
+        FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $k)),
+      $steps,
+      ${assignCte("afinal", s"c$iters")}
+      SELECT vec_id, cluster, dist FROM afinal ORDER BY vec_id"""
+  }
+
+  /** Quantized k-means over the embedding table
+    * ([[graft.operators.Clustering.kmeansQuantized]]): k=8, two Lloyd
+    * iterations from the k-lowest-id seed. Every step is exact integer
+    * arithmetic on the 1e-6 grid, so assignments are bit-identical
+    * across engines, partitionings and runs — clustering as a
+    * REPRODUCIBLE pipeline stage, not a best-effort estimate. */
+  val d10_kmeans = QueryDef(
+    "d10_kmeans",
+    (s, dir) =>
+      graft.operators.Clustering
+        .kmeansQuantized(Tables(s, dir).embeddings, "vec_id", "embedding",
+          k = 8, iters = 2)
+        .orderBy(col("vec_id")),
+    Some(d10Oracle(k = 8, iters = 2, dims = 64)),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
     t10_chunk_overlap, t11_bm25,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
-    d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate,
+    d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample)
