@@ -45,6 +45,19 @@ object Clustering {
       vecCol: String,
       k: Int,
       iters: Int,
+      scale: Double = 1e6): DataFrame =
+    kmeansAssignments(vectors, idCol, vecCol, k, iters, scale)
+      .select(col(idCol), col("cluster"), col("dist"))
+
+  /** [[kmeansQuantized]] plus the quantized vector (`__q`, array<long>)
+    * per row — the internal face for operators that post-process within
+    * clusters (e.g. [[semDedup]]) without re-quantizing. */
+  private[graft] def kmeansAssignments(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
       scale: Double = 1e6): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val q = vectors.select(
@@ -88,6 +101,63 @@ object Clustering {
         .join(updated, Seq("cluster"), "left")
         .select(col("cluster"), coalesce(col("__newc"), col("__c")).as("__c"))
     }
-    assign(centroids).select(col(idCol), col("cluster"), col("dist"))
+    assign(centroids)
+  }
+
+  /** SemDeDup-style semantic deduplication (cluster-then-prune; see
+    * Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): run [[kmeansQuantized]] to bucket
+    * the corpus into k semantic clusters, then compare pairs ONLY within
+    * a cluster and mark every row that has a lower-id cluster-mate with
+    * cosine >= tau as a semantic duplicate (the lowest id of each dup
+    * group survives — the deterministic greedy keep rule).
+    *
+    * Output: (idCol, cluster, dup_of, is_dup) — `dup_of` is the smallest
+    * qualifying lower id (null for keepers), one row per input vector.
+    *
+    * Determinism: cluster assignment is exact integer arithmetic (see
+    * [[kmeansQuantized]]); the cosine is computed from exact integer
+    * dot products (`dot / sqrt(double(na2) * double(nb2))` — two long
+    * sums, one double multiply/sqrt/divide, every step an IEEE-754
+    * operation with a fixed operand order), so the >= tau cut is
+    * bit-identical across engines, runs, and partitionings.
+    *
+    * Scale shape: this is the published fix for all-pairs semantic
+    * dedup — pairing is confined to clusters, so with k sized to the
+    * corpus (k ~ n / targetClusterSize) the candidate count is
+    * O(n * targetClusterSize), not O(n^2), and the only shuffles are
+    * the k-means scalar exchange plus one cluster-keyed hash self-join.
+    * Quantized vectors ride the cluster shuffle once per side. */
+  def semDedup(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      tau: Double,
+      scale: Double = 1e6): DataFrame = {
+    val assigned = kmeansAssignments(vectors, idCol, vecCol, k, iters, scale)
+      .withColumn("__n2",
+        aggregate(transform(col("__q"), x => x * x), lit(0L), (s, t) => s + t))
+    val a = assigned.select(
+      col("cluster"), col(idCol).as("__ida"), col("__q").as("__qa"), col("__n2").as("__na"))
+    val b = assigned.select(
+      col("cluster"), col(idCol).as("__idb"), col("__q").as("__qb"), col("__n2").as("__nb"))
+    val dups = a
+      .join(b, Seq("cluster"))
+      .filter(col("__idb") < col("__ida"))
+      .withColumn("__dot",
+        aggregate(zip_with(col("__qa"), col("__qb"), (x, y) => x * y),
+          lit(0L), (s, t) => s + t))
+      .filter(
+        col("__dot").cast("double") /
+          sqrt(col("__na").cast("double") * col("__nb").cast("double")) >= tau)
+      .groupBy(col("__ida"))
+      .agg(min(col("__idb")).as("dup_of"))
+    assigned
+      .join(dups, assigned(idCol) === dups("__ida"), "left")
+      .select(
+        col(idCol), col("cluster"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
   }
 }

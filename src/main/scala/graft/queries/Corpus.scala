@@ -1171,7 +1171,7 @@ $langScoreCols
     * same 1e6 grid, integer distances via list_reduce, argmin with the
     * cluster-id tie-break, truncating-integer-mean update — with the
     * `iters` Lloyd iterations unrolled as CTE pairs (a_i, c_i). */
-  private def d10Oracle(k: Int, iters: Int, dims: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
     def dist(q: String, c: String) =
       s"""list_reduce(list_transform(range($dims),
          __i -> ($q[__i + 1] - $c[__i + 1]) * ($q[__i + 1] - $c[__i + 1])),
@@ -1200,7 +1200,7 @@ $langScoreCols
       assignCte(s"a$i", s"c${i - 1}") + "," + updateCte(s"a$i", s"c${i - 1}", s"c$i")
     }.mkString(",")
     s"""
-      WITH qv AS (
+      qv AS (
         SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                __x -> CAST(round(__x * 1000000.0, 0) AS BIGINT)) AS q
         FROM embeddings),
@@ -1209,8 +1209,35 @@ $langScoreCols
                q AS c
         FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $k)),
       $steps,
-      ${assignCte("afinal", s"c$iters")}
+      ${assignCte("afinal", s"c$iters")}"""
+  }
+
+  private def d10Oracle(k: Int, iters: Int, dims: Int): String =
+    s"""
+      WITH ${kmeansCtes(k, iters, dims)}
       SELECT vec_id, cluster, dist FROM afinal ORDER BY vec_id"""
+
+  /** Replays [[graft.operators.Clustering.semDedup]]: the d10 k-means CTE
+    * chain, then within-cluster lower-id pairs cut at cosine >= tau with
+    * the exact same arithmetic (integer dots, one double sqrt/divide). */
+  private def d11Oracle(k: Int, iters: Int, dims: Int, tau: Double): String = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_transform(range($dims),
+         __i -> $a.q[__i + 1] * $b.q[__i + 1]), (__s, __t) -> __s + __t)"""
+    s"""
+      WITH ${kmeansCtes(k, iters, dims)},
+      n AS (
+        SELECT vec_id, cluster, q, ${dot("afinal", "afinal")} AS n2
+        FROM afinal),
+      pr AS (
+        SELECT a.vec_id AS vid, min(b.vec_id) AS dup_of
+        FROM n a JOIN n b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        WHERE CAST(${dot("a", "b")} AS DOUBLE)
+              / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= $tau
+        GROUP BY a.vec_id)
+      SELECT n.vec_id, n.cluster, pr.dup_of, pr.dup_of IS NOT NULL AS is_dup
+      FROM n LEFT JOIN pr ON n.vec_id = pr.vid
+      ORDER BY n.vec_id"""
   }
 
   /** Quantized k-means over the embedding table
@@ -1229,6 +1256,21 @@ $langScoreCols
     Some(d10Oracle(k = 8, iters = 2, dims = 64)),
     bench = true)
 
+  /** SemDeDup ([[graft.operators.Clustering.semDedup]]): k-means buckets
+    * then within-cluster cosine pruning at tau — the published
+    * cluster-then-prune answer to quadratic semantic dedup. Lowest id of
+    * each duplicate group survives; every arithmetic step is exact or
+    * fixed-order IEEE, so the dup set is bit-identical cross-engine. */
+  val d11_semdedup = QueryDef(
+    "d11_semdedup",
+    (s, dir) =>
+      graft.operators.Clustering
+        .semDedup(Tables(s, dir).embeddings, "vec_id", "embedding",
+          k = 8, iters = 2, tau = 0.3)
+        .orderBy(col("vec_id")),
+    Some(d11Oracle(k = 8, iters = 2, dims = 64, tau = 0.3)),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
@@ -1236,6 +1278,7 @@ $langScoreCols
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
+    d11_semdedup,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample)

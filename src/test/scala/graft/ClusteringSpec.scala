@@ -53,4 +53,44 @@ class ClusteringSpec extends SparkSpec {
     graft.plans.PlanAudit.assertScalable(
       Clustering.kmeansQuantized(vecs, "vec_id", "embedding", k = 2, iters = 2))
   }
+
+  // near-parallel vectors within each group; cross-group cosines are low
+  lazy val semVecs = Seq(
+    (0L, Seq(1.0f, 0.01f)), (1L, Seq(0.01f, 1.0f)),
+    (2L, Seq(2.0f, 0.03f)), (3L, Seq(0.02f, 3.0f)),
+    (4L, Seq(1.5f, 0.01f)), (5L, Seq(0.0f, 0.5f))
+  ).toDF("vec_id", "embedding")
+
+  test("semDedup keeps the lowest id of each semantic group") {
+    val got = Clustering
+      .semDedup(semVecs, "vec_id", "embedding", k = 2, iters = 2, tau = 0.99)
+      .orderBy("vec_id")
+      .select("vec_id", "dup_of", "is_dup")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    // group {0,2,4} (x-axis) and {1,3,5} (y-axis): 0 and 1 survive,
+    // every later member points at the smallest cluster-mate above tau
+    assert(got == Seq(
+      (0L, None, false), (1L, None, false),
+      (2L, Some(0L), true), (3L, Some(1L), true),
+      (4L, Some(0L), true), (5L, Some(1L), true)))
+  }
+
+  test("semDedup marks nothing at an impossible threshold") {
+    val got = Clustering
+      .semDedup(semVecs, "vec_id", "embedding", k = 2, iters = 2, tau = 1.1)
+      .filter(col("is_dup")).count()
+    assert(got == 0L)
+  }
+
+  test("semDedup is bit-identical under repartitioning") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Clustering.semDedup(df, "vec_id", "embedding", k = 2, iters = 2, tau = 0.99)
+        .orderBy("vec_id").as[(Long, Int, Option[Long], Boolean)].collect().toSeq
+    assert(run(semVecs) == run(semVecs.repartition(5)))
+  }
+
+  test("no scale antipattern errors in the semDedup plan") {
+    graft.plans.PlanAudit.assertScalable(
+      Clustering.semDedup(semVecs, "vec_id", "embedding", k = 2, iters = 2, tau = 0.5))
+  }
 }
