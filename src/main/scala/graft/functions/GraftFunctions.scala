@@ -92,6 +92,9 @@ object GraftFunctions {
     ("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two double arrays",
       arity("cosine_sim", 2)({ case Seq(a, b) => CosineSim(a, b) })),
+    ("dot_long",
+      "dot_long(a, b) - exact integer dot product of two long arrays",
+      arity("dot_long", 2)({ case Seq(a, b) => DotLongExpr(a, b) })),
     ("token_counts",
       "token_counts(array<string>) - struct(n_tokens, n_distinct, top_count)",
       arity("token_counts", 1)({ case Seq(c) => TokenCounts(c) })),

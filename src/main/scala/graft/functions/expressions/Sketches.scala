@@ -185,6 +185,14 @@ object SketchUtil {
   /** Cosine similarity, replicating the exact double-op order of
     * dot/sqrt(dot)*sqrt(dot) with in-order accumulation (bit-identical to
     * the HOF composition, hence to the existing oracle matches). */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0L
+    var i = 0
+    while (i < n) { d += a.getLong(i) * b.getLong(i); i += 1 }
+    d
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var d = 0.0
@@ -201,6 +209,30 @@ object SketchUtil {
     val norm = math.sqrt(na) * math.sqrt(nb)
     if (norm == 0.0) 0.0 else d / norm
   }
+}
+
+/** `dot_long(array<long>, array<long>) -> long`: exact integer dot
+  * product as one fused loop. The `aggregate(zip_with(a, b, *), ...)`
+  * composition computes the same value but allocates an intermediate
+  * array per pair — this kernel is for pair-join hot paths (within-
+  * cluster semantic dedup, quantized reranking) where that allocation
+  * dominates. */
+case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchUtil.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.SketchUtil.dotLong($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotLongExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_long"
 }
 
 /** `word_shingles(array<string>, k) -> array<string>`. */
@@ -366,6 +398,11 @@ object Sketches {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** array<long> inputs only. */
+  def dotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotLongExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def wordShingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))

@@ -136,9 +136,9 @@ object Clustering {
       iters: Int,
       tau: Double,
       scale: Double = 1e6): DataFrame = {
+    import graft.functions.expressions.Sketches.dotLong
     val assigned = kmeansAssignments(vectors, idCol, vecCol, k, iters, scale)
-      .withColumn("__n2",
-        aggregate(transform(col("__q"), x => x * x), lit(0L), (s, t) => s + t))
+      .withColumn("__n2", dotLong(col("__q"), col("__q")))
     val a = assigned.select(
       col("cluster"), col(idCol).as("__ida"), col("__q").as("__qa"), col("__n2").as("__na"))
     val b = assigned.select(
@@ -146,9 +146,7 @@ object Clustering {
     val dups = a
       .join(b, Seq("cluster"))
       .filter(col("__idb") < col("__ida"))
-      .withColumn("__dot",
-        aggregate(zip_with(col("__qa"), col("__qb"), (x, y) => x * y),
-          lit(0L), (s, t) => s + t))
+      .withColumn("__dot", dotLong(col("__qa"), col("__qb")))
       .filter(
         col("__dot").cast("double") /
           sqrt(col("__na").cast("double") * col("__nb").cast("double")) >= tau)
