@@ -1381,6 +1381,47 @@ object Relational {
       FROM cand WHERE levenshtein(a, b) <= 2
       ORDER BY a, b"""))
 
+  /** Equi-depth quantile binning — the scale-correct replacement for a
+    * global-window `ntile`: one exact-percentile aggregate computes the
+    * bin boundaries (at 100 TB swap in `approx_percentile`, same
+    * two-pass shape), the 1-row boundary relation broadcasts onto the
+    * scan, and the bin id is three scan-local comparisons — no global
+    * sort, no single-partition window anywhere. Ties at a boundary fall
+    * to the lower bin in both engines (strict `>` against identical
+    * IEEE doubles; Spark `percentile` == DuckDB `quantile_cont`, proven
+    * by q41). */
+  val q61_quantile_bins = QueryDef(
+    "q61_quantile_bins",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val bounds = li.agg(
+        expr("percentile(l_extendedprice, array(0.25d, 0.5d, 0.75d))").as("__b"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          ((col("l_extendedprice") > col("__b")(0)).cast("int") +
+            (col("l_extendedprice") > col("__b")(1)).cast("int") +
+            (col("l_extendedprice") > col("__b")(2)).cast("int")).cast("long"))
+        .groupBy(col("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 6).as("lo_price"),
+          round(max(col("l_extendedprice")), 6).as("hi_price"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT quantile_cont(l_extendedprice, 0.25) AS p1,
+               quantile_cont(l_extendedprice, 0.5)  AS p2,
+               quantile_cont(l_extendedprice, 0.75) AS p3
+        FROM lineitem)
+      SELECT CAST(CAST(l_extendedprice > p1 AS INT) + CAST(l_extendedprice > p2 AS INT)
+               + CAST(l_extendedprice > p3 AS INT) AS BIGINT) AS bin,
+             count(*) AS n,
+             round(min(l_extendedprice), 6) AS lo_price,
+             round(max(l_extendedprice), 6) AS hi_price
+      FROM lineitem, b
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1394,5 +1435,6 @@ object Relational {
     q46_grouping_sets, q47_string_funcs, q48_array_agg,
     q49_subqueries, q50_date_funcs, q51_hll_distinct, q52_funnel,
     q53_salted_join, q54_cms_topk, q55_bloom_join, q56_zorder_key,
-    q57_merge_upsert, q58_scd2, q59_resample_ffill, q60_fuzzy_join)
+    q57_merge_upsert, q58_scd2, q59_resample_ffill, q60_fuzzy_join,
+    q61_quantile_bins)
 }

@@ -127,6 +127,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q61: quantile-bin boundaries broadcast onto the scan, no global sort of the data") {
+    val p = planOf(Relational.q61_quantile_bins.run(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(3000))
+    // the only Sort allowed is the 4-row final orderBy; the 6M-row side
+    // must reach its aggregate without a global sort
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("hive-partitioned write prunes partitions at the source (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-partwrite").toString
     val events = Tables(spark, sf).events

@@ -76,6 +76,16 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 1.0)
   }
 
+  test("dot_long matches the zip_with+aggregate composition exactly") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql("""
+      SELECT dot_long(array(3L, -2L, 1000000L), array(7L, 5L, 1000000L)) AS fused,
+             aggregate(zip_with(array(3L, -2L, 1000000L), array(7L, 5L, 1000000L),
+                       (x, y) -> x * y), 0L, (s, t) -> s + t) AS hof""").head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) == 3L * 7 - 2 * 5 + 1000000L * 1000000L)
+  }
+
   test("non-literal scalar parameters are rejected with a clear error") {
     GraftFunctions.registerAll(spark)
     val e = intercept[Exception] {
