@@ -57,4 +57,52 @@ object TfIdf {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** Unigram language-model quality score (the CCNet / Wenzek et al.
+    * 2020 filter shape, self-trained): score(doc) = mean over the doc's
+    * tokens of ln p(token), where p is the corpus's own unigram
+    * distribution (count(token) / total tokens). Low scores flag
+    * gibberish / rare-token soup; high scores flag boilerplate — the
+    * standard keep-the-middle quality cut.
+    *
+    * Output: (idCol, dl, lm_score rounded to 6) — one row per doc with
+    * ≥1 token.
+    *
+    * Determinism across engines/partitionings: all counts are exact
+    * longs; each per-token contribution m_t * ln(c_t / N) is a fixed
+    * sequence of IEEE ops; the per-doc reduction folds contributions in
+    * SORTED token order (collect + array_sort + left fold — identical
+    * association in DuckDB's `list(v ORDER BY term)` + `list_reduce`),
+    * and the final round(., 6) absorbs the ≤ 1-ulp libm `ln` spread.
+    *
+    * Plan shape at 100 TB: tokenize is scan-local; tf aggregates on
+    * (doc, term) with map-side partials; corpus counts reuse the tf
+    * relation grouped by term (no second corpus read); the total-token
+    * count broadcasts as one row; the per-doc fold groups by doc id.
+    * Every shuffle is keyed; per-doc state is bounded by doc length. */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("__ts"))
+    val tf = toks
+      .select(col(idCol), size(col("__ts")).cast("long").as("dl"),
+        explode(col("__ts")).as("__t"))
+      .groupBy(col(idCol), col("dl"), col("__t"))
+      .agg(count(lit(1)).as("__m"))
+    val cts = tf.groupBy(col("__t")).agg(sum(col("__m")).as("__c"))
+    val total = cts.agg(sum(col("__c")).as("__n"))
+    tf.join(cts, Seq("__t"))
+      .crossJoin(broadcast(total))
+      .withColumn("__v",
+        col("__m").cast("double") *
+          log(col("__c").cast("double") / col("__n").cast("double")))
+      .groupBy(col(idCol), col("dl"))
+      .agg(array_sort(collect_list(struct(col("__t"), col("__v")))).as("__tv"))
+      .withColumn("lm_score",
+        round(
+          aggregate(col("__tv"), lit(0.0), (acc, e) => acc + e.getField("__v")) /
+            col("dl").cast("double"),
+          6))
+      .select(col(idCol), col("dl"), col("lm_score"))
+  }
 }

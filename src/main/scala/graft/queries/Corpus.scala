@@ -1167,6 +1167,40 @@ $langScoreCols
       ORDER BY score DESC, doc_id LIMIT 25"""),
     bench = true)
 
+  /** Unigram LM quality scoring ([[graft.operators.TfIdf.unigramLmScore]]):
+    * mean ln p(token) per document under the corpus's own unigram model —
+    * the CCNet-style perplexity filter. Exact-count probabilities, sorted
+    * fixed-order per-doc folds, round(6) over the libm ulp — hash-matches
+    * DuckDB replaying the identical arithmetic. */
+  val t12_lm_quality = QueryDef(
+    "t12_lm_quality",
+    (s, dir) =>
+      graft.operators.TfIdf
+        .unigramLmScore(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      tf AS (
+        SELECT doc_id, dl, term, cast(count(*) AS BIGINT) AS m
+        FROM (SELECT doc_id, cast(len(ts) AS BIGINT) AS dl, unnest(ts) AS term
+              FROM toks)
+        GROUP BY 1, 2, 3),
+      cts AS (SELECT term, cast(sum(m) AS BIGINT) AS c FROM tf GROUP BY 1),
+      tot AS (SELECT cast(sum(c) AS BIGINT) AS n FROM cts),
+      contrib AS (
+        SELECT tf.doc_id, tf.dl, tf.term,
+               cast(tf.m AS DOUBLE) * ln(cast(c AS DOUBLE) / cast(n AS DOUBLE)) AS v
+        FROM tf JOIN cts USING (term) CROSS JOIN tot),
+      folded AS (
+        SELECT doc_id, dl, list(v ORDER BY term) AS vs FROM contrib GROUP BY 1, 2)
+      SELECT doc_id, dl,
+             round(list_reduce(list_prepend(0.0, vs), (s, t) -> s + t)
+                   / cast(dl AS DOUBLE), 6) AS lm_score
+      FROM folded ORDER BY doc_id"""),
+    bench = true)
+
   /** Exact oracle for d10: DuckDB replays quantized k-means verbatim —
     * same 1e6 grid, integer distances via list_reduce, argmin with the
     * cluster-id tie-break, truncating-integer-mean update — with the
@@ -1274,7 +1308,7 @@ $langScoreCols
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
-    t10_chunk_overlap, t11_bm25,
+    t10_chunk_overlap, t11_bm25, t12_lm_quality,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

@@ -37,4 +37,19 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
+
+  test("unigram LM score: repeated common tokens score higher; bit-identical under repartitioning") {
+    import graft.operators.TfIdf
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TfIdf.unigramLmScore(df, "id", "text")
+        .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    val base = run(docs)
+    // every mean log-prob is negative; the all-"filler" doc 3 uses only
+    // the most frequent token so it must score highest
+    assert(base.forall(_._3 < 0.0))
+    val best = base.maxBy(_._3)._1
+    assert(best == 3L, base.mkString(", "))
+    assert(base == run(docs.repartition(7)))
+    graft.plans.PlanAudit.assertScalable(TfIdf.unigramLmScore(docs, "id", "text"))
+  }
 }
