@@ -80,6 +80,47 @@ object TfIdf {
     * relation grouped by term (no second corpus read); the total-token
     * count broadcasts as one row; the per-doc fold groups by doc id.
     * Every shuffle is keyed; per-doc state is bounded by doc length. */
+  /** Per-group token-distribution drift: KL(P_g || P_corpus) =
+    * Σ_t p_g(t) · ln(p_g(t) / p(t)) for each value of `groupCol` — the
+    * mixture-diagnostics pass that flags a source/shard whose language
+    * has drifted from the corpus (new boilerplate, scraper breakage,
+    * domain shift). Always finite: every group token is in the corpus
+    * by construction (the corpus distribution is the union of groups).
+    *
+    * Output: (groupCol, n_tokens, kl rounded to 6), one row per group.
+    *
+    * Determinism: exact long counts; each term's contribution is a
+    * fixed IEEE sequence; the per-group reduction folds in sorted term
+    * order; round(., 6) absorbs libm `ln` ulp spread (same contract as
+    * [[unigramLmScore]]).
+    *
+    * Plan shape at 100 TB: (group, term) counts with map-side partials,
+    * corpus counts reuse that relation grouped by term, the total
+    * broadcasts, and the fold groups by `groupCol`. Per-group state is
+    * bounded by the vocabulary, not the corpus. */
+  def klDrift(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(groupCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("__t"))
+      .groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).as("__m"))
+    val cts = tf.groupBy(col("__t")).agg(sum(col("__m")).as("__c"))
+    val total = cts.agg(sum(col("__c")).as("__n"))
+    val groupTotals = tf.groupBy(col(groupCol)).agg(sum(col("__m")).as("__gn"))
+    tf.join(cts, Seq("__t"))
+      .join(groupTotals, Seq(groupCol))
+      .crossJoin(broadcast(total))
+      .withColumn("__pg", col("__m").cast("double") / col("__gn").cast("double"))
+      .withColumn("__v",
+        col("__pg") * log(
+          col("__pg") /
+            (col("__c").cast("double") / col("__n").cast("double"))))
+      .groupBy(col(groupCol), col("__gn").as("n_tokens"))
+      .agg(array_sort(collect_list(struct(col("__t"), col("__v")))).as("__tv"))
+      .withColumn("kl",
+        round(aggregate(col("__tv"), lit(0.0), (acc, e) => acc + e.getField("__v")), 6))
+      .select(col(groupCol), col("n_tokens"), col("kl"))
+  }
+
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(
       col(idCol),

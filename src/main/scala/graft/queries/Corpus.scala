@@ -1201,6 +1201,40 @@ $langScoreCols
       FROM folded ORDER BY doc_id"""),
     bench = true)
 
+  /** Per-source distribution drift ([[graft.operators.TfIdf.klDrift]]):
+    * KL(P_source || P_corpus) over unigram token distributions — the
+    * mixture-diagnostics health check that catches a drifting scraper or
+    * domain shift per shard. Exact counts, sorted fixed-order folds,
+    * round(6) over the libm ulp. */
+  val p08_kl_drift = QueryDef(
+    "p08_kl_drift",
+    (s, dir) =>
+      graft.operators.TfIdf
+        .klDrift(Tables(s, dir).documents, "source", "text")
+        .orderBy(col("source")),
+    Some("""
+      WITH tf AS (
+        SELECT source, term, cast(count(*) AS BIGINT) AS m
+        FROM (SELECT source,
+                     unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+              FROM documents)
+        GROUP BY 1, 2),
+      cts AS (SELECT term, cast(sum(m) AS BIGINT) AS c FROM tf GROUP BY 1),
+      tot AS (SELECT cast(sum(c) AS BIGINT) AS n FROM cts),
+      gt AS (SELECT source, cast(sum(m) AS BIGINT) AS gn FROM tf GROUP BY 1),
+      contrib AS (
+        SELECT tf.source, gt.gn, tf.term,
+               (cast(m AS DOUBLE) / cast(gn AS DOUBLE))
+                 * ln((cast(m AS DOUBLE) / cast(gn AS DOUBLE))
+                      / (cast(c AS DOUBLE) / cast(n AS DOUBLE))) AS v
+        FROM tf JOIN cts USING (term) JOIN gt USING (source) CROSS JOIN tot),
+      folded AS (
+        SELECT source, gn AS n_tokens, list(v ORDER BY term) AS vs
+        FROM contrib GROUP BY 1, 2)
+      SELECT source, n_tokens,
+             round(list_reduce(list_prepend(0.0, vs), (s, t) -> s + t), 6) AS kl
+      FROM folded ORDER BY source"""))
+
   /** Exact oracle for d10: DuckDB replays quantized k-means verbatim —
     * same 1e6 grid, integer distances via list_reduce, argmin with the
     * cluster-id tie-break, truncating-integer-mean update — with the
@@ -1315,5 +1349,6 @@ $langScoreCols
     d11_semdedup,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
-    p05_weighted_sample, p06_sequence_pack, p07_consistent_sample)
+    p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
+    p08_kl_drift)
 }

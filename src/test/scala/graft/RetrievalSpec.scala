@@ -52,4 +52,23 @@ class RetrievalSpec extends SparkSpec {
     assert(base == run(docs.repartition(7)))
     graft.plans.PlanAudit.assertScalable(TfIdf.unigramLmScore(docs, "id", "text"))
   }
+
+  test("KL drift: non-negative, zero for a corpus-identical source, drifted source largest") {
+    import graft.operators.TfIdf
+    val sources = Seq(
+      ("a", "cat dog cat dog"),
+      ("b", "cat dog cat dog"),
+      ("c", "zebra zebra zebra zebra")
+    ).toDF("source", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TfIdf.klDrift(df, "source", "text")
+        .orderBy("source").as[(String, Long, Double)].collect().toSeq
+    val got = run(sources)
+    assert(got.forall(_._3 >= 0.0), got.mkString(", "))
+    // a and b share one distribution; c is pure drift and must dominate
+    assert(got(0)._3 == got(1)._3)
+    assert(got(2)._3 > got(0)._3)
+    assert(got == run(sources.repartition(5)))
+    graft.plans.PlanAudit.assertScalable(TfIdf.klDrift(sources, "source", "text"))
+  }
 }
