@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Semantic clustering over embedding columns: Lloyd's k-means with
@@ -18,14 +17,18 @@ import org.apache.spark.sql.functions._
   * per coordinate) is orders below embedding noise.
   *
   * Scale shape per iteration (the classic distributed Lloyd's):
-  *   - assignment: k centroids broadcast to the corpus scan, distance +
-  *     argmin computed scan-locally (the rn=1 window partitions by
-  *     vector id — but the real plan keeps it cheap: WindowGroupLimit
-  *     forwards one row per vector);
+  *   - assignment: the k centroids enter the corpus scan as ONE array
+  *     literal; distance + argmin are a scan-local `array_min` over
+  *     `struct(dist, cluster)` (lexicographic struct ordering IS the
+  *     dist-asc-then-cluster-asc tie-break) — no join, no window, no
+  *     shuffle of the corpus, ever;
   *   - update: one keyed shuffle of (cluster, dim, value) scalars —
   *     vectors themselves never shuffle; map-side partial sums make the
   *     exchange O(k × dims) per task.
-  * Driver holds nothing but the plan; k and iters are small constants.
+  * The k centroids land on the driver between rounds (k x dims longs,
+  * bounded regardless of corpus size). Without that landing the lazy
+  * plan would reference the previous round twice and DOUBLE per
+  * iteration; with it the lineage stays one-scan-deep per round.
   */
 object Clustering {
 
@@ -66,27 +69,32 @@ object Clustering {
         x => round(x * lit(scale), 0).cast("long")).as("__q"))
 
     // Deterministic seed: the k lowest-id vectors, cluster = rank 0..k-1.
-    // Ranked by the partition-parallel RowIndexPlan, not an unpartitioned
-    // row_number window (PlanAudit-clean even though only k rows remain).
-    var centroids = graft.Frame
-      .withRowIndex(q.orderBy(col(idCol).asc).limit(k), Seq(col(idCol)), "__rank")
-      .select(col("__rank").cast("int").as("cluster"), col("__q").as("__c"))
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition heaps),
+    // and collect() of k rows is bounded driver data.
+    var centroids: Seq[(Seq[Long], Int)] =
+      q.orderBy(col(idCol).asc).limit(k).collect().toSeq.zipWithIndex.map {
+        case (r, rank) => (r.getSeq[Long](1), rank)
+      }
 
-    def assign(cs: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("dist").asc, col("cluster").asc)
-      q.crossJoin(broadcast(cs))
-        .withColumn("dist", sqDist(col("__q"), col("__c")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col(idCol), col("cluster"), col("dist"), col("__q"))
+    // Assignment is a pure projection: one array<struct<vec,cluster>>
+    // literal (a single Literal object — no k-wide codegen), a transform
+    // to struct(dist, cluster), and array_min, whose lexicographic
+    // struct ordering implements the dist-asc, cluster-asc tie-break.
+    def assign: DataFrame = {
+      val best = array_min(transform(typedLit(centroids), s =>
+        struct(
+          sqDist(col("__q"), s.getField("_1")).as("dist"),
+          s.getField("_2").as("cluster"))))
+      q.withColumn("__best", best)
+        .select(col(idCol), col("__best.cluster").as("cluster"),
+          col("__best.dist").as("dist"), col("__q"))
     }
 
     for (_ <- 0 until iters) {
-      val assigned = assign(centroids)
       // Exact integer mean per (cluster, dim): decimal-free, order-free.
       // Truncating division matches DuckDB's trunc(sum/n) bit for bit
       // (both divide exact longs as IEEE doubles, then truncate).
-      val updated = assigned
+      val updated = assign
         .select(col("cluster"), posexplode(col("__q")).as(Seq("__pos", "__v")))
         .groupBy(col("cluster"), col("__pos"))
         .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
@@ -96,12 +104,13 @@ object Clustering {
         .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
         .select(col("cluster"),
           transform(col("__pm"), e => e.getField("__m")).as("__newc"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
       // An emptied cluster keeps its previous centroid (never vanishes).
-      centroids = centroids
-        .join(updated, Seq("cluster"), "left")
-        .select(col("cluster"), coalesce(col("__newc"), col("__c")).as("__c"))
+      centroids = centroids.map { case (c, cid) =>
+        (updated.getOrElse(cid, c), cid)
+      }
     }
-    assign(centroids)
+    assign
   }
 
   /** SemDeDup-style semantic deduplication (cluster-then-prune; see
