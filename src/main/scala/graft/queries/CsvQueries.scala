@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.operators.Categorical
-import graft.sources.Csv
+import graft.sources.{Csv, Jsonl}
 import graft.sources.Csv.ParserOptions
 
 /** CSV front-door coverage (SURVEY §2.1): strict / maybe reads, header
@@ -187,7 +187,37 @@ object CsvQueries {
         |4,2024-12-31 23:59:59,NA
         |""".stripMargin)
 
+  /** JSONL round trip ([[graft.sources.Jsonl]]): the documents table is
+    * written as JSON-Lines shards and strict-read back with its explicit
+    * schema; the per-(lang, source) stats — including min/max/summed
+    * lengths of the text payload itself — are computed from the
+    * ROUND-TRIPPED data while the oracle computes them from the original
+    * parquet, so any escaping or type mangling in either direction
+    * breaks the hash compare. */
+  val q62_jsonl_io = QueryDef(
+    "q62_jsonl_io",
+    (s, dir) => {
+      val docs = graft.Tables(s, dir).documents
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${Integer.toHexString(dir.hashCode)}"
+      Jsonl.writeJsonl(docs, tmp)
+      Jsonl.readJsonl(s, tmp, docs.schema)
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"),
+          min(col("text")).as("min_text"),
+          max(col("text")).as("max_text"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""
+      SELECT lang, source, count(*) AS n,
+             cast(sum(n_chars) as bigint) AS sum_chars,
+             cast(sum(length(text)) as bigint) AS sum_len,
+             min(text) AS min_text, max(text) AS max_text
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
   val all: Seq[QueryDef] = Seq(
     q28_csv_strict, q29_csv_maybe, q30_csv_managers, q31_csv_noheader,
-    q32_csv_categorical, q33_csv_fl2_means, q39_csv_timestamp)
+    q32_csv_categorical, q33_csv_fl2_means, q39_csv_timestamp, q62_jsonl_io)
 }
