@@ -1422,6 +1422,40 @@ object Relational {
       FROM lineitem, b
       GROUP BY 1 ORDER BY 1"""))
 
+  /** One-pass column profiler ([[graft.operators.Profile]]): the
+    * ingest-time corpus sanity report — per-column rows / nulls / exact
+    * distincts / typed extremes / mean string length, all from a single
+    * scan and one mergeable aggregation. The oracle computes each
+    * column's row independently and unions them. */
+  val q63_profile = QueryDef(
+    "q63_profile",
+    (s, dir) =>
+      graft.operators.Profile
+        .profile(Tables(s, dir).documents,
+          Seq("doc_id", "lang", "n_chars", "source", "text"))
+        .orderBy(col("col_name")),
+    Some {
+      def num(c: String) = s"""
+        SELECT '$c' AS col_name, count(*) AS n_rows,
+               count(*) - count($c) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               cast(min($c) as double) AS min_num,
+               cast(max($c) as double) AS max_num,
+               cast(NULL as varchar) AS min_str, cast(NULL as varchar) AS max_str,
+               cast(NULL as double) AS avg_len
+        FROM documents"""
+      def str(c: String) = s"""
+        SELECT '$c' AS col_name, count(*) AS n_rows,
+               count(*) - count($c) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               cast(NULL as double) AS min_num, cast(NULL as double) AS max_num,
+               min($c) AS min_str, max($c) AS max_str,
+               round(cast(sum(length($c)) as double) / count($c), 6) AS avg_len
+        FROM documents"""
+      Seq(num("doc_id"), str("lang"), num("n_chars"), str("source"), str("text"))
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    })
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1436,5 +1470,5 @@ object Relational {
     q49_subqueries, q50_date_funcs, q51_hll_distinct, q52_funnel,
     q53_salted_join, q54_cms_topk, q55_bloom_join, q56_zorder_key,
     q57_merge_upsert, q58_scd2, q59_resample_ffill, q60_fuzzy_join,
-    q61_quantile_bins)
+    q61_quantile_bins, q63_profile)
 }

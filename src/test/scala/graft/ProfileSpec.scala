@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+/** One-pass profiler semantics and scale shape. */
+class ProfileSpec extends SparkSpec {
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (1L, Some("aa"), Some(2.0)),
+      (2L, None, Some(4.0)),
+      (3L, Some("bbbb"), None),
+      (4L, Some("aa"), Some(8.0))
+    ).toDF("id", "s", "v")
+  }
+
+  test("null, distinct, and extreme accounting") {
+    val p = Profile.profile(df, Seq("id", "s", "v"))
+      .orderBy("col_name").collect()
+    val byName = p.map(r => r.getString(0) -> r).toMap
+    val id = byName("id")
+    assert(id.getLong(1) == 4 && id.getLong(2) == 0 && id.getLong(3) == 4)
+    assert(id.getDouble(4) == 1.0 && id.getDouble(5) == 4.0)
+    val s = byName("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.getString(6) == "aa" && s.getString(7) == "bbbb")
+    // avg_len over non-null values: (2 + 4 + 2) / 3
+    assert(math.abs(s.getDouble(8) - 8.0 / 3) < 1e-6)
+    val v = byName("v")
+    assert(v.getLong(2) == 1 && v.getDouble(4) == 2.0 && v.getDouble(5) == 8.0)
+    assert(v.isNullAt(6) && v.isNullAt(7) && v.isNullAt(8))
+  }
+
+  test("approx mode agrees on tiny data and plans without Expand") {
+    val approx = Profile.profile(df, Seq("id", "s", "v"), exactDistinct = false)
+    assert(approx.orderBy("col_name").collect().map(_.getLong(3)).toSeq ==
+      Seq(4L, 2L, 3L))
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "approx profile must stay one-pass mergeable")
+  }
+}
