@@ -34,6 +34,20 @@ object TextFunctions {
   /** Distinct lowercase tokens — the unigram set for Jaccard. */
   def tokenSet(text: Column): Column = array_distinct(tokens(lower(text)))
 
+  /** Space-joined word n-grams over a token array, scan-local: element
+    * i of the result is tokens[i..i+n-1], for every full window. Built
+    * from indexed `transform` + `filter`, so it composes into the same
+    * whole-stage-codegen pass as the tokenizer — n-gram extraction over
+    * a corpus never shuffles, only the downstream count does. */
+  def ngrams(ts: Column, n: Int): Column = {
+    require(n >= 1, s"need n >= 1; got $n")
+    filter(
+      transform(ts, (_, i) =>
+        when(i <= size(ts) - n,
+          concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))),
+      g => g.isNotNull)
+  }
+
   /** GPT-2-style BPE pretokenizer (simplified): contractions, optional
     * leading space + letter runs / digit runs / punctuation runs, then
     * whitespace runs. Deliberately lookahead-free so Java regex and RE2

@@ -1201,6 +1201,32 @@ $langScoreCols
       FROM folded ORDER BY doc_id"""),
     bench = true)
 
+  /** Corpus-wide top-k word bigrams ([[graft.functions.TextFunctions
+    * .ngrams]]): the n-gram census behind contamination screens, boilerplate
+    * detection, and LM vocabulary studies. n-gram generation is scan-local
+    * (indexed transform inside codegen); the only shuffle is the
+    * high-cardinality (ngram) count, and the top-k plans as
+    * TakeOrderedAndProject — per-partition heaps, no global sort. */
+  val t13_ngram_topk = QueryDef(
+    "t13_ngram_topk",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(explode(graft.functions.TextFunctions.ngrams(
+          graft.functions.TextFunctions.tokens(lower(col("text"))), 2)).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(50),
+    Some("""
+      WITH toks AS (
+        SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      bg AS (
+        SELECT ts[i] || ' ' || ts[i + 1] AS ngram
+        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks))
+      SELECT ngram, count(*) AS n FROM bg
+      GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50"""))
+
   /** Per-source distribution drift ([[graft.operators.TfIdf.klDrift]]):
     * KL(P_source || P_corpus) over unigram token distributions — the
     * mixture-diagnostics health check that catches a drifting scraper or
@@ -1342,7 +1368,7 @@ $langScoreCols
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
-    t10_chunk_overlap, t11_bm25, t12_lm_quality,
+    t10_chunk_overlap, t11_bm25, t12_lm_quality, t13_ngram_topk,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
