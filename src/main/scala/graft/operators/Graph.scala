@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link analysis over edge lists: PageRank in QUANTIZED integer space.
+  *
+  * Web-corpus curation uses link centrality as a quality prior (the
+  * original PageRank use), and a reproducible pipeline stage needs the
+  * same ranks on every run, partitioning, and engine — so, like
+  * [[Clustering]], every step is exact integer arithmetic: ranks are
+  * longs scaled by `scale`, per-edge contributions are integer
+  * divisions, damping is an integer multiply-then-divide. Truncating
+  * division is identical in Spark (`div`) and DuckDB (`//`) for the
+  * non-negative operands here, so iterations replay bit-for-bit in the
+  * oracle.
+  *
+  * Semantics per iteration (rank mass normalized to N×scale):
+  *   contrib(v) = Σ_{u→v} r(u) div outdeg(u)
+  *   dangling   = Σ_{outdeg(u)=0} r(u)      (redistributed uniformly)
+  *   r'(v)      = (den−num)×scale div den
+  *              + num×(contrib(v) + dangling div N) div den
+  *
+  * Scale shape per iteration — the Pregel-style contract:
+  *   - one (node) equi-join of ranks onto the out-degree-annotated edge
+  *     list and one (dst) keyed aggregation of long scalars (map-side
+  *     partial sums; vertex data never rides edges more than once);
+  *   - the dangling mass is ONE driver scalar (bounded) via an
+  *     anti-join aggregate;
+  *   - ranks are `localCheckpoint`ed each round: the plan would
+  *     otherwise reference the previous round's frame twice and double
+  *     per iteration. Ranks are corpus-sized (unlike k-means' k
+  *     centroids) so they cannot land on the driver — at 100 TB point
+  *     `spark.checkpoint.dir` at durable storage and use `checkpoint`
+  *     instead (same contract, executor-loss-safe).
+  */
+object Graph {
+
+  /** (node, pr) after `iters` damped PageRank rounds over the distinct
+    * directed edges in `edges`. Node ids must be non-negative longs;
+    * disambiguate multi-entity graphs (e.g. customer vs supplier keys)
+    * by tagging ids before the call. */
+  def pagerankQuantized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      scale: Long = 1000000L,
+      dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampDen > 0 && scale > 0,
+      s"bad pagerank params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val ew = e.join(outdeg, Seq("src"))
+    val n = nodes.count()
+    val teleport = (dampDen - dampNum) * scale / dampDen
+
+    var ranks = nodes.withColumn("pr", lit(scale))
+    if (n == 0) return ranks
+    for (_ <- 0 until iters) {
+      val dangling = ranks
+        .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L))).collect()(0).getLong(0)
+      val contribs = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"), expr("pr div odeg").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__c"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"$dampNum * (coalesce(__c, 0L) + ${dangling / n}L) div $dampDen")
+          ).as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

@@ -1261,6 +1261,61 @@ $langScoreCols
              round(list_reduce(list_prepend(0.0, vs), (s, t) -> s + t), 6) AS kl
       FROM folded ORDER BY source"""))
 
+  /** Exact oracle for g01: DuckDB replays quantized PageRank verbatim —
+    * same integer teleport/damping/truncating-division formula per
+    * round, one CTE pair (dangling scalar + contribution sums) per
+    * iteration. `//` in DuckDB = `div` in Spark for these non-negative
+    * longs. */
+  private def pagerankOracle(iters: Int, scale: Long, num: Long, den: Long): String = {
+    val teleport = (den - num) * scale / den
+    val rounds = (1 to iters).map { i =>
+      s"""
+      d$i AS (
+        SELECT cast(coalesce(sum(pr), 0) AS BIGINT) AS dang
+        FROM r${i - 1} LEFT JOIN odeg ON node = src WHERE src IS NULL),
+      c$i AS (
+        SELECT dst AS node, cast(sum(pr // odeg) AS BIGINT) AS c
+        FROM e JOIN odeg USING (src) JOIN r${i - 1} ON e.src = r${i - 1}.node
+        GROUP BY 1),
+      r$i AS (
+        SELECT nodes.node,
+               cast($teleport + ($num * (coalesce(c, 0)
+                 + (SELECT dang FROM d$i) // (SELECT n FROM nn))) // $den
+                 AS BIGINT) AS pr
+        FROM nodes LEFT JOIN c$i USING (node))"""
+    }.mkString(",")
+    s"""
+      WITH e AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nodes AS (
+        SELECT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+      odeg AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT node, cast($scale AS BIGINT) AS pr FROM nodes),
+      $rounds
+      SELECT node, pr FROM r$iters ORDER BY node"""
+  }
+
+  /** Quantized PageRank ([[graft.operators.Graph.pagerankQuantized]])
+    * over the customer→supplier trade graph (keys tagged even/odd to
+    * keep the two entity spaces disjoint): 3 damped rounds with uniform
+    * dangling-mass redistribution, every step exact integer arithmetic
+    * — link-centrality quality priors that reproduce bit-for-bit. */
+  val g01_pagerank = QueryDef(
+    "g01_pagerank",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val orders = t.orders
+      val li = t.lineitem
+      val edges = orders
+        .join(li, orders("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.operators.Graph.pagerankQuantized(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    },
+    Some(pagerankOracle(iters = 3, scale = 1000000L, num = 85, den = 100)))
+
   /** Exact oracle for d10: DuckDB replays quantized k-means verbatim —
     * same 1e6 grid, integer distances via list_reduce, argmin with the
     * cluster-id tie-break, truncating-integer-mean update — with the
@@ -1376,5 +1431,6 @@ $langScoreCols
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
-    p08_kl_drift)
+    p08_kl_drift,
+    g01_pagerank)
 }
