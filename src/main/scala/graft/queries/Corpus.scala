@@ -1261,6 +1261,41 @@ $langScoreCols
              round(list_reduce(list_prepend(0.0, vs), (s, t) -> s + t), 6) AS kl
       FROM folded ORDER BY source"""))
 
+  /** Hashed linear quality model ([[graft.operators.Scoring
+    * .hashedLinearScore]]): the fastText/CCNet-style model-scored
+    * quality filter — hashing-trick buckets, closed-form weights,
+    * bucket-sorted fixed-order logit fold, sigmoid. The oracle replays
+    * the bucket hash through the xxhash64 emulation (dim = 64 is a
+    * power of two, so HUGEINT-mod equals Spark's signed pmod). */
+  val t14_quality_model = QueryDef(
+    "t14_quality_model",
+    (s, dir) =>
+      graft.operators.Scoring
+        .hashedLinearScore(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      base AS (SELECT doc_id, cast(len(ts) AS BIGINT) AS dl FROM toks),
+      tb AS (
+        SELECT doc_id, cast((${OracleSql.xxh64Ascii("tok")}) % 64 AS BIGINT) AS b
+        FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)),
+      bm AS (SELECT doc_id, b, cast(count(*) AS BIGINT) AS m FROM tb GROUP BY 1, 2),
+      bv AS (
+        SELECT doc_id,
+               list(cast(m AS DOUBLE) * (cast((b * 37 + 11) % 101 - 50 AS DOUBLE) / 100.0)
+                    ORDER BY b) AS vs
+        FROM bm GROUP BY 1),
+      z AS (
+        SELECT doc_id, list_reduce(list_prepend(0.0, vs), (s, t) -> s + t) AS zz
+        FROM bv)
+      SELECT base.doc_id, dl,
+             round(1.0 / (1.0 + exp(-(coalesce(zz / cast(dl AS DOUBLE), 0.0)))), 6)
+               AS quality_prob
+      FROM base LEFT JOIN z ON base.doc_id = z.doc_id
+      ORDER BY base.doc_id"""))
+
   /** Exact oracle for g01: DuckDB replays quantized PageRank verbatim —
     * same integer teleport/damping/truncating-division formula per
     * round, one CTE pair (dangling scalar + contribution sums) per
@@ -1424,6 +1459,7 @@ $langScoreCols
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
     t10_chunk_overlap, t11_bm25, t12_lm_quality, t13_ngram_topk,
+    t14_quality_model,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
