@@ -52,24 +52,23 @@ object Dedup {
   /* `idCol` must uniquely identify rows (it is the document identity the
    * candidate pairs and verify joins key on); duplicate ids fan out the
    * verify join — dedupe upstream with [[exact]] first. */
-  def minhashPairs(
+  /** The LSH index rows for a frame: (idCol, band, bh) — blank docs
+    * excluded (wordShingles of an empty token array is [""], one
+    * degenerate shingle that would bucket every empty document together
+    * in every band). The banding payload is three scalars per (row,
+    * band); shingle arrays never leave the scan stage. */
+  private def bandedKeys(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 3,
-      numHashes: Int = 64,
-      bands: Int = 16,
-      seed: Long = 42L,
-      maxBucket: Int = 1000): DataFrame = {
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int,
+      seed: Long): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // blank docs first: wordShingles of an empty token array is [""]
-    // (one degenerate shingle), which would put every empty/whitespace
-    // document into the same bucket of every band
-    val sets = df
-      .filter(trim(col(textCol)) =!= "")
+    df.filter(trim(col(textCol)) =!= "")
       .select(col(idCol), wordShingles(col(textCol), shingleSize).as("__sh"))
-    val banded = sets
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
       .select(
         col(idCol),
@@ -81,6 +80,19 @@ object Dedup {
               xxhash64(concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows))))
                 .as("bh")))).as("__band"))
       .select(col(idCol), col("__band.band"), col("__band.bh"))
+  }
+
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val banded = bandedKeys(df, idCol, textCol, shingleSize, numHashes, bands, seed)
     // cap pathological buckets (all-identical spam clusters)
     val capped = banded
       .withColumn(
@@ -111,6 +123,70 @@ object Dedup {
             wordShingles(col("__t_a"), shingleSize),
             wordShingles(col("__t_b"), shingleSize)),
           6).as("jaccard"))
+  }
+
+  /** Incremental (shard-vs-corpus) dedup — the op a continual-ingest
+    * pipeline runs on every new crawl drop: classify each batch row as
+    *   - `exact_dup`: its whitespace-normalized lowercase text already
+    *     exists in the corpus (dup_of = lowest matching corpus id);
+    *   - `near_dup`: a minhash band collides with a corpus row AND the
+    *     exact shingle-Jaccard (round 6) is >= `tau` (dup_of = lowest
+    *     verified corpus id);
+    *   - `novel`: neither.
+    * One row per batch row, exact-first precedence.
+    *
+    * Scale shape — deliberately ASYMMETRIC, unlike [[minhashPairs]]:
+    * the corpus side reduces to two precomputable indexes — (normalized
+    * hash -> min id) and the (id, band, bh) LSH rows from
+    * [[bandedKeys]] — which at 100 TB are built once, stored bucketed
+    * on their join keys, and only APPENDED to as batches commit. Each
+    * daily batch (orders of magnitude smaller) joins those indexes;
+    * AQE broadcasts the batch side of every join. Verification
+    * re-shingles only candidate-matched rows. No bucket cap: spam
+    * clusters should be removed by the exact layer upstream — a cap
+    * here would silently let near-dups through. */
+  def incrementalDedup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      tau: Double = 0.4): DataFrame = {
+    def norm(c: Column) = regexp_replace(lower(trim(c)), "\\s+", " ")
+    val corpusNorm = corpus
+      .select(norm(col(textCol)).as("__n"), col(idCol).as("__cid"))
+      .groupBy(col("__n")).agg(min(col("__cid")).as("__exact_of"))
+    val exactHit = batch
+      .select(col(idCol), norm(col(textCol)).as("__n"))
+      .join(corpusNorm, Seq("__n"), "left")
+      .select(col(idCol), col("__exact_of"))
+    val cb = bandedKeys(corpus, idCol, textCol, shingleSize, numHashes, bands, seed)
+    val bb = bandedKeys(batch, idCol, textCol, shingleSize, numHashes, bands, seed)
+    val cand = bb.select(col("band"), col("bh"), col(idCol).as("__bid"))
+      .join(cb.select(col("band"), col("bh"), col(idCol).as("__cid")), Seq("band", "bh"))
+      .select(col("__bid"), col("__cid"))
+      .distinct()
+    val nearHit = cand
+      .join(batch.select(col(idCol).as("__bid"), col(textCol).as("__tb")), Seq("__bid"))
+      .join(corpus.select(col(idCol).as("__cid"), col(textCol).as("__tc")), Seq("__cid"))
+      .filter(
+        round(jaccard(
+          wordShingles(col("__tb"), shingleSize),
+          wordShingles(col("__tc"), shingleSize)), 6) >= tau)
+      .groupBy(col("__bid")).agg(min(col("__cid")).as("__near_of"))
+      .withColumnRenamed("__bid", idCol)
+    batch.select(col(idCol))
+      .join(exactHit, Seq(idCol), "left")
+      .join(nearHit, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        when(col("__exact_of").isNotNull, lit("exact_dup"))
+          .when(col("__near_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("novel")).as("status"),
+        coalesce(col("__exact_of"), col("__near_of")).as("dup_of"))
   }
 
   /** 64-bit SimHash over token hashes: bit j of the result is the sign of

@@ -300,7 +300,9 @@ $langScoreCols
     * LSH index itself, not just the verified output. The 64 inner seeds
     * are constants (hashLong(42+i, 42)): computed here with Spark's own
     * XXH64 and inlined as literals. */
-  private val d03Oracle: String = {
+  private val d03Oracle: String = minhashPairsOracle(1000)
+
+  private def minhashPairsOracle(cap: Long): String = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val M = BigInt(1) << 64
     val seeds = (0 until 64)
@@ -331,7 +333,7 @@ $langScoreCols
         SELECT doc_id, bs.band AS band,
                ${OracleSql.xxh64Ascii("array_to_string(list_slice(sig, 4*bs.band + 1, 4*bs.band + 4), ',')")} AS bh
         FROM sigarr CROSS JOIN (SELECT unnest(range(16)) AS band) bs
-        QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= 1000),
+        QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= $cap),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -1261,6 +1263,49 @@ $langScoreCols
              round(list_reduce(list_prepend(0.0, vs), (s, t) -> s + t), 6) AS kl
       FROM folded ORDER BY source"""))
 
+  /** Incremental shard-vs-corpus dedup ([[Dedup.incrementalDedup]]):
+    * the continual-ingest classifier — every "new crawl" row (doc_id
+    * divisible by 5 simulates the daily batch) is marked exact_dup /
+    * near_dup / novel against the remaining corpus. The oracle reuses
+    * the full minhash pair replay (uncapped — the operator has no
+    * bucket cap) and keeps only cross-split pairs, plus the normalized
+    * exact layer. */
+  val p09_incremental_dedup = QueryDef(
+    "p09_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup
+        .incrementalDedup(
+          corpus = docs.filter(col("doc_id") % 5 =!= 0),
+          batch = docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH pairs AS (SELECT * FROM (${minhashPairsOracle(1000000000L)}) __mh),
+      cn AS (
+        SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n,
+               min(doc_id) AS cid
+        FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+      ex AS (
+        SELECT b.doc_id, cn.cid AS exact_of
+        FROM documents b LEFT JOIN cn
+          ON regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g') = cn.n
+        WHERE b.doc_id % 5 = 0),
+      nr AS (
+        SELECT bid, min(cid) AS near_of FROM (
+          SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS bid,
+                 CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS cid
+          FROM pairs WHERE (id_a % 5 = 0) <> (id_b % 5 = 0))
+        GROUP BY 1)
+      SELECT ex.doc_id,
+             CASE WHEN exact_of IS NOT NULL THEN 'exact_dup'
+                  WHEN near_of IS NOT NULL THEN 'near_dup'
+                  ELSE 'novel' END AS status,
+             coalesce(exact_of, near_of) AS dup_of
+      FROM ex LEFT JOIN nr ON ex.doc_id = nr.bid
+      ORDER BY ex.doc_id"""))
+
   /** Hashed linear quality model ([[graft.operators.Scoring
     * .hashedLinearScore]]): the fastText/CCNet-style model-scored
     * quality filter — hashing-trick buckets, closed-form weights,
@@ -1467,6 +1512,6 @@ $langScoreCols
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
-    p08_kl_drift,
+    p08_kl_drift, p09_incremental_dedup,
     g01_pagerank)
 }

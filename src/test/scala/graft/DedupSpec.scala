@@ -229,4 +229,26 @@ class DedupSpec extends SparkSpec {
       .toSet
     assert(got == Set((1L, 100L, 1L)))
   }
+
+  test("incrementalDedup classifies exact before near, else novel") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "completely unrelated corpus text body"),
+      (3L, "THE QUICK  brown fox jumps over the dog")) // norm-equal to 1
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "  the quick brown FOX jumps over the dog "), // exact (normalized) → 1
+      (20L, "the quick brown fox jumps over the cat"),    // near of 1 (7/9 shingles)
+      (30L, "nothing like anything in the corpus at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup
+      .incrementalDedup(corpus, batch, "doc_id", "text", tau = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      (10L, "exact_dup", 1L),
+      (20L, "near_dup", 1L),
+      (30L, "novel", -1L)))
+  }
 }
