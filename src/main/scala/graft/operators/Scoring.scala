@@ -10,21 +10,20 @@ import graft.functions.TextFunctions
   * pure Spark expressions.
   *
   * The hashing trick maps each token to one of `dim` buckets via
-  * `pmod(xxhash64(token), dim)`; the document logit is the
-  * weight-vector dot product with the bucket-count vector, averaged
-  * over document length, squashed by a sigmoid. At 100 TB this is the
-  * shape that matters: no vocabulary table, no model join — weights
-  * enter the plan as a closed-form expression (or a broadcast literal
-  * array for a trained model), and scoring fuses into the scan's
-  * codegen up to one (doc, bucket) count aggregation.
+  * `pmod(xxhash64(token), dim)`; the document logit is the sum of
+  * bucket weights over the document's tokens, averaged over document
+  * length, squashed by a sigmoid. At 100 TB this is the shape that
+  * matters: no vocabulary table, no model join, and NO SHUFFLE AT ALL —
+  * scoring is a pure projection (tokenize → bucket → sorted fold) that
+  * fuses into the scan and therefore also runs UNCHANGED in Structured
+  * Streaming (a stateless select; see StreamingSpec).
   *
-  * Determinism contract (the same one as unigramLmScore): bucket
-  * counts are exact longs; the per-document reduction folds
-  * (bucket-sorted, fixed seed) so every double addition happens in one
-  * documented order — scores are bit-stable under any partitioning and
-  * replay exactly in DuckDB via the xxhash64 emulation. `dim` must be a
-  * power of two so unsigned-mod (DuckDB HUGEINT) and pmod (Spark
-  * signed) agree.
+  * Determinism contract (the same one as unigramLmScore): the per-row
+  * fold runs over the SORTED bucket array, so every double addition
+  * happens in one documented order — scores are bit-stable under any
+  * partitioning and replay exactly in DuckDB via the xxhash64
+  * emulation. `dim` must be a power of two so unsigned-mod (DuckDB
+  * HUGEINT) and pmod (Spark signed) agree.
   */
 object Scoring {
 
@@ -43,26 +42,20 @@ object Scoring {
       dim: Int = 64,
       weightOf: Column => Column = defaultWeights): DataFrame = {
     require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two; got $dim")
-    val toks = docs.select(
-      col(idCol),
-      TextFunctions.tokens(lower(col(textCol))).as("__ts"))
-    val base = toks.select(col(idCol), size(col("__ts")).cast("long").as("dl"))
-    val logits = toks
-      .select(col(idCol), explode(col("__ts")).as("__t"))
-      .select(col(idCol), pmod(xxhash64(col("__t")), lit(dim.toLong)).as("__b"))
-      .groupBy(col(idCol), col("__b"))
-      .agg(count(lit(1)).as("__m"))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(
-        col("__b"),
-        (col("__m").cast("double") * weightOf(col("__b"))).as("__v")))).as("__bv"))
-      .select(col(idCol),
-        aggregate(col("__bv"), lit(0.0), (acc, e) => acc + e.getField("__v")).as("__s"))
-    base
-      .join(logits, Seq(idCol), "left")
+    docs
+      .select(
+        col(idCol),
+        array_sort(transform(
+          TextFunctions.tokens(lower(col(textCol))),
+          t => pmod(xxhash64(t), lit(dim.toLong)))).as("__bs"))
+      .select(
+        col(idCol),
+        size(col("__bs")).cast("long").as("dl"),
+        aggregate(col("__bs"), lit(0.0), (acc, b) => acc + weightOf(b)).as("__s"))
       .select(col(idCol), col("dl"),
         round(lit(1.0) / (lit(1.0) +
-          exp(-coalesce(col("__s") / col("dl").cast("double"), lit(0.0)))), 6)
+          exp(-when(col("dl") === 0, lit(0.0))
+            .otherwise(col("__s") / col("dl").cast("double")))), 6)
           .as("quality_prob"))
   }
 }

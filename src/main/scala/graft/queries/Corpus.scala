@@ -1309,9 +1309,10 @@ $langScoreCols
   /** Hashed linear quality model ([[graft.operators.Scoring
     * .hashedLinearScore]]): the fastText/CCNet-style model-scored
     * quality filter — hashing-trick buckets, closed-form weights,
-    * bucket-sorted fixed-order logit fold, sigmoid. The oracle replays
-    * the bucket hash through the xxhash64 emulation (dim = 64 is a
-    * power of two, so HUGEINT-mod equals Spark's signed pmod). */
+    * sorted-bucket fixed-order logit fold, sigmoid; a pure projection,
+    * zero shuffle. The oracle replays the bucket hash through the
+    * xxhash64 emulation (dim = 64 is a power of two, so HUGEINT-mod
+    * equals Spark's signed pmod) and folds the same sorted order. */
   val t14_quality_model = QueryDef(
     "t14_quality_model",
     (s, dir) =>
@@ -1322,24 +1323,23 @@ $langScoreCols
       WITH toks AS (
         SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
         FROM documents),
-      base AS (SELECT doc_id, cast(len(ts) AS BIGINT) AS dl FROM toks),
-      tb AS (
-        SELECT doc_id, cast((${OracleSql.xxh64Ascii("tok")}) % 64 AS BIGINT) AS b
-        FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)),
-      bm AS (SELECT doc_id, b, cast(count(*) AS BIGINT) AS m FROM tb GROUP BY 1, 2),
-      bv AS (
-        SELECT doc_id,
-               list(cast(m AS DOUBLE) * (cast((b * 37 + 11) % 101 - 50 AS DOUBLE) / 100.0)
-                    ORDER BY b) AS vs
-        FROM bm GROUP BY 1),
+      bs AS (
+        SELECT doc_id, cast(len(ts) AS BIGINT) AS dl,
+               list_sort(list_transform(ts,
+                 tok -> cast((${OracleSql.xxh64Ascii("tok")}) % 64 AS BIGINT))) AS b
+        FROM toks),
       z AS (
-        SELECT doc_id, list_reduce(list_prepend(0.0, vs), (s, t) -> s + t) AS zz
-        FROM bv)
-      SELECT base.doc_id, dl,
-             round(1.0 / (1.0 + exp(-(coalesce(zz / cast(dl AS DOUBLE), 0.0)))), 6)
+        SELECT doc_id, dl,
+               list_reduce(list_prepend(0.0,
+                 list_transform(b,
+                   __b -> cast((__b * 37 + 11) % 101 - 50 AS DOUBLE) / 100.0)),
+                 (s, t) -> s + t) AS zz
+        FROM bs)
+      SELECT doc_id, dl,
+             round(1.0 / (1.0 + exp(-(CASE WHEN dl = 0 THEN 0.0
+                                           ELSE zz / cast(dl AS DOUBLE) END))), 6)
                AS quality_prob
-      FROM base LEFT JOIN z ON base.doc_id = z.doc_id
-      ORDER BY base.doc_id"""))
+      FROM z ORDER BY doc_id"""))
 
   /** Exact oracle for g01: DuckDB replays quantized PageRank verbatim —
     * same integer teleport/damping/truncating-division formula per

@@ -289,6 +289,29 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq == Seq((1L, 6.0), (2L, 2.0), (3L, 0.0)))
     } finally q.stop()
   }
+
+  test("hashedLinearScore streams over a JSONL file source, equal to batch") {
+    // The scorer is a pure projection (zero shuffle), so the SAME call
+    // runs as a stateless streaming select over an ingest directory —
+    // the live quality-filter deployment shape.
+    val docs = Tables(spark, sf0001).documents
+    val dir = Files.createTempDirectory("graft-jsonl-stream").toString
+    graft.sources.Jsonl.writeJsonl(docs, dir)
+    val stream = spark.readStream.schema(docs.schema).json(dir)
+    val q = graft.operators.Scoring.hashedLinearScore(stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("scored_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("scored_stream").orderBy("doc_id").collect()
+      val batch = graft.operators.Scoring.hashedLinearScore(docs, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      assert(streaming.toSeq == batch.toSeq)
+      assert(streaming.length == docs.count())
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
