@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Rule-based document filtering — the Gopher/C4/RefinedWeb-style
+  * heuristic gate every web corpus passes through before model-based
+  * scoring. Each rule is an independent boolean over the scan-local
+  * quality kernels ([[graft.functions.TextFunctions]]); the output
+  * keeps per-rule verdicts (for funnel diagnostics — which rule kills
+  * how much) plus the conjunction.
+  *
+  * Scale shape: a pure projection. Every signal is a native one-pass
+  * kernel (TextStats / TokenCounts) and identical kernel calls are
+  * subexpression-eliminated, so the whole rule set costs one sweep per
+  * row inside whole-stage codegen — no shuffle, no UDF, and the same
+  * call runs as a stateless streaming select.
+  *
+  * Thresholds are deterministic double comparisons over exact integer
+  * counts (single divisions — no summation-order sensitivity), so
+  * verdicts replay exactly cross-engine.
+  */
+object Curation {
+
+  /** Gopher-inspired thresholds, adapted to whitespace-token text. */
+  final case class RuleThresholds(
+      minWords: Int = 3,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 1.0,
+      maxMeanWordLen: Double = 10.0,
+      minAlphaRatio: Double = 0.5,
+      maxDigitRatio: Double = 0.2,
+      maxTopTokenRatio: Double = 0.3,
+      minStopwords: Int = 2,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is"))
+
+  /** (idCol, n_words, r_word_count, r_word_len, r_alpha, r_digit,
+    * r_repetition, r_stopwords, keep) — keep = every rule passes. */
+  def ruleFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      t: RuleThresholds = RuleThresholds()): DataFrame = {
+    val text = col(textCol)
+    val nWords = tokenCount(text).cast("long")
+    val sw = array(t.stopwords.map(lit): _*)
+    val nStop = size(filter(sw, w => array_contains(tokens(lower(text)), w)))
+    docs.select(
+        col(idCol),
+        nWords.as("n_words"),
+        (nWords >= t.minWords && nWords <= t.maxWords).as("r_word_count"),
+        (meanTokenLength(text) >= t.minMeanWordLen &&
+          meanTokenLength(text) <= t.maxMeanWordLen).as("r_word_len"),
+        (alphaRatio(text) >= t.minAlphaRatio).as("r_alpha"),
+        (digitRatio(text) <= t.maxDigitRatio).as("r_digit"),
+        (topTokenRatio(text) <= t.maxTopTokenRatio).as("r_repetition"),
+        (nStop >= t.minStopwords).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_word_len") && col("r_alpha") &&
+          col("r_digit") && col("r_repetition") && col("r_stopwords"))
+  }
+}

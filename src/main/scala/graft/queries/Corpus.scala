@@ -1263,6 +1263,49 @@ $langScoreCols
              round(list_reduce(list_prepend(0.0, vs), (s, t) -> s + t), 6) AS kl
       FROM folded ORDER BY source"""))
 
+  /** Gopher/C4-style rule filter ([[graft.operators.Curation
+    * .ruleFilter]]): per-rule verdicts + keep, all from one in-scan
+    * kernel sweep. The oracle reuses the exact t01/t02/t06 signal
+    * formulas, so threshold comparisons replay bit-for-bit. */
+  val t15_rule_filter = QueryDef(
+    "t15_rule_filter",
+    (s, dir) =>
+      graft.operators.Curation
+        .ruleFilter(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH sig AS (
+        SELECT doc_id,
+          cast(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nw,
+          length(replace(text, ' ', '')) * 1.0
+            / (length(text) - length(replace(text, ' ', '')) + 1) AS mwl,
+          (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0
+            / length(text) AS alpha,
+          (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+            / length(text) AS digit,
+          list_filter(string_split(lower(text), ' '), __t -> __t <> '') AS ts
+        FROM documents),
+      sig2 AS (
+        SELECT doc_id, nw, mwl, alpha, digit,
+          CASE WHEN len(ts) = 0 THEN 0.0
+               ELSE list_max(list_transform(list_distinct(ts),
+                      __t -> len(list_filter(ts, __x -> __x = __t)))) * 1.0 / len(ts)
+          END AS toprat,
+          len(list_filter(['the','a','and','of','to','in','is'],
+                          __w -> list_contains(ts, __w))) AS nstop
+        FROM sig)
+      SELECT doc_id, nw AS n_words,
+             nw >= 3 AND nw <= 100000 AS r_word_count,
+             mwl >= 1.0 AND mwl <= 10.0 AS r_word_len,
+             alpha >= 0.5 AS r_alpha,
+             digit <= 0.2 AS r_digit,
+             toprat <= 0.3 AS r_repetition,
+             nstop >= 2 AS r_stopwords,
+             (nw >= 3 AND nw <= 100000) AND (mwl >= 1.0 AND mwl <= 10.0)
+               AND alpha >= 0.5 AND digit <= 0.2 AND toprat <= 0.3
+               AND nstop >= 2 AS keep
+      FROM sig2 ORDER BY doc_id"""))
+
   /** Incremental shard-vs-corpus dedup ([[Dedup.incrementalDedup]]):
     * the continual-ingest classifier — every "new crawl" row (doc_id
     * divisible by 5 simulates the daily batch) is marked exact_dup /
@@ -1504,7 +1547,7 @@ $langScoreCols
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
     t10_chunk_overlap, t11_bm25, t12_lm_quality, t13_ngram_topk,
-    t14_quality_model,
+    t14_quality_model, t15_rule_filter,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
