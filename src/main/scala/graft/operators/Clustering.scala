@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   * bounded regardless of corpus size). Without that landing the lazy
   * plan would reference the previous round twice and DOUBLE per
   * iteration; with it the lineage stays one-scan-deep per round.
+  *
+  * Input-magnitude envelope: all integer arithmetic is Long, so a dot
+  * product / squared distance sums `dims` terms of up to
+  * `(max|x| * scale)^2` each — callers must keep
+  * `dims * (max|x| * scale)^2 < 2^63`. Unit-norm embeddings at the
+  * default scale=1e6 allow dims up to ~9.2M; |x| <= 100 at 1e6 allows
+  * dims <= 922. For larger magnitudes pass a smaller `scale` (the
+  * quantization grid coarsens proportionally). A cheap driver-side
+  * check on the seed centroids rejects flagrant violations.
   */
 object Clustering {
 
@@ -75,6 +84,18 @@ object Clustering {
       q.orderBy(col(idCol).asc).limit(k).collect().toSeq.zipWithIndex.map {
         case (r, rank) => (r.getSeq[Long](1), rank)
       }
+
+    // Cheap overflow guard (driver-side, seed vectors only): the Long
+    // dot/sqdist kernels need dims * (max|coord|)^2 < 2^63. The seed is
+    // only a sample of the corpus, but it catches flagrant
+    // magnitude/scale misconfiguration for free.
+    for ((vec, _) <- centroids if vec.nonEmpty) {
+      val maxAbs = BigInt(vec.map(v => math.abs(v)).max)
+      require(maxAbs.pow(2) * vec.length < (BigInt(1) << 63),
+        s"quantized magnitude too large for Long arithmetic: " +
+          s"max|coord*scale|=$maxAbs at dims=${vec.length} would overflow " +
+          s"dot/sqdist sums; lower `scale` (see Clustering scaladoc)")
+    }
 
     // Assignment is a pure projection: one array<struct<vec,cluster>>
     // literal (a single Literal object — no k-wide codegen), a transform

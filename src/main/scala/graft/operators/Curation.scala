@@ -46,8 +46,13 @@ object Curation {
     val text = col(textCol)
     val nWords = tokenCount(text).cast("long")
     val sw = array(t.stopwords.map(lit): _*)
-    val nStop = size(filter(sw, w => array_contains(tokens(lower(text)), w)))
-    docs.select(
+    // Materialize the token array once: subexpression elimination does
+    // not reach inside lambda bodies, so referencing tokens(lower(text))
+    // in the filter predicate would re-tokenize once per stopword.
+    val nStop = size(filter(sw, w => array_contains(col("__ts"), w)))
+    docs
+      .withColumn("__ts", tokens(lower(text)))
+      .select(
         col(idCol),
         nWords.as("n_words"),
         (nWords >= t.minWords && nWords <= t.maxWords).as("r_word_count"),

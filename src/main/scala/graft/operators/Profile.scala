@@ -31,6 +31,11 @@ object Profile {
       df: DataFrame,
       columns: Seq[String],
       exactDistinct: Boolean = true): DataFrame = {
+    require(columns.nonEmpty, "Profile.profile: `columns` must be non-empty")
+    val missing = columns.filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"Profile.profile: columns not in schema: ${missing.mkString(", ")} " +
+        s"(available: ${df.schema.fieldNames.mkString(", ")})")
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
     val structs: Seq[Column] = columns.map { name =>

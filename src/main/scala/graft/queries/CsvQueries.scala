@@ -198,7 +198,10 @@ object CsvQueries {
     "q62_jsonl_io",
     (s, dir) => {
       val docs = graft.Tables(s, dir).documents
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${Integer.toHexString(dir.hashCode)}"
+      // Per-process suffix: concurrent harness runs over the same sfDir
+      // must not overwrite each other's round-trip directory mid-read.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
       Jsonl.writeJsonl(docs, tmp)
       Jsonl.readJsonl(s, tmp, docs.schema)
         .groupBy(col("lang"), col("source"))

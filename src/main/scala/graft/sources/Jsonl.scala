@@ -56,7 +56,10 @@ object Jsonl {
       col("value"),
       from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)).as("__r"))
-    val bad = col(s"__r.$corruptCol").isNotNull
+    // A literal `null` line parses to a null struct (no corrupt-record
+    // entry), so test the struct itself too — otherwise such lines
+    // fail BOTH filters and silently vanish from both channels.
+    val bad = col(s"__r.$corruptCol").isNotNull || col("__r").isNull
     (parsed.filter(!bad).select(schema.fieldNames.map(f => col(s"__r.$f")): _*),
       parsed.filter(bad).select(col("value").as(corruptCol)))
   }

@@ -44,6 +44,20 @@ class JsonlSpec extends SparkSpec {
     assert(bad == Seq("""{"id": 2 "text": "broken json"}"""))
   }
 
+  test("debug read lands a literal null line in the corrupt channel") {
+    val dir = Files.createTempDirectory("graft_jsonl_null")
+    Files.writeString(dir.resolve("part-0.jsonl"),
+      """{"id": 1, "text": "alpha"}
+        |null
+        |{"id": 3, "text": "gamma"}
+        |""".stripMargin)
+    val (clean, corrupt) = Jsonl.readJsonlDebug(spark, dir.toString, schema)
+    // from_json parses `null` to a null struct with no corrupt-record
+    // entry; it must surface on the corrupt side, not vanish.
+    assert(clean.count() == 2)
+    assert(corrupt.collect().map(_.getString(0)).toSeq == Seq("null"))
+  }
+
   test("round trip preserves rows and schema") {
     val dir = Files.createTempDirectory("graft_jsonl_rt").toString
     val docs = Tables(spark, "/root/testdata/sf0.001").documents

@@ -34,6 +34,14 @@ class ProfileSpec extends SparkSpec {
     assert(v.isNullAt(6) && v.isNullAt(7) && v.isNullAt(8))
   }
 
+  test("empty column list and unknown columns fail fast with clear messages") {
+    val e1 = intercept[IllegalArgumentException](Profile.profile(df, Seq()))
+    assert(e1.getMessage.contains("non-empty"))
+    val e2 = intercept[IllegalArgumentException](
+      Profile.profile(df, Seq("id", "nope", "wat")))
+    assert(e2.getMessage.contains("nope") && e2.getMessage.contains("wat"))
+  }
+
   test("approx mode agrees on tiny data and plans without Expand") {
     val approx = Profile.profile(df, Seq("id", "s", "v"), exactDistinct = false)
     assert(approx.orderBy("col_name").collect().map(_.getLong(3)).toSeq ==
