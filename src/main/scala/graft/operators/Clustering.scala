@@ -72,10 +72,16 @@ object Clustering {
       iters: Int,
       scale: Double = 1e6): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    // Quantize ONCE and persist: every Lloyd round (and the caller's
+    // final action) re-reads these vectors, and the quantized array is
+    // the smallest full representation of the corpus (8 x dims bytes per
+    // row, far below the raw text it derives from). MEMORY_AND_DISK
+    // spills gracefully — the standard distributed-Lloyd's input cache.
     val q = vectors.select(
       col(idCol),
       transform(col(vecCol).cast("array<double>"),
         x => round(x * lit(scale), 0).cast("long")).as("__q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Deterministic seed: the k lowest-id vectors, cluster = rank 0..k-1.
     // orderBy+limit plans as TakeOrderedAndProject (per-partition heaps),
