@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{NumericType, StringType}
+import org.apache.spark.sql.types.{DecimalType, NumericType, StringType}
 
 /** One-pass data profiling: per-column row/null/distinct counts plus
   * type-appropriate extremes — the ingest-time sanity report every
@@ -60,5 +60,66 @@ object Profile {
         structs.tail.zipWithIndex.map { case (s, i) => s.as(s"__p${i + 1}") }: _*)
       .select(explode(array(columns.indices.map(i => col(s"__p$i")): _*)).as("__p"))
       .select(col("__p.*"))
+  }
+
+  /** Pairwise Pearson correlation + population covariance over numeric
+    * columns — one row per unordered pair (col_x < col_y in `columns`
+    * order) with (col_x, col_y, n, cov_pop, corr), rounded to `roundTo`.
+    *
+    * Scale shape: ONE scan, one mergeable aggregation — all co-moments
+    * (per-column sums and pairwise product sums) accumulate as EXACT
+    * decimals in a single `agg`, so a single row crosses the exchange
+    * and results are independent of partitioning and summation order.
+    * The closed-form combine
+    * `corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))`
+    * then runs on that one row as a fixed sequence of IEEE-754 ops over
+    * exact inputs — bit-replayable cross-engine.
+    *
+    * Rows containing a null in ANY profiled column are excluded first
+    * (listwise deletion), so every pair shares the same `n`. A constant
+    * column yields NaN corr (zero variance), as in R/pandas.
+    *
+    * Magnitude envelope: values quantize to decimal(18,6) (rounding
+    * beyond 6 dp), products accumulate at decimal(38,12) — sums of
+    * |x*y| up to ~1e26 stay exact, comfortably past 100 TB row counts
+    * for typical measures. */
+  def corrMatrix(
+      df: DataFrame,
+      columns: Seq[String],
+      roundTo: Int = 6): DataFrame = {
+    require(columns.size >= 2, "corrMatrix: need at least two columns")
+    val missing = columns.filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty, s"corrMatrix: columns not in schema: ${missing.mkString(", ")}")
+    val nonNum = columns.filterNot(c => df.schema(c).dataType.isInstanceOf[NumericType])
+    require(nonNum.isEmpty, s"corrMatrix: non-numeric columns: ${nonNum.mkString(", ")}")
+
+    def dec(c: String) = col(c).cast(DecimalType(18, 6))
+    val pairs = for {
+      i <- columns.indices; j <- i until columns.size
+    } yield (columns(i), columns(j))
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n") +:
+        (columns.map(c => sum(dec(c)).cast("double").as(s"__s_$c")) ++
+          pairs.map { case (a, b) =>
+            sum(dec(a) * dec(b)).cast("double").as(s"__p_${a}__$b")
+          })
+    val nd = col("__n").cast("double")
+    def sxy(a: String, b: String) = col(s"__p_${a}__$b")
+    def s(c: String) = col(s"__s_$c")
+    val outs = for {
+      i <- columns.indices; j <- (i + 1) until columns.size
+      a = columns(i); b = columns(j)
+    } yield struct(
+      lit(a).as("col_x"),
+      lit(b).as("col_y"),
+      col("__n").as("n"),
+      round((nd * sxy(a, b) - s(a) * s(b)) / (nd * nd), roundTo).as("cov_pop"),
+      round((nd * sxy(a, b) - s(a) * s(b)) /
+        sqrt((nd * sxy(a, a) - s(a) * s(a)) * (nd * sxy(b, b) - s(b) * s(b))),
+        roundTo).as("corr"))
+    df.na.drop(columns)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(outs: _*)).as("__c"))
+      .select(col("__c.*"))
   }
 }

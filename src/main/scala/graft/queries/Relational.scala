@@ -1456,6 +1456,47 @@ object Relational {
         .mkString("", " UNION ALL ", " ORDER BY col_name")
     })
 
+  /** One-pass correlation matrix ([[graft.operators.Profile.corrMatrix]]):
+    * pairwise Pearson corr + population covariance from exact decimal
+    * co-moments — one scan, one mergeable aggregate row, the closed-form
+    * combine replayed identically by the oracle. */
+  val q64_corr_matrix = QueryDef(
+    "q64_corr_matrix",
+    (s, dir) =>
+      graft.operators.Profile
+        .corrMatrix(Tables(s, dir).lineitem,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_x"), col("col_y")),
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      // decimal(28,6): DuckDB multiplies width-18 decimals in int64 and
+      // overflows; width 28 forces int128. Values are exact either way,
+      // so the doubles match Spark's decimal(18,6) accumulation.
+      def d(c: String) = s"cast($c as decimal(28,6))"
+      val sums =
+        cols.map(c => s"cast(sum(${d(c)}) as double) AS s_$c") ++
+          (for { i <- cols.indices; j <- i until cols.size }
+            yield s"cast(sum(${d(cols(i))} * ${d(cols(j))}) as double) AS p_${cols(i)}__${cols(j)}")
+      val rows = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+        a = cols(i); b = cols(j)
+      } yield s"""
+        SELECT '$a' AS col_x, '$b' AS col_y, n,
+               round((nd * p_${a}__$b - s_$a * s_$b) / (nd * nd), 6) AS cov_pop,
+               round((nd * p_${a}__$b - s_$a * s_$b) /
+                     sqrt((nd * p_${a}__$a - s_$a * s_$a) * (nd * p_${b}__$b - s_$b * s_$b)),
+                     6) AS corr
+        FROM m"""
+      s"""
+      WITH m AS (
+        SELECT count(*) AS n, cast(count(*) as double) AS nd,
+               ${sums.mkString(",\n               ")}
+        FROM lineitem
+        WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")})
+      ${rows.mkString(" UNION ALL ")}
+      ORDER BY col_x, col_y"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1470,5 +1511,5 @@ object Relational {
     q49_subqueries, q50_date_funcs, q51_hll_distinct, q52_funnel,
     q53_salted_join, q54_cms_topk, q55_bloom_join, q56_zorder_key,
     q57_merge_upsert, q58_scd2, q59_resample_ffill, q60_fuzzy_join,
-    q61_quantile_bins, q63_profile)
+    q61_quantile_bins, q63_profile, q64_corr_matrix)
 }

@@ -42,6 +42,41 @@ class ProfileSpec extends SparkSpec {
     assert(e2.getMessage.contains("nope") && e2.getMessage.contains("wat"))
   }
 
+  test("corrMatrix matches closed-form Pearson on known data") {
+    import spark.implicits._
+    // y = 2x exactly (corr 1); z anti-correlated with x.
+    val d = Seq((1.0, 2.0, 9.0), (2.0, 4.0, 7.0), (3.0, 6.0, 5.0), (4.0, 8.0, 1.0))
+      .toDF("x", "y", "z")
+    val rows = graft.operators.Profile.corrMatrix(d, Seq("x", "y", "z"))
+      .orderBy("col_x", "col_y").collect()
+    assert(rows.length == 3)
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byPair(("x", "y")).getDouble(4) == 1.0)
+    assert(byPair(("x", "y")).getLong(2) == 4)
+    // cov_pop(x,y) = E[xy] - E[x]E[y] = 15 - 2.5*5 = 2.5
+    assert(byPair(("x", "y")).getDouble(3) == 2.5)
+    assert(byPair(("x", "z")).getDouble(4) < -0.9)
+    // null rows are excluded listwise: same n for every pair
+    val withNull = d.union(Seq((5.0, 10.0, Double.NaN)).toDF
+      .select(col("_1"), col("_2"), lit(null).cast("double")))
+    val n2 = graft.operators.Profile.corrMatrix(withNull, Seq("x", "y", "z"))
+      .collect().map(_.getLong(2)).toSet
+    assert(n2 == Set(4L))
+  }
+
+  test("corrMatrix is one scan / one aggregate and validates input") {
+    val plan = graft.operators.Profile
+      .corrMatrix(df.selectExpr("id", "v", "id * 2 as w"), Seq("id", "v", "w"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "co-moments must fuse into one aggregation")
+    intercept[IllegalArgumentException](
+      graft.operators.Profile.corrMatrix(df, Seq("id")))
+    intercept[IllegalArgumentException](
+      graft.operators.Profile.corrMatrix(df, Seq("id", "s")))
+    intercept[IllegalArgumentException](
+      graft.operators.Profile.corrMatrix(df, Seq("id", "nope")))
+  }
+
   test("approx mode agrees on tiny data and plans without Expand") {
     val approx = Profile.profile(df, Seq("id", "s", "v"), exactDistinct = false)
     assert(approx.orderBy("col_name").collect().map(_.getLong(3)).toSeq ==
