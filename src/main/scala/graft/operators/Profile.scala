@@ -122,4 +122,45 @@ object Profile {
       .select(explode(array(outs: _*)).as("__c"))
       .select(col("__c.*"))
   }
+
+  /** Equi-width histogram of a numeric column: `bins` buckets spanning
+    * [min, max], one output row per bucket — INCLUDING empty ones —
+    * with (bin, lo_edge, hi_edge, n). The max value lands in the last
+    * bucket; a constant column degenerates to everything in bin 0.
+    *
+    * Scale shape: two passes, both scale-safe. Pass 1 is a mergeable
+    * min/max aggregate (one row); that row broadcasts onto the scan, so
+    * pass 2 is scan-local arithmetic (`floor((x-lo)/(hi-lo)*bins)`,
+    * every step one IEEE op — replayable cross-engine) followed by a
+    * keyed aggregation over at most `bins` groups. The bucket spine
+    * (for empty bins) explodes off the same single bounds row. No
+    * global sort, no window, no data-sized shuffle. */
+  def histogram(df: DataFrame, column: String, bins: Int): DataFrame = {
+    require(bins > 0, s"histogram: bins must be positive, got $bins")
+    require(df.schema.fieldNames.contains(column), s"histogram: no column $column")
+    val bounds = df.na.drop(Seq(column)).agg(
+      min(col(column)).cast("double").as("__lo"),
+      max(col(column)).cast("double").as("__hi"))
+    val x = col(column).cast("double")
+    val bin = when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+      least(lit(bins - 1L),
+        floor((x - col("__lo")) / (col("__hi") - col("__lo")) * bins)))
+    val counts = df.na.drop(Seq(column))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("__cnt"))
+    val spine = bounds
+      .select(col("__lo"), col("__hi"),
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+      .select(
+        col("bin"),
+        round(col("__lo") + (col("__hi") - col("__lo")) * col("bin") / bins, 6)
+          .as("lo_edge"),
+        round(col("__lo") + (col("__hi") - col("__lo")) * (col("bin") + 1) / bins, 6)
+          .as("hi_edge"))
+    spine
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"), col("lo_edge"), col("hi_edge"),
+        coalesce(col("__cnt"), lit(0L)).as("n"))
+  }
 }

@@ -1497,6 +1497,37 @@ object Relational {
       ORDER BY col_x, col_y"""
     })
 
+  /** Equi-width histogram ([[graft.operators.Profile.histogram]]): the
+    * distribution half of the ingest profile — broadcast min/max bounds,
+    * scan-local bucket arithmetic, keyed aggregation over `bins` groups,
+    * empty buckets materialized from the bounds-row spine. */
+  val q65_histogram = QueryDef(
+    "q65_histogram",
+    (s, dir) =>
+      graft.operators.Profile
+        .histogram(Tables(s, dir).lineitem, "l_extendedprice", bins = 20)
+        .orderBy(col("bin")),
+    Some("""
+      WITH b AS (
+        SELECT cast(min(l_extendedprice) as double) AS lo,
+               cast(max(l_extendedprice) as double) AS hi
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      spine AS (
+        SELECT unnest(range(0, 20)) AS bin, lo, hi FROM b),
+      counts AS (
+        SELECT CASE WHEN hi = lo THEN 0
+                    ELSE least(19, cast(floor((cast(l_extendedprice as double) - lo)
+                                              / (hi - lo) * 20) as bigint)) END AS bin,
+               count(*) AS cnt
+        FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1)
+      SELECT spine.bin AS bin,
+             round(lo + (hi - lo) * spine.bin / 20, 6) AS lo_edge,
+             round(lo + (hi - lo) * (spine.bin + 1) / 20, 6) AS hi_edge,
+             coalesce(cnt, 0) AS n
+      FROM spine LEFT JOIN counts ON spine.bin = counts.bin
+      ORDER BY bin"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1511,5 +1542,5 @@ object Relational {
     q49_subqueries, q50_date_funcs, q51_hll_distinct, q52_funnel,
     q53_salted_join, q54_cms_topk, q55_bloom_join, q56_zorder_key,
     q57_merge_upsert, q58_scd2, q59_resample_ffill, q60_fuzzy_join,
-    q61_quantile_bins, q63_profile, q64_corr_matrix)
+    q61_quantile_bins, q63_profile, q64_corr_matrix, q65_histogram)
 }

@@ -77,6 +77,29 @@ class ProfileSpec extends SparkSpec {
       graft.operators.Profile.corrMatrix(df, Seq("id", "nope")))
   }
 
+  test("histogram covers the range, keeps empty bins, and handles edges") {
+    import spark.implicits._
+    val d = Seq(0.0, 1.0, 2.0, 9.0, 10.0).toDF("v")
+    val h = graft.operators.Profile.histogram(d, "v", bins = 5)
+      .orderBy("bin").collect()
+    assert(h.length == 5)
+    assert(h.map(_.getLong(3)).sum == 5)
+    // max value lands in the LAST bin, not a phantom bins-th bucket
+    assert(h.last.getLong(3) == 2) // 9.0 and 10.0
+    // middle of the range is empty but still materialized
+    assert(h(2).getLong(3) == 0)
+    assert(h.head.getDouble(1) == 0.0 && h.last.getDouble(2) == 10.0)
+    // constant column: everything in bin 0
+    val c = Seq(3.0, 3.0, 3.0).toDF("v")
+    val hc = graft.operators.Profile.histogram(c, "v", bins = 4)
+      .orderBy("bin").collect()
+    assert(hc.head.getLong(3) == 3 && hc.map(_.getLong(3)).sum == 3)
+    intercept[IllegalArgumentException](
+      graft.operators.Profile.histogram(d, "v", bins = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.Profile.histogram(d, "nope", bins = 2))
+  }
+
   test("approx mode agrees on tiny data and plans without Expand") {
     val approx = Profile.profile(df, Seq("id", "s", "v"), exactDistinct = false)
     assert(approx.orderBy("col_name").collect().map(_.getLong(3)).toSeq ==
