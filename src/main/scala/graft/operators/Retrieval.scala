@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -71,5 +72,51 @@ object Retrieval {
         queryTerms.map(t => col(s"__s_$t")).reduce(_ + _).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Distributed inverted-index build — the MapReduce canonical made
+    * Spark-declarative. One row per term: document frequency `df`,
+    * collection frequency `cf` (both over the FULL corpus), and
+    * `postings` — the first `maxPostings` (doc_id, tf) entries in
+    * ascending doc order, serialized `"doc:tf,doc:tf,..."`. Terms with
+    * df below `minDf` are dropped after stats are computed.
+    *
+    * Scale shape: tokenization + explode stay in the scan stage; the
+    * (term, doc) term-frequency aggregation map-side combines before
+    * its one keyed shuffle, and everything downstream (full-corpus
+    * stats, the posting cap, the list build) is keyed by term — the
+    * cap is a row_number window PARTITIONED by term that Spark plans
+    * as WindowGroupLimit (per-partition top-k heaps, so a stopword's
+    * millions of postings never collect anywhere), and the stats/
+    * postings join is co-partitioned on the same key. Text never
+    * shuffles; no global sort, no unpartitioned window. */
+  def invertedIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 1L,
+      maxPostings: Int = 1000): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    val tf = docs
+      .select(col(idCol).cast("long").as("__doc"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term"), col("__doc"))
+      .agg(count(lit(1)).as("__tf"))
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("__tf")).as("cf"))
+    val capped = tf
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("term")).orderBy(col("__doc").asc)))
+      .filter(col("__rn") <= maxPostings)
+    val postings = capped.groupBy(col("term")).agg(
+      concat_ws(",",
+        transform(
+          array_sort(collect_list(struct(col("__doc"), col("__tf")))),
+          e => concat(e.getField("__doc"), lit(":"), e.getField("__tf"))))
+        .as("postings"))
+    stats
+      .join(postings, Seq("term"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("cf"), col("postings"))
   }
 }

@@ -1543,11 +1543,46 @@ $langScoreCols
     Some(d11Oracle(k = 8, iters = 2, dims = 64, tau = 0.3)),
     bench = true)
 
+  /** Inverted-index build ([[graft.operators.Retrieval.invertedIndex]]):
+    * per-term df/cf over the full corpus plus capped ascending-doc
+    * postings — the retrieval-index construction step. The cap plans as
+    * WindowGroupLimit (per-partition heaps keyed by term), so hot terms
+    * never concentrate; full stats come from the uncapped keyed
+    * aggregation. */
+  val t16_inverted_index = QueryDef(
+    "t16_inverted_index",
+    (s, dir) =>
+      graft.operators.Retrieval
+        .invertedIndex(Tables(s, dir).documents, "doc_id", "text",
+          minDf = 5L, maxPostings = 20)
+        .orderBy(col("term")),
+    Some("""
+      WITH tf AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+              FROM documents)
+        GROUP BY 1, 2),
+      stats AS (
+        SELECT term, count(*) AS df, cast(sum(tf) as bigint) AS cf
+        FROM tf GROUP BY 1),
+      capped AS (
+        SELECT term, doc_id, tf,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM tf),
+      p AS (
+        SELECT term,
+               array_to_string(list(doc_id || ':' || tf ORDER BY doc_id), ',') AS postings
+        FROM capped WHERE rn <= 20 GROUP BY term)
+      SELECT term, df, cf, postings
+      FROM stats JOIN p USING (term)
+      WHERE df >= 5 ORDER BY term"""))
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
     t10_chunk_overlap, t11_bm25, t12_lm_quality, t13_ngram_topk,
-    t14_quality_model, t15_rule_filter,
+    t14_quality_model, t15_rule_filter, t16_inverted_index,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

@@ -71,4 +71,28 @@ class RetrievalSpec extends SparkSpec {
     assert(got == run(sources.repartition(5)))
     graft.plans.PlanAudit.assertScalable(TfIdf.klDrift(sources, "source", "text"))
   }
+
+  test("inverted index: full stats, capped ascending postings, minDf gate") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (3L, "b a a"),
+      (1L, "a b b c"),
+      (2L, "a rare")
+    ).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text",
+      minDf = 2L, maxPostings = 2)
+    val byTerm = idx.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // df/cf reflect the FULL corpus even when postings are capped
+    assert(byTerm("a") == ((3L, 4L, "1:1,2:1")))
+    assert(byTerm("b") == ((2L, 3L, "1:2,3:1")))
+    // 'c' and 'rare' have df=1 < minDf
+    assert(!byTerm.contains("c") && !byTerm.contains("rare"))
+    // the cap is a keyed WindowGroupLimit, not a global window or collect
+    val plan = Retrieval.invertedIndex(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    graft.plans.PlanAudit.assertScalable(
+      Retrieval.invertedIndex(docs, "doc_id", "text"))
+  }
 }
