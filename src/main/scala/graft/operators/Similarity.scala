@@ -101,6 +101,59 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
+  /** The deterministic ±1 projection matrix behind [[randomProjection]]:
+    * signs from a splitmix64-style avalanche of (seed, j, i), so the
+    * matrix is a pure function of its arguments — reproducible on any
+    * engine (the DuckDB oracle inlines the same literals). */
+  def projectionSigns(inDims: Int, outDims: Int, seed: Long): Seq[Seq[Long]] =
+    Seq.tabulate(outDims, inDims) { (j, i) =>
+      var z = seed + 0x9e3779b97f4a7c15L * (j.toLong * inDims + i + 1L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e9b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1L else -1L
+    }
+
+  /** Signed random projection (the Achlioptas/Charikar ±1 family):
+    * reduce `inDims`-dim vectors to `outDims` dims by a deterministic
+    * ±1 matrix, in EXACT integer arithmetic over quantized coordinates
+    * (`round(x * scale)` as long) — so unlike classic float random
+    * projection the output is bit-identical across runs, partitionings,
+    * and engines, and directly oracle-able. Angles are approximately
+    * preserved (Johnson–Lindenstrauss), making the projected space a
+    * cheap pre-filter for kNN: score in `outDims` dims, re-rank the
+    * survivors with full-precision vectors.
+    *
+    * Scale shape: a pure projection — the matrix enters the scan as one
+    * array literal, each output coordinate is a scan-local zip/fold, no
+    * shuffle, no UDF, stays inside whole-stage codegen. Output vectors
+    * are outDims longs per row (8 x outDims bytes — the compressed
+    * representation a 100 TB re-scoring pass wants to scan).
+    *
+    * Magnitude envelope: |y_j| <= inDims * max|x| * scale, so any
+    * unit-ish embedding is far inside Long range. */
+  def randomProjection(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDims: Int,
+      outDims: Int,
+      seed: Long = 42L,
+      scale: Double = 1e6): DataFrame = {
+    require(inDims > 0 && outDims > 0,
+      s"need positive dims; got inDims=$inDims outDims=$outDims")
+    val signsLit = typedLit(projectionSigns(inDims, outDims, seed))
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => round(x * lit(scale), 0).cast("long"))
+    vectors
+      .select(col(idCol), q.as("__q"))
+      .select(
+        col(idCol),
+        transform(signsLit, row =>
+          aggregate(zip_with(row, col("__q"), (s, x) => s * x),
+            lit(0L), (acc, t) => acc + t)).as("proj"))
+  }
+
   /** IVF probe: assign corpus rows to their nearest centroid cell (narrow,
     * broadcast centroids), queries probe `nProbe` nearest cells; the join
     * is an equi-join on cell id — ONE shuffle keyed by cell, never n^2. */

@@ -590,6 +590,43 @@ $langScoreCols
     Some(s03Oracle),
     bench = true)
 
+  /** Signed random projection ([[graft.operators.Similarity
+    * .randomProjection]]): 64-dim embeddings down to 16 dims through the
+    * deterministic ±1 matrix in exact integer arithmetic — the
+    * JL-style compressed representation for kNN pre-filtering. The
+    * oracle inlines the SAME sign matrix (both sides call
+    * projectionSigns) and replays the quantize + signed fold exactly. */
+  val s04_random_projection = QueryDef(
+    "s04_random_projection",
+    (s, dir) =>
+      Similarity
+        .randomProjection(Tables(s, dir).embeddings, "vec_id", "embedding",
+          inDims = 64, outDims = 16)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("proj"), x => x.cast("string"))).as("proj"))
+        .orderBy(col("vec_id")),
+    Some {
+      val signs = Similarity.projectionSigns(inDims = 64, outDims = 16, seed = 42L)
+      val m = signs.zipWithIndex
+        .map { case (row, j) => s"($j, [${row.mkString(", ")}])" }
+        .mkString(",\n        ")
+      s"""
+      WITH q AS (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               __x -> CAST(round(__x * 1000000.0, 0) AS BIGINT)) AS qv
+        FROM embeddings),
+      m(j, s) AS (VALUES
+        $m),
+      y AS (
+        SELECT vec_id, j,
+               CAST(list_reduce(list_transform(range(64),
+                      __i -> s[__i + 1] * qv[__i + 1]),
+                    (__a, __b) -> __a + __b) AS BIGINT) AS yj
+        FROM q CROSS JOIN m)
+      SELECT vec_id, array_to_string(list(yj ORDER BY j), ',') AS proj
+      FROM y GROUP BY vec_id ORDER BY vec_id"""
+    })
+
   /** Exact DuckDB oracle for s02: the whole IVF pipeline is deterministic
     * — centroids are the 16 corpus vectors with the smallest xxhash64(id)
     * (emulated via [[OracleSql]]), cells assign by round(cosine,9) with
@@ -1587,7 +1624,7 @@ $langScoreCols
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
     d11_semdedup,
-    s01_knn_brute, s02_knn_ivf, s03_knn_quantized,
+    s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup,

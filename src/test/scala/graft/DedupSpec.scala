@@ -153,6 +153,38 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall below 0.6")
   }
 
+  test("random projection: deterministic, linear on the grid, useful recall") {
+    val emb = Tables(spark, sf0001).embeddings
+    def proj(df: org.apache.spark.sql.DataFrame, out: Int) =
+      Similarity.randomProjection(df, "vec_id", "embedding",
+        inDims = 64, outDims = out)
+    // partitioning-independent, bit-identical
+    val once = proj(emb, 16).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val again = proj(emb.repartition(7), 16).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(once == again)
+    // Angle preservation where it matters: plant near-duplicate pairs
+    // among unrelated vectors; projected-space top-1 must recover the
+    // planted partner. (Raw kNN recall on near-random embeddings is not
+    // a JL property — when all cosines tie near zero, no projection can
+    // preserve their ordering.)
+    val dim = 64
+    def base(s: Int) = (0 until dim).map(i => math.sin(s * 97 + i * 31 + 1).toFloat)
+    val planted = (0 until 20).flatMap { s =>
+      val v = base(s)
+      Seq((s.toLong * 2, v), (s.toLong * 2 + 1, v.updated(s % dim, v(s % dim) + 0.05f)))
+    }
+    val corpus = planted.toDF("vec_id", "embedding")
+    val p16 = proj(corpus, 16)
+      .select(col("vec_id"), col("proj").cast("array<float>").as("embedding"))
+    val top1 = Similarity
+      .bruteForceKnn(p16, p16.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+    val hit = top1.count { case (q, n) => n == q + 1 }
+    assert(hit >= 18, s"only $hit/20 planted near-dups recovered in 16-dim projection")
+  }
+
   test("int8-quantized knn reaches >=80% recall vs float brute force") {
     val emb = Tables(spark, sf0001).embeddings
     val queries = emb.filter(col("vec_id") < 10)
