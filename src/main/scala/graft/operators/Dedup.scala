@@ -553,4 +553,55 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Embedding-space benchmark decontamination — the semantic
+    * counterpart of [[crossCorpusOverlap]]: (train, eval) pairs whose
+    * vectors collide in ANY of `nTables` random-hyperplane tables,
+    * verified with exact cosine >= `threshold`. Catches paraphrased or
+    * translated leakage that n-gram overlap misses.
+    *
+    * Scale shape: identical to [[embeddingNearDupPairs]] but across two
+    * relations — signature rows carry ids only, the candidate join is
+    * keyed by (table, signature), and vectors move exactly twice in the
+    * two id-keyed verify joins. The eval side (the benchmark) is
+    * typically tiny, so its signature relation and vector relation both
+    * broadcast under AQE — the train corpus never shuffles at all in
+    * that regime. */
+  def embeddingDecontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      planesPerTable: Int = 6,
+      nTables: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    def prep(df: DataFrame, out: String, vout: String) = {
+      val vecs = df.select(col(idCol).as(out), col(vecCol).cast("array<double>").as(vout))
+      val tableSigs = (0 until nTables).map { t =>
+        val planes =
+          VectorFunctions.seededPlanes(planesPerTable, dim, seed + 7919L * t)
+        struct(
+          lit(t).as("tbl"),
+          VectorFunctions.hyperplaneSignature(col(vout), planes).as("sig"))
+      }
+      val sigd = vecs
+        .select(col(out), explode(array(tableSigs: _*)).as("__t"))
+        .select(col(out), col("__t.tbl"), col("__t.sig"))
+      (vecs, sigd)
+    }
+    val (tv, ts) = prep(train, "train_id", "__vt")
+    val (ev, es) = prep(eval, "eval_id", "__ve")
+    val candidates = ts
+      .join(es, Seq("tbl", "sig"))
+      .select(col("train_id"), col("eval_id"))
+      .distinct()
+    candidates
+      .join(tv, Seq("train_id"))
+      .join(ev, Seq("eval_id"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("__vt"), col("__ve")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("cosine"))
+  }
 }

@@ -521,6 +521,61 @@ $langScoreCols
     Some(d06Oracle),
     bench = true)
 
+  /** Same hyperplane tables as d06, replayed across the train/eval
+    * split (eval = vec_id % 10 == 0). */
+  private val d12Oracle: String = {
+    val nTables = 6; val planesPerTable = 6; val dim = 64
+    def dot(t: Int, p: Int): String = {
+      val plane = graft.functions.VectorFunctions
+        .seededPlanes(planesPerTable, dim, 42L + 7919L * t)(p)
+      val lit = plane.map(_.toString).mkString("[", ",", "]::DOUBLE[]")
+      s"list_reduce(list_transform(range($dim), __i -> e[__i+1] * ($lit)[__i+1]), (__a, __b) -> __a + __b)"
+    }
+    def sig(t: Int): String =
+      (0 until planesPerTable)
+        .map(p => s"(CASE WHEN ${dot(t, p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    val sigCols = (0 until nTables).map(t => s"${sig(t)} AS s$t").mkString(",\n        ")
+    val sigArr = (0 until nTables).map(t => s"s$t").mkString("[", ",", "]")
+    s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      sigs AS (
+        SELECT vec_id,
+        $sigCols
+        FROM v),
+      b AS (
+        SELECT vec_id, tt.t AS tbl, $sigArr[tt.t + 1] AS sig
+        FROM sigs CROSS JOIN (SELECT unnest(range($nTables)) AS t) tt),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS train_id, b2.vec_id AS eval_id
+        FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.sig = b2.sig
+        WHERE a.vec_id % 10 <> 0 AND b2.vec_id % 10 = 0)
+      SELECT train_id, eval_id,
+             round(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+      FROM cand JOIN v va ON cand.train_id = va.vec_id
+                JOIN v vb ON cand.eval_id = vb.vec_id
+      WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.3
+      ORDER BY train_id, eval_id"""
+  }
+
+  /** Embedding-space decontamination ([[graft.operators.Dedup
+    * .embeddingDecontaminate]]): the semantic complement of d09 —
+    * train docs whose EMBEDDING collides with an eval vector in any
+    * hyperplane table, verified by exact cosine. Catches paraphrased
+    * leakage n-gram overlap misses; eval side broadcasts. */
+  val d12_embed_decontaminate = QueryDef(
+    "d12_embed_decontaminate",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Dedup
+        .embeddingDecontaminate(
+          train = emb.filter(col("vec_id") % 10 =!= 0),
+          eval = emb.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", dim = 64, threshold = 0.3)
+        .orderBy(col("train_id"), col("eval_id"))
+    },
+    Some(d12Oracle))
+
   // ---------------- similarity search ----------------
 
   val s01_knn_brute = QueryDef(
@@ -1623,7 +1678,7 @@ $langScoreCols
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
-    d11_semdedup,
+    d11_semdedup, d12_embed_decontaminate,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,

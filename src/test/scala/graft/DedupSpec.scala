@@ -139,6 +139,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("embedding decontamination recalls planted cross-corpus leakage only") {
+    val dim = 16
+    val v = (0 until dim).map(i => math.sin(i + 1).toFloat)
+    val vNear = v.updated(0, v(0) + 0.01f) // the leaked eval item
+    val vFar = (0 until dim).map(i => math.cos(3 * i + 2).toFloat)
+    val train = Seq((100L, v), (101L, vFar)).toDF("vec_id", "embedding")
+    val eval = Seq((200L, vNear), (201L, vFar.map(-_))).toDF("vec_id", "embedding")
+    val got = Dedup
+      .embeddingDecontaminate(train, eval, "vec_id", "embedding",
+        dim = dim, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // only the planted train->eval pair; never train-train or eval-eval
+    assert(got == Set((100L, 200L)))
+  }
+
   test("IVF knn reaches >=60% recall vs brute force on real embeddings") {
     val emb = Tables(spark, sf0001).embeddings
     val queries = emb.filter(col("vec_id") < 10)
