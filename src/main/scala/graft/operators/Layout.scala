@@ -109,4 +109,37 @@ object Layout {
     require(files.nonEmpty, "no file intersects the requested ranges")
     spark.read.parquet(files.toIndexedSeq: _*)
   }
+
+  /** Hive-style partitioned write: one directory per distinct value of
+    * `partitionCols` (`.../lang=en/source=web/part-*.parquet`). The
+    * coarse-grained complement of [[zorderLayout]]: a filter on a
+    * partition column prunes whole DIRECTORIES at planning time
+    * (`PartitionFilters` in the scan, zero I/O for pruned values) vs
+    * z-order's file/row-group stats pruning within a partition.
+    *
+    * Scale notes: choose low-cardinality columns (lang, source, date) —
+    * a high-cardinality partition column explodes into millions of tiny
+    * files. The pre-repartition on the partition columns lines tasks up
+    * with output directories, so each partition value is written by the
+    * tasks owning it instead of every task appending a sliver to every
+    * directory (the classic small-files antipattern). */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned: need partition columns")
+    df.repartition(partitionCols.map(col): _*)
+      .write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Read a [[writePartitioned]] dataset. Partition-column filters on
+    * the result prune directories at planning time; LayoutSpec asserts
+    * the pruned scan reads only the matching partition. */
+  def readPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
 }

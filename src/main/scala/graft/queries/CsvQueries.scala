@@ -220,7 +220,42 @@ object CsvQueries {
              min(text) AS min_text, max(text) AS max_text
       FROM documents GROUP BY lang, source ORDER BY lang, source"""))
 
+  /** Hive-partitioned layout round trip ([[graft.operators.Layout
+    * .writePartitioned]]): documents written one directory per (lang,
+    * source), read back through the partition-pruned path with a lang
+    * filter — planning-time directory pruning, zero I/O for other
+    * langs (LayoutSpec asserts the PartitionFilters plan shape). Stats
+    * computed from the ROUND-TRIPPED data; the oracle reads the
+    * original parquet, so any value/type mangling through the
+    * partition encoding breaks the hash. */
+  val q66_partitioned_io = QueryDef(
+    "q66_partitioned_io",
+    (s, dir) => {
+      val docs = graft.Tables(s, dir).documents
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      graft.operators.Layout.writePartitioned(docs, tmp, Seq("lang", "source"))
+      graft.operators.Layout.readPartitioned(s, tmp)
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source, count(*) AS n,
+             cast(sum(n_chars) as bigint) AS sum_chars,
+             cast(sum(length(text)) as bigint) AS sum_len,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents WHERE lang = 'en'
+      GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     q28_csv_strict, q29_csv_maybe, q30_csv_managers, q31_csv_noheader,
-    q32_csv_categorical, q33_csv_fl2_means, q39_csv_timestamp, q62_jsonl_io)
+    q32_csv_categorical, q33_csv_fl2_means, q39_csv_timestamp, q62_jsonl_io,
+    q66_partitioned_io)
 }

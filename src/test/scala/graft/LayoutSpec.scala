@@ -91,6 +91,27 @@ class LayoutSpec extends SparkSpec {
     assert(viaFull.nonEmpty)
   }
 
+  test("partitioned write prunes directories at planning time") {
+    import graft.operators.Layout
+    val docs = Tables(spark, sf0001).documents
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_spec").toString
+    Layout.writePartitioned(docs, dir, Seq("lang"))
+    val back = Layout.readPartitioned(spark, dir)
+    // round trip preserves every row (partition cols come back last)
+    assert(back.count() == docs.count())
+    val filtered = back.filter(col("lang") === "en")
+    val scan = filtered.queryExecution.executedPlan.toString
+    // the lang predicate must land in PartitionFilters (directory
+    // pruning), not survive as a post-scan Filter over all partitions
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"), scan)
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(filtered.count() == expected && expected > 0)
+    // only the en directory's files are read
+    val files = filtered.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")), files.mkString(", "))
+  }
+
   test("withZValue is deterministic and integer-exact across partitionings") {
     // z depends only on (l_partkey, l_suppkey); key the compare on those
     // ((l_orderkey, l_linenumber) is NOT unique in the sf0.001 testdata)
