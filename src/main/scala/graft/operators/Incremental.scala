@@ -41,14 +41,31 @@ object Incremental {
       changes: DataFrame,
       keys: Seq[String],
       seqCols: Seq[Column],
-      isDelete: Column): DataFrame = {
+      isDelete: Column): DataFrame =
+    mergeLatest(changes, keys, seqCols, isDelete, keepTombstones = false)
+
+  /** [[mergeLatest]] with tombstone control: with `keepTombstones` the
+    * newest row per key survives EVEN when it is a delete — the state a
+    * continuously-maintained snapshot must keep so an out-of-order
+    * OLDER upsert arriving later cannot resurrect a deleted key
+    * (readers filter `isDelete`; compaction may drop tombstones once
+    * past the late-data horizon). Without it, deleted keys vanish —
+    * correct only when every future delta is strictly newer than the
+    * snapshot (the q57 batch-merge identity). */
+  def mergeLatest(
+      changes: DataFrame,
+      keys: Seq[String],
+      seqCols: Seq[Column],
+      isDelete: Column,
+      keepTombstones: Boolean): DataFrame = {
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(seqCols.map(_.desc): _*)
-    changes
+    val newest = changes
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !isDelete)
+      .filter(col("__rn") === 1)
       .drop("__rn")
+    if (keepTombstones) newest else newest.filter(!isDelete)
   }
 
   /** Build a slowly-changing-dimension type-2 history from an event log:

@@ -291,4 +291,64 @@ object EventStreams {
           emitAndKeep(userId, merged, state)
       }
   }
+
+  /** Latest snapshot version directory under a [[upsertSink]] target, if
+    * any batch has committed yet. */
+  def currentSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .map(_.getPath.toString)
+      .sorted(Ordering.String.reverse)
+      .headOption
+  }
+
+  /** Exactly-once streaming upsert: fold a CDC change stream into a
+    * latest-state parquet snapshot with `foreachBatch` +
+    * [[graft.operators.Incremental.mergeLatest]].
+    *
+    * Each micro-batch reads the previous snapshot, merges the batch
+    * (newest row per key wins by `seqCols`; deletes survive as
+    * TOMBSTONES so an out-of-order older upsert cannot resurrect a
+    * deleted key — read the live view with `filter(!isDelete)`), and
+    * writes the result as a NEW
+    * versioned directory `v_<batchId>` — never overwriting the
+    * directory it just read (Spark forbids that, and a mid-write crash
+    * must not corrupt the current version). Because the version name is
+    * the batch id and writes are mode("overwrite"), a batch REPLAYED
+    * after recovery rewrites the same directory with the same content —
+    * idempotent, which together with the checkpoint gives end-to-end
+    * exactly-once. Readers pick the snapshot via [[currentSnapshot]]
+    * (the delta-log pattern, one directory deep).
+    *
+    * Scale shape: the merge is [[Incremental.mergeLatest]]'s keyed
+    * WindowGroupLimit plan over snapshot ∪ batch — one shuffle keyed by
+    * the merge keys per micro-batch, no global window. Snapshot columns
+    * must include `seqCols` and the columns `isDelete` reads (they ride
+    * along so later batches can compare recency against them). */
+  def upsertSink(
+      changes: DataFrame,
+      targetPath: String,
+      checkpoint: String,
+      keys: Seq[String],
+      seqCols: Seq[String],
+      isDelete: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev = currentSnapshot(spark, targetPath)
+          .map(spark.read.parquet(_))
+        val all = prev.fold(batch)(p => p.unionByName(batch))
+        graft.operators.Incremental
+          .mergeLatest(all, keys, seqCols.map(col), isDelete, keepTombstones = true)
+          .write.mode("overwrite")
+          .parquet(f"$targetPath/v_$batchId%012d")
+      }
+      .start()
 }

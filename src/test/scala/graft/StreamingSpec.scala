@@ -51,6 +51,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink folds a CDC stream into the latest snapshot across batches") {
+    val target = Files.createTempDirectory("graft-upsert").toString
+    val input = MemoryStream[(Long, String, Long, Boolean)](spark)
+    val changes = input.toDF().toDF("k", "v", "seq", "del")
+    val q = EventStreams.upsertSink(
+      changes, target, checkpoint(),
+      keys = Seq("k"), seqCols = Seq("seq"), isDelete = col("del"))
+    try {
+      // batch 0: inserts
+      input.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
+      q.processAllAvailable()
+      val s0 = spark.read
+        .parquet(EventStreams.currentSnapshot(spark, target).get)
+        .filter(!col("del"))
+      assert(s0.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        == Set((1L, "a"), (2L, "b")))
+      // batch 1: update k=1, delete k=2, insert k=3
+      input.addData((1L, "a2", 2L, false), (2L, "b", 2L, true), (3L, "c", 2L, false))
+      q.processAllAvailable()
+      val s1 = spark.read
+        .parquet(EventStreams.currentSnapshot(spark, target).get)
+        .filter(!col("del"))
+      assert(s1.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        == Set((1L, "a2"), (3L, "c")))
+      // an out-of-order older change must NOT resurrect or downgrade
+      input.addData((1L, "stale", 1L, false), (2L, "stale", 1L, false))
+      q.processAllAvailable()
+      val s2 = spark.read
+        .parquet(EventStreams.currentSnapshot(spark, target).get)
+        .filter(!col("del"))
+      assert(s2.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        == Set((1L, "a2"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("windowedHeavyHitters: streaming CMS sketch is bit-identical to batch") {
     import graft.functions.expressions.CountMin
     // user 7 is hot in hour 0: 5 of 7 events
