@@ -763,6 +763,40 @@ object Relational {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_orderkey"""))
 
+  /** Event-time RANGE frame — the trailing-window feature every
+    * feature-engineering pipeline computes ("this user's activity in
+    * the last hour AS OF each event"). Distinct semantics from q42's
+    * ROWS frames: the frame is bounded by VALUE distance on the order
+    * key, so gaps and bursts change the row count per frame. Keyed by
+    * user (one shuffle, no global window); frame bounds in exact
+    * microseconds (`unix_micros` / `epoch_us`) so both engines cut
+    * identical frames, and the windowed sum decimal-accumulates to stay
+    * order-independent. */
+  val q67_range_window = QueryDef(
+    "q67_range_window",
+    (s, dir) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-(3600L * 1000000L - 1L), 0L)
+      Tables(s, dir).events
+        .filter(col("user_id") < 100)
+        .select(
+          col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .over(w).cast("double").as("sum_1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             count(*) OVER w AS n_1h,
+             cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sum_1h
+      FROM events WHERE user_id < 100
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
   /** Deterministic stratified sampling — per-group quota by a pseudo-
     * random but engine-portable permutation (Knuth multiplicative hash of
     * the id), the per-language corpus-balancing pattern. Partitioned
@@ -1542,5 +1576,6 @@ object Relational {
     q49_subqueries, q50_date_funcs, q51_hll_distinct, q52_funnel,
     q53_salted_join, q54_cms_topk, q55_bloom_join, q56_zorder_key,
     q57_merge_upsert, q58_scd2, q59_resample_ffill, q60_fuzzy_join,
-    q61_quantile_bins, q63_profile, q64_corr_matrix, q65_histogram)
+    q61_quantile_bins, q63_profile, q64_corr_matrix, q65_histogram,
+    q67_range_window)
 }

@@ -323,13 +323,51 @@ object EventStreams {
     * after recovery rewrites the same directory with the same content —
     * idempotent, which together with the checkpoint gives end-to-end
     * exactly-once. Readers pick the snapshot via [[currentSnapshot]]
-    * (the delta-log pattern, one directory deep).
+    * (the delta-log pattern, one directory deep). The checkpoint must
+    * live and die with the target: version names inherit the batch id,
+    * so discarding the checkpoint (restarting ids at 0) would write
+    * versions that sort below the current snapshot.
     *
     * Scale shape: the merge is [[Incremental.mergeLatest]]'s keyed
     * WindowGroupLimit plan over snapshot ∪ batch — one shuffle keyed by
     * the merge keys per micro-batch, no global window. Snapshot columns
     * must include `seqCols` and the columns `isDelete` reads (they ride
     * along so later batches can compare recency against them). */
+  /** Compact an [[upsertSink]] target while the stream is STOPPED:
+    * rewrite the current snapshot minus tombstones older than
+    * `tombstoneHorizon` (keep recent ones — they still fence off
+    * out-of-order stragglers inside the late-data window), then delete
+    * the superseded version directories.
+    *
+    * The compacted directory gets a `_c<n>` suffix on the current
+    * version name: it sorts after its source version but BELOW any
+    * future batch id, so a later restart resumes cleanly and a replayed
+    * old batch can never shadow the compacted state. */
+  def compactSnapshots(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      isDelete: org.apache.spark.sql.Column,
+      tombstoneHorizon: org.apache.spark.sql.Column): Unit = {
+    val current = currentSnapshot(spark, targetPath).getOrElse(
+      throw new IllegalStateException(s"no snapshot under $targetPath"))
+    val compacted = spark.read.parquet(current)
+      .filter(!isDelete || tombstoneHorizon)
+    val name = new org.apache.hadoop.fs.Path(current).getName
+    val (base, gen) = name.split("_c") match {
+      case Array(b) => (b, 0)
+      case Array(b, g) => (b, g.toInt)
+    }
+    val dest = s"$targetPath/${base}_c${gen + 1}"
+    compacted.write.mode("overwrite").parquet(dest)
+    // drop every strictly-older version now that dest is current
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_") &&
+        s.getPath.getName < new org.apache.hadoop.fs.Path(dest).getName)
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
   def upsertSink(
       changes: DataFrame,
       targetPath: String,

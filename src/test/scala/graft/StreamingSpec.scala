@@ -86,6 +86,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactSnapshots purges old tombstones and versions, stream resumes") {
+    val target = Files.createTempDirectory("graft-compact").toString
+    val ckpt = checkpoint()
+    val input = MemoryStream[(Long, String, Long, Boolean)](spark)
+    def sink(in: MemoryStream[(Long, String, Long, Boolean)]) =
+      EventStreams.upsertSink(
+        in.toDF().toDF("k", "v", "seq", "del"), target, ckpt,
+        keys = Seq("k"), seqCols = Seq("seq"), isDelete = col("del"))
+    val q = sink(input)
+    try {
+      input.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
+      q.processAllAvailable()
+      input.addData((2L, "b", 2L, true), (3L, "c", 5L, false))
+      q.processAllAvailable()
+    } finally q.stop()
+    // compact with the horizon past the k=2 tombstone: it is purged
+    EventStreams.compactSnapshots(spark, target, col("del"), col("seq") >= 3)
+    val cur = EventStreams.currentSnapshot(spark, target).get
+    assert(cur.contains("_c1"), cur)
+    val snap = spark.read.parquet(cur)
+    assert(snap.filter(col("del")).count() == 0)
+    assert(snap.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (3L, "c")))
+    // superseded version directories are gone
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(target))
+      .map(_.getPath.getName).filter(_.startsWith("v_")).toSeq
+    assert(dirs == Seq(new org.apache.hadoop.fs.Path(cur).getName), dirs)
+    // the stream resumes from the same checkpoint on top of the compact
+    // (same MemoryStream instance — a fresh one cannot serve the
+    // checkpointed offsets)
+    val q2 = sink(input)
+    try {
+      input.addData((4L, "d", 6L, false))
+      q2.processAllAvailable()
+      val s = spark.read
+        .parquet(EventStreams.currentSnapshot(spark, target).get)
+        .filter(!col("del"))
+      assert(s.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        == Set((1L, "a"), (3L, "c"), (4L, "d")))
+    } finally q2.stop()
+  }
+
   test("windowedHeavyHitters: streaming CMS sketch is bit-identical to batch") {
     import graft.functions.expressions.CountMin
     // user 7 is hot in hour 0: 5 of 7 events
