@@ -41,6 +41,14 @@ final case class Frame(df: DataFrame) {
     * (Frames `src/Frames/Frame.hs:34-42`). */
   def concat(other: Frame): Frame = Frame(df.unionByName(other.df))
 
+  /** Schema-evolution concat: UNION ALL by name where either side may
+    * lack columns the other has — missing cells fill with null. The
+    * shape every long-lived corpus needs when a new shard version adds
+    * a column: old shards keep reading without a rewrite. Still a
+    * zero-shuffle narrow union. */
+  def concatEvolved(other: Frame): Frame =
+    Frame(df.unionByName(other.df, allowMissingColumns = true))
+
   /** `takeRows` — deterministic prefix under the given ordering
     * (Frames `src/Frames/Exploration.hs:120-123`). */
   def takeRows(n: Int, order: Seq[Column]): Frame =

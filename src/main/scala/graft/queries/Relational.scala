@@ -1562,6 +1562,27 @@ object Relational {
       FROM spine LEFT JOIN counts ON spine.bin = counts.bin
       ORDER BY bin"""))
 
+  /** Schema-evolution union ([[graft.Frame.concatEvolved]]): a new
+    * shard version adds `o_orderstatus` and drops `o_custkey`; the
+    * evolved UNION ALL BY NAME null-fills both directions with no shard
+    * rewrite. Zero-shuffle narrow union in both engines. */
+  val q68_union_evolved = QueryDef(
+    "q68_union_evolved",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val oldShard = o.filter(col("o_orderkey") < 7500)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val newShard = o.filter(col("o_orderkey") >= 7500)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.Frame(oldShard).concatEvolved(graft.Frame(newShard)).df
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey < 7500
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey >= 7500
+      ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1577,5 +1598,5 @@ object Relational {
     q53_salted_join, q54_cms_topk, q55_bloom_join, q56_zorder_key,
     q57_merge_upsert, q58_scd2, q59_resample_ffill, q60_fuzzy_join,
     q61_quantile_bins, q63_profile, q64_corr_matrix, q65_histogram,
-    q67_range_window)
+    q67_range_window, q68_union_evolved)
 }

@@ -104,6 +104,19 @@ class FrameSpec extends SparkSpec {
     assert(Frame(a).concat(Frame(b)).df.count() == 4)
   }
 
+  test("concatEvolved null-fills missing columns in both directions") {
+    val a = managers.select("id", "pay")
+    val b = managers.select(col("id"), lit("new").as("tag"))
+    val got = Frame(a).concatEvolved(Frame(b)).df
+    assert(got.columns.toSeq == Seq("id", "pay", "tag"))
+    assert(got.count() == 4)
+    assert(got.filter(col("tag").isNull).count() == 2) // old shard rows
+    assert(got.filter(col("pay").isNull).count() == 2) // new shard rows
+    // strict concat must still reject the mismatch
+    intercept[org.apache.spark.sql.AnalysisException](
+      Frame(a).concat(Frame(b)).df.collect())
+  }
+
   test("takeRows/dropRows slice deterministically under explicit order") {
     val taken = Frame(managers).takeRows(1, Seq(col("id"))).df.collect()
     assert(taken.map(_.getLong(0)).toSeq == Seq(1L))
