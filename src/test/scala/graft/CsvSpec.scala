@@ -195,6 +195,19 @@ class CsvSpec extends SparkSpec {
     assert(roundTrip.count() == 0)
   }
 
+  test("issue145: spaces in header and categorical variants survive intact") {
+    // the reference sanitizes "category name" / "foo category" into
+    // Haskell identifiers (test/Issue145.hs + rowGenCat); here values
+    // and names are data, so both must pass through UNCHANGED
+    val df = Csv.readTable(spark, s"$data/issue145.csv")
+    assert(df.columns.toSeq == Seq("id", "category name"))
+    val dict = Categorical.categoriesOf(df, "category name")
+    assert(dict.exists(_.forall(_.contains(" "))), dict.toString)
+    val coded = Categorical.encode(df, "category name")
+    assert(coded.columns.contains("category name_code"))
+    assert(coded.filter(col("`category name_code`") < 0).count() == 0)
+  }
+
   // ---------------- FL2 published golden ----------------
 
   test("FL2 means match the reference's published values (README.org:68-69)") {
