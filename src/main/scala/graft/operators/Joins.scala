@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, col, last, levenshtein, lit}
+import org.apache.spark.sql.functions.{broadcast, col, last, levenshtein, lit, struct, unix_micros, when}
 
 /** Multi-column equi-joins on identically-named columns, mirroring the
   * reference's four joins (acowley/Frames `src/Frames/Joins.hs:44-249`):
@@ -180,7 +180,22 @@ object Joins {
       right: DataFrame,
       keys: Seq[String],
       tsCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String]): DataFrame =
+    asofJoin(left, right, keys, tsCol, valueCols, toleranceSeconds = None)
+
+  /** [[asofJoin]] with a match-staleness bound (pandas `merge_asof`'s
+    * `tolerance`): a left row only takes the most recent right row
+    * whose timestamp is within `toleranceSeconds`; staler matches yield
+    * nulls. Matching is ROW-based (all value columns come from the one
+    * matched right row — DuckDB `ASOF JOIN` semantics), carried through
+    * the sweep as a single struct. Same single keyed shuffle. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String],
+      toleranceSeconds: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
     require(valueCols.intersect(leftCols).isEmpty,
       s"right value columns collide with left: ${valueCols.intersect(leftCols)}")
@@ -198,11 +213,21 @@ object Joins {
       .partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols
-      .foldLeft(unioned)((d, c) =>
-        d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    // carry the matched right row as ONE struct so every value column
+    // (and the staleness check) reads the same row
+    val rightRow = when(col("__side") === 0,
+      struct((tsCol +: valueCols).map(col): _*))
+    val withMatch = unioned
+      .withColumn("__m", last(rightRow, ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+    val fresh = toleranceSeconds
+      .map(t => col("__m").isNotNull &&
+        unix_micros(col(tsCol)) - unix_micros(col(s"__m.$tsCol")) <= t * 1000000L)
+      .getOrElse(col("__m").isNotNull)
+    valueCols
+      .foldLeft(withMatch)((d, c) =>
+        d.withColumn(c, when(fresh, col(s"__m.$c"))))
+      .drop("__m", "__side")
   }
 
   /** Blocked fuzzy self-join (record linkage / dictionary

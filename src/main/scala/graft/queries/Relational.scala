@@ -1583,6 +1583,42 @@ object Relational {
       SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey >= 7500
       ORDER BY o_orderkey"""))
 
+  /** As-of join with a staleness tolerance (pandas merge_asof
+    * `tolerance`): each click takes its user's most recent purchase
+    * ONLY if it happened within the trailing hour — older matches
+    * yield null. Same single keyed shuffle as q38; the oracle replays
+    * with DuckDB ASOF LEFT JOIN + an explicit staleness gate. */
+  val q69_asof_tolerance = QueryDef(
+    "q69_asof_tolerance",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      Joins
+        .asofJoin(clicks, purchases, Seq("user_id"), "ts",
+          Seq("purchase_value"), toleranceSeconds = Some(3600L))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, ts, max(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT c.event_id, c.user_id, c.ts,
+             CASE WHEN p.ts IS NOT NULL
+                    AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+                  THEN round(p.purchase_value, 6) END AS purchase_value
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+      ORDER BY c.event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1598,5 +1634,5 @@ object Relational {
     q53_salted_join, q54_cms_topk, q55_bloom_join, q56_zorder_key,
     q57_merge_upsert, q58_scd2, q59_resample_ffill, q60_fuzzy_join,
     q61_quantile_bins, q63_profile, q64_corr_matrix, q65_histogram,
-    q67_range_window, q68_union_evolved)
+    q67_range_window, q68_union_evolved, q69_asof_tolerance)
 }

@@ -208,6 +208,25 @@ class FrameSpec extends SparkSpec {
       (4L, None)))         // user 20: no purchase at/before 10m
   }
 
+  test("asofJoin tolerance nulls stale matches; values stay row-consistent") {
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val left = Seq(
+      (1L, 10L, ts(5)), (2L, 10L, ts(90)), (3L, 10L, ts(125)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts(4), 100.0, "a"), (10L, ts(120), 200.0, "b"))
+      .toDF("user_id", "ts", "px", "tag")
+    val got = Joins.asofJoin(left, right, Seq("user_id"), "ts",
+        Seq("px", "tag"), toleranceSeconds = Some(3600L))
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble),
+        Option(r.getAs[String]("tag"))))
+    assert(got.toSeq == Seq(
+      (1L, Some(100.0), Some("a")),  // 1 minute old: fresh
+      (2L, None, None),              // 86 minutes old: stale, BOTH nulled
+      (3L, Some(200.0), Some("b")))) // 5 minutes old: fresh, same row
+  }
+
   test("intervalJoin equals the naive BETWEEN join, without nested loops") {
     val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
     val points = (0L until 200L by 7L).map(m => (m, ts(m))).toDF("pid", "ts")
