@@ -1668,7 +1668,8 @@ $langScoreCols
         FROM capped WHERE rn <= 20 GROUP BY term)
       SELECT term, df, cf, postings
       FROM stats JOIN p USING (term)
-      WHERE df >= 5 ORDER BY term"""))
+      WHERE df >= 5 ORDER BY term"""),
+    bench = true)
 
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,

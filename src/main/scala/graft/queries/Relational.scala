@@ -795,7 +795,8 @@ object Relational {
       FROM events WHERE user_id < 100
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
-      ORDER BY user_id, event_id"""))
+      ORDER BY user_id, event_id"""),
+    bench = true)
 
   /** Deterministic stratified sampling — per-group quota by a pseudo-
     * random but engine-portable permutation (Knuth multiplicative hash of
@@ -1501,7 +1502,7 @@ object Relational {
         .corrMatrix(Tables(s, dir).lineitem,
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("col_x"), col("col_y")),
-    Some {
+    oracle = Some {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       // decimal(28,6): DuckDB multiplies width-18 decimals in int64 and
       // overflows; width 28 forces int128. Values are exact either way,
@@ -1529,7 +1530,8 @@ object Relational {
         WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")})
       ${rows.mkString(" UNION ALL ")}
       ORDER BY col_x, col_y"""
-    })
+    },
+    bench = true)
 
   /** Equi-width histogram ([[graft.operators.Profile.histogram]]): the
     * distribution half of the ingest profile — broadcast min/max bounds,
