@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, col, last, levenshtein, lit, struct, unix_micros, when}
+import org.apache.spark.sql.functions.{abs, broadcast, col, last, levenshtein, lit, struct, unix_micros, when}
 
 /** Multi-column equi-joins on identically-named columns, mirroring the
   * reference's four joins (acowley/Frames `src/Frames/Joins.hs:44-249`):
@@ -195,7 +195,30 @@ object Joins {
       keys: Seq[String],
       tsCol: String,
       valueCols: Seq[String],
-      toleranceSeconds: Option[Long]): DataFrame = {
+      toleranceSeconds: Option[Long]): DataFrame =
+    asofJoin(left, right, keys, tsCol, valueCols, toleranceSeconds, "backward")
+
+  /** [[asofJoin]] with a match direction (pandas merge_asof parity):
+    * `"backward"` takes the most recent right row at-or-before the left
+    * timestamp, `"forward"` the earliest at-or-after, `"nearest"`
+    * whichever of the two is closer (equal distance resolves backward).
+    * `toleranceSeconds` bounds the matched distance in every direction.
+    *
+    * All directions share the single keyed union-window plan: one
+    * shuffle on `keys`; forward is the same sweep over the reversed
+    * sort, nearest evaluates both sweeps over the one exchange (two
+    * sorts, still no second shuffle — both windows share the partition
+    * keys). */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String],
+      toleranceSeconds: Option[Long],
+      direction: String): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val leftCols = left.columns.toSeq
     require(valueCols.intersect(leftCols).isEmpty,
       s"right value columns collide with left: ${valueCols.intersect(leftCols)}")
@@ -209,23 +232,36 @@ object Joins {
       }
     val unioned = lTagged.select((outCols :+ "__side").map(col): _*)
       .unionByName(rTagged.select((outCols :+ "__side").map(col): _*))
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry the matched right row as ONE struct so every value column
     // (and the staleness check) reads the same row
     val rightRow = when(col("__side") === 0,
       struct((tsCol +: valueCols).map(col): _*))
-    val withMatch = unioned
-      .withColumn("__m", last(rightRow, ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    def sweep(desc: Boolean) = last(rightRow, ignoreNulls = true).over(
+      Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(if (desc) col(tsCol).desc else col(tsCol).asc, col("__side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    def dist(m: String) = // microseconds between left ts and match ts, >= 0
+      abs(unix_micros(col(tsCol)) - unix_micros(col(s"$m.$tsCol")))
+    val withMatch = direction match {
+      case "backward" => unioned.withColumn("__m", sweep(desc = false))
+      case "forward" => unioned.withColumn("__m", sweep(desc = true))
+      case "nearest" =>
+        unioned
+          .withColumn("__mb", sweep(desc = false))
+          .withColumn("__mf", sweep(desc = true))
+          .withColumn("__m",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              .when(dist("__mf") < dist("__mb"), col("__mf"))
+              .otherwise(col("__mb")))
+          .drop("__mb", "__mf")
+    }
     val fresh = toleranceSeconds
-      .map(t => col("__m").isNotNull &&
-        unix_micros(col(tsCol)) - unix_micros(col(s"__m.$tsCol")) <= t * 1000000L)
+      .map(t => col("__m").isNotNull && dist("__m") <= t * 1000000L)
       .getOrElse(col("__m").isNotNull)
     valueCols
-      .foldLeft(withMatch)((d, c) =>
+      .foldLeft(withMatch.filter(col("__side") === 1))((d, c) =>
         d.withColumn(c, when(fresh, col(s"__m.$c"))))
       .drop("__m", "__side")
   }

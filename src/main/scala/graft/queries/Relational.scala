@@ -1621,6 +1621,56 @@ object Relational {
         ON c.user_id = p.user_id AND p.ts <= c.ts
       ORDER BY c.event_id"""))
 
+  /** Nearest-direction as-of join with tolerance (pandas merge_asof
+    * direction='nearest'): each click takes whichever purchase —
+    * before or after — is closer in time, if within 30 minutes; equal
+    * distances resolve backward. One keyed shuffle, two in-partition
+    * sweeps. The oracle runs backward and forward DuckDB ASOF joins
+    * and replays the distance comparison. */
+  val q70_asof_nearest = QueryDef(
+    "q70_asof_nearest",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      Joins
+        .asofJoin(clicks, purchases, Seq("user_id"), "ts",
+          Seq("purchase_value"), Some(1800L), "nearest")
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          round(col("purchase_value"), 6).as("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id, ts, max(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      b AS (
+        SELECT c.event_id, p.ts AS bts, p.purchase_value AS bval
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND c.ts >= p.ts),
+      f AS (
+        SELECT c.event_id, p.ts AS fts, p.purchase_value AS fval
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND c.ts <= p.ts)
+      SELECT c.event_id, c.user_id, c.ts,
+             round(CASE
+               WHEN bts IS NULL AND fts IS NULL THEN NULL
+               WHEN bts IS NULL OR (fts IS NOT NULL AND
+                    epoch_us(fts) - epoch_us(c.ts) < epoch_us(c.ts) - epoch_us(bts))
+                 THEN CASE WHEN epoch_us(fts) - epoch_us(c.ts) <= 1800000000
+                           THEN fval END
+               ELSE CASE WHEN epoch_us(c.ts) - epoch_us(bts) <= 1800000000
+                         THEN bval END
+             END, 6) AS purchase_value
+      FROM clicks c JOIN b USING (event_id) JOIN f USING (event_id)
+      ORDER BY c.event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1636,5 +1686,6 @@ object Relational {
     q53_salted_join, q54_cms_topk, q55_bloom_join, q56_zorder_key,
     q57_merge_upsert, q58_scd2, q59_resample_ffill, q60_fuzzy_join,
     q61_quantile_bins, q63_profile, q64_corr_matrix, q65_histogram,
-    q67_range_window, q68_union_evolved, q69_asof_tolerance)
+    q67_range_window, q68_union_evolved, q69_asof_tolerance,
+    q70_asof_nearest)
 }

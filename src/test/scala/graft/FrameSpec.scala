@@ -227,6 +227,29 @@ class FrameSpec extends SparkSpec {
       (3L, Some(200.0), Some("b")))) // 5 minutes old: fresh, same row
   }
 
+  test("asofJoin forward and nearest directions match pandas semantics") {
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val left = Seq((1L, 10L, ts(10)), (2L, 10L, ts(29)), (3L, 10L, ts(100)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts(8), 1.0), (10L, ts(30), 2.0))
+      .toDF("user_id", "ts", "px")
+    def run(direction: String, tol: Option[Long] = None) =
+      Joins.asofJoin(left, right, Seq("user_id"), "ts", Seq("px"), tol, direction)
+        .orderBy("event_id").collect()
+        .map(r => Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toSeq
+    // forward: earliest right at-or-after; none after 100m
+    assert(run("forward") == Seq(Some(2.0), Some(2.0), None))
+    // nearest: 10m->8m (2 vs 20), 29m->30m (1 vs 21), 100m->30m
+    assert(run("nearest") == Seq(Some(1.0), Some(2.0), Some(2.0)))
+    // nearest with tolerance: the 70-minute-stale match at 100m drops
+    assert(run("nearest", Some(600L)) == Seq(Some(1.0), Some(2.0), None))
+    // equal distance resolves backward: left at 19m is 11m from both
+    val mid = Seq((9L, 10L, ts(19))).toDF("event_id", "user_id", "ts")
+    val got = Joins.asofJoin(mid, right, Seq("user_id"), "ts", Seq("px"), None, "nearest")
+      .collect().map(_.getAs[Double]("px"))
+    assert(got.toSeq == Seq(1.0))
+  }
+
   test("intervalJoin equals the naive BETWEEN join, without nested loops") {
     val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
     val points = (0L until 200L by 7L).map(m => (m, ts(m))).toDF("pid", "ts")
