@@ -26,4 +26,33 @@ object Sampling {
     * P(keep) = acceptProb exactly (up to 1/buckets quantization). */
   def weightedKeep(idCol: Column, acceptProb: Column, buckets: Long = 1000000L): Column =
     pmod(xxhash64(idCol), lit(buckets)).cast("double") < acceptProb * lit(buckets.toDouble)
+
+  /** Deterministic global shuffle into training shards — the epoch-
+    * shuffle every training run needs, with none of the usual RNG
+    * nondeterminism: each row's shard is `pmod(xxhash64(id, seed),
+    * nShards)` and its position within the shard is its rank by
+    * `(xxhash64(id, seed), id)`. The permutation is a pure function of
+    * (ids, seed): reproducible across reruns, partitionings and cluster
+    * sizes; a different `seed` gives an independent permutation per
+    * epoch with NO extra shuffle of state.
+    *
+    * Scale shape: the hash is fused into the scan; the only exchange is
+    * the shard-keyed window (one shuffle), and each shard's rank sort
+    * is per-partition. Writing one file per shard then streams training
+    * data in (shard, pos) order with no further sort. Shard sizes are
+    * Binomial(n, 1/nShards) — tight around n/nShards at corpus scale. */
+  def shuffleShards(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      nShards: Int,
+      seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = xxhash64(col(idCol), lit(seed))
+    df.withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .withColumn("pos",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard"))
+            .orderBy(h.asc, col(idCol).asc)).cast("long"))
+  }
 }
