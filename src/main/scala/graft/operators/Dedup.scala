@@ -259,9 +259,14 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity join, blocked by a cheap key to avoid
-    * the n^2 cross product (here: a blocking column such as language or an
-    * LSH bucket). Emits pairs with jaccard >= threshold. */
+  /** Exact n-gram Jaccard similarity join restricted to same-block pairs
+    * (block = e.g. language). The block is a SEMANTIC restriction only —
+    * "compare documents within the same language" — not the complexity
+    * control it was in early rounds: internally this delegates to the
+    * prefix-filtering engine of [[jaccardSimilarityJoin]] with the block
+    * folded into the candidate key, so a low-cardinality block (a corpus
+    * that is 90% one language) no longer degenerates into an all-pairs
+    * join within the big block. Emits pairs with jaccard >= threshold. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -269,23 +274,9 @@ object Dedup {
       blockCol: String,
       threshold: Double,
       useUnigrams: Boolean = true,
-      shingleSize: Int = 3): DataFrame = {
-    val setExpr =
-      if (useUnigrams) tokenSet(col(textCol))
-      else wordShingles(col(textCol), shingleSize)
-    val prepared = df
-      .filter(trim(col(textCol)) =!= "") // blank docs: shingles would be [""]
-      .select(col(blockCol).as("__blk"), col(idCol), setExpr.as("__set"))
-    val a = prepared.select(
-      col("__blk"), col(idCol).as("id_a"), col("__set").as("__set_a"))
-    val b = prepared.select(
-      col("__blk"), col(idCol).as("id_b"), col("__set").as("__set_b"))
-    a.join(b, Seq("__blk"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(jaccard(col("__set_a"), col("__set_b")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+      shingleSize: Int = 3): DataFrame =
+    prefixJaccardPairs(df, idCol, textCol, threshold, useUnigrams,
+      shingleSize, blockCol = Some(blockCol))
 
   /** Exact Jaccard set-similarity self-join via prefix filtering (the
     * AllPairs/PPJoin principle): order all tokens by ascending global
@@ -306,16 +297,37 @@ object Dedup {
       textCol: String,
       threshold: Double,
       useUnigrams: Boolean = true,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3): DataFrame =
+    prefixJaccardPairs(df, idCol, textCol, threshold, useUnigrams,
+      shingleSize, blockCol = None)
+
+  /** Shared prefix-filtering engine for [[jaccardSimilarityJoin]] (no
+    * block) and [[ngramJaccardPairs]] (same-block pairs only). When a
+    * block is given it joins the CANDIDATE key — (block, token) instead
+    * of token — so cross-block candidates never materialize; the token
+    * rarity order stays GLOBAL, which keeps the prefix guarantee valid
+    * for every same-block pair (both sides of any pair rank their tokens
+    * under the same total order). */
+  private def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      useUnigrams: Boolean,
+      shingleSize: Int,
+      blockCol: Option[String]): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     val setExpr =
       if (useUnigrams) tokenSet(col(textCol))
       else wordShingles(col(textCol), shingleSize)
+    val blkSel = blockCol.map(c => col(c).as("__blk")).toSeq
     val sets = df
       .filter(trim(col(textCol)) =!= "") // blank docs: shingles would be [""]
-      .select(col(idCol).as("__id"), setExpr.as("__set"))
+      .select(col(idCol).as("__id") +: setExpr.as("__set") +: blkSel: _*)
       .filter(size(col("__set")) > 0)
-    val toks = sets.select(col("__id"), explode(col("__set")).as("__tok"))
+    val blkCols = blkSel.map(_ => col("__blk"))
+    val toks = sets.select(
+      col("__id") +: explode(col("__set")).as("__tok") +: blkCols: _*)
     val tokenDf = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id"))
@@ -326,10 +338,11 @@ object Dedup {
       .withColumn("__rn", row_number().over(rankW))
       .withColumn("__sz", count(lit(1)).over(sizeW))
       .filter(col("__rn") <= col("__sz") - ceil(col("__sz") * threshold) + 1)
-      .select(col("__tok"), col("__id"))
+      .select(col("__tok") +: col("__id") +: blkCols: _*)
+    val candKeys = "__tok" +: blkSel.map(_ => "__blk")
     val candidates = prefix
-      .select(col("__tok"), col("__id").as("id_a"))
-      .join(prefix.select(col("__tok"), col("__id").as("id_b")), Seq("__tok"))
+      .withColumnRenamed("__id", "id_a")
+      .join(prefix.withColumnRenamed("__id", "id_b"), candKeys)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
@@ -368,6 +381,7 @@ object Dedup {
       .distinct()
       .withColumn("comp", col("id"))
       .persist()
+    var cached = labels
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
@@ -375,25 +389,31 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("nbr"))
+      // The label update CARRIES its own convergence flag (`__ch` = this
+      // round lowered the label), so one count() over the flag both
+      // materializes the round's cache AND yields the changed count —
+      // ONE job per iteration, versus the old shape's separate
+      // old-vs-new join + limit + count job each round.
       val stepped = labels
         .join(msgs, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          coalesce(col("nbr") < col("comp"), lit(false)).as("__ch"))
       // every few rounds, truncate lineage: persist() caches the DATA but
       // the logical plan still deepens linearly with iterations —
       // analysis and task serialization grow per round until the driver
-      // chokes on a long-diameter graph. localCheckpoint materializes
-      // AND cuts the plan (use a reliable checkpoint dir instead when
-      // executor loss must be survivable mid-computation).
+      // chokes on a long-diameter graph. localCheckpoint (lazy, so the
+      // changed-count action below is what materializes it) cuts the
+      // plan (use a reliable checkpoint dir instead when executor loss
+      // must be survivable mid-computation).
       val next =
-        if (iter % 5 == 4) stepped.localCheckpoint(true)
+        if (iter % 5 == 4) stepped.localCheckpoint(false)
         else stepped.persist()
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old"))
-        .limit(1)
-        .count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("__ch")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.drop("__ch")
       converged = changed == 0L
       iter += 1
     }

@@ -97,8 +97,14 @@ object Retrieval {
       minDf: Long = 1L,
       maxPostings: Int = 1000): DataFrame = {
     require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    // The id keeps its NATIVE type end-to-end: a cast("long") here would
+    // silently null out non-numeric doc ids, collapsing all such docs
+    // into one null doc and emitting "null:tf" postings. The posting
+    // serialization below only needs string concat, and the ascending
+    // doc order is the id type's own ordering (numeric for numeric ids,
+    // lexicographic for strings).
     val tf = docs
-      .select(col(idCol).cast("long").as("__doc"),
+      .select(col(idCol).as("__doc"),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col("term"), col("__doc"))
       .agg(count(lit(1)).as("__tf"))

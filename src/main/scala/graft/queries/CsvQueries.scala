@@ -187,6 +187,28 @@ object CsvQueries {
         |4,2024-12-31 23:59:59,NA
         |""".stripMargin)
 
+  /** Round-trip scratch directory under java.io.tmpdir, pid-suffixed so
+    * concurrent harness runs over the same sfDir cannot clobber each
+    * other mid-read, and registered ONCE for recursive deletion at JVM
+    * exit — without the hook every harness run leaked a full copy of the
+    * documents table into /tmp, accumulating across rounds. */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def scratchDir(kind: String, dir: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
+      s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+    if (cleanupRegistered.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+    }
+    path
+  }
+
   /** JSONL round trip ([[graft.sources.Jsonl]]): the documents table is
     * written as JSON-Lines shards and strict-read back with its explicit
     * schema; the per-(lang, source) stats — including min/max/summed
@@ -198,10 +220,7 @@ object CsvQueries {
     "q62_jsonl_io",
     (s, dir) => {
       val docs = graft.Tables(s, dir).documents
-      // Per-process suffix: concurrent harness runs over the same sfDir
-      // must not overwrite each other's round-trip directory mid-read.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
-        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val tmp = scratchDir("jsonl", dir)
       Jsonl.writeJsonl(docs, tmp)
       Jsonl.readJsonl(s, tmp, docs.schema)
         .groupBy(col("lang"), col("source"))
@@ -232,8 +251,7 @@ object CsvQueries {
     "q66_partitioned_io",
     (s, dir) => {
       val docs = graft.Tables(s, dir).documents
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
-        s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+      val tmp = scratchDir("part", dir)
       graft.operators.Layout.writePartitioned(docs, tmp, Seq("lang", "source"))
       graft.operators.Layout.readPartitioned(s, tmp)
         .filter(col("lang") === "en")

@@ -292,8 +292,12 @@ object EventStreams {
       }
   }
 
-  /** Latest snapshot version directory under a [[upsertSink]] target, if
-    * any batch has committed yet. */
+  /** Latest COMMITTED snapshot version directory under a [[upsertSink]]
+    * target, if any batch has committed yet. A version counts only once
+    * its `_SUCCESS` marker exists (Spark writes one on commit): a crash
+    * mid-write of `v_N` leaves data files without the marker, and
+    * treating that partial directory as current would merge the replayed
+    * batch into it and silently lose rows present only in `v_{N-1}`. */
   def currentSnapshot(
       spark: org.apache.spark.sql.SparkSession,
       targetPath: String): Option[String] = {
@@ -301,7 +305,8 @@ object EventStreams {
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) None
     else fs.listStatus(path).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.toString)
       .sorted(Ordering.String.reverse)
       .headOption
@@ -353,18 +358,24 @@ object EventStreams {
     val compacted = spark.read.parquet(current)
       .filter(!isDelete || tombstoneHorizon)
     val name = new org.apache.hadoop.fs.Path(current).getName
+    // Generation is zero-padded so string sort == numeric sort: an
+    // unpadded "_c10" would sort BELOW "_c9" and the 10th compaction
+    // would be shadowed by (and then deleted as older than) the 9th.
     val (base, gen) = name.split("_c") match {
       case Array(b) => (b, 0)
       case Array(b, g) => (b, g.toInt)
     }
-    val dest = s"$targetPath/${base}_c${gen + 1}"
+    val dest = f"$targetPath/${base}_c${gen + 1}%04d"
     compacted.write.mode("overwrite").parquet(dest)
-    // drop every strictly-older version now that dest is current
+    // drop every strictly-older COMMITTED version now that dest is
+    // current (an uncommitted partial dir is left for manual cleanup —
+    // deleting it here could race a writer mid-recovery)
     val root = new org.apache.hadoop.fs.Path(targetPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_") &&
-        s.getPath.getName < new org.apache.hadoop.fs.Path(dest).getName)
+        s.getPath.getName < new org.apache.hadoop.fs.Path(dest).getName &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .foreach(s => fs.delete(s.getPath, true))
   }
 

@@ -85,6 +85,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("blocked jaccard delegates to the prefix filter: equals brute force within blocks") {
+    import graft.functions.TextFunctions
+    // two blocks; the delegation to the prefix-filter engine must keep
+    // exact same-block recall AND emit no cross-block pair
+    val blocked = docs.withColumn("lang",
+      when(col("doc_id") % 2 === 0, lit("en")).otherwise(lit("fr")))
+    val got = Dedup
+      .ngramJaccardPairs(blocked, "doc_id", "text", "lang", threshold = 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+      .toSet
+    val sets = blocked.select(
+      col("doc_id"), col("lang"), TextFunctions.tokenSet(col("text")).as("s"))
+    val brute = sets.select(col("doc_id").as("id_a"), col("lang").as("la"), col("s").as("sa"))
+      .crossJoin(sets.select(col("doc_id").as("id_b"), col("lang").as("lb"), col("s").as("sb")))
+      .filter(col("id_a") < col("id_b") && col("la") === col("lb"))
+      .withColumn("jaccard", round(TextFunctions.jaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+      .toSet
+    assert(got == brute)
+  }
+
   test("simhash block indexes are exact vs brute-force hamming (r=3 and r=8)") {
     val sh = docs
       .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))

@@ -86,6 +86,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("currentSnapshot ignores an uncommitted (crash-partial) version dir") {
+    val target = Files.createTempDirectory("graft-partial").toString
+    // committed v_1: parquet write leaves a _SUCCESS marker
+    spark.range(3).toDF("k").write.parquet(s"$target/v_000000000001")
+    // crash-partial v_2: data file present, NO _SUCCESS — must not be
+    // treated as current (the replayed batch would merge into it and
+    // silently lose rows present only in v_1)
+    val partial = new java.io.File(s"$target/v_000000000002")
+    assert(partial.mkdirs())
+    Files.writeString(partial.toPath.resolve("part-00000.parquet"), "junk")
+    val cur = EventStreams.currentSnapshot(spark, target).get
+    assert(cur.endsWith("v_000000000001"), cur)
+  }
+
   test("compactSnapshots purges old tombstones and versions, stream resumes") {
     val target = Files.createTempDirectory("graft-compact").toString
     val ckpt = checkpoint()
@@ -104,7 +118,8 @@ class StreamingSpec extends SparkSpec {
     // compact with the horizon past the k=2 tombstone: it is purged
     EventStreams.compactSnapshots(spark, target, col("del"), col("seq") >= 3)
     val cur = EventStreams.currentSnapshot(spark, target).get
-    assert(cur.contains("_c1"), cur)
+    // gen is zero-padded so string sort == numeric sort past gen 9
+    assert(cur.contains("_c0001"), cur)
     val snap = spark.read.parquet(cur)
     assert(snap.filter(col("del")).count() == 0)
     assert(snap.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
