@@ -1,0 +1,138 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Vocabulary-driven byte-pair-encoding: apply a learned merge table to a
+  * pretoken and count (or emit) the resulting subword tokens. This is the
+  * missing half of the GPT-2-style tokenizer whose PRETOKENIZATION lives
+  * in [[graft.functions.TextFunctions.bpePattern]] — pretokens are the
+  * corpus-size proxy, merged-token counts are what a training run
+  * actually budgets by.
+  *
+  * Algorithm: merges are applied strictly in rank order, each rank in one
+  * left-to-right pass over the symbol sequence (non-overlapping). For a
+  * WELL-FORMED merge table — every merge's two parts are single
+  * characters or outputs of earlier merges, and no two merges produce the
+  * same output string — this is equivalent to the reference priority-
+  * queue formulation ("repeatedly merge the lowest-ranked adjacent
+  * pair"): a merge at rank r can only create adjacencies involving its
+  * output, and every pair containing that output has rank > r, so no
+  * lower-ranked pair ever (re)appears after its pass. Well-formedness is
+  * checked eagerly at construction; the same invariant is what lets the
+  * DuckDB oracle replay the encoding with a rank-stepping recursive CTE.
+  *
+  * Scale note: the merge loop is O(|merges| * |pretoken|) per DISTINCT
+  * pretoken — callers (see [[graft.operators.Bpe]]) dedupe pretokens
+  * first, so the loop cost is vocabulary-sized, never corpus-sized.
+  */
+object BpeOps {
+
+  /** Validated, serializable merge table (rank = array index). */
+  final class MergeTable(val a: Array[String], val b: Array[String])
+      extends Serializable {
+    def size: Int = a.length
+  }
+
+  def table(merges: Seq[(String, String)]): MergeTable = {
+    val formed = scala.collection.mutable.HashSet[String]()
+    def isAtom(s: String): Boolean =
+      s.nonEmpty && s.codePointCount(0, s.length) == 1
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      require(isAtom(a) || formed(a),
+        s"merge $r: left part '$a' is neither a single character nor an earlier merge output")
+      require(isAtom(b) || formed(b),
+        s"merge $r: right part '$b' is neither a single character nor an earlier merge output")
+      val out = a + b
+      require(!formed(out), s"merge $r: output '$out' duplicates an earlier merge output")
+      formed += out
+    }
+    new MergeTable(merges.map(_._1).toArray, merges.map(_._2).toArray)
+  }
+
+  /** Split into code points (matches DuckDB's per-character substring, so
+    * the oracle's initial symbol list is identical beyond ASCII). */
+  private def codePoints(s: String): Array[String] = {
+    val out = new Array[String](s.codePointCount(0, s.length))
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(k) = new String(Character.toChars(cp))
+      k += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Apply the full merge table to one pretoken. */
+  def encode(s: String, t: MergeTable): Array[String] = {
+    var syms = codePoints(s)
+    var r = 0
+    while (r < t.size && syms.length >= 2) {
+      val a = t.a(r)
+      val b = t.b(r)
+      // one left-to-right non-overlapping pass merging every (a, b)
+      var i = 0
+      var hit = false
+      while (i < syms.length - 1 && !hit) {
+        hit = syms(i) == a && syms(i + 1) == b
+        i += 1
+      }
+      if (hit) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += a + b
+            j += 2
+          } else {
+            out += syms(j)
+            j += 1
+          }
+        }
+        syms = out.toArray
+      }
+      r += 1
+    }
+    syms
+  }
+
+  /** Called from generated code — must stay public and static-shaped. */
+  def tokenCount(s: UTF8String, t: MergeTable): Int =
+    encode(s.toString, t).length
+
+  /** Column face: merged-token count of one pretoken. */
+  def bpeMergedCount(pretoken: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(pretoken), merges))
+}
+
+/** Merged-subword count of a single pretoken under a fixed merge table.
+  * Codegen inlines to one static call with the validated table attached
+  * as a referenced object (the RegExpExtract pattern-object idiom), so
+  * the expression stays inside whole-stage codegen. */
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val tbl: BpeOps.MergeTable = BpeOps.table(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeOps.tokenCount(input.asInstanceOf[UTF8String], tbl)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", tbl, classOf[BpeOps.MergeTable].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.BpeOps.tokenCount($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_token_count"
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.expressions.BpeOps
+
+/** Vocabulary-driven BPE token counting over a document corpus — the
+  * counts a training pipeline budgets by (pretoken counts, t05, are only
+  * a proxy). The merge loop itself is
+  * [[graft.functions.expressions.BpeTokenCount]]; this operator gives it
+  * the scale-correct shape:
+  *
+  *   1. pretokenize in-scan (regexp, codegen'd) and aggregate
+  *      (doc, pretoken) occurrence counts — map-side combine absorbs the
+  *      per-doc repetition before the one keyed shuffle;
+  *   2. reduce to DISTINCT pretokens (vocabulary-sized: millions at
+  *      100 TB, not trillions) and run the iterative merge loop once per
+  *      distinct pretoken;
+  *   3. join the per-pretoken subword lengths back (pretoken-keyed join
+  *      against the just-aggregated relation; AQE broadcasts the vocab
+  *      side when it is small) and sum lengths x occurrences per doc.
+  *
+  * So the corpus text is scanned once and the O(|merges| x |pretoken|)
+  * loop never touches the raw corpus — the classic dictionary-encode
+  * trick applied to tokenization.
+  */
+object Bpe {
+
+  /** Demo vocabulary: ~50 merges over common English sequences with
+    * GPT-2-style leading-space symbols, WELL-FORMED by construction
+    * (every part is a single char or an earlier output; outputs unique —
+    * validated eagerly by [[BpeOps.table]]). Real deployments load a
+    * learned merge table; the engine only requires well-formedness. */
+  val referenceMerges: Seq[(String, String)] = Seq(
+    " " -> "t", // ' t'   (mirrors real GPT-2 learned order: space
+    " " -> "a", // ' a'    merges and 'he' precede 'th'/'the')
+    "h" -> "e", // he
+    "i" -> "n", // in
+    "r" -> "e", // re
+    "o" -> "n", // on
+    " t" -> "he", // ' the'
+    "e" -> "r", // er
+    " " -> "s", // ' s'
+    "a" -> "t", // at
+    " " -> "w", // ' w'
+    "e" -> "n", // en
+    " " -> "o", // ' o'
+    "t" -> "he", // the
+    "i" -> "t", // it
+    "o" -> "u", // ou
+    "e" -> "s", // es
+    "a" -> "n", // an
+    "o" -> "r", // or
+    " " -> "c", // ' c'
+    "i" -> "s", // is
+    "a" -> "r", // ar
+    "a" -> "l", // al
+    " t" -> "h", // ' th'
+    "an" -> "d", // and
+    " " -> "f", // ' f'
+    " " -> "b", // ' b'
+    " " -> "p", // ' p'
+    " " -> "m", // ' m'
+    " " -> "d", // ' d'
+    " " -> "h", // ' h'
+    " " -> "l", // ' l'
+    " a" -> "n", // ' an'
+    " an" -> "d", // ' and'
+    "in" -> "g", // ing
+    "t" -> "h", // th
+    "e" -> "d", // ed
+    "it" -> "h", // ith
+    " w" -> "ith", // ' with'
+    " t" -> "o", // ' to'
+    " " -> "is", // ' is'
+    " o" -> "f", // ' of'
+    "e" -> "l", // el
+    "o" -> "m", // om
+    " c" -> "om", // ' com'
+    "q" -> "u", // qu
+    "c" -> "h", // ch
+    "s" -> "h", // sh
+    " " -> "e", // ' e'
+    " " -> "g", // ' g'
+    " " -> "n", // ' n'
+    " " -> "r", // ' r'
+    " " -> "i", // ' i'
+    " i" -> "n") // ' in'
+
+  /** Per-document merged-token counts: (idCol, n_bpe_tokens). Documents
+    * with no pretokens (empty text) count 0. */
+  def tokenCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)] = referenceMerges): DataFrame = {
+    BpeOps.table(merges) // fail fast on a malformed vocabulary
+    val perDoc = docs
+      .select(col(idCol), explode(TextFunctions.bpeTokens(col(textCol))).as("__pt"))
+      .groupBy(col(idCol), col("__pt"))
+      .agg(count(lit(1)).as("__n"))
+    val vocab = perDoc
+      .groupBy(col("__pt"))
+      .agg(count(lit(1)).as("__docs")) // partial-aggregated distinct
+      .select(col("__pt"),
+        BpeOps.bpeMergedCount(col("__pt"), merges).as("__len"))
+    perDoc
+      .join(vocab, Seq("__pt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n") * col("__len")).as("n_bpe_tokens"))
+      .join(docs.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB replay of [[tokenCounts]] as named CTEs (caller appends the
+    * final SELECT): produces `bpe_counts(doc_id, n_bpe_tokens)` over
+    * `documents`. The encoding is a rank-stepping recursive CTE — state
+    * (pretoken, symbol list, rank r); each step merges the LEFTMOST
+    * occurrence of merge r, or advances to r+1 when none remains; a row
+    * finishes at r = |merges|. One-leftmost-at-a-time equals the Spark
+    * side's one-pass-per-rank for a well-formed table (merging (a,b)
+    * cannot create another (a,b): a+b equals neither a nor b). */
+  def countsSqlCtes(merges: Seq[(String, String)] = referenceMerges): String = {
+    val values = merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, ${sqlQuote(a)}, ${sqlQuote(b)})" }
+      .mkString(", ")
+    val pat = "$$" + TextFunctions.bpePattern + "$$"
+    s"""bpe_merges(r, a, b) AS (VALUES $values),
+      bpe_doc_pt AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, $pat)) AS pt
+        FROM documents),
+      bpe_pt_counts AS (
+        SELECT doc_id, pt, count(*) AS n FROM bpe_doc_pt GROUP BY doc_id, pt),
+      bpe_enc(pt, syms, r) AS (
+        SELECT pt,
+               list_transform(range(1, length(pt) + 1), i -> substring(pt, i, 1)),
+               0
+        FROM (SELECT DISTINCT pt FROM bpe_pt_counts)
+        UNION ALL
+        SELECT pt,
+               CASE WHEN pos IS NULL THEN syms
+                    ELSE array_slice(syms, 1, pos - 1) || [a || b]
+                         || array_slice(syms, pos + 2, len(syms)) END,
+               CASE WHEN pos IS NULL THEN r + 1 ELSE r END
+        FROM (
+          SELECT e.pt, e.syms, e.r, m.a, m.b,
+                 list_filter(range(1, len(e.syms)),
+                             i -> e.syms[i] = m.a AND e.syms[i + 1] = m.b)[1] AS pos
+          FROM bpe_enc e JOIN bpe_merges m ON m.r = e.r)),
+      bpe_vocab AS (
+        SELECT pt, len(syms) AS n_tok FROM bpe_enc WHERE r = ${merges.length}),
+      bpe_counts AS (
+        SELECT d.doc_id,
+               cast(coalesce(s.nb, 0) as bigint) AS n_bpe_tokens
+        FROM documents d
+        LEFT JOIN (
+          SELECT c.doc_id, sum(c.n * v.n_tok) AS nb
+          FROM bpe_pt_counts c JOIN bpe_vocab v USING (pt)
+          GROUP BY c.doc_id) s
+        ON d.doc_id = s.doc_id)"""
+  }
+}

@@ -236,30 +236,34 @@ $langScoreCols
     * that direct formulation, in SQL) is the same proof cross-engine. */
   val p02_token_budget = QueryDef(
     "p02_token_budget",
-    (s, dir) =>
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      // REAL tokenizer counts (t17's vocabulary-driven BPE), not the
+      // whitespace proxy — what a training mix actually budgets by.
+      val scored = docs
+        .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("q"))
+        .join(graft.operators.Bpe.tokenCounts(docs, "doc_id", "text"), Seq("doc_id"))
+        .withColumnRenamed("n_bpe_tokens", "nt")
       graft.operators.Budget
-        .tokenBudgetSelect(
-          Tables(s, dir).documents
-            .select(
-              col("doc_id"), col("lang"),
-              qualityScore(col("text")).as("q"),
-              tokenCount(col("text")).as("nt")),
+        .tokenBudgetSelect(scored,
           groupCol = "lang", idCol = "doc_id", qCol = "q", ntCol = "nt",
-          budget = 2000L)
+          budget = 4000L)
         .select(col("lang"), col("doc_id"), col("q"), col("nt"), col("cum_tokens"))
-        .orderBy(col("lang"), col("cum_tokens"), col("doc_id")),
+        .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
+    },
     Some(s"""
-      WITH scored AS (
-        SELECT doc_id, lang, $qualitySql AS q,
-               length(text) - length(replace(text, ' ', '')) + 1 AS nt
-        FROM documents),
+      WITH RECURSIVE
+      ${graft.operators.Bpe.countsSqlCtes()},
+      scored AS (
+        SELECT d.doc_id, d.lang, $qualitySql AS q, b.n_bpe_tokens AS nt
+        FROM documents d JOIN bpe_counts b USING (doc_id)),
       c AS (
         SELECT lang, doc_id, q, nt,
                cast(sum(nt) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tokens
         FROM scored)
       SELECT lang, doc_id, q, nt, cum_tokens FROM c
-      WHERE cum_tokens - nt < 2000
+      WHERE cum_tokens - nt < 4000
       ORDER BY lang, cum_tokens, doc_id"""))
 
   // ---------------- dedup ----------------
@@ -1671,11 +1675,29 @@ $langScoreCols
       WHERE df >= 5 ORDER BY term"""),
     bench = true)
 
+  /** Vocabulary-driven BPE token counts — t05's missing half: pretokens
+    * run through [[graft.operators.Bpe]]'s reference merge table, the
+    * merge loop executing once per DISTINCT pretoken (vocabulary-sized)
+    * with counts joined back. The oracle replays the identical merges
+    * with a rank-stepping recursive CTE over the same distinct-pretoken
+    * relation, so the hash compare pins the whole encoding. */
+  val t17_bpe_merged = QueryDef(
+    "t17_bpe_merged",
+    (s, dir) =>
+      graft.operators.Bpe
+        .tokenCounts(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH RECURSIVE
+      ${graft.operators.Bpe.countsSqlCtes()}
+      SELECT doc_id, n_bpe_tokens FROM bpe_counts ORDER BY doc_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
     t10_chunk_overlap, t11_bm25, t12_lm_quality, t13_ngram_topk,
-    t14_quality_model, t15_rule_filter, t16_inverted_index,
+    t14_quality_model, t15_rule_filter, t16_inverted_index, t17_bpe_merged,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.BpeOps
+import graft.operators.Bpe
+
+/** Vocabulary-driven BPE: well-formedness validation, golden encodings,
+  * and — the load-bearing check — equivalence of the shipped
+  * one-pass-per-rank loop with the reference priority-queue formulation
+  * ("repeatedly merge the lowest-ranked adjacent pair") over every
+  * distinct pretoken of the test corpus. That equivalence is the theorem
+  * the DuckDB oracle's rank-stepping recursive CTE relies on. */
+class BpeSpec extends SparkSpec {
+
+  private val tbl = BpeOps.table(Bpe.referenceMerges)
+
+  /** Reference implementation: GPT-2's priority loop — find the
+    * minimum-rank adjacent pair, merge ALL its occurrences left to
+    * right, repeat until no pair is in the table. */
+  private def priorityEncode(s: String): Vector[String] = {
+    val ranks = Bpe.referenceMerges.zipWithIndex
+      .map { case ((a, b), r) => (a, b) -> r }.toMap
+    var syms = s.map(_.toString).toVector
+    var continue = syms.length >= 2
+    while (continue) {
+      val ranked = syms.indices.init
+        .flatMap(i => ranks.get((syms(i), syms(i + 1))).map(_ -> i))
+      if (ranked.isEmpty) continue = false
+      else {
+        val bestRank = ranked.map(_._1).min
+        val (a, b) = Bpe.referenceMerges(bestRank)
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        continue = syms.length >= 2
+      }
+    }
+    syms
+  }
+
+  test("reference merge table is well-formed; malformed tables are rejected") {
+    BpeOps.table(Bpe.referenceMerges) // must not throw
+    // left part neither a char nor an earlier output
+    intercept[IllegalArgumentException] {
+      BpeOps.table(Seq("th" -> "e"))
+    }
+    // duplicate output string
+    intercept[IllegalArgumentException] {
+      BpeOps.table(Seq("a" -> "b", "a" -> "b"))
+    }
+  }
+
+  test("golden encodings under the reference vocabulary") {
+    assert(BpeOps.encode("the", tbl).toSeq == Seq("the"))
+    assert(BpeOps.encode(" the", tbl).toSeq == Seq(" the"))
+    assert(BpeOps.encode(" theater", tbl).toSeq == Seq(" the", "at", "er"))
+    assert(BpeOps.encode(" with", tbl).toSeq == Seq(" with"))
+    assert(BpeOps.encode(" and", tbl).toSeq == Seq(" and"))
+    assert(BpeOps.encode("", tbl).isEmpty)
+    assert(BpeOps.encode("x", tbl).toSeq == Seq("x"))
+  }
+
+  test("one-pass-per-rank equals the priority-queue reference on every corpus pretoken") {
+    val pretoks = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(explode(graft.functions.TextFunctions.bpeTokens(col("text"))).as("pt"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+    assert(pretoks.length > 50, s"expected a real vocabulary, got ${pretoks.length}")
+    pretoks.foreach { pt =>
+      assert(BpeOps.encode(pt, tbl).toSeq == priorityEncode(pt),
+        s"divergence on pretoken '$pt'")
+    }
+  }
+
+  test("tokenCounts: per-doc sums match a driver-side recount; empty text counts 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the theater and the thing"),
+      (2L, ""),
+      (3L, "in and in")).toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def count(text: String): Long = {
+      val m = java.util.regex.Pattern
+        .compile(graft.functions.TextFunctions.bpePattern).matcher(text)
+      var n = 0L
+      while (m.find()) n += BpeOps.encode(m.group(), tbl).length
+      n
+    }
+    assert(got == Map(1L -> count("the theater and the thing"), 2L -> 0L,
+      3L -> count("in and in")))
+    assert(got(2L) == 0L)
+  }
+}
