@@ -202,6 +202,90 @@ object Csv {
         opts.inferencePrefix, opts.categoricalMaxCardinality, opts.customTypes))
   }
 
+  /** Sampled MULTI-FILE schema inference — the scale-out complement to
+    * [[inferSchema]]'s reference-faithful single-file prefix
+    * (`/root/reference/src/Frames/TH.hs:134-136` reads one file). A
+    * 100 TB multi-file CSV drop can type-drift in later files (an int
+    * column goes fractional in file 400); first-file-only inference then
+    * types the column Int and the strict reader silently drops every
+    * drifted row. This variant reads the first `inferencePrefix` lines
+    * of up to `maxFiles` files — chosen at an even stride over the
+    * sorted listing so the first AND last files are always sampled —
+    * as one Spark job (a task per file; only the bounded prefixes
+    * return to the driver), then folds ALL sampled rows through the
+    * same §1.4 type lattice. Names come from the first file's header;
+    * a sampled file whose column count disagrees is a hard error
+    * (mirroring the reference's column-mismatch error), not a silent
+    * drop. Default behavior of the readers is unchanged — callers opt
+    * in by passing the result to `readTableWith`. */
+  def inferSchemaDistributed(
+      spark: SparkSession,
+      path: String,
+      opts: ParserOptions = ParserOptions(),
+      maxFiles: Int = 64): Seq[ColInfo] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val hasHeader = opts.headerOverride.isEmpty
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all =
+      (if (fs.getFileStatus(root).isDirectory) fs.listStatus(root).toSeq
+       else Seq(fs.getFileStatus(root)))
+        .filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(_.getPath.toString)
+        .sorted
+    require(all.nonEmpty, s"no files under $path")
+    val files =
+      if (all.size <= maxFiles) all
+      else if (maxFiles == 1) Seq(all.head)
+      else (0 until maxFiles)
+        .map(i => all((i.toLong * (all.size - 1) / (maxFiles - 1)).toInt))
+        .distinct
+    val n = opts.inferencePrefix + (if (hasHeader) 1 else 0)
+    val encoding = opts.encoding
+    // One task per sampled file; each opens its file through the Hadoop
+    // filesystem (so any scheme Spark can read works) and returns only
+    // the bounded line prefix. Raw lines come back — tokenization stays
+    // on the driver so ParserOptions (which may carry non-serializable
+    // custom parse kernels) never enters the closure.
+    val prefixes: Array[(String, Vector[String])] = spark.sparkContext
+      .parallelize(files, files.size)
+      .map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val tfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(tfs.open(p), encoding))
+        try {
+          val out = Vector.newBuilder[String]
+          var line = reader.readLine()
+          var k = 0
+          while (line != null && k < n) {
+            out += line
+            k += 1
+            line = reader.readLine()
+          }
+          (f, out.result())
+        } finally reader.close()
+      }
+      .collect()
+      .sortBy(_._1) // deterministic fold order, whatever the task order
+    val byFile = prefixes.map(_._2).filter(_.nonEmpty)
+    require(byFile.nonEmpty, s"all sampled files empty under $path")
+    val names = sanitize(
+      opts.headerOverride.getOrElse(tokenizeRow(byFile.head.head, opts)))
+    val rows = byFile.toSeq.flatMap { lines =>
+      (if (hasHeader) lines.tail else lines).map(l => tokenizeRow(l, opts))
+    }
+    Inference.inferFromRows(
+      names, rows,
+      Inference.Options(
+        // the fold consumes every sampled row (prefix * sampled files)
+        rows.size max opts.inferencePrefix,
+        opts.categoricalMaxCardinality, opts.customTypes))
+  }
+
   // ------------------------------------------------------------------
   // Distributed read path.
   // ------------------------------------------------------------------
@@ -318,14 +402,37 @@ object Csv {
 
   /** Distributed CSV write with header, mirroring `writeDSV`'s separator
     * option. `singleFile` coalesces to one part (driver-scale convenience
-    * matching the reference's single-file output; leave false at scale). */
+    * matching the reference's single-file output; leave false at scale).
+    *
+    * Value rendering vs the reference's `ShowCSV`
+    * (`src/Frames/ShowCSV.hs:8-17`, Haskell `show` per type) — pinned
+    * byte-wise in CsvSpec:
+    *   - Bool: Spark writes `true`/`false`; the reference `True`/`False`.
+    *     `referenceStyle = true` renders boolean columns the reference's
+    *     way (a scan-local projection, no plan change otherwise).
+    *   - Double: Java canonical form (`0.01`); Haskell `show` uses
+    *     scientific notation below 0.1 (`1.0e-2`). DELIBERATE divergence
+    *     — Java's form round-trips bit-exactly through every reader here.
+    *   - Text: RFC4180-quoted only when it contains separator/quote/
+    *     newline; the reference writes text RAW (`showCSV = id`), which
+    *     emits unparseable CSV for such values. Deliberate divergence.
+    *   - Null: empty cell both ways (the reference never writes Maybe
+    *     rows; our nullable frames write `""`, re-read as missing). */
   def writeCsv(
       df: DataFrame,
       path: String,
       separator: String = ",",
       header: Boolean = true,
-      singleFile: Boolean = false): Unit = {
-    val out = if (singleFile) df.coalesce(1) else df
+      singleFile: Boolean = false,
+      referenceStyle: Boolean = false): Unit = {
+    val styled =
+      if (!referenceStyle) df
+      else df.select(df.schema.fields.map { f =>
+        if (f.dataType == BooleanType)
+          when(col(f.name), "True").when(!col(f.name), "False").as(f.name)
+        else col(f.name)
+      }.toSeq: _*)
+    val out = if (singleFile) styled.coalesce(1) else styled
     out.write
       .option("header", header)
       .option("sep", separator)

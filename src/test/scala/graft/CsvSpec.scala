@@ -159,6 +159,76 @@ class CsvSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("writer value rendering pinned byte-wise vs the reference's ShowCSV") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, true, 3344.5, 0.01, "plain"),
+      (2L, false, 80000.0, 100.0, "has, comma"))
+      .toDF("id", "b", "d1", "d2", "t")
+      .orderBy("id").coalesce(1)
+    def written(referenceStyle: Boolean): Seq[String] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv_golden").toFile
+      val out = new java.io.File(dir, "g").getAbsolutePath
+      Csv.writeCsv(df, out, singleFile = true, referenceStyle = referenceStyle)
+      val part = new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("part-")).head
+      scala.jdk.CollectionConverters
+        .ListHasAsScala(java.nio.file.Files.readAllLines(part.toPath)).asScala.toSeq
+    }
+    // referenceStyle: Bool renders True/False as ShowCSV's Haskell show
+    // (ShowCSV.hs:13). Pinned divergences: d2=0.01 stays Java-canonical
+    // ("0.01", Haskell show would be "1.0e-2"); text with the separator
+    // is RFC4180-quoted (the reference's showCSV = id writes it raw,
+    // which would not re-parse).
+    assert(written(referenceStyle = true) == Seq(
+      "id,b,d1,d2,t",
+      "1,True,3344.5,0.01,plain",
+      "2,False,80000.0,100.0,\"has, comma\""))
+    // default style: Spark-native lowercase booleans
+    assert(written(referenceStyle = false) == Seq(
+      "id,b,d1,d2,t",
+      "1,true,3344.5,0.01,plain",
+      "2,false,80000.0,100.0,\"has, comma\""))
+  }
+
+  test("inferSchemaDistributed: a later file widening a column is sampled, strict read drops nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_drift").toFile
+    // file 1: x looks Int for its whole prefix; file 2 drifts to Double
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "part-0000.csv").toPath,
+      "id,x\n1,10\n2,20\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "part-0001.csv").toPath,
+      "id,x\n3,30.5\n4,40\n")
+    val path = dir.getAbsolutePath
+    // single-file (reference-faithful) inference sees only file 1 -> Int,
+    // and the strict reader silently drops the drifted row — the trap
+    val narrow = Csv.inferSchema(path)
+    assert(narrow.find(_.name == "x").get.sparkType ==
+      org.apache.spark.sql.types.LongType)
+    assert(Csv.readTableWith(spark, path, narrow).count() == 3)
+    // sampled multi-file inference folds both prefixes -> Double; strict
+    // read keeps all four rows
+    val wide = Csv.inferSchemaDistributed(spark, path)
+    assert(wide.find(_.name == "x").get.sparkType ==
+      org.apache.spark.sql.types.DoubleType)
+    val full = Csv.readTableWith(spark, path, wide)
+    assert(full.count() == 4)
+    assert(full.agg(org.apache.spark.sql.functions.sum("x")).collect()(0).getDouble(0)
+      == 100.5)
+  }
+
+  test("inferSchemaDistributed: column-count drift in a sampled file is a hard error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_cols").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "a.csv").toPath, "id,x\n1,10\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "b.csv").toPath, "id,x,y\n2,20,30\n")
+    intercept[IllegalArgumentException] {
+      Csv.inferSchemaDistributed(spark, dir.getAbsolutePath)
+    }
+  }
+
   test("write->read round trip preserves embedded quotes, commas, newline-free text") {
     import spark.implicits._
     val orig = Seq(
