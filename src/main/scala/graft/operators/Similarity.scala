@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
@@ -154,6 +154,66 @@ object Similarity {
             lit(0L), (acc, t) => acc + t)).as("proj"))
   }
 
+  /** The `n` nearest centroid cells for a vector, scan-local: centroids
+    * enter as ONE array literal, scoring/sorting is per-row array math
+    * (no join, no shuffle). Shared by the inline IVF join, the index
+    * writer, and the probe. */
+  private def cellsFor(
+      centroids: Array[(Long, Seq[Double])],
+      vec: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    val centroidArr = array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+    val scored = transform(
+      centroidArr,
+      c => struct(
+        round(cosine(vec, c("cv")), 9).as("s"),
+        c("cid").as("cid")))
+    val sorted = array_sort(
+      scored,
+      (l, r) =>
+        when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+          .when(l("cid") < r("cid"), -1).when(l("cid") > r("cid"), 1)
+          .otherwise(0))
+    slice(transform(sorted, s => s("cid")), 1, n)
+  }
+
+  /** Corpus side of the IVF structure: (cell, neighbor_id, vector). */
+  private def cellAssignments(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Seq[Double])]): DataFrame =
+    corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"),
+      element_at(
+        cellsFor(centroids, col(vecCol).cast("array<double>"), 1), 1).as("cell"))
+
+  /** Probe side: each query exploded to its `nProbe` best cells. */
+  private def queryProbes(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Seq[Double])],
+      nProbe: Int): DataFrame =
+    queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"),
+      explode(
+        cellsFor(centroids, col(vecCol).cast("array<double>"), nProbe)).as("cell"))
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** IVF probe: assign corpus rows to their nearest centroid cell (narrow,
     * broadcast centroids), queries probe `nProbe` nearest cells; the join
     * is an equi-join on cell id — ONE shuffle keyed by cell, never n^2. */
@@ -165,41 +225,60 @@ object Similarity {
       k: Int,
       centroids: Array[(Long, Seq[Double])],
       nProbe: Int = 4): DataFrame = {
-    val centroidArr = array(centroids.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
-    }: _*)
-    def cellsFor(vec: org.apache.spark.sql.Column, n: Int) = {
-      val scored = transform(
-        centroidArr,
-        c => struct(
-          round(cosine(vec, c("cv")), 9).as("s"),
-          c("cid").as("cid")))
-      val sorted = array_sort(
-        scored,
-        (l, r) =>
-          when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
-            .when(l("cid") < r("cid"), -1).when(l("cid") > r("cid"), 1)
-            .otherwise(0))
-      slice(transform(sorted, s => s("cid")), 1, n)
-    }
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__cv"),
-      element_at(cellsFor(col(vecCol).cast("array<double>"), 1), 1).as("cell"))
-    val q = queries.select(
-      col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("__qv"),
-      explode(cellsFor(col(vecCol).cast("array<double>"), nProbe)).as("cell"))
-    val scored = q
-      .join(c, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    val c = cellAssignments(corpus, idCol, vecCol, centroids)
+    val q = queryProbes(queries, idCol, vecCol, centroids, nProbe)
+    topK(
+      q.join(c, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6)),
+      k)
+  }
+
+  /** PERSIST the IVF structure: cell assignments written as a bucketed
+    * managed table (bucketed AND sorted by cell). The quantization —
+    * the expensive full-corpus pass — is paid once at build time;
+    * probes then read the table with zero shuffle (bucketing) and,
+    * because `cell` is the bucket column, a literal probe-cell filter
+    * prunes untouched buckets at planning time. This is the batch-vs-
+    * index asymmetry of [[ivfKnn]] — the embedding analogue of the
+    * incremental shard-vs-corpus dedup (p09). */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Seq[Double])],
+      table: String,
+      numBuckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      cellAssignments(corpus, idCol, vecCol, centroids),
+      table, bucketCols = Seq("cell"), numBuckets = numBuckets,
+      sortCols = Seq("cell", "neighbor_id"))
+
+  /** Probe a persisted [[writeIvfIndex]] table: queries (small — they are
+    * collected once to enumerate probed cells, and broadcast into the
+    * join) probe their `nProbe` best cells against the INDEX ONLY.
+    * Plan shape, pinned in PlanSpec: the index side has NO Exchange (the
+    * query side broadcasts) and the `cell IN (probed...)` literal prunes
+    * non-probed buckets inside the scan — the corpus is neither shuffled
+    * nor fully read, which is the entire point of persisting the index. */
+  def probeIvfIndex(
+      spark: SparkSession,
+      table: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Long, Seq[Double])],
+      nProbe: Int = 4): DataFrame = {
+    val q = queryProbes(queries, idCol, vecCol, centroids, nProbe)
+    // bounded: |queries| x nProbe cell ids
+    val probed = q.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val idx = spark.table(table)
+      .filter(col("cell").isin(probed.toSeq: _*))
+    topK(
+      broadcast(q).join(idx, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6)),
+      k)
   }
 }

@@ -745,6 +745,32 @@ $langScoreCols
     Some(s02Oracle),
     bench = true)
 
+  /** Persist-and-probe ANN: the s02 pipeline split into its build/serve
+    * halves ([[Similarity.writeIvfIndex]] / [[Similarity.probeIvfIndex]]).
+    * The corpus quantization is paid once into a cell-bucketed table;
+    * the probe broadcasts the (small) query side and literal-filters the
+    * probed cells, so the index is neither shuffled nor fully scanned
+    * (bucket pruning — pinned in BucketingSpec). Same parameters as s02,
+    * therefore the SAME oracle: the hash compare proves the persisted
+    * path returns bit-identical neighbors to the inline one. One table
+    * per sf dir, overwritten per run (bounded warehouse footprint). */
+  val s05_knn_ivf_indexed = QueryDef(
+    "s05_knn_ivf_indexed",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nCells = 16)
+      val table = s"graft_ivf_idx_${Integer.toHexString(dir.hashCode)}"
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, table)
+      Similarity
+        .probeIvfIndex(s, table,
+          queries = emb.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", k = 5,
+          centroids = centroids, nProbe = 6)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s02Oracle),
+    bench = true)
+
   // ---------------- round-4 additions ----------------
 
   /** Gopher-style repetition signals (Rae et al. 2021 quality filters):
@@ -1703,6 +1729,7 @@ $langScoreCols
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
     d11_semdedup, d12_embed_decontaminate,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
+    s05_knn_ivf_indexed,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup,

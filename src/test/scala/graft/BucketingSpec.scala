@@ -1,11 +1,39 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Bucketing
+import graft.operators.{Bucketing, Similarity}
 
 /** Bucketed tables: the join/aggregation plans must contain NO Exchange —
   * the write-time bucket layout replaces the runtime shuffle. */
 class BucketingSpec extends SparkSpec {
+
+  test("persisted IVF index: probe equals inline ivfKnn; index side unshuffled, buckets pruned") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids,
+      "ivf_idx_spec", numBuckets = 16)
+    try {
+      val queries = emb.filter(col("vec_id") < 5)
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      val probe = Similarity.probeIvfIndex(spark, "ivf_idx_spec", queries,
+        "vec_id", "embedding", k = 5, centroids = centroids, nProbe = 3)
+      val inline = Similarity.ivfKnn(emb, queries,
+        "vec_id", "embedding", k = 5, centroids = centroids, nProbe = 3)
+      // bit-identical neighbors through the persisted path
+      assert(run(probe) == run(inline))
+      val ps = probe.queryExecution.executedPlan.toString
+      // the ONLY hash shuffle is the final top-k window on query_id —
+      // the index side joins via the broadcast query side, unshuffled
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(ps).toSeq
+      assert(shuffles.size == 1, s"expected only the top-k window shuffle:\n$ps")
+      // the literal probe-cell filter prunes non-probed buckets in-scan
+      val pruned = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(ps)
+      assert(pruned.isDefined, s"no bucket pruning in scan:\n$ps")
+      assert(pruned.get.group(1).toInt < pruned.get.group(2).toInt,
+        s"probe should not read every bucket: ${pruned.get.matched}")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_idx_spec")
+  }
 
   test("bucketed join and aggregation plan with zero Exchange") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
