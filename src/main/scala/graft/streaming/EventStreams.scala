@@ -400,4 +400,65 @@ object EventStreams {
           .parquet(f"$targetPath/v_$batchId%012d")
       }
       .start()
+
+  /** Streaming face of the AS-OF join (q38's composition): enrich an
+    * event STREAM against a static right relation — each left event takes
+    * the value columns of the single most recent right row at or before
+    * its timestamp ([[graft.operators.Joins.asofJoin]] semantics,
+    * including tolerance and direction).
+    *
+    * Every as-of match is a pure function of (one left row, the static
+    * right relation), so running the batch operator per micro-batch IS
+    * the streaming semantics — no state store, no watermark, and
+    * batch ≡ stream exactly (pinned in StreamingSpec on the q38
+    * fixture). Exactly-once mirrors [[upsertSink]]'s idempotent
+    * versioned-directory pattern, specialized to append: batch N writes
+    * its own `b_N` directory, a replay after crash-recovery rewrites the
+    * same directory with the same content, and readers
+    * ([[asofEnriched]]) union only `_SUCCESS`-committed directories.
+    *
+    * Scale shape per trigger: one keyed shuffle of (micro-batch ∪ right)
+    * — the batch operator's plan. The right side re-resolves every
+    * trigger, so a slowly-changing right table flows in without a
+    * restart (same property as [[enrich]]). */
+  def asofEnrichSink(
+      events: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String],
+      targetPath: String,
+      checkpoint: String,
+      toleranceSeconds: Option[Long] = None,
+      direction: String = "backward")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Joins
+          .asofJoin(batch, right, keys, tsCol, valueCols,
+            toleranceSeconds, direction)
+          .write.mode("overwrite")
+          .parquet(f"$targetPath/b_$batchId%012d")
+      }
+      .start()
+
+  /** All COMMITTED [[asofEnrichSink]] output batches as one relation
+    * (same `_SUCCESS` gating as [[currentSnapshot]] — a crash-partial
+    * batch directory is invisible until its replay commits). */
+  def asofEnriched(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("b_") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+        .sorted
+    require(committed.nonEmpty, s"no committed enrichment batches under $targetPath")
+    spark.read.parquet(committed: _*)
+  }
 }

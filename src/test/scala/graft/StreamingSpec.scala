@@ -86,6 +86,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofEnrichSink: streamed micro-batches equal the batch as-of join (q38 fixture)") {
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    // stream the click fixture file-by-file -> several real micro-batches
+    val src = Files.createTempDirectory("graft-asof-src").toString
+    clicks.repartition(4).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(clicks.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val target = Files.createTempDirectory("graft-asof-out").toString
+    val q = EventStreams.asofEnrichSink(
+      stream, purchases, Seq("user_id"), "ts", Seq("purchase_value"),
+      target, checkpoint())
+    try q.processAllAvailable() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 6).as("v"), round(col("purchase_value"), 6).as("pv"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val streamed = canon(EventStreams.asofEnriched(spark, target))
+    val batch = canon(graft.operators.Joins.asofJoin(
+      clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value")))
+    assert(streamed.size == batch.size && streamed == batch)
+  }
+
   test("currentSnapshot ignores an uncommitted (crash-partial) version dir") {
     val target = Files.createTempDirectory("graft-partial").toString
     // committed v_1: parquet write leaves a _SUCCESS marker
