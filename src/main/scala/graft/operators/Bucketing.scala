@@ -22,13 +22,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table (parquet). */
+  /** Write `df` as a bucketed+sorted managed table (parquet). Any stale
+    * table of the same name is dropped AND its warehouse location
+    * cleared first: with the in-memory catalog, a restarted session
+    * forgets the table while its directory persists, and a bare
+    * `saveAsTable` then fails with LOCATION_ALREADY_EXISTS. */
   def writeBucketed(
       df: DataFrame,
       table: String,
       bucketCols: Seq[String],
       numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
     val sorted = if (sortCols.isEmpty) bucketCols else sortCols
     df.write
       .format("parquet")

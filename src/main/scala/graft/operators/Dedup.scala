@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
@@ -155,23 +155,47 @@ object Dedup {
       bands: Int = 16,
       seed: Long = 42L,
       tau: Double = 0.4): DataFrame = {
-    def norm(c: Column) = regexp_replace(lower(trim(c)), "\\s+", " ")
     val corpusNorm = corpus
-      .select(norm(col(textCol)).as("__n"), col(idCol).as("__cid"))
+      .select(normText(col(textCol)).as("__n"), col(idCol).as("__cid"))
       .groupBy(col("__n")).agg(min(col("__cid")).as("__exact_of"))
+    val cb = bandedKeys(corpus, idCol, textCol, shingleSize, numHashes, bands, seed)
+      .select(col("band"), col("bh"), col(idCol).as("__cid"))
+    val texts = corpus.select(col(idCol).as("__cid"), col(textCol).as("__tc"))
+    probeDedupIndexes(corpusNorm, cb, texts, batch, idCol, textCol,
+      shingleSize, numHashes, bands, seed, tau)
+  }
+
+  private def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** The batch-vs-index probe shared by [[incrementalDedup]] (indexes
+    * built inline) and [[incrementalDedupIndexed]] (indexes read from
+    * bucketed tables). The batch side of every join is the small one —
+    * AQE broadcasts it, so the index relations are never shuffled. */
+  private def probeDedupIndexes(
+      corpusNorm: DataFrame, // (__n, __exact_of)
+      corpusBands: DataFrame, // (band, bh, __cid)
+      corpusTexts: DataFrame, // (__cid, __tc)
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int,
+      seed: Long,
+      tau: Double): DataFrame = {
     val exactHit = batch
-      .select(col(idCol), norm(col(textCol)).as("__n"))
+      .select(col(idCol), normText(col(textCol)).as("__n"))
       .join(corpusNorm, Seq("__n"), "left")
       .select(col(idCol), col("__exact_of"))
-    val cb = bandedKeys(corpus, idCol, textCol, shingleSize, numHashes, bands, seed)
     val bb = bandedKeys(batch, idCol, textCol, shingleSize, numHashes, bands, seed)
     val cand = bb.select(col("band"), col("bh"), col(idCol).as("__bid"))
-      .join(cb.select(col("band"), col("bh"), col(idCol).as("__cid")), Seq("band", "bh"))
+      .join(corpusBands, Seq("band", "bh"))
       .select(col("__bid"), col("__cid"))
       .distinct()
     val nearHit = cand
       .join(batch.select(col(idCol).as("__bid"), col(textCol).as("__tb")), Seq("__bid"))
-      .join(corpus.select(col(idCol).as("__cid"), col(textCol).as("__tc")), Seq("__cid"))
+      .join(corpusTexts, Seq("__cid"))
       .filter(
         round(jaccard(
           wordShingles(col("__tb"), shingleSize),
@@ -188,6 +212,61 @@ object Dedup {
           .otherwise(lit("novel")).as("status"),
         coalesce(col("__exact_of"), col("__near_of")).as("dup_of"))
   }
+
+  /** PERSIST [[incrementalDedup]]'s corpus-side indexes as bucketed
+    * tables — the build step a continual-ingest pipeline runs once (and
+    * appends to as batches commit), so each daily drop probes indexes
+    * instead of re-scanning the corpus:
+    *   - `<table>_exact`: (normalized text -> min corpus id), bucketed
+    *     by the normalized text;
+    *   - `<table>_bands`: the (band, bh, id) LSH rows, bucketed by
+    *     (band, bh);
+    *   - `<table>_texts`: (id, text), bucketed by id — candidate
+    *     verification re-reads only matched ids' buckets.
+    * The text/shingle pass over the corpus is paid HERE, once. */
+  def writeDedupIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      numBuckets: Int = 32,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L): Unit = {
+    val corpusNorm = corpus
+      .select(normText(col(textCol)).as("__n"), col(idCol).as("__cid"))
+      .groupBy(col("__n")).agg(min(col("__cid")).as("__exact_of"))
+    Bucketing.writeBucketed(corpusNorm, s"${table}_exact", Seq("__n"), numBuckets)
+    Bucketing.writeBucketed(
+      bandedKeys(corpus, idCol, textCol, shingleSize, numHashes, bands, seed)
+        .select(col("band"), col("bh"), col(idCol).as("__cid")),
+      s"${table}_bands", Seq("band", "bh"), numBuckets)
+    Bucketing.writeBucketed(
+      corpus.select(col(idCol).as("__cid"), col(textCol).as("__tc")),
+      s"${table}_texts", Seq("__cid"), numBuckets)
+  }
+
+  /** [[incrementalDedup]] served from a persisted [[writeDedupIndex]]:
+    * same classification, but the corpus enters only through its three
+    * bucketed index tables — never shuffled (the batch side broadcasts),
+    * never fully re-scanned. LSH parameters MUST match the build. */
+  def incrementalDedupIndexed(
+      spark: SparkSession,
+      table: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      tau: Double = 0.4): DataFrame =
+    probeDedupIndexes(
+      spark.table(s"${table}_exact"),
+      spark.table(s"${table}_bands"),
+      spark.table(s"${table}_texts"),
+      batch, idCol, textCol, shingleSize, numHashes, bands, seed, tau)
 
   /** 64-bit SimHash over token hashes: bit j of the result is the sign of
     * sum over tokens of (+1 if bit j of xxhash64(token) else -1).

@@ -1435,18 +1435,7 @@ $langScoreCols
     * the full minhash pair replay (uncapped — the operator has no
     * bucket cap) and keeps only cross-split pairs, plus the normalized
     * exact layer. */
-  val p09_incremental_dedup = QueryDef(
-    "p09_incremental_dedup",
-    (s, dir) => {
-      val docs = Tables(s, dir).documents
-      Dedup
-        .incrementalDedup(
-          corpus = docs.filter(col("doc_id") % 5 =!= 0),
-          batch = docs.filter(col("doc_id") % 5 === 0),
-          "doc_id", "text")
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
+  private val p09Oracle: String = s"""
       WITH pairs AS (SELECT * FROM (${minhashPairsOracle(1000000000L)}) __mh),
       cn AS (
         SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n,
@@ -1469,7 +1458,42 @@ $langScoreCols
                   ELSE 'novel' END AS status,
              coalesce(exact_of, near_of) AS dup_of
       FROM ex LEFT JOIN nr ON ex.doc_id = nr.bid
-      ORDER BY ex.doc_id"""))
+      ORDER BY ex.doc_id"""
+
+  val p09_incremental_dedup = QueryDef(
+    "p09_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup
+        .incrementalDedup(
+          corpus = docs.filter(col("doc_id") % 5 =!= 0),
+          batch = docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(p09Oracle))
+
+  /** p09 served from PERSISTED indexes ([[Dedup.writeDedupIndex]] /
+    * [[Dedup.incrementalDedupIndexed]]): the corpus's exact-hash map,
+    * LSH band rows, and verify texts live in bucketed tables built
+    * once; the daily batch probes them with every join broadcast on
+    * the batch side — the corpus is never shuffled or re-scanned
+    * (index-side shuffle-freedom pinned in BucketingSpec). Same
+    * parameters as p09, therefore the same oracle: the hash compare
+    * proves the persisted path classifies identically. */
+  val p10_incremental_dedup_indexed = QueryDef(
+    "p10_incremental_dedup_indexed",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val table = s"graft_dedup_idx_${Integer.toHexString(dir.hashCode)}"
+      Dedup.writeDedupIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", table)
+      Dedup
+        .incrementalDedupIndexed(s, table,
+          batch = docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(p09Oracle))
 
   /** Hashed linear quality model ([[graft.operators.Scoring
     * .hashedLinearScore]]): the fastText/CCNet-style model-scored
@@ -1732,6 +1756,6 @@ $langScoreCols
     s05_knn_ivf_indexed,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
-    p08_kl_drift, p09_incremental_dedup,
+    p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,
     g01_pagerank)
 }

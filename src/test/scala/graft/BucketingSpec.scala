@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bucketing, Similarity}
+import graft.operators.{Bucketing, Dedup, Similarity}
 
 /** Bucketed tables: the join/aggregation plans must contain NO Exchange —
   * the write-time bucket layout replaces the runtime shuffle. */
@@ -33,6 +33,50 @@ class BucketingSpec extends SparkSpec {
       assert(pruned.get.group(1).toInt < pruned.get.group(2).toInt,
         s"probe should not read every bucket: ${pruned.get.matched}")
     } finally spark.sql("DROP TABLE IF EXISTS ivf_idx_spec")
+  }
+
+  test("persisted dedup index: probe equals inline incrementalDedup; index tables never shuffle") {
+    val docs = Tables(spark, sf0001).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.writeDedupIndex(corpus, "doc_id", "text", "dedup_idx_spec", numBuckets = 8)
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val probe = Dedup.incrementalDedupIndexed(
+        spark, "dedup_idx_spec", batch, "doc_id", "text")
+      val inline = Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+      assert(canon(probe) == canon(inline))
+      // index rows are never a shuffle's payload: between any index-table
+      // scan and its nearest JOIN ancestor there must be no
+      // ShuffleExchange (a shuffle above the join moves the join's
+      // batch-sized output, which is fine; a shuffle directly over the
+      // scan would repartition the index itself)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      val offenders = Seq.newBuilder[String]
+      def walk(p: SparkPlan, shuffledSinceJoin: Boolean): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.initialPlan, shuffledSinceJoin)
+        case q: QueryStageExec => walk(q.plan, shuffledSinceJoin)
+        case s: FileSourceScanExec
+            if s.toString.contains("dedup_idx_spec") && shuffledSinceJoin =>
+          offenders += s.nodeName
+        case _ =>
+          val state = p match {
+            case _: ShuffleExchangeExec => true
+            case _: BaseJoinExec => false
+            case _ => shuffledSinceJoin
+          }
+          p.children.foreach(walk(_, state))
+          p.subqueries.foreach(walk(_, false))
+      }
+      walk(probe.queryExecution.executedPlan, shuffledSinceJoin = false)
+      assert(offenders.result().isEmpty,
+        s"index table scan shuffled before its join: ${offenders.result()}")
+    } finally Seq("_exact", "_bands", "_texts").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS dedup_idx_spec$s"))
   }
 
   test("bucketed join and aggregation plan with zero Exchange") {
