@@ -9,21 +9,13 @@ import graft.functions.expressions.BpeOps
   * counts a training pipeline budgets by (pretoken counts, t05, are only
   * a proxy). The merge loop itself is
   * [[graft.functions.expressions.BpeTokenCount]]; this operator gives it
-  * the scale-correct shape:
-  *
-  *   1. pretokenize in-scan (regexp, codegen'd) and aggregate
-  *      (doc, pretoken) occurrence counts — map-side combine absorbs the
-  *      per-doc repetition before the one keyed shuffle;
-  *   2. reduce to DISTINCT pretokens (vocabulary-sized: millions at
-  *      100 TB, not trillions) and run the iterative merge loop once per
-  *      distinct pretoken;
-  *   3. join the per-pretoken subword lengths back (pretoken-keyed join
-  *      against the just-aggregated relation; AQE broadcasts the vocab
-  *      side when it is small) and sum lengths x occurrences per doc.
-  *
-  * So the corpus text is scanned once and the O(|merges| x |pretoken|)
-  * loop never touches the raw corpus — the classic dictionary-encode
-  * trick applied to tokenization.
+  * the scale-correct shape: pretokenize in-scan (regexp, codegen'd),
+  * aggregate (doc, pretoken) occurrence counts — map-side combine
+  * absorbs within-doc repetition before the one keyed shuffle — and run
+  * the O(|merges| x |pretoken|) loop once per aggregated row, never on
+  * the raw token stream. One corpus scan, two keyed shuffles, no join
+  * (see [[tokenCounts]] for why per-(doc, pretoken) beats a global
+  * vocabulary join here).
   */
 object Bpe {
 
@@ -89,26 +81,32 @@ object Bpe {
     " i" -> "n") // ' in'
 
   /** Per-document merged-token counts: (idCol, n_bpe_tokens). Documents
-    * with no pretokens (empty text) count 0. */
+    * with no pretokens (empty text) count 0.
+    *
+    * Plan shape (verified with `graft.Explain t17`): ONE corpus scan —
+    * pretokenize + explode in-scan, aggregate (doc, pretoken)
+    * occurrence counts (map-side combine absorbs within-doc repetition
+    * before the one keyed shuffle), apply the merge loop per aggregated
+    * row, sum per doc. An earlier draft deduped to a global pretoken
+    * vocabulary and joined lengths back; Catalyst cannot share the
+    * un-materialized subplan, so that shape re-scanned and re-tokenized
+    * the corpus for the vocabulary branch — a second full pass at
+    * 100 TB to save microseconds of merge-loop per row. Per-(doc,
+    * pretoken) dedup keeps the loop off the raw token stream with no
+    * second scan. */
   def tokenCounts(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       merges: Seq[(String, String)] = referenceMerges): DataFrame = {
     BpeOps.table(merges) // fail fast on a malformed vocabulary
-    val perDoc = docs
+    docs
       .select(col(idCol), explode(TextFunctions.bpeTokens(col(textCol))).as("__pt"))
       .groupBy(col(idCol), col("__pt"))
       .agg(count(lit(1)).as("__n"))
-    val vocab = perDoc
-      .groupBy(col("__pt"))
-      .agg(count(lit(1)).as("__docs")) // partial-aggregated distinct
-      .select(col("__pt"),
-        BpeOps.bpeMergedCount(col("__pt"), merges).as("__len"))
-    perDoc
-      .join(vocab, Seq("__pt"))
       .groupBy(col(idCol))
-      .agg(sum(col("__n") * col("__len")).as("n_bpe_tokens"))
+      .agg(sum(col("__n") *
+        BpeOps.bpeMergedCount(col("__pt"), merges)).as("n_bpe_tokens"))
       .join(docs.select(col(idCol)), Seq(idCol), "right")
       .select(col(idCol),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
