@@ -183,8 +183,17 @@ object Clustering {
       tau: Double,
       scale: Double = 1e6): DataFrame = {
     import graft.functions.expressions.Sketches.dotLong
+    // The explicit repartition is load-bearing: the assignment relation
+    // is consumed THREE times (both self-join sides + the final output
+    // join), and Spark cannot share an un-materialized subplan — without
+    // it the quantize + centroid-argmin scan runs three times. Routing
+    // every consumer through ONE cluster-keyed Exchange lets
+    // ReuseExchange compute the assignment once; the self-join's
+    // distribution requirement is then already satisfied, so this adds
+    // no shuffle the join would not have done anyway.
     val assigned = kmeansAssignments(vectors, idCol, vecCol, k, iters, scale)
       .withColumn("__n2", dotLong(col("__q"), col("__q")))
+      .repartition(col("cluster"))
     val a = assigned.select(
       col("cluster"), col(idCol).as("__ida"), col("__q").as("__qa"), col("__n2").as("__na"))
     val b = assigned.select(
@@ -199,7 +208,8 @@ object Clustering {
       .groupBy(col("__ida"))
       .agg(min(col("__idb")).as("dup_of"))
     assigned
-      .join(dups, assigned(idCol) === dups("__ida"), "left")
+      .select(col(idCol), col("cluster"))
+      .join(dups, col(idCol) === col("__ida"), "left")
       .select(
         col(idCol), col("cluster"), col("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
