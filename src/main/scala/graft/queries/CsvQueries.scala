@@ -187,6 +187,54 @@ object CsvQueries {
         |4,2024-12-31 23:59:59,NA
         |""".stripMargin)
 
+  private val multiFileFixtureDir = "/tmp/graft_fixture_multifile"
+
+  /** Two deterministic CSV shards: file 0's `x` column is integral for
+    * its whole prefix; file 1 drifts to fractional on every 7th id —
+    * the multi-file type-drift shape [[Csv.inferSchemaDistributed]]
+    * exists to catch. */
+  private def writeMultiFileFixture(): Unit = {
+    val dir = new java.io.File(multiFileFixtureDir)
+    dir.mkdirs()
+    def rows(ids: Range, drift: Boolean): String =
+      ids.map { i =>
+        val x = if (drift && i % 7 == 0) s"$i.5" else s"$i"
+        s"$i,$x,${Seq("red", "green", "blue")(i % 3)}"
+      }.mkString("\n")
+    java.nio.file.Files.writeString(
+      dir.toPath.resolve("part-0000.csv"), "id,x,lab\n" + rows(1 to 50, drift = false) + "\n")
+    java.nio.file.Files.writeString(
+      dir.toPath.resolve("part-0001.csv"), "id,x,lab\n" + rows(51 to 100, drift = true) + "\n")
+  }
+
+  /** Sampled multi-file schema inference, oracle-backed: the second
+    * shard widens `x` to Double, so the single-file (reference-default)
+    * inference would type it Int and the strict reader would silently
+    * drop every drifted row. [[Csv.inferSchemaDistributed]] samples
+    * both shards, the lattice widens, and the strict read keeps all
+    * 100 rows — hash-compared against DuckDB reading the same files
+    * with the widened types. */
+  val q71_csv_multifile = QueryDef(
+    "q71_csv_multifile",
+    (s, _) => {
+      writeMultiFileFixture()
+      val cols = Csv.inferSchemaDistributed(s, multiFileFixtureDir)
+      Csv.readTableWith(s, multiFileFixtureDir, cols)
+        .groupBy(col("lab"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"),
+          min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy(col("lab"))
+    },
+    Some(s"""
+      SELECT lab, count(*) AS n, sum(x) AS sum_x,
+             min(id) AS min_id, max(id) AS max_id
+      FROM read_csv('$multiFileFixtureDir/part-*.csv', header=true,
+                    columns={'id': 'BIGINT', 'x': 'DOUBLE', 'lab': 'VARCHAR'})
+      GROUP BY lab ORDER BY lab"""))
+
   /** Round-trip scratch directory under java.io.tmpdir, pid-suffixed so
     * concurrent harness runs over the same sfDir cannot clobber each
     * other mid-read, and registered ONCE for recursive deletion at JVM
@@ -275,5 +323,5 @@ object CsvQueries {
   val all: Seq[QueryDef] = Seq(
     q28_csv_strict, q29_csv_maybe, q30_csv_managers, q31_csv_noheader,
     q32_csv_categorical, q33_csv_fl2_means, q39_csv_timestamp, q62_jsonl_io,
-    q66_partitioned_io)
+    q66_partitioned_io, q71_csv_multifile)
 }
