@@ -78,6 +78,62 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("sequential == priority for RANDOM well-formed merge tables (seeded property)") {
+    // the equivalence theorem the DuckDB oracle rests on, checked beyond
+    // the shipped vocabulary: random well-formed tables (each part a
+    // single char or an earlier output, outputs unique) over a tiny
+    // alphabet (maximizing merge collisions), random strings
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = "abc "
+    for (trial <- 1 to 200) {
+      // grow a random well-formed table
+      val formed = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val outputs = scala.collection.mutable.LinkedHashSet[String]()
+      val atoms = alphabet.map(_.toString)
+      var attempts = 0
+      while (formed.size < 12 && attempts < 200) {
+        attempts += 1
+        def part(): String = {
+          val pool = atoms ++ outputs
+          pool(rnd.nextInt(pool.size))
+        }
+        val (a, b) = (part(), part())
+        if (!outputs.contains(a + b)) {
+          formed += ((a, b))
+          outputs += (a + b)
+        }
+      }
+      val merges = formed.toSeq
+      val tbl = BpeOps.table(merges) // must validate
+      val ranks = merges.zipWithIndex.map { case (m, r) => m -> r }.toMap
+      def priority(s: String): Vector[String] = {
+        var syms = s.map(_.toString).toVector
+        var go = syms.length >= 2
+        while (go) {
+          val hits = syms.indices.init
+            .flatMap(i => ranks.get((syms(i), syms(i + 1))).map(_ -> i))
+          if (hits.isEmpty) go = false
+          else {
+            val (a, b) = merges(hits.map(_._1).min)
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            syms = out.result()
+            go = syms.length >= 2
+          }
+        }
+        syms
+      }
+      val str = Seq.fill(3 + rnd.nextInt(20))(alphabet(rnd.nextInt(alphabet.size))).mkString
+      assert(BpeOps.encode(str, tbl).toSeq == priority(str),
+        s"trial $trial: divergence on '$str' under $merges")
+    }
+  }
+
   test("tokenCounts: per-doc sums match a driver-side recount; empty text counts 0") {
     import spark.implicits._
     val docs = Seq(
