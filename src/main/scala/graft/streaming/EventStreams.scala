@@ -417,10 +417,16 @@ object EventStreams {
     * same directory with the same content, and readers
     * ([[asofEnriched]]) union only `_SUCCESS`-committed directories.
     *
-    * Scale shape per trigger: one keyed shuffle of (micro-batch ∪ right)
-    * — the batch operator's plan. The right side re-resolves every
-    * trigger, so a slowly-changing right table flows in without a
-    * restart (same property as [[enrich]]). */
+    * Scale shape per trigger: the right side is first pruned to the
+    * micro-batch's key set (a broadcast left-semi join — batch keys are
+    * bounded per trigger; keeping EVERY right row of a matched key
+    * preserves as-of semantics exactly), then the batch operator runs
+    * one keyed shuffle of (micro-batch ∪ pruned right). Without the
+    * prune, every trigger would window the WHOLE right relation —
+    * per-trigger cost proportional to the dimension, not the batch.
+    * The right side re-resolves every trigger, so a slowly-changing
+    * right table flows in without a restart (same property as
+    * [[enrich]]). */
   def asofEnrichSink(
       events: DataFrame,
       right: DataFrame,
@@ -435,8 +441,11 @@ object EventStreams {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rightPruned = right.join(
+          broadcast(batch.select(keys.map(col): _*).distinct()),
+          keys, "left_semi")
         graft.operators.Joins
-          .asofJoin(batch, right, keys, tsCol, valueCols,
+          .asofJoin(batch, rightPruned, keys, tsCol, valueCols,
             toleranceSeconds, direction)
           .write.mode("overwrite")
           .parquet(f"$targetPath/b_$batchId%012d")
