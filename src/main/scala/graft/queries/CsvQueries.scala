@@ -320,8 +320,38 @@ object CsvQueries {
       FROM documents WHERE lang = 'en'
       GROUP BY source ORDER BY source"""))
 
+  /** ORC round trip (Spark's second built-in columnar format — the
+    * interchange format a mixed-engine deployment actually encounters):
+    * documents written as ORC, read back, stats computed from the
+    * ROUND-TRIPPED data while the oracle computes them from the
+    * original parquet — any value/type mangling through ORC's
+    * encoders breaks the hash. Same shape as the JSONL (q62) and
+    * hive-partitioned (q66) round trips. */
+  val q72_orc_io = QueryDef(
+    "q72_orc_io",
+    (s, dir) => {
+      val docs = graft.Tables(s, dir).documents
+      val tmp = scratchDir("orc", dir)
+      docs.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"),
+          min(col("text")).as("min_text"),
+          max(col("text")).as("max_text"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""
+      SELECT lang, source, count(*) AS n,
+             cast(sum(n_chars) as bigint) AS sum_chars,
+             cast(sum(length(text)) as bigint) AS sum_len,
+             min(text) AS min_text, max(text) AS max_text
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
   val all: Seq[QueryDef] = Seq(
     q28_csv_strict, q29_csv_maybe, q30_csv_managers, q31_csv_noheader,
     q32_csv_categorical, q33_csv_fl2_means, q39_csv_timestamp, q62_jsonl_io,
-    q66_partitioned_io, q71_csv_multifile)
+    q66_partitioned_io, q71_csv_multifile, q72_orc_io)
 }
