@@ -112,6 +112,103 @@ object Bpe {
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** LEARN a merge table from a corpus (Sennrich et al. 2016 BPE
+    * training, re-expressed distributed): start from the pretoken
+    * vocabulary with occurrence counts, and for each round pick the
+    * globally most frequent adjacent symbol pair (count desc, then
+    * lexicographic (a, b) — a total order, so the learned table is
+    * deterministic) and merge it everywhere. Produces a WELL-FORMED
+    * table by construction (each part is a char or an earlier output;
+    * a pair whose output string was already produced is skipped), so
+    * the result feeds [[tokenCounts]] / the t17 oracle directly.
+    *
+    * Scale shape: the corpus is read ONCE (pretoken count aggregation);
+    * the loop then runs entirely on the vocabulary relation —
+    * (symbols array, count) per DISTINCT pretoken, cached and
+    * re-derived per round by a scan-local fold (the merge pass is a
+    * `functions.aggregate` fold inside codegen: merging (a,b) cannot
+    * create a new (a,b) occurrence since a+b equals neither part, so
+    * one left-to-right fold per round is exact). Per round: one pair
+    * count aggregation + a 1-row TakeOrderedAndProject to the driver.
+    * Vocabulary never collects; lineage is cut every few rounds. */
+  def learnMerges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(TextFunctions.bpeTokens(col(textCol))).as("__pt"))
+      .groupBy(col("__pt"))
+      .agg(count(lit(1)).as("__n"))
+      .select(
+        // split into single characters (code points via regex split)
+        filter(split(col("__pt"), ""), c => c =!= "").as("__syms"),
+        col("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val learned = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val outputs = scala.collection.mutable.HashSet[String]()
+    var cached = vocab
+    var exhausted = false
+    var round = 0
+    while (round < numMerges && !exhausted) {
+      val counted = vocab
+        .select(
+          explode(
+            filter(
+              transform(col("__syms"), (x, i) =>
+                struct(x.as("a"), try_element_at(col("__syms"), i + 2).as("b"))),
+              p => p.getField("b").isNotNull)).as("__p"),
+          col("__n"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(sum(col("__n")).as("__c"))
+        .filter(col("__c") >= minPairCount)
+      // skip pairs whose output collides with an earlier merge output
+      // (keeps the table well-formed; rare in practice)
+      val fresh =
+        if (outputs.isEmpty) counted
+        else counted.filter(
+          !concat(col("a"), col("b")).isin(outputs.toSeq: _*))
+      val pairs = fresh
+        .orderBy(col("__c").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val (a, b) = (pairs(0).getString(0), pairs(0).getString(1))
+        learned += ((a, b))
+        outputs += (a + b)
+        // one exact left-to-right merge pass per row, in-scan:
+        // fold that appends, or fuses the last element with the
+        // current one when (last, current) == (a, b)
+        val merged = aggregate(
+          col("__syms"),
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(
+              size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x))))
+        val next = vocab.select(merged.as("__syms"), col("__n"))
+        // cut lineage every few rounds: each round nests another fold
+        // expression; past ~8 the analyzed plan growth dominates
+        val mat =
+          if (round % 4 == 3) next.localCheckpoint(false)
+          else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        mat.count(): Unit // materialize before dropping the parent cache
+        cached.unpersist()
+        cached = mat
+        vocab = mat
+      }
+      round += 1
+    }
+    cached.unpersist()
+    learned.toSeq
+  }
+
   private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** DuckDB replay of [[tokenCounts]] as named CTEs (caller appends the

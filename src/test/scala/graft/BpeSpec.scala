@@ -134,6 +134,74 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("learnMerges equals a brute-force driver-side learner; output is well-formed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the rat"),
+      (3L, "that cat is the best cat"),
+      (4L, "rats and cats chat")).toDF("doc_id", "text")
+    val n = 10
+    val got = Bpe.learnMerges(docs, "doc_id", "text", numMerges = n)
+    // brute-force reference: pretoken counts -> repeatedly merge the
+    // most frequent adjacent pair (count desc, then (a, b) lexicographic)
+    val pat = java.util.regex.Pattern.compile(
+      graft.functions.TextFunctions.bpePattern)
+    val counts = scala.collection.mutable.Map[Vector[String], Long]()
+    docs.collect().foreach { r =>
+      val m = pat.matcher(r.getString(1))
+      while (m.find())
+        counts.updateWith(m.group().map(_.toString).toVector)(
+          c => Some(c.getOrElse(0L) + 1L))
+    }
+    var vocab = counts.toMap
+    val want = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val outs = scala.collection.mutable.HashSet[String]()
+    var continue = true
+    while (want.size < n && continue) {
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.indices.init.foreach(i =>
+          pairCounts.updateWith((syms(i), syms(i + 1)))(
+            p => Some(p.getOrElse(0L) + c)))
+      }
+      val eligible = pairCounts.filter { case (p, c) =>
+        c >= 2L && !outs.contains(p._1 + p._2)
+      }
+      if (eligible.isEmpty) continue = false
+      else {
+        val best = eligible.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        want += best
+        outs += (best._1 + best._2)
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == best._1 && syms(j + 1) == best._2) {
+              out += best._1 + best._2; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          out.result()
+        }(_._2)(_ + _)
+      }
+    }
+    assert(got == want.toSeq, s"learned $got, reference ${want.toSeq}")
+    // learned table is well-formed (validates) and actually compresses
+    val learnedTbl = BpeOps.table(got)
+    val charCount = docs.collect().map { r =>
+      val m = pat.matcher(r.getString(1))
+      var k = 0L
+      while (m.find()) k += m.group().length
+      k
+    }.sum
+    val tokCount = Bpe.tokenCounts(docs, "doc_id", "text", got)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens"))
+      .collect()(0).getLong(0)
+    assert(tokCount < charCount, s"learned merges must compress: $tokCount vs $charCount")
+    assert(learnedTbl.size == got.size)
+  }
+
   test("tokenCounts: per-doc sums match a driver-side recount; empty text counts 0") {
     import spark.implicits._
     val docs = Seq(
