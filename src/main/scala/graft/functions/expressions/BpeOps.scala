@@ -106,6 +106,56 @@ object BpeOps {
   def tokenCount(s: UTF8String, t: MergeTable): Int =
     encode(s.toString, t).length
 
+  /** Sequential reference BPE TRAINER over a pretoken-count dictionary
+    * (Sennrich et al. 2016): each round merges the globally most
+    * frequent adjacent pair — count desc, then lexicographic (a, b) —
+    * skipping pairs whose output string an earlier merge already
+    * produced (keeps the table well-formed). This is the driver-side
+    * twin of [[graft.operators.Bpe.learnMerges]] (spec-pinned equal),
+    * and — being pure Scala — the generator the t18 oracle uses to
+    * derive the EXPECTED learned table at oracle-build time. */
+  def learnMergesLocal(
+      pretokenCounts: Map[String, Long],
+      numMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] =
+      pretokenCounts.groupMapReduce(_._1.map(_.toString).toVector)(_._2)(_ + _)
+    val learned = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val outs = scala.collection.mutable.HashSet[String]()
+    var continue = true
+    while (learned.size < numMerges && continue) {
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          pairCounts.updateWith((syms(i), syms(i + 1)))(
+            p => Some(p.getOrElse(0L) + c))
+          i += 1
+        }
+      }
+      val eligible = pairCounts.filter { case ((a, b), c) =>
+        c >= minPairCount && !outs.contains(a + b)
+      }
+      if (eligible.isEmpty) continue = false
+      else {
+        val (a, b) = eligible.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head._1
+        learned += ((a, b))
+        outs += (a + b)
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              out += a + b; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          out.result()
+        }(_._2)(_ + _)
+      }
+    }
+    learned.toSeq
+  }
+
   /** Column face: merged-token count of one pretoken. */
   def bpeMergedCount(pretoken: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(pretoken), merges))

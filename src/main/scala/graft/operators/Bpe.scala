@@ -219,7 +219,9 @@ object Bpe {
     * finishes at r = |merges|. One-leftmost-at-a-time equals the Spark
     * side's one-pass-per-rank for a well-formed table (merging (a,b)
     * cannot create another (a,b): a+b equals neither a nor b). */
-  def countsSqlCtes(merges: Seq[(String, String)] = referenceMerges): String = {
+  def countsSqlCtes(
+      merges: Seq[(String, String)] = referenceMerges,
+      docsRelation: String = "documents"): String = {
     val values = merges.zipWithIndex
       .map { case ((a, b), r) => s"($r, ${sqlQuote(a)}, ${sqlQuote(b)})" }
       .mkString(", ")
@@ -227,7 +229,7 @@ object Bpe {
     s"""bpe_merges(r, a, b) AS (VALUES $values),
       bpe_doc_pt AS (
         SELECT doc_id, unnest(regexp_extract_all(text, $pat)) AS pt
-        FROM documents),
+        FROM $docsRelation),
       bpe_pt_counts AS (
         SELECT doc_id, pt, count(*) AS n FROM bpe_doc_pt GROUP BY doc_id, pt),
       bpe_enc(pt, syms, r) AS (
@@ -251,7 +253,7 @@ object Bpe {
       bpe_counts AS (
         SELECT d.doc_id,
                cast(coalesce(s.nb, 0) as bigint) AS n_bpe_tokens
-        FROM documents d
+        FROM $docsRelation d
         LEFT JOIN (
           SELECT c.doc_id, sum(c.n * v.n_tok) AS nb
           FROM bpe_pt_counts c JOIN bpe_vocab v USING (pt)

@@ -1746,11 +1746,67 @@ $langScoreCols
       SELECT doc_id, n_bpe_tokens FROM bpe_counts ORDER BY doc_id"""),
     bench = true)
 
+  /** Deterministic training corpus for t18 (small enough to embed as a
+    * VALUES relation in the oracle, rich enough that 12 learned merges
+    * are non-trivial). */
+  private val bpeLearnFixture: Seq[(Long, String)] = Seq(
+    1L -> "the cat sat on the mat and the cat ate",
+    2L -> "that cat is the best cat in the land",
+    3L -> "rats and cats chat in the shed",
+    4L -> "the rat sat where the cat sat",
+    5L -> "a hat and a mat and a bat",
+    6L -> "the bat sat on that hat",
+    7L -> "cats chase rats and rats chase cats",
+    8L -> "the chat in the shed is the best chat")
+
+  /** END-TO-END oracle for BPE TRAINING: the Spark side LEARNS 12
+    * merges from the fixture corpus with the distributed trainer and
+    * applies them; the oracle's expected merge table is derived at
+    * oracle-build time by the pure-Scala sequential twin
+    * ([[graft.functions.expressions.BpeOps.learnMergesLocal]], the
+    * published algorithm) and replayed through the same rank-stepping
+    * encode CTE over the fixture embedded as VALUES. Any regression in
+    * the distributed learner — pair counting, argmax tie order,
+    * merge-pass semantics, round sequencing — changes the learned
+    * table, changes the applied counts, and breaks the hash. */
+  val t18_bpe_learned = QueryDef(
+    "t18_bpe_learned",
+    (s, _) => {
+      import s.implicits._
+      val docs = bpeLearnFixture.toDF("doc_id", "text")
+      val learned = graft.operators.Bpe
+        .learnMerges(docs, "doc_id", "text", numMerges = 12)
+      graft.operators.Bpe
+        .tokenCounts(docs, "doc_id", "text", learned)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val pat = java.util.regex.Pattern
+        .compile(graft.functions.TextFunctions.bpePattern)
+      val counts = scala.collection.mutable.Map[String, Long]()
+      bpeLearnFixture.foreach { case (_, text) =>
+        val m = pat.matcher(text)
+        while (m.find())
+          counts.updateWith(m.group())(c => Some(c.getOrElse(0L) + 1L))
+      }
+      val expected = graft.functions.expressions.BpeOps
+        .learnMergesLocal(counts.toMap, numMerges = 12)
+      val fixtureValues = bpeLearnFixture
+        .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""
+      WITH RECURSIVE
+      bpe_fixture(doc_id, text) AS (VALUES $fixtureValues),
+      ${graft.operators.Bpe.countsSqlCtes(expected, docsRelation = "bpe_fixture")}
+      SELECT doc_id, n_bpe_tokens FROM bpe_counts ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
     t10_chunk_overlap, t11_bm25, t12_lm_quality, t13_ngram_topk,
     t14_quality_model, t15_rule_filter, t16_inverted_index, t17_bpe_merged,
+    t18_bpe_learned,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
