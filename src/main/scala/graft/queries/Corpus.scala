@@ -762,7 +762,12 @@ $langScoreCols
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
       val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nCells = 16)
-      val table = s"graft_ivf_idx_${Integer.toHexString(dir.hashCode)}"
+      // pid-suffixed like CsvQueries.scratchDir: separate in-memory-catalog
+      // sessions share one spark-warehouse dir, and writeBucketed DROPs +
+      // deletes the location — concurrent harness runs over the same sf dir
+      // must not delete each other's live index files mid-probe.
+      val table = s"graft_ivf_idx_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
       Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, table)
       Similarity
         .probeIvfIndex(s, table,
@@ -1488,7 +1493,9 @@ $langScoreCols
     "p10_incremental_dedup_indexed",
     (s, dir) => {
       val docs = Tables(s, dir).documents
-      val table = s"graft_dedup_idx_${Integer.toHexString(dir.hashCode)}"
+      // pid-suffixed for the same concurrent-runs reason as the IVF index.
+      val table = s"graft_dedup_idx_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
       Dedup.writeDedupIndex(
         docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", table)
       Dedup

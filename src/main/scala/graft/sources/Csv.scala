@@ -249,12 +249,18 @@ object Csv {
     // filesystem (so any scheme Spark can read works) and returns only
     // the bounded line prefix. Raw lines come back — tokenization stays
     // on the driver so ParserOptions (which may carry non-serializable
-    // custom parse kernels) never enters the closure.
+    // custom parse kernels) never enters the closure. The DRIVER's Hadoop
+    // configuration rides along (SerializableConfiguration) so
+    // spark.hadoop.* settings — object-store credentials, endpoints,
+    // custom fs impls — apply on executors too; a bare `new
+    // Configuration()` would silently drop them.
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val prefixes: Array[(String, Vector[String])] = spark.sparkContext
       .parallelize(files, files.size)
       .map { f =>
         val p = new org.apache.hadoop.fs.Path(f)
-        val tfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tfs = p.getFileSystem(hadoopConf.value)
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(tfs.open(p), encoding))
         try {

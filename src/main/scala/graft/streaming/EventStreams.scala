@@ -307,10 +307,20 @@ object EventStreams {
     else fs.listStatus(path).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_") &&
         fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .maxByOption(s => versionKey(s.getPath.getName))
       .map(_.getPath.toString)
-      .sorted(Ordering.String.reverse)
-      .headOption
   }
+
+  /** (version base, compaction generation), generation compared
+    * NUMERICALLY: a dir written before generations were zero-padded
+    * (`…_c1`) string-sorts above every padded one up to `_c0999`, so a
+    * string compare would keep serving — and never delete — the stale
+    * snapshot. */
+  private def versionKey(name: String): (String, Long) =
+    name.split("_c") match {
+      case Array(b) => (b, 0L)
+      case Array(b, g) => (b, g.toLong)
+    }
 
   /** Exactly-once streaming upsert: fold a CDC change stream into a
     * latest-state parquet snapshot with `foreachBatch` +
@@ -358,13 +368,9 @@ object EventStreams {
     val compacted = spark.read.parquet(current)
       .filter(!isDelete || tombstoneHorizon)
     val name = new org.apache.hadoop.fs.Path(current).getName
-    // Generation is zero-padded so string sort == numeric sort: an
-    // unpadded "_c10" would sort BELOW "_c9" and the 10th compaction
-    // would be shadowed by (and then deleted as older than) the 9th.
-    val (base, gen) = name.split("_c") match {
-      case Array(b) => (b, 0)
-      case Array(b, g) => (b, g.toInt)
-    }
+    // Generation is zero-padded (cosmetic now — ordering is numeric via
+    // [[versionKey]], which also handles pre-padding legacy dirs).
+    val (base, gen) = versionKey(name)
     val dest = f"$targetPath/${base}_c${gen + 1}%04d"
     compacted.write.mode("overwrite").parquet(dest)
     // drop every strictly-older COMMITTED version now that dest is
@@ -372,9 +378,11 @@ object EventStreams {
     // deleting it here could race a writer mid-recovery)
     val root = new org.apache.hadoop.fs.Path(targetPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val destKey = versionKey(new org.apache.hadoop.fs.Path(dest).getName)
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_") &&
-        s.getPath.getName < new org.apache.hadoop.fs.Path(dest).getName &&
+        implicitly[Ordering[(String, Long)]]
+          .lt(versionKey(s.getPath.getName), destKey) &&
         fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .foreach(s => fs.delete(s.getPath, true))
   }
