@@ -106,6 +106,41 @@ object BpeOps {
   def tokenCount(s: UTF8String, t: MergeTable): Int =
     encode(s.toString, t).length
 
+  /** Greedy batch selection over ONE round's sorted candidate pairs
+    * (count desc, then (a, b) — already sorted and filtered by the
+    * caller): accept up to `want` pairs that are mutually NON-INTERACTING
+    * — a candidate is accepted only if its two symbols AND its output
+    * string are disjoint from the symbols and outputs of every pair
+    * already accepted this round. Disjointness is what makes batch
+    * application exact: merging an accepted pair can neither create nor
+    * destroy an adjacency of any other accepted pair (its output is not
+    * a symbol of theirs; the symbols it consumes are not symbols of
+    * theirs), so every accepted pair's count is its exact global count
+    * at batch-count time, and applying the whole batch in one pass
+    * equals applying its pairs sequentially in order. With `want = 1`
+    * this degenerates to the classic Sennrich argmax. Shared by the
+    * distributed learner and the driver-side twin so the two can only
+    * diverge in what they COUNT — which is exactly what the equivalence
+    * spec pins. */
+  def selectBatch(
+      sortedCandidates: Seq[(String, String)],
+      want: Int): Seq[(String, String)] = {
+    val used = scala.collection.mutable.HashSet[String]()
+    val acc = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val it = sortedCandidates.iterator
+    while (acc.size < want && it.hasNext) {
+      val (a, b) = it.next()
+      val out = a + b
+      if (!used(a) && !used(b) && !used(out)) {
+        acc += ((a, b))
+        used += a
+        used += b
+        used += out
+      }
+    }
+    acc.toSeq
+  }
+
   /** Sequential reference BPE TRAINER over a pretoken-count dictionary
     * (Sennrich et al. 2016): each round merges the globally most
     * frequent adjacent pair — count desc, then lexicographic (a, b) —
@@ -113,13 +148,27 @@ object BpeOps {
     * produced (keeps the table well-formed). This is the driver-side
     * twin of [[graft.operators.Bpe.learnMerges]] (spec-pinned equal),
     * and — being pure Scala — the generator the t18 oracle uses to
-    * derive the EXPECTED learned table at oracle-build time. */
+    * derive the EXPECTED learned table at oracle-build time.
+    *
+    * `batchSize` > 1 turns on batch-greedy training (the scale path —
+    * see [[graft.operators.Bpe.learnMerges]] for why): per round, up to
+    * `batchSize` mutually non-interacting pairs from the top
+    * `candidateLimit` sorted candidates are merged together
+    * ([[selectBatch]]). `batchSize = 1` is EXACTLY the classic
+    * sequential algorithm, whatever `candidateLimit`. */
   def learnMergesLocal(
       pretokenCounts: Map[String, Long],
       numMerges: Int,
-      minPairCount: Long = 2L): Seq[(String, String)] = {
+      minPairCount: Long = 2L,
+      batchSize: Int = 1,
+      candidateLimit: Int = 64): Seq[(String, String)] = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(candidateLimit >= batchSize,
+      s"candidateLimit ($candidateLimit) must be >= batchSize ($batchSize)")
+    // code-point split (NOT UTF-16 chars): keeps this twin equal to the
+    // distributed learner and to encode() on non-BMP input.
     var vocab: Map[Vector[String], Long] =
-      pretokenCounts.groupMapReduce(_._1.map(_.toString).toVector)(_._2)(_ + _)
+      pretokenCounts.groupMapReduce(kv => codePoints(kv._1).toVector)(_._2)(_ + _)
     val learned = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val outs = scala.collection.mutable.HashSet[String]()
     var continue = true
@@ -133,21 +182,28 @@ object BpeOps {
           i += 1
         }
       }
-      val eligible = pairCounts.filter { case ((a, b), c) =>
-        c >= minPairCount && !outs.contains(a + b)
-      }
-      if (eligible.isEmpty) continue = false
+      val candidates = pairCounts.toSeq
+        .filter { case ((a, b), c) => c >= minPairCount && !outs.contains(a + b) }
+        .sortBy { case ((x, y), c) => (-c, x, y) }
+        .take(candidateLimit)
+        .map(_._1)
+      val accepted = selectBatch(
+        candidates, math.min(batchSize, numMerges - learned.size))
+      if (accepted.isEmpty) continue = false
       else {
-        val (a, b) = eligible.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head._1
-        learned += ((a, b))
-        outs += (a + b)
+        learned ++= accepted
+        accepted.foreach { case (a, b) => outs += (a + b) }
+        val fuse = accepted.map { case (a, b) => (a, b) -> (a + b) }.toMap
         vocab = vocab.groupMapReduce { case (syms, _) =>
           val out = Vector.newBuilder[String]
           var j = 0
           while (j < syms.length) {
-            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
-              out += a + b; j += 2
-            } else { out += syms(j); j += 1 }
+            val hit =
+              if (j + 1 < syms.length) fuse.get((syms(j), syms(j + 1))) else None
+            hit match {
+              case Some(o) => out += o; j += 2
+              case None => out += syms(j); j += 1
+            }
           }
           out.result()
         }(_._2)(_ + _)

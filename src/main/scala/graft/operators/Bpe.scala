@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.expressions.BpeOps
@@ -81,10 +81,13 @@ object Bpe {
     " i" -> "n") // ' in'
 
   /** Per-document merged-token counts: (idCol, n_bpe_tokens). Documents
-    * with no pretokens (empty text) count 0.
+    * with no pretokens (empty/null text) count 0. One output row per
+    * DISTINCT id — duplicate ids aggregate into one combined count.
     *
-    * Plan shape (verified with `graft.Explain t17`): ONE corpus scan —
-    * pretokenize + explode in-scan, aggregate (doc, pretoken)
+    * Plan shape (verified with `graft.Explain t17`): ONE corpus scan,
+    * no join — pretokenize + explode_outer in-scan (the outer variant
+    * keeps a null-pretoken row for empty documents, so no second
+    * id-only scan is needed to restore them), aggregate (doc, pretoken)
     * occurrence counts (map-side combine absorbs within-doc repetition
     * before the one keyed shuffle), apply the merge loop per aggregated
     * row, sum per doc. An earlier draft deduped to a global pretoken
@@ -101,15 +104,15 @@ object Bpe {
       merges: Seq[(String, String)] = referenceMerges): DataFrame = {
     BpeOps.table(merges) // fail fast on a malformed vocabulary
     docs
-      .select(col(idCol), explode(TextFunctions.bpeTokens(col(textCol))).as("__pt"))
+      .select(col(idCol),
+        explode_outer(TextFunctions.bpeTokens(col(textCol))).as("__pt"))
       .groupBy(col(idCol), col("__pt"))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col(idCol))
-      .agg(sum(col("__n") *
-        BpeOps.bpeMergedCount(col("__pt"), merges)).as("n_bpe_tokens"))
-      .join(docs.select(col(idCol)), Seq(idCol), "right")
-      .select(col(idCol),
-        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .agg(sum(
+        when(col("__pt").isNotNull,
+          col("__n") * BpeOps.bpeMergedCount(col("__pt"), merges))
+          .otherwise(lit(0L))).as("n_bpe_tokens"))
   }
 
   /** LEARN a merge table from a corpus (Sennrich et al. 2016 BPE
@@ -129,15 +132,37 @@ object Bpe {
     * `functions.aggregate` fold inside codegen: merging (a,b) cannot
     * create a new (a,b) occurrence since a+b equals neither part, so
     * one left-to-right fold per round is exact). Per round: one pair
-    * count aggregation + a 1-row TakeOrderedAndProject to the driver.
-    * Vocabulary never collects; lineage is cut every few rounds. */
+    * count aggregation with a `candidateLimit`-row
+    * TakeOrderedAndProject to the driver. Vocabulary never collects;
+    * lineage is cut every few rounds.
+    *
+    * `batchSize` is the jobs-per-merge lever for production vocabulary
+    * sizes: with `batchSize = m`, each counting round accepts up to m
+    * mutually NON-INTERACTING pairs from the top `candidateLimit`
+    * candidates ([[BpeOps.selectBatch]] — pairwise disjoint symbols and
+    * outputs, so each accepted count is exact and one fold pass applies
+    * the whole batch; the per-round Spark job count is amortized to
+    * ~2/m jobs per learned merge instead of ~2). A 32k-merge production
+    * vocabulary at m = 32 is ~1k rounds, not 32k sequential jobs.
+    * `batchSize = 1` (the default) is EXACTLY sequential Sennrich BPE;
+    * m > 1 is the standard frequency-batched variant — each accepted
+    * pair carries its exact global count at the time its round was
+    * counted, but a pair created by an earlier merge of the same batch
+    * cannot be picked until the next round (spec-pinned equal to the
+    * identically-parameterized driver-side twin
+    * [[BpeOps.learnMergesLocal]]). */
   def learnMerges(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       numMerges: Int,
-      minPairCount: Long = 2L): Seq[(String, String)] = {
+      minPairCount: Long = 2L,
+      batchSize: Int = 1,
+      candidateLimit: Int = 64): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(candidateLimit >= batchSize,
+      s"candidateLimit ($candidateLimit) must be >= batchSize ($batchSize)")
     val spark = docs.sparkSession
     var vocab = docs
       .select(explode(TextFunctions.bpeTokens(col(textCol))).as("__pt"))
@@ -153,7 +178,7 @@ object Bpe {
     var cached = vocab
     var exhausted = false
     var round = 0
-    while (round < numMerges && !exhausted) {
+    while (learned.size < numMerges && !exhausted) {
       val counted = vocab
         .select(
           explode(
@@ -171,27 +196,40 @@ object Bpe {
         if (outputs.isEmpty) counted
         else counted.filter(
           !concat(col("a"), col("b")).isin(outputs.toSeq: _*))
+      // top-candidateLimit sorted candidates to the driver (bounded:
+      // TakeOrderedAndProject), then the shared greedy batch selection
       val pairs = fresh
         .orderBy(col("__c").desc, col("a").asc, col("b").asc)
-        .limit(1)
+        .limit(candidateLimit)
         .collect()
-      if (pairs.isEmpty) exhausted = true
+        .map(r => (r.getString(0), r.getString(1)))
+        .toSeq
+      val accepted = BpeOps.selectBatch(
+        pairs, math.min(batchSize, numMerges - learned.size))
+      if (accepted.isEmpty) exhausted = true
       else {
-        val (a, b) = (pairs(0).getString(0), pairs(0).getString(1))
-        learned += ((a, b))
-        outputs += (a + b)
-        // one exact left-to-right merge pass per row, in-scan:
-        // fold that appends, or fuses the last element with the
-        // current one when (last, current) == (a, b)
+        learned ++= accepted
+        accepted.foreach { case (a, b) => outputs += (a + b) }
+        // one exact left-to-right merge pass applying the WHOLE batch,
+        // in-scan: fold that appends, or fuses the last element with
+        // the current one when (last, current) is an accepted pair —
+        // at most one branch can match (outputs/symbols are pairwise
+        // disjoint by selectBatch), so a branch chain is exact
+        def fuseWith(acc: Column, a: String, b: String): Column =
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b)))
+        def hit(acc: Column, x: Column, a: String, b: String): Column =
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b)
         val merged = aggregate(
           col("__syms"),
           array().cast("array<string>"),
-          (acc, x) =>
-            when(
-              size(acc) > 0 &&
-                element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(x))))
+          (acc, x) => {
+            val first = accepted.head
+            val chained = accepted.tail.foldLeft(
+              when(hit(acc, x, first._1, first._2), fuseWith(acc, first._1, first._2))) {
+              case (w, (a, b)) => w.when(hit(acc, x, a, b), fuseWith(acc, a, b))
+            }
+            chained.otherwise(concat(acc, array(x)))
+          })
         val next = vocab.select(merged.as("__syms"), col("__n"))
         // cut lineage every few rounds: each round nests another fold
         // expression; past ~8 the analyzed plan growth dominates
@@ -222,11 +260,18 @@ object Bpe {
   def countsSqlCtes(
       merges: Seq[(String, String)] = referenceMerges,
       docsRelation: String = "documents"): String = {
-    val values = merges.zipWithIndex
-      .map { case ((a, b), r) => s"($r, ${sqlQuote(a)}, ${sqlQuote(b)})" }
-      .mkString(", ")
+    // An EMPTY learned table is legitimate (degenerate corpus,
+    // minPairCount unmet): render a typed empty relation — `VALUES `
+    // with no tuples is invalid SQL. The recursion then stops at r = 0
+    // and every pretoken keeps its character split, matching
+    // tokenCounts under zero merges.
+    val mergesRelation =
+      if (merges.isEmpty) "SELECT 0 AS r, '' AS a, '' AS b WHERE FALSE"
+      else "VALUES " + merges.zipWithIndex
+        .map { case ((a, b), r) => s"($r, ${sqlQuote(a)}, ${sqlQuote(b)})" }
+        .mkString(", ")
     val pat = "$$" + TextFunctions.bpePattern + "$$"
-    s"""bpe_merges(r, a, b) AS (VALUES $values),
+    s"""bpe_merges(r, a, b) AS ($mergesRelation),
       bpe_doc_pt AS (
         SELECT doc_id, unnest(regexp_extract_all(text, $pat)) AS pt
         FROM $docsRelation),

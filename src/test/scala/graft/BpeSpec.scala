@@ -202,6 +202,82 @@ class BpeSpec extends SparkSpec {
     assert(learnedTbl.size == got.size)
   }
 
+  /** Pretoken counts of a docs DataFrame, driver-side (twin input). */
+  private def pretokenCounts(docs: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+    val pat = java.util.regex.Pattern.compile(
+      graft.functions.TextFunctions.bpePattern)
+    val counts = scala.collection.mutable.Map[String, Long]()
+    docs.select("text").collect().foreach { r =>
+      val m = pat.matcher(r.getString(0))
+      while (m.find())
+        counts.updateWith(m.group())(c => Some(c.getOrElse(0L) + 1L))
+    }
+    counts.toMap
+  }
+
+  test("batched learning equals the identically-parameterized local twin; m=1 equals classic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the rat sat too"),
+      (2L, "that cat ate the rat that sat on that mat"),
+      (3L, "cats and rats and bats chat in the shed"),
+      (4L, "the best cat is the cat that sat still")).toDF("doc_id", "text")
+    val counts = pretokenCounts(docs)
+    for (m <- Seq(1, 4, 16)) {
+      val dist = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 12,
+        batchSize = m, candidateLimit = 64)
+      val local = BpeOps.learnMergesLocal(counts, numMerges = 12,
+        batchSize = m, candidateLimit = 64)
+      assert(dist == local, s"batchSize=$m: distributed $dist != twin $local")
+      BpeOps.table(dist) // well-formed whatever the batch size
+    }
+    // m=1 IS classic sequential training (same function, batch degenerate)
+    assert(
+      BpeOps.learnMergesLocal(counts, numMerges = 12, batchSize = 1) ==
+        BpeOps.learnMergesLocal(counts, numMerges = 12),
+      "batchSize=1 must equal the classic default")
+  }
+
+  test("batched learning reaches a 256-merge vocabulary in few rounds") {
+    import spark.implicits._
+    // The driver's synthetic documents draw from ~40 distinct words, so
+    // training EXHAUSTS at ~132 merges (every word fully merged — the
+    // correct fixed point, asserted by the twin-equality test above).
+    // A 256-merge run needs a richer corpus: seeded pseudo-words over a
+    // 12-letter alphabet, Zipf-ish repetition so pair counts stratify.
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = "etaonirshdlc"
+    val lexicon = Vector.fill(600)(
+      (0 until (3 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val docs = (1L to 200L).map { id =>
+      val words = (0 until 40).map { _ =>
+        // Zipf-ish: low ranks picked far more often
+        val r = math.min(lexicon.size - 1, (math.pow(rnd.nextDouble(), 3) * lexicon.size).toInt)
+        lexicon(r)
+      }
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val learned = Bpe.learnMerges(docs, "doc_id", "text", numMerges = 256,
+      batchSize = 32, candidateLimit = 256)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(learned.size == 256, s"learned only ${learned.size} merges")
+    BpeOps.table(learned) // well-formed
+    // the point of batching: ~numMerges/batchSize counting rounds, each
+    // 2 jobs — wall-clock seconds, not 256 sequential job pairs. Pinned
+    // loosely (CI machines vary) — the sequential path took ~2s for 8
+    // merges, so 256 sequential merges would be minutes.
+    assert(secs < 120, f"256 batched merges took $secs%.1f s")
+    // and the learned vocabulary actually tokenizes the corpus it was
+    // learned from more compactly than characters
+    val agg = Bpe.tokenCounts(docs, "doc_id", "text", learned)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens"))
+      .collect()(0).getLong(0)
+    val chars = docs.select(
+      org.apache.spark.sql.functions.sum(length(col("text")))).collect()(0).getLong(0)
+    assert(agg < chars, s"learned vocabulary must compress: $agg vs $chars")
+  }
+
   test("tokenCounts: per-doc sums match a driver-side recount; empty text counts 0") {
     import spark.implicits._
     val docs = Seq(
