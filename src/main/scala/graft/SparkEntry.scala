@@ -27,7 +27,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    allQueries.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+    allQueries.flatMap(q =>
+      q.oracle.orElse(q.oracleFn.map(_())).map(o => q.name -> o.trim)).toMap
 
   /** Headline queries timed by graft.Bench. */
   def benchQueries: Seq[QueryDef] = allQueries.filter(_.bench)

@@ -233,16 +233,25 @@ $langScoreCols
     * broadcast offsets + a window bounded to one (lang, quality) stratum
     * per task — never a whole language on one task. Proven equal to the
     * direct one-window formulation in BudgetSpec; the oracle (which IS
-    * that direct formulation, in SQL) is the same proof cross-engine. */
+    * that direct formulation, in SQL) is the same proof cross-engine.
+    *
+    * Budgets by REAL tokenizer counts under a vocabulary LEARNED from
+    * this corpus end-to-end ([[corpusLearnedVocab]] — learn once, reuse
+    * across pipeline consumers), not the whitespace proxy and not a
+    * hand-rolled table: the full production shape, learn → count →
+    * budget. Oracle is lazy for the same reason as t19's: it embeds the
+    * twin-derived learned VALUES. */
   val p02_token_budget = QueryDef(
     "p02_token_budget",
     (s, dir) => {
+      bpeCtx = Some((s, dir))
       val docs = Tables(s, dir).documents
-      // REAL tokenizer counts (t17's vocabulary-driven BPE), not the
-      // whitespace proxy — what a training mix actually budgets by.
       val scored = docs
         .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("q"))
-        .join(graft.operators.Bpe.tokenCounts(docs, "doc_id", "text"), Seq("doc_id"))
+        .join(
+          graft.operators.Bpe.tokenCounts(
+            docs, "doc_id", "text", corpusLearnedVocab(s, dir)),
+          Seq("doc_id"))
         .withColumnRenamed("n_bpe_tokens", "nt")
       graft.operators.Budget
         .tokenBudgetSelect(scored,
@@ -251,9 +260,11 @@ $langScoreCols
         .select(col("lang"), col("doc_id"), col("q"), col("nt"), col("cum_tokens"))
         .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
     },
-    Some(s"""
+    None,
+    oracleFn = Some { () =>
+      s"""
       WITH RECURSIVE
-      ${graft.operators.Bpe.countsSqlCtes()},
+      ${graft.operators.Bpe.countsSqlCtes(twinLearnedVocab())},
       scored AS (
         SELECT d.doc_id, d.lang, $qualitySql AS q, b.n_bpe_tokens AS nt
         FROM documents d JOIN bpe_counts b USING (doc_id)),
@@ -264,7 +275,8 @@ $langScoreCols
         FROM scored)
       SELECT lang, doc_id, q, nt, cum_tokens FROM c
       WHERE cum_tokens - nt < 4000
-      ORDER BY lang, cum_tokens, doc_id"""))
+      ORDER BY lang, cum_tokens, doc_id"""
+    })
 
   // ---------------- dedup ----------------
 
@@ -1808,12 +1820,98 @@ $langScoreCols
       SELECT doc_id, n_bpe_tokens FROM bpe_counts ORDER BY doc_id"""
     })
 
+  /** Corpus-learned-vocabulary hyper-parameters (t19, p02): 48 merges
+    * in batches of 8 from the top-64 candidates per round (6 counting
+    * rounds). 48 stays safely below the ~130-merge exhaustion point of
+    * the driver's ~40-word synthetic vocabulary at every sf. */
+  private val t19NumMerges = 48
+  private val t19BatchSize = 8
+  private val t19CandidateLimit = 64
+
+  /** Stashed by the runs that learn from the corpus (t19, p02); read by
+    * their lazy oracles (Verify dumps oracle SQL after all runs, same
+    * JVM, session still open). */
+  @volatile private var bpeCtx
+      : Option[(org.apache.spark.sql.SparkSession, String)] = None
+
+  /** Distributed batch-greedy learning over the sf dir's documents,
+    * cached per dir — the "learn ONCE, count/budget many" production
+    * shape for pipeline consumers (p02). t19 deliberately bypasses this
+    * cache: learning is the thing it benches. */
+  private val learnedVocabCache =
+    scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]()
+  private def corpusLearnedVocab(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, String)] =
+    learnedVocabCache.getOrElseUpdate(dir,
+      graft.operators.Bpe.learnMerges(
+        Tables(s, dir).documents, "doc_id", "text", numMerges = t19NumMerges,
+        batchSize = t19BatchSize, candidateLimit = t19CandidateLimit))
+
+  /** Oracle-side EXPECTED learned table: pretoken counts from one
+    * vocabulary-sized aggregation, trained by the pure-Scala sequential
+    * twin — independent of the distributed learner, so a divergence
+    * breaks the hash compare. Empty when no learning run happened
+    * (yields character counts: a LOUD mismatch, never a silently-absent
+    * oracle). */
+  private val twinVocabCache =
+    scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]()
+  private def twinLearnedVocab(): Seq[(String, String)] = bpeCtx match {
+    case Some((s, dir)) =>
+      twinVocabCache.getOrElseUpdate(dir, {
+        val counts = Tables(s, dir).documents
+          .select(explode(
+            graft.functions.TextFunctions.bpeTokens(col("text"))).as("pt"))
+          .groupBy(col("pt")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        graft.functions.expressions.BpeOps.learnMergesLocal(
+          counts, numMerges = t19NumMerges,
+          batchSize = t19BatchSize, candidateLimit = t19CandidateLimit)
+      })
+    case None => Seq.empty
+  }
+
+  /** BPE training AT CORPUS SCALE, end-to-end (the round-6 verdict's
+    * "learned-vocab composition" ask): batch-greedy [[Bpe.learnMerges]]
+    * over the ACTUAL documents table of the target sf dir, learned
+    * table fed straight to [[Bpe.tokenCounts]]. The oracle cannot be a
+    * static string — it embeds the learned VALUES — so it is derived
+    * lazily after the run: pretoken counts come from one vocabulary-
+    * sized aggregation, the EXPECTED table from the pure-Scala
+    * sequential twin ([[graft.functions.expressions.BpeOps
+    * .learnMergesLocal]], identically parameterized), and DuckDB
+    * replays counting via the rank-stepping encode CTE. Any divergence
+    * in the distributed batched learner — pair counts, batch
+    * selection, tie order, merge-pass semantics — changes the learned
+    * table and breaks the hash compare. The twin's driver-side collect
+    * is oracle-build machinery only; the benched path is the
+    * distributed learner + count plan. */
+  val t19_bpe_learned_corpus = QueryDef(
+    "t19_bpe_learned_corpus",
+    (s, dir) => {
+      bpeCtx = Some((s, dir))
+      val docs = Tables(s, dir).documents
+      val learned = graft.operators.Bpe.learnMerges(
+        docs, "doc_id", "text", numMerges = t19NumMerges,
+        batchSize = t19BatchSize, candidateLimit = t19CandidateLimit)
+      graft.operators.Bpe
+        .tokenCounts(docs, "doc_id", "text", learned)
+        .orderBy(col("doc_id"))
+    },
+    None,
+    bench = true,
+    oracleFn = Some { () =>
+      s"""
+      WITH RECURSIVE
+      ${graft.operators.Bpe.countsSqlCtes(twinLearnedVocab())}
+      SELECT doc_id, n_bpe_tokens FROM bpe_counts ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
     t10_chunk_overlap, t11_bm25, t12_lm_quality, t13_ngram_topk,
     t14_quality_model, t15_rule_filter, t16_inverted_index, t17_bpe_merged,
-    t18_bpe_learned,
+    t18_bpe_learned, t19_bpe_learned_corpus,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

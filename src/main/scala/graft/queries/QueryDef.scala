@@ -12,8 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * `bench = true` marks the headline queries timed by `graft.Bench`.
   */
+/** `oracleFn` is the LAZY alternative to `oracle`, for the rare query
+  * whose oracle SQL depends on run-time state (t19 embeds a merge table
+  * learned from the target corpus): Verify dumps oracle SQL AFTER all
+  * runs in the same JVM, so the thunk can read what the run stashed. */
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    oracleFn: Option[() => String] = None)
