@@ -49,6 +49,27 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** APPEND to an existing bucketed table with the SAME bucket spec —
+    * the index-maintenance path: each append writes its own set of
+    * bucket files (Spark reads all files of a bucket together), so new
+    * corpus rows join the index without rewriting it. One keyed shuffle
+    * of the NEW rows only; the existing table is untouched. Spark
+    * validates that the bucket spec matches the table's. */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val sorted = if (sortCols.isEmpty) bucketCols else sortCols
+    df.write
+      .format("parquet")
+      .mode(SaveMode.Append)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Join two tables bucketed on the same key with the same bucket count:
     * plans with no Exchange on either side. */
   def bucketedJoin(

@@ -247,6 +247,44 @@ object Dedup {
       s"${table}_texts", Seq("__cid"), numBuckets)
   }
 
+  /** APPEND a committed batch to a persisted [[writeDedupIndex]] — the
+    * maintenance half of continual ingestion: later batches then dedup
+    * against earlier ones without any index rebuild. Per append, only
+    * the NEW rows shuffle (one keyed write per index table); the
+    * existing index files are untouched ([[Bucketing.appendBucketed]]).
+    * The exact-map keeps its first-owner-wins invariant: a normalized
+    * text already present keeps its original canonical id (the new
+    * rows are anti-joined against the index — batch side broadcasts,
+    * index side zero shuffle). Ids are assumed unique corpus-wide
+    * (the [[writeDedupIndex]] contract); LSH parameters MUST match the
+    * build. Single-writer: appends are a batch-pipeline step, not a
+    * concurrent sink. */
+  def appendDedupIndex(
+      spark: SparkSession,
+      table: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 32,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L): Unit = {
+    val newNorm = batch
+      .select(normText(col(textCol)).as("__n"), col(idCol).as("__cid"))
+      .groupBy(col("__n")).agg(min(col("__cid")).as("__exact_of"))
+      .join(spark.table(s"${table}_exact").select(col("__n")),
+        Seq("__n"), "left_anti")
+    Bucketing.appendBucketed(newNorm, s"${table}_exact", Seq("__n"), numBuckets)
+    Bucketing.appendBucketed(
+      bandedKeys(batch, idCol, textCol, shingleSize, numHashes, bands, seed)
+        .select(col("band"), col("bh"), col(idCol).as("__cid")),
+      s"${table}_bands", Seq("band", "bh"), numBuckets)
+    Bucketing.appendBucketed(
+      batch.select(col(idCol).as("__cid"), col(textCol).as("__tc")),
+      s"${table}_texts", Seq("__cid"), numBuckets)
+  }
+
   /** [[incrementalDedup]] served from a persisted [[writeDedupIndex]]:
     * same classification, but the corpus enters only through its three
     * bucketed index tables — never shuffled (the batch side broadcasts),

@@ -254,6 +254,25 @@ object Similarity {
       table, bucketCols = Seq("cell"), numBuckets = numBuckets,
       sortCols = Seq("cell", "neighbor_id"))
 
+  /** APPEND new vectors to a persisted [[writeIvfIndex]] — index
+    * maintenance without rebuild: only the new rows are quantized and
+    * shuffled into their cell buckets ([[Bucketing.appendBucketed]]);
+    * existing index files are untouched and later probes see old and
+    * new vectors alike. Centroids MUST be the build's (the standard IVF
+    * contract — cell geometry is fixed at build time; re-train and
+    * rebuild when drift warrants). Single-writer batch step. */
+  def appendIvfIndex(
+      table: String,
+      newCorpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Seq[Double])],
+      numBuckets: Int = 32): Unit =
+    Bucketing.appendBucketed(
+      cellAssignments(newCorpus, idCol, vecCol, centroids),
+      table, bucketCols = Seq("cell"), numBuckets = numBuckets,
+      sortCols = Seq("cell", "neighbor_id"))
+
   /** Probe a persisted [[writeIvfIndex]] table: queries (small — they are
     * collected once to enumerate probed cells, and broadcast into the
     * join) probe their `nProbe` best cells against the INDEX ONLY.

@@ -460,10 +460,12 @@ object EventStreams {
       }
       .start()
 
-  /** All COMMITTED [[asofEnrichSink]] output batches as one relation
-    * (same `_SUCCESS` gating as [[currentSnapshot]] — a crash-partial
-    * batch directory is invisible until its replay commits). */
-  def asofEnriched(
+  /** All COMMITTED `b_<batchId>` output directories of an append-style
+    * sink ([[asofEnrichSink]], [[dedupProbeSink]], [[ivfProbeSink]]) as
+    * one relation — same `_SUCCESS` gating as [[currentSnapshot]]: a
+    * crash-partial batch directory is invisible until its replay
+    * commits. */
+  def committedBatches(
       spark: org.apache.spark.sql.SparkSession,
       targetPath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(targetPath)
@@ -475,7 +477,79 @@ object EventStreams {
           fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
         .map(_.getPath.toString)
         .sorted
-    require(committed.nonEmpty, s"no committed enrichment batches under $targetPath")
+    require(committed.nonEmpty, s"no committed batches under $targetPath")
     spark.read.parquet(committed: _*)
   }
+
+  /** All COMMITTED [[asofEnrichSink]] output batches as one relation. */
+  def asofEnriched(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String): DataFrame = committedBatches(spark, targetPath)
+
+  /** Streaming probe face of the PERSISTED dedup index (p10's
+    * [[graft.operators.Dedup.incrementalDedupIndexed]] per micro-batch):
+    * classify a document STREAM against a [[graft.operators.Dedup
+    * .writeDedupIndex]] table — each trigger probes ONLY its micro-batch
+    * (batch side broadcasts into every index join; the index is neither
+    * shuffled nor fully scanned), so per-trigger cost scales with the
+    * batch, not the corpus. Every probe is a pure function of (batch,
+    * index state), so running the batch operator per micro-batch IS the
+    * streaming semantics — no state store, batch ≡ stream exactly
+    * (pinned in StreamingSpec). Exactly-once via the idempotent
+    * `b_<batchId>` directory pattern of [[asofEnrichSink]]; read the
+    * results with [[committedBatches]]. Index APPENDS between triggers
+    * are legal (the table re-resolves every trigger) but are a separate
+    * single-writer batch step ([[graft.operators.Dedup
+    * .appendDedupIndex]]) — folding appends into the sink itself would
+    * break replay idempotence. */
+  def dedupProbeSink(
+      docs: DataFrame,
+      table: String,
+      idCol: String,
+      textCol: String,
+      targetPath: String,
+      checkpoint: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      tau: Double = 0.4): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .incrementalDedupIndexed(batch.sparkSession, table, batch,
+            idCol, textCol, shingleSize, numHashes, bands, seed, tau)
+          .write.mode("overwrite")
+          .parquet(f"$targetPath/b_$batchId%012d")
+      }
+      .start()
+
+  /** Streaming probe face of the PERSISTED IVF index (s05's
+    * [[graft.operators.Similarity.probeIvfIndex]] per micro-batch): a
+    * QUERY-VECTOR stream probes the cell-bucketed index — per trigger,
+    * only |batch|×nProbe cells are read (literal bucket pruning), the
+    * query side broadcasts, and the index never shuffles. Stateless and
+    * idempotent exactly like [[dedupProbeSink]]; batch ≡ stream pinned
+    * in StreamingSpec. */
+  def ivfProbeSink(
+      queries: DataFrame,
+      table: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Long, Seq[Double])],
+      nProbe: Int,
+      targetPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity
+          .probeIvfIndex(batch.sparkSession, table, batch,
+            idCol, vecCol, k, centroids, nProbe)
+          .write.mode("overwrite")
+          .parquet(f"$targetPath/b_$batchId%012d")
+      }
+      .start()
 }
