@@ -106,6 +106,28 @@ object BpeOps {
   def tokenCount(s: UTF8String, t: MergeTable): Int =
     encode(s.toString, t).length
 
+  /** Binary string order — CODE POINTS, not Java's UTF-16 code units.
+    * Spark's `orderBy` on strings compares UTF8String bytes, and UTF-8
+    * byte order equals code-point order; Java's natural String order
+    * compares UTF-16 code units, which ranks BMP chars in U+E000–U+FFFF
+    * ABOVE supplementary (non-BMP) code points. The twin must sort
+    * candidates under the same total order as the distributed learner's
+    * `orderBy` or count-tied selections diverge on non-BMP symbols. */
+  val codePointOrdering: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      var i = 0
+      var j = 0
+      while (i < x.length && j < y.length) {
+        val cx = x.codePointAt(i)
+        val cy = y.codePointAt(j)
+        if (cx != cy) return Integer.compare(cx, cy)
+        i += Character.charCount(cx)
+        j += Character.charCount(cy)
+      }
+      Integer.compare(x.length - i, y.length - j)
+    }
+  }
+
   /** Greedy batch selection over ONE round's sorted candidate pairs
     * (count desc, then (a, b) — already sorted and filtered by the
     * caller): accept up to `want` pairs that are mutually NON-INTERACTING
@@ -184,7 +206,8 @@ object BpeOps {
       }
       val candidates = pairCounts.toSeq
         .filter { case ((a, b), c) => c >= minPairCount && !outs.contains(a + b) }
-        .sortBy { case ((x, y), c) => (-c, x, y) }
+        .sortBy { case ((x, y), c) => (-c, x, y) }(
+          Ordering.Tuple3(Ordering.Long, codePointOrdering, codePointOrdering))
         .take(candidateLimit)
         .map(_._1)
       val accepted = selectBatch(

@@ -190,20 +190,29 @@ object Bpe {
         .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
         .agg(sum(col("__n")).as("__c"))
         .filter(col("__c") >= minPairCount)
-      // skip pairs whose output collides with an earlier merge output
-      // (keeps the table well-formed; rare in practice)
-      val fresh =
-        if (outputs.isEmpty) counted
-        else counted.filter(
-          !concat(col("a"), col("b")).isin(outputs.toSeq: _*))
       // top-candidateLimit sorted candidates to the driver (bounded:
-      // TakeOrderedAndProject), then the shared greedy batch selection
-      val pairs = fresh
+      // TakeOrderedAndProject), then the shared greedy batch selection.
+      // Pairs whose output collides with an earlier merge output are
+      // dropped DRIVER-SIDE from the collected head, not with an
+      // `isin(outputs)` filter in the plan: at a 32k-merge vocabulary
+      // that filter is an O(|vocab|)-literal expression in every
+      // per-round plan. Collisions are rare, so the head is collected a
+      // few rows deeper and re-collected deeper still on the off chance
+      // the filtered head came up short while more rows remained —
+      // keeping selection EXACTLY the twin's filter-then-take.
+      val sortedPairs = counted
         .orderBy(col("__c").desc, col("a").asc, col("b").asc)
-        .limit(candidateLimit)
-        .collect()
-        .map(r => (r.getString(0), r.getString(1)))
-        .toSeq
+      var fetch = candidateLimit + math.min(outputs.size, 64) + 8
+      var pairs: Seq[(String, String)] = Seq.empty
+      var deepEnough = false
+      while (!deepEnough) {
+        val head = sortedPairs.limit(fetch).collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val surviving = head.filter { case (a, b) => !outputs(a + b) }
+        deepEnough = surviving.length >= candidateLimit || head.length < fetch
+        if (deepEnough) pairs = surviving.take(candidateLimit).toSeq
+        else fetch *= 2
+      }
       val accepted = BpeOps.selectBatch(
         pairs, math.min(batchSize, numMerges - learned.size))
       if (accepted.isEmpty) exhausted = true

@@ -315,12 +315,19 @@ object EventStreams {
     * NUMERICALLY: a dir written before generations were zero-padded
     * (`…_c1`) string-sorts above every padded one up to `_c0999`, so a
     * string compare would keep serving — and never delete — the stale
-    * snapshot. */
-  private def versionKey(name: String): (String, Long) =
-    name.split("_c") match {
-      case Array(b) => (b, 0L)
-      case Array(b, g) => (b, g.toLong)
+    * snapshot. Splits on the LAST `_c` and falls back to (name, 0) when
+    * what follows is not a number: only self-written `v_%012d[_cNNNN]`
+    * names exist under a healthy target, but this runs on the READ path
+    * ([[currentSnapshot]]) where a foreign dir name must degrade to
+    * string ordering, not crash snapshot reads. */
+  private[streaming] def versionKey(name: String): (String, Long) = {
+    val i = name.lastIndexOf("_c")
+    if (i < 0) (name, 0L)
+    else name.substring(i + 2).toLongOption match {
+      case Some(g) => (name.substring(0, i), g)
+      case None => (name, 0L)
     }
+  }
 
   /** Exactly-once streaming upsert: fold a CDC change stream into a
     * latest-state parquet snapshot with `foreachBatch` +

@@ -174,6 +174,42 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("compactSnapshots supersedes and deletes a legacy UNPADDED generation dir") {
+    // A target written before generations were zero-padded holds e.g.
+    // `v_..._c1`. String ordering would rank that ABOVE any padded
+    // `_c0002`..`_c0999` successor — the compacted result would never
+    // supersede and the stale dir never be deleted. versionKey compares
+    // generations numerically, so compaction must migrate the legacy dir.
+    val target = Files.createTempDirectory("graft-legacy").toString
+    Seq((1L, "a", 1L, false), (2L, "b", 1L, true), (3L, "c", 5L, false))
+      .toDF("k", "v", "seq", "del")
+      .write.parquet(s"$target/v_000000000001_c1")
+    val legacy = EventStreams.currentSnapshot(spark, target).get
+    assert(legacy.endsWith("v_000000000001_c1"), legacy)
+    EventStreams.compactSnapshots(spark, target, col("del"), col("seq") >= 3)
+    val cur = EventStreams.currentSnapshot(spark, target).get
+    // numeric generation: legacy gen 1 -> padded gen 2
+    assert(cur.endsWith("v_000000000001_c0002"), cur)
+    val snap = spark.read.parquet(cur)
+    assert(snap.filter(col("del")).count() == 0) // old tombstone purged
+    assert(snap.select("k").as[Long].collect().toSet == Set(1L, 3L))
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(target))
+      .map(_.getPath.getName).filter(_.startsWith("v_")).toSeq
+    assert(dirs == Seq("v_000000000001_c0002"), dirs) // stale legacy dir GONE
+  }
+
+  test("currentSnapshot survives a foreign version dir name (string-order fallback)") {
+    // A dir whose suffix after `_c` is not a number must degrade to the
+    // old total-string ordering instead of crashing the read path.
+    val target = Files.createTempDirectory("graft-foreign").toString
+    spark.range(3).toDF("k").write.parquet(s"$target/v_000000000001")
+    spark.range(2).toDF("k").write.parquet(s"$target/v_cdc_one")
+    val cur = EventStreams.currentSnapshot(spark, target).get // must not throw
+    assert(cur.endsWith("v_cdc_one"), cur) // same pick the old string sort made
+  }
+
   test("windowedHeavyHitters: streaming CMS sketch is bit-identical to batch") {
     import graft.functions.expressions.CountMin
     // user 7 is hot in hour 0: 5 of 7 events
