@@ -253,9 +253,19 @@ object Dedup {
     * the NEW rows shuffle (one keyed write per index table); the
     * existing index files are untouched ([[Bucketing.appendBucketed]]).
     * The exact-map keeps its first-owner-wins invariant: a normalized
-    * text already present keeps its original canonical id (the new
-    * rows are anti-joined against the index — batch side broadcasts,
-    * index side zero shuffle). Ids are assumed unique corpus-wide
+    * text already present keeps its original canonical id. The
+    * already-present check is two batch-proportional broadcast joins —
+    * a LEFT SEMI that prunes the index to the batch's norms (batch side
+    * broadcasts; a LEFT ANTI against the index directly could NOT
+    * broadcast the batch — anti builds only its right side — and would
+    * either broadcast the whole index or sort-merge-shuffle both sides),
+    * then a LEFT ANTI against that pruned, batch-bounded result. The
+    * index is scanned (one column, never shuffled); per-append SHUFFLE
+    * cost scales with the batch alone. Append ≡ rebuild whenever shared
+    * normalized texts have their minimum id on the index side (the
+    * ids-grow-with-time ingest order); otherwise the index keeps the
+    * EARLIER owner where a rebuild would re-elect the global minimum —
+    * both pinned in BucketingSpec. Ids are assumed unique corpus-wide
     * (the [[writeDedupIndex]] contract); LSH parameters MUST match the
     * build. Single-writer: appends are a batch-pipeline step, not a
     * concurrent sink. */
@@ -270,11 +280,12 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       seed: Long = 42L): Unit = {
-    val newNorm = batch
+    val batchNorm = batch
       .select(normText(col(textCol)).as("__n"), col(idCol).as("__cid"))
       .groupBy(col("__n")).agg(min(col("__cid")).as("__exact_of"))
-      .join(spark.table(s"${table}_exact").select(col("__n")),
-        Seq("__n"), "left_anti")
+    val present = spark.table(s"${table}_exact").select(col("__n"))
+      .join(broadcast(batchNorm.select(col("__n"))), Seq("__n"), "left_semi")
+    val newNorm = batchNorm.join(broadcast(present), Seq("__n"), "left_anti")
     Bucketing.appendBucketed(newNorm, s"${table}_exact", Seq("__n"), numBuckets)
     Bucketing.appendBucketed(
       bandedKeys(batch, idCol, textCol, shingleSize, numHashes, bands, seed)

@@ -791,6 +791,34 @@ $langScoreCols
     Some(s02Oracle),
     bench = true)
 
+  /** s05's index arriving in TWO ingest drops — [[Similarity
+    * .writeIvfIndex]] on the even vec_ids, [[Similarity.appendIvfIndex]]
+    * of the odd ones (fixed build centroids, the IVF contract): cell
+    * assignment is row-local, so append ≡ rebuild unconditionally and
+    * the probe must return bit-identical neighbors to s02/s05 — the
+    * hash compare proves index MAINTENANCE preserves probe semantics.
+    * Only the new rows are quantized and shuffled; existing index files
+    * untouched (pinned file-level in BucketingSpec). */
+  val s06_knn_ivf_append = QueryDef(
+    "s06_knn_ivf_append",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nCells = 16)
+      val table = s"graft_ivf_app_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+      Similarity.writeIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", centroids, table)
+      Similarity.appendIvfIndex(
+        table, emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", centroids)
+      Similarity
+        .probeIvfIndex(s, table,
+          queries = emb.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", k = 5,
+          centroids = centroids, nProbe = 6)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s02Oracle))
+
   // ---------------- round-4 additions ----------------
 
   /** Gopher-style repetition signals (Rae et al. 2021 quality filters):
@@ -1517,6 +1545,35 @@ $langScoreCols
     },
     Some(p09Oracle))
 
+  /** p10's index arriving in TWO ingest drops — [[Dedup.writeDedupIndex]]
+    * on the lower half of the corpus ids, [[Dedup.appendDedupIndex]] of
+    * the upper half. Ids grow with ingest time, so every normalized text
+    * shared across the drops has its minimum id in the FIRST one —
+    * first-owner-wins equals the global minimum and append ≡ rebuild
+    * exactly (the divergent later-smaller-id case is pinned separately
+    * in BucketingSpec). Same parameters and oracle as p09/p10: the hash
+    * compare proves index MAINTENANCE preserves classification. */
+  val p11_incremental_dedup_append = QueryDef(
+    "p11_incremental_dedup_append",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val mid = corpus
+        .agg(((min(col("doc_id")) + max(col("doc_id"))) / 2).cast("long"))
+        .head.getLong(0)
+      val table = s"graft_dedup_app_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+      Dedup.writeDedupIndex(
+        corpus.filter(col("doc_id") <= mid), "doc_id", "text", table)
+      Dedup.appendDedupIndex(s, table,
+        corpus.filter(col("doc_id") > mid), "doc_id", "text")
+      Dedup
+        .incrementalDedupIndexed(s, table,
+          batch = docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(p09Oracle))
+
   /** Hashed linear quality model ([[graft.operators.Scoring
     * .hashedLinearScore]]): the fastText/CCNet-style model-scored
     * quality filter — hashing-trick buckets, closed-form weights,
@@ -1917,9 +1974,10 @@ $langScoreCols
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
     d11_semdedup, d12_embed_decontaminate,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
-    s05_knn_ivf_indexed,
+    s05_knn_ivf_indexed, s06_knn_ivf_append,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,
+    p11_incremental_dedup_append,
     g01_pagerank)
 }

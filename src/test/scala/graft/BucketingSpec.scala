@@ -79,6 +79,161 @@ class BucketingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS dedup_idx_spec$s"))
   }
 
+  /** Data files currently under a managed table's warehouse location. */
+  private def tableFiles(table: String): Set[String] = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(loc).map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+  }
+
+  /** No scan of `table` may sit under a ShuffleExchange before reaching
+    * its join — the index side of a probe/append must never itself be
+    * shuffled (shared with the dedup-probe test's inline walk). */
+  private def assertIndexUnshuffled(
+      plan: org.apache.spark.sql.execution.SparkPlan, table: String): Unit = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val offenders = Seq.newBuilder[String]
+    def walk(p: SparkPlan, shuffled: Boolean): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.initialPlan, shuffled)
+      case q: QueryStageExec => walk(q.plan, shuffled)
+      case s: FileSourceScanExec if s.toString.contains(table) && shuffled =>
+        offenders += s.nodeName
+      case _ =>
+        val state = p match {
+          case _: ShuffleExchangeExec => true
+          case _: BaseJoinExec => false
+          case _ => shuffled
+        }
+        p.children.foreach(walk(_, state))
+        p.subqueries.foreach(walk(_, false))
+    }
+    walk(plan, shuffled = false)
+    assert(offenders.result().isEmpty,
+      s"index table scan shuffled before its join: ${offenders.result()}")
+  }
+
+  test("appendDedupIndex: append equals rebuild; existing files untouched; batch-only shuffle") {
+    val docs = Tables(spark, sf0001).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val mid = corpus
+      .agg(((min(col("doc_id")) + max(col("doc_id"))) / 2).cast("long")).head.getLong(0)
+    // ingest order: ids grow with time, so shared normalized texts have
+    // their minimum id in the FIRST drop — the append ≡ rebuild regime
+    Dedup.writeDedupIndex(
+      corpus.filter(col("doc_id") <= mid), "doc_id", "text", "ded_app", numBuckets = 8)
+    Dedup.writeDedupIndex(corpus, "doc_id", "text", "ded_reb", numBuckets = 8)
+    // capture the executed plans of the append's write jobs: the exact
+    // map's already-present check must never shuffle the index side
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan): Unit
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val before = tableFiles("ded_app_exact")
+      Dedup.appendDedupIndex(spark, "ded_app",
+        corpus.filter(col("doc_id") > mid), "doc_id", "text", numBuckets = 8)
+      // listener delivery is async — wait for the write plans to arrive
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (plans.size() < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+      val after = tableFiles("ded_app_exact")
+      // append-only: every pre-append data file survives, new ones arrive
+      assert(before.subsetOf(after), s"append rewrote existing index files")
+      assert(after.size > before.size, "append added no files")
+      val appendPlans = plans.toArray(Array.empty[
+        org.apache.spark.sql.execution.SparkPlan])
+      assert(appendPlans.nonEmpty)
+      appendPlans.foreach(assertIndexUnshuffled(_, "ded_app_exact"))
+
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val viaAppend = canon(Dedup.incrementalDedupIndexed(
+        spark, "ded_app", batch, "doc_id", "text"))
+      val viaRebuild = canon(Dedup.incrementalDedupIndexed(
+        spark, "ded_reb", batch, "doc_id", "text"))
+      assert(viaAppend == viaRebuild, "append diverged from rebuild")
+      assert(viaAppend.nonEmpty)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      Seq("ded_app", "ded_reb").foreach(t =>
+        Seq("_exact", "_bands", "_texts").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+    }
+  }
+
+  test("appendDedupIndex keeps the FIRST owner when a later batch reuses a text") {
+    import spark.implicits._
+    // index owns the text under id 10; the appended batch re-submits the
+    // same text under the SMALLER id 5 — first-owner-wins means probes
+    // still resolve to 10 (a rebuild over the union would elect 5)
+    val first = Seq((10L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val later = Seq(
+      (5L, "alpha beta gamma delta epsilon"),
+      (6L, "completely unrelated content here")).toDF("doc_id", "text")
+    val probe = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    Dedup.writeDedupIndex(first, "doc_id", "text", "ded_own", numBuckets = 2)
+    Dedup.writeDedupIndex(first.unionByName(later), "doc_id", "text",
+      "ded_own_reb", numBuckets = 2)
+    try {
+      Dedup.appendDedupIndex(spark, "ded_own", later, "doc_id", "text", numBuckets = 2)
+      val viaAppend = Dedup.incrementalDedupIndexed(
+        spark, "ded_own", probe, "doc_id", "text").head
+      assert(viaAppend.getString(1) == "exact_dup")
+      assert(viaAppend.getLong(2) == 10L, s"first owner must win: $viaAppend")
+      val viaRebuild = Dedup.incrementalDedupIndexed(
+        spark, "ded_own_reb", probe, "doc_id", "text").head
+      assert(viaRebuild.getLong(2) == 5L) // rebuild re-elects the global min
+    } finally Seq("ded_own", "ded_own_reb").foreach(t =>
+      Seq("_exact", "_bands", "_texts").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+  }
+
+  test("appendIvfIndex: probe of appended index equals rebuild and inline; buckets still prune") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.writeIvfIndex(a, "vec_id", "embedding", centroids,
+      "ivf_app", numBuckets = 16)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids,
+      "ivf_reb", numBuckets = 16)
+    try {
+      val before = tableFiles("ivf_app")
+      Similarity.appendIvfIndex("ivf_app", b, "vec_id", "embedding", centroids,
+        numBuckets = 16)
+      val after = tableFiles("ivf_app")
+      assert(before.subsetOf(after) && after.size > before.size,
+        "append must add files without rewriting existing ones")
+      val queries = emb.filter(col("vec_id") < 5)
+      def run(table: String) = Similarity.probeIvfIndex(spark, table, queries,
+        "vec_id", "embedding", k = 5, centroids = centroids, nProbe = 3)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      val viaAppend = run("ivf_app")
+      assert(canon(viaAppend) == canon(run("ivf_reb")),
+        "appended IVF index diverged from rebuild")
+      assert(canon(viaAppend) == canon(Similarity.ivfKnn(emb, queries,
+        "vec_id", "embedding", k = 5, centroids = centroids, nProbe = 3)))
+      // bucket pruning still applies to the appended table's probe
+      val ps = viaAppend.queryExecution.executedPlan.toString
+      val pruned = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(ps)
+      assert(pruned.isDefined && pruned.get.group(1).toInt < pruned.get.group(2).toInt,
+        s"appended index probe should still prune buckets:\n$ps")
+    } finally Seq("ivf_app", "ivf_reb").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bucketed join and aggregation plan with zero Exchange") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
     val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
