@@ -532,6 +532,67 @@ object EventStreams {
       }
       .start()
 
+  /** The FULL continual-ingest loop over a persisted dedup index —
+    * [[dedupProbeSink]] plus index MAINTENANCE: each micro-batch is
+    * (1) classified against the CURRENT index (written to the
+    * idempotent `b_<batchId>` directory, as in [[dedupProbeSink]]), then
+    * (2) its NOVEL documents are appended to the index
+    * ([[graft.operators.Dedup.appendDedupIndex]]) so batch N+1 detects
+    * batch N's novel documents as duplicates (pinned in StreamingSpec).
+    *
+    * Crash-recovery semantics (the reason append lives HERE as a
+    * guarded second step rather than in a second query): each step is
+    * fenced by its own marker — the classification by the directory's
+    * `_SUCCESS`, the append by `_appended_<batchId>` — so a replay
+    * re-runs exactly the missing steps. The classification is never
+    * recomputed once committed (after the append, the pre-append index
+    * state it was derived from no longer exists); the novel set feeding
+    * the append is read back from the COMMITTED classification, so it
+    * is stable across replays. A crash in the middle of the append
+    * itself can leave the batch's band/text rows appended twice —
+    * classifications are unaffected (the probe aggregates with
+    * min/distinct, which absorb duplicate index rows); storage for that
+    * one batch doubles, an accepted cost of marker-based fencing
+    * without a transactional table format. Single-writer, like every
+    * index append. */
+  def dedupIngestSink(
+      docs: DataFrame,
+      table: String,
+      idCol: String,
+      textCol: String,
+      targetPath: String,
+      checkpoint: String,
+      numBuckets: Int = 32,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      tau: Double = 0.4): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bid = f"$batchId%012d"
+        val dir = new org.apache.hadoop.fs.Path(s"$targetPath/b_$bid")
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+          graft.operators.Dedup
+            .incrementalDedupIndexed(spark, table, batch,
+              idCol, textCol, shingleSize, numHashes, bands, seed, tau)
+            .write.mode("overwrite").parquet(dir.toString)
+        val marker = new org.apache.hadoop.fs.Path(s"$targetPath/_appended_$bid")
+        if (!fs.exists(marker)) {
+          val novel = batch.join(
+            spark.read.parquet(dir.toString)
+              .filter(col("status") === "novel").select(col(idCol)),
+            Seq(idCol), "left_semi")
+          graft.operators.Dedup.appendDedupIndex(spark, table, novel,
+            idCol, textCol, numBuckets, shingleSize, numHashes, bands, seed)
+          fs.create(marker).close()
+        }
+      }
+      .start()
+
   /** Streaming probe face of the PERSISTED IVF index (s05's
     * [[graft.operators.Similarity.probeIvfIndex]] per micro-batch): a
     * QUERY-VECTOR stream probes the cell-bucketed index — per trigger,

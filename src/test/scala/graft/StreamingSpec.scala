@@ -115,6 +115,118 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == batch.size && streamed == batch)
   }
 
+  test("dedupProbeSink: streamed micro-batches equal the batch probe (p10 fixture)") {
+    val docs = Tables(spark, sf0001).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    graft.operators.Dedup.writeDedupIndex(
+      corpus, "doc_id", "text", "ded_sink_spec", numBuckets = 8)
+    try {
+      // stream the batch file-by-file -> several real micro-batches
+      val src = Files.createTempDirectory("graft-dedsink-src").toString
+      batch.repartition(4).write.mode("overwrite").parquet(src)
+      val stream = spark.readStream
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val target = Files.createTempDirectory("graft-dedsink-out").toString
+      val q = EventStreams.dedupProbeSink(
+        stream, "ded_sink_spec", "doc_id", "text", target, checkpoint())
+      try q.processAllAvailable() finally q.stop()
+      // a crash-partial batch dir (no _SUCCESS) must stay invisible —
+      // its junk file would otherwise break the parquet read outright
+      val partial = new java.io.File(s"$target/b_000000000099")
+      assert(partial.mkdirs())
+      Files.writeString(partial.toPath.resolve("part-00000.parquet"), "junk")
+      val fs = new org.apache.hadoop.fs.Path(target)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val committed = fs.listStatus(new org.apache.hadoop.fs.Path(target))
+        .map(_.getPath.getName).filter(_.startsWith("b_")).toSeq
+        .filter(n => fs.exists(new org.apache.hadoop.fs.Path(s"$target/$n/_SUCCESS")))
+      assert(committed.size >= 2, s"want >=2 real micro-batches, got $committed")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val streamed = canon(EventStreams.committedBatches(spark, target))
+      val batchRun = canon(graft.operators.Dedup.incrementalDedupIndexed(
+        spark, "ded_sink_spec", batch, "doc_id", "text"))
+      assert(streamed.nonEmpty && streamed == batchRun)
+    } finally Seq("_exact", "_bands", "_texts").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ded_sink_spec$s"))
+  }
+
+  test("ivfProbeSink: streamed query micro-batches equal the batch probe (s05 fixture)") {
+    val emb = Tables(spark, sf0001).embeddings
+    val centroids = graft.operators.Similarity
+      .sampleCentroids(emb, "vec_id", "embedding", 16)
+    graft.operators.Similarity.writeIvfIndex(
+      emb, "vec_id", "embedding", centroids, "ivf_sink_spec", numBuckets = 16)
+    try {
+      val queries = emb.filter(col("vec_id") < 10)
+      val src = Files.createTempDirectory("graft-ivfsink-src").toString
+      queries.repartition(3).write.mode("overwrite").parquet(src)
+      val stream = spark.readStream
+        .schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val target = Files.createTempDirectory("graft-ivfsink-out").toString
+      val q = EventStreams.ivfProbeSink(
+        stream, "ivf_sink_spec", "vec_id", "embedding", k = 5,
+        centroids = centroids, nProbe = 6, target, checkpoint())
+      try q.processAllAvailable() finally q.stop()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      val streamed = canon(EventStreams.committedBatches(spark, target))
+      val batchRun = canon(graft.operators.Similarity.probeIvfIndex(
+        spark, "ivf_sink_spec", queries, "vec_id", "embedding",
+        k = 5, centroids = centroids, nProbe = 6))
+      assert(streamed.nonEmpty && streamed == batchRun)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_sink_spec")
+  }
+
+  test("dedupIngestSink: batch N+1 detects batch N's novel docs as duplicates") {
+    import spark.implicits._
+    val seedCorpus = Seq(
+      (1L, "seed document about rivers and stone bridges"),
+      (2L, "seed document describing mountain weather patterns"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeDedupIndex(
+      seedCorpus, "doc_id", "text", "ded_ingest_spec", numBuckets = 2)
+    try {
+      val src = Files.createTempDirectory("graft-ingest-src").toString
+      val target = Files.createTempDirectory("graft-ingest-out").toString
+      val ckpt = checkpoint()
+      def drop(rows: Seq[(Long, String)], file: String): Unit =
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(s"$src/$file")
+      // the source dir is a stream of subdirectory drops; write drop 1,
+      // process it, then write drop 2 — deterministic batch boundaries
+      drop(Seq(
+        100L -> "brand new content alpha beta gamma",
+        101L -> "seed document about rivers and stone bridges"), "d1")
+      val schema = seedCorpus.schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$src/*")
+      val q = EventStreams.dedupIngestSink(
+        stream, "ded_ingest_spec", "doc_id", "text", target, ckpt, numBuckets = 2)
+      try {
+        q.processAllAvailable()
+        drop(Seq(
+          200L -> "brand new content alpha beta gamma", // copy of NOVEL 100
+          201L -> "entirely different follow-up material"), "d2")
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = EventStreams.committedBatches(spark, target)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+      assert(out(100L) == ("novel", None), out) // new to the seed index
+      assert(out(101L) == ("exact_dup", Some(1L)), out) // seed-owned text
+      // the lifecycle claim: doc 200 copies doc 100's text, which entered
+      // the index when batch 1's novel docs were APPENDED
+      assert(out(200L) == ("exact_dup", Some(100L)), out)
+      assert(out(201L) == ("novel", None), out)
+    } finally Seq("_exact", "_bands", "_texts").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ded_ingest_spec$s"))
+  }
+
   test("currentSnapshot ignores an uncommitted (crash-partial) version dir") {
     val target = Files.createTempDirectory("graft-partial").toString
     // committed v_1: parquet write leaves a _SUCCESS marker
