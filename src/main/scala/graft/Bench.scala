@@ -71,30 +71,52 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = selected.map { q =>
-      val times = (0 until reps).map(_ => timeOne(q.name, q.run))
-      (q.name, times.min, times.head)
+      (q.name, (0 until reps).map(_ => timeOne(q.name, q.run)))
     }
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def jmap(entries: Seq[(String, Double)], key: String => String): String = entries
       .map { case (k, v) => "\"" + key(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    def line(key: String => String): String = {
-      val qs = jmap(results.map(r => r._1 -> r._2), key)
-      val cold = jmap(results.map(r => r._1 -> r._3), key)
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"cold":$cold,"sf":"$sfDir"}"""
+    // per-query spread over the reps: a cross-round delta is only a
+    // regression signal when it exceeds what the same binary shows run
+    // to run (rounds 6/7 each burned a judging cycle on environment
+    // drift that min-only records could not self-identify)
+    def minOf(ts: Seq[Double]) = ts.min // any failed rep (-1) marks the query failed
+    def medianOf(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
+    val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
+    val spreads = results
+      .filter(r => minOf(r._2) > 0)
+      .map(r => 100.0 * (r._2.max - minOf(r._2)) / minOf(r._2))
+    val spreadPct = if (spreads.isEmpty) 0.0 else medianOf(spreads)
+    def line(key: String => String, full: Boolean): String = {
+      val qs = jmap(results.map(r => r._1 -> minOf(r._2)), key)
+      val cold = jmap(results.map(r => r._1 -> r._2.head), key)
+      val stats =
+        if (!full) ""
+        else {
+          val med = jmap(results.map(r => r._1 -> medianOf(r._2)), key)
+          val max = jmap(results.map(r => r._1 -> r._2.max), key)
+          s""","median":$med,"max":$max"""
+        }
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"spread_med_pct":${f3(spreadPct)},"queries":$qs,"cold":$cold$stats,"sf":"$sfDir"}"""
     }
-    // Full-name record → bench_out.json (the durable artifact). The line
-    // printed to stdout uses the short unique prefix of each query name
-    // ("q56_zorder_key" → "q56") because the caller keeps only the last
-    // ~2 KB of output: the full-name line is ~3.5 KB and can NEVER
-    // survive that window intact, while the compact line (~1.3 KB) does.
+    // Full-name record (with per-query median/max spread) → bench_out
+    // .json (the durable artifact). The line printed to stdout uses the
+    // short prefix of each query name ("q56_zorder_key" → "q56") because
+    // the caller keeps only the last ~2 KB of output: the full-name line
+    // can NEVER survive that window intact, while the compact line does.
+    // Prefixes are almost always unique; on a collision (q56_a/q56_b)
+    // fall back to full names rather than silently dropping a timing.
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
-    java.nio.file.Files.write(outFile, (line(identity) + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(outFile,
+      (line(identity, full = true) + "\n").getBytes("UTF-8"))
     spark.stop()
+    val shorts = results.map(_._1.takeWhile(_ != '_'))
+    val shortKey: String => String =
+      if (shorts.distinct.size == shorts.size) _.takeWhile(_ != '_') else identity
     // printed LAST, after Spark shutdown, so nothing else can follow it
     // in the tail window.
-    println(line(name => name.takeWhile(_ != '_')))
+    println(line(shortKey, full = false))
   }
 }
