@@ -235,9 +235,19 @@ object BpeOps {
     learned.toSeq
   }
 
+  /** Called from generated code — must stay public and static-shaped. */
+  def encodeArray(s: UTF8String, t: MergeTable): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      encode(s.toString, t).map(UTF8String.fromString): Array[Any])
+
   /** Column face: merged-token count of one pretoken. */
   def bpeMergedCount(pretoken: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(pretoken), merges))
+
+  /** Column face: the merged SUBWORD TOKEN SEQUENCE of one pretoken —
+    * the materialization [[bpeMergedCount]] only counts. */
+  def bpeEncode(pretoken: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncodeTokens(ColumnBridge.expression(pretoken), merges))
 }
 
 /** Merged-subword count of a single pretoken under a fixed merge table.
@@ -264,4 +274,33 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 
   override def prettyName: String = "bpe_token_count"
+}
+
+/** Merged subword TOKEN SEQUENCE of a single pretoken under a fixed
+  * merge table — the array face of [[BpeTokenCount]] (same validated
+  * table, same one-pass-per-rank loop), for pipelines that materialize
+  * the tokens themselves (packing, shard writing) rather than budget by
+  * their count. Same codegen idiom: one static call with the table as a
+  * referenced object, inside whole-stage codegen. */
+case class BpeEncodeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val tbl: BpeOps.MergeTable = BpeOps.table(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeOps.encodeArray(input.asInstanceOf[UTF8String], tbl)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", tbl, classOf[BpeOps.MergeTable].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.BpeOps.encodeArray($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeTokens =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode"
 }

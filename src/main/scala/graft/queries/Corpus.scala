@@ -1822,6 +1822,48 @@ $langScoreCols
       SELECT doc_id, n_bpe_tokens FROM bpe_counts ORDER BY doc_id"""),
     bench = true)
 
+  /** MATERIALIZED tokenization — the token SEQUENCES t17 only counts:
+    * one row per (doc, pretoken position, subword position), the
+    * exploded form a shard writer or [[graft.operators.Packing]]
+    * consumer ingests. Plan shape: ONE corpus scan, two generators
+    * in-scan ([[graft.functions.expressions.BpeEncodeTokens]] runs the
+    * validated merge loop per pretoken occurrence inside whole-stage
+    * codegen), zero shuffles beyond the oracle-mandated ORDER BY — at
+    * 100 TB this is a pure scan-and-expand pass. The oracle reuses
+    * t17's rank-stepping recursive CTE for the per-pretoken encoding
+    * and zips positions with DuckDB's aligned unnests. */
+  val t20_bpe_encode = QueryDef(
+    "t20_bpe_encode",
+    (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          posexplode(bpeTokens(col("text"))).as(Seq("pt_pos", "__pt")))
+        .select(col("doc_id"), col("pt_pos"),
+          posexplode(graft.functions.expressions.BpeOps
+            .bpeEncode(col("__pt"), graft.operators.Bpe.referenceMerges))
+            .as(Seq("tok_pos", "token")))
+        .orderBy(col("doc_id"), col("pt_pos"), col("tok_pos")),
+    Some(s"""
+      WITH RECURSIVE
+      ${graft.operators.Bpe.countsSqlCtes()},
+      t20_doc_pts AS (
+        SELECT doc_id,
+               regexp_extract_all(text, $$$$${bpePattern}$$$$) AS pts
+        FROM documents),
+      t20_doc_pt AS (
+        SELECT doc_id,
+               cast(unnest(range(len(pts))) AS int) AS pt_pos,
+               unnest(pts) AS pt
+        FROM t20_doc_pts),
+      t20_enc AS (
+        SELECT pt, syms FROM bpe_enc
+        WHERE r = ${graft.operators.Bpe.referenceMerges.length})
+      SELECT doc_id, pt_pos,
+             cast(unnest(range(len(syms))) AS int) AS tok_pos,
+             unnest(syms) AS token
+      FROM t20_doc_pt JOIN t20_enc USING (pt)
+      ORDER BY doc_id, pt_pos, tok_pos"""))
+
   /** Deterministic training corpus for t18 (small enough to embed as a
     * VALUES relation in the oracle, rich enough that 12 learned merges
     * are non-trivial). */
@@ -1968,7 +2010,7 @@ $langScoreCols
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
     t10_chunk_overlap, t11_bm25, t12_lm_quality, t13_ngram_topk,
     t14_quality_model, t15_rule_filter, t16_inverted_index, t17_bpe_merged,
-    t18_bpe_learned, t19_bpe_learned_corpus,
+    t18_bpe_learned, t19_bpe_learned_corpus, t20_bpe_encode,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

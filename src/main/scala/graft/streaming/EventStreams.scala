@@ -593,6 +593,69 @@ object EventStreams {
       }
       .start()
 
+  /** The IVF counterpart of [[dedupIngestSink]] — continual vector
+    * ingest with index maintenance: each micro-batch of NEW vectors is
+    * (1) classified against the CURRENT index (nearest neighbor via
+    * [[graft.operators.Similarity.probeIvfIndex]] with k = 1; cosine >=
+    * `tau` → `near_dup` of that neighbor, else `novel`), committed to
+    * the idempotent `b_<batchId>` directory; then (2) the batch's novel
+    * vectors are appended to the index ([[graft.operators.Similarity
+    * .appendIvfIndex]], fixed build centroids) so batch N+1 detects
+    * near-copies of batch N's novel vectors (pinned in StreamingSpec).
+    * Same marker-fenced crash-recovery contract as [[dedupIngestSink]]:
+    * classification is never recomputed once committed, the novel set
+    * feeding the append is read back from the committed classification,
+    * and a mid-append crash can duplicate index rows for that one batch
+    * — probe top-k is unaffected (duplicate neighbors collapse to the
+    * same (id, cosine); `row_number` keeps one). Single-writer. */
+  def ivfIngestSink(
+      vectors: DataFrame,
+      table: String,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Seq[Double])],
+      nProbe: Int,
+      tau: Double,
+      targetPath: String,
+      checkpoint: String,
+      numBuckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bid = f"$batchId%012d"
+        val dir = new org.apache.hadoop.fs.Path(s"$targetPath/b_$bid")
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+          val nn = graft.operators.Similarity
+            .probeIvfIndex(spark, table, batch, idCol, vecCol,
+              k = 1, centroids = centroids, nProbe = nProbe)
+            .select(
+              col("query_id").as(idCol),
+              col("neighbor_id"), col("cosine"))
+          batch.select(col(idCol))
+            .join(nn, Seq(idCol), "left")
+            .select(
+              col(idCol),
+              when(col("cosine") >= tau, lit("near_dup"))
+                .otherwise(lit("novel")).as("status"),
+              when(col("cosine") >= tau, col("neighbor_id")).as("dup_of"),
+              col("cosine"))
+            .write.mode("overwrite").parquet(dir.toString)
+        }
+        val marker = new org.apache.hadoop.fs.Path(s"$targetPath/_appended_$bid")
+        if (!fs.exists(marker)) {
+          val novel = batch.join(
+            spark.read.parquet(dir.toString)
+              .filter(col("status") === "novel").select(col(idCol)),
+            Seq(idCol), "left_semi")
+          graft.operators.Similarity.appendIvfIndex(
+            table, novel, idCol, vecCol, centroids, numBuckets)
+          fs.create(marker).close()
+        }
+      }
+      .start()
+
   /** Streaming probe face of the PERSISTED IVF index (s05's
     * [[graft.operators.Similarity.probeIvfIndex]] per micro-batch): a
     * QUERY-VECTOR stream probes the cell-bucketed index — per trigger,

@@ -65,6 +65,28 @@ class BpeSpec extends SparkSpec {
     assert(BpeOps.encode("x", tbl).toSeq == Seq("x"))
   }
 
+  test("bpeEncode column face: sequence matches driver encode; count and concat invariants") {
+    // the expression path (codegen) must emit exactly BpeOps.encode's
+    // sequence, its length must equal BpeTokenCount, and concatenating
+    // the subwords must reassemble the pretoken (losslessness)
+    val rows = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(explode(graft.functions.TextFunctions.bpeTokens(col("text"))).as("pt"))
+      .distinct()
+      .select(
+        col("pt"),
+        BpeOps.bpeEncode(col("pt"), graft.operators.Bpe.referenceMerges).as("toks"),
+        BpeOps.bpeMergedCount(col("pt"), graft.operators.Bpe.referenceMerges).as("n"))
+      .collect()
+    assert(rows.length > 50)
+    rows.foreach { r =>
+      val pt = r.getString(0)
+      val toks = r.getSeq[String](1)
+      assert(toks == BpeOps.encode(pt, tbl).toSeq, s"sequence divergence on '$pt'")
+      assert(toks.length == r.getInt(2), s"count divergence on '$pt'")
+      assert(toks.mkString == pt, s"lossy encode on '$pt'")
+    }
+  }
+
   test("one-pass-per-rank equals the priority-queue reference on every corpus pretoken") {
     val pretoks = Tables(spark, "/root/testdata/sf0.001").documents
       .select(explode(graft.functions.TextFunctions.bpeTokens(col("text"))).as("pt"))

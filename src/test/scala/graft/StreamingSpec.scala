@@ -227,6 +227,48 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ded_ingest_spec$s"))
   }
 
+  test("ivfIngestSink: batch N+1 detects near-copies of batch N's novel vectors") {
+    import spark.implicits._
+    val seed = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val centroids = graft.operators.Similarity
+      .sampleCentroids(seed, "vec_id", "embedding", nCells = 2)
+    graft.operators.Similarity.writeIvfIndex(
+      seed, "vec_id", "embedding", centroids, "ivf_ingest_spec", numBuckets = 2)
+    try {
+      val src = Files.createTempDirectory("graft-ivfingest-src").toString
+      val target = Files.createTempDirectory("graft-ivfingest-out").toString
+      def drop(rows: Seq[(Long, Seq[Float])], file: String): Unit =
+        rows.toDF("vec_id", "embedding").coalesce(1)
+          .write.mode("overwrite").parquet(s"$src/$file")
+      // drop 1: 100 is novel (orthogonal to the seed); 101 near-dups seed 1
+      drop(Seq(
+        100L -> Seq(0.0f, 0.0f, 1.0f),
+        101L -> Seq(0.99f, 0.1f, 0.0f)), "d1")
+      val stream = spark.readStream.schema(seed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$src/*")
+      val q = EventStreams.ivfIngestSink(
+        stream, "ivf_ingest_spec", "vec_id", "embedding",
+        centroids, nProbe = 2, tau = 0.95, target, checkpoint(), numBuckets = 2)
+      try {
+        q.processAllAvailable()
+        // drop 2: 200 near-dups NOVEL 100 (only findable post-append);
+        // 201 is far from everything
+        drop(Seq(
+          200L -> Seq(0.01f, 0.01f, 0.999f),
+          201L -> Seq(0.7f, 0.7f, 0.1f)), "d2")
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = EventStreams.committedBatches(spark, target)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+      assert(out(100L)._1 == "novel", out)
+      assert(out(101L) == ("near_dup", Some(1L)), out)
+      assert(out(200L) == ("near_dup", Some(100L)), out) // batch-1 novel, indexed
+      assert(out(201L)._1 == "novel", out)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_ingest_spec")
+  }
+
   test("currentSnapshot ignores an uncommitted (crash-partial) version dir") {
     val target = Files.createTempDirectory("graft-partial").toString
     // committed v_1: parquet write leaves a _SUCCESS marker
