@@ -1862,7 +1862,8 @@ $langScoreCols
              cast(unnest(range(len(syms))) AS int) AS tok_pos,
              unnest(syms) AS token
       FROM t20_doc_pt JOIN t20_enc USING (pt)
-      ORDER BY doc_id, pt_pos, tok_pos"""))
+      ORDER BY doc_id, pt_pos, tok_pos"""),
+    bench = true)
 
   /** Deterministic training corpus for t18 (small enough to embed as a
     * VALUES relation in the oracle, rich enough that 12 learned merges
