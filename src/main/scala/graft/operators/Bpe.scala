@@ -256,6 +256,45 @@ object Bpe {
     learned.toSeq
   }
 
+  /** Persist a learned merge table as a tiny (rank, a, b) parquet
+    * relation — the artifact a learn-once job ([[learnMerges]])
+    * publishes and every downstream tokenize job loads, so the
+    * expensive training rounds run once per corpus, not once per
+    * consumer. Validated BEFORE publishing (a malformed table must not
+    * reach the artifact store). One file: the table is vocabulary-sized
+    * (kilobytes), and readers collect it to the driver anyway. */
+  def writeMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)],
+      path: String): Unit = {
+    BpeOps.table(merges) // fail fast before publishing
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "a", "b")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[writeMerges]] artifact, restoring rank order and
+    * re-validating well-formedness — corruption (reordered ranks, a
+    * duplicated output, a part that is neither a char nor an earlier
+    * output) fails HERE, at load, not mid-pipeline inside a tokenize
+    * job. The result feeds [[tokenCounts]] / [[graft.functions
+    * .expressions.BpeOps.bpeEncode]] directly. */
+  def readMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    val loaded = spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("a"), col("b"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    BpeOps.table(loaded) // fail fast on a corrupted artifact
+    loaded
+  }
+
   private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** DuckDB replay of [[tokenCounts]] as named CTEs (caller appends the

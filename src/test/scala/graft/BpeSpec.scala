@@ -300,6 +300,35 @@ class BpeSpec extends SparkSpec {
     assert(agg < chars, s"learned vocabulary must compress: $agg vs $chars")
   }
 
+  test("writeMerges/readMerges round-trips a learned table; corruption fails at load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merges").toString
+    val learned = graft.operators.Bpe.learnMerges(
+      Tables(spark, "/root/testdata/sf0.001").documents,
+      "doc_id", "text", numMerges = 12)
+    assert(learned.size == 12)
+    graft.operators.Bpe.writeMerges(spark, learned, s"$dir/m")
+    val loaded = graft.operators.Bpe.readMerges(spark, s"$dir/m")
+    assert(loaded == learned) // rank order restored exactly
+    // the loaded artifact feeds the counting path identically
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents.limit(50)
+    def counts(m: Seq[(String, String)]) = graft.operators.Bpe
+      .tokenCounts(docs, "doc_id", "text", m)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(counts(loaded) == counts(learned))
+    // a corrupted artifact (duplicate output string) is rejected at LOAD
+    import spark.implicits._
+    (Seq((0, "a", "b"), (1, "a", "b")))
+      .toDF("rank", "a", "b")
+      .write.mode("overwrite").parquet(s"$dir/bad")
+    intercept[IllegalArgumentException] {
+      graft.operators.Bpe.readMerges(spark, s"$dir/bad")
+    }
+    // an unpublishable (malformed) table is rejected at WRITE
+    intercept[IllegalArgumentException] {
+      graft.operators.Bpe.writeMerges(spark, Seq("xy" -> "z"), s"$dir/never")
+    }
+  }
+
   test("tokenCounts: per-doc sums match a driver-side recount; empty text counts 0") {
     import spark.implicits._
     val docs = Seq(

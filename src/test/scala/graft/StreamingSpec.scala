@@ -603,6 +603,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("materialized BPE tokenization streams statelessly, equal to batch (t20 shape)") {
+    // the t20 projection is scan-and-expand only (two generators, no
+    // aggregate), so the SAME plan runs as an append-mode stream over an
+    // ingest directory — the live tokenize-on-arrival deployment shape
+    import graft.functions.expressions.BpeOps
+    def tokenize(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.bpeTokens(col("text")))
+          .as(Seq("pt_pos", "__pt")))
+      .select(col("doc_id"), col("pt_pos"),
+        posexplode(BpeOps.bpeEncode(col("__pt"),
+          graft.operators.Bpe.referenceMerges)).as(Seq("tok_pos", "token")))
+    val docs = Tables(spark, sf0001).documents
+    val src = Files.createTempDirectory("graft-tok-stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val q = tokenize(spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src))
+      .writeStream.format("memory").queryName("tok_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy("doc_id", "pt_pos", "tok_pos").collect().map(_.toSeq).toSeq
+      val streamed = canon(spark.table("tok_stream"))
+      val batch = canon(tokenize(docs))
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("hashedLinearScore streams over a JSONL file source, equal to batch") {
     // The scorer is a pure projection (zero shuffle), so the SAME call
     // runs as a stateless streaming select over an ingest directory —
