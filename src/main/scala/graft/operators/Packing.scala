@@ -41,4 +41,52 @@ object Packing {
       .withColumn("end_pack", expr(s"(__off + $tokenCol - 1) div $seqLen"))
       .drop("__idx", "__off")
   }
+
+  /** MATERIALIZE the packed training sequences [[packSequences]] only
+    * addresses: tokenize every document with the merge table
+    * ([[graft.functions.expressions.BpeEncodeTokens]] per pretoken,
+    * flattened in-scan), concatenate the per-document token streams in
+    * `idCol` order, and cut the global stream into `seqLen`-token
+    * context windows. Output one row per TOKEN — (seq_id, seq_pos,
+    * token, idCol provenance) — the exploded shard-writer layout a
+    * trainer's loader groups by seq_id.
+    *
+    * Scale shape: ONE corpus scan (the token array is built by scan-
+    * local expressions and rides the prefix-sum's range-partitioned
+    * sort exactly once — payload the same order as the text itself);
+    * the global token offset comes from the distributed prefix sum
+    * (never a single-task window); everything after the offset is
+    * per-row arithmetic in the generator's projection. Documents with
+    * no pretokens contribute nothing, exactly like the concat contract.
+    * Window boundaries split documents mid-stream by construction —
+    * pack_id/end_pack of [[packSequences]] agree with the first/last
+    * token's seq_id here (the two faces share the prefix-sum offsets). */
+  def packTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val toks = docs
+      .select(
+        col(idCol),
+        flatten(
+          transform(
+            graft.functions.TextFunctions.bpeTokens(col(textCol)),
+            pt => graft.functions.expressions.BpeOps.bpeEncode(pt, merges)))
+          .as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    graft.Frame
+      .withPrefixSum(toks, Seq(col(idCol)), size(col("__toks")).cast("long"),
+        "__idx", "__off")
+      .select(col(idCol), col("__off"),
+        posexplode(col("__toks")).as(Seq("__p", "token")))
+      .withColumn("__gpos", col("__off") + col("__p"))
+      .select(
+        expr(s"__gpos div $seqLen").as("seq_id"),
+        (col("__gpos") % seqLen).as("seq_pos"),
+        col("token"),
+        col(idCol))
+  }
 }

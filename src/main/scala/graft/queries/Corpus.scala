@@ -1244,6 +1244,60 @@ $langScoreCols
       FROM p ORDER BY doc_id"""),
     bench = true)
 
+  /** MATERIALIZED sequence packing ([[graft.operators.Packing
+    * .packTokens]]): p06 assigns windows, p12 emits the actual packed
+    * token stream — one row per token with (seq_id, seq_pos) and doc
+    * provenance, documents tokenized by the reference merge table and
+    * concatenated in doc_id order into 64-token windows. The oracle
+    * replays the per-pretoken encoding with t17's recursive CTE, zips
+    * positions with aligned unnests, and reconstructs the global
+    * offsets with a running window over per-doc token counts — pinning
+    * prefix sum, tokenization, and window arithmetic in one hash. */
+  val p12_pack_tokens = QueryDef(
+    "p12_pack_tokens",
+    (s, dir) =>
+      graft.operators.Packing
+        .packTokens(Tables(s, dir).documents, "doc_id", "text",
+          graft.operators.Bpe.referenceMerges, seqLen = 64)
+        .orderBy(col("seq_id"), col("seq_pos")),
+    Some(s"""
+      WITH RECURSIVE
+      ${graft.operators.Bpe.countsSqlCtes()},
+      p12_doc_pts AS (
+        SELECT doc_id,
+               regexp_extract_all(text, $$$$${bpePattern}$$$$) AS pts
+        FROM documents),
+      p12_doc_pt AS (
+        SELECT doc_id,
+               cast(unnest(range(len(pts))) AS int) AS pt_pos,
+               unnest(pts) AS pt
+        FROM p12_doc_pts),
+      p12_enc AS (
+        SELECT pt, syms FROM bpe_enc
+        WHERE r = ${graft.operators.Bpe.referenceMerges.length}),
+      p12_tok AS (
+        SELECT doc_id, pt_pos,
+               cast(unnest(range(len(syms))) AS int) AS tok_pos,
+               unnest(syms) AS token
+        FROM p12_doc_pt JOIN p12_enc USING (pt)),
+      p12_stream AS (
+        SELECT doc_id, token,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pt_pos, tok_pos) - 1
+                 AS doc_pos
+        FROM p12_tok),
+      p12_len AS (SELECT doc_id, count(*) AS n FROM p12_tok GROUP BY doc_id),
+      p12_offs AS (
+        SELECT doc_id,
+               coalesce(sum(n) OVER
+                 (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS off
+        FROM p12_len)
+      SELECT (off + doc_pos) // 64 AS seq_id,
+             (off + doc_pos) % 64 AS seq_pos,
+             token, s.doc_id
+      FROM p12_stream s JOIN p12_offs o USING (doc_id)
+      ORDER BY seq_id, seq_pos"""))
+
   /** Per-language consistent sample ([[graft.functions.expressions.BottomK]]):
     * the 16 doc_ids with smallest xxhash64 per stratum — a deterministic
     * uniform sample drawn in ONE mergeable pass, identical on any
@@ -2021,6 +2075,6 @@ $langScoreCols
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,
-    p11_incremental_dedup_append,
+    p11_incremental_dedup_append, p12_pack_tokens,
     g01_pagerank)
 }

@@ -60,6 +60,50 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packTokens agrees with packSequences; windows dense; concat order preserved") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001").documents.limit(40)
+    val merges = graft.operators.Bpe.referenceMerges
+    val toks = Packing.packTokens(corpus, "doc_id", "text", merges, seqLen = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(toks.length > 500)
+    // the global stream is dense: (seq_id, seq_pos) enumerate 0..n-1
+    val stream = toks.sortBy(t => (t._1, t._2))
+    assert(stream.zipWithIndex.forall { case ((sid, sp, _, _), i) =>
+      sid == i / 64 && sp == i % 64 })
+    // both faces share the prefix-sum offsets: each doc's first/last
+    // token lands exactly in packSequences' pack_id/end_pack
+    val perDoc = stream.zipWithIndex.groupBy(_._1._4)
+      .map { case (id, ts) => id -> (ts.head._2 / 64, ts.last._2 / 64, ts.length) }
+    val faces = Packing.packSequences(
+      corpus
+        .select(col("doc_id"),
+          aggregate(
+            transform(graft.functions.TextFunctions.bpeTokens(col("text")),
+              pt => graft.functions.expressions.BpeOps.bpeMergedCount(pt, merges)
+                .cast("long")),
+            lit(0L), (a, x) => a + x).as("n_tokens"))
+        .filter(col("n_tokens") > 0),
+      "n_tokens", seqLen = 64, order = Seq(col("doc_id")))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pack_id"), r.getAs[Long]("end_pack"), r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(perDoc.keySet == faces.keySet)
+    perDoc.foreach { case (id, (first, last, n)) =>
+      val (pid, ep, nt) = faces(id)
+      assert(first.toLong == pid && last.toLong == ep && n.toLong == nt,
+        s"doc $id: tokens say ($first,$last,$n), packSequences says ($pid,$ep,$nt)")
+    }
+    // concatenating a doc's tokens in stream order reassembles its
+    // pretoken stream (losslessness through the pack)
+    val byDoc = stream.groupBy(_._4).view.mapValues(_.map(_._3).mkString).toMap
+    val texts = corpus.select(col("doc_id"),
+        concat_ws("", graft.functions.TextFunctions.bpeTokens(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    byDoc.foreach { case (id, s) => assert(s == texts(id), s"doc $id reassembly") }
+  }
+
   test("GlobalRunningSumRule rewrites a global ROWS running sum to PrefixSumExec") {
     val prev = spark.experimental.extraOptimizations
     try {
