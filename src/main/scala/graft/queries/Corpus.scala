@@ -1296,7 +1296,8 @@ $langScoreCols
              (off + doc_pos) % 64 AS seq_pos,
              token, s.doc_id
       FROM p12_stream s JOIN p12_offs o USING (doc_id)
-      ORDER BY seq_id, seq_pos"""))
+      ORDER BY seq_id, seq_pos"""),
+    bench = true)
 
   /** Per-language consistent sample ([[graft.functions.expressions.BottomK]]):
     * the 16 doc_ids with smallest xxhash64 per stratum — a deterministic
