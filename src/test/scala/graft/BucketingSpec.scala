@@ -234,6 +234,40 @@ class BucketingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("index probes tolerate an EMPTY batch (post-recovery empty micro-batch shape)") {
+    import spark.implicits._
+    // streaming sinks replay through foreachBatch with possibly-empty
+    // batches after checkpoint recovery; both probe paths must plan and
+    // run with zero query rows (probeIvfIndex's probed-cell isin goes
+    // empty; the dedup joins see an empty broadcast side)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 8)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids,
+      "ivf_empty_spec", numBuckets = 8)
+    val docs = Tables(spark, sf0001).documents
+    Dedup.writeDedupIndex(docs.limit(50), "doc_id", "text",
+      "ded_empty_spec", numBuckets = 2)
+    try {
+      val noVecs = emb.filter(col("vec_id") < 0)
+      assert(Similarity.probeIvfIndex(spark, "ivf_empty_spec", noVecs,
+        "vec_id", "embedding", k = 5, centroids = centroids, nProbe = 2)
+        .count() == 0)
+      val noDocs = docs.filter(col("doc_id") < 0)
+      assert(Dedup.incrementalDedupIndexed(spark, "ded_empty_spec", noDocs,
+        "doc_id", "text").count() == 0)
+      // and an empty APPEND is a no-op, not a failure
+      Dedup.appendDedupIndex(spark, "ded_empty_spec", noDocs, "doc_id", "text",
+        numBuckets = 2)
+      Similarity.appendIvfIndex("ivf_empty_spec", noVecs, "vec_id", "embedding",
+        centroids, numBuckets = 8)
+      assert(spark.table("ded_empty_spec_exact").count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_empty_spec")
+      Seq("_exact", "_bands", "_texts").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS ded_empty_spec$s"))
+    }
+  }
+
   test("bucketed join and aggregation plan with zero Exchange") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
     val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
