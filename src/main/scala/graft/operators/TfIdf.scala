@@ -121,6 +121,53 @@ object TfIdf {
       .select(col(groupCol), col("n_tokens"), col("kl"))
   }
 
+  /** Bigram LM quality scoring — the KenLM-shaped upgrade of
+    * [[unigramLmScore]]: mean ln p(w_i | w_{i-1}) per document under the
+    * corpus's OWN bigram model (exact-count MLE — every scored bigram
+    * came from the corpus, so probabilities are never zero and no
+    * smoothing constant leaks into the contract). Context-sensitive
+    * repetition and word-salad score visibly lower than under the
+    * unigram model, which is why CCNet-style pipelines filter on an
+    * n-gram LM rather than token frequencies alone.
+    *
+    * Scale shape: bigram extraction is scan-local ([[TextFunctions
+    * .ngrams]] inside codegen); corpus model = ONE keyed aggregation of
+    * (bigram, count) with the prefix marginal derived from it by a
+    * second tiny aggregation (vocabulary-sized, never corpus-sized);
+    * scoring joins are keyed by bigram/prefix (AQE broadcasts the
+    * model side when it fits); the per-doc fold uses the same sorted
+    * fixed-order determinism contract as t12 — round(6) over the libm
+    * ulp, hash-identical on any partitioning. Docs with fewer than 2
+    * tokens have no bigram distribution and emit no row. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+    val bg = toks
+      .select(col(idCol), (size(col("__ts")) - 1).cast("long").as("nb"),
+        explode(TextFunctions.ngrams(col("__ts"), 2)).as("__g"))
+      .groupBy(col(idCol), col("nb"), col("__g"))
+      .agg(count(lit(1)).as("__m"))
+    val cbig = bg.groupBy(col("__g")).agg(sum(col("__m")).as("__cb"))
+    val cpre = cbig
+      .select(substring_index(col("__g"), " ", 1).as("__w"), col("__cb"))
+      .groupBy(col("__w")).agg(sum(col("__cb")).as("__cp"))
+    bg.join(cbig, Seq("__g"))
+      .withColumn("__w", substring_index(col("__g"), " ", 1))
+      .join(cpre, Seq("__w"))
+      .withColumn("__v",
+        col("__m").cast("double") *
+          log(col("__cb").cast("double") / col("__cp").cast("double")))
+      .groupBy(col(idCol), col("nb"))
+      .agg(array_sort(collect_list(struct(col("__g"), col("__v")))).as("__gv"))
+      .withColumn("lm2_score",
+        round(
+          aggregate(col("__gv"), lit(0.0), (acc, e) => acc + e.getField("__v")) /
+            col("nb").cast("double"),
+          6))
+      .select(col(idCol), col("nb").as("n_bigrams"), col("lm2_score"))
+  }
+
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(
       col(idCol),

@@ -1428,6 +1428,47 @@ $langScoreCols
       FROM folded ORDER BY doc_id"""),
     bench = true)
 
+  /** Bigram LM quality scoring ([[graft.operators.TfIdf.bigramLmScore]]):
+    * mean ln p(w_i | w_{i-1}) per document under the corpus's own
+    * exact-count bigram model — the KenLM-shaped CCNet filter t12's
+    * unigram model approximates. Same sorted fixed-order fold contract
+    * as t12; the oracle replays bigram counts, the prefix marginal, and
+    * the identical arithmetic. */
+  val t21_bigram_lm = QueryDef(
+    "t21_bigram_lm",
+    (s, dir) =>
+      graft.operators.TfIdf
+        .bigramLmScore(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      dls AS (
+        SELECT doc_id, cast(len(ts) - 1 AS BIGINT) AS nb, ts
+        FROM toks WHERE len(ts) >= 2),
+      bg AS (
+        SELECT doc_id, nb, g, cast(count(*) AS BIGINT) AS m
+        FROM (SELECT doc_id, nb,
+                     unnest(list_transform(range(len(ts) - 1),
+                            __i -> ts[__i+1] || ' ' || ts[__i+2])) AS g
+              FROM dls)
+        GROUP BY 1, 2, 3),
+      cb AS (SELECT g, cast(sum(m) AS BIGINT) AS c FROM bg GROUP BY 1),
+      cp AS (
+        SELECT string_split(g, ' ')[1] AS w, cast(sum(c) AS BIGINT) AS cw
+        FROM cb GROUP BY 1),
+      contrib AS (
+        SELECT bg.doc_id, bg.nb, bg.g,
+               cast(m AS DOUBLE) * ln(cast(c AS DOUBLE) / cast(cw AS DOUBLE)) AS v
+        FROM bg JOIN cb USING (g)
+        JOIN cp ON string_split(bg.g, ' ')[1] = cp.w),
+      folded AS (SELECT doc_id, nb, list(v ORDER BY g) AS vs FROM contrib GROUP BY 1, 2)
+      SELECT doc_id, nb AS n_bigrams,
+             round(list_reduce(list_prepend(0.0, vs), (s, t) -> s + t)
+                   / cast(nb AS DOUBLE), 6) AS lm2_score
+      FROM folded ORDER BY doc_id"""))
+
   /** Corpus-wide top-k word bigrams ([[graft.functions.TextFunctions
     * .ngrams]]): the n-gram census behind contamination screens, boilerplate
     * detection, and LM vocabulary studies. n-gram generation is scan-local
@@ -2066,7 +2107,7 @@ $langScoreCols
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
     t10_chunk_overlap, t11_bm25, t12_lm_quality, t13_ngram_topk,
     t14_quality_model, t15_rule_filter, t16_inverted_index, t17_bpe_merged,
-    t18_bpe_learned, t19_bpe_learned_corpus, t20_bpe_encode,
+    t18_bpe_learned, t19_bpe_learned_corpus, t20_bpe_encode, t21_bigram_lm,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
