@@ -461,6 +461,49 @@ $langScoreCols
     },
     Some(d07Oracle))
 
+  /** Quality-aware dedup survivor selection — what a production dedup
+    * actually emits: for every document in a near-dup cluster (d07's
+    * connected components over the verified MinHash pair graph), keep
+    * the LONGEST document (token count desc, id asc tie-break) and mark
+    * the rest for deletion. Min-id representatives (d07) answer "which
+    * cluster"; this answers "which copy survives" — the delete list a
+    * 100 TB curation pass ships. Survivor choice is a keyed window per
+    * cluster (clusters are near-dup-sized, never corpus-sized); the
+    * token counts join is id-keyed. Docs in no cluster are implicitly
+    * kept and emit no row, like d07. */
+  val d13_dedup_survivors = QueryDef(
+    "d13_dedup_survivors",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = Dedup
+        .minhashPairs(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16)
+        .filter(col("jaccard") >= 0.4)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val nt = docs.select(
+        col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      comps
+        .join(nt, comps("id") === nt("doc_id"))
+        .select(col("doc_id"), col("comp").as("cluster"), col("n_tokens"))
+        .withColumn("keep",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster"))
+              .orderBy(col("n_tokens").desc, col("doc_id").asc)) === 1)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH cc AS MATERIALIZED (SELECT * FROM ($d07Oracle) __cc),
+      d13_nt AS (
+        SELECT doc_id,
+               (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tokens
+        FROM documents)
+      SELECT cc.id AS doc_id, comp AS cluster, n_tokens,
+             row_number() OVER (
+               PARTITION BY comp ORDER BY n_tokens DESC, cc.id ASC) = 1 AS keep
+      FROM cc JOIN d13_nt ON cc.id = d13_nt.doc_id
+      ORDER BY doc_id"""))
+
   /** Exact similarity join — prefix filtering, NOT attribute blocking: the
     * oracle is the full all-pairs Jaccard >= 0.5 with no language block,
     * and the engine must reproduce it exactly (guaranteed recall, unlike
@@ -2111,7 +2154,7 @@ $langScoreCols
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
-    d11_semdedup, d12_embed_decontaminate,
+    d11_semdedup, d12_embed_decontaminate, d13_dedup_survivors,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
