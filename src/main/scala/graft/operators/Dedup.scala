@@ -659,6 +659,60 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** The DELIVERABLE of decontamination — the per-eval-document verdict
+    * the GPT-3/PaLM appendices report: for every evaluation document,
+    * the fraction of its distinct k-token shingles that occur ANYWHERE
+    * in the training corpus, plus the contaminated flag at `threshold`
+    * (GPT-3 dropped eval examples with high n-gram overlap; the flag is
+    * what a benchmark-hygiene report ships). Complements
+    * [[crossCorpusOverlap]], which attributes overlap to train docs
+    * pairwise — here the train side collapses to a distinct hash SET, so
+    * cost is independent of how many train docs repeat a shingle.
+    *
+    * Columns: eval_id, n_shingles, n_seen, overlap_frac (6 dp),
+    * contaminated.
+    *
+    * Scale shape: the train side reduces in-scan to distinct 8-byte
+    * hashes (partial distinct before the one hash-keyed exchange); the
+    * eval side is (id, hash) pairs; one LEFT OUTER join keyed by the
+    * hash marks seen shingles (the train set is distinct, so the join
+    * never fans out) and one eval-id-keyed count folds the verdict.
+    * Nothing ever carries text past its scan, and the contaminated flag
+    * compares scaled INTEGERS (n_seen * 1e6 >= thresholdMicros *
+    * n_shingles) so the cutoff is exact under any partitioning. */
+  def contaminationReport(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold >= 0 && threshold <= 1,
+      s"threshold must be in [0,1]; got $threshold")
+    val thresholdMicros = math.round(threshold * 1e6)
+    def grams(df: DataFrame, out: String): DataFrame = df
+      .filter(trim(col(textCol)) =!= "")
+      .select(
+        col(idCol).as(out),
+        explode(wordShingles(col(textCol), shingleSize)).as("__g"))
+      .select(col(out), xxhash64(col("__g")).as("__h"))
+    val trainSet = grams(train, "__tid")
+      .select(col("__h")).distinct()
+      .withColumn("__seen", lit(1L))
+    grams(eval, "eval_id")
+      .join(trainSet, Seq("__h"), "left")
+      .groupBy(col("eval_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+      .select(
+        col("eval_id"), col("n_shingles"), col("n_seen"),
+        round(col("n_seen").cast("double") / col("n_shingles"), 6)
+          .as("overlap_frac"),
+        (col("n_seen") * lit(1000000L) >=
+          lit(thresholdMicros) * col("n_shingles")).as("contaminated"))
+  }
+
   /** Embedding near-dup via random-hyperplane LSH with OR-amplification:
     * `nTables` independent hash tables of `planesPerTable` sign bits each.
     * A pair is a candidate if it collides in ANY table (recall

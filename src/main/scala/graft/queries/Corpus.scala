@@ -2145,6 +2145,143 @@ $langScoreCols
       SELECT doc_id, n_bpe_tokens FROM bpe_counts ORDER BY doc_id"""
     })
 
+  /** DSIR importance resampling ([[graft.operators.Dsir]], Xie et al.
+    * NeurIPS 2023): select the 100 raw documents whose hashed-bigram
+    * distribution is most target-like, target = the English slice of
+    * the corpus. The oracle replays the exact hashed counts, the
+    * frozen fixed-point log-ratio table (both engines round through
+    * away-from-zero HALF_UP), and the integer weight sums — see the
+    * operator doc for why every step is bit-stable. */
+  val p13_dsir = QueryDef(
+    "p13_dsir",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.operators.Dsir
+        .importanceWeights(
+          raw = docs, target = docs.filter(col("lang") === "en"),
+          idCol = "doc_id", textCol = "text")
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(100)
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), __t -> __t <> '') AS ts
+        FROM documents),
+      gr AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(len(ts) - 1),
+                 __i -> ts[__i+1] || ' ' || ts[__i+2])) AS g
+        FROM tok WHERE len(ts) >= 2),
+      gb AS (
+        SELECT doc_id, lang,
+               ((${OracleSql.u2s(OracleSql.xxh64Ascii("g"))} % 256) + 256) % 256 AS b
+        FROM gr),
+      cnt AS (
+        SELECT b, cast(count(*) AS BIGINT) AS craw,
+               cast(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ctgt
+        FROM gb GROUP BY b),
+      bb AS (SELECT unnest(range(256)) AS b),
+      c2 AS (
+        SELECT bb.b AS b, coalesce(craw, 0) AS craw, coalesce(ctgt, 0) AS ctgt
+        FROM bb LEFT JOIN cnt ON bb.b = cnt.b),
+      tot AS (
+        SELECT cast(sum(craw) AS BIGINT) AS traw,
+               cast(sum(ctgt) AS BIGINT) AS ttgt FROM c2),
+      lam AS (
+        SELECT b,
+               cast(round(ln(cast((ctgt + 1) * (traw + 256) AS DOUBLE)
+                             / cast((craw + 1) * (ttgt + 256) AS DOUBLE))
+                          * 1000000) AS BIGINT) AS lam
+        FROM c2 CROSS JOIN tot),
+      sc AS (
+        SELECT doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+               cast(sum(lam) AS BIGINT) AS wfix
+        FROM gb JOIN lam USING (b) GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(n_bigrams, 0) AS n_bigrams,
+             cast(coalesce(wfix, 0) AS DOUBLE) / 1000000.0 AS weight
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      ORDER BY coalesce(wfix, 0) DESC, d.doc_id
+      LIMIT 100"""),
+    bench = true)
+
+  /** Deterministic epoch shuffle into training shards
+    * ([[graft.operators.Sampling.shuffleShards]]): every document gets
+    * a shard and a dense position, the permutation a pure function of
+    * (doc_id, seed). The oracle replays Spark's CHAINED two-column
+    * xxhash64 — h = XXH64(seed_literal, XXH64(doc_id, 42)) — then the
+    * same (hash, id) rank within each shard. */
+  val p14_shuffle_shards = QueryDef(
+    "p14_shuffle_shards",
+    (s, dir) =>
+      graft.operators.Sampling
+        .shuffleShards(
+          Tables(s, dir).documents.select(col("doc_id"), col("n_chars")),
+          "doc_id", nShards = 8)
+        .select(col("doc_id"), col("n_chars"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos")),
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, n_chars,
+               ${OracleSql.u2s(OracleSql.xxh64Long("42",
+                 seed = OracleSql.xxh64Long(OracleSql.s2u("doc_id"))))} AS hv
+        FROM documents),
+      sh AS (
+        SELECT doc_id, n_chars, cast(((hv % 8) + 8) % 8 AS BIGINT) AS shard,
+               row_number() OVER (
+                 PARTITION BY ((hv % 8) + 8) % 8
+                 ORDER BY hv, doc_id) AS pos
+        FROM h)
+      SELECT doc_id, n_chars, shard, pos
+      FROM sh ORDER BY shard, pos"""))
+
+  /** Per-eval-document contamination verdict
+    * ([[Dedup.contaminationReport]]): the GPT-3-appendix report — what
+    * fraction of each held-out document's distinct 3-shingles occurs
+    * anywhere in the training split, flagged at 50%. Same train/eval
+    * split and shingle/hash replay as d09; the flag compares scaled
+    * integers, so the cutoff is exact. */
+  val d14_contamination = QueryDef(
+    "d14_contamination",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup
+        .contaminationReport(
+          train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          eval = docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          idCol = "doc_id", textCol = "text",
+          shingleSize = 3, threshold = 0.5)
+        .orderBy(col("eval_id"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), __t -> __t <> '') AS ts
+        FROM documents WHERE trim(text) <> ''),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+                 ELSE list_transform(range(len(ts) - 2),
+                        __i -> ts[__i+1] || ' ' || ts[__i+2] || ' ' || ts[__i+3]) END) AS sset
+        FROM toks),
+      g AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+      hb AS (SELECT s, ${OracleSql.u2s(OracleSql.xxh64Ascii("s"))} AS h
+             FROM (SELECT DISTINCT s FROM g)),
+      gh AS (SELECT doc_id, h FROM g JOIN hb USING (s)),
+      tr AS (SELECT DISTINCT h FROM gh WHERE doc_id % 10 <> 0),
+      ev AS (SELECT doc_id AS eval_id, h FROM gh WHERE doc_id % 10 = 0),
+      agg AS (
+        SELECT eval_id,
+               cast(count(*) AS BIGINT) AS n_shingles,
+               cast(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+        FROM ev LEFT JOIN tr ON ev.h = tr.h
+        GROUP BY eval_id)
+      SELECT eval_id, n_shingles, n_seen,
+             round(cast(n_seen AS DOUBLE) / n_shingles, 6) AS overlap_frac,
+             n_seen * 1000000 >= 500000 * n_shingles AS contaminated
+      FROM agg ORDER BY eval_id"""),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
@@ -2155,11 +2292,13 @@ $langScoreCols
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
     d11_semdedup, d12_embed_decontaminate, d13_dedup_survivors,
+    d14_contamination,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,
-    p11_incremental_dedup_append, p12_pack_tokens,
+    p11_incremental_dedup_append, p12_pack_tokens, p13_dsir,
+    p14_shuffle_shards,
     g01_pagerank)
 }

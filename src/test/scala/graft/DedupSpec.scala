@@ -323,4 +323,33 @@ class DedupSpec extends SparkSpec {
       (20L, "near_dup", 1L),
       (30L, "novel", -1L)))
   }
+
+  test("contaminationReport: overlap fraction + >= threshold flag") {
+    val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    // shingles of train: {a b c, b c d, c d e}
+    val eval = Seq(
+      (10L, "a b c d e"), // all 3 shingles seen → 1.0, flagged
+      (20L, "x y z w"),   // {x y z, y z w} disjoint → 0.0
+      (30L, "a b c z"),   // {a b c, b c z} → 1/2 = threshold → flagged (>=)
+      (40L, "b c d"),     // short doc: ONE whole-text shingle, seen → 1.0
+      (50L, "")           // empty text: excluded entirely
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .contaminationReport(train, eval, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      10L -> ((3L, 3L, 1.0, true)),
+      20L -> ((2L, 0L, 0.0, false)),
+      30L -> ((2L, 1L, 0.5, true)),
+      40L -> ((1L, 1L, 1.0, true))))
+  }
+
+  test("contaminationReport rejects a threshold outside [0,1]") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Dedup.contaminationReport(df, df, "doc_id", "text", threshold = 1.5))
+  }
 }
