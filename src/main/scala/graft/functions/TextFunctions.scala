@@ -34,18 +34,24 @@ object TextFunctions {
   /** Distinct lowercase tokens — the unigram set for Jaccard. */
   def tokenSet(text: Column): Column = array_distinct(tokens(lower(text)))
 
+  import Hof.bindOnce
+
   /** Space-joined word n-grams over a token array, scan-local: element
     * i of the result is tokens[i..i+n-1], for every full window. Built
     * from indexed `transform` + `filter`, so it composes into the same
-    * whole-stage-codegen pass as the tokenizer — n-gram extraction over
-    * a corpus never shuffles, only the downstream count does. */
+    * scan as the tokenizer — n-gram extraction over a corpus never
+    * shuffles, only the downstream count does. The input array is bound
+    * once per row (see [[bindOnce]]) so callers may pass a computed
+    * column without the per-window re-evaluation trap. */
   def ngrams(ts: Column, n: Int): Column = {
     require(n >= 1, s"need n >= 1; got $n")
-    filter(
-      transform(ts, (_, i) =>
-        when(i <= size(ts) - n,
-          concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))),
-      g => g.isNotNull)
+    bindOnce(ts) { a =>
+      filter(
+        transform(a, (_, i) =>
+          when(i <= size(a) - n,
+            concat_ws(" ", (0 until n).map(j => element_at(a, i + j + 1)): _*))),
+        g => g.isNotNull)
+    }
   }
 
   /** GPT-2-style BPE pretokenizer (simplified): contractions, optional
@@ -70,14 +76,17 @@ object TextFunctions {
   def wordShingles(text: Column, k: Int): Column =
     graft.functions.expressions.Sketches.wordShingles(tokens(lower(text)), k)
 
-  /** Character n-grams of the lowercased text (for Jaccard / langid). */
-  def charNgrams(text: Column, n: Int): Column = {
-    val t = lower(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
-        i => t.substr(i, lit(n))))
-  }
+  /** Character n-grams of the lowercased text (for Jaccard / langid).
+    * The lowercased text is bound once per row ([[bindOnce]]) — the
+    * substring lambda would otherwise re-lowercase the whole document at
+    * every position. */
+  def charNgrams(text: Column, n: Int): Column =
+    bindOnce(lower(text)) { t =>
+      array_distinct(
+        transform(
+          sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+          i => t.substr(i, lit(n))))
+    }
 
   /** Jaccard similarity of two array<string> columns (sets). Native
     * single-pass hash-set expression; identical arithmetic to

@@ -40,12 +40,16 @@ object VectorFunctions {
       (x, y) => (x - y) * (x - y))))
 
   /** Pre-normalize a vector to unit length (cosine -> dot at query time:
-    * at scale, normalize once on write, not per-pair). */
-  def normalize(a: Column): Column = {
-    val n = norm2(a)
-    when(n === 0.0, a.cast("array<double>"))
-      .otherwise(transform(a.cast("array<double>"), x => x / n))
-  }
+    * at scale, normalize once on write, not per-pair). Vector and norm
+    * are each bound once per row ([[Hof.bindOnce]]) — referencing
+    * `norm2(a)` inside the division lambda would re-run the full
+    * norm reduction per component. */
+  def normalize(a: Column): Column =
+    Hof.bindOnce(a.cast("array<double>")) { ad =>
+      Hof.bindOnce(sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))) { n =>
+        when(n === 0.0, ad).otherwise(transform(ad, x => x / n))
+      }
+    }
 
   /** Sign-bit signature against a fixed list of hyperplanes: bit i is set
     * iff dot(v, planes(i)) >= 0. Returns a long (up to 64 planes) — the
