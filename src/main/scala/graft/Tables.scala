@@ -24,22 +24,31 @@ final case class Tables(spark: SparkSession, dir: String) {
     * and always yields a session-timezone `timestamp` column (UTC in
     * every entrypoint), so downstream windows/as-of joins see one type.
     *
-    * DELIBERATE side effect: flips the session-wide `nanosAsLong`
-    * legacy flag BEFORE the read — there is no per-read option for it,
-    * schema inference itself throws on nanos files without it, and the
-    * driver invokes queries on its own session, so the accessor must be
-    * self-sufficient. The flag only changes behavior for other
-    * TIMESTAMP(NANOS) reads, which this engine always wants as longs. */
+    * DELIBERATE side effects: flips two session-wide read flags BEFORE
+    * the read — neither has a per-read option, schema inference itself
+    * throws on nanos files without the first, and the driver invokes
+    * queries on its own session, so the accessor must be
+    * self-sufficient:
+    *   - `nanosAsLong`: TIMESTAMP(NANOS) columns read as long (the only
+    *     way Spark reads them at all), converted to micros below;
+    *   - `inferTimestampNTZ.enabled=false`: TIMESTAMP(MICROS)
+    *     isAdjustedToUTC=false columns read DIRECTLY as session-tz
+    *     `timestamp` in the vectorized reader — identical values under
+    *     the UTC session, but without the NTZ→TZ `Cast`, whose per-row
+    *     LocalDateTime round-trip measured ~13% on the events bench
+    *     family (4.79 s → 5.44 s over q23/q36/q38/q57/q59/q67 at
+    *     sf0.1, reps=5). */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = t("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // nanos-as-long: truncate to micros (floor for post-epoch values)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000").cast("long")))
       case _ =>
-        // TIMESTAMP_NTZ (or already timestamp): UTC session makes this
-        // cast micros-identical
+        // already session-tz timestamp (micros files); cast is a no-op
+        // guard for any future variant
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
