@@ -300,4 +300,68 @@ object Similarity {
         .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6)),
       k)
   }
+
+  /** Recall@k of the IVF path against exact brute force, per query and
+    * probe budget — the evaluation every production ANN deployment runs
+    * to place itself on the recall/cost curve before trusting the index.
+    * Output: one row per (query_id, n_probe) with `hits` (|approx top-k
+    * ∩ exact top-k|) and `recall` (= hits/k, rounded to 6).
+    *
+    * All budgets share ONE candidate pass: each query is exploded to its
+    * `max(nProbes)` best cells tagged with the probe rank, and a
+    * candidate found at rank r is visible to every budget p >= r — the
+    * budget expansion is a scan-local lambda filter over the budget
+    * array literal, not a join, so adding budgets costs only the extra
+    * per-(query,budget) window rows. A budget equal to the centroid
+    * count probes every cell, making the candidate set identical to
+    * brute force — recall is exactly 1.0 there by construction (same
+    * rounding, same tiebreaks), which doubles as a built-in self-check
+    * (pinned in SimilaritySpec, with monotonicity in n_probe).
+    *
+    * Scale shape: the corpus is scanned twice (truth baseline + cell
+    * assignment) and never shuffled — the query side broadcasts into
+    * both joins, candidates shuffle once keyed by (query, budget) for
+    * the top-k windows. The exact baseline prices the evaluation at
+    * |queries| x |corpus| scoring, which is why recall is measured on a
+    * SAMPLED query set (the `queries` argument), never corpus x corpus. */
+  def annRecallCurve(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Long, Seq[Double])],
+      nProbes: Seq[Int]): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ > 0),
+      s"need positive probe budgets; got $nProbes")
+    val budgets = nProbes.distinct.sorted
+    val truth = bruteForceKnn(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    val q = queries
+      .select(
+        col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .select(
+        col("query_id"), col("__qv"),
+        posexplode(cellsFor(centroids, col("__qv"), budgets.max))
+          .as(Seq("__pos", "cell")))
+    val cand = broadcast(q).join(
+        cellAssignments(corpus, idCol, vecCol, centroids), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("n_probe",
+        explode(filter(typedLit(budgets), p => col("__pos") < p)))
+    val w = Window
+      .partitionBy(col("query_id"), col("n_probe"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("n_probe"), col("neighbor_id"))
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"), col("n_probe"))
+      .agg(
+        count(col("__hit")).as("hits"),
+        round(count(col("__hit")).cast("double") / k, 6).as("recall"))
+  }
 }

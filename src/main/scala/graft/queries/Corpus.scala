@@ -862,6 +862,88 @@ $langScoreCols
     },
     Some(s02Oracle))
 
+  /** Exact oracle for s07: the s02 IVF replay extended with probe ranks,
+    * a probe-budget expansion, and the s01-style exact top-k truth set —
+    * recall computed by the same left-join-and-count. All cosines via
+    * [[OracleSql.cosineExact]] (bit-identical op order to Spark). */
+  private val s07Oracle: String = {
+    val hash = OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("vec_id")))
+    val cellScore = OracleSql.cosineExact("v.e", "cent.cv")
+    val pairScore = OracleSql.cosineExact("qv.e", "nv.e")
+    val truthScore = OracleSql.cosineExact("tq.e", "tc.e")
+    s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      hashed AS (SELECT vec_id, e, $hash AS h FROM v),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, e AS cv
+        FROM hashed
+        QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16),
+      cscore AS (
+        SELECT v.vec_id, cent.cid, round($cellScore, 9) AS s
+        FROM v CROSS JOIN cent),
+      cassign AS (
+        SELECT vec_id, cid AS cell FROM cscore
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1),
+      qprobe AS (
+        SELECT vec_id AS query_id, cid AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) - 1 AS pos
+        FROM cscore WHERE vec_id < 10
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) <= 16),
+      cand AS (
+        SELECT q.query_id, q.pos, ca.vec_id AS neighbor_id,
+               round($pairScore, 6) AS cosine
+        FROM qprobe q
+        JOIN cassign ca ON q.cell = ca.cell AND q.query_id <> ca.vec_id
+        JOIN v qv ON q.query_id = qv.vec_id
+        JOIN v nv ON ca.vec_id = nv.vec_id),
+      budgets AS (SELECT unnest([1, 2, 4, 16]) AS n_probe),
+      ranked AS (
+        SELECT query_id, n_probe, neighbor_id
+        FROM cand c JOIN budgets b ON c.pos < b.n_probe
+        QUALIFY row_number() OVER (
+          PARTITION BY query_id, n_probe
+          ORDER BY cosine DESC, neighbor_id ASC) <= 5),
+      truth AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT tq.vec_id AS query_id, tc.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY tq.vec_id
+                   ORDER BY round($truthScore, 6) DESC, tc.vec_id ASC) AS r
+          FROM v tq JOIN v tc ON tq.vec_id <> tc.vec_id
+          WHERE tq.vec_id < 10)
+        WHERE r <= 5)
+      SELECT r.query_id, r.n_probe,
+             count(t.neighbor_id) AS hits,
+             round(count(t.neighbor_id)::DOUBLE / 5, 6) AS recall
+      FROM ranked r
+      LEFT JOIN truth t
+        ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""
+  }
+
+  /** ANN self-evaluation ([[Similarity.annRecallCurve]]): recall@5 of
+    * the s02 IVF configuration against the s01 exact baseline, at probe
+    * budgets 1/2/4/16 — the recall/cost curve that prices the index.
+    * Budget 16 probes every cell, so its recall is exactly 1.0 by
+    * construction (the built-in self-check; monotonicity pinned in
+    * SimilaritySpec). One candidate pass serves all budgets. */
+  val s07_ann_recall = QueryDef(
+    "s07_ann_recall",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nCells = 16)
+      Similarity
+        .annRecallCurve(
+          corpus = emb,
+          queries = emb.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", k = 5,
+          centroids = centroids, nProbes = Seq(1, 2, 4, 16))
+        .orderBy(col("query_id"), col("n_probe"))
+    },
+    Some(s07Oracle),
+    bench = true)
+
   // ---------------- round-4 additions ----------------
 
   /** Gopher-style repetition signals (Rae et al. 2021 quality filters):
@@ -2294,7 +2376,7 @@ $langScoreCols
     d11_semdedup, d12_embed_decontaminate, d13_dedup_survivors,
     d14_contamination,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
-    s05_knn_ivf_indexed, s06_knn_ivf_append,
+    s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,
