@@ -125,6 +125,96 @@ object Dedup {
           6).as("jaccard"))
   }
 
+  /** MinHash-LSH recall measurement — the dedup twin of
+    * [[Similarity.annRecallCurve]]: for each banding budget, the
+    * fraction of TRUE near-dup pairs (exact shingle-Jaccard >= `tau`,
+    * via the prefix-filter engine whose recall is provably exact) that
+    * the banded index surfaces as candidates. This is the published
+    * S-curve (1-(1-J^r)^b) measured on the actual corpus — the number a
+    * curation pipeline needs before trusting an LSH operating point.
+    *
+    * One signature pass serves every budget: the (bands, slice-offset,
+    * slice-length) table enters as a plan literal and each row explodes
+    * to its band keys for ALL budgets at once — the corpus is shingled
+    * and minhashed exactly once, never re-scanned per configuration.
+    * Budgets whose band boundaries nest (each divides the next, e.g.
+    * 4/8/16 over 64 hashes) have provably monotone candidate sets — a
+    * 16-row band match is two aligned 8-row matches — so recall is
+    * monotone in `bands` there (pinned in DedupSpec).
+    *
+    * Scale shape: banding rows carry (id, budget, band, hash) scalars
+    * only; the self-join is bucketed by (budget, band, hash) with the
+    * same `maxBucket` skew cap as [[minhashPairs]]; the truth side is
+    * the d05 prefix-filter join. Output is `bandCounts.size` rows. */
+  def lshRecallCurve(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bandCounts: Seq[Int] = Seq(4, 8, 16),
+      tau: Double = 0.4,
+      seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
+    require(
+      bandCounts.nonEmpty && bandCounts.forall(b => b > 0 && numHashes % b == 0),
+      s"each band count must divide numHashes=$numHashes; got $bandCounts")
+    val budgets = bandCounts.distinct.sorted
+    val truth = jaccardSimilarityJoin(df, idCol, textCol, tau,
+        useUnigrams = false, shingleSize = shingleSize)
+      .select(col("id_a"), col("id_b"))
+    val truthCount = truth.agg(count(lit(1)).as("true_pairs"))
+    // (bands, 1-based slice offset, slice length) per (budget, band)
+    val cfg = typedLit(budgets.flatMap { b =>
+      val r = numHashes / b
+      (0 until b).map(i => (b, i * r + 1, r))
+    })
+    val banded = df
+      .filter(trim(col(textCol)) =!= "")
+      .select(
+        col(idCol),
+        minhashSignature(
+          wordShingles(col(textCol), shingleSize), numHashes, seed).as("__sig"))
+      .select(
+        col(idCol),
+        explode(transform(cfg, c => struct(
+          c("_1").as("nb"),
+          c("_2").as("band"), // the offset is unique per band within a budget
+          xxhash64(concat_ws(",", slice(col("__sig"), c("_2"), c("_3"))))
+            .as("bh")))).as("__k"))
+      .select(col(idCol), col("__k.nb").as("nb"),
+        col("__k.band").as("band"), col("__k.bh").as("bh"))
+    val capped = banded
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("nb"), col("band"), col("bh"))
+          .orderBy(col(idCol))))
+      .filter(col("__rn") <= maxBucket)
+    val candidates = capped
+      .select(col("nb"), col("band"), col("bh"), col(idCol).as("id_a"))
+      .join(
+        capped.select(col("nb"), col("band"), col("bh"), col(idCol).as("id_b")),
+        Seq("nb", "band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("nb"), col("id_a"), col("id_b"))
+      .distinct()
+    val found = candidates
+      .join(truth, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("nb")).agg(count(lit(1)).as("found_pairs"))
+    df.sparkSession.range(1)
+      .select(explode(typedLit(budgets)).as("bands"))
+      .join(found.withColumnRenamed("nb", "bands"), Seq("bands"), "left")
+      .na.fill(0L, Seq("found_pairs"))
+      .crossJoin(truthCount) // single-row aggregate, broadcast
+      .select(
+        col("bands"),
+        (lit(numHashes) / col("bands")).cast("int").as("rows_per_band"),
+        col("true_pairs"),
+        col("found_pairs"),
+        round(col("found_pairs").cast("double") / col("true_pairs"), 6)
+          .as("recall"))
+  }
+
   /** Incremental (shard-vs-corpus) dedup — the op a continual-ingest
     * pipeline runs on every new crawl drop: classify each batch row as
     *   - `exact_dup`: its whitespace-normalized lowercase text already

@@ -2364,6 +2364,93 @@ $langScoreCols
       FROM agg ORDER BY eval_id"""),
     bench = true)
 
+  /** Exact oracle for d15: the d03 minhash replay extended with a
+    * (bands, offset, rows) configuration table, plus the exact
+    * shingle-Jaccard truth set computed by the shingle-sharing
+    * inverted-index join (a pair with J >= tau shares >= 1 shingle, so
+    * the join loses nothing). */
+  private val d15Oracle: String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val M = BigInt(1) << 64
+    val seeds = (0 until 64)
+      .map(i => (BigInt(XXH64.hashLong(42L + i, 42L)) + M) % M)
+      .mkString("[", ",", "]::HUGEINT[]")
+    val mins = (0 until 64).map(j => s"min(gl[${j + 1}]) AS g$j").mkString(", ")
+    val sigList = (0 until 64).map(j => s"g$j").mkString("list_value(", ", ", ")")
+    val cfgRows = Seq(4, 8, 16).flatMap { b =>
+      val r = 64 / b
+      (0 until b).map(i => s"($b, ${i * r + 1}, $r)")
+    }.mkString(", ")
+    s"""
+      WITH base AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), __t -> __t <> '') AS toks
+        FROM documents WHERE trim(text) <> ''),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(len(toks) - 2),
+                        __i -> toks[__i+1] || ' ' || toks[__i+2] || ' ' || toks[__i+3]) END) AS sset
+        FROM base),
+      ds AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+      lens AS (SELECT doc_id, len(sset) AS n FROM sh),
+      truth AS (
+        SELECT p.id_a, p.id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) p
+        JOIN lens la ON p.id_a = la.doc_id
+        JOIN lens lb ON p.id_b = lb.doc_id
+        WHERE round(i * 1.0 / (la.n + lb.n - i), 6) >= 0.4),
+      tc AS (SELECT count(*) AS true_pairs FROM truth),
+      sb AS (SELECT s, ${OracleSql.xxh64Ascii("s")} AS hb
+             FROM (SELECT DISTINCT s FROM ds)),
+      sigl AS (
+        SELECT ds.doc_id,
+               list_transform($seeds, __sk -> ${OracleSql.u2s(OracleSql.xxh64Long("hb", "__sk"))}) AS gl
+        FROM ds JOIN sb USING (s)),
+      sigs AS (SELECT doc_id, $mins FROM sigl GROUP BY doc_id),
+      sigarr AS (SELECT doc_id, $sigList AS sig FROM sigs),
+      cfg AS (SELECT * FROM (VALUES $cfgRows) c(nb, o, r)),
+      banded AS (
+        SELECT doc_id, cfg.nb, cfg.o,
+               ${OracleSql.xxh64Ascii("array_to_string(list_slice(sig, cfg.o, cfg.o + cfg.r - 1), ',')")} AS bh
+        FROM sigarr CROSS JOIN cfg
+        QUALIFY row_number() OVER (PARTITION BY cfg.nb, cfg.o, bh ORDER BY doc_id) <= 1000),
+      cand AS (
+        SELECT DISTINCT a.nb, a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.nb = b.nb AND a.o = b.o AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      found AS (
+        SELECT c.nb, count(*) AS found_pairs
+        FROM cand c JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+        GROUP BY 1),
+      budgets AS (SELECT unnest([4, 8, 16]) AS bands)
+      SELECT b.bands,
+             CAST(64 / b.bands AS INTEGER) AS rows_per_band,
+             tc.true_pairs,
+             coalesce(f.found_pairs, 0) AS found_pairs,
+             round(coalesce(f.found_pairs, 0)::DOUBLE / tc.true_pairs, 6) AS recall
+      FROM budgets b CROSS JOIN tc
+      LEFT JOIN found f ON b.bands = f.nb
+      ORDER BY b.bands"""
+  }
+
+  /** The LSH S-curve measured on the corpus ([[Dedup.lshRecallCurve]]):
+    * recall of banded-MinHash candidates against the exact >= 0.4
+    * shingle-Jaccard pair set, at 4/8/16 bands over 64 hashes — one
+    * signature pass serves all three budgets. */
+  val d15_lsh_recall = QueryDef(
+    "d15_lsh_recall",
+    (s, dir) =>
+      Dedup
+        .lshRecallCurve(
+          Tables(s, dir).documents, "doc_id", "text",
+          shingleSize = 3, numHashes = 64,
+          bandCounts = Seq(4, 8, 16), tau = 0.4)
+        .orderBy(col("bands")),
+    Some(d15Oracle),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
@@ -2374,7 +2461,7 @@ $langScoreCols
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
     d11_semdedup, d12_embed_decontaminate, d13_dedup_survivors,
-    d14_contamination,
+    d14_contamination, d15_lsh_recall,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,

@@ -352,4 +352,37 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.contaminationReport(df, df, "doc_id", "text", threshold = 1.5))
   }
+
+  test("lshRecallCurve: monotone on nested budgets, consistent with minhashPairs") {
+    val docs = Tables(spark, sf0001).documents
+    val rows = Dedup
+      .lshRecallCurve(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bandCounts = Seq(4, 8, 16), tau = 0.4)
+      .orderBy(col("bands"))
+      .collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
+        r.getAs[Long]("true_pairs"), r.getAs[Long]("found_pairs"),
+        r.getAs[Double]("recall")))
+    assert(rows.map(_._1).toSeq == Seq(4, 8, 16))
+    assert(rows.map(_._2).toSeq == Seq(16, 8, 4))
+    val truePairs = rows.head._3
+    assert(rows.forall(_._3 == truePairs), "true_pairs must be budget-independent")
+    rows.foreach { case (b, _, t, f, rec) =>
+      assert(f <= t, s"bands=$b found=$f > true=$t")
+      assert(math.abs(rec - f.toDouble / t) < 1e-6, s"bands=$b recall mismatch")
+    }
+    // nested boundaries (4 | 8 | 16 over 64 hashes): a 16-row band match
+    // is two aligned 8-row matches, so candidates only grow with bands
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted,
+      s"found_pairs not monotone: ${rows.map(_._4).toSeq}")
+    // the bands=16 configuration is exactly d03's: every verified
+    // >= tau pair minhashPairs surfaces must be counted as found
+    val d03Found = Dedup
+      .minhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16)
+      .filter(col("jaccard") >= 0.4)
+      .count()
+    assert(rows.last._4 == d03Found,
+      s"bands=16 found=${rows.last._4} != minhashPairs verified count $d03Found")
+  }
 }
