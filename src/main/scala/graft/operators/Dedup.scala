@@ -132,6 +132,9 @@ object Dedup {
     * the banded index surfaces as candidates. This is the published
     * S-curve (1-(1-J^r)^b) measured on the actual corpus — the number a
     * curation pipeline needs before trusting an LSH operating point.
+    * Alongside recall, each budget reports its `candidate_pairs` and
+    * `precision` (found/candidates) — the verify-join cost that recall
+    * is bought with, the other half of choosing a banding.
     *
     * One signature pass serves every budget: the (bands, slice-offset,
     * slice-length) table enters as a plan literal and each row explodes
@@ -198,21 +201,29 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("nb"), col("id_a"), col("id_b"))
       .distinct()
-    val found = candidates
-      .join(truth, Seq("id_a", "id_b"), "left_semi")
-      .groupBy(col("nb")).agg(count(lit(1)).as("found_pairs"))
+    // one pass over the candidate set yields both sides of the dial:
+    // found (recall numerator) and the total candidate count (the
+    // verify-join cost the budget buys that recall with)
+    val perBudget = candidates
+      .join(truth.withColumn("__t", lit(1)), Seq("id_a", "id_b"), "left")
+      .groupBy(col("nb")).agg(
+        count(lit(1)).as("candidate_pairs"),
+        count(col("__t")).as("found_pairs"))
     df.sparkSession.range(1)
       .select(explode(typedLit(budgets)).as("bands"))
-      .join(found.withColumnRenamed("nb", "bands"), Seq("bands"), "left")
-      .na.fill(0L, Seq("found_pairs"))
+      .join(perBudget.withColumnRenamed("nb", "bands"), Seq("bands"), "left")
+      .na.fill(0L, Seq("candidate_pairs", "found_pairs"))
       .crossJoin(truthCount) // single-row aggregate, broadcast
       .select(
         col("bands"),
         (lit(numHashes) / col("bands")).cast("int").as("rows_per_band"),
         col("true_pairs"),
+        col("candidate_pairs"),
         col("found_pairs"),
         round(col("found_pairs").cast("double") / col("true_pairs"), 6)
-          .as("recall"))
+          .as("recall"),
+        round(col("found_pairs").cast("double") / col("candidate_pairs"), 6)
+          .as("precision"))
   }
 
   /** Incremental (shard-vs-corpus) dedup — the op a continual-ingest

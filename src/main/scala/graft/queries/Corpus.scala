@@ -2421,15 +2421,22 @@ $langScoreCols
         FROM banded a JOIN banded b
           ON a.nb = b.nb AND a.o = b.o AND a.bh = b.bh AND a.doc_id < b.doc_id),
       found AS (
-        SELECT c.nb, count(*) AS found_pairs
-        FROM cand c JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+        SELECT c.nb,
+               count(*) AS candidate_pairs,
+               count(t.id_a) AS found_pairs
+        FROM cand c
+        LEFT JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
         GROUP BY 1),
       budgets AS (SELECT unnest([4, 8, 16]) AS bands)
       SELECT b.bands,
              CAST(64 / b.bands AS INTEGER) AS rows_per_band,
              tc.true_pairs,
+             coalesce(f.candidate_pairs, 0) AS candidate_pairs,
              coalesce(f.found_pairs, 0) AS found_pairs,
-             round(coalesce(f.found_pairs, 0)::DOUBLE / tc.true_pairs, 6) AS recall
+             round(coalesce(f.found_pairs, 0)::DOUBLE / tc.true_pairs, 6) AS recall,
+             CASE WHEN coalesce(f.candidate_pairs, 0) = 0 THEN NULL
+                  ELSE round(coalesce(f.found_pairs, 0)::DOUBLE
+                             / f.candidate_pairs, 6) END AS precision
       FROM budgets b CROSS JOIN tc
       LEFT JOIN found f ON b.bands = f.nb
       ORDER BY b.bands"""

@@ -362,15 +362,22 @@ class DedupSpec extends SparkSpec {
       .collect()
       .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
         r.getAs[Long]("true_pairs"), r.getAs[Long]("found_pairs"),
-        r.getAs[Double]("recall")))
+        r.getAs[Double]("recall"), r.getAs[Long]("candidate_pairs"),
+        r.getAs[Double]("precision")))
     assert(rows.map(_._1).toSeq == Seq(4, 8, 16))
     assert(rows.map(_._2).toSeq == Seq(16, 8, 4))
     val truePairs = rows.head._3
     assert(rows.forall(_._3 == truePairs), "true_pairs must be budget-independent")
-    rows.foreach { case (b, _, t, f, rec) =>
+    rows.foreach { case (b, _, t, f, rec, cand, prec) =>
       assert(f <= t, s"bands=$b found=$f > true=$t")
+      assert(f <= cand, s"bands=$b found=$f > candidates=$cand")
       assert(math.abs(rec - f.toDouble / t) < 1e-6, s"bands=$b recall mismatch")
+      assert(math.abs(prec - f.toDouble / cand) < 1e-6,
+        s"bands=$b precision mismatch")
     }
+    // candidates also monotone on nested budgets (the superset property)
+    assert(rows.map(_._6).toSeq == rows.map(_._6).toSeq.sorted,
+      s"candidate_pairs not monotone: ${rows.map(_._6).toSeq}")
     // nested boundaries (4 | 8 | 16 over 64 hashes): a 16-row band match
     // is two aligned 8-row matches, so candidates only grow with bands
     assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted,
