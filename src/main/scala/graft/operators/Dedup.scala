@@ -732,6 +732,94 @@ object Dedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Duplicated-SUBSTRING span profile — the stride-1 complement of
+    * [[chunkExactDedup]] (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", at rolling-window granularity):
+    * every length-`windowTokens` token window of every document, at
+    * EVERY offset, is checked for an exact repeat anywhere in the corpus
+    * (another document or another offset of the same one). Overlapping
+    * duplicated windows then merge into maximal duplicated SPANS per
+    * document (two windows bridge while their token ranges touch, i.e.
+    * position gap <= window length), so the output measures how much of
+    * each document is covered by text that exists verbatim elsewhere —
+    * the signal Lee et al. act on with suffix arrays. A suffix array is
+    * the wrong shape for a shared-nothing engine; hashed rolling windows
+    * are the distributable equivalent with the same detection power for
+    * repeats >= `windowTokens` tokens.
+    *
+    * Scale shape: windows never materialize text off the scan — each
+    * reduces in-scan to `xxhash64` of its joined tokens, so the repeat
+    * shuffle carries (id, pos, hash) ~20-byte rows, one per corpus token
+    * (the inherent cost of substring-level exactness; 2^-64 per-pair
+    * false merges, same trade as [[chunkExactDedup]]'s hashShuffle).
+    * TWO keyed shuffles total: one partitioned by window hash (a
+    * full-partition count marks repeats — high-cardinality key, no skew
+    * worse than the corpus's own repetition), one by document id for the
+    * gaps-and-islands span merge. No joins on the hot path; the per-doc
+    * totals re-attach with two id-keyed left joins against per-doc
+    * aggregates (sparse — only docs with repeats).
+    *
+    * Returns one row per document: (id, n_tokens, n_windows,
+    * n_dup_windows, n_spans, dup_tokens) — all exact counts;
+    * `dup_tokens / n_tokens` is the duplicated-mass fraction to filter
+    * on. */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val L = windowTokens
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .withColumn("__nt", size(col("__ts")).cast("long"))
+      .withColumn("__nw", greatest(col("__nt") - (L - 1), lit(0L)))
+    val wins = base
+      .select(
+        col(idCol),
+        posexplode_outer(
+          when(col("__nw") <= 0, array().cast("array<long>")).otherwise(
+            transform(
+              sequence(lit(0L), col("__nw") - 1),
+              i => xxhash64(array_join(slice(col("__ts"), (i + 1).cast("int"), lit(L)), " "))))))
+      .withColumnRenamed("pos", "__p")
+      .withColumnRenamed("col", "__h")
+      .filter(col("__h").isNotNull)
+    // repeat mark: full-partition count over the hash — ONE shuffle, no
+    // join-back (the count rides the same exchange the filter reads)
+    val repeatW = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val dup = wins
+      .withColumn("__c", count(lit(1)).over(repeatW))
+      .filter(col("__c") > 1)
+      .select(col(idCol), col("__p"))
+    // gaps-and-islands over positions per doc: a new span starts when
+    // the previous duplicated window no longer touches this one
+    val ordW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p"))
+    val spans = dup
+      .withColumn(
+        "__brk",
+        when(col("__p") - lag(col("__p"), 1).over(ordW) <= L, lit(0)).otherwise(lit(1)))
+      .withColumn("__g", sum(col("__brk")).over(ordW))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__nd"), min(col("__p")).as("__s"), max(col("__p")).as("__me"))
+      .withColumn("__e", col("__me") + (L - 1))
+    val perDoc = spans
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__nd")).as("n_dup_windows"),
+        count(lit(1)).as("n_spans"),
+        sum(col("__e") - col("__s") + 1).as("dup_tokens"))
+    base
+      .select(col(idCol), col("__nt").as("n_tokens"), col("__nw").as("n_windows"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * distinct k-token shingles it shares with any evaluation document.
     * Returns (train_id, eval_id, n_shared) pairs — downstream either

@@ -285,6 +285,49 @@ class DedupSpec extends SparkSpec {
     assert(plain.exists(r => r._2 != r._3), "no duplicate chunks — vacuous")
   }
 
+  test("duplicatedSpans: repeats merge into maximal spans, gaps split, empty doc zeros") {
+    // L=2. docs 1/2 share their first two windows (one merged span each);
+    // doc 3 repeats internally (z z at p=0,1 — whole doc covered); doc 4
+    // is empty; doc 6 repeats (a b) at both ENDS with a > L gap between —
+    // two separate spans.
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c x y"),
+      (3L, "z z z"),
+      (4L, ""),
+      (6L, "a b m n o p a b"))
+      .toDF("doc_id", "text")
+    val got = Dedup
+      .duplicatedSpans(df, "doc_id", "text", windowTokens = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 5L, 4L, 2L, 1L, 3L),
+      (2L, 5L, 4L, 2L, 1L, 3L),
+      (3L, 3L, 2L, 2L, 1L, 3L),
+      (4L, 0L, 0L, 0L, 0L, 0L),
+      (6L, 8L, 7L, 2L, 2L, 4L)))
+  }
+
+  test("duplicatedSpans invariants hold and are non-vacuous on real data") {
+    val docsReal = spark.read.parquet(s"$sf0001/documents.parquet")
+    val rows = Dedup
+      .duplicatedSpans(docsReal, "doc_id", "text", windowTokens = 8)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == docsReal.count())
+    rows.foreach { case (nt, nw, nd, ns, dt) =>
+      assert(nd <= nw && dt <= nt && ns <= nd, s"invariant: $nt $nw $nd $ns $dt")
+      assert((ns == 0) == (nd == 0))
+      // each span covers at least L tokens and spans can't cover more
+      // tokens than (dup windows) + L - 1 each contributes
+      if (ns > 0) assert(dt >= ns * 8 - (ns - 1) * 7)
+    }
+    assert(rows.exists(_._3 > 0), "no duplicated windows in corpus — vacuous")
+  }
+
   test("crossCorpusOverlap counts distinct shared shingles per (train, eval) pair") {
     val train = Seq(
       (1L, "one two three four"),     // shingles: {one two three, two three four}
