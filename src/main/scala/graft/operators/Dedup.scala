@@ -820,6 +820,97 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** The ACTION variant of [[duplicatedSpans]] — Lee et al. 2022's
+    * actual transform: every repeated window occurrence EXCEPT the
+    * globally first (lexicographic (id, position), the same
+    * first-owner-wins order as [[chunkExactDedup]]) marks its token
+    * range for removal; overlapping marked ranges merge into maximal
+    * spans per document, the covered tokens are cut, and each document
+    * is reassembled from what remains. A first occurrence is never
+    * marked by its own window — though a span merged from OTHER repeats
+    * in the same document can still cover its tokens, the
+    * window-granularity analogue of the merged byte-range cuts Lee et
+    * al.'s suffix-array remover also makes. Window granularity rounds
+    * removal up to span boundaries (adjacent non-repeated tokens inside
+    * a merged span are cut with it); repeats shorter than
+    * `windowTokens` are invisible, exactly as in [[duplicatedSpans]].
+    *
+    * Scale shape: same two keyed shuffles as [[duplicatedSpans]] (the
+    * hash-partition window now also sorts by (id, pos) to rank
+    * occurrences). Removal never explodes tokens: per-doc merged spans
+    * collect into one small array column (docs with repeats only) and a
+    * higher-order filter drops covered positions in-row, so the
+    * reassembly cost is one broadcast-joined in-scan projection.
+    *
+    * Returns one row per document: (id, n_tokens, n_removed,
+    * text_dedup) — `text_dedup` is the surviving text, empty when the
+    * whole document was marked. */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val L = windowTokens
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .withColumn("__nt", size(col("__ts")).cast("long"))
+      .withColumn("__nw", greatest(col("__nt") - (L - 1), lit(0L)))
+    val wins = base
+      .select(
+        col(idCol),
+        posexplode_outer(
+          when(col("__nw") <= 0, array().cast("array<long>")).otherwise(
+            transform(
+              sequence(lit(0L), col("__nw") - 1),
+              i => xxhash64(array_join(slice(col("__ts"), (i + 1).cast("int"), lit(L)), " "))))))
+      .withColumnRenamed("pos", "__p")
+      .withColumnRenamed("col", "__h")
+      .filter(col("__h").isNotNull)
+    // rank occurrences within each window hash: rank 1 = global first
+    // occurrence (by (id, pos)) = the survivor; everything later is cut
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol), col("__p"))
+    val repeats = wins
+      .withColumn("__rn", row_number().over(rankW))
+      .filter(col("__rn") > 1)
+      .select(col(idCol), col("__p"))
+    val ordW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p"))
+    val spans = repeats
+      .withColumn(
+        "__brk",
+        when(col("__p") - lag(col("__p"), 1).over(ordW) <= L, lit(0)).otherwise(lit(1)))
+      .withColumn("__g", sum(col("__brk")).over(ordW))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("__p")).as("__s"), max(col("__p")).as("__me"))
+      .select(col(idCol), struct(col("__s"), (col("__me") + (L - 1)).as("__e")).as("__sp"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__sp")).as("__spans"))
+    base
+      .join(spans, Seq(idCol), "left")
+      .select(
+        col(idCol), col("__nt").as("n_tokens"),
+        filter(
+          zip_with(
+            col("__ts"),
+            // guard: sequence(0, -1) is the DESCENDING [0, -1], and
+            // zip_with pads the shorter side with nulls — an empty doc
+            // must produce an empty position list, not two null slots
+            when(col("__nt") === 0, array().cast("array<long>"))
+              .otherwise(sequence(lit(0L), col("__nt") - 1)),
+            (t, i) => struct(t.as("__t"), i.as("__i"))),
+          ti => coalesce(
+            !exists(
+              col("__spans"),
+              sp => ti("__i") >= sp("__s") && ti("__i") <= sp("__e")),
+            lit(true))).as("__kept"))
+      .select(
+        col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).as("n_removed"),
+        array_join(transform(col("__kept"), ti => ti("__t")), " ").as("text_dedup"))
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * distinct k-token shingles it shares with any evaluation document.
     * Returns (train_id, eval_id, n_shared) pairs — downstream either

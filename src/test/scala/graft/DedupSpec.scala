@@ -328,6 +328,67 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(_._3 > 0), "no duplicated windows in corpus — vacuous")
   }
 
+  test("removeDuplicatedSpans cuts repeats, keeps the first owner, rounds to spans") {
+    // L=2, same fixture as the profile test. Doc 1 owns every shared
+    // window (lowest id) — untouched. Doc 2's first two windows repeat
+    // doc 1 → span [0,2] cuts "a b c" (including the c that unique
+    // windows (c x)/(x y) touch — span-boundary rounding, pinned). Doc 3
+    // repeats internally: p0 survives as owner, p1 cut → "z". Doc 6's
+    // (a b) at both ends repeats doc 1 → two spans cut both ends.
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c x y"),
+      (3L, "z z z"),
+      (4L, ""),
+      (6L, "a b m n o p a b"))
+      .toDF("doc_id", "text")
+    val got = Dedup
+      .removeDuplicatedSpans(df, "doc_id", "text", windowTokens = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 5L, 0L, "a b c d e"),
+      (2L, 5L, 3L, "x y"),
+      (3L, 3L, 2L, "z"),
+      (4L, 0L, 0L, ""),
+      (6L, 8L, 4L, "m n o p")))
+  }
+
+  test("removeDuplicatedSpans output is a subsequence; removal matches the d16 profile") {
+    val docsReal = spark.read.parquet(s"$sf0001/documents.parquet")
+    val removed = Dedup
+      .removeDuplicatedSpans(docsReal, "doc_id", "text", windowTokens = 8)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val orig = docsReal.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    removed.foreach { case (id, (nt, nr, txt)) =>
+      val keptToks = txt.split("\\s+").filter(_.nonEmpty)
+      assert(nr >= 0 && nr <= nt)
+      assert(keptToks.length == nt - nr)
+      // kept tokens are a subsequence of the original token stream
+      var rest = orig(id).split("\\s+").filter(_.nonEmpty).toList
+      keptToks.foreach { t =>
+        rest = rest.dropWhile(_ != t)
+        assert(rest.nonEmpty, s"doc $id: '$t' not in order in original")
+        rest = rest.tail
+      }
+    }
+    assert(removed.values.exists(_._2 > 0), "nothing removed — vacuous")
+    // a doc with no duplicated windows in the d16 profile loses nothing
+    val profile = Dedup
+      .duplicatedSpans(docsReal, "doc_id", "text", windowTokens = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+      .toMap
+    profile.foreach { case (id, nDup) =>
+      if (nDup == 0) assert(removed(id)._2 == 0, s"doc $id: removal without repeats")
+    }
+  }
+
   test("crossCorpusOverlap counts distinct shared shingles per (train, eval) pair") {
     val train = Seq(
       (1L, "one two three four"),     // shingles: {one two three, two three four}
