@@ -70,6 +70,28 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** REPLACE a bucketed table's contents with `df` (which may — and in
+    * the purge paths does — read from the table being replaced): the
+    * new contents are fully materialized into a temporary bucketed
+    * table FIRST, then the original is dropped and the temporary
+    * renamed into place. Spark forbids overwriting a table from a plan
+    * that reads it, and a mid-write crash must not destroy the only
+    * copy — the same write-then-swap discipline as the streaming
+    * snapshot store, at catalog granularity. Single-writer maintenance
+    * step, like every index mutation here. */
+  def replaceBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val tmp = s"${table}__swap"
+    writeBucketed(df, tmp, bucketCols, numBuckets, sortCols)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
   /** Join two tables bucketed on the same key with the same bucket count:
     * plans with no Exchange on either side. */
   def bucketedJoin(

@@ -397,6 +397,59 @@ object Dedup {
       s"${table}_texts", Seq("__cid"), numBuckets)
   }
 
+  /** PURGE documents from a persisted [[writeDedupIndex]] — the
+    * takedown / right-to-be-forgotten half of index maintenance
+    * ([[appendDedupIndex]] is the ingest half): every trace of the
+    * given ids leaves all three index tables, and the exact map REPAIRS
+    * OWNERSHIP — a normalized text whose first-owner id is purged is
+    * re-owned by the minimum surviving id that still carries that text
+    * (or dropped when none does), so purge ≡ a fresh
+    * [[writeDedupIndex]] over the surviving corpus, exactly (pinned in
+    * BucketingSpec, including the owner-reassignment case; p15 gates it
+    * against the DuckDB oracle). Without the repair, purging an owner
+    * would either leak the purged id (still served as `dup_of`) or
+    * forget that the surviving copies exist — both wrong for a takedown.
+    *
+    * Scale shape: the purge set broadcasts into every join (LEFT ANTI /
+    * LEFT SEMI build their RIGHT side — the small ids relation — so the
+    * index tables are never shuffled for the filtering); the ownership
+    * repair re-normalizes the surviving texts in ONE scan, pruned by a
+    * broadcast semi-join to the affected norms (proportional to the
+    * purge, not the index). Each table then rewrites via
+    * [[Bucketing.replaceBucketed]] — one materialize-then-swap per
+    * table, `_exact` first while `_texts` still holds the pre-purge
+    * rows its repair reads. Rewriting surviving rows is the inherent
+    * cost of physical deletion in immutable storage (the same cost a
+    * compaction pays); ids are assumed unique corpus-wide, and the
+    * single-writer contract of every index mutation applies. */
+  def purgeDedupIndex(
+      spark: SparkSession,
+      table: String,
+      purgeIds: DataFrame,
+      numBuckets: Int = 32): Unit = {
+    val ids = purgeIds
+      .select(col(purgeIds.columns.head).cast("long").as("__pid")).distinct()
+    val texts = spark.table(s"${table}_texts")
+    val textsKept = texts
+      .join(broadcast(ids), texts("__cid") === ids("__pid"), "left_anti")
+    val bands = spark.table(s"${table}_bands")
+    val bandsKept = bands
+      .join(broadcast(ids), bands("__cid") === ids("__pid"), "left_anti")
+    val exact = spark.table(s"${table}_exact")
+    val affected = exact
+      .join(broadcast(ids), exact("__exact_of") === ids("__pid"), "left_semi")
+    val kept = exact
+      .join(broadcast(ids), exact("__exact_of") === ids("__pid"), "left_anti")
+    val reowned = textsKept
+      .select(normText(col("__tc")).as("__n"), col("__cid"))
+      .join(broadcast(affected.select(col("__n"))), Seq("__n"), "left_semi")
+      .groupBy(col("__n")).agg(min(col("__cid")).as("__exact_of"))
+    Bucketing.replaceBucketed(
+      kept.unionByName(reowned), s"${table}_exact", Seq("__n"), numBuckets)
+    Bucketing.replaceBucketed(bandsKept, s"${table}_bands", Seq("band", "bh"), numBuckets)
+    Bucketing.replaceBucketed(textsKept, s"${table}_texts", Seq("__cid"), numBuckets)
+  }
+
   /** [[incrementalDedup]] served from a persisted [[writeDedupIndex]]:
     * same classification, but the corpus enters only through its three
     * bucketed index tables — never shuffled (the batch side broadcasts),

@@ -273,6 +273,33 @@ object Similarity {
       table, bucketCols = Seq("cell"), numBuckets = numBuckets,
       sortCols = Seq("cell", "neighbor_id"))
 
+  /** PURGE vectors from a persisted [[writeIvfIndex]] — the takedown
+    * half of IVF maintenance ([[appendIvfIndex]] is the ingest half):
+    * the given ids leave the index entirely, so no probe can ever
+    * return them as neighbors. Cell geometry is row-local and fixed at
+    * build time (the IVF contract), so deletion is a pure row filter —
+    * purge ≡ a fresh [[writeIvfIndex]] over the surviving corpus with
+    * the same centroids, unconditionally (pinned in BucketingSpec; s08
+    * gates it against the DuckDB oracle). The purge set broadcasts into
+    * the LEFT ANTI (it builds the RIGHT side), the index is scanned but
+    * never shuffled for the filter, and the surviving rows rewrite via
+    * [[Bucketing.replaceBucketed]] — materialize-then-swap, the
+    * inherent cost of physical deletion in immutable storage.
+    * Single-writer batch step. */
+  def purgeIvfIndex(
+      spark: SparkSession,
+      table: String,
+      purgeIds: DataFrame,
+      numBuckets: Int = 32): Unit = {
+    val ids = purgeIds
+      .select(col(purgeIds.columns.head).cast("long").as("__pid")).distinct()
+    val idx = spark.table(table)
+    Bucketing.replaceBucketed(
+      idx.join(broadcast(ids), idx("neighbor_id") === ids("__pid"), "left_anti"),
+      table, bucketCols = Seq("cell"), numBuckets = numBuckets,
+      sortCols = Seq("cell", "neighbor_id"))
+  }
+
   /** Probe a persisted [[writeIvfIndex]] table: queries (small — they are
     * collected once to enumerate probed cells, and broadcast into the
     * join) probe their `nProbe` best cells against the INDEX ONLY.

@@ -751,7 +751,12 @@ $langScoreCols
     * ranks by round(cosine,6) with neighbor-id tiebreak. Cosines use
     * [[OracleSql.cosineExact]] (bit-identical op order), so the rounded
     * quantizer decisions match Spark exactly. */
-  private val s02Oracle: String = {
+  /** The s02 IVF replay, with the INDEX side restricted to `surviving`
+    * (a predicate over the corpus vec_id) — "TRUE" reproduces the full
+    * oracle for s02/s05/s06; s08 passes the post-purge survivors.
+    * Centroids always derive from the FULL corpus: purge never moves
+    * cell geometry (the fixed-centroid IVF contract). */
+  private def s02OracleSurviving(surviving: String): String = {
     val hash = OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("vec_id")))
     val cellScore = OracleSql.cosineExact("v.e", "cent.cv")
     val pairScore = OracleSql.cosineExact("qv.e", "nv.e")
@@ -766,8 +771,10 @@ $langScoreCols
         SELECT v.vec_id, cent.cid, round($cellScore, 9) AS s
         FROM v CROSS JOIN cent),
       cassign AS (
-        SELECT vec_id, cid AS cell FROM cscore
-        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1),
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, s FROM cscore
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1)
+        WHERE ($surviving)),
       qprobe AS (
         SELECT vec_id AS query_id, cid AS cell FROM cscore WHERE vec_id < 10
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) <= 6),
@@ -786,6 +793,8 @@ $langScoreCols
       WHERE rank <= 5
       ORDER BY query_id, rank"""
   }
+
+  private val s02Oracle: String = s02OracleSurviving("TRUE")
 
   val s02_knn_ivf = QueryDef(
     "s02_knn_ivf",
@@ -861,6 +870,33 @@ $langScoreCols
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s02Oracle))
+
+  /** s05's index with a TAKEDOWN in its history — [[Similarity
+    * .writeIvfIndex]] over the full corpus, then [[Similarity
+    * .purgeIvfIndex]] of every `vec_id % 7 = 3` (the takedown set),
+    * then the standard probe. Cell geometry is fixed at build time, so
+    * purge ≡ rebuild over the survivors with the SAME centroids — the
+    * oracle replays the probe over the surviving corpus only (centroids
+    * still derived from the full corpus): the hash compare proves
+    * purged vectors can never be served as neighbors. */
+  val s08_knn_ivf_purge = QueryDef(
+    "s08_knn_ivf_purge",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nCells = 16)
+      val table = s"graft_ivf_pur_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, table)
+      Similarity.purgeIvfIndex(s, table,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+      Similarity
+        .probeIvfIndex(s, table,
+          queries = emb.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", k = 5,
+          centroids = centroids, nProbe = 6)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s02OracleSurviving("vec_id % 7 <> 3")))
 
   /** Exact oracle for s07: the s02 IVF replay extended with probe ranks,
     * a probe-budget expansion, and the s01-style exact top-k truth set —
@@ -1704,12 +1740,18 @@ $langScoreCols
     * the full minhash pair replay (uncapped — the operator has no
     * bucket cap) and keeps only cross-split pairs, plus the normalized
     * exact layer. */
-  private val p09Oracle: String = s"""
+  /** The p09 classification replay, with the corpus side restricted to
+    * `surviving` (a predicate over the given id column name) — "TRUE"
+    * reproduces the full-corpus oracle for p09/p10/p11; p15 passes the
+    * post-purge survivor predicate, because purging ids from the index
+    * must classify exactly like a corpus that never held them. */
+  private def p09OracleSurviving(surviving: String => String): String = s"""
       WITH pairs AS (SELECT * FROM (${minhashPairsOracle(1000000000L)}) __mh),
       cn AS (
         SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n,
                min(doc_id) AS cid
-        FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND (${surviving("doc_id")}) GROUP BY 1),
       ex AS (
         SELECT b.doc_id, cn.cid AS exact_of
         FROM documents b LEFT JOIN cn
@@ -1719,7 +1761,8 @@ $langScoreCols
         SELECT bid, min(cid) AS near_of FROM (
           SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS bid,
                  CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS cid
-          FROM pairs WHERE (id_a % 5 = 0) <> (id_b % 5 = 0))
+          FROM pairs WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)) __sides
+        WHERE (${surviving("cid")})
         GROUP BY 1)
       SELECT ex.doc_id,
              CASE WHEN exact_of IS NOT NULL THEN 'exact_dup'
@@ -1728,6 +1771,8 @@ $langScoreCols
              coalesce(exact_of, near_of) AS dup_of
       FROM ex LEFT JOIN nr ON ex.doc_id = nr.bid
       ORDER BY ex.doc_id"""
+
+  private val p09Oracle: String = p09OracleSurviving(_ => "TRUE")
 
   val p09_incremental_dedup = QueryDef(
     "p09_incremental_dedup",
@@ -1794,6 +1839,31 @@ $langScoreCols
         .orderBy(col("doc_id"))
     },
     Some(p09Oracle))
+
+  /** p10's index with a TAKEDOWN in its history — [[Dedup
+    * .writeDedupIndex]] over the full corpus side, then [[Dedup
+    * .purgeDedupIndex]] of every corpus `doc_id % 3 = 0`, then the
+    * standard shard probe. The purge repairs exact-map ownership (a
+    * purged first owner's text is re-owned by the minimum surviving
+    * copy), so the oracle is the p09 replay over the surviving corpus
+    * only: the hash compare proves the index classifies exactly like a
+    * corpus that never held the purged documents. */
+  val p15_incremental_dedup_purge = QueryDef(
+    "p15_incremental_dedup_purge",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val table = s"graft_dedup_pur_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+      Dedup.writeDedupIndex(corpus, "doc_id", "text", table)
+      Dedup.purgeDedupIndex(s, table,
+        corpus.filter(col("doc_id") % 3 === 0).select("doc_id"))
+      Dedup
+        .incrementalDedupIndexed(s, table,
+          batch = docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(p09OracleSurviving(id => s"$id % 3 <> 0")))
 
   /** Hashed linear quality model ([[graft.operators.Scoring
     * .hashedLinearScore]]): the fastText/CCNet-style model-scored
@@ -2588,11 +2658,11 @@ $langScoreCols
     d11_semdedup, d12_embed_decontaminate, d13_dedup_survivors,
     d14_contamination, d15_lsh_recall, d16_dup_spans, d17_dedup_span_removal,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
-    s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall,
+    s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,
     p11_incremental_dedup_append, p12_pack_tokens, p13_dsir,
-    p14_shuffle_shards,
+    p14_shuffle_shards, p15_incremental_dedup_purge,
     g01_pagerank)
 }

@@ -234,6 +234,89 @@ class BucketingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("purgeDedupIndex: purge equals rebuild over survivors (real corpus)") {
+    val docs = Tables(spark, sf0001).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.writeDedupIndex(corpus, "doc_id", "text", "ded_pur", numBuckets = 8)
+    Dedup.writeDedupIndex(corpus.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", "ded_pur_reb", numBuckets = 8)
+    try {
+      Dedup.purgeDedupIndex(spark, "ded_pur",
+        corpus.filter(col("doc_id") % 3 === 0).select("doc_id"), numBuckets = 8)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val viaPurge = canon(Dedup.incrementalDedupIndexed(
+        spark, "ded_pur", batch, "doc_id", "text"))
+      val viaRebuild = canon(Dedup.incrementalDedupIndexed(
+        spark, "ded_pur_reb", batch, "doc_id", "text"))
+      assert(viaPurge == viaRebuild, "purge diverged from rebuild over survivors")
+      assert(viaPurge.nonEmpty)
+      // the purged ids are really gone: no dup_of may reference one
+      viaPurge.foreach { r =>
+        val dupOf = r(2)
+        if (dupOf != null)
+          assert(dupOf.asInstanceOf[Long] % 3 != 0, s"purged id served: $r")
+      }
+    } finally Seq("ded_pur", "ded_pur_reb").foreach(t =>
+      Seq("_exact", "_bands", "_texts").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+  }
+
+  test("purgeDedupIndex repairs ownership: surviving copy is re-elected, full purge forgets") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon"
+    val idx = Seq((1L, t), (2L, t), (3L, "completely unrelated content here"))
+      .toDF("doc_id", "text")
+    val probe = Seq((100L, t)).toDF("doc_id", "text")
+    Dedup.writeDedupIndex(idx, "doc_id", "text", "ded_own_pur", numBuckets = 2)
+    try {
+      // purge the owner (id 1): the surviving id 2 must take ownership —
+      // NOT a dangling dup_of 1, NOT a forgotten text
+      Dedup.purgeDedupIndex(spark, "ded_own_pur", Seq(1L).toDF("doc_id"), numBuckets = 2)
+      val afterOwner = Dedup.incrementalDedupIndexed(
+        spark, "ded_own_pur", probe, "doc_id", "text").head
+      assert(afterOwner.getString(1) == "exact_dup", s"$afterOwner")
+      assert(afterOwner.getLong(2) == 2L, s"surviving copy must own: $afterOwner")
+      // purge the last copy too: the text is genuinely forgotten
+      Dedup.purgeDedupIndex(spark, "ded_own_pur", Seq(2L).toDF("doc_id"), numBuckets = 2)
+      val afterAll = Dedup.incrementalDedupIndexed(
+        spark, "ded_own_pur", probe, "doc_id", "text").head
+      assert(afterAll.getString(1) == "novel", s"purged text still matches: $afterAll")
+    } finally Seq("_exact", "_bands", "_texts").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ded_own_pur$s"))
+  }
+
+  test("purgeIvfIndex: purge equals rebuild with fixed centroids; buckets still prune") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids,
+      "ivf_pur", numBuckets = 16)
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", centroids, "ivf_pur_reb", numBuckets = 16)
+    try {
+      Similarity.purgeIvfIndex(spark, "ivf_pur",
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), numBuckets = 16)
+      val queries = emb.filter(col("vec_id") < 5)
+      def run(table: String) = Similarity.probeIvfIndex(spark, table, queries,
+        "vec_id", "embedding", k = 5, centroids = centroids, nProbe = 3)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      val viaPurge = run("ivf_pur")
+      assert(canon(viaPurge) == canon(run("ivf_pur_reb")),
+        "purged IVF index diverged from rebuild over survivors")
+      assert(canon(viaPurge).nonEmpty)
+      viaPurge.collect().foreach(r =>
+        assert(r.getAs[Long]("neighbor_id") % 7 != 3, s"purged vector served: $r"))
+      // the swapped-in table still prunes buckets at probe time
+      val ps = viaPurge.queryExecution.executedPlan.toString
+      val pruned = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(ps)
+      assert(pruned.isDefined && pruned.get.group(1).toInt < pruned.get.group(2).toInt,
+        s"purged index probe should still prune buckets:\n$ps")
+    } finally Seq("ivf_pur", "ivf_pur_reb").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("index probes tolerate an EMPTY batch (post-recovery empty micro-batch shape)") {
     import spark.implicits._
     // streaming sinks replay through foreachBatch with possibly-empty
