@@ -92,6 +92,26 @@ object Bucketing {
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 
+  /** COMPACT an append-accumulated bucketed table: every
+    * [[appendBucketed]] writes its own set of per-bucket files, so an
+    * index appended N times reads N files per bucket — the small-file
+    * tax every append-only store pays, and at 100 TB the thing that
+    * slowly erodes probe latency and NameNode/listing health. This
+    * rewrites the table's current contents once
+    * ([[replaceBucketed]]'s materialize-then-swap), collapsing each
+    * bucket back to a single sorted file; contents, bucket spec, and
+    * probe plans (bucket pruning included) are unchanged — pinned in
+    * BucketingSpec. Run it on the maintenance cadence, between appends,
+    * under the same single-writer contract; cost is one scan + one
+    * bucketed write of the live rows, the same as the original build. */
+  def compactBucketed(
+      spark: SparkSession,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit =
+    replaceBucketed(spark.table(table), table, bucketCols, numBuckets, sortCols)
+
   /** Join two tables bucketed on the same key with the same bucket count:
     * plans with no Exchange on either side. */
   def bucketedJoin(

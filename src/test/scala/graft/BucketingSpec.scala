@@ -317,6 +317,37 @@ class BucketingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("compactBucketed collapses append-accumulated files; probes and pruning unchanged") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+    // build + 3 appends: four file-sets per bucket accumulate
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", centroids, "ivf_cmp", numBuckets = 8)
+    (1 to 3).foreach(r => Similarity.appendIvfIndex("ivf_cmp",
+      emb.filter(col("vec_id") % 4 === r), "vec_id", "embedding", centroids,
+      numBuckets = 8))
+    try {
+      val queries = emb.filter(col("vec_id") < 5)
+      def run() = Similarity.probeIvfIndex(spark, "ivf_cmp", queries,
+        "vec_id", "embedding", k = 5, centroids = centroids, nProbe = 3)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      val before = canon(run())
+      val filesBefore = tableFiles("ivf_cmp").size
+      Bucketing.compactBucketed(spark, "ivf_cmp", Seq("cell"), numBuckets = 8,
+        sortCols = Seq("cell", "neighbor_id"))
+      val filesAfter = tableFiles("ivf_cmp").size
+      assert(filesAfter < filesBefore,
+        s"compaction should shrink file count: $filesBefore -> $filesAfter")
+      val after = run()
+      assert(canon(after) == before, "compaction changed probe results")
+      val ps = after.queryExecution.executedPlan.toString
+      val pruned = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(ps)
+      assert(pruned.isDefined && pruned.get.group(1).toInt < pruned.get.group(2).toInt,
+        s"compacted index probe should still prune buckets:\n$ps")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_cmp")
+  }
+
   test("index probes tolerate an EMPTY batch (post-recovery empty micro-batch shape)") {
     import spark.implicits._
     // streaming sinks replay through foreachBatch with possibly-empty
