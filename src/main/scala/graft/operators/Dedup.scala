@@ -450,6 +450,80 @@ object Dedup {
     Bucketing.replaceBucketed(textsKept, s"${table}_texts", Seq("__cid"), numBuckets)
   }
 
+  /** PERSIST the corpus's stride-1 window-hash set — the incremental
+    * serving face of [[duplicatedSpans]], and the third persisted index
+    * family next to [[writeDedupIndex]] (document-level) and the IVF
+    * index (embedding-level): a daily shard probes WHICH PARTS of its
+    * documents already exist verbatim in the corpus (quote detection /
+    * partial-copy profiling) without re-scanning it. One bucketed table
+    * `<table>_spans` of DISTINCT 8-byte window hashes, bucketed by the
+    * hash — ~8 B per distinct corpus window, deliberately id-free:
+    * presence is all a probe needs, attribution would 2.5× the rows.
+    * The id-free rows mean a takedown cannot subtract one document's
+    * windows (they may be shared) — purge = rebuild over survivors, the
+    * documented trade. `windowTokens` MUST match between build, append,
+    * and probe. */
+  def writeSpanIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      windowTokens: Int = 8,
+      numBuckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      spanWindows(spanBase(corpus, idCol, textCol, windowTokens), idCol, windowTokens)
+        .select(col("__h")).distinct(),
+      s"${table}_spans", Seq("__h"), numBuckets)
+
+  /** APPEND a committed batch's windows to a persisted
+    * [[writeSpanIndex]] — same batch-proportional discipline as
+    * [[appendDedupIndex]]: the batch's distinct hashes broadcast into a
+    * LEFT SEMI that prunes the index to the already-present subset,
+    * then a LEFT ANTI against that batch-bounded set keeps only truly
+    * new hashes; the index is scanned but never shuffled, existing
+    * files untouched, and the distinct-hash invariant of the build is
+    * preserved (append ≡ rebuild unconditionally — hash sets have no
+    * ownership to fight over; pinned in BucketingSpec). Single-writer. */
+  def appendSpanIndex(
+      spark: SparkSession,
+      table: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8,
+      numBuckets: Int = 32): Unit = {
+    val batchH =
+      spanWindows(spanBase(batch, idCol, textCol, windowTokens), idCol, windowTokens)
+        .select(col("__h")).distinct()
+    val present = spark.table(s"${table}_spans")
+      .join(broadcast(batchH), Seq("__h"), "left_semi")
+    val newH = batchH.join(broadcast(present), Seq("__h"), "left_anti")
+    Bucketing.appendBucketed(newH, s"${table}_spans", Seq("__h"), numBuckets)
+  }
+
+  /** Probe a persisted [[writeSpanIndex]]: the batch's windows join the
+    * hash table (batch side broadcasts — the index is never shuffled,
+    * and distinct index hashes mean the inner join marks without
+    * fanning out), then duplicated positions fold into the per-document
+    * span profile exactly as [[duplicatedSpans]] does. Output is d16's
+    * shape with "duplicated" meaning PRESENT IN THE CORPUS — the
+    * partial-copy report for an incoming shard, at per-append cost
+    * proportional to the batch. */
+  def probeSpanIndex(
+      spark: SparkSession,
+      table: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    val base = spanBase(batch, idCol, textCol, windowTokens)
+    val wins = spanWindows(base, idCol, windowTokens)
+    val dup = broadcast(wins)
+      .join(spark.table(s"${table}_spans"), Seq("__h"))
+      .select(col(idCol), col("__p"))
+    spanProfile(base, dup, idCol, windowTokens)
+  }
+
   /** [[incrementalDedup]] served from a persisted [[writeDedupIndex]]:
     * same classification, but the corpus enters only through its three
     * bucketed index tables — never shuffled (the batch side broadcasts),
@@ -816,18 +890,17 @@ object Dedup {
     * n_dup_windows, n_spans, dup_tokens) — all exact counts;
     * `dup_tokens / n_tokens` is the duplicated-mass fraction to filter
     * on. */
-  def duplicatedSpans(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      windowTokens: Int = 8): DataFrame = {
-    require(windowTokens > 0, "windowTokens must be positive")
-    val L = windowTokens
-    val base = df
-      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+  /** (id, __ts tokens, __nt token count, __nw window count) — the
+    * per-document base every span operator builds on. */
+  private def spanBase(df: DataFrame, idCol: String, textCol: String, L: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__ts"))
       .withColumn("__nt", size(col("__ts")).cast("long"))
       .withColumn("__nw", greatest(col("__nt") - (L - 1), lit(0L)))
-    val wins = base
+
+  /** One row per stride-1 window: (id, __p position, __h xxhash64 of the
+    * joined window tokens) — the text never leaves the scan. */
+  private def spanWindows(base: DataFrame, idCol: String, L: Int): DataFrame =
+    base
       .select(
         col(idCol),
         posexplode_outer(
@@ -838,15 +911,13 @@ object Dedup {
       .withColumnRenamed("pos", "__p")
       .withColumnRenamed("col", "__h")
       .filter(col("__h").isNotNull)
-    // repeat mark: full-partition count over the hash — ONE shuffle, no
-    // join-back (the count rides the same exchange the filter reads)
-    val repeatW = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
-    val dup = wins
-      .withColumn("__c", count(lit(1)).over(repeatW))
-      .filter(col("__c") > 1)
-      .select(col(idCol), col("__p"))
-    // gaps-and-islands over positions per doc: a new span starts when
-    // the previous duplicated window no longer touches this one
+
+  /** Fold duplicated-window positions `dup` = (id, __p) into the per-doc
+    * span profile over `base`: gaps-and-islands merge (windows bridge
+    * while their token ranges touch), then one id-keyed aggregate,
+    * re-attached sparsely to every base row. */
+  private def spanProfile(
+      base: DataFrame, dup: DataFrame, idCol: String, L: Int): DataFrame = {
     val ordW = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__p"))
     val spans = dup
@@ -871,6 +942,25 @@ object Dedup {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val L = windowTokens
+    val base = spanBase(df, idCol, textCol, L)
+    val wins = spanWindows(base, idCol, L)
+    // repeat mark: full-partition count over the hash — ONE shuffle, no
+    // join-back (the count rides the same exchange the filter reads)
+    val repeatW = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val dup = wins
+      .withColumn("__c", count(lit(1)).over(repeatW))
+      .filter(col("__c") > 1)
+      .select(col(idCol), col("__p"))
+    spanProfile(base, dup, idCol, L)
   }
 
   /** The ACTION variant of [[duplicatedSpans]] — Lee et al. 2022's
@@ -905,21 +995,8 @@ object Dedup {
       windowTokens: Int = 8): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")
     val L = windowTokens
-    val base = df
-      .select(col(idCol), tokens(col(textCol)).as("__ts"))
-      .withColumn("__nt", size(col("__ts")).cast("long"))
-      .withColumn("__nw", greatest(col("__nt") - (L - 1), lit(0L)))
-    val wins = base
-      .select(
-        col(idCol),
-        posexplode_outer(
-          when(col("__nw") <= 0, array().cast("array<long>")).otherwise(
-            transform(
-              sequence(lit(0L), col("__nw") - 1),
-              i => xxhash64(array_join(slice(col("__ts"), (i + 1).cast("int"), lit(L)), " "))))))
-      .withColumnRenamed("pos", "__p")
-      .withColumnRenamed("col", "__h")
-      .filter(col("__h").isNotNull)
+    val base = spanBase(df, idCol, textCol, L)
+    val wins = spanWindows(base, idCol, L)
     // rank occurrences within each window hash: rank 1 = global first
     // occurrence (by (id, pos)) = the survivor; everything later is cut
     val rankW = org.apache.spark.sql.expressions.Window

