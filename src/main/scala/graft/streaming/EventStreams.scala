@@ -656,6 +656,72 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming probe face of the PERSISTED span index (d18's
+    * [[graft.operators.Dedup.probeSpanIndex]] per micro-batch): each
+    * trigger reports which parts of its documents already exist
+    * verbatim in the corpus — stateless, idempotent `b_<batchId>`
+    * directories, batch ≡ stream exactly like [[dedupProbeSink]]
+    * (pinned in StreamingSpec); read results with
+    * [[committedBatches]]. `windowTokens` MUST match the build. */
+  def spanProbeSink(
+      docs: DataFrame,
+      table: String,
+      idCol: String,
+      textCol: String,
+      targetPath: String,
+      checkpoint: String,
+      windowTokens: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .probeSpanIndex(batch.sparkSession, table, batch,
+            idCol, textCol, windowTokens)
+          .write.mode("overwrite")
+          .parquet(f"$targetPath/b_$batchId%012d")
+      }
+      .start()
+
+  /** The span-index counterpart of [[dedupIngestSink]] — continual
+    * ingest with index maintenance: each micro-batch is (1) profiled
+    * against the CURRENT corpus window set (committed to the idempotent
+    * `b_<batchId>` directory), then (2) ALL its windows are appended
+    * ([[graft.operators.Dedup.appendSpanIndex]] keeps only hashes not
+    * already present), so batch N+1 reports batch N's content as
+    * corpus-duplicated (pinned in StreamingSpec). Same marker-fenced
+    * two-step recovery as [[dedupIngestSink]], with one simplification:
+    * a replayed append is naturally a no-op at the hash level (the
+    * presence check excludes everything the crashed attempt committed),
+    * so not even transient row duplication is possible. Single-writer. */
+  def spanIngestSink(
+      docs: DataFrame,
+      table: String,
+      idCol: String,
+      textCol: String,
+      targetPath: String,
+      checkpoint: String,
+      windowTokens: Int = 8,
+      numBuckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bid = f"$batchId%012d"
+        val dir = new org.apache.hadoop.fs.Path(s"$targetPath/b_$bid")
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+          graft.operators.Dedup
+            .probeSpanIndex(spark, table, batch, idCol, textCol, windowTokens)
+            .write.mode("overwrite").parquet(dir.toString)
+        val marker = new org.apache.hadoop.fs.Path(s"$targetPath/_appended_$bid")
+        if (!fs.exists(marker)) {
+          graft.operators.Dedup.appendSpanIndex(
+            spark, table, batch, idCol, textCol, windowTokens, numBuckets)
+          fs.create(marker).close()
+        }
+      }
+      .start()
+
   /** Streaming probe face of the PERSISTED IVF index (s05's
     * [[graft.operators.Similarity.probeIvfIndex]] per micro-batch): a
     * QUERY-VECTOR stream probes the cell-bucketed index — per trigger,

@@ -227,6 +227,79 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ded_ingest_spec$s"))
   }
 
+  test("spanProbeSink: streamed micro-batches equal the batch span probe (d18 fixture)") {
+    val docs = Tables(spark, sf0001).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    graft.operators.Dedup.writeSpanIndex(
+      corpus, "doc_id", "text", "span_sink_spec", numBuckets = 8)
+    try {
+      val src = Files.createTempDirectory("graft-spansink-src").toString
+      batch.repartition(4).write.mode("overwrite").parquet(src)
+      val stream = spark.readStream
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val target = Files.createTempDirectory("graft-spansink-out").toString
+      val q = EventStreams.spanProbeSink(
+        stream, "span_sink_spec", "doc_id", "text", target, checkpoint())
+      try q.processAllAvailable() finally q.stop()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val streamed = canon(EventStreams.committedBatches(spark, target))
+      val batchRun = canon(graft.operators.Dedup.probeSpanIndex(
+        spark, "span_sink_spec", batch, "doc_id", "text"))
+      assert(streamed.nonEmpty && streamed == batchRun)
+      assert(streamed.exists(_(3).asInstanceOf[Long] > 0), "vacuous: no corpus dup")
+    } finally spark.sql("DROP TABLE IF EXISTS span_sink_spec_spans")
+  }
+
+  test("spanIngestSink: batch N+1 reports batch N's content as corpus-duplicated") {
+    import spark.implicits._
+    val seedCorpus = Seq(
+      (1L, "seed passage about rivers and stone bridges in autumn"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeSpanIndex(
+      seedCorpus, "doc_id", "text", "span_ingest_spec",
+      windowTokens = 3, numBuckets = 2)
+    try {
+      val src = Files.createTempDirectory("graft-spaningest-src").toString
+      val target = Files.createTempDirectory("graft-spaningest-out").toString
+      val ckpt = checkpoint()
+      def drop(rows: Seq[(Long, String)], file: String): Unit =
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(s"$src/$file")
+      drop(Seq(
+        100L -> "fresh material alpha beta gamma delta epsilon",
+        101L -> "seed passage about rivers and stone bridges in autumn"), "d1")
+      val stream = spark.readStream.schema(seedCorpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$src/*")
+      val q = EventStreams.spanIngestSink(
+        stream, "span_ingest_spec", "doc_id", "text", target, ckpt,
+        windowTokens = 3, numBuckets = 2)
+      try {
+        q.processAllAvailable()
+        drop(Seq(
+          200L -> "fresh material alpha beta gamma delta epsilon", // copy of 100
+          201L -> "wholly unrelated closing remarks tonight"), "d2")
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = EventStreams.committedBatches(spark, target)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows")))
+        .toMap
+      assert(out(100L)._2 == 0L, s"batch-1 novel doc vs seed index: $out")
+      assert(out(101L)._1 == out(101L)._2 && out(101L)._2 > 0,
+        s"seed-owned text fully covered: $out")
+      // the lifecycle claim: doc 200 copies doc 100's text, which entered
+      // the index when batch 1 was appended
+      assert(out(200L)._1 == out(200L)._2 && out(200L)._2 > 0,
+        s"batch-2 copy of batch-1 content must be fully duplicated: $out")
+      assert(out(201L)._2 == 0L, s"unrelated doc must stay clean: $out")
+    } finally spark.sql("DROP TABLE IF EXISTS span_ingest_spec_spans")
+  }
+
   test("ivfIngestSink: batch N+1 detects near-copies of batch N's novel vectors") {
     import spark.implicits._
     val seed = Seq(
