@@ -555,6 +555,45 @@ object EventStreams {
     * one batch doubles, an accepted cost of marker-based fencing
     * without a transactional table format. Single-writer, like every
     * index append. */
+  /** One [[dedupIngestSink]] trigger, named so recovery is testable:
+    * re-invoking with the same (batch, batchId) — a checkpoint replay —
+    * is a no-op when both markers exist, and re-runs exactly the
+    * missing steps otherwise (StreamingSpec executes the replay and the
+    * marker-missing-after-append crash shape directly). */
+  private[graft] def dedupIngestStep(
+      table: String,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      targetPath: String,
+      numBuckets: Int,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int,
+      seed: Long,
+      tau: Double): Unit = {
+    val spark = batch.sparkSession
+    val bid = f"$batchId%012d"
+    val dir = new org.apache.hadoop.fs.Path(s"$targetPath/b_$bid")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      graft.operators.Dedup
+        .incrementalDedupIndexed(spark, table, batch,
+          idCol, textCol, shingleSize, numHashes, bands, seed, tau)
+        .write.mode("overwrite").parquet(dir.toString)
+    val marker = new org.apache.hadoop.fs.Path(s"$targetPath/_appended_$bid")
+    if (!fs.exists(marker)) {
+      val novel = batch.join(
+        spark.read.parquet(dir.toString)
+          .filter(col("status") === "novel").select(col(idCol)),
+        Seq(idCol), "left_semi")
+      graft.operators.Dedup.appendDedupIndex(spark, table, novel,
+        idCol, textCol, numBuckets, shingleSize, numHashes, bands, seed)
+      fs.create(marker).close()
+    }
+  }
+
   def dedupIngestSink(
       docs: DataFrame,
       table: String,
@@ -571,25 +610,8 @@ object EventStreams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val bid = f"$batchId%012d"
-        val dir = new org.apache.hadoop.fs.Path(s"$targetPath/b_$bid")
-        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
-          graft.operators.Dedup
-            .incrementalDedupIndexed(spark, table, batch,
-              idCol, textCol, shingleSize, numHashes, bands, seed, tau)
-            .write.mode("overwrite").parquet(dir.toString)
-        val marker = new org.apache.hadoop.fs.Path(s"$targetPath/_appended_$bid")
-        if (!fs.exists(marker)) {
-          val novel = batch.join(
-            spark.read.parquet(dir.toString)
-              .filter(col("status") === "novel").select(col(idCol)),
-            Seq(idCol), "left_semi")
-          graft.operators.Dedup.appendDedupIndex(spark, table, novel,
-            idCol, textCol, numBuckets, shingleSize, numHashes, bands, seed)
-          fs.create(marker).close()
-        }
+        dedupIngestStep(table, batch, batchId, idCol, textCol, targetPath,
+          numBuckets, shingleSize, numHashes, bands, seed, tau)
       }
       .start()
 
@@ -608,6 +630,52 @@ object EventStreams {
     * and a mid-append crash can duplicate index rows for that one batch
     * — probe top-k is unaffected (duplicate neighbors collapse to the
     * same (id, cosine); `row_number` keeps one). Single-writer. */
+  /** One [[ivfIngestSink]] trigger, named so recovery is testable —
+    * see [[dedupIngestStep]]. */
+  private[graft] def ivfIngestStep(
+      table: String,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Seq[Double])],
+      nProbe: Int,
+      tau: Double,
+      targetPath: String,
+      numBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val bid = f"$batchId%012d"
+    val dir = new org.apache.hadoop.fs.Path(s"$targetPath/b_$bid")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      val nn = graft.operators.Similarity
+        .probeIvfIndex(spark, table, batch, idCol, vecCol,
+          k = 1, centroids = centroids, nProbe = nProbe)
+        .select(
+          col("query_id").as(idCol),
+          col("neighbor_id"), col("cosine"))
+      batch.select(col(idCol))
+        .join(nn, Seq(idCol), "left")
+        .select(
+          col(idCol),
+          when(col("cosine") >= tau, lit("near_dup"))
+            .otherwise(lit("novel")).as("status"),
+          when(col("cosine") >= tau, col("neighbor_id")).as("dup_of"),
+          col("cosine"))
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    val marker = new org.apache.hadoop.fs.Path(s"$targetPath/_appended_$bid")
+    if (!fs.exists(marker)) {
+      val novel = batch.join(
+        spark.read.parquet(dir.toString)
+          .filter(col("status") === "novel").select(col(idCol)),
+        Seq(idCol), "left_semi")
+      graft.operators.Similarity.appendIvfIndex(
+        table, novel, idCol, vecCol, centroids, numBuckets)
+      fs.create(marker).close()
+    }
+  }
+
   def ivfIngestSink(
       vectors: DataFrame,
       table: String,
@@ -622,37 +690,8 @@ object EventStreams {
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val bid = f"$batchId%012d"
-        val dir = new org.apache.hadoop.fs.Path(s"$targetPath/b_$bid")
-        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
-          val nn = graft.operators.Similarity
-            .probeIvfIndex(spark, table, batch, idCol, vecCol,
-              k = 1, centroids = centroids, nProbe = nProbe)
-            .select(
-              col("query_id").as(idCol),
-              col("neighbor_id"), col("cosine"))
-          batch.select(col(idCol))
-            .join(nn, Seq(idCol), "left")
-            .select(
-              col(idCol),
-              when(col("cosine") >= tau, lit("near_dup"))
-                .otherwise(lit("novel")).as("status"),
-              when(col("cosine") >= tau, col("neighbor_id")).as("dup_of"),
-              col("cosine"))
-            .write.mode("overwrite").parquet(dir.toString)
-        }
-        val marker = new org.apache.hadoop.fs.Path(s"$targetPath/_appended_$bid")
-        if (!fs.exists(marker)) {
-          val novel = batch.join(
-            spark.read.parquet(dir.toString)
-              .filter(col("status") === "novel").select(col(idCol)),
-            Seq(idCol), "left_semi")
-          graft.operators.Similarity.appendIvfIndex(
-            table, novel, idCol, vecCol, centroids, numBuckets)
-          fs.create(marker).close()
-        }
+        ivfIngestStep(table, batch, batchId, idCol, vecCol, centroids,
+          nProbe, tau, targetPath, numBuckets)
       }
       .start()
 
@@ -693,6 +732,35 @@ object EventStreams {
     * a replayed append is naturally a no-op at the hash level (the
     * presence check excludes everything the crashed attempt committed),
     * so not even transient row duplication is possible. Single-writer. */
+  /** One [[spanIngestSink]] trigger, named so recovery is testable —
+    * see [[dedupIngestStep]]; here even a marker-lost re-append is a
+    * row-level no-op (the presence check excludes committed hashes),
+    * which StreamingSpec asserts directly. */
+  private[graft] def spanIngestStep(
+      table: String,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      targetPath: String,
+      windowTokens: Int,
+      numBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val bid = f"$batchId%012d"
+    val dir = new org.apache.hadoop.fs.Path(s"$targetPath/b_$bid")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      graft.operators.Dedup
+        .probeSpanIndex(spark, table, batch, idCol, textCol, windowTokens)
+        .write.mode("overwrite").parquet(dir.toString)
+    val marker = new org.apache.hadoop.fs.Path(s"$targetPath/_appended_$bid")
+    if (!fs.exists(marker)) {
+      graft.operators.Dedup.appendSpanIndex(
+        spark, table, batch, idCol, textCol, windowTokens, numBuckets)
+      fs.create(marker).close()
+    }
+  }
+
   def spanIngestSink(
       docs: DataFrame,
       table: String,
@@ -705,20 +773,8 @@ object EventStreams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val bid = f"$batchId%012d"
-        val dir = new org.apache.hadoop.fs.Path(s"$targetPath/b_$bid")
-        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
-          graft.operators.Dedup
-            .probeSpanIndex(spark, table, batch, idCol, textCol, windowTokens)
-            .write.mode("overwrite").parquet(dir.toString)
-        val marker = new org.apache.hadoop.fs.Path(s"$targetPath/_appended_$bid")
-        if (!fs.exists(marker)) {
-          graft.operators.Dedup.appendSpanIndex(
-            spark, table, batch, idCol, textCol, windowTokens, numBuckets)
-          fs.create(marker).close()
-        }
+        spanIngestStep(table, batch, batchId, idCol, textCol, targetPath,
+          windowTokens, numBuckets)
       }
       .start()
 

@@ -300,6 +300,71 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS span_ingest_spec_spans")
   }
 
+  test("ingest-step recovery: full replay is a no-op; a lost append marker is absorbed") {
+    import spark.implicits._
+    val seedCorpus = Seq(
+      (1L, "seed passage about rivers and stone bridges in autumn"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeDedupIndex(
+      seedCorpus, "doc_id", "text", "ded_rec_spec", numBuckets = 2)
+    graft.operators.Dedup.writeSpanIndex(
+      seedCorpus, "doc_id", "text", "span_rec_spec",
+      windowTokens = 3, numBuckets = 2)
+    val dedTarget = Files.createTempDirectory("graft-dedrec-out").toString
+    val spanTarget = Files.createTempDirectory("graft-spanrec-out").toString
+    try {
+      val batch = Seq(
+        (100L, "fresh material alpha beta gamma delta epsilon"),
+        (101L, "seed passage about rivers and stone bridges in autumn"))
+        .toDF("doc_id", "text")
+      def dedStep() = EventStreams.dedupIngestStep(
+        "ded_rec_spec", batch, 0L, "doc_id", "text", dedTarget,
+        numBuckets = 2, shingleSize = 3, numHashes = 64, bands = 16,
+        seed = 42L, tau = 0.4)
+      def spanStep() = EventStreams.spanIngestStep(
+        "span_rec_spec", batch, 0L, "doc_id", "text", spanTarget,
+        windowTokens = 3, numBuckets = 2)
+      def classifications() = EventStreams.committedBatches(spark, dedTarget)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      dedStep(); spanStep()
+      val class1 = classifications()
+      val dedRows = spark.table("ded_rec_spec_bands").count()
+      val spanRows = spark.table("span_rec_spec_spans").count()
+      // checkpoint replay: both markers exist -> byte-level no-op
+      dedStep(); spanStep()
+      assert(classifications() == class1)
+      assert(spark.table("ded_rec_spec_bands").count() == dedRows)
+      assert(spark.table("span_rec_spec_spans").count() == spanRows)
+      // crash between append and marker: the replay re-runs the append.
+      // Span index: a row-level no-op (presence check excludes committed
+      // hashes). Dedup index: band/text rows may double for the batch,
+      // but classifications are unaffected (min/distinct absorb them) —
+      // exactly the documented recovery contract.
+      def rmMarker(target: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(s"$target/_appended_000000000000")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        assert(fs.delete(p, false))
+      }
+      rmMarker(dedTarget); rmMarker(spanTarget)
+      dedStep(); spanStep()
+      assert(spark.table("span_rec_spec_spans").count() == spanRows,
+        "span re-append must not add rows")
+      assert(classifications() == class1, "classifications must survive re-append")
+      // and a NEW batch probing the re-appended dedup index classifies
+      // doc 100's text as owned by 100 exactly once (duplicates absorbed)
+      val probe = Seq((300L, "fresh material alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text")
+      val r = graft.operators.Dedup.incrementalDedupIndexed(
+        spark, "ded_rec_spec", probe, "doc_id", "text").collect()
+      assert(r.length == 1 && r.head.getString(1) == "exact_dup" &&
+        r.head.getLong(2) == 100L, r.toSeq.toString)
+    } finally {
+      Seq("_exact", "_bands", "_texts").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS ded_rec_spec$s"))
+      spark.sql("DROP TABLE IF EXISTS span_rec_spec_spans")
+    }
+  }
+
   test("ivfIngestSink: batch N+1 detects near-copies of batch N's novel vectors") {
     import spark.implicits._
     val seed = Seq(
