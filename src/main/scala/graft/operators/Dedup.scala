@@ -501,14 +501,20 @@ object Dedup {
     Bucketing.appendBucketed(newH, s"${table}_spans", Seq("__h"), numBuckets)
   }
 
-  /** Probe a persisted [[writeSpanIndex]]: the batch's windows join the
-    * hash table (batch side broadcasts — the index is never shuffled,
-    * and distinct index hashes mean the inner join marks without
-    * fanning out), then duplicated positions fold into the per-document
-    * span profile exactly as [[duplicatedSpans]] does. Output is d16's
-    * shape with "duplicated" meaning PRESENT IN THE CORPUS — the
-    * partial-copy report for an incoming shard, at per-append cost
-    * proportional to the batch. */
+  /** Probe a persisted [[writeSpanIndex]]: the batch's windows
+    * equi-join the hash table on `__h`. Unlike the document-level
+    * probes, the batch side here is one row PER TOKEN — far past any
+    * broadcast threshold for a real shard — so the scale shape is a
+    * keyed shuffle of the BATCH windows into the index's hash
+    * bucketing: the index side, bucketed AND sorted by `__h` at build
+    * time, satisfies the join's distribution and ordering from its
+    * files (zero index-side exchange or sort, pinned in BucketingSpec);
+    * per-probe shuffle cost is proportional to the batch alone, and
+    * distinct index hashes mean the inner join marks without fanning
+    * out. Duplicated positions then fold into the per-document span
+    * profile exactly as [[duplicatedSpans]] does: d16's output shape
+    * with "duplicated" meaning PRESENT IN THE CORPUS — the
+    * partial-copy report for an incoming shard. */
   def probeSpanIndex(
       spark: SparkSession,
       table: String,
@@ -518,7 +524,7 @@ object Dedup {
       windowTokens: Int = 8): DataFrame = {
     val base = spanBase(batch, idCol, textCol, windowTokens)
     val wins = spanWindows(base, idCol, windowTokens)
-    val dup = broadcast(wins)
+    val dup = wins
       .join(spark.table(s"${table}_spans"), Seq("__h"))
       .select(col(idCol), col("__p"))
     spanProfile(base, dup, idCol, windowTokens)

@@ -383,6 +383,9 @@ class BucketingSpec extends SparkSpec {
       // coverage, and a batch doc with no corpus-shared window reports 0
       val probe = Dedup.probeSpanIndex(spark, "span_reb", batch, "doc_id", "text")
       assert(probe.filter(col("n_dup_windows") > 0).count() > 0, "vacuous probe")
+      // the batch windows shuffle INTO the index's hash bucketing; the
+      // index side must satisfy the join from its files (zero exchange)
+      assertIndexUnshuffled(probe.queryExecution.executedPlan, "span_reb_spans")
       val full = probe.filter(col("n_windows") > 0 &&
         col("n_dup_windows") === col("n_windows"))
       full.collect().foreach(r =>
