@@ -477,13 +477,20 @@ object Dedup {
 
   /** APPEND a committed batch's windows to a persisted
     * [[writeSpanIndex]] — same batch-proportional discipline as
-    * [[appendDedupIndex]]: the batch's distinct hashes broadcast into a
-    * LEFT SEMI that prunes the index to the already-present subset,
-    * then a LEFT ANTI against that batch-bounded set keeps only truly
-    * new hashes; the index is scanned but never shuffled, existing
-    * files untouched, and the distinct-hash invariant of the build is
-    * preserved (append ≡ rebuild unconditionally — hash sets have no
-    * ownership to fight over; pinned in BucketingSpec). Single-writer. */
+    * [[appendDedupIndex]], but with KEYED joins instead of broadcasts:
+    * the batch's distinct hashes are one row per distinct batch window
+    * (past any broadcast threshold for a real shard, unlike the
+    * per-DOC rows the document-level append broadcasts), so they
+    * shuffle ONCE into the index's hash bucketing for a LEFT SEMI that
+    * prunes the index to the already-present subset (index side
+    * satisfied from its bucketed-sorted files — zero exchange), and
+    * the LEFT ANTI against that batch-bounded set reuses the same
+    * hash partitioning. A direct anti against the index would build
+    * the WHOLE index as the join's right side — the same trap
+    * [[appendDedupIndex]] documents. Existing files untouched; the
+    * distinct-hash invariant of the build is preserved (append ≡
+    * rebuild unconditionally — hash sets have no ownership to fight
+    * over; pinned in BucketingSpec). Single-writer. */
   def appendSpanIndex(
       spark: SparkSession,
       table: String,
@@ -496,8 +503,8 @@ object Dedup {
       spanWindows(spanBase(batch, idCol, textCol, windowTokens), idCol, windowTokens)
         .select(col("__h")).distinct()
     val present = spark.table(s"${table}_spans")
-      .join(broadcast(batchH), Seq("__h"), "left_semi")
-    val newH = batchH.join(broadcast(present), Seq("__h"), "left_anti")
+      .join(batchH, Seq("__h"), "left_semi")
+    val newH = batchH.join(present, Seq("__h"), "left_anti")
     Bucketing.appendBucketed(newH, s"${table}_spans", Seq("__h"), numBuckets)
   }
 

@@ -357,13 +357,31 @@ class BucketingSpec extends SparkSpec {
     Dedup.writeSpanIndex(corpus.filter(col("doc_id") <= mid),
       "doc_id", "text", "span_app", numBuckets = 8)
     Dedup.writeSpanIndex(corpus, "doc_id", "text", "span_reb", numBuckets = 8)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan): Unit
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
     try {
       val before = tableFiles("span_app_spans")
       Dedup.appendSpanIndex(spark, "span_app",
         corpus.filter(col("doc_id") > mid), "doc_id", "text", numBuckets = 8)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (plans.size() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
       val after = tableFiles("span_app_spans")
       assert(before.subsetOf(after) && after.size > before.size,
         "append must add files without rewriting existing ones")
+      // the keyed semi/anti must leave the index side exchange-free —
+      // only the batch hashes shuffle into the index bucketing
+      val appendPlans = plans.toArray(Array.empty[
+        org.apache.spark.sql.execution.SparkPlan])
+      assert(appendPlans.nonEmpty)
+      appendPlans.foreach(assertIndexUnshuffled(_, "span_app_spans"))
       // distinct-hash invariant survives the append
       val total = spark.table("span_app_spans").count()
       assert(total == spark.table("span_app_spans").distinct().count(),
@@ -391,8 +409,11 @@ class BucketingSpec extends SparkSpec {
       full.collect().foreach(r =>
         assert(r.getAs[Long]("dup_tokens") == r.getAs[Long]("n_tokens"),
           s"fully-duplicated doc must be fully covered: $r"))
-    } finally Seq("span_app_spans", "span_reb_spans").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally {
+      spark.listenerManager.unregister(listener)
+      Seq("span_app_spans", "span_reb_spans").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 
   test("index probes tolerate an EMPTY batch (post-recovery empty micro-batch shape)") {
