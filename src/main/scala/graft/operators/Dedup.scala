@@ -994,9 +994,12 @@ object Dedup {
     * Scale shape: same two keyed shuffles as [[duplicatedSpans]] (the
     * hash-partition window now also sorts by (id, pos) to rank
     * occurrences). Removal never explodes tokens: per-doc merged spans
-    * collect into one small array column (docs with repeats only) and a
-    * higher-order filter drops covered positions in-row, so the
-    * reassembly cost is one broadcast-joined in-scan projection.
+    * collect into one small array column (docs with repeats only), an
+    * id-keyed join attaches them to the corpus rows (AQE broadcasts the
+    * span side when it is small; at full scale this is one id-keyed
+    * shuffle — proportional to the rewritten output, the same
+    * reassembly cost [[chunkExactDedup]] pays), and a higher-order
+    * filter drops covered positions in-row.
     *
     * Returns one row per document: (id, n_tokens, n_removed,
     * text_dedup) — `text_dedup` is the surviving text, empty when the
