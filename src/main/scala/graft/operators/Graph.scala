@@ -79,4 +79,65 @@ object Graph {
     }
     ranks
   }
+
+  /** PERSONALIZED PageRank (Haveliwala 2002): teleport and dangling
+    * mass return ONLY to the seed set, so rank measures proximity to
+    * the seeds rather than global centrality — the seed-expansion
+    * primitive corpus curation uses to propagate trust/quality from a
+    * small vetted set (domains, documents, suppliers) across a link
+    * graph. Same quantized integer semantics as [[pagerankQuantized]]
+    * (bit-for-bit oracle replays), initial mass `scale` on each seed
+    * and 0 elsewhere; per iteration
+    *   r'(v) = [v∈S]×teleport + num×(contrib(v) + [v∈S]×(dangling div
+    *   |S|)) div den.
+    * Non-seed nodes with no inbound path to a seed stay exactly 0 —
+    * the property that makes the output a selection signal. Scale
+    * shape identical to [[pagerankQuantized]]: one node-keyed join and
+    * one dst-keyed long aggregation per iteration, the seed flag rides
+    * the node relation, dangling mass is one bounded driver scalar. */
+  def personalizedPagerankQuantized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iters: Int,
+      scale: Long = 1000000L,
+      dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampDen > 0 && scale > 0,
+      s"bad ppr params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(seedSet.select(col("node"))).distinct()
+      .join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val ew = e.join(outdeg, Seq("src"))
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalized pagerank needs a non-empty seed set")
+    val teleport = (dampDen - dampNum) * scale / dampDen
+
+    var ranks = nodes.select(col("node"), (col("__s") * scale).as("pr"))
+    for (_ <- 0 until iters) {
+      val dangling = ranks
+        .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L))).collect()(0).getLong(0)
+      val contribs = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"), expr("pr div odeg").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__c"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (col("__s") * teleport +
+            expr(s"$dampNum * (coalesce(__c, 0L) + __s * ${dangling / nSeeds}L) div $dampDen")
+          ).as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

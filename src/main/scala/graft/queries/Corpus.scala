@@ -1955,6 +1955,66 @@ $langScoreCols
     },
     Some(pagerankOracle(iters = 3, scale = 1000000L, num = 85, den = 100)))
 
+  /** Exact oracle for g02: the g01 replay with teleport and dangling
+    * mass confined to the seed flag (seeds = even-tagged customers
+    * whose custkey is a multiple of 10 → src % 20 = 0). */
+  private def pprOracle(iters: Int, scale: Long, num: Long, den: Long): String = {
+    val teleport = (den - num) * scale / den
+    val rounds = (1 to iters).map { i =>
+      s"""
+      d$i AS (
+        SELECT cast(coalesce(sum(pr), 0) AS BIGINT) AS dang
+        FROM r${i - 1} LEFT JOIN odeg ON node = src WHERE src IS NULL),
+      c$i AS (
+        SELECT dst AS node, cast(sum(pr // odeg) AS BIGINT) AS c
+        FROM e JOIN odeg USING (src) JOIN r${i - 1} ON e.src = r${i - 1}.node
+        GROUP BY 1),
+      r$i AS (
+        SELECT nodes.node,
+               cast(nodes.s * $teleport + ($num * (coalesce(c, 0)
+                 + nodes.s * ((SELECT dang FROM d$i) // (SELECT n FROM ns)))) // $den
+                 AS BIGINT) AS pr
+        FROM nodes LEFT JOIN c$i USING (node))"""
+    }.mkString(",")
+    s"""
+      WITH e AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 20 = 0),
+      nodes AS (
+        SELECT node,
+               CASE WHEN node IN (SELECT node FROM seeds) THEN 1 ELSE 0 END AS s
+        FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+      odeg AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
+      ns AS (SELECT count(*) AS n FROM seeds),
+      r0 AS (SELECT node, cast(s * $scale AS BIGINT) AS pr FROM nodes),
+      $rounds
+      SELECT node, pr FROM r$iters ORDER BY node"""
+  }
+
+  /** Personalized PageRank ([[graft.operators.Graph
+    * .personalizedPagerankQuantized]]) over the same trade graph as
+    * g01, seeded on every 10th customer: rank measures proximity to
+    * the vetted seed set — the seed-expansion curation signal — with
+    * unreachable nodes at exactly 0; every step integer-exact, so the
+    * DuckDB replay is bit-for-bit. */
+  val g02_ppr = QueryDef(
+    "g02_ppr",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val orders = t.orders
+      val li = t.lineitem
+      val edges = orders
+        .join(li, orders("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val seeds = edges.select(col("src").as("node"))
+        .filter(col("node") % 20 === 0).distinct()
+      graft.operators.Graph
+        .personalizedPagerankQuantized(edges, "src", "dst", seeds, "node", iters = 3)
+        .orderBy(col("node"))
+    },
+    Some(pprOracle(iters = 3, scale = 1000000L, num = 85, den = 100)))
+
   /** Exact oracle for d10: DuckDB replays quantized k-means verbatim —
     * same 1e6 grid, integer distances via list_reduce, argmin with the
     * cluster-id tie-break, truncating-integer-mean update — with the
@@ -2733,5 +2793,5 @@ $langScoreCols
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,
     p11_incremental_dedup_append, p12_pack_tokens, p13_dsir,
     p14_shuffle_shards, p15_incremental_dedup_purge,
-    g01_pagerank)
+    g01_pagerank, g02_ppr)
 }

@@ -48,6 +48,46 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("personalized pagerank matches its replica; unreachable nodes stay at zero") {
+    // extend the graph with 5→6, disconnected from the 1-4 component
+    val ext = (edgeSeq :+ (5L, 6L)).toDF("src", "dst")
+    val extSeq = edgeSeq :+ (5L, 6L)
+    def replica2(seeds: Set[Long], iters: Int): Map[Long, Long] = {
+      val scale = 1000000L
+      val nodes = extSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val odeg = extSeq.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      val ns = seeds.size.toLong
+      var r = nodes.map(v => v -> (if (seeds(v)) scale else 0L)).toMap
+      for (_ <- 0 until iters) {
+        val dangling = nodes.filterNot(odeg.contains).map(r).sum
+        val contrib = extSeq
+          .groupBy(_._2)
+          .map { case (d, es) => d -> es.map(e => r(e._1) / odeg(e._1)).sum }
+        r = nodes.map { v =>
+          val s = if (seeds(v)) 1L else 0L
+          v -> (s * 150000L + 85L * (contrib.getOrElse(v, 0L) + s * (dangling / ns)) / 100L)
+        }.toMap
+      }
+      r
+    }
+    for (iters <- Seq(0, 1, 3)) {
+      val seeds = Seq(1L).toDF("node")
+      val got = Graph
+        .personalizedPagerankQuantized(ext, "src", "dst", seeds, "node", iters)
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(got == replica2(Set(1L), iters), s"iters=$iters")
+      // 5 and 6 are unreachable from the seed: exactly zero, every round
+      assert(got(5L) == 0L && got(6L) == 0L, s"iters=$iters: $got")
+    }
+    // seed ∉ edge nodes: appears in the output with its teleport mass
+    val isolated = Graph
+      .personalizedPagerankQuantized(ext, "src", "dst",
+        Seq(99L).toDF("node"), "node", iters = 1)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(isolated(99L) > 0L && isolated.removed(99L).values.forall(_ == 0L),
+      isolated.toString)
+  }
+
   test("duplicate edges collapse; totals stay in the expected band") {
     val dup = edges.union(edges)
     val got = Graph.pagerankQuantized(dup, "src", "dst", 2)
