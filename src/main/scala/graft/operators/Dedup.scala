@@ -1021,9 +1021,20 @@ object Dedup {
       .withColumn("__rn", row_number().over(rankW))
       .filter(col("__rn") > 1)
       .select(col(idCol), col("__p"))
+    cutSpans(base, repeats, idCol, L)
+  }
+
+  /** Fold marked window positions `marked` = (id, __p) into merged
+    * spans and cut the covered tokens out of every `base` document —
+    * the shared reassembly of [[removeDuplicatedSpans]] (marks = later
+    * occurrences) and [[removeCrossCorpusSpans]] (marks = windows
+    * present in another corpus). Returns (id, n_tokens, n_removed,
+    * text_dedup). */
+  private def cutSpans(
+      base: DataFrame, marked: DataFrame, idCol: String, L: Int): DataFrame = {
     val ordW = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__p"))
-    val spans = repeats
+    val spans = marked
       .withColumn(
         "__brk",
         when(col("__p") - lag(col("__p"), 1).over(ordW) <= L, lit(0)).otherwise(lit(1)))
@@ -1055,6 +1066,41 @@ object Dedup {
         col(idCol), col("n_tokens"),
         (col("n_tokens") - size(col("__kept"))).as("n_removed"),
         array_join(transform(col("__kept"), ti => ti("__t")), " ").as("text_dedup"))
+  }
+
+  /** CROSS-CORPUS span removal — the GPT-3-style decontamination
+    * transform: cut from every `batch` (evaluation) document each span
+    * whose `windowTokens`-token windows appear verbatim anywhere in
+    * `corpus` (training data), then reassemble the surviving text.
+    * [[crossCorpusOverlap]] counts the leakage; this REMOVES it, so a
+    * benchmark can be kept rather than discarded when only fragments
+    * leak. Detection is window-exact (repeats shorter than
+    * `windowTokens` are invisible; cutting rounds up to merged span
+    * boundaries — the same trades as [[removeDuplicatedSpans]]).
+    *
+    * Scale shape: the corpus reduces in-scan to DISTINCT 8-byte window
+    * hashes; the (small) eval side's windows join them on the hash —
+    * one keyed shuffle each side, the corpus never materializes text
+    * off the scan; the cut is the in-row higher-order filter. For a
+    * REUSABLE corpus window set, persist it once with
+    * [[writeSpanIndex]] and mark eval windows via [[probeSpanIndex]]'s
+    * table instead. */
+  def removeCrossCorpusSpans(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val L = windowTokens
+    val base = spanBase(batch, idCol, textCol, L)
+    val corpusH =
+      spanWindows(spanBase(corpus, idCol, textCol, L), idCol, L)
+        .select(col("__h")).distinct()
+    val marked = spanWindows(base, idCol, L)
+      .join(corpusH, Seq("__h"))
+      .select(col(idCol), col("__p"))
+    cutSpans(base, marked, idCol, L)
   }
 
   /** Benchmark decontamination: for every training document, count the

@@ -2774,6 +2774,77 @@ $langScoreCols
       WHERE b.doc_id % 5 = 0
       ORDER BY b.doc_id"""))
 
+  /** Cross-corpus span REMOVAL ([[Dedup.removeCrossCorpusSpans]]):
+    * cut from each eval document (doc_id % 5 = 0) every span whose
+    * 8-token windows exist verbatim in the train split — the
+    * GPT-3-style decontamination transform (d09/d14 measure the
+    * leakage; this removes it). Oracle replays window membership plus
+    * the span-cut reassembly. */
+  val d19_decontaminate_spans = QueryDef(
+    "d19_decontaminate_spans",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup
+        .removeCrossCorpusSpans(
+          corpus = docs.filter(col("doc_id") % 5 =!= 0),
+          batch = docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", windowTokens = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), __t -> __t <> '') AS ts
+        FROM documents),
+      base AS (
+        SELECT doc_id, cast(len(ts) AS BIGINT) AS n_tokens,
+               cast(greatest(len(ts) - 7, 0) AS BIGINT) AS n_windows, ts
+        FROM toks),
+      w AS (
+        SELECT doc_id,
+               unnest(list_transform(range(n_windows),
+                 __i -> struct_pack(p := __i,
+                   g := array_to_string(list_slice(ts, __i + 1, __i + 8), ' ')))) AS c
+        FROM base),
+      win AS (SELECT doc_id, c.p AS p, c.g AS g FROM w),
+      corpus_w AS (SELECT DISTINCT g FROM win WHERE doc_id % 5 <> 0),
+      marked AS (
+        SELECT b.doc_id, b.p
+        FROM win b JOIN corpus_w cw ON b.g = cw.g
+        WHERE b.doc_id % 5 = 0),
+      ord AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM marked),
+      isl AS (
+        SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM ord),
+      spans AS (
+        SELECT doc_id, min(p) AS s, max(p) + 7 AS e
+        FROM isl GROUP BY doc_id, grp),
+      removed AS (
+        SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS i FROM spans),
+      tokpos AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(ts)),
+                 __i -> struct_pack(i := __i, t := ts[__i + 1]))) AS c
+        FROM base WHERE doc_id % 5 = 0),
+      flat AS (SELECT doc_id, c.i AS i, c.t AS t FROM tokpos),
+      kept AS (
+        SELECT f.doc_id, f.i, f.t
+        FROM flat f LEFT JOIN removed r ON f.doc_id = r.doc_id AND f.i = r.i
+        WHERE r.i IS NULL),
+      agg AS (
+        SELECT doc_id, cast(count(*) AS BIGINT) AS n_kept,
+               string_agg(t, ' ' ORDER BY i) AS text_dedup
+        FROM kept GROUP BY doc_id)
+      SELECT b.doc_id, b.n_tokens,
+             b.n_tokens - coalesce(a.n_kept, 0) AS n_removed,
+             coalesce(a.text_dedup, '') AS text_dedup
+      FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+      WHERE b.doc_id % 5 = 0
+      ORDER BY b.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     t01_token_stats, t02_quality, t03_langid, t04_fingerprint, t05_bpe_tokens,
     t06_repetition, t07_pii_redact, t08_tfidf, t09_vocab_coverage,
@@ -2785,7 +2856,7 @@ $langScoreCols
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
     d11_semdedup, d12_embed_decontaminate, d13_dedup_survivors,
     d14_contamination, d15_lsh_recall, d16_dup_spans, d17_dedup_span_removal,
-    d18_span_probe_indexed,
+    d18_span_probe_indexed, d19_decontaminate_spans,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,

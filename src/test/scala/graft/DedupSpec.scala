@@ -389,6 +389,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("removeCrossCorpusSpans cuts train-leaked spans from eval, nothing else") {
+    val corpus = Seq((1L, "a b c d"), (2L, "p q")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "x a b y"),     // one leaked window mid-doc
+      (11L, "p q r s t"),   // leaked prefix
+      (12L, "u v w"),       // clean
+      (13L, ""),            // empty
+      (14L, "a b c d"),     // fully contained in train -> fully cut
+      (15L, "m n m n"))     // INTERNAL repeat only: not cross-corpus, kept
+      .toDF("doc_id", "text")
+    val got = Dedup
+      .removeCrossCorpusSpans(corpus, eval, "doc_id", "text", windowTokens = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (10L, 4L, 2L, "x y"),
+      (11L, 5L, 2L, "r s t"),
+      (12L, 3L, 0L, "u v w"),
+      (13L, 0L, 0L, ""),
+      (14L, 4L, 4L, ""),
+      (15L, 4L, 0L, "m n m n")))
+  }
+
   test("crossCorpusOverlap counts distinct shared shingles per (train, eval) pair") {
     val train = Seq(
       (1L, "one two three four"),     // shingles: {one two three, two three four}
