@@ -300,15 +300,68 @@ object EventStreams {
     * batch into it and silently lose rows present only in `v_{N-1}`. */
   def currentSnapshot(
       spark: org.apache.spark.sql.SparkSession,
-      targetPath: String): Option[String] = {
+      targetPath: String): Option[String] =
+    snapshotVersions(spark, targetPath).lastOption
+
+  /** All COMMITTED snapshot version directories under an [[upsertSink]]
+    * target, ascending in version order (same `_SUCCESS` gating and
+    * [[versionKey]] ordering as [[currentSnapshot]]) — the available
+    * TIME-TRAVEL window. [[upsertSink]] never deletes a superseded
+    * version, so until [[compactSnapshots]] or [[retainSnapshots]]
+    * prunes them, every historical state is still readable. */
+  def snapshotVersions(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String): Seq[String] = {
     val path = new org.apache.hadoop.fs.Path(targetPath)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) None
+    if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_") &&
         fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .maxByOption(s => versionKey(s.getPath.getName))
+      .sortBy(s => versionKey(s.getPath.getName))
       .map(_.getPath.toString)
+  }
+
+  /** TIME TRAVEL: the snapshot AS OF CDC batch `batchId` — the newest
+    * committed version whose base batch id is <= `batchId` (a compacted
+    * `v_N_cG` carries base id N, so asking for N after compaction
+    * serves the compacted rewrite, exactly what a replayed reader
+    * should see). None when every version at or below `batchId` has
+    * been pruned — compaction and retention DESTROY history below
+    * their horizon, the same contract as a vacuum. Version names
+    * inherit batch ids (see [[upsertSink]]), so `batchId` is the same
+    * handle the checkpoint log speaks. */
+  def snapshotAsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      batchId: Long): Option[org.apache.spark.sql.DataFrame] =
+    snapshotVersions(spark, targetPath)
+      .filter { p =>
+        val base = versionKey(new org.apache.hadoop.fs.Path(p).getName)._1
+        base.stripPrefix("v_").toLongOption.exists(_ <= batchId)
+      }
+      .lastOption
+      .map(spark.read.parquet(_))
+
+  /** Bound the time-travel window WITHOUT rewriting anything: delete
+    * all but the newest `keepLast` committed versions. The complement
+    * of [[compactSnapshots]] (which rewrites the current state and
+    * drops ALL history): retention keeps the store append-cheap while
+    * capping storage at `keepLast` full snapshots. Never touches the
+    * current version (`keepLast >= 1` enforced) or an uncommitted
+    * partial dir — deleting one could race a writer mid-recovery. */
+  def retainSnapshots(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val versions = snapshotVersions(spark, targetPath)
+    val doomed = versions.dropRight(keepLast)
+    if (doomed.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(targetPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    }
   }
 
   /** (version base, compaction generation), generation compared

@@ -86,6 +86,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshot time travel: asOf serves history, retention bounds it, compaction destroys it") {
+    val target = Files.createTempDirectory("graft-travel").toString
+    val input = MemoryStream[(Long, String, Long, Boolean)](spark)
+    val changes = input.toDF().toDF("k", "v", "seq", "del")
+    val q = EventStreams.upsertSink(
+      changes, target, checkpoint(),
+      keys = Seq("k"), seqCols = Seq("seq"), isDelete = col("del"))
+    def live(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.filter(!col("del")).select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    try {
+      input.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
+      q.processAllAvailable() // batch 0
+      input.addData((1L, "a2", 2L, false), (2L, "b", 2L, true))
+      q.processAllAvailable() // batch 1: update k=1, delete k=2
+      input.addData((3L, "c", 3L, false))
+      q.processAllAvailable() // batch 2
+    } finally q.stop()
+    assert(EventStreams.snapshotVersions(spark, target).size == 3)
+    // every historical state still readable, by the batch id the
+    // checkpoint log speaks
+    assert(live(EventStreams.snapshotAsOf(spark, target, 0L).get)
+      == Set((1L, "a"), (2L, "b")))
+    assert(live(EventStreams.snapshotAsOf(spark, target, 1L).get)
+      == Set((1L, "a2")))
+    assert(live(EventStreams.snapshotAsOf(spark, target, 2L).get)
+      == Set((1L, "a2"), (3L, "c")))
+    // a future batch id serves the current snapshot
+    assert(live(EventStreams.snapshotAsOf(spark, target, 99L).get)
+      == Set((1L, "a2"), (3L, "c")))
+    // retention: newest 2 survive, batch 0's state is destroyed,
+    // current is untouched
+    EventStreams.retainSnapshots(spark, target, keepLast = 2)
+    assert(EventStreams.snapshotVersions(spark, target).size == 2)
+    assert(EventStreams.snapshotAsOf(spark, target, 0L).isEmpty)
+    assert(live(EventStreams.snapshotAsOf(spark, target, 1L).get)
+      == Set((1L, "a2")))
+    assert(live(spark.read.parquet(
+      EventStreams.currentSnapshot(spark, target).get))
+      == Set((1L, "a2"), (3L, "c")))
+    // compaction destroys ALL history below the current version, and
+    // asOf(current) now serves the compacted rewrite (base id is kept)
+    EventStreams.compactSnapshots(spark, target, col("del"), lit(false))
+    assert(EventStreams.snapshotAsOf(spark, target, 1L).isEmpty)
+    val asOf2 = EventStreams.snapshotAsOf(spark, target, 2L).get
+    assert(asOf2.filter(col("del")).count() == 0) // tombstones purged
+    assert(live(asOf2) == Set((1L, "a2"), (3L, "c")))
+  }
+
   test("asofEnrichSink: streamed micro-batches equal the batch as-of join (q38 fixture)") {
     val ev = Tables(spark, "/root/testdata/sf0.001").events
     val clicks = ev.filter(col("event_type") === "click")
