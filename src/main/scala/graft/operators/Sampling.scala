@@ -41,6 +41,45 @@ object Sampling {
     * is per-partition. Writing one file per shard then streams training
     * data in (shard, pos) order with no further sort. Shard sizes are
     * Binomial(n, 1/nShards) — tight around n/nShards at corpus scale. */
+  /** Leakage-free deterministic split: near-duplicates of one document
+    * must all land in the SAME split, or the test set scores documents
+    * the model effectively trained on — the split-contamination failure
+    * mode a per-document hash split (p03) cannot avoid. Every document
+    * hashes its near-dup CLUSTER representative (`comps` = (id, comp)
+    * from [[Dedup.connectedComponents]] over the verified pair graph;
+    * unclustered documents fall back to their own id), so a whole
+    * cluster shares one bucket draw and can never straddle a split
+    * boundary. `bounds` are cumulative percentile cuts over `buckets`
+    * hash buckets, ascending, last one = buckets (e.g. train/80,
+    * val/90, test/100).
+    *
+    * Decisions stay pure functions of (id, cluster structure): adding
+    * documents never flips an existing UNCLUSTERED document's split,
+    * and a grown cluster moves as one unit. Scale shape: one id-keyed
+    * join against the cluster relation (clustered docs only — a few
+    * percent of a deduplicated corpus; AQE broadcasts it when small)
+    * plus a scan-fused hash — no extra shuffle beyond the join. */
+  def clusterAwareSplit(
+      docs: org.apache.spark.sql.DataFrame,
+      comps: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      bounds: Seq[(String, Int)],
+      buckets: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(bounds.nonEmpty && bounds.last._2 == buckets,
+      s"bounds must end at buckets=$buckets, got $bounds")
+    require(bounds.map(_._2) == bounds.map(_._2).sorted,
+      s"bounds must be ascending, got $bounds")
+    val rep = comps.select(col("id").as(idCol), col("comp").as("__rep"))
+    val bucket = pmod(xxhash64(col("split_key")), lit(buckets.toLong))
+    val split = bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((name, cut), rest) => when(bucket < cut, name).otherwise(rest)
+    }
+    docs.join(rep, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("__rep"), col(idCol)))
+      .withColumn("split", split)
+      .drop("__rep")
+  }
+
   def shuffleShards(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,

@@ -1865,6 +1865,46 @@ $langScoreCols
     },
     Some(p09OracleSurviving(id => s"$id % 3 <> 0")))
 
+  /** Leakage-free train/val/test split ([[graft.operators.Sampling
+    * .clusterAwareSplit]]): p03's deterministic hash split, made safe
+    * against near-duplicate leakage — every document hashes its d07
+    * cluster representative (own id when unclustered), so a near-dup
+    * cluster can never straddle a split boundary and the test set never
+    * scores documents the model effectively trained on. Oracle
+    * recomputes the exact connected components (d07's recursive CTE)
+    * and replays the representative hash; SamplingSpec additionally
+    * pins the leakage-freedom property itself against the verified
+    * pair graph. */
+  val p16_cluster_split = QueryDef(
+    "p16_cluster_split",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = Dedup
+        .minhashPairs(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16)
+        .filter(col("jaccard") >= 0.4)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      graft.operators.Sampling
+        .clusterAwareSplit(docs, comps, "doc_id",
+          Seq(("train", 80), ("val", 90), ("test", 100)))
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH cc AS MATERIALIZED (SELECT * FROM ($d07Oracle) __cc),
+      p16_sk AS (
+        SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+      p16_bk AS (
+        SELECT doc_id, split_key,
+               ((${OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("split_key")))} % 100) + 100) % 100 AS bucket
+        FROM p16_sk)
+      SELECT doc_id, split_key,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM p16_bk ORDER BY doc_id"""))
+
   /** Hashed linear quality model ([[graft.operators.Scoring
     * .hashedLinearScore]]): the fastText/CCNet-style model-scored
     * quality filter — hashing-trick buckets, closed-form weights,
@@ -2863,6 +2903,6 @@ $langScoreCols
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,
     p11_incremental_dedup_append, p12_pack_tokens, p13_dsir,
-    p14_shuffle_shards, p15_incremental_dedup_purge,
+    p14_shuffle_shards, p15_incremental_dedup_purge, p16_cluster_split,
     g01_pagerank, g02_ppr)
 }

@@ -111,4 +111,84 @@ class SamplingSpec extends SparkSpec {
       Dsir.importanceWeights(corpus, corpus, "doc_id", "text",
         buckets = 128, model = Some(Array(1L))))
   }
+
+  // ---------------- clusterAwareSplit ----------------
+
+  private val splitBounds = Seq(("train", 80), ("val", 90), ("test", 100))
+
+  test("clusterAwareSplit: no cluster straddles a split; naive hashing would leak") {
+    // synthetic clusters (i, i + 500): with 500 clusters and an 80/10/10
+    // cut, SOME pair lands on different sides under the p03-style
+    // own-id hash — the leakage this operator exists to prevent
+    val docs = (0L until 1000L).toDF("doc_id")
+    val comps = (0L until 500L)
+      .flatMap(i => Seq((i, i), (i + 500L, i)))
+      .toDF("id", "comp")
+    val out = Sampling
+      .clusterAwareSplit(docs, comps, "doc_id", splitBounds)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("split_key"), r.getAs[String]("split"))).toMap
+    assert(out.size == 1000)
+    val naive = docs
+      .select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(100L)).as("b"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getLong(1) < 80) "train"
+         else if (r.getLong(1) < 90) "val" else "test")).toMap
+    val leakyUnderNaive = (0L until 500L).count(i => naive(i) != naive(i + 500L))
+    assert(leakyUnderNaive > 0, "fixture must exhibit naive-split leakage")
+    (0L until 500L).foreach { i =>
+      assert(out(i) == out(i + 500L), s"cluster $i straddles splits: $out")
+      assert(out(i)._1 == i, s"cluster $i must hash its representative")
+      // the cluster takes the REPRESENTATIVE's naive draw
+      assert(out(i)._2 == naive(i))
+    }
+  }
+
+  test("clusterAwareSplit: verified near-dup pairs agree on real corpus; unclustered = p03") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val pairs = graft.operators.Dedup
+      .minhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16)
+      .filter(col("jaccard") >= 0.4)
+    val comps = graft.operators.Dedup
+      .connectedComponents(pairs, "id_a", "id_b")
+    assert(comps.count() > 0, "fixture corpus must contain near-dup clusters")
+    val split = Sampling
+      .clusterAwareSplit(docs, comps, "doc_id", splitBounds)
+      .select(col("doc_id"), col("split_key"), col("split"))
+    val byId = split.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("split_key"), r.getAs[String]("split"))).toMap
+    pairs.select("id_a", "id_b").collect().foreach { r =>
+      assert(byId(r.getLong(0))._2 == byId(r.getLong(1))._2,
+        s"near-dup pair (${r.getLong(0)}, ${r.getLong(1)}) straddles splits")
+    }
+    // unclustered documents keep the plain p03 decision (corpus growth
+    // compatibility: adding cluster structure never moves loners)
+    val clustered = comps.select("id").collect().map(_.getLong(0)).toSet
+    val naive = docs
+      .select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(100L)).as("b"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getLong(1) < 80) "train"
+         else if (r.getLong(1) < 90) "val" else "test")).toMap
+    byId.foreach { case (id, (key, s)) =>
+      if (!clustered.contains(id)) {
+        assert(key == id && s == naive(id), s"loner $id must split by own id")
+      }
+    }
+  }
+
+  test("clusterAwareSplit: rejects malformed bounds") {
+    val docs = (0L until 10L).toDF("doc_id")
+    val comps = Seq.empty[(Long, Long)].toDF("id", "comp")
+    intercept[IllegalArgumentException](Sampling.clusterAwareSplit(
+      docs, comps, "doc_id", Seq(("train", 80), ("val", 90)))) // != buckets
+    intercept[IllegalArgumentException](Sampling.clusterAwareSplit(
+      docs, comps, "doc_id", Seq(("train", 90), ("val", 80), ("test", 100))))
+  }
 }
