@@ -66,6 +66,9 @@ object GraftFunctions {
     ("text_stats",
       "text_stats(str) - struct<n_chars,n_alpha,n_digit,n_ws,n_tokens> in one pass",
       arity("text_stats", 1)({ case Seq(c) => TextStats(c) })),
+    ("normalize_text",
+      "normalize_text(str) - NFC + whitespace/zero-width/punctuation Unicode cleanup",
+      arity("normalize_text", 1)({ case Seq(c) => NormalizeText(c) })),
     ("blob_stats",
       "blob_stats(bin) - struct<byte_len,byte_sum,mean_byte,distinct_bytes,entropy>",
       arity("blob_stats", 1)({ case Seq(c) => BlobStats(c) })),
