@@ -104,6 +104,15 @@ object GraftFunctions {
     ("hll_distinct",
       "hll_distinct(long) - HyperLogLog approximate distinct count (aggregate)",
       arity("hll_distinct", 1)({ case Seq(c) => HllDistinct(c).toAggregateExpression() })),
+    ("hll_sketch",
+      "hll_sketch(long) - HyperLogLog register bytes: persistable mergeable distinct-count state (aggregate)",
+      arity("hll_sketch", 1)({ case Seq(c) => HllSketch(c).toAggregateExpression() })),
+    ("hll_union",
+      "hll_union(binary) - union of persisted hll_sketch states (aggregate; idempotent)",
+      arity("hll_union", 1)({ case Seq(c) => HllUnion(c).toAggregateExpression() })),
+    ("hll_estimate",
+      "hll_estimate(binary) - distinct-count estimate from hll_sketch/hll_union bytes",
+      arity("hll_estimate", 1)({ case Seq(c) => HllEstimate(c) })),
     ("cms_sketch",
       "cms_sketch(long) - Count-Min frequency sketch, array<long> of DxW counters (aggregate)",
       arity("cms_sketch", 1)({ case Seq(c) => CmsSketch(c).toAggregateExpression() })),

@@ -1905,6 +1905,90 @@ $langScoreCols
                   ELSE 'test' END AS split
       FROM p16_bk ORDER BY doc_id"""))
 
+  /** Exact oracle for the PERSISTED-sketch pipeline: the register algebra
+    * (update = per-index max of rho, union = elementwise max) is
+    * associative/commutative/idempotent, so sketch-per-batch + union ==
+    * one direct aggregate over all values — the oracle replays exactly
+    * q51's register pipeline (same XXH64 emulation, integer harmonic
+    * numerator, 6-dp round) over xxhash64(text), knowing nothing about
+    * the batch split. Any incremental-path divergence (a dropped batch,
+    * a double-count that register max should absorb, byte-order damage
+    * in the persisted state) breaks the hash compare. */
+  private val p17Oracle: String = {
+    import graft.functions.expressions.HllDistinct
+    import graft.functions.expressions.HllDistinct.{AlphaMM, M, RhoCap}
+    val pw = (0 to RhoCap).map(k => (BigInt(1) << k).toString)
+      .mkString("[", ",", "]::HUGEINT[]")
+    val rhoCase = ((64 - HllDistinct.P - 1) to 0 by -1)
+      .map(k => s"WHEN w >= ${(BigInt(1) << k).toString} THEN ${64 - HllDistinct.P - k}")
+      .mkString("CASE ", " ", s" ELSE $RhoCap END")
+    val pow2Cap = s"${(BigInt(1) << RhoCap).toString}"
+    s"""
+      WITH p17_h AS (
+        SELECT DISTINCT source, ${OracleSql.xxh64Ascii("text")} AS ht FROM documents),
+      p17_hh AS (
+        SELECT source, ${OracleSql.xxh64Long("ht")} AS hu FROM p17_h),
+      p17_r0 AS (
+        SELECT source, (hu % $M)::INT AS idx, (hu // $M) AS w FROM p17_hh),
+      p17_rr AS (
+        SELECT source, idx, $rhoCase AS rho FROM p17_r0),
+      p17_regs AS (
+        SELECT source, idx, max(rho) AS reg FROM p17_rr GROUP BY 1, 2),
+      p17_est AS (
+        SELECT source,
+               (sum(($pw)[${RhoCap + 1} - reg]) + ($M - count(*)) * $pow2Cap::HUGEINT) AS num,
+               ($M - count(*)) AS zeros
+        FROM p17_regs GROUP BY source),
+      p17_fin AS (
+        SELECT source, $AlphaMM * $pow2Cap.0 / num::DOUBLE AS raw, zeros FROM p17_est)
+      SELECT f.source,
+             round_even((CASE WHEN raw <= ${2.5 * M} AND zeros > 0
+               THEN $M * ln($M.0 / zeros) ELSE raw END) * 1000000.0, 0) / 1000000.0
+               AS approx_texts,
+             x.n_docs, x.exact_texts
+      FROM p17_fin f JOIN (
+        SELECT source, cast(count(*) AS BIGINT) AS n_docs,
+               cast(count(DISTINCT text) AS BIGINT) AS exact_texts
+        FROM documents GROUP BY 1) x USING (source)
+      ORDER BY f.source"""
+  }
+
+  /** Incremental corpus statistics via PERSISTED mergeable sketches —
+    * the 100 TB dashboard shape: each ingest batch writes one tiny
+    * (source, hll_sketch bytes, count) row; distinct-count questions
+    * over any batch subset are then answered from the sketch table
+    * alone, never rescanning raw text. Here three simulated ingest
+    * batches build per-source sketches of xxhash64(text); hll_union +
+    * hll_estimate fold them and land EXACTLY on the direct aggregate
+    * (register max is associative/commutative/idempotent — HllSpec
+    * pins sketch∘union ≡ direct including a parquet round-trip, plus
+    * replay-idempotence). Estimate shown next to the exact count. */
+  val p17_incremental_stats = QueryDef(
+    "p17_incremental_stats",
+    (s, dir) => {
+      import graft.functions.expressions.{HllEstimate, HllSketch, HllUnion}
+      val docs = Tables(s, dir).documents
+      val batchSketches = (0 until 3)
+        .map { b =>
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .groupBy(col("source"))
+            .agg(
+              HllSketch(xxhash64(col("text"))).as("sk"),
+              count(lit(1)).as("bn"))
+        }
+        .reduce(_.unionByName(_))
+      val exact = docs.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("exact_texts"))
+      batchSketches
+        .groupBy(col("source"))
+        .agg(
+          HllEstimate(HllUnion(col("sk"))).as("approx_texts"),
+          sum(col("bn")).as("n_docs"))
+        .join(exact, Seq("source"))
+        .orderBy(col("source"))
+    },
+    Some(p17Oracle))
+
   /** Hashed linear quality model ([[graft.operators.Scoring
     * .hashedLinearScore]]): the fastText/CCNet-style model-scored
     * quality filter — hashing-trick buckets, closed-form weights,
@@ -2904,5 +2988,6 @@ $langScoreCols
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,
     p11_incremental_dedup_append, p12_pack_tokens, p13_dsir,
     p14_shuffle_shards, p15_incremental_dedup_purge, p16_cluster_split,
+    p17_incremental_stats,
     g01_pagerank, g02_ppr)
 }
