@@ -116,6 +116,9 @@ object GraftFunctions {
     ("cms_sketch",
       "cms_sketch(long) - Count-Min frequency sketch, array<long> of DxW counters (aggregate)",
       arity("cms_sketch", 1)({ case Seq(c) => CmsSketch(c).toAggregateExpression() })),
+    ("cms_union",
+      "cms_union(array<long>) - sum-merge of persisted cms_sketch states (aggregate; NOT replay-idempotent)",
+      arity("cms_union", 1)({ case Seq(c) => CmsUnion(c).toAggregateExpression() })),
     ("cms_estimate",
       "cms_estimate(sketch, long) - Count-Min point frequency estimate (est >= exact)",
       arity("cms_estimate", 2)({ case Seq(s, v) => CmsEstimate(s, v) })),
@@ -123,6 +126,9 @@ object GraftFunctions {
       "bloom_agg(long, numBits, numHashes) - Bloom filter bytes over the group (aggregate)",
       arity("bloom_agg", 3)({ case Seq(c, m, k) =>
         BloomAgg(c, intArg(m, "numBits"), intArg(k, "numHashes")).toAggregateExpression() })),
+    ("bloom_union",
+      "bloom_union(binary) - OR-merge of persisted bloom_agg filters (aggregate; idempotent)",
+      arity("bloom_union", 1)({ case Seq(c) => BloomUnion(c).toAggregateExpression() })),
     ("bloom_might_contain",
       "bloom_might_contain(filterBytes, long, numHashes) - membership probe (no false negatives)",
       arity("bloom_might_contain", 3)({ case Seq(b, v, k) =>

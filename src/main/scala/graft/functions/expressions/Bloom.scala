@@ -107,6 +107,65 @@ case class BloomMightContain(left: Expression, right: Expression, numHashes: Int
   override def prettyName: String = "bloom_might_contain"
 }
 
+/** Union aggregate over PERSISTED [[BloomAgg]] filter bytes: bytewise
+  * OR — associative, commutative, IDEMPOTENT (a replayed batch re-ORs
+  * the same bits), so incremental filter maintenance tolerates replays
+  * with no extra fencing. All inputs must share one size (the `m` of
+  * the build); the first non-null sketch fixes it, a mismatch is a
+  * hard error. Empty group evaluates to an empty filter (0 bytes) —
+  * nothing was ever inserted, so `might_contain` over it would be
+  * meaningless; callers gate on it like an empty relation. */
+case class BloomUnion(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with ImplicitCastInputTypes
+  with UnaryLike[Expression] {
+
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_union"
+
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def orInto(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (b.isEmpty) a
+    else if (a.isEmpty) b.clone()
+    else {
+      require(a.length == b.length,
+        s"bloom filters must share one size, got ${a.length} vs ${b.length} bytes")
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+
+  override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
+    val v = child.eval(row)
+    if (v != null) orInto(buf, v.asInstanceOf[Array[Byte]]) else buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = orInto(a, b)
+
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomUnion =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomUnion =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomUnion =
+    copy(child = newChild)
+}
+
+object BloomUnion {
+  def apply(c: Column): Column =
+    ColumnBridge.column(
+      BloomUnion(ColumnBridge.expression(c)).toAggregateExpression())
+}
+
 object Bloom {
   /** second hash seed (first is SketchUtil.SparkSeed = 42). */
   final val Seed2: Long = 42L + 1000000007L

@@ -112,6 +112,79 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def prettyName: String = "cms_estimate"
 }
 
+/** Union aggregate over PERSISTED [[CmsSketch]] states (the
+  * `array<long>` a sketch table stores): elementwise counter ADDITION —
+  * associative and commutative, so any merge tree over any batch
+  * subset lands on the same counters as one direct aggregate (pinned
+  * in CmsSpec, parquet round-trip included). NOT idempotent: counters
+  * are sums, so a replayed ingest batch double-counts — persist
+  * per-batch sketch rows through an exactly-once committed-directory
+  * pattern ([[graft.streaming.EventStreams.corpusStatsSink]]'s `b_N` +
+  * `_SUCCESS` discipline), unlike the HLL/Bloom unions whose max/OR
+  * merges absorb replays on their own. */
+case class CmsUnion(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with ImplicitCastInputTypes
+  with UnaryLike[Expression] {
+
+  import CountMin._
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_union"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](D * W)
+
+  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      require(arr.numElements() == D * W,
+        s"cms sketch must have ${D * W} counters, got ${arr.numElements()}")
+      var i = 0
+      while (i < D * W) { buf(i) += arr.getLong(i); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < D * W) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(D * W * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](D * W)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsUnion =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsUnion =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsUnion =
+    copy(child = newChild)
+}
+
+object CmsUnion {
+  def apply(c: Column): Column =
+    ColumnBridge.column(
+      CmsUnion(ColumnBridge.expression(c)).toAggregateExpression())
+}
+
 object CountMin {
   /** depth: independent hash rows (error probability ~ e^-D). */
   final val D = 4

@@ -748,6 +748,60 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming face of the incremental-statistics pattern (p17): each
+    * micro-batch REDUCES to one tiny row per group — persisted HLL
+    * register bytes ([[graft.functions.expressions.HllSketch]]) of the
+    * text hash, plus exact doc/token counts — written to the idempotent
+    * `b_<batchId>` directory. Raw text is read exactly once, at ingest;
+    * every later distinct-count/volume question is answered from the
+    * sketch table alone ([[corpusStats]]), never rescanning a byte of
+    * corpus. Because HLL union is a register max (associative,
+    * commutative, idempotent), the estimate over ANY committed-batch
+    * subset is EXACTLY what a direct aggregate over those batches'
+    * documents would return — batch ≡ stream pinned in StreamingSpec.
+    * Counts are sums, so exactly-once matters for them: same `_SUCCESS`
+    * gating as every append sink here. Per-trigger output is
+    * |groups| rows of ~300 bytes — the 100 TB dashboard costs one
+    * aggregation of the micro-batch, nothing downstream. */
+  def corpusStatsSink(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      targetPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .groupBy(col(groupCol))
+          .agg(
+            graft.functions.expressions.HllSketch(
+              xxhash64(col(textCol))).as("sk"),
+            count(lit(1)).as("n_docs"),
+            sum(graft.functions.TextFunctions.tokenCount(col(textCol))
+              .cast("long")).as("n_tokens"))
+          .write.mode("overwrite")
+          .parquet(f"$targetPath/b_$batchId%012d")
+      }
+      .start()
+
+  /** Fold a [[corpusStatsSink]] target into the live per-group
+    * dashboard: union the persisted sketches, estimate, sum the exact
+    * counts. Reads only committed batch directories (sketch rows, not
+    * corpus). */
+  def corpusStats(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      groupCol: String): DataFrame =
+    committedBatches(spark, targetPath)
+      .groupBy(col(groupCol))
+      .agg(
+        graft.functions.expressions.HllEstimate(
+          graft.functions.expressions.HllUnion(col("sk")))
+          .as("approx_distinct_texts"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+
   /** Streaming probe face of the PERSISTED span index (d18's
     * [[graft.operators.Dedup.probeSpanIndex]] per micro-batch): each
     * trigger reports which parts of its documents already exist

@@ -82,4 +82,32 @@ class BloomSpec extends SparkSpec {
       Joins.bloomPrunedJoin(Seq("o_orderkey"))(lineitem, badDim)
     }
   }
+
+  // ---------------- persisted union ----------------
+
+  test("filter-per-batch + bloom_union == direct filter, byte-exact; idempotent") {
+    import graft.functions.expressions.BloomUnion
+    val keys = (1L to 2000L).map(_ * 2654435761L)
+    val m = 1 << 12
+    val direct = keys.toDF("v")
+      .agg(Bloom.agg(col("v"), m).as("bf")).head.getAs[Array[Byte]](0).toSeq
+    val perBatch = keys.zipWithIndex
+      .map { case (v, i) => (i % 4, v) }.toDF("b", "v")
+      .groupBy(col("b")).agg(Bloom.agg(col("v"), m).as("bf"))
+    val unioned = perBatch
+      .agg(BloomUnion(col("bf"))).head.getAs[Array[Byte]](0).toSeq
+    assert(unioned == direct)
+    // OR is idempotent: replaying every batch changes nothing
+    val replayed = perBatch.unionByName(perBatch)
+      .agg(BloomUnion(col("bf"))).head.getAs[Array[Byte]](0).toSeq
+    assert(replayed == direct)
+  }
+
+  test("bloom_union rejects mismatched filter sizes; empty group is empty") {
+    import graft.functions.expressions.BloomUnion
+    val mixed = Seq(new Array[Byte](16), new Array[Byte](32)).toDF("bf")
+    intercept[Exception](mixed.agg(BloomUnion(col("bf"))).head)
+    val empty = Seq.empty[Array[Byte]].toDF("bf")
+    assert(empty.agg(BloomUnion(col("bf"))).head.getAs[Array[Byte]](0).isEmpty)
+  }
 }

@@ -55,4 +55,51 @@ class CmsSpec extends SparkSpec {
     val rowSum = sk.slice(0, CountMin.W).sum
     assert(rowSum == skewed.length.toLong)
   }
+
+  // ---------------- persisted union ----------------
+
+  test("sketch-per-batch + cms_union == direct aggregate, counter-exact") {
+    import graft.functions.expressions.CmsUnion
+    val direct = skewed.toDF("v").agg(CountMin.sketch(col("v")))
+      .head.getSeq[Long](0)
+    val unioned = skewed.zipWithIndex
+      .map { case (v, i) => (i % 5, v) }.toDF("b", "v")
+      .groupBy(col("b")).agg(CountMin.sketch(col("v")).as("sk"))
+      .agg(CmsUnion(col("sk"))).head.getSeq[Long](0)
+    assert(unioned == direct)
+    // estimates from the unioned counters match too
+    val est = Seq(unioned.toArray).toDF("sk")
+      .select(CountMin.estimate(col("sk"), lit(50L))).head.getLong(0)
+    val estDirect = Seq(direct.toArray).toDF("sk")
+      .select(CountMin.estimate(col("sk"), lit(50L))).head.getLong(0)
+    assert(est == estDirect && est >= 50L)
+  }
+
+  test("cms_union survives a parquet round-trip") {
+    import graft.functions.expressions.CmsUnion
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val direct = skewed.toDF("v").agg(CountMin.sketch(col("v")))
+      .head.getSeq[Long](0)
+    skewed.zipWithIndex.map { case (v, i) => (i % 3, v) }.toDF("b", "v")
+      .groupBy(col("b")).agg(CountMin.sketch(col("v")).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir)
+      .agg(CmsUnion(col("sk"))).head.getSeq[Long](0)
+    assert(got == direct)
+  }
+
+  test("cms_union is NOT replay-idempotent — counters double (documented)") {
+    import graft.functions.expressions.CmsUnion
+    val sk = skewed.toDF("v").agg(CountMin.sketch(col("v")).as("sk"))
+    val once = sk.agg(CmsUnion(col("sk"))).head.getSeq[Long](0)
+    val twice = sk.unionByName(sk).agg(CmsUnion(col("sk"))).head.getSeq[Long](0)
+    assert(twice == once.map(_ * 2),
+      "sum-merge must double on replay — exactly-once commits are the fence")
+  }
+
+  test("cms_union rejects a malformed counter length") {
+    import graft.functions.expressions.CmsUnion
+    val bad = Seq(Array(1L, 2L, 3L)).toDF("sk")
+    intercept[Exception](bad.agg(CmsUnion(col("sk"))).head)
+  }
 }

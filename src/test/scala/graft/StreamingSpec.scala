@@ -164,6 +164,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == batch.size && streamed == batch)
   }
 
+  test("corpusStatsSink: streamed sketch rows fold to the direct batch aggregate") {
+    val docs = Tables(spark, sf0001).documents
+    // stream the corpus file-by-file -> several real micro-batches
+    val src = Files.createTempDirectory("graft-stats-src").toString
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val target = Files.createTempDirectory("graft-stats-out").toString
+    val q = EventStreams.corpusStatsSink(
+      stream, "source", "text", target, checkpoint())
+    try q.processAllAvailable() finally q.stop()
+    // several batches actually committed (sketch rows, not corpus rows)
+    val nBatches = EventStreams.committedBatches(spark, target)
+      .select(input_file_name()).distinct().count()
+    assert(nBatches >= 2, s"wanted >=2 committed micro-batches, got $nBatches")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    val streamed = canon(EventStreams.corpusStats(spark, target, "source"))
+    val direct = canon(
+      docs.groupBy(col("source"))
+        .agg(
+          graft.functions.expressions.HllEstimate(
+            graft.functions.expressions.HllSketch(xxhash64(col("text"))))
+            .as("approx_distinct_texts"),
+          count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long")).as("n_tokens")))
+    // register max is associative/commutative/idempotent: the folded
+    // sketch estimate is EXACTLY the direct one; counts sum exactly
+    assert(streamed == direct)
+  }
+
   test("dedupProbeSink: streamed micro-batches equal the batch probe (p10 fixture)") {
     val docs = Tables(spark, sf0001).documents
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
