@@ -1914,7 +1914,11 @@ $langScoreCols
     * the batch split. Any incremental-path divergence (a dropped batch,
     * a double-count that register max should absorb, byte-order damage
     * in the persisted state) breaks the hash compare. */
-  private val p17Oracle: String = {
+  /** The HLL register-replay CTE chain (q51's pipeline, parameterized):
+    * per `source`, the exact estimate Spark's register algebra yields
+    * over xxhash64(text) — shared by p17 and p18. Emits a CTE named
+    * `<tag>_fin(source, approx)`. */
+  private def hllReplayCtes(tag: String): String = {
     import graft.functions.expressions.HllDistinct
     import graft.functions.expressions.HllDistinct.{AlphaMM, M, RhoCap}
     val pw = (0 to RhoCap).map(k => (BigInt(1) << k).toString)
@@ -1923,35 +1927,39 @@ $langScoreCols
       .map(k => s"WHEN w >= ${(BigInt(1) << k).toString} THEN ${64 - HllDistinct.P - k}")
       .mkString("CASE ", " ", s" ELSE $RhoCap END")
     val pow2Cap = s"${(BigInt(1) << RhoCap).toString}"
-    s"""
-      WITH p17_h AS (
+    s"""${tag}_h AS (
         SELECT DISTINCT source, ${OracleSql.xxh64Ascii("text")} AS ht FROM documents),
-      p17_hh AS (
-        SELECT source, ${OracleSql.xxh64Long("ht")} AS hu FROM p17_h),
-      p17_r0 AS (
-        SELECT source, (hu % $M)::INT AS idx, (hu // $M) AS w FROM p17_hh),
-      p17_rr AS (
-        SELECT source, idx, $rhoCase AS rho FROM p17_r0),
-      p17_regs AS (
-        SELECT source, idx, max(rho) AS reg FROM p17_rr GROUP BY 1, 2),
-      p17_est AS (
+      ${tag}_hh AS (
+        SELECT source, ${OracleSql.xxh64Long("ht")} AS hu FROM ${tag}_h),
+      ${tag}_r0 AS (
+        SELECT source, (hu % $M)::INT AS idx, (hu // $M) AS w FROM ${tag}_hh),
+      ${tag}_rr AS (
+        SELECT source, idx, $rhoCase AS rho FROM ${tag}_r0),
+      ${tag}_regs AS (
+        SELECT source, idx, max(rho) AS reg FROM ${tag}_rr GROUP BY 1, 2),
+      ${tag}_est AS (
         SELECT source,
                (sum(($pw)[${RhoCap + 1} - reg]) + ($M - count(*)) * $pow2Cap::HUGEINT) AS num,
                ($M - count(*)) AS zeros
-        FROM p17_regs GROUP BY source),
-      p17_fin AS (
-        SELECT source, $AlphaMM * $pow2Cap.0 / num::DOUBLE AS raw, zeros FROM p17_est)
-      SELECT f.source,
-             round_even((CASE WHEN raw <= ${2.5 * M} AND zeros > 0
-               THEN $M * ln($M.0 / zeros) ELSE raw END) * 1000000.0, 0) / 1000000.0
-               AS approx_texts,
-             x.n_docs, x.exact_texts
+        FROM ${tag}_regs GROUP BY source),
+      ${tag}_fin AS (
+        SELECT source,
+               round_even((CASE WHEN $AlphaMM * $pow2Cap.0 / num::DOUBLE <= ${2.5 * M} AND zeros > 0
+                 THEN $M * ln($M.0 / zeros)
+                 ELSE $AlphaMM * $pow2Cap.0 / num::DOUBLE END) * 1000000.0, 0) / 1000000.0
+                 AS approx
+        FROM ${tag}_est)"""
+  }
+
+  private val p17Oracle: String =
+    s"""
+      WITH ${hllReplayCtes("p17")}
+      SELECT f.source, f.approx AS approx_texts, x.n_docs, x.exact_texts
       FROM p17_fin f JOIN (
         SELECT source, cast(count(*) AS BIGINT) AS n_docs,
                cast(count(DISTINCT text) AS BIGINT) AS exact_texts
         FROM documents GROUP BY 1) x USING (source)
       ORDER BY f.source"""
-  }
 
   /** Incremental corpus statistics via PERSISTED mergeable sketches —
     * the 100 TB dashboard shape: each ingest batch writes one tiny
@@ -1988,6 +1996,55 @@ $langScoreCols
         .orderBy(col("source"))
     },
     Some(p17Oracle))
+
+  private val p18Oracle: String =
+    s"""
+      WITH ${hllReplayCtes("p18")}
+      SELECT x.source, x.n_docs, x.n_tokens, x.n_langs, x.exact_texts,
+             f.approx AS approx_norm_texts, x.min_chars, x.max_chars
+      FROM p18_fin f JOIN (
+        SELECT source,
+               cast(count(*) AS BIGINT) AS n_docs,
+               cast(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+               cast(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               cast(count(DISTINCT text) AS BIGINT) AS exact_texts,
+               cast(min(length(text)) AS BIGINT) AS min_chars,
+               cast(max(length(text)) AS BIGINT) AS max_chars
+        FROM documents GROUP BY 1) x USING (source)
+      ORDER BY x.source"""
+
+  /** The one-pass "data card": per-source volume, token mass, language
+    * spread, duplication (exact + sketch) and length envelope — the
+    * summary table a corpus release ships, produced by ONE aggregation
+    * over the corpus (every signal is a scan-local kernel or a
+    * constant-state sketch; the only exchange is the per-source
+    * partial-aggregate shuffle of ~8 groups). The approximate distinct
+    * runs over [[graft.functions.expressions.Normalize normalize_text]]
+    * — the production shape (canonicalize before counting) — and the
+    * oracle hashes the RAW text: their agreement proves the kernel is
+    * an exact identity on this clean ASCII corpus end-to-end through
+    * the distributed path (the messy-input behavior is NormalizeSpec's
+    * fixture suite). */
+  val p18_corpus_report = QueryDef(
+    "p18_corpus_report",
+    (s, dir) => {
+      import graft.functions.expressions.{HllEstimate, HllSketch}
+      val docs = Tables(s, dir).documents
+      docs
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("text")).as("exact_texts"),
+          HllEstimate(HllSketch(xxhash64(
+            graft.functions.expressions.Normalize.normalizeText(col("text")))))
+            .as("approx_norm_texts"),
+          min(length(col("text"))).cast("long").as("min_chars"),
+          max(length(col("text"))).cast("long").as("max_chars"))
+        .orderBy(col("source"))
+    },
+    Some(p18Oracle))
 
   /** Hashed linear quality model ([[graft.operators.Scoring
     * .hashedLinearScore]]): the fastText/CCNet-style model-scored
@@ -2988,6 +3045,6 @@ $langScoreCols
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,
     p11_incremental_dedup_append, p12_pack_tokens, p13_dsir,
     p14_shuffle_shards, p15_incremental_dedup_purge, p16_cluster_split,
-    p17_incremental_stats,
+    p17_incremental_stats, p18_corpus_report,
     g01_pagerank, g02_ppr)
 }
