@@ -16,9 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * regexp_replace composition needs 6+ passes over every document; this
   * is one NFC pass plus one code-point sweep):
   *
-  *  - Unicode NFC (canonical composition — `e` + U+0301 becomes `é`);
-  *    pure-ASCII rows take the `Normalizer.isNormalized` fast path and
-  *    never allocate;
+  *  - Unicode NFC (canonical composition — `e` + U+0301 becomes `é`),
+  *    applied AFTER the sweep so marks re-exposed by dropped characters
+  *    still compose (idempotence; see the in-body note); pure-ASCII
+  *    rows take the `Normalizer.isNormalized` fast path;
   *  - line breaks: `\r\n` and lone `\r` become `\n`; blank-line
   *    structure is preserved (paragraph signals matter downstream);
   *  - zero-width/format characters dropped: U+200B..U+200D ZW space/
@@ -45,9 +46,7 @@ object NormalizeUtil {
   private val ZeroWidth = Set(0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF, 0x00AD)
 
   def normalizeText(s: UTF8String): UTF8String = {
-    var str = s.toString
-    if (!java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC))
-      str = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+    val str = s.toString
     val n = str.length
     val sb = new java.lang.StringBuilder(n)
     var pendingSpace = false // deferred: emitted before the next glyph only
@@ -87,7 +86,17 @@ object NormalizeUtil {
         emitGlyph(); sb.appendCodePoint(cp)
       }
     }
-    UTF8String.fromString(sb.toString)
+    // NFC AFTER the sweep, not before: dropping a character (a control,
+    // a zero-width) can butt a combining mark against a new base — an
+    // NFC-first output would be decomposed there, breaking idempotence
+    // (caught by NormalizePropSpec). NFC never produces a character the
+    // sweep handles (canonical mappings yield letters, not separators/
+    // punctuation), so sweep-then-compose is complete; pure-ASCII
+    // results take the isNormalized fast path and never reallocate.
+    val swept = sb.toString
+    UTF8String.fromString(
+      if (java.text.Normalizer.isNormalized(swept, java.text.Normalizer.Form.NFC)) swept
+      else java.text.Normalizer.normalize(swept, java.text.Normalizer.Form.NFC))
   }
 }
 
