@@ -80,6 +80,71 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) in the same quantized
+    * integer space: hubs point AT quality, authorities ARE pointed at —
+    * on a curation graph (site → document, citing → cited) the two
+    * scores separate good CURATORS from good CONTENT, the signal pair
+    * PageRank's single score conflates. Per round (max-normalized HITS,
+    * the integer-friendly variant — determinism is the contract, and
+    * normalizing by the max keeps every score in [0, scale]):
+    *
+    *   auth'(v) = (Σ_{u→v} hub(u)) × scale div max_v(Σ hub)
+    *   hub'(u)  = (Σ_{u→v} auth'(v)) × scale div max_u(Σ auth')
+    *
+    * All sums are exact longs, both divisions truncate identically in
+    * Spark (`div`) and DuckDB (`//`), so every round replays
+    * bit-for-bit in the oracle. Nodes with no in-edges score auth 0,
+    * no out-edges hub 0 — exact zeros, usable as selection predicates.
+    *
+    * Scale shape per round: two edge-keyed joins + two keyed long
+    * aggregations (map-side partials; scores never ride an edge more
+    * than once per direction), two bounded driver scalars (the maxima),
+    * and the same per-round `localCheckpoint` lineage cut as
+    * [[pagerankQuantized]]. Overflow headroom: scores ≤ scale, so a
+    * round's raw sum ≤ degree×scale and the scaled product needs
+    * degree×scale² < 2^63 — at the default 10^6 scale that is a 9×10^6
+    * max in-degree; renormalizing each half-round keeps it there. */
+  def hitsQuantized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 0 && scale > 0, s"bad hits params: iters=$iters scale=$scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+
+    var scores = nodes
+      .select(col("node"), lit(scale).as("hub"), lit(0L).as("auth"))
+    for (_ <- 0 until iters) {
+      val authRaw = e.join(scores, e("src") === scores("node"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("__a"))
+      val maxA = authRaw.agg(coalesce(max(col("__a")), lit(0L)))
+        .collect()(0).getLong(0)
+      val auth = nodes
+        .join(authRaw, nodes("node") === authRaw("dst"), "left")
+        .select(col("node"),
+          (if (maxA == 0L) lit(0L)
+           else expr(s"coalesce(__a, 0L) * ${scale}L div ${maxA}L")).as("auth"))
+      val hubRaw = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("__h"))
+      val maxH = hubRaw.agg(coalesce(max(col("__h")), lit(0L)))
+        .collect()(0).getLong(0)
+      scores = nodes
+        .join(hubRaw, nodes("node") === hubRaw("src"), "left")
+        .select(col("node"),
+          (if (maxH == 0L) lit(0L)
+           else expr(s"coalesce(__h, 0L) * ${scale}L div ${maxH}L")).as("hub"))
+        .join(auth, Seq("node"))
+        .select(col("node"), col("hub"), col("auth"))
+        .localCheckpoint(true)
+    }
+    scores
+  }
+
   /** PERSONALIZED PageRank (Haveliwala 2002): teleport and dangling
     * mass return ONLY to the seed set, so rank measures proximity to
     * the seeds rather than global centrality — the seed-expansion

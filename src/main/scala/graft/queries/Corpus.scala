@@ -2196,6 +2196,65 @@ $langScoreCols
     },
     Some(pprOracle(iters = 3, scale = 1000000L, num = 85, den = 100)))
 
+  /** Exact oracle for g03: DuckDB replays quantized max-normalized HITS
+    * verbatim — per round one dst-keyed hub sum, its max as a scalar,
+    * truncating renormalization, then the same mirrored for hubs; `//`
+    * equals Spark's `div` on these non-negative longs. */
+  private def hitsOracle(iters: Int, scale: Long): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""
+      ar$i AS MATERIALIZED (
+        SELECT dst AS node, cast(sum(h) AS BIGINT) AS a
+        FROM e JOIN s${i - 1} ON e.src = s${i - 1}.node GROUP BY 1),
+      am$i AS MATERIALIZED (SELECT coalesce(max(a), 0) AS m FROM ar$i),
+      a$i AS MATERIALIZED (
+        SELECT nodes.node,
+               CASE WHEN (SELECT m FROM am$i) = 0 THEN cast(0 AS BIGINT)
+                    ELSE cast(coalesce(ar$i.a, 0) * $scale // (SELECT m FROM am$i) AS BIGINT)
+               END AS auth
+        FROM nodes LEFT JOIN ar$i USING (node)),
+      hr$i AS MATERIALIZED (
+        SELECT e.src AS node, cast(sum(auth) AS BIGINT) AS hr
+        FROM e JOIN a$i ON e.dst = a$i.node GROUP BY 1),
+      hm$i AS MATERIALIZED (SELECT coalesce(max(hr), 0) AS m FROM hr$i),
+      s$i AS MATERIALIZED (
+        SELECT nodes.node,
+               CASE WHEN (SELECT m FROM hm$i) = 0 THEN cast(0 AS BIGINT)
+                    ELSE cast(coalesce(hr$i.hr, 0) * $scale // (SELECT m FROM hm$i) AS BIGINT)
+               END AS h,
+               a$i.auth AS a
+        FROM nodes LEFT JOIN hr$i USING (node) JOIN a$i USING (node))"""
+    }.mkString(",")
+    s"""
+      WITH e AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      s0 AS (SELECT node, cast($scale AS BIGINT) AS h, cast(0 AS BIGINT) AS a
+             FROM nodes),$rounds
+      SELECT node, h AS hub, a AS auth FROM s$iters ORDER BY node"""
+  }
+
+  /** HITS hubs & authorities ([[graft.operators.Graph.hitsQuantized]])
+    * over the same trade graph as g01: hub score separates good
+    * CURATORS (customers, who only point) from good CONTENT (suppliers,
+    * who are only pointed at — the graph is bipartite, so each side's
+    * other score is exactly 0, which the oracle confirms row by row).
+    * Quantized max-normalized rounds, bit-for-bit DuckDB replay. */
+  val g03_hits = QueryDef(
+    "g03_hits",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val orders = t.orders
+      val li = t.lineitem
+      val edges = orders
+        .join(li, orders("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.operators.Graph.hitsQuantized(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    },
+    Some(hitsOracle(iters = 3, scale = 1000000L)))
+
   /** Exact oracle for d10: DuckDB replays quantized k-means verbatim —
     * same 1e6 grid, integer distances via list_reduce, argmin with the
     * cluster-id tie-break, truncating-integer-mean update — with the
@@ -3046,5 +3105,5 @@ $langScoreCols
     p11_incremental_dedup_append, p12_pack_tokens, p13_dsir,
     p14_shuffle_shards, p15_incremental_dedup_purge, p16_cluster_split,
     p17_incremental_stats, p18_corpus_report,
-    g01_pagerank, g02_ppr)
+    g01_pagerank, g02_ppr, g03_hits)
 }

@@ -97,4 +97,55 @@ class GraphSpec extends SparkSpec {
     val total = got.values.sum
     assert(total <= 4L * 1000000L && total > 4L * 1000000L - 100L)
   }
+
+  // ---------------- HITS ----------------
+
+  test("hitsQuantized matches the hand-computed star graph") {
+    // a->b, a->c, d->b at scale 100, 1 round:
+    //   auth raw: b = h(a)+h(d) = 200, c = h(a) = 100; max 200
+    //   auth: b = 100, c = 100*100 div 200 = 50; hubs a,d = 0 auth
+    //   hub raw: a = auth(b)+auth(c) = 150, d = auth(b) = 100; max 150
+    //   hub: a = 100, d = 100*100 div 150 = 66
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val got = Graph.hitsQuantized(e, "src", "dst", iters = 1, scale = 100L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (100L, 0L), 2L -> (66L, 0L),
+      10L -> (0L, 100L), 11L -> (0L, 50L)), got.toString)
+  }
+
+  test("hitsQuantized invariants on the trade graph: bipartite zeros, bounds, stability") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val ord = t.orders
+    val li = t.lineitem
+    val ed = ord
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.hitsQuantized(df, "src", "dst", iters = 2)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = run(ed)
+    assert(got.nonEmpty)
+    got.foreach { case (node, (hub, auth)) =>
+      assert(hub >= 0L && hub <= 1000000L && auth >= 0L && auth <= 1000000L)
+      // bipartite: customers (even) never receive, suppliers (odd) never point
+      if (node % 2 == 0) assert(auth == 0L, s"customer $node has auth")
+      else assert(hub == 0L, s"supplier $node has hub")
+    }
+    // max-normalization: some hub and some auth hit scale exactly
+    assert(got.values.exists(_._1 == 1000000L) && got.values.exists(_._2 == 1000000L))
+    // pure function of the graph: repartition/duplicate edges change nothing
+    assert(run(ed.repartition(7).union(ed)) == got)
+  }
+
+  test("hitsQuantized: iters=0 and empty-graph degenerate cases") {
+    val e = Seq((1L, 10L)).toDF("src", "dst")
+    val zero = Graph.hitsQuantized(e, "src", "dst", iters = 0, scale = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(zero == Map(1L -> (100L, 0L), 10L -> (100L, 0L))) // init state
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.hitsQuantized(empty, "src", "dst", iters = 2).count() == 0L)
+  }
 }
