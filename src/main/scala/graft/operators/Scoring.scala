@@ -33,6 +33,137 @@ object Scoring {
   def defaultWeights(bucket: Column): Column =
     ((bucket * 37 + 11) % 101 - 50).cast("double") / 100.0
 
+  /** One-pass EXACT ridge regression over hashed bag-of-words counts —
+    * the distillation trainer: fit a linear probe that predicts an
+    * expensive per-document score (a model judge, an LM perplexity —
+    * any label quantized to a long) from `dim` hashed token-count
+    * features, so the cheap probe can score the other 99.99% of a
+    * 100 TB corpus as a zero-shuffle projection ([[probeScore]]).
+    *
+    * Training cost at any scale is ONE aggregation pass: the normal
+    * equations need only `X^T X` (dim+1 × dim+2 / 2 distinct entries)
+    * and `X^T y` — every entry an exact integer sum of products of
+    * token counts, accumulated map-side and merged order-free. The
+    * driver then solves `(X^T X + λI) w = X^T y` in EXACT RATIONAL
+    * arithmetic (BigInt fractions, deterministic pivoting — no float
+    * elimination, no order sensitivity, identical on every run and
+    * cluster) and rounds each weight to 9 decimals. No gradient
+    * descent, no epochs, no learning rate: for a linear model the
+    * one-pass closed form IS the optimum.
+    *
+    * Returned weights: indices 0..dim-1 per bucket, index dim = the
+    * intercept, as decimal STRINGS — parseable to identical doubles by
+    * Spark and DuckDB, so downstream scoring replays bit-for-bit.
+    * `lambda` > 0 makes the system symmetric positive definite
+    * (always solvable) in count² units. */
+  def fitRidgeProbe(
+      docs: DataFrame,
+      textCol: String,
+      label: Column,
+      dim: Int = 16,
+      lambda: Long = 1L): Array[String] = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two; got $dim")
+    require(lambda > 0, s"lambda must be positive, got $lambda")
+    val n = dim + 1 // + intercept
+    val feats = featureCounts(docs, textCol, dim)
+      .withColumn("__y", label.cast("long"))
+    val sums: Seq[Column] =
+      (for { i <- 0 until n; j <- i until n }
+        yield sum(fx(i, dim) * fx(j, dim)).as(s"a_${i}_$j")) ++
+        (0 until n).map(i => sum(fx(i, dim) * col("__y")).as(s"b_$i"))
+    val row = feats.agg(sums.head, sums.tail: _*).collect()(0)
+    val a = Array.tabulate(n, n) { (i, j) =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      val v = BigInt(row.getAs[Long](s"a_${lo}_$hi"))
+      if (i == j) v + BigInt(lambda) else v
+    }
+    val b = Array.tabulate(n)(i => BigInt(row.getAs[Long](s"b_$i")))
+    solveExactRational(a, b).map(_.bigDecimal.toPlainString)
+  }
+
+  /** bucket-count features: `__c` = array of per-bucket token counts
+    * (same bucket hash as [[hashedLinearScore]]); scan-local, the
+    * token array bound once per row. */
+  private def featureCounts(docs: DataFrame, textCol: String, dim: Int): DataFrame =
+    docs
+      .withColumn("__bs",
+        transform(TextFunctions.tokens(lower(col(textCol))),
+          t => pmod(xxhash64(t), lit(dim.toLong))))
+      .withColumn("__c",
+        array((0 until dim).map(b =>
+          size(filter(col("__bs"), x => x === b)).cast("long")): _*))
+
+  /** feature i as a column: bucket count, or the intercept's 1. */
+  private def fx(i: Int, dim: Int): Column =
+    if (i == dim) lit(1L) else element_at(col("__c"), i + 1)
+
+  /** Gaussian elimination over exact BigInt rationals with partial
+    * (max-|num/den|-free: first nonzero) pivoting — deterministic and
+    * engine-free; SPD input (ridge) never needs a row swap, the check
+    * is a safety net. Result rounded HALF_EVEN to 9 dp. */
+  private[graft] def solveExactRational(
+      a0: Array[Array[BigInt]], b0: Array[BigInt]): Array[BigDecimal] = {
+    val n = a0.length
+    case class Q(num: BigInt, den: BigInt) {
+      def norm: Q = {
+        val g = num.gcd(den)
+        val s = if (den.signum < 0) -1 else 1
+        if (g.signum == 0) Q(BigInt(0), BigInt(1))
+        else Q(num * s / g, den * s / g)
+      }
+      def -(o: Q): Q = Q(num * o.den - o.num * den, den * o.den).norm
+      def *(o: Q): Q = Q(num * o.num, den * o.den).norm
+      def /(o: Q): Q = Q(num * o.den, den * o.num).norm
+      def isZero: Boolean = num.signum == 0
+    }
+    val m = Array.tabulate(n, n)((i, j) => Q(a0(i)(j), BigInt(1)))
+    val v = Array.tabulate(n)(i => Q(b0(i), BigInt(1)))
+    for (p <- 0 until n) {
+      if (m(p)(p).isZero) {
+        val r = (p + 1 until n).find(r => !m(r)(p).isZero)
+          .getOrElse(throw new IllegalStateException("singular system"))
+        val tm = m(p); m(p) = m(r); m(r) = tm
+        val tv = v(p); v(p) = v(r); v(r) = tv
+      }
+      for (i <- p + 1 until n if !m(i)(p).isZero) {
+        val f = m(i)(p) / m(p)(p)
+        for (j <- p until n) m(i)(j) = m(i)(j) - f * m(p)(j)
+        v(i) = v(i) - f * v(p)
+      }
+    }
+    val x = new Array[Q](n)
+    for (i <- n - 1 to 0 by -1) {
+      var acc = v(i)
+      for (j <- i + 1 until n) acc = acc - m(i)(j) * x(j)
+      x(i) = acc / m(i)(i)
+    }
+    x.map(q => new java.math.BigDecimal(q.num.bigInteger)
+      .divide(new java.math.BigDecimal(q.den.bigInteger), 9,
+        java.math.RoundingMode.HALF_EVEN))
+      .map(scala.math.BigDecimal(_))
+  }
+
+  /** Score with a fitted probe: prediction = fixed-order weighted sum
+    * of the bucket counts plus intercept, rounded to 6 dp — a pure
+    * zero-shuffle projection (the whole point of distilling), bit-
+    * replayable cross-engine because the sum is a literal left-
+    * associated chain over decimal-string weights. */
+  def probeScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Array[String],
+      label: Column): DataFrame = {
+    val dim = weights.length - 1
+    val pred = (0 until dim)
+      .foldLeft(lit(0.0)) { (acc, b) =>
+        acc + lit(weights(b).toDouble) * fx(b, dim).cast("double")
+      } + lit(weights(dim).toDouble)
+    featureCounts(docs, textCol, dim)
+      .select(col(idCol), label.cast("long").as("label"),
+        round(pred, 6).as("pred"))
+  }
+
   /** (idCol, dl, quality_prob): sigmoid of the mean hashed-bag logit.
     * Empty documents score sigmoid(0) = 0.5. */
   def hashedLinearScore(

@@ -2525,6 +2525,74 @@ $langScoreCols
   @volatile private var bpeCtx
       : Option[(org.apache.spark.sql.SparkSession, String)] = None
 
+  /** Fitted probe weights per sf dir (t22): fit once, reuse for the
+    * scoring run AND the lazy oracle — the learn-once artifact shape. */
+  private val probeWeightsCache =
+    scala.collection.concurrent.TrieMap[String, Array[String]]()
+  @volatile private var probeDir: Option[String] = None
+  private def probeWeights(
+      s: org.apache.spark.sql.SparkSession, dir: String): Array[String] =
+    probeWeightsCache.getOrElseUpdate(dir,
+      graft.operators.Scoring.fitRidgeProbe(
+        Tables(s, dir).documents, "text",
+        label = tokenCount(col("text")), dim = 16, lambda = 1L))
+
+  /** Distilled linear probe, trained and applied in-pipeline
+    * ([[graft.operators.Scoring.fitRidgeProbe]]/[[graft.operators
+    * .Scoring.probeScore]]): ONE exact-integer aggregation pass builds
+    * the normal equations over 16 hashed bag-of-words count features,
+    * the driver solves them in exact BigInt rationals (λ=1 ridge, no
+    * float elimination — weights identical on every run and cluster),
+    * and scoring is a zero-shuffle projection. Label here is the token
+    * count (any long-quantized judge score slots in unchanged — the
+    * mechanics are label-independent). The oracle cannot be static —
+    * it embeds the fitted weights — so it is derived lazily: DuckDB
+    * independently replays features (same xxhash64 bucket emulation),
+    * label, and the fixed-order prediction fold under the stashed
+    * decimal weights; any training-side divergence (a wrong sum, a
+    * solver defect, nondeterministic weights) breaks the hash. */
+  val t22_linear_probe = QueryDef(
+    "t22_linear_probe",
+    (s, dir) => {
+      probeDir = Some(dir)
+      val docs = Tables(s, dir).documents
+      graft.operators.Scoring
+        .probeScore(docs, "doc_id", "text", probeWeights(s, dir),
+          label = tokenCount(col("text")))
+        .orderBy(col("doc_id"))
+    },
+    None,
+    oracleFn = Some { () =>
+      val w = probeDir.flatMap(probeWeightsCache.get).getOrElse(
+        throw new IllegalStateException("t22 oracle requested before its run"))
+      val dim = w.length - 1
+      val counts = (0 until dim)
+        .map(b => s"cast(len(list_filter(bs, __x -> __x = $b)) AS BIGINT) AS c$b")
+        .mkString(",\n               ")
+      // CAST each weight to DOUBLE: a bare decimal literal is DECIMAL
+      // in DuckDB (exact arithmetic) while Spark folds doubles — the
+      // 1-ulp drift lands across round-at-6dp boundaries at sf0.1
+      val fold = (0 until dim)
+        .map(b => s"+ cast(${w(b)} AS DOUBLE) * c$b").mkString(" ")
+      s"""
+      WITH t22_tok AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), __t -> __t <> '') AS ts
+        FROM documents),
+      t22_b AS (
+        SELECT doc_id, cast(len(ts) AS BIGINT) AS label,
+               list_transform(ts,
+                 __t -> cast((${OracleSql.xxh64Ascii("__t")}) % $dim AS BIGINT)) AS bs
+        FROM t22_tok),
+      t22_c AS (
+        SELECT doc_id, label,
+               $counts
+        FROM t22_b)
+      SELECT doc_id, label,
+             round(cast(0.0 AS DOUBLE) $fold + cast(${w(dim)} AS DOUBLE), 6) AS pred
+      FROM t22_c ORDER BY doc_id"""
+    })
+
   /** Distributed batch-greedy learning over the sf dir's documents,
     * cached per dir — the "learn ONCE, count/budget many" production
     * shape for pipeline consumers (p02). t19 deliberately bypasses this
@@ -3091,6 +3159,7 @@ $langScoreCols
     t10_chunk_overlap, t11_bm25, t12_lm_quality, t13_ngram_topk,
     t14_quality_model, t15_rule_filter, t16_inverted_index, t17_bpe_merged,
     t18_bpe_learned, t19_bpe_learned_corpus, t20_bpe_encode, t21_bigram_lm,
+    t22_linear_probe,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

@@ -34,4 +34,54 @@ class ScoringSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Scoring.hashedLinearScore(docs, "doc_id", "text", dim = 60))
   }
+
+  // ---------------- ridge probe ----------------
+
+  test("solveExactRational: exact fractions on a hand system; singular throws") {
+    // [[2,1],[1,3]] x = [3,5] -> x = (4/5, 7/5), exactly
+    val x = Scoring.solveExactRational(
+      Array(Array(BigInt(2), BigInt(1)), Array(BigInt(1), BigInt(3))),
+      Array(BigInt(3), BigInt(5)))
+    assert(x.toSeq == Seq(BigDecimal("0.800000000"), BigDecimal("1.400000000")))
+    intercept[IllegalStateException](Scoring.solveExactRational(
+      Array(Array(BigInt(0), BigInt(0)), Array(BigInt(0), BigInt(0))),
+      Array(BigInt(1), BigInt(1))))
+  }
+
+  test("fitRidgeProbe recovers an exactly-linear label up to the ridge bias") {
+    // label is a TRUE linear function of the bucket counts:
+    //   y = 3*n_tokens + 7  (every bucket has weight 3, intercept 7)
+    // with lambda=1 the solution is the least-squares optimum shrunk
+    // O(lambda) — predictions must sit within 0.5 of the labels
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "join", "scan")
+    val train = (1L to 400L).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val label = size(split(col("text"), " ")).cast("long") * 3L + 7L
+    val w = Scoring.fitRidgeProbe(train, "text", label, dim = 8, lambda = 1L)
+    assert(w.length == 9)
+    val scored = Scoring.probeScore(train, "doc_id", "text", w, label)
+      .collect()
+    scored.foreach { r =>
+      val (y, p) = (r.getLong(1), r.getDouble(2))
+      assert(math.abs(p - y) < 0.5, s"pred $p far from label $y")
+    }
+  }
+
+  test("fitRidgeProbe weights are a pure function of the data (repartition-stable)") {
+    val w1 = Scoring.fitRidgeProbe(docs, "text",
+      size(split(col("text"), " ")).cast("long"), dim = 8)
+    val w2 = Scoring.fitRidgeProbe(docs.repartition(5), "text",
+      size(split(col("text"), " ")).cast("long"), dim = 8)
+    assert(w1.toSeq == w2.toSeq)
+  }
+
+  test("fitRidgeProbe rejects bad dim and lambda") {
+    intercept[IllegalArgumentException](
+      Scoring.fitRidgeProbe(docs, "text", lit(1L), dim = 12))
+    intercept[IllegalArgumentException](
+      Scoring.fitRidgeProbe(docs, "text", lit(1L), lambda = 0L))
+  }
 }
