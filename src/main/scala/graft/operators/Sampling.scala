@@ -94,4 +94,42 @@ object Sampling {
             .partitionBy(col("shard"))
             .orderBy(h.asc, col(idCol).asc)).cast("long"))
   }
+
+  /** Materialize [[shuffleShards]]' permutation to disk — the training
+    * export: one `shard=<k>` directory per shard, rows PHYSICALLY
+    * stored in `pos` order, so any reader (a trainer's data loader, not
+    * just Spark) streams each shard file start-to-finish and sees the
+    * epoch permutation with zero further sorting. One shuffle total:
+    * the shard repartition; the per-shard order is a within-partition
+    * sort that spills, never collects. At real scale bound file sizes
+    * with `maxRecordsPerFile` — multiple files per shard stay ordered
+    * because part-file names sort in write-task order.
+    *
+    * Returns the manifest (shard, n_rows, min_pos, max_pos) read back
+    * from the COMMITTED files — n_rows == max_pos == the dense rank
+    * count, a per-shard integrity check the caller can persist next to
+    * the data. */
+  def writeTrainingShards(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      dir: String,
+      nShards: Int,
+      seed: Long = 42L,
+      maxRecordsPerFile: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val sharded = shuffleShards(df, idCol, nShards, seed)
+    sharded
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(dir)
+    // the shard= directory value re-infers as INT on read; pin long
+    df.sparkSession.read.parquet(dir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"))
+  }
 }

@@ -183,6 +183,33 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("writeTrainingShards: on-disk order IS the permutation; manifest consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = (0L until 200L).toDF("id")
+    val manifest = Sampling.writeTrainingShards(df, "id", dir, nShards = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(manifest.keySet == Set(0L, 1L, 2L, 3L))
+    manifest.foreach { case (s, (n, lo, hi)) =>
+      assert(lo == 1L && hi == n, s"shard $s manifest broken: n=$n lo=$lo hi=$hi")
+    }
+    assert(manifest.values.map(_._1).sum == 200L)
+    val expected = Sampling.shuffleShards(df, "id", 4).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos")) -> r.getAs[Long]("id"))
+      .toMap
+    (0L until 4L).foreach { s =>
+      // one small file per shard -> collect() preserves the physical
+      // row order a non-Spark reader would stream
+      val rows = spark.read.parquet(s"$dir/shard=$s").collect()
+      val poss = rows.map(_.getAs[Long]("pos")).toSeq
+      assert(poss == poss.sorted, s"shard $s not stored in pos order")
+      rows.foreach { r =>
+        assert(expected((s, r.getAs[Long]("pos"))) == r.getAs[Long]("id"),
+          s"shard $s pos ${r.getAs[Long]("pos")}: wrong row")
+      }
+    }
+  }
+
   test("clusterAwareSplit: rejects malformed bounds") {
     val docs = (0L until 10L).toDF("doc_id")
     val comps = Seq.empty[(Long, Long)].toDF("id", "comp")

@@ -877,6 +877,31 @@ class StreamingSpec extends SparkSpec {
       assert(streaming.length == docs.count())
     } finally q.stop()
   }
+
+  test("a fitted ridge probe scores a stream unchanged (train batch, serve stream)") {
+    // the distillation deployment shape: fit ONCE on a labeled batch
+    // (t22), then the probe — a pure projection — scores the live
+    // ingest stream with the exact same plan
+    val docs = Tables(spark, sf0001).documents
+    val label = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+    val w = graft.operators.Scoring.fitRidgeProbe(docs, "text", label, dim = 8)
+    val dir = Files.createTempDirectory("graft-probe-stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = graft.operators.Scoring.probeScore(stream, "doc_id", "text", w, label)
+      .writeStream.format("memory").queryName("probe_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("probe_stream").orderBy("doc_id").collect()
+      val batch = graft.operators.Scoring.probeScore(docs, "doc_id", "text", w, label)
+        .orderBy("doc_id").collect()
+      assert(streaming.toSeq == batch.toSeq && streaming.nonEmpty)
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
