@@ -122,6 +122,18 @@ object GraftFunctions {
     ("cms_estimate",
       "cms_estimate(sketch, long) - Count-Min point frequency estimate (est >= exact)",
       arity("cms_estimate", 2)({ case Seq(s, v) => CmsEstimate(s, v) })),
+    ("hist_sketch",
+      "hist_sketch(long, lo, hi, bins) - fixed-range histogram counters: persistable mergeable quantile state (aggregate)",
+      arity("hist_sketch", 4)({ case Seq(c, lo, hi, b) =>
+        HistSketch(c, longArg(lo, "lo"), longArg(hi, "hi"), intArg(b, "bins"))
+          .toAggregateExpression() })),
+    ("hist_union",
+      "hist_union(array<long>) - sum-merge of persisted hist_sketch states (aggregate; NOT replay-idempotent)",
+      arity("hist_union", 1)({ case Seq(c) => HistUnion(c).toAggregateExpression() })),
+    ("hist_quantile",
+      "hist_quantile(sketch, q_ppm, lo, hi) - lower bin edge at rank q_ppm*(n-1) div 1e6",
+      arity("hist_quantile", 4)({ case Seq(s, q, lo, hi) =>
+        HistQuantile(s, q, longArg(lo, "lo"), longArg(hi, "hi")) })),
     ("bloom_agg",
       "bloom_agg(long, numBits, numHashes) - Bloom filter bytes over the group (aggregate)",
       arity("bloom_agg", 3)({ case Seq(c, m, k) =>

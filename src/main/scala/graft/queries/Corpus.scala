@@ -1997,6 +1997,89 @@ $langScoreCols
     },
     Some(p17Oracle))
 
+  /** Exact oracle for p19: union == direct (histogram counters are
+    * sums), so the replay is blind to the batch split — recompute each
+    * document's bucket with the same truncating-integer formula,
+    * cumulative-walk each source's counters, and read the lower bin
+    * edge at each rank. */
+  private def p19Oracle(lo: Long, hi: Long, bins: Int): String = {
+    s"""
+      WITH p19_t AS (
+        SELECT source,
+               cast(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nt
+        FROM documents),
+      p19_b AS (
+        SELECT source,
+               CASE WHEN nt < $lo THEN 0
+                    WHEN nt >= $hi THEN ${bins + 1}
+                    ELSE 1 + cast((nt - $lo) * $bins // ($hi - $lo) AS INT) END AS b
+        FROM p19_t),
+      p19_c AS (
+        SELECT source, b, cast(count(*) AS BIGINT) AS c FROM p19_b GROUP BY 1, 2),
+      p19_n AS (
+        SELECT source, cast(sum(c) AS BIGINT) AS n FROM p19_c GROUP BY 1),
+      p19_cum AS (
+        SELECT source, b, sum(c) OVER (PARTITION BY source ORDER BY b) AS cum
+        FROM p19_c),
+      p19_q AS (
+        SELECT n.source, n.n, q.q,
+               (SELECT min(b) FROM p19_cum c
+                WHERE c.source = n.source
+                  AND c.cum > (q.q * (n.n - 1) // 1000000)) AS bq
+        FROM p19_n n CROSS JOIN (VALUES (500000), (900000), (990000)) q(q)),
+      p19_v AS (
+        SELECT source, n, q,
+               cast(CASE WHEN bq = 0 THEN $lo
+                         WHEN bq = ${bins + 1} THEN $hi
+                         ELSE $lo + (bq - 1) * ($hi - $lo) // $bins
+                    END AS BIGINT) AS v
+        FROM p19_q)
+      SELECT source,
+             max(CASE WHEN q = 500000 THEN v END) AS p50,
+             max(CASE WHEN q = 900000 THEN v END) AS p90,
+             max(CASE WHEN q = 990000 THEN v END) AS p99,
+             max(n) AS n_docs
+      FROM p19_v GROUP BY source ORDER BY source"""
+  }
+
+  /** Incremental QUANTILES from persisted histogram sketches
+    * ([[graft.functions.expressions.Hist]]) — the fourth member of the
+    * checkpointable-sketch family (distinct/frequency/membership/
+    * quantiles): each simulated ingest batch writes bins+2 long
+    * counters per source; medians and tails over any batch subset then
+    * come from the sketch table alone, never re-reading a document.
+    * Counter addition is associative/commutative, so batch-sketch +
+    * union is EXACTLY the direct histogram (the oracle is blind to the
+    * split); the readout is a deterministic integer cumulative walk
+    * (lower bin edge at rank — conservative, bin-width-exact, no float
+    * interpolation to drift cross-engine). */
+  val p19_incremental_quantiles = QueryDef(
+    "p19_incremental_quantiles",
+    (s, dir) => {
+      import graft.functions.expressions.Hist
+      val (qlo, qhi, qbins) = (0L, 512L, 64)
+      val docs = Tables(s, dir).documents
+      val batchSketches = (0 until 3)
+        .map { b =>
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .groupBy(col("source"))
+            .agg(Hist.sketch(
+              tokenCount(col("text")).cast("long"), qlo, qhi, qbins).as("hk"))
+        }
+        .reduce(_.unionByName(_))
+      batchSketches
+        .groupBy(col("source"))
+        .agg(Hist.union(col("hk")).as("hk"))
+        .select(
+          col("source"),
+          Hist.quantileOf(col("hk"), lit(500000L), qlo, qhi).as("p50"),
+          Hist.quantileOf(col("hk"), lit(900000L), qlo, qhi).as("p90"),
+          Hist.quantileOf(col("hk"), lit(990000L), qlo, qhi).as("p99"),
+          aggregate(col("hk"), lit(0L), (a, x) => a + x).as("n_docs"))
+        .orderBy(col("source"))
+    },
+    Some(p19Oracle(0L, 512L, 64)))
+
   private val p18Oracle: String =
     s"""
       WITH ${hllReplayCtes("p18")}
@@ -2563,8 +2646,11 @@ $langScoreCols
     },
     None,
     oracleFn = Some { () =>
-      val w = probeDir.flatMap(probeWeightsCache.get).getOrElse(
-        throw new IllegalStateException("t22 oracle requested before its run"))
+      // no stash = t22 filtered out of this Verify invocation; emit a
+      // syntactically valid zero-weight placeholder (never compared —
+      // the driver always runs the full set, which stashes first)
+      val w = probeDir.flatMap(probeWeightsCache.get)
+        .getOrElse(Array.fill(17)("0.0"))
       val dim = w.length - 1
       val counts = (0 until dim)
         .map(b => s"cast(len(list_filter(bs, __x -> __x = $b)) AS BIGINT) AS c$b")
@@ -3173,6 +3259,6 @@ $langScoreCols
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,
     p11_incremental_dedup_append, p12_pack_tokens, p13_dsir,
     p14_shuffle_shards, p15_incremental_dedup_purge, p16_cluster_split,
-    p17_incremental_stats, p18_corpus_report,
+    p17_incremental_stats, p18_corpus_report, p19_incremental_quantiles,
     g01_pagerank, g02_ppr, g03_hits)
 }
