@@ -790,6 +790,37 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTALLY fold new near-dup pairs into a persisted components
+    * relation — the clustering step of the continual-ingest loop
+    * (p09/p10 classify a batch, p11 appends it to the index; this
+    * keeps the CLUSTER view current without re-running connected
+    * components over yesterday's pair graph): collapse the old
+    * components to STAR edges (member → representative, which preserve
+    * exactly the old connectivity classes at diameter 2), union the
+    * new pairs, and run the same HashMin fixpoint.
+    *
+    * merge(CC(old), new) == CC(old ∪ new) EXACTLY (DedupSpec pins it
+    * on randomized graphs; p20 oracle-gates it on the real corpus with
+    * a replay blind to the incremental path), because min-reachable-id
+    * is determined by connectivity alone and stars preserve
+    * connectivity. Cost: the star relation is |clustered docs| rows —
+    * NOT the old pair graph, which is typically much larger and is
+    * never touched again — and iteration count is bounded by the NEW
+    * bridging structure's diameter, not the accumulated graph's. */
+  def mergeComponents(
+      oldComps: DataFrame,
+      newPairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val star = oldComps
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idA), col("comp").as(idB))
+    connectedComponents(
+      star.unionByName(newPairs.select(col(idA), col(idB))),
+      idA, idB, maxIter)
+  }
+
   /** Chunk-level exact dedup across the WHOLE corpus (the exact-substring
     * dedup pattern of Lee et al. 2022 at chunk granularity, and C4's
     * repeated-paragraph removal): split every document into disjoint

@@ -74,6 +74,40 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs).isEmpty)
   }
 
+  test("mergeComponents == full CC on randomized graphs under any old/new split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def comps(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (trial <- 1 to 5) {
+      val n = 30
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val (oldE, newE) = edges.splitAt(rnd.nextInt(edges.size + 1))
+      val full = comps(Dedup.connectedComponents(edges.toDF("id_a", "id_b")))
+      val oldC = Dedup.connectedComponents(oldE.toDF("id_a", "id_b"))
+      val merged = comps(Dedup.mergeComponents(oldC, newE.toDF("id_a", "id_b")))
+      // nodes only in dropped old-singleton positions cannot occur: every
+      // old component has >= 2 members, so stars retain all old nodes
+      assert(merged == full, s"trial $trial: merged != full CC")
+    }
+  }
+
+  test("mergeComponents with no new pairs reproduces the old components") {
+    import spark.implicits._
+    val oldC = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b"))
+    val merged = Dedup.mergeComponents(
+      oldC, Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // and a bridging pair MERGES two old components
+    val bridged = Dedup.mergeComponents(
+      oldC, Seq((3L, 7L)).toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bridged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 9L -> 1L))
+  }
+
   test("ngram jaccard pairs finds the planted pair within its block") {
     val blocked = docs.withColumn("lang", lit("en"))
     val pairs = Dedup
