@@ -222,4 +222,30 @@ object Hist {
     ColumnBridge.column(
       HistQuantile(ColumnBridge.expression(sketch),
         ColumnBridge.expression(qPpm), lo, hi))
+
+  /** Population Stability Index between two ALIGNED histogram sketches
+    * (same lo/hi/bins contract) — the production drift monitor,
+    * computed from persisted sketch tables alone: PSI = Σ_bins
+    * (pA − pB)·ln(pA/pB) with +0.5 Laplace smoothing per counter (so
+    * empty bins never divide by zero and the metric stays finite).
+    * Common operating points: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * shifted. Deterministic by the same contract as t12/t14: the sum
+    * is a LEFT FOLD in bin order (Spark `aggregate` HOF ≡ DuckDB
+    * `list_reduce`), every division/ln on identical doubles — replays
+    * exactly cross-engine at 6 dp. Zero shuffle: a pure expression
+    * over two array columns. */
+  def psi(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{aggregate => fold, _}
+    def total(c: Column): Column =
+      fold(c, lit(0L), (s, x) => s + x).cast("double")
+    val k = size(a).cast("double")
+    val na = total(a)
+    val nb = total(b)
+    val terms = zip_with(a, b, (ca, cb) => {
+      val pa = (ca.cast("double") + lit(0.5)) / (na + lit(0.5) * k)
+      val pb = (cb.cast("double") + lit(0.5)) / (nb + lit(0.5) * k)
+      (pa - pb) * log(pa / pb)
+    })
+    fold(terms, lit(0.0), (s, x) => s + x)
+  }
 }

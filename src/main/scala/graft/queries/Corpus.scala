@@ -2105,6 +2105,80 @@ $langScoreCols
     },
     Some(p19Oracle(0L, 512L, 64)))
 
+  /** Exact oracle for p21: recompute each language's full bins+2
+    * counter vector (all bins materialized, zeros included), replay
+    * the smoothed PSI terms per bin and the LEFT FOLD in bin order
+    * (list_reduce with a prepended 0.0 — the t14 pattern), 6 dp. */
+  private def p21Oracle(lo: Long, hi: Long, bins: Int): String = {
+    val k = bins + 2
+    s"""
+      WITH p21_t AS (
+        SELECT lang,
+               cast(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nt
+        FROM documents),
+      p21_bv AS (
+        SELECT lang,
+               CASE WHEN nt < $lo THEN 0
+                    WHEN nt >= $hi THEN ${bins + 1}
+                    ELSE 1 + cast((nt - $lo) * $bins // ($hi - $lo) AS INT) END AS b
+        FROM p21_t),
+      p21_cnt AS (
+        SELECT lang, b, cast(count(*) AS BIGINT) AS c FROM p21_bv GROUP BY 1, 2),
+      p21_langs AS (
+        SELECT lang, cast(count(*) AS BIGINT) AS n_docs FROM p21_t GROUP BY 1),
+      p21_bins AS (SELECT unnest(range($k)) AS b),
+      p21_full AS (
+        SELECT l.lang, bb.b, coalesce(c.c, 0) AS c
+        FROM p21_langs l CROSS JOIN p21_bins bb
+        LEFT JOIN p21_cnt c ON c.lang = l.lang AND c.b = bb.b),
+      p21_vec AS (
+        SELECT lang, list(c ORDER BY b) AS v, cast(sum(c) AS DOUBLE) AS n
+        FROM p21_full GROUP BY lang),
+      p21_en AS (SELECT v AS ev, n AS en FROM p21_vec WHERE lang = 'en'),
+      p21_terms AS (
+        SELECT lang, p21_vec.n,
+               list_transform(range($k), __i ->
+                 ((v[__i + 1] + 0.5) / (p21_vec.n + 0.5 * $k)
+                   - (ev[__i + 1] + 0.5) / (en + 0.5 * $k))
+                 * ln(((v[__i + 1] + 0.5) / (p21_vec.n + 0.5 * $k))
+                      / ((ev[__i + 1] + 0.5) / (en + 0.5 * $k)))) AS ts
+        FROM p21_vec CROSS JOIN p21_en)
+      SELECT t.lang, l.n_docs,
+             round(list_reduce(list_prepend(0.0, ts), (__s, __x) -> __s + __x), 6)
+               AS psi
+      FROM p21_terms t JOIN p21_langs l USING (lang)
+      ORDER BY t.lang"""
+  }
+
+  /** Distribution DRIFT between corpus slices from sketch tables alone
+    * ([[graft.functions.expressions.Hist.psi]]): the Population
+    * Stability Index of each language's token-count histogram against
+    * the English baseline — the monitoring metric a production
+    * pipeline computes between days/sources/snapshots WITHOUT
+    * re-reading documents (union each side's persisted sketches first,
+    * then one pure expression over two counter arrays; here the
+    * sketches are built in-query). Smoothed, left-fold-deterministic,
+    * 6 dp — replayed exactly by DuckDB. */
+  val p21_drift_psi = QueryDef(
+    "p21_drift_psi",
+    (s, dir) => {
+      import graft.functions.expressions.Hist
+      val (qlo, qhi, qbins) = (0L, 512L, 64)
+      val docs = Tables(s, dir).documents
+      val sk = docs.groupBy(col("lang"))
+        .agg(
+          Hist.sketch(tokenCount(col("text")).cast("long"), qlo, qhi, qbins)
+            .as("hk"),
+          count(lit(1)).as("n_docs"))
+      val en = sk.filter(col("lang") === "en").select(col("hk").as("__ehk"))
+      sk.crossJoin(broadcast(en))
+        .select(
+          col("lang"), col("n_docs"),
+          round(Hist.psi(col("hk"), col("__ehk")), 6).as("psi"))
+        .orderBy(col("lang"))
+    },
+    Some(p21Oracle(0L, 512L, 64)))
+
   private val p18Oracle: String =
     s"""
       WITH ${hllReplayCtes("p18")}
@@ -3291,6 +3365,6 @@ $langScoreCols
     p11_incremental_dedup_append, p12_pack_tokens, p13_dsir,
     p14_shuffle_shards, p15_incremental_dedup_purge, p16_cluster_split,
     p17_incremental_stats, p18_corpus_report, p19_incremental_quantiles,
-    p20_incremental_clusters,
+    p20_incremental_clusters, p21_drift_psi,
     g01_pagerank, g02_ppr, g03_hits)
 }

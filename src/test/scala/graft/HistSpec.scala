@@ -77,6 +77,21 @@ class HistSpec extends SparkSpec {
     assert(got == direct.head.getSeq[Long](0))
   }
 
+  test("psi: zero on identical sketches, symmetric, positive under shift") {
+    val a = vals.toDF("v").agg(Hist.sketch(col("v"), 0L, 100L, 20).as("hk"))
+      .head.getSeq[Long](0).toArray
+    val shifted = vals.map(v => math.min(99L, v + 30L))
+    val b = shifted.toDF("v").agg(Hist.sketch(col("v"), 0L, 100L, 20).as("hk"))
+      .head.getSeq[Long](0).toArray
+    def psiOf(x: Array[Long], y: Array[Long]): Double =
+      Seq((x, y)).toDF("a", "b")
+        .select(Hist.psi(col("a"), col("b"))).head.getDouble(0)
+    assert(psiOf(a, a) == 0.0)
+    val d = psiOf(a, b)
+    assert(d > 0.25, s"a 30-bucket shift must read as 'shifted', got $d")
+    assert(psiOf(b, a) == d, "PSI must be symmetric")
+  }
+
   test("mismatched binning rejected; bad params rejected; SQL faces work") {
     val mixed = Seq(Array.fill(12)(1L), Array.fill(6)(1L)).toDF("hk")
     intercept[Exception](mixed.agg(Hist.union(col("hk"))).head)
