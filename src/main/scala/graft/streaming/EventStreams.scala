@@ -763,6 +763,14 @@ object EventStreams {
     * gating as every append sink here. Per-trigger output is
     * |groups| rows of ~300 bytes — the 100 TB dashboard costs one
     * aggregation of the micro-batch, nothing downstream. */
+  /** Histogram binning the stats sink uses for per-document token
+    * counts — FROZEN by contract: sketches from every batch and every
+    * day must stay mergeable, so the binning comes from domain
+    * knowledge, never from the data. */
+  final val StatsHistLo = 0L
+  final val StatsHistHi = 4096L
+  final val StatsHistBins = 256
+
   def corpusStatsSink(
       docs: DataFrame,
       groupCol: String,
@@ -772,35 +780,45 @@ object EventStreams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val nt = graft.functions.TextFunctions
+          .tokenCount(col(textCol)).cast("long")
         batch
           .groupBy(col(groupCol))
           .agg(
             graft.functions.expressions.HllSketch(
               xxhash64(col(textCol))).as("sk"),
+            graft.functions.expressions.Hist.sketch(
+              nt, StatsHistLo, StatsHistHi, StatsHistBins).as("hk"),
             count(lit(1)).as("n_docs"),
-            sum(graft.functions.TextFunctions.tokenCount(col(textCol))
-              .cast("long")).as("n_tokens"))
+            sum(nt).as("n_tokens"))
           .write.mode("overwrite")
           .parquet(f"$targetPath/b_$batchId%012d")
       }
       .start()
 
   /** Fold a [[corpusStatsSink]] target into the live per-group
-    * dashboard: union the persisted sketches, estimate, sum the exact
-    * counts. Reads only committed batch directories (sketch rows, not
-    * corpus). */
+    * dashboard: union the persisted sketches, estimate + read token-
+    * length quantiles, sum the exact counts. Reads only committed
+    * batch directories (sketch rows, not corpus); the unioned `hk`
+    * rides along so callers can probe further quantiles or compute
+    * [[graft.functions.expressions.Hist.psi]] drift between targets. */
   def corpusStats(
       spark: org.apache.spark.sql.SparkSession,
       targetPath: String,
-      groupCol: String): DataFrame =
+      groupCol: String): DataFrame = {
+    import graft.functions.expressions.{Hist, HllEstimate, HllUnion}
     committedBatches(spark, targetPath)
       .groupBy(col(groupCol))
       .agg(
-        graft.functions.expressions.HllEstimate(
-          graft.functions.expressions.HllUnion(col("sk")))
-          .as("approx_distinct_texts"),
+        HllEstimate(HllUnion(col("sk"))).as("approx_distinct_texts"),
+        Hist.union(col("hk")).as("hk"),
         sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("p50_tokens",
+        Hist.quantileOf(col("hk"), lit(500000L), StatsHistLo, StatsHistHi))
+      .withColumn("p90_tokens",
+        Hist.quantileOf(col("hk"), lit(900000L), StatsHistLo, StatsHistHi))
+  }
 
   /** Streaming probe face of the PERSISTED span index (d18's
     * [[graft.operators.Dedup.probeSpanIndex]] per micro-batch): each

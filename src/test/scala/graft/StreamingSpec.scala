@@ -184,17 +184,27 @@ class StreamingSpec extends SparkSpec {
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .orderBy("source").collect().map(_.toSeq).toSeq
     val streamed = canon(EventStreams.corpusStats(spark, target, "source"))
+    val nt = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
     val direct = canon(
       docs.groupBy(col("source"))
         .agg(
           graft.functions.expressions.HllEstimate(
             graft.functions.expressions.HllSketch(xxhash64(col("text"))))
             .as("approx_distinct_texts"),
+          graft.functions.expressions.Hist.sketch(nt,
+            EventStreams.StatsHistLo, EventStreams.StatsHistHi,
+            EventStreams.StatsHistBins).as("hk"),
           count(lit(1)).as("n_docs"),
-          sum(graft.functions.TextFunctions.tokenCount(col("text"))
-            .cast("long")).as("n_tokens")))
-    // register max is associative/commutative/idempotent: the folded
-    // sketch estimate is EXACTLY the direct one; counts sum exactly
+          sum(nt).as("n_tokens"))
+        .withColumn("p50_tokens",
+          graft.functions.expressions.Hist.quantileOf(col("hk"),
+            lit(500000L), EventStreams.StatsHistLo, EventStreams.StatsHistHi))
+        .withColumn("p90_tokens",
+          graft.functions.expressions.Hist.quantileOf(col("hk"),
+            lit(900000L), EventStreams.StatsHistLo, EventStreams.StatsHistHi)))
+    // register max (HLL) and counter sums (hist) are order-free: the
+    // folded sketches — and everything read from them — are EXACTLY
+    // the direct aggregates; counts sum exactly
     assert(streamed == direct)
   }
 
