@@ -486,6 +486,38 @@ $langScoreCols
     },
     Some(d07Oracle))
 
+  /** Order-invariant corpus CONTENT fingerprint: per source, the XOR
+    * of every document's (id, text) hash — the constant-size equality
+    * certificate for comparing replicas, migrations, or re-runs of a
+    * 100 TB corpus without moving data: any row changed, added or
+    * dropped flips the fingerprint (XOR cancels DUPLICATED rows, so
+    * the row count rides along; ids make identical texts distinct).
+    * XOR is associative/commutative/order-free — one scan, map-side
+    * partials, no sort anywhere — and the oracle replays the chained
+    * two-argument xxhash64 (text hashed with seed = hash(doc_id))
+    * bit-for-bit. */
+  val p22_corpus_fingerprint = QueryDef(
+    "p22_corpus_fingerprint",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      docs
+        .select(col("source"), xxhash64(col("doc_id"), col("text")).as("__h"))
+        .groupBy(col("source"))
+        .agg(
+          expr("bit_xor(__h)").as("fingerprint"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH p22_fp AS (
+        SELECT source,
+               cast(${OracleSql.u2s(OracleSql.xxh64Ascii("text",
+                 seed = OracleSql.xxh64Long(OracleSql.s2u("doc_id"))))} AS BIGINT) AS h
+        FROM documents)
+      SELECT source, bit_xor(h) AS fingerprint,
+             cast(count(*) AS BIGINT) AS n_docs
+      FROM p22_fp GROUP BY source ORDER BY source"""))
+
   /** Quality-aware dedup survivor selection — what a production dedup
     * actually emits: for every document in a near-dup cluster (d07's
     * connected components over the verified MinHash pair graph), keep
@@ -3365,6 +3397,6 @@ $langScoreCols
     p11_incremental_dedup_append, p12_pack_tokens, p13_dsir,
     p14_shuffle_shards, p15_incremental_dedup_purge, p16_cluster_split,
     p17_incremental_stats, p18_corpus_report, p19_incremental_quantiles,
-    p20_incremental_clusters, p21_drift_psi,
+    p20_incremental_clusters, p21_drift_psi, p22_corpus_fingerprint,
     g01_pagerank, g02_ppr, g03_hits)
 }
