@@ -82,15 +82,21 @@ object Dedup {
       .select(col(idCol), col("__band.band"), col("__band.bh"))
   }
 
-  def minhashPairs(
+  /** The shared MinHash-LSH CANDIDATE stage: banded signature buckets
+    * (capped at `maxBucket` rows per bucket — pathological all-identical
+    * spam clusters otherwise square) self-joined within (band, bucket)
+    * to distinct (id_a < id_b) pairs. Every downstream verify metric
+    * ([[minhashPairs]]' shingle Jaccard, [[editVerifiedPairs]]' exact
+    * edit similarity) runs over THIS bounded set — never all pairs. */
+  private[graft] def lshCandidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 3,
-      numHashes: Int = 64,
-      bands: Int = 16,
-      seed: Long = 42L,
-      maxBucket: Int = 1000): DataFrame = {
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int,
+      seed: Long,
+      maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val banded = bandedKeys(df, idCol, textCol, shingleSize, numHashes, bands, seed)
     // cap pathological buckets (all-identical spam clusters)
@@ -102,12 +108,71 @@ object Dedup {
             .partitionBy(col("band"), col("bh"))
             .orderBy(col(idCol))))
       .filter(col("__rn") <= maxBucket)
-    val candidates = capped
+    capped
       .select(col("band"), col("bh"), col(idCol).as("id_a"))
       .join(capped.select(col("band"), col("bh"), col(idCol).as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  /** Exact EDIT-DISTANCE verification of the MinHash candidate set — the
+    * character-level verify stage shingle Jaccard cannot substitute for:
+    * set-of-shingles similarity is blind to ORDER and MULTIPLICITY
+    * (a document with shuffled sentences keeps most of its shingle set),
+    * while curation decisions like "near-identical revision, keep one"
+    * want the Levenshtein ratio
+    *
+    *   edit_sim = 1 - lev(a, b) / max(|a|, |b|, 1)
+    *
+    * Output: (id_a, id_b, lev, edit_sim) for candidates with rounded
+    * edit_sim >= `minRatio`.
+    *
+    * Scale shape: candidates come from [[lshCandidatePairs]] — LSH
+    * bounds the pair set, so the O(|a|*|b|) DP runs per CANDIDATE, not
+    * per pair of documents; texts re-attach via two keyed joins (the
+    * same text-not-shingle-bytes discipline as [[minhashPairs]]); the
+    * DP itself is Spark's codegen'd `levenshtein`, scan-local after the
+    * joins. Determinism: integer DP, one double division, round(6) —
+    * d20's DuckDB oracle replays it bit-for-bit. */
+  def editVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      maxBucket: Int = 1000,
+      minRatio: Double = 0.8): DataFrame = {
+    val candidates = lshCandidatePairs(
+      df, idCol, textCol, shingleSize, numHashes, bands, seed, maxBucket)
+    val texts = df.select(col(idCol), col(textCol))
+    candidates
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__t_a")), Seq("id_a"))
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__t_b")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        levenshtein(col("__t_a"), col("__t_b")).cast("long").as("lev"),
+        round(
+          lit(1.0) - levenshtein(col("__t_a"), col("__t_b")).cast("double") /
+            greatest(length(col("__t_a")), length(col("__t_b")), lit(1))
+              .cast("double"),
+          6).as("edit_sim"))
+      .filter(col("edit_sim") >= minRatio)
+  }
+
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
+    val candidates = lshCandidatePairs(
+      df, idCol, textCol, shingleSize, numHashes, bands, seed, maxBucket)
     // exact verify: re-attach the raw TEXT (smaller than the shingle
     // arrays) and shingle only the candidate-matched rows — the corpus
     // pays the shingle pass once (banding), not three times, and the
@@ -787,7 +852,18 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // Cut the iterative lineage before handing the result to callers:
+    // each round's logical plan references the previous round TWICE
+    // (label join + message join), so the tree doubles per iteration —
+    // the data is cached but any downstream persist() renders that tree
+    // into Spark's cache name, and a CHAINED call (mergeComponents runs
+    // CC over CC output) multiplies the trees: driver OOM on nothing
+    // but plan strings. An eager localCheckpoint pins the final labels
+    // as a flat LogicalRDD (one row per clustered node — tiny relative
+    // to the pair graph) and lets the loop cache be freed immediately.
+    val out = labels.localCheckpoint(true)
+    cached.unpersist()
+    out
   }
 
   /** INCREMENTALLY fold new near-dup pairs into a persisted components

@@ -391,4 +391,158 @@ object Similarity {
         count(col("__hit")).as("hits"),
         round(count(col("__hit")).cast("double") / k, 6).as("recall"))
   }
+
+  /** EXACT-ARITHMETIC PCA fit over an embedding column — the learned
+    * counterpart of [[randomProjection]]: where JL sign projection
+    * preserves angles obliviously, PCA picks the `outDims` directions
+    * that actually carry the corpus's variance, the standard
+    * dimensionality-reduction / whitening step before a vector index
+    * (an IVF over 8 informative dims beats one over 64 noisy ones).
+    * Returns the `outDims x inDims` projection matrix: unit
+    * eigenvectors of the covariance, eigenvalue-descending,
+    * sign-canonicalized (largest-|component| coordinate positive).
+    *
+    * Determinism contract (the property float PCA lacks): second
+    * moments aggregate over QUANTIZED coordinates (round(x*scale) as
+    * long — [[randomProjection]]'s quantizer) into DECIMAL(38,0) sums —
+    * exact, associative, partition-order-independent; the covariance
+    * numerators n*M_ij - s_i*s_j are assembled in BigInt on the driver;
+    * the cyclic-Jacobi eigensolve is single-threaded with a fixed sweep
+    * order. Same corpus => bit-identical matrix under ANY partitioning
+    * (pinned in SimilaritySpec), which is what lets s09's DuckDB oracle
+    * replay the projection from embedded literals.
+    *
+    * Scale shape: ONE aggregation pass (inDims*(inDims+1)/2 + inDims
+    * mergeable columns + count, map-side partials) collapses the corpus
+    * to a single driver row; the O(inDims^3) eigensolve is driver-side
+    * on an inDims x inDims matrix — corpus-size-independent. The
+    * projection itself ([[pcaProject]]) is a scan-local fixed-order
+    * fold: no shuffle, no UDF, inside whole-stage codegen. */
+  def fitPca(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDims: Int,
+      outDims: Int,
+      scale: Double = 1e6): Array[Array[Double]] = {
+    require(inDims > 0 && outDims > 0 && outDims <= inDims,
+      s"need 0 < outDims <= inDims; got inDims=$inDims outDims=$outDims")
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => round(x * lit(scale), 0).cast("long"))
+    def qi(i: Int) = element_at(col("__q"), i + 1)
+    val moments: Seq[org.apache.spark.sql.Column] =
+      (for { i <- 0 until inDims; j <- i until inDims }
+        yield sum((qi(i) * qi(j)).cast("decimal(38,0)")).as(s"m_${i}_$j")) ++
+        (0 until inDims).map(i => sum(qi(i).cast("decimal(38,0)")).as(s"s_$i")) :+
+        count(lit(1L)).as("n")
+    val row = vectors.select(q.as("__q")).agg(moments.head, moments.tail: _*)
+      .collect()(0)
+    def dec(name: String) =
+      BigInt(row.getAs[java.math.BigDecimal](name).toBigInteger)
+    val n = BigInt(row.getAs[Long]("n"))
+    require(n > 0, "fitPca needs a non-empty corpus")
+    val sums = Array.tabulate(inDims)(i => dec(s"s_$i"))
+    // scaled covariance numerator; the global 1/(n^2 scale^2) factor
+    // does not move eigenvectors
+    val cov = Array.tabulate(inDims, inDims) { (i, j) =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      (n * dec(s"m_${lo}_$hi") - sums(i) * sums(j)).toDouble
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.zipWithIndex
+      .sortBy { case (v, i) => (-v, i) }
+      .map(_._2)
+      .take(outDims)
+    order.map { k =>
+      val ev = Array.tabulate(inDims)(i => vecs(i)(k))
+      val pivot = ev.zipWithIndex
+        .maxBy { case (x, i) => (math.abs(x), -i) }._2
+      if (ev(pivot) < 0.0) ev.map(-_) else ev
+    }.toArray
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
+    * (eigenvalues, eigenvector COLUMNS). Fixed (p,q) sweep order and a
+    * relative off-diagonal stopping rule — fully deterministic. */
+  private def jacobiEigen(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = Array.tabulate(n, n)((i, j) => m(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    val diagScale = {
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i)(i) * a(i)(i); i += 1 }
+      math.max(s, java.lang.Double.MIN_NORMAL)
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-24 * diagScale) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0.0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            val tau = s / (1.0 + c)
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = app - t * apq
+            a(q)(q) = aqq + t * apq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var i = 0
+            while (i < n) {
+              if (i != p && i != q) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = aip - s * (aiq + tau * aip); a(p)(i) = a(i)(p)
+                a(i)(q) = aiq + s * (aip - tau * aiq); a(q)(i) = a(i)(q)
+              }
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = vip - s * (viq + tau * vip)
+              v(i)(q) = viq + s * (vip - tau * viq)
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Project an embedding column through a [[fitPca]] matrix: output
+    * columns p0..p{k-1}, each a fixed-left-fold dot product over the
+    * full-precision (double-cast) coordinates, round(6) over the libm
+    * ulp. Scan-local — no shuffle, no UDF, whole-stage codegen; the
+    * matrix enters the plan as literals. */
+  def pcaProject(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      projection: Array[Array[Double]]): DataFrame = {
+    val projected = vectors
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__e"))
+    val outs = projection.zipWithIndex.map { case (prow, j) =>
+      round(
+        prow.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (w, i)) =>
+          acc + element_at(col("__e"), i + 1) * lit(w)
+        },
+        6).as(s"p$j")
+    }
+    projected.select(col(idCol) +: outs.toSeq: _*)
+  }
 }

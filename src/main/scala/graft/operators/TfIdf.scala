@@ -168,6 +168,105 @@ object TfIdf {
       .select(col(idCol), col("nb").as("n_bigrams"), col("lm2_score"))
   }
 
+  /** Stupid-backoff trigram scoring (Brants et al., EMNLP 2007 §4 — the
+    * smoothing DESIGNED for distributed corpus-count LMs: no discount
+    * mass bookkeeping, just raw relative frequencies with a fixed 0.4
+    * backoff penalty, which at web scale matches Kneser-Ney quality at
+    * a fraction of the cost). Unlike [[bigramLmScore]] this is a
+    * HELD-OUT face: the model counts come from `train`, the scored
+    * documents from `eval`, so unseen trigrams genuinely occur and the
+    * backoff chain genuinely fires:
+    *
+    *   S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)            if c(w1w2w3) > 0
+    *                 | 0.4 * c(w2w3)/c(w2)          else if c(w2w3) > 0
+    *                 | 0.4 * (0.4 * c(w3)/N)        else (OOV floor:
+    *                     an eval token absent from train scores as a
+    *                     single pseudo-count, c(w3) := max(c(w3), 1))
+    *
+    * Output: (id, n_trigrams, sb_score) — mean ln S per eval document
+    * over its trigram positions; docs with < 3 tokens emit no row.
+    *
+    * Scale shape: the THREE count relations (trigram, bigram, unigram)
+    * are each one keyed aggregation over the train scan — exactly the
+    * "distributed count tables" of the paper; scoring left-joins the
+    * eval trigrams against them on their natural keys (five keyed
+    * shuffles, each vocabulary- or eval-sized, never train-corpus-
+    * sized; AQE broadcasts any model side that fits) and N broadcasts
+    * as a 1-row aggregate. Determinism: every ratio is long/long in
+    * IEEE doubles, the multiply grouping alpha*(alpha*(u/N)) is fixed,
+    * and the per-doc fold uses the same sorted fixed-order contract as
+    * t12/t21 — round(6) over the libm ulp (t23's DuckDB oracle replays
+    * the identical arithmetic). */
+  def stupidBackoffScore(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    def toks(df: DataFrame, extra: Seq[org.apache.spark.sql.Column]) =
+      df.select(extra :+ TextFunctions.tokens(lower(col(textCol))).as("__ts"): _*)
+    val trainT = toks(train, Seq.empty)
+    val uni = trainT
+      .select(explode(col("__ts")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__u"))
+    val tot = uni.agg(sum(col("__u")).as("__n"))
+    val big = trainT
+      .filter(size(col("__ts")) >= 2)
+      .select(explode(TextFunctions.ngrams(col("__ts"), 2)).as("__g2"))
+      .groupBy(col("__g2")).agg(count(lit(1)).as("__b"))
+    val tri = trainT
+      .filter(size(col("__ts")) >= 3)
+      .select(explode(TextFunctions.ngrams(col("__ts"), 3)).as("__g3"))
+      .groupBy(col("__g3")).agg(count(lit(1)).as("__t"))
+    val ev = toks(eval, Seq(col(idCol)))
+      .filter(size(col("__ts")) >= 3)
+      .select(
+        col(idCol), (size(col("__ts")) - 2).cast("long").as("ntri"),
+        explode(TextFunctions.ngrams(col("__ts"), 3)).as("__g3"))
+      .groupBy(col(idCol), col("ntri"), col("__g3"))
+      .agg(count(lit(1)).as("__m"))
+      .withColumn("__g12", substring_index(col("__g3"), " ", 2))
+      .withColumn("__g23", substring_index(col("__g3"), " ", -2))
+      .withColumn("__w2", substring_index(col("__g23"), " ", 1))
+      .withColumn("__w3", substring_index(col("__g3"), " ", -1))
+    val scored = ev
+      .join(tri, Seq("__g3"), "left")
+      .join(
+        big.select(col("__g2").as("__g12"), col("__b").as("__b12")),
+        Seq("__g12"), "left")
+      .join(
+        big.select(col("__g2").as("__g23"), col("__b").as("__b23")),
+        Seq("__g23"), "left")
+      .join(
+        uni.select(col("__w").as("__w2"), col("__u").as("__u2")),
+        Seq("__w2"), "left")
+      .join(
+        uni.select(col("__w").as("__w3"), col("__u").as("__u3")),
+        Seq("__w3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "__s",
+        when(col("__t").isNotNull,
+          col("__t").cast("double") / col("__b12").cast("double"))
+          .when(col("__b23").isNotNull,
+            lit(alpha) * (col("__b23").cast("double") / col("__u2").cast("double")))
+          .otherwise(
+            lit(alpha) * (lit(alpha) *
+              (coalesce(col("__u3"), lit(1L)).cast("double") /
+                col("__n").cast("double")))))
+      .withColumn("__v", col("__m").cast("double") * log(col("__s")))
+    scored
+      .groupBy(col(idCol), col("ntri"))
+      .agg(array_sort(collect_list(struct(col("__g3"), col("__v")))).as("__gv"))
+      .withColumn(
+        "sb_score",
+        round(
+          aggregate(col("__gv"), lit(0.0), (acc, e) => acc + e.getField("__v")) /
+            col("ntri").cast("double"),
+          6))
+      .select(col(idCol), col("ntri").as("n_trigrams"), col("sb_score"))
+  }
+
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(
       col(idCol),

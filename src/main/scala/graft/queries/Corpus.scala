@@ -318,7 +318,10 @@ $langScoreCols
     * XXH64 and inlined as literals. */
   private val d03Oracle: String = minhashPairsOracle(1000)
 
-  private def minhashPairsOracle(cap: Long): String = {
+  /** The candidate-stage CTE chain of the MinHash oracle (through
+    * `cand`, plus the `sh` shingle-set relation) — shared by every
+    * verify metric replay (d03's shingle Jaccard, d20's edit ratio). */
+  private def minhashCandidateCtes(cap: Long): String = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val M = BigInt(1) << 64
     val seeds = (0 until 64)
@@ -352,7 +355,11 @@ $langScoreCols
         QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= $cap),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+  }
+
+  private def minhashPairsOracle(cap: Long): String = {
+    s"""${minhashCandidateCtes(cap)},
       verified AS (
         SELECT id_a, id_b,
                length(list_intersect(sa.sset, sb2.sset)) AS i,
@@ -376,6 +383,35 @@ $langScoreCols
         .orderBy(col("id_a"), col("id_b")),
     Some(d03Oracle),
     bench = true)
+
+  /** Exact edit-distance verification over the SAME candidate set as d03
+    * ([[Dedup.editVerifiedPairs]]): the character-level revision-dedup
+    * decision shingle Jaccard is blind to. Oracle = the shared candidate
+    * CTE chain + DuckDB's own `levenshtein` (identical integer DP) and
+    * the identical ratio arithmetic. */
+  private val d20Oracle: String =
+    s"""${minhashCandidateCtes(1000)},
+      txt AS (SELECT doc_id, text FROM documents),
+      scored AS (
+        SELECT id_a, id_b,
+               cast(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+               round(cast(1.0 AS DOUBLE) -
+                 cast(levenshtein(ta.text, tb.text) AS DOUBLE) /
+                 cast(greatest(length(ta.text), length(tb.text), 1) AS DOUBLE), 6) AS edit_sim
+        FROM cand JOIN txt ta ON cand.id_a = ta.doc_id
+                  JOIN txt tb ON cand.id_b = tb.doc_id)
+      SELECT id_a, id_b, lev, edit_sim FROM scored
+      WHERE edit_sim >= cast(0.8 AS DOUBLE) ORDER BY id_a, id_b"""
+
+  val d20_edit_verify = QueryDef(
+    "d20_edit_verify",
+    (s, dir) =>
+      Dedup
+        .editVerifiedPairs(
+          Tables(s, dir).documents, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, minRatio = 0.8)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(d20Oracle))
 
   /** r=3 on a 64-bit sketch is the published operating point for web-scale
     * simhash near-dup (Manku, Jain & Sarma, WWW'07): 4 blocks of 16 bits,
@@ -954,6 +990,57 @@ $langScoreCols
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s02OracleSurviving("vec_id % 7 <> 3")))
+
+  /** Fitted PCA projection per sf dir, stashed for s09's lazy oracle —
+    * same refit-every-invocation discipline as t22's probe weights:
+    * the matrix is a pure function of the corpus (exact-arithmetic
+    * moments + deterministic Jacobi), so every refit stashes the
+    * identical artifact. */
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
+  @volatile private var pcaDir: Option[String] = None
+  private def corpusPca(
+      s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] = {
+    val p = Similarity.fitPca(
+      Tables(s, dir).embeddings, "vec_id", "embedding", inDims = 64, outDims = 8)
+    pcaCache.update(dir, p)
+    p
+  }
+
+  /** PCA compression of the embedding corpus ([[Similarity.fitPca]] +
+    * [[Similarity.pcaProject]]): 64 dims -> the 8 leading principal
+    * directions, learned from the corpus itself in exact arithmetic.
+    * The lazy oracle (t22 pattern) embeds the fitted projection matrix
+    * as DOUBLE-cast plain-decimal literals and replays the identical
+    * fixed-order fold — any fit divergence breaks the hash. */
+  val s09_pca = QueryDef(
+    "s09_pca",
+    (s, dir) => {
+      pcaDir = Some(dir)
+      Similarity
+        .pcaProject(
+          Tables(s, dir).embeddings, "vec_id", "embedding", corpusPca(s, dir))
+        .orderBy(col("vec_id"))
+    },
+    None,
+    oracleFn = Some { () =>
+      // no stash = s09 filtered out of this Verify invocation; emit a
+      // valid zero-matrix placeholder (never compared — the driver
+      // always runs the full set, which stashes first)
+      val p = pcaDir.flatMap(pcaCache.get)
+        .getOrElse(Array.fill(8)(Array.fill(64)(0.0)))
+      val cols = p.zipWithIndex.map { case (prow, j) =>
+        val chain = prow.zipWithIndex.map { case (w, i) =>
+          s"+ cast(${new java.math.BigDecimal(w).toPlainString} AS DOUBLE) * e[${i + 1}]"
+        }.mkString(" ")
+        s"round(cast(0.0 AS DOUBLE) $chain, 6) AS p$j"
+      }.mkString(",\n             ")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      SELECT vec_id,
+             $cols
+      FROM e ORDER BY vec_id"""
+    })
 
   /** Exact oracle for s07: the s02 IVF replay extended with probe ranks,
     * a probe-budget expansion, and the s01-style exact top-k truth set —
@@ -1686,6 +1773,83 @@ $langScoreCols
              round(list_reduce(list_prepend(0.0, vs), (s, t) -> s + t)
                    / cast(nb AS DOUBLE), 6) AS lm2_score
       FROM folded ORDER BY doc_id"""))
+
+  /** Stupid-backoff trigram HELD-OUT scoring ([[graft.operators.TfIdf
+    * .stupidBackoffScore]], Brants et al. EMNLP 2007): the train split
+    * (p03's xxhash64 doc buckets < 80) provides the count tables, the
+    * held-out 20% is scored — so unseen trigrams genuinely occur and
+    * every arm of the backoff chain fires. Oracle replays the split,
+    * the three count relations, and the identical double arithmetic
+    * (all literals cast to DOUBLE — bare decimals are DECIMAL in
+    * DuckDB; the t22 lesson). */
+  val t23_stupid_backoff = QueryDef(
+    "t23_stupid_backoff",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(100)))
+      graft.operators.TfIdf
+        .stupidBackoffScore(
+          docs.filter(col("__bucket") < 80),
+          docs.filter(col("__bucket") >= 80),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), __t -> __t <> '') AS ts,
+               ((${OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("doc_id")))} % 100) + 100) % 100 AS bucket
+        FROM documents),
+      tr AS (SELECT ts FROM b WHERE bucket < 80),
+      ev AS (SELECT doc_id, ts FROM b WHERE bucket >= 80 AND len(ts) >= 3),
+      uni AS (SELECT w, cast(count(*) AS BIGINT) AS u
+              FROM (SELECT unnest(ts) AS w FROM tr) GROUP BY 1),
+      tot AS (SELECT cast(sum(u) AS BIGINT) AS n FROM uni),
+      big AS (SELECT g, cast(count(*) AS BIGINT) AS bc
+              FROM (SELECT unnest(list_transform(range(len(ts) - 1),
+                             __i -> ts[__i+1] || ' ' || ts[__i+2])) AS g
+                    FROM tr WHERE len(ts) >= 2) GROUP BY 1),
+      tri AS (SELECT g, cast(count(*) AS BIGINT) AS tc
+              FROM (SELECT unnest(list_transform(range(len(ts) - 2),
+                             __i -> ts[__i+1] || ' ' || ts[__i+2] || ' ' || ts[__i+3])) AS g
+                    FROM tr WHERE len(ts) >= 3) GROUP BY 1),
+      eg AS (SELECT doc_id, cast(len(ts) - 2 AS BIGINT) AS ntri,
+                    unnest(list_transform(range(len(ts) - 2),
+                      __i -> ts[__i+1] || ' ' || ts[__i+2] || ' ' || ts[__i+3])) AS g3
+             FROM ev),
+      egc AS (SELECT doc_id, ntri, g3, cast(count(*) AS BIGINT) AS m
+              FROM eg GROUP BY 1, 2, 3),
+      egk AS (SELECT doc_id, ntri, g3, m,
+                     string_split(g3, ' ')[1] || ' ' || string_split(g3, ' ')[2] AS g12,
+                     string_split(g3, ' ')[2] || ' ' || string_split(g3, ' ')[3] AS g23,
+                     string_split(g3, ' ')[2] AS w2,
+                     string_split(g3, ' ')[3] AS w3
+              FROM egc),
+      sc AS (
+        SELECT egk.doc_id, egk.ntri, egk.g3,
+               cast(m AS DOUBLE) * ln(
+                 CASE WHEN t.tc IS NOT NULL
+                        THEN cast(t.tc AS DOUBLE) / cast(b12.bc AS DOUBLE)
+                      WHEN b23.bc IS NOT NULL
+                        THEN cast(0.4 AS DOUBLE) *
+                             (cast(b23.bc AS DOUBLE) / cast(u2.u AS DOUBLE))
+                      ELSE cast(0.4 AS DOUBLE) * (cast(0.4 AS DOUBLE) *
+                             (cast(coalesce(u3.u, 1) AS DOUBLE) / cast(tot.n AS DOUBLE)))
+                 END) AS v
+        FROM egk
+        LEFT JOIN tri t ON egk.g3 = t.g
+        LEFT JOIN big b12 ON egk.g12 = b12.g
+        LEFT JOIN big b23 ON egk.g23 = b23.g
+        LEFT JOIN uni u2 ON egk.w2 = u2.w
+        LEFT JOIN uni u3 ON egk.w3 = u3.w
+        CROSS JOIN tot),
+      folded AS (SELECT doc_id, ntri, list(v ORDER BY g3) AS vs
+                 FROM sc GROUP BY 1, 2)
+      SELECT doc_id, ntri AS n_trigrams,
+             round(list_reduce(list_prepend(0.0, vs), (__s, __t) -> __s + __t)
+                   / cast(ntri AS DOUBLE), 6) AS sb_score
+      FROM folded ORDER BY doc_id"""),
+    bench = true)
 
   /** Corpus-wide top-k word bigrams ([[graft.functions.TextFunctions
     * .ngrams]]): the n-gram census behind contamination screens, boilerplate
@@ -3382,15 +3546,16 @@ $langScoreCols
     t10_chunk_overlap, t11_bm25, t12_lm_quality, t13_ngram_topk,
     t14_quality_model, t15_rule_filter, t16_inverted_index, t17_bpe_merged,
     t18_bpe_learned, t19_bpe_learned_corpus, t20_bpe_encode, t21_bigram_lm,
-    t22_linear_probe,
+    t22_linear_probe, t23_stupid_backoff,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
     d11_semdedup, d12_embed_decontaminate, d13_dedup_survivors,
     d14_contamination, d15_lsh_recall, d16_dup_spans, d17_dedup_span_removal,
-    d18_span_probe_indexed, d19_decontaminate_spans,
+    d18_span_probe_indexed, d19_decontaminate_spans, d20_edit_verify,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
+    s09_pca,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,

@@ -555,4 +555,45 @@ class DedupSpec extends SparkSpec {
     assert(rows.last._4 == d03Found,
       s"bands=16 found=${rows.last._4} != minhashPairs verified count $d03Found")
   }
+
+  test("editVerifiedPairs: revision passes, clause-shuffled text fails the edit gate") {
+    // doc 10 = one-word revision of 0 (high Jaccard AND high edit sim);
+    // doc 11 = the same words with the two halves swapped — shingle
+    // Jaccard stays high (same shingle set minus the seam) but the edit
+    // ratio collapses, which is exactly the case d20 exists to separate
+    val half = baseText.length / 2
+    val shuffled = (baseText.substring(half).trim + " " +
+      baseText.substring(0, half).trim)
+    val revDocs = Seq(
+      (0L, baseText),
+      (10L, baseText.replace("cat", "kitten")),
+      (11L, shuffled))
+      .toDF("doc_id", "text")
+    val jacc = Dedup
+      .minhashPairs(revDocs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacc.contains((0L, 11L)), "shuffled doc still a shingle near-dup")
+    val got = Dedup
+      .editVerifiedPairs(revDocs, "doc_id", "text", minRatio = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 10L)), s"revision must verify: ${got.mkString(",")}")
+    assert(!pairs.exists(p => p._2 == 11L && p._1 == 0L),
+      s"shuffled halves must fail the edit gate: ${got.mkString(",")}")
+    // the revision's edit distance is exactly lev("cat","kitten") = 5,
+    // embedded in identical context
+    val rev = got.find(p => (p._1, p._2) == ((0L, 10L))).get
+    assert(rev._3 == 5L, s"lev=${rev._3}")
+    assert(rev._4 > 0.95)
+    // deterministic under repartitioning
+    val again = Dedup
+      .editVerifiedPairs(revDocs.repartition(7), "doc_id", "text", minRatio = 0.8)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(again == got.sortBy(p => (p._1, p._2)).toSeq)
+    graft.plans.PlanAudit.assertScalable(
+      Dedup.editVerifiedPairs(revDocs, "doc_id", "text"))
+  }
 }

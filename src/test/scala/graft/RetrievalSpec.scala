@@ -95,4 +95,37 @@ class RetrievalSpec extends SparkSpec {
     graft.plans.PlanAudit.assertScalable(
       Retrieval.invertedIndex(docs, "doc_id", "text"))
   }
+
+  test("stupid backoff: every arm of the chain fires with the hand-computed score") {
+    import graft.operators.TfIdf
+    // train counts: tri "a b c":2 "b c a":1 "c a b":1; big "a b":2 "b c":2
+    // "c a":1; uni a/b/c = 2 each, N = 6
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "a b c"), // seen trigram: S = 2/2 = 1 -> ln 0
+      (2L, "x a b"), // backoff to bigram "a b": S = .4*(2/2)
+      (3L, "x y c"), // backoff to unigram c:   S = .4*(.4*(2/6))
+      (4L, "x y z"), // OOV floor:              S = .4*(.4*(1/6))
+      (5L, "a b") // < 3 tokens: no row
+    ).toDF("doc_id", "text")
+    def run(t: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) =
+      TfIdf.stupidBackoffScore(t, e, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val got = run(train, eval)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(got.forall(_._2 == 1L))
+    val expected = Seq(
+      0.0,
+      math.log(0.4),
+      math.log(0.4 * (0.4 * (2.0 / 6.0))),
+      math.log(0.4 * (0.4 * (1.0 / 6.0))))
+    got.map(_._3).zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"got $g expected $e")
+    }
+    // strictly decreasing: each extra backoff level costs score
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+    assert(got == run(train.repartition(5), eval.repartition(7)))
+    graft.plans.PlanAudit.assertScalable(
+      TfIdf.stupidBackoffScore(train, eval, "doc_id", "text"))
+  }
 }

@@ -51,4 +51,49 @@ class SimilaritySpec extends SparkSpec {
         s"query $q n_probe=$p recall=$recall != hits/k")
     }
   }
+
+  test("fitPca: recovers the planted dominant direction; orthonormal; variance-ordered") {
+    import spark.implicits._
+    // planted structure in 8 dims: v1 (scale 10) dominates v2 (scale 3)
+    // dominates isotropic noise (scale 0.1)
+    val v1 = Array(0.5, 0.5, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0)
+    val v2 = Array(0.5, -0.5, 0.5, -0.5, 0.0, 0.0, 0.0, 0.0)
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(300) { i =>
+      val a = 10.0 * rnd.nextGaussian(); val b = 3.0 * rnd.nextGaussian()
+      val vec = Array.tabulate(8)(d =>
+        (a * v1(d) + b * v2(d) + 0.1 * rnd.nextGaussian()).toFloat)
+      (i.toLong, vec.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val p = Similarity.fitPca(df, "vec_id", "embedding", inDims = 8, outDims = 3)
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (a, b) => a * b }.sum
+    // rows are orthonormal
+    for (i <- p.indices; j <- p.indices) {
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot(p(i), p(j)) - expect) < 1e-9, s"dot($i,$j)")
+    }
+    // first PC aligns with the planted dominant direction
+    assert(math.abs(dot(p(0), v1)) > 0.99, s"pc0=${p(0).mkString(",")}")
+    assert(math.abs(dot(p(1), v2)) > 0.99, s"pc1=${p(1).mkString(",")}")
+    // projected variance is non-increasing across components
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding", p)
+    val vars = proj
+      .agg(var_pop(col("p0")).as("v0"), var_pop(col("p1")).as("v1"),
+        var_pop(col("p2")).as("v2"))
+      .collect()(0)
+    assert(vars.getDouble(0) >= vars.getDouble(1) &&
+      vars.getDouble(1) >= vars.getDouble(2), vars.toString)
+    // the fit is BIT-identical under repartitioning (exact moments +
+    // deterministic eigensolve) — the property the s09 oracle leans on
+    val p2 = Similarity.fitPca(df.repartition(13), "vec_id", "embedding",
+      inDims = 8, outDims = 3)
+    assert(p.length == p2.length &&
+      p.zip(p2).forall { case (r1, r2) => r1.sameElements(r2) })
+    // projection is scan-local and clean
+    graft.plans.PlanAudit.assertScalable(proj)
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "projection must not shuffle")
+  }
 }
