@@ -524,6 +524,133 @@ object Similarity {
     (Array.tabulate(n)(i => a(i)(i)), v)
   }
 
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI 2011)
+    * from the corpus's own anchor rows: the vector space splits into
+    * `numSubspaces` contiguous blocks, and block `m`'s codebook is the
+    * m-th block of the [[sampleCentroids]] anchor vectors (the
+    * deterministic smallest-xxhash64 sample — same quantizer discipline
+    * as the IVF path, which is what keeps the whole pipeline exactly
+    * replayable). Returns codebooks(m)(k) = the subDim-length codeword. */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDims: Int,
+      numSubspaces: Int = 8,
+      numCodes: Int = 16): Array[Array[Seq[Double]]] = {
+    require(inDims % numSubspaces == 0, "numSubspaces must divide inDims")
+    val sub = inDims / numSubspaces
+    val anchors = sampleCentroids(corpus, idCol, vecCol, numCodes)
+    Array.tabulate(numSubspaces, numCodes) { (m, k) =>
+      anchors(k)._2.slice(m * sub, (m + 1) * sub)
+    }
+  }
+
+  /** Squared-L2 distance between block `m` (0-based, a lambda-bound
+    * int column) of a vector and a codeword array, as a fixed LEFT fold
+    * over the block coordinates — identical op order to the DuckDB
+    * replay's `0.0 + (e[..]-c[..])*(e[..]-c[..]) + ...` chain. A
+    * higher-order `aggregate`, NOT an unrolled expression: the plan
+    * stays O(1) in both the codeword count and the block width (an
+    * unrolled 256-codeword encoder was a ~100k-node expression tree —
+    * codegen and broadcast-planning blew the driver heap). */
+  private def subDist(
+      vec: org.apache.spark.sql.Column,
+      m: org.apache.spark.sql.Column,
+      sub: Int,
+      codeword: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(sequence(lit(1), lit(sub)), lit(0.0), (acc, i) => {
+      val x = element_at(vec, m * lit(sub) + i)
+      val c = element_at(codeword, i)
+      acc + (x - c) * (x - c)
+    })
+
+  /** PQ-compressed approximate kNN — ADC shortlist + exact re-rank, the
+    * MEMORY scale path of the similarity family: every corpus vector is
+    * stored as `numSubspaces` small codes (8 bytes here vs 256 for
+    * float32 at 64 dims), each query scores the WHOLE corpus through a
+    * per-query LOOKUP TABLE (asymmetric distance: exact query block vs
+    * quantized corpus block), keeps the `shortlist` best candidates,
+    * and only THOSE re-attach their raw vectors for an exact cosine
+    * re-rank — a 100 TB pass reads codes corpus-wide and raw floats for
+    * |queries| x shortlist rows.
+    *
+    * Plan shape: encoding is scan-local (codebook literals, per-block
+    * argmin via array_min over (round-9 distance, code) structs —
+    * lexicographic struct order gives the code-asc tiebreak, the s02
+    * quantizer discipline); queries broadcast WITH their precomputed
+    * LUTs; the ADC scoring join moves only codes; the shortlist is a
+    * per-query WindowGroupLimit; the re-rank fetches raw vectors
+    * through a BROADCAST of the shortlist (the corpus side stays
+    * scan-local — no corpus shuffle anywhere). Determinism: every
+    * distance is a fixed left fold, ADC totals fold LUT entries in
+    * block order, both rank boundaries tie-break on neighbor id — s10's
+    * DuckDB oracle replays the whole cascade exactly. */
+  def pqKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: Array[Array[Seq[Double]]],
+      shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val numSub = codebooks.length
+    val numCodes = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val v = col(vecCol).cast("array<double>")
+    // the codebooks ride the plan as ONE nested-array literal [m][k][i]
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    def codeword(m: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+      element_at(element_at(cbLit, m + 1), k + 1)
+    // per-block nearest codeword: array_min over (rounded dist, code)
+    // structs — struct ordering is lexicographic, so ties take the
+    // smallest code
+    val codesExpr = transform(sequence(lit(0), lit(numSub - 1)), m =>
+      array_min(transform(sequence(lit(0), lit(numCodes - 1)), k =>
+        struct(
+          round(subDist(col("__cv"), m, sub, codeword(m, k)), 9).as("d"),
+          k.as("c")))).getField("c"))
+    val coded = corpus.select(
+      col(idCol).as("neighbor_id"),
+      v.as("__cv"))
+      .select(col("neighbor_id"), codesExpr.as("__codes"))
+    // queries carry their LUT: m-major, code-minor, unrounded doubles
+    val lut = flatten(transform(sequence(lit(0), lit(numSub - 1)), m =>
+      transform(sequence(lit(0), lit(numCodes - 1)), k =>
+        subDist(col("__qv"), m, sub, codeword(m, k)))))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), v.as("__qv"))
+        .select(col("query_id"), lut.as("__lut")))
+    val adist = aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0), (acc, m) =>
+      acc + element_at(
+        col("__lut"),
+        m * lit(numCodes) + lit(1) + element_at(col("__codes"), m + 1)))
+    val wShort = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val short = coded
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adist, 6))
+      .withColumn("__srank", row_number().over(wShort))
+      .filter(col("__srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: raw vectors re-attach through a broadcast of the
+    // bounded shortlist; the query vector re-broadcasts with it
+    val qv = broadcast(
+      queries.select(col(idCol).as("query_id"), v.as("__qv")))
+    val wFinal = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus.select(col(idCol).as("neighbor_id"), v.as("__cv"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Project an embedding column through a [[fitPca]] matrix: output
     * columns p0..p{k-1}, each a fixed-left-fold dot product over the
     * full-precision (double-cast) coordinates, round(6) over the libm

@@ -1042,6 +1042,84 @@ $langScoreCols
       FROM e ORDER BY vec_id"""
     })
 
+  /** Exact DuckDB oracle for s10: anchors via the validated xxhash64
+    * emulation (the s02 sample), per-block codebooks by list_slice,
+    * encode/LUT distances as the identical fixed left fold, ADC total
+    * re-folded in block order, rank ties on neighbor id. */
+  private val s10Oracle: String = {
+    val hash = OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("vec_id")))
+    val fold = (0 until 8)
+      .map(i => s"+ (e[m*8 + ${i + 1}] - c[${i + 1}]) * (e[m*8 + ${i + 1}] - c[${i + 1}])")
+      .mkString(" ")
+    s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      hashed AS (SELECT vec_id, e, $hash AS h FROM v),
+      anch AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS k, e
+        FROM hashed
+        QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 256),
+      cb AS (
+        SELECT ms.m, anch.k, list_slice(anch.e, ms.m*8 + 1, ms.m*8 + 8) AS c
+        FROM anch CROSS JOIN (SELECT unnest(range(8)) AS m) ms),
+      enc AS (
+        SELECT v.vec_id, cb.m, cb.k,
+               round(cast(0.0 AS DOUBLE) $fold, 9) AS d
+        FROM v CROSS JOIN cb),
+      codes AS (
+        SELECT vec_id, m, k AS code FROM enc
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) = 1),
+      lutq AS (
+        SELECT v.vec_id AS query_id, cb.m, cb.k,
+               cast(0.0 AS DOUBLE) $fold AS ld
+        FROM v CROSS JOIN cb
+        WHERE v.vec_id < 10),
+      terms AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id, l.m, l.ld
+        FROM codes c JOIN lutq l ON c.m = l.m AND c.code = l.k
+        WHERE l.query_id <> c.vec_id),
+      folded AS (
+        SELECT query_id, neighbor_id, list(ld ORDER BY m) AS vs
+        FROM terms GROUP BY 1, 2),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_reduce(list_prepend(cast(0.0 AS DOUBLE), vs),
+                     (__a, __b) -> __a + __b), 6) AS adist
+        FROM folded),
+      short AS (
+        SELECT query_id, neighbor_id FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 50),
+      rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(${OracleSql.cosineExact("qv.e", "nv.e")}, 6) AS cosine
+        FROM short s JOIN v qv ON s.query_id = qv.vec_id
+                     JOIN v nv ON s.neighbor_id = nv.vec_id)
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+             neighbor_id, cosine
+      FROM rr
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 5
+      ORDER BY query_id, rank"""
+  }
+
+  /** PQ-compressed ADC kNN ([[Similarity.pqCodebooks]] +
+    * [[Similarity.pqKnn]]): 64-dim float vectors stored as 8 one-byte
+    * codes, queries shortlist via per-query lookup tables over the code
+    * scan and re-rank only the shortlist with raw vectors — the
+    * memory-bound ANN scale path alongside s02's IVF (compute-bound
+    * cell pruning) and s03's int8 (bandwidth-bound exact). */
+  val s10_knn_pq = QueryDef(
+    "s10_knn_pq",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        inDims = 64, numSubspaces = 8, numCodes = 256)
+      Similarity
+        .pqKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, codebooks = cb, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s10Oracle))
+
   /** Exact oracle for s07: the s02 IVF replay extended with probe ranks,
     * a probe-budget expansion, and the s01-style exact top-k truth set —
     * recall computed by the same left-join-and-count. All cosines via
@@ -3555,7 +3633,7 @@ $langScoreCols
     d18_span_probe_indexed, d19_decontaminate_spans, d20_edit_verify,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
-    s09_pca,
+    s09_pca, s10_knn_pq,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,

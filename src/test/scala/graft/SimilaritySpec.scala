@@ -52,6 +52,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqKnn: shortlist + exact re-rank recovers high recall, deterministic") {
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      inDims = 64, numSubspaces = 8, numCodes = 256)
+    assert(cb.length == 8 && cb.forall(_.length == 256) &&
+      cb.forall(_.forall(_.length == 8)))
+    val queries = emb.filter(col("vec_id") < 10)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqKnn(c, queries, "vec_id", "embedding", k = 5,
+        codebooks = cb, shortlist = 50)
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val got = run(emb)
+    assert(got.size == 50, s"got ${got.size} rows")
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4) == sorted.map(_._4).sorted.reverse,
+        "cosine must descend with rank")
+    }
+    // the embeddings are unit vectors, so exact-cosine top-k IS exact-L2
+    // top-k: the ADC shortlist of 50 re-ranked exactly must recover the
+    // true top-5 almost everywhere
+    val truth = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val hits = got.count(r => truth.contains((r._1, r._3)))
+    assert(hits >= 40, s"PQ cascade recall too low: $hits/50")
+    assert(got == run(emb.repartition(7)), "must be partition-invariant")
+  }
+
   test("fitPca: recovers the planted dominant direction; orthonormal; variance-ordered") {
     import spark.implicits._
     // planted structure in 8 dims: v1 (scale 10) dominates v2 (scale 3)
