@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -203,13 +203,20 @@ object TfIdf {
       idCol: String,
       textCol: String,
       alpha: Double = 0.4): DataFrame = {
-    def toks(df: DataFrame, extra: Seq[org.apache.spark.sql.Column]) =
-      df.select(extra :+ TextFunctions.tokens(lower(col(textCol))).as("__ts"): _*)
-    val trainT = toks(train, Seq.empty)
+    val (uni, big, tri) = lmCounts(train, textCol)
+    sbScore(uni, big, tri, eval, idCol, textCol, alpha)
+  }
+
+  /** The three stupid-backoff count relations over `train`: unigram
+    * (__w, __u), bigram (__g2, __b), trigram (__g3, __t) — each ONE
+    * keyed aggregation over the tokenized scan. */
+  private def lmCounts(
+      train: DataFrame, textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val trainT = train
+      .select(TextFunctions.tokens(lower(col(textCol))).as("__ts"))
     val uni = trainT
       .select(explode(col("__ts")).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__u"))
-    val tot = uni.agg(sum(col("__u")).as("__n"))
     val big = trainT
       .filter(size(col("__ts")) >= 2)
       .select(explode(TextFunctions.ngrams(col("__ts"), 2)).as("__g2"))
@@ -218,7 +225,25 @@ object TfIdf {
       .filter(size(col("__ts")) >= 3)
       .select(explode(TextFunctions.ngrams(col("__ts"), 3)).as("__g3"))
       .groupBy(col("__g3")).agg(count(lit(1)).as("__t"))
-    val ev = toks(eval, Seq(col(idCol)))
+    (uni, big, tri)
+  }
+
+  /** The stupid-backoff SCORING core over materialized count relations
+    * — shared verbatim by the inline face ([[stupidBackoffScore]]) and
+    * the persisted-index face ([[scoreWithLmIndex]]), so "append ≡
+    * rebuild ≡ inline" is an equality of COUNTS, not of two scoring
+    * implementations. */
+  private def sbScore(
+      uni: DataFrame,
+      big: DataFrame,
+      tri: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double): DataFrame = {
+    val tot = uni.agg(sum(col("__u")).as("__n"))
+    val ev = eval
+      .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("__ts"))
       .filter(size(col("__ts")) >= 3)
       .select(
         col(idCol), (size(col("__ts")) - 2).cast("long").as("ntri"),
@@ -265,6 +290,75 @@ object TfIdf {
             col("ntri").cast("double"),
           6))
       .select(col(idCol), col("ntri").as("n_trigrams"), col("sb_score"))
+  }
+
+  /** PERSIST the stupid-backoff model as three bucketed count tables —
+    * `<table>_uni(__w, __u)`, `<table>_big(__g2, __b)`,
+    * `<table>_tri(__g3, __t)`, each bucketed+sorted by its key — the
+    * learn-once artifact of the t23 pipeline (the LM sibling of
+    * [[graft.operators.Bpe.writeMerges]] and the dedup/IVF indexes).
+    * The expensive full-train counting pass is paid at build time;
+    * every later scoring run probes the tables with ZERO index-side
+    * exchange. */
+  def writeLmIndex(
+      train: DataFrame,
+      textCol: String,
+      table: String,
+      numBuckets: Int = 32): Unit = {
+    val (uni, big, tri) = lmCounts(train, textCol)
+    Bucketing.writeBucketed(uni, s"${table}_uni", Seq("__w"), numBuckets)
+    Bucketing.writeBucketed(big, s"${table}_big", Seq("__g2"), numBuckets)
+    Bucketing.writeBucketed(tri, s"${table}_tri", Seq("__g3"), numBuckets)
+  }
+
+  /** APPEND a batch's counts to a persisted LM index. Counts are
+    * ADDITIVE, so maintenance here is trivially exact: each append
+    * writes the batch's own partial-count rows into the same buckets
+    * (one keyed shuffle of the BATCH counts only — existing files
+    * untouched), and [[scoreWithLmIndex]] re-aggregates per key at
+    * probe time — a bucket-local, exchange-free sum. append ≡ rebuild
+    * is long-integer addition associativity, not a property to
+    * hand-verify — and p23 still oracle-gates it end-to-end (the
+    * replay is blind to the incremental path). Compact on the
+    * maintenance cadence with [[Bucketing.compactBucketed]] over the
+    * SUMMED relation if probe file counts grow. Single-writer, like
+    * every index append. */
+  def appendLmIndex(
+      spark: SparkSession,
+      table: String,
+      batch: DataFrame,
+      textCol: String,
+      numBuckets: Int = 32): Unit = {
+    val (uni, big, tri) = lmCounts(batch, textCol)
+    Bucketing.appendBucketed(uni, s"${table}_uni", Seq("__w"), numBuckets)
+    Bucketing.appendBucketed(big, s"${table}_big", Seq("__g2"), numBuckets)
+    Bucketing.appendBucketed(tri, s"${table}_tri", Seq("__g3"), numBuckets)
+  }
+
+  /** Score an eval relation against a PERSISTED stupid-backoff index:
+    * the [[stupidBackoffScore]] semantics with the model side served
+    * from the bucketed tables. The per-key partial-count sums (needed
+    * because appends accumulate rows per key) aggregate WITHIN buckets
+    * — no exchange, the tables are bucketed by exactly that key — and
+    * the five scoring joins shuffle only the EVAL trigrams into the
+    * index's bucketing (the d18 span-probe discipline: batch-
+    * proportional probe cost, index never moves). Pinned zero-index-
+    * side-exchange in BucketingSpec; value-equal to the inline face by
+    * construction (shared [[sbScore]] core over equal counts). */
+  def scoreWithLmIndex(
+      spark: SparkSession,
+      table: String,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    val uni = spark.table(s"${table}_uni")
+      .groupBy(col("__w")).agg(sum(col("__u")).as("__u"))
+    val big = spark.table(s"${table}_big")
+      .groupBy(col("__g2")).agg(sum(col("__b")).as("__b"))
+    val tri = spark.table(s"${table}_tri")
+      .groupBy(col("__g3")).agg(sum(col("__t")).as("__t"))
+    sbScore(uni, big, tri, eval, idCol, textCol, alpha)
   }
 
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -1860,19 +1860,11 @@ $langScoreCols
     * the three count relations, and the identical double arithmetic
     * (all literals cast to DOUBLE — bare decimals are DECIMAL in
     * DuckDB; the t22 lesson). */
-  val t23_stupid_backoff = QueryDef(
-    "t23_stupid_backoff",
-    (s, dir) => {
-      val docs = Tables(s, dir).documents
-        .withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(100)))
-      graft.operators.TfIdf
-        .stupidBackoffScore(
-          docs.filter(col("__bucket") < 80),
-          docs.filter(col("__bucket") >= 80),
-          "doc_id", "text")
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
+  /** The t23/p23 oracle: one replay of the 80/20 split model + backoff
+    * arithmetic — p23 reuses it VERBATIM, which is what makes the
+    * incremental-index face's gate meaningful (the replay is blind to
+    * write/append/probe vs inline). */
+  private val t23Oracle: String = s"""
       WITH b AS (
         SELECT doc_id,
                list_filter(string_split(lower(text), ' '), __t -> __t <> '') AS ts,
@@ -1926,8 +1918,48 @@ $langScoreCols
       SELECT doc_id, ntri AS n_trigrams,
              round(list_reduce(list_prepend(0.0, vs), (__s, __t) -> __s + __t)
                    / cast(ntri AS DOUBLE), 6) AS sb_score
-      FROM folded ORDER BY doc_id"""),
+      FROM folded ORDER BY doc_id"""
+
+  val t23_stupid_backoff = QueryDef(
+    "t23_stupid_backoff",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(100)))
+      graft.operators.TfIdf
+        .stupidBackoffScore(
+          docs.filter(col("__bucket") < 80),
+          docs.filter(col("__bucket") >= 80),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(t23Oracle),
     bench = true)
+
+  /** PERSISTED incremental LM index ([[graft.operators.TfIdf
+    * .writeLmIndex]]/`appendLmIndex`/`scoreWithLmIndex`): the t23 model
+    * built from HALF the train split, the other half APPENDED as a
+    * later batch (additive partial-count rows), then the held-out 20%
+    * scored from the tables. The oracle is t23's one-shot replay —
+    * blind to the build/append/probe path, so any divergence in the
+    * maintenance story breaks the hash. */
+  val p23_incremental_lm = QueryDef(
+    "p23_incremental_lm",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .withColumn("__bucket", pmod(xxhash64(col("doc_id")), lit(100)))
+      val train = docs.filter(col("__bucket") < 80)
+      val table = s"graft_lm_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+      graft.operators.TfIdf
+        .writeLmIndex(train.filter(col("doc_id") % 2 === 0), "text", table)
+      graft.operators.TfIdf
+        .appendLmIndex(s, table, train.filter(col("doc_id") % 2 =!= 0), "text")
+      graft.operators.TfIdf
+        .scoreWithLmIndex(s, table, docs.filter(col("__bucket") >= 80),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(t23Oracle))
 
   /** Corpus-wide top-k word bigrams ([[graft.functions.TextFunctions
     * .ngrams]]): the n-gram census behind contamination screens, boilerplate
@@ -3641,5 +3673,6 @@ $langScoreCols
     p14_shuffle_shards, p15_incremental_dedup_purge, p16_cluster_split,
     p17_incremental_stats, p18_corpus_report, p19_incremental_quantiles,
     p20_incremental_clusters, p21_drift_psi, p22_corpus_fingerprint,
+    p23_incremental_lm,
     g01_pagerank, g02_ppr, g03_hits)
 }

@@ -585,6 +585,40 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming scoring face of the PERSISTED stupid-backoff LM index
+    * ([[graft.operators.TfIdf.scoreWithLmIndex]] per micro-batch):
+    * score a document STREAM against [[graft.operators.TfIdf
+    * .writeLmIndex]] count tables — each trigger probes ONLY its
+    * micro-batch (eval trigrams shuffle into the tables' bucketing;
+    * the index is never repartitioned), so per-trigger cost scales
+    * with the batch, not the train corpus. Every score is a pure
+    * function of (batch, count tables), so running the batch operator
+    * per micro-batch IS the streaming semantics — no state store,
+    * batch ≡ stream exactly (pinned in StreamingSpec). Exactly-once
+    * via the idempotent `b_<batchId>` directory pattern of
+    * [[asofEnrichSink]]; read results with [[committedBatches]]. Index
+    * APPENDS between triggers are legal (the tables re-resolve every
+    * trigger; counts are additive) but remain a separate single-writer
+    * batch step ([[graft.operators.TfIdf.appendLmIndex]]). */
+  def lmProbeSink(
+      docs: DataFrame,
+      table: String,
+      idCol: String,
+      textCol: String,
+      targetPath: String,
+      checkpoint: String,
+      alpha: Double = 0.4): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TfIdf
+          .scoreWithLmIndex(batch.sparkSession, table, batch,
+            idCol, textCol, alpha)
+          .write.mode("overwrite")
+          .parquet(f"$targetPath/b_$batchId%012d")
+      }
+      .start()
+
   /** The FULL continual-ingest loop over a persisted dedup index —
     * [[dedupProbeSink]] plus index MAINTENANCE: each micro-batch is
     * (1) classified against the CURRENT index (written to the

@@ -88,11 +88,16 @@ class BucketingSpec extends SparkSpec {
     fs.listStatus(loc).map(_.getPath.getName).filter(_.startsWith("part-")).toSet
   }
 
-  /** No scan of `table` may sit under a ShuffleExchange before reaching
-    * its join — the index side of a probe/append must never itself be
-    * shuffled (shared with the dedup-probe test's inline walk). */
+  /** No scan of `table` may sit under a REPARTITIONING ShuffleExchange
+    * (hash/range) before reaching its join — the index side of a
+    * probe/append must never itself be redistributed (shared with the
+    * dedup-probe test's inline walk). A SinglePartition exchange is
+    * exempt: that is the reduce step of a global aggregate (one
+    * partial row per partition — e.g. the LM probe's corpus-total
+    * token count), not a movement of index data. */
   private def assertIndexUnshuffled(
       plan: org.apache.spark.sql.execution.SparkPlan, table: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -105,7 +110,8 @@ class BucketingSpec extends SparkSpec {
         offenders += s.nodeName
       case _ =>
         val state = p match {
-          case _: ShuffleExchangeExec => true
+          case e: ShuffleExchangeExec =>
+            e.outputPartitioning != SinglePartition
           case _: BaseJoinExec => false
           case _ => shuffled
         }
@@ -480,5 +486,42 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
+  }
+
+  test("persisted LM index: append+probe equals rebuild equals inline; index unshuffled") {
+    import graft.operators.TfIdf
+    val docs = Tables(spark, sf0001).documents
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+    TfIdf.writeLmIndex(
+      train.filter(col("doc_id") % 2 === 0), "text", "lm_app", numBuckets = 8)
+    TfIdf.appendLmIndex(
+      spark, "lm_app", train.filter(col("doc_id") % 2 =!= 0), "text", numBuckets = 8)
+    TfIdf.writeLmIndex(train, "text", "lm_reb", numBuckets = 8)
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val viaAppend = canon(
+        TfIdf.scoreWithLmIndex(spark, "lm_app", eval, "doc_id", "text"))
+      val viaRebuild = canon(
+        TfIdf.scoreWithLmIndex(spark, "lm_reb", eval, "doc_id", "text"))
+      val inline = canon(
+        TfIdf.stupidBackoffScore(train, eval, "doc_id", "text"))
+      // counts are additive, so the appended index must serve the exact
+      // one-shot model — and both must equal the inline face
+      assert(viaAppend == viaRebuild, "append diverged from rebuild")
+      assert(viaAppend == inline, "persisted path diverged from inline")
+      assert(viaAppend.nonEmpty)
+      // the probe never repartitions the index: partial-count sums
+      // aggregate within buckets, the scoring joins shuffle only the
+      // eval trigrams into the tables' layout
+      val probe = TfIdf.scoreWithLmIndex(spark, "lm_app", eval, "doc_id", "text")
+      probe.collect(): Unit
+      Seq("lm_app_uni", "lm_app_big", "lm_app_tri").foreach(t =>
+        assertIndexUnshuffled(probe.queryExecution.executedPlan, t))
+    } finally
+      Seq("lm_app", "lm_reb").foreach(t =>
+        Seq("_uni", "_big", "_tri").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS $t$s")))
   }
 }

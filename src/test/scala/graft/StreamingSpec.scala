@@ -247,6 +247,39 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ded_sink_spec$s"))
   }
 
+  test("lmProbeSink: streamed micro-batches equal the batch scoring (t23 fixture)") {
+    import graft.operators.TfIdf
+    val docs = Tables(spark, sf0001).documents
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+    TfIdf.writeLmIndex(train, "text", "lm_sink_spec", numBuckets = 8)
+    try {
+      val src = Files.createTempDirectory("graft-lmsink-src").toString
+      eval.repartition(4).write.mode("overwrite").parquet(src)
+      val stream = spark.readStream
+        .schema(eval.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val target = Files.createTempDirectory("graft-lmsink-out").toString
+      val q = EventStreams.lmProbeSink(
+        stream, "lm_sink_spec", "doc_id", "text", target, checkpoint())
+      try q.processAllAvailable() finally q.stop()
+      val fs = new org.apache.hadoop.fs.Path(target)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val committed = fs.listStatus(new org.apache.hadoop.fs.Path(target))
+        .map(_.getPath.getName).filter(_.startsWith("b_")).toSeq
+        .filter(n => fs.exists(new org.apache.hadoop.fs.Path(s"$target/$n/_SUCCESS")))
+      assert(committed.size >= 2, s"want >=2 real micro-batches, got $committed")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val streamed = canon(EventStreams.committedBatches(spark, target))
+      val batchRun = canon(TfIdf.scoreWithLmIndex(
+        spark, "lm_sink_spec", eval, "doc_id", "text"))
+      assert(streamed.nonEmpty && streamed == batchRun)
+    } finally Seq("_uni", "_big", "_tri").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS lm_sink_spec$s"))
+  }
+
   test("ivfProbeSink: streamed query micro-batches equal the batch probe (s05 fixture)") {
     val emb = Tables(spark, sf0001).embeddings
     val centroids = graft.operators.Similarity
