@@ -335,6 +335,36 @@ object TfIdf {
     Bucketing.appendBucketed(tri, s"${table}_tri", Seq("__g3"), numBuckets)
   }
 
+  /** PURGE documents from a persisted LM index WITHOUT a rebuild:
+    * counts form an abelian group, so takedown is an append of the
+    * purged documents' counts NEGATED — the probe's per-key sums net
+    * them out, and a key whose net count reaches zero is filtered out
+    * post-sum ([[scoreWithLmIndex]]), making it exactly as absent as a
+    * rebuild over the survivors would leave it (purge ≡ rebuild pinned
+    * in BucketingSpec). Contrast with the dedup/IVF purges, which must
+    * rewrite survivor rows ([[graft.operators.Bucketing
+    * .replaceBucketed]]): additive state never needs the rewrite. The
+    * caller is responsible for purging each document AT MOST once (a
+    * double purge would drive net counts negative — same single-writer
+    * ledger discipline as every index mutation here); compact the
+    * net relation on the maintenance cadence via
+    * [[Bucketing.compactBucketed]] over the summed-and-filtered
+    * relation to physically drop zeroed keys. */
+  def purgeLmIndex(
+      spark: SparkSession,
+      table: String,
+      removed: DataFrame,
+      textCol: String,
+      numBuckets: Int = 32): Unit = {
+    val (uni, big, tri) = lmCounts(removed, textCol)
+    Bucketing.appendBucketed(
+      uni.withColumn("__u", -col("__u")), s"${table}_uni", Seq("__w"), numBuckets)
+    Bucketing.appendBucketed(
+      big.withColumn("__b", -col("__b")), s"${table}_big", Seq("__g2"), numBuckets)
+    Bucketing.appendBucketed(
+      tri.withColumn("__t", -col("__t")), s"${table}_tri", Seq("__g3"), numBuckets)
+  }
+
   /** Score an eval relation against a PERSISTED stupid-backoff index:
     * the [[stupidBackoffScore]] semantics with the model side served
     * from the bucketed tables. The per-key partial-count sums (needed
@@ -342,9 +372,12 @@ object TfIdf {
     * — no exchange, the tables are bucketed by exactly that key — and
     * the five scoring joins shuffle only the EVAL trigrams into the
     * index's bucketing (the d18 span-probe discipline: batch-
-    * proportional probe cost, index never moves). Pinned zero-index-
-    * side-exchange in BucketingSpec; value-equal to the inline face by
-    * construction (shared [[sbScore]] core over equal counts). */
+    * proportional probe cost, index never moves). Keys whose NET count
+    * is zero (fully purged) are dropped post-sum — the backoff chain
+    * treats them exactly as never-seen, which is what makes
+    * [[purgeLmIndex]] ≡ rebuild. Pinned zero-index-side-exchange in
+    * BucketingSpec; value-equal to the inline face by construction
+    * (shared [[sbScore]] core over equal counts). */
   def scoreWithLmIndex(
       spark: SparkSession,
       table: String,
@@ -354,10 +387,13 @@ object TfIdf {
       alpha: Double = 0.4): DataFrame = {
     val uni = spark.table(s"${table}_uni")
       .groupBy(col("__w")).agg(sum(col("__u")).as("__u"))
+      .filter(col("__u") > 0)
     val big = spark.table(s"${table}_big")
       .groupBy(col("__g2")).agg(sum(col("__b")).as("__b"))
+      .filter(col("__b") > 0)
     val tri = spark.table(s"${table}_tri")
       .groupBy(col("__g3")).agg(sum(col("__t")).as("__t"))
+      .filter(col("__t") > 0)
     sbScore(uni, big, tri, eval, idCol, textCol, alpha)
   }
 

@@ -524,4 +524,43 @@ class BucketingSpec extends SparkSpec {
         Seq("_uni", "_big", "_tri").foreach(s =>
           spark.sql(s"DROP TABLE IF EXISTS $t$s")))
   }
+
+  test("purgeLmIndex: negative-count purge equals rebuild over survivors") {
+    import graft.operators.TfIdf
+    val docs = Tables(spark, sf0001).documents
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+    val removed = train.filter(col("doc_id") % 3 === 0)
+    val survivors = train.filter(col("doc_id") % 3 =!= 0)
+    TfIdf.writeLmIndex(train, "text", "lm_pur", numBuckets = 8)
+    TfIdf.purgeLmIndex(spark, "lm_pur", removed, "text", numBuckets = 8)
+    TfIdf.writeLmIndex(survivors, "text", "lm_sur", numBuckets = 8)
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val purged = canon(
+        TfIdf.scoreWithLmIndex(spark, "lm_pur", eval, "doc_id", "text"))
+      val rebuilt = canon(
+        TfIdf.scoreWithLmIndex(spark, "lm_sur", eval, "doc_id", "text"))
+      val inline = canon(
+        TfIdf.stupidBackoffScore(survivors, eval, "doc_id", "text"))
+      // net-zero keys must be exactly as absent as a rebuild leaves
+      // them — every backoff arm (trigram, bigram, unigram, OOV floor)
+      // re-decides on the netted counts
+      assert(purged == rebuilt, "purge diverged from rebuild over survivors")
+      assert(purged == inline)
+      assert(purged.nonEmpty)
+      // the purge genuinely zeroed keys (not a vacuous pass): the
+      // netted trigram relation must be strictly smaller than the
+      // pre-purge distinct-key count
+      val netKeys = spark.table("lm_pur_tri")
+        .groupBy(col("__g3")).agg(sum(col("__t")).as("__t"))
+        .filter(col("__t") > 0).count()
+      val allKeys = spark.table("lm_pur_tri").select("__g3").distinct().count()
+      assert(netKeys < allKeys, s"no trigram key zeroed out ($netKeys of $allKeys)")
+    } finally
+      Seq("lm_pur", "lm_sur").foreach(t =>
+        Seq("_uni", "_big", "_tri").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+  }
 }
