@@ -599,33 +599,19 @@ object Similarity {
     val numCodes = codebooks(0).length
     val sub = codebooks(0)(0).length
     val v = col(vecCol).cast("array<double>")
-    // the codebooks ride the plan as ONE nested-array literal [m][k][i]
-    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    def codeword(m: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
-      element_at(element_at(cbLit, m + 1), k + 1)
-    // per-block nearest codeword: array_min over (rounded dist, code)
-    // structs — struct ordering is lexicographic, so ties take the
-    // smallest code
-    val codesExpr = transform(sequence(lit(0), lit(numSub - 1)), m =>
-      array_min(transform(sequence(lit(0), lit(numCodes - 1)), k =>
-        struct(
-          round(subDist(col("__cv"), m, sub, codeword(m, k)), 9).as("d"),
-          k.as("c")))).getField("c"))
+    val cbLit = codebookLit(codebooks)
     val coded = corpus.select(
       col(idCol).as("neighbor_id"),
       v.as("__cv"))
-      .select(col("neighbor_id"), codesExpr.as("__codes"))
-    // queries carry their LUT: m-major, code-minor, unrounded doubles
-    val lut = flatten(transform(sequence(lit(0), lit(numSub - 1)), m =>
-      transform(sequence(lit(0), lit(numCodes - 1)), k =>
-        subDist(col("__qv"), m, sub, codeword(m, k)))))
+      .select(
+        col("neighbor_id"),
+        pqCodesExpr(col("__cv"), cbLit, numSub, numCodes, sub).as("__codes"))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), v.as("__qv"))
-        .select(col("query_id"), lut.as("__lut")))
-    val adist = aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0), (acc, m) =>
-      acc + element_at(
-        col("__lut"),
-        m * lit(numCodes) + lit(1) + element_at(col("__codes"), m + 1)))
+        .select(
+          col("query_id"),
+          pqLutExpr(col("__qv"), cbLit, numSub, numCodes, sub).as("__lut")))
+    val adist = pqAdistExpr(col("__lut"), col("__codes"), numSub, numCodes)
     val wShort = Window
       .partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
@@ -635,8 +621,124 @@ object Similarity {
       .withColumn("__srank", row_number().over(wShort))
       .filter(col("__srank") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank: raw vectors re-attach through a broadcast of the
-    // bounded shortlist; the query vector re-broadcasts with it
+    exactRerank(corpus, queries, short, idCol, vecCol, k)
+  }
+
+  /** The codebooks as ONE nested-array plan literal [m][k][i]. */
+  private def codebookLit(codebooks: Array[Array[Seq[Double]]]) =
+    typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+  private def codewordAt(
+      cbLit: org.apache.spark.sql.Column,
+      m: org.apache.spark.sql.Column,
+      k: org.apache.spark.sql.Column) =
+    element_at(element_at(cbLit, m + 1), k + 1)
+
+  /** Per-block nearest-codeword codes: array_min over (rounded dist,
+    * code) structs — struct ordering is lexicographic, so ties take
+    * the smallest code. */
+  private def pqCodesExpr(
+      vec: org.apache.spark.sql.Column,
+      cbLit: org.apache.spark.sql.Column,
+      numSub: Int,
+      numCodes: Int,
+      sub: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(numSub - 1)), m =>
+      array_min(transform(sequence(lit(0), lit(numCodes - 1)), k =>
+        struct(
+          round(subDist(vec, m, sub, codewordAt(cbLit, m, k)), 9).as("d"),
+          k.as("c")))).getField("c"))
+
+  /** Per-query ADC lookup table: m-major, code-minor, unrounded. */
+  private def pqLutExpr(
+      vec: org.apache.spark.sql.Column,
+      cbLit: org.apache.spark.sql.Column,
+      numSub: Int,
+      numCodes: Int,
+      sub: Int): org.apache.spark.sql.Column =
+    flatten(transform(sequence(lit(0), lit(numSub - 1)), m =>
+      transform(sequence(lit(0), lit(numCodes - 1)), k =>
+        subDist(vec, m, sub, codewordAt(cbLit, m, k)))))
+
+  /** ADC total: LUT entries folded in block order. */
+  private def pqAdistExpr(
+      lut: org.apache.spark.sql.Column,
+      codes: org.apache.spark.sql.Column,
+      numSub: Int,
+      numCodes: Int): org.apache.spark.sql.Column =
+    aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0), (acc, m) =>
+      acc + element_at(lut, m * lit(numCodes) + lit(1) + element_at(codes, m + 1)))
+
+  /** IVF-PQ: the canonical big-vector-corpus index (Jégou et al. 2011
+    * §IV; FAISS IndexIVFPQ with by_residual=false) — coarse cells
+    * prune WHICH corpus fraction each query touches, PQ codes shrink
+    * WHAT each touched row costs: a query reads ~nProbe/nCells of the
+    * corpus as 8-byte codes, shortlists by ADC, and re-ranks only the
+    * shortlist with raw vectors. Composes the s02 cell machinery
+    * (deterministic smallest-xxhash64 centroids, round-9 cosine cell
+    * assignment with cid tiebreak) with the s10 PQ cascade verbatim —
+    * and the s11 oracle replays BOTH, composed.
+    *
+    * Plan shape: one scan-local corpus pass emits (cell, codes); the
+    * candidate join is keyed by cell against the broadcast probe side;
+    * shortlist and re-rank are the [[pqKnn]] stages. No corpus shuffle
+    * anywhere; every corpus vector lives in exactly ONE cell, so no
+    * candidate dedup is needed. */
+  def ivfPqKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Long, Seq[Double])],
+      codebooks: Array[Array[Seq[Double]]],
+      nProbe: Int = 4,
+      shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val numSub = codebooks.length
+    val numCodes = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val v = col(vecCol).cast("array<double>")
+    val cbLit = codebookLit(codebooks)
+    val coded = corpus
+      .select(col(idCol).as("neighbor_id"), v.as("__cv"))
+      .select(
+        col("neighbor_id"),
+        element_at(cellsFor(centroids, col("__cv"), 1), 1).as("cell"),
+        pqCodesExpr(col("__cv"), cbLit, numSub, numCodes, sub).as("__codes"))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), v.as("__qv"))
+        .select(
+          col("query_id"),
+          pqLutExpr(col("__qv"), cbLit, numSub, numCodes, sub).as("__lut"),
+          explode(cellsFor(centroids, col("__qv"), nProbe)).as("cell")))
+    val wShort = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val short = coded
+      .join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist",
+        round(pqAdistExpr(col("__lut"), col("__codes"), numSub, numCodes), 6))
+      .withColumn("__srank", row_number().over(wShort))
+      .filter(col("__srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus, queries, short, idCol, vecCol, k)
+  }
+
+  /** Exact cosine re-rank of a bounded (query_id, neighbor_id)
+    * shortlist: raw vectors re-attach through a BROADCAST of the
+    * shortlist (the corpus side stays scan-local), the query vector
+    * re-broadcasts with it, final ranks tie-break on neighbor id.
+    * Shared by the PQ ([[pqKnn]]) and IVF-PQ ([[ivfPqKnn]]) cascades. */
+  private def exactRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      short: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
     val qv = broadcast(
       queries.select(col(idCol).as("query_id"), v.as("__qv")))
     val wFinal = Window

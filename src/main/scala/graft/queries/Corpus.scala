@@ -1120,6 +1120,104 @@ $langScoreCols
     },
     Some(s10Oracle))
 
+  /** Exact DuckDB oracle for s11: the s02 cell replay (centroids, cell
+    * assignment, probe cells) COMPOSED with the s10 PQ replay (anchors,
+    * codes, LUT folds) — candidates restricted to probed cells, then
+    * the same shortlist + exact-cosine re-rank tail. */
+  private val s11Oracle: String = {
+    val hash = OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("vec_id")))
+    val fold = (0 until 8)
+      .map(i => s"+ (e[m*8 + ${i + 1}] - c[${i + 1}]) * (e[m*8 + ${i + 1}] - c[${i + 1}])")
+      .mkString(" ")
+    val cellScore = OracleSql.cosineExact("v.e", "cent.cv")
+    s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      hashed AS (SELECT vec_id, e, $hash AS h FROM v),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, e AS cv
+        FROM hashed
+        QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16),
+      cscore AS (
+        SELECT v.vec_id, cent.cid, round($cellScore, 9) AS s
+        FROM v CROSS JOIN cent),
+      cassign AS (
+        SELECT vec_id, cid AS cell FROM cscore
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1),
+      qprobe AS (
+        SELECT vec_id AS query_id, cid AS cell
+        FROM cscore WHERE vec_id < 10
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) <= 6),
+      anch AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS k, e
+        FROM hashed
+        QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 256),
+      cb AS (
+        SELECT ms.m, anch.k, list_slice(anch.e, ms.m*8 + 1, ms.m*8 + 8) AS c
+        FROM anch CROSS JOIN (SELECT unnest(range(8)) AS m) ms),
+      enc AS (
+        SELECT v.vec_id, cb.m, cb.k,
+               round(cast(0.0 AS DOUBLE) $fold, 9) AS d
+        FROM v CROSS JOIN cb),
+      codes AS (
+        SELECT vec_id, m, k AS code FROM enc
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) = 1),
+      lutq AS (
+        SELECT v.vec_id AS query_id, cb.m, cb.k,
+               cast(0.0 AS DOUBLE) $fold AS ld
+        FROM v CROSS JOIN cb
+        WHERE v.vec_id < 10),
+      cand AS (
+        SELECT q.query_id, ca.vec_id AS neighbor_id
+        FROM qprobe q
+        JOIN cassign ca ON q.cell = ca.cell AND q.query_id <> ca.vec_id),
+      terms AS (
+        SELECT cand.query_id, cand.neighbor_id, l.m, l.ld
+        FROM cand
+        JOIN codes c ON c.vec_id = cand.neighbor_id
+        JOIN lutq l ON l.query_id = cand.query_id AND l.m = c.m AND l.k = c.code),
+      folded AS (
+        SELECT query_id, neighbor_id, list(ld ORDER BY m) AS vs
+        FROM terms GROUP BY 1, 2),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_reduce(list_prepend(cast(0.0 AS DOUBLE), vs),
+                     (__a, __b) -> __a + __b), 6) AS adist
+        FROM folded),
+      short AS (
+        SELECT query_id, neighbor_id FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 50),
+      rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(${OracleSql.cosineExact("qv.e", "nv.e")}, 6) AS cosine
+        FROM short s JOIN v qv ON s.query_id = qv.vec_id
+                     JOIN v nv ON s.neighbor_id = nv.vec_id)
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+             neighbor_id, cosine
+      FROM rr
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 5
+      ORDER BY query_id, rank"""
+  }
+
+  /** IVF-PQ composition ([[Similarity.ivfPqKnn]]): coarse cells prune
+    * WHICH corpus fraction each query touches, PQ codes shrink WHAT
+    * each touched row costs — the canonical big-vector-corpus index
+    * shape, here with both quantizers deterministic and the whole
+    * cascade exactly replayed. */
+  val s11_knn_ivfpq = QueryDef(
+    "s11_knn_ivfpq",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nCells = 16)
+      val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        inDims = 64, numSubspaces = 8, numCodes = 256)
+      Similarity
+        .ivfPqKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, centroids = centroids, codebooks = cb, nProbe = 6, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s11Oracle))
+
   /** Exact oracle for s07: the s02 IVF replay extended with probe ranks,
     * a probe-budget expansion, and the s01-style exact top-k truth set —
     * recall computed by the same left-join-and-count. All cosines via
@@ -3665,7 +3763,7 @@ $langScoreCols
     d18_span_probe_indexed, d19_decontaminate_spans, d20_edit_verify,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
-    s09_pca, s10_knn_pq,
+    s09_pca, s10_knn_pq, s11_knn_ivfpq,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,

@@ -81,6 +81,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got == run(emb.repartition(7)), "must be partition-invariant")
   }
 
+  test("ivfPqKnn: full-probe equals pqKnn exactly; pruned probe keeps useful recall") {
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      inDims = 64, numSubspaces = 8, numCodes = 256)
+    val queries = emb.filter(col("vec_id") < 10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // probing EVERY cell makes the candidate set the whole corpus, so
+    // the cascade must equal plain PQ bit-for-bit
+    val full = canon(Similarity.ivfPqKnn(emb, queries, "vec_id", "embedding",
+      k = 5, centroids = centroids, codebooks = cb, nProbe = 16, shortlist = 50))
+    val pq = canon(Similarity.pqKnn(emb, queries, "vec_id", "embedding",
+      k = 5, codebooks = cb, shortlist = 50))
+    assert(full == pq, "all-cells IVF-PQ must equal plain PQ")
+    // pruned probing: recall degrades gracefully, not catastrophically
+    val pruned = canon(Similarity.ivfPqKnn(emb, queries, "vec_id", "embedding",
+      k = 5, centroids = centroids, codebooks = cb, nProbe = 6, shortlist = 50))
+    val truth = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val hits = pruned.count(r => truth.contains((r._1, r._3)))
+    assert(hits >= 25, s"IVF-PQ recall too low: $hits/50")
+    // deterministic under repartitioning
+    val again = canon(Similarity.ivfPqKnn(emb.repartition(7), queries,
+      "vec_id", "embedding", k = 5, centroids = centroids, codebooks = cb,
+      nProbe = 6, shortlist = 50))
+    assert(again == pruned)
+  }
+
   test("fitPca: recovers the planted dominant direction; orthonormal; variance-ordered") {
     import spark.implicits._
     // planted structure in 8 dims: v1 (scale 10) dominates v2 (scale 3)
