@@ -621,7 +621,10 @@ object Similarity {
       .withColumn("__srank", row_number().over(wShort))
       .filter(col("__srank") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    exactRerank(corpus, queries, short, idCol, vecCol, k)
+    exactRerank(
+      corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv")),
+      queries, short, idCol, vecCol, k)
   }
 
   /** The codebooks as ONE nested-array plan literal [m][k][i]. */
@@ -723,34 +726,149 @@ object Similarity {
       .withColumn("__srank", row_number().over(wShort))
       .filter(col("__srank") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    exactRerank(corpus, queries, short, idCol, vecCol, k)
+    exactRerank(
+      corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv")),
+      queries, short, idCol, vecCol, k)
   }
 
   /** Exact cosine re-rank of a bounded (query_id, neighbor_id)
     * shortlist: raw vectors re-attach through a BROADCAST of the
-    * shortlist (the corpus side stays scan-local), the query vector
+    * shortlist (the vector side stays scan-local), the query vector
     * re-broadcasts with it, final ranks tie-break on neighbor id.
-    * Shared by the PQ ([[pqKnn]]) and IVF-PQ ([[ivfPqKnn]]) cascades. */
+    * `corpusVecs` is pre-shaped (neighbor_id, __cv) — the raw corpus
+    * for the inline cascades, the index's stored vectors for the
+    * persisted probe. */
   private def exactRerank(
-      corpus: DataFrame,
+      corpusVecs: DataFrame,
       queries: DataFrame,
       short: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
     val qv = broadcast(
-      queries.select(col(idCol).as("query_id"), v.as("__qv")))
+      queries.select(
+        col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv")))
     val wFinal = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    corpus.select(col(idCol).as("neighbor_id"), v.as("__cv"))
+    corpusVecs
       .join(broadcast(short), Seq("neighbor_id"))
       .join(qv, Seq("query_id"))
       .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
       .withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** One corpus row of the IVF-PQ index: cell, codes, and the stored
+    * vector (for the probe's exact re-rank) — all scan-local. */
+  private def ivfPqRows(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Seq[Double])],
+      codebooks: Array[Array[Seq[Double]]]): DataFrame = {
+    val (numSub, numCodes, sub) =
+      (codebooks.length, codebooks(0).length, codebooks(0)(0).length)
+    val cbLit = codebookLit(codebooks)
+    corpus
+      .select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .select(
+        col("neighbor_id"),
+        element_at(cellsFor(centroids, col("__cv"), 1), 1).as("cell"),
+        pqCodesExpr(col("__cv"), cbLit, numSub, numCodes, sub).as("__codes"),
+        col("__cv"))
+  }
+
+  /** PERSIST the IVF-PQ structure ([[ivfPqKnn]]'s batch-vs-index
+    * asymmetry, like [[writeIvfIndex]] for plain IVF): one scan-local
+    * corpus pass emits (cell, codes, stored vector), written bucketed+
+    * sorted by cell — probes then prune untouched buckets at planning
+    * time AND read 8-byte codes for the ADC pass; the stored vector
+    * column is touched only by the re-rank's shortlist join. */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Seq[Double])],
+      codebooks: Array[Array[Seq[Double]]],
+      table: String,
+      numBuckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      ivfPqRows(corpus, idCol, vecCol, centroids, codebooks),
+      table, bucketCols = Seq("cell"), numBuckets = numBuckets,
+      sortCols = Seq("cell", "neighbor_id"))
+
+  /** APPEND new vectors to a persisted [[writeIvfPqIndex]]: only the
+    * batch is quantized/encoded and shuffled into its cell buckets —
+    * existing files untouched. Centroids AND codebooks must be the
+    * build's (the fixed-quantizer contract; re-train and rebuild when
+    * drift warrants). Single-writer batch step. */
+  def appendIvfPqIndex(
+      table: String,
+      newCorpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Seq[Double])],
+      codebooks: Array[Array[Seq[Double]]],
+      numBuckets: Int = 32): Unit =
+    Bucketing.appendBucketed(
+      ivfPqRows(newCorpus, idCol, vecCol, centroids, codebooks),
+      table, bucketCols = Seq("cell"), numBuckets = numBuckets,
+      sortCols = Seq("cell", "neighbor_id"))
+
+  /** Probe a persisted [[writeIvfPqIndex]]: the full [[ivfPqKnn]]
+    * cascade served from the index — the `cell IN (probed...)` literal
+    * prunes non-probed buckets inside the code scan (planning-time
+    * bucket pruning, pinned in BucketingSpec), the ADC join reads only
+    * (cell, codes), and the re-rank joins the bounded shortlist back to
+    * the index's stored vectors. The index is never shuffled; probe ≡
+    * inline [[ivfPqKnn]] bit-for-bit (pinned in BucketingSpec; s12
+    * shares s11's oracle). */
+  def probeIvfPqIndex(
+      spark: SparkSession,
+      table: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Long, Seq[Double])],
+      codebooks: Array[Array[Seq[Double]]],
+      nProbe: Int = 4,
+      shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val (numSub, numCodes, sub) =
+      (codebooks.length, codebooks(0).length, codebooks(0)(0).length)
+    val cbLit = codebookLit(codebooks)
+    val q = queries
+      .select(
+        col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .select(
+        col("query_id"),
+        pqLutExpr(col("__qv"), cbLit, numSub, numCodes, sub).as("__lut"),
+        explode(cellsFor(centroids, col("__qv"), nProbe)).as("cell"))
+    // bounded: |queries| x nProbe cell ids
+    val probed = q.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val idx = spark.table(table).filter(col("cell").isin(probed.toSeq: _*))
+    val wShort = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val short = broadcast(q)
+      .join(idx.select(col("cell"), col("neighbor_id"), col("__codes")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist",
+        round(pqAdistExpr(col("__lut"), col("__codes"), numSub, numCodes), 6))
+      .withColumn("__srank", row_number().over(wShort))
+      .filter(col("__srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(
+      spark.table(table).select(col("neighbor_id"), col("__cv")),
+      queries, short, idCol, vecCol, k)
   }
 
   /** Project an embedding column through a [[fitPca]] matrix: output

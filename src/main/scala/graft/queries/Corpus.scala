@@ -1218,6 +1218,30 @@ $langScoreCols
     },
     Some(s11Oracle))
 
+  /** PERSISTED IVF-PQ ([[Similarity.writeIvfPqIndex]] +
+    * [[Similarity.probeIvfPqIndex]]): s11's cascade served from a
+    * cell-bucketed table of (cell, codes, stored vector) — probed
+    * buckets prune at planning time, ADC reads codes, re-rank joins the
+    * shortlist back to the stored vectors. Shares s11's oracle: the
+    * persisted probe must reproduce the inline cascade bit-for-bit. */
+  val s12_knn_ivfpq_indexed = QueryDef(
+    "s12_knn_ivfpq_indexed",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nCells = 16)
+      val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        inDims = 64, numSubspaces = 8, numCodes = 256)
+      val table = s"graft_ivfpq_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", centroids, cb, table)
+      Similarity
+        .probeIvfPqIndex(s, table, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, centroids = centroids, codebooks = cb,
+          nProbe = 6, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s11Oracle))
+
   /** Exact oracle for s07: the s02 IVF replay extended with probe ranks,
     * a probe-budget expansion, and the s01-style exact top-k truth set —
     * recall computed by the same left-join-and-count. All cosines via
@@ -3763,7 +3787,7 @@ $langScoreCols
     d18_span_probe_indexed, d19_decontaminate_spans, d20_edit_verify,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
-    s09_pca, s10_knn_pq, s11_knn_ivfpq,
+    s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,

@@ -123,6 +123,48 @@ class BucketingSpec extends SparkSpec {
       s"index table scan shuffled before its join: ${offenders.result()}")
   }
 
+  test("persisted IVF-PQ index: probe equals inline; append equals rebuild; buckets pruned") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      inDims = 64, numSubspaces = 8, numCodes = 64)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    Similarity.writeIvfPqIndex(half, "vec_id", "embedding", centroids, cb,
+      "ivfpq_app", numBuckets = 16)
+    Similarity.appendIvfPqIndex("ivfpq_app", rest, "vec_id", "embedding",
+      centroids, cb, numBuckets = 16)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", centroids, cb,
+      "ivfpq_reb", numBuckets = 16)
+    try {
+      val queries = emb.filter(col("vec_id") < 5)
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      val viaAppend = run(Similarity.probeIvfPqIndex(spark, "ivfpq_app", queries,
+        "vec_id", "embedding", k = 5, centroids = centroids, codebooks = cb,
+        nProbe = 3))
+      val viaRebuild = run(Similarity.probeIvfPqIndex(spark, "ivfpq_reb", queries,
+        "vec_id", "embedding", k = 5, centroids = centroids, codebooks = cb,
+        nProbe = 3))
+      val inline = run(Similarity.ivfPqKnn(emb, queries, "vec_id", "embedding",
+        k = 5, centroids = centroids, codebooks = cb, nProbe = 3))
+      assert(viaAppend == viaRebuild, "append diverged from rebuild")
+      assert(viaAppend == inline, "persisted probe diverged from inline cascade")
+      assert(viaAppend.nonEmpty)
+      // the probed-cell literal prunes untouched buckets in the code scan
+      val probe = Similarity.probeIvfPqIndex(spark, "ivfpq_app", queries,
+        "vec_id", "embedding", k = 5, centroids = centroids, codebooks = cb,
+        nProbe = 3)
+      val ps = probe.queryExecution.executedPlan.toString
+      val pruned = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(ps)
+      assert(pruned.isDefined, s"no bucket pruning in scan:\n${ps.take(3000)}")
+      assert(pruned.get.group(1).toInt < pruned.get.group(2).toInt,
+        s"probe should not read every bucket: ${pruned.get.matched}")
+      assertIndexUnshuffled(probe.queryExecution.executedPlan, "ivfpq_app")
+    } finally Seq("ivfpq_app", "ivfpq_reb").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("appendDedupIndex: append equals rebuild; existing files untouched; batch-only shuffle") {
     val docs = Tables(spark, sf0001).documents
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
