@@ -350,8 +350,37 @@ object CsvQueries {
              min(text) AS min_text, max(text) AS max_text
       FROM documents GROUP BY lang, source ORDER BY lang, source"""))
 
+  /** Raw text-lines round trip ([[graft.sources.Text]]): the documents'
+    * text written as one-line-per-doc shards and read back — the
+    * schema-free ingestion format of plain .txt corpora. The format
+    * keeps no ids, so the gate aggregates over the CONTENT itself
+    * (count, summed length, distinct count, min/max line) from the
+    * round-tripped lines while the oracle computes them from the
+    * original parquet — any line mangling, lost row, or encoding slip
+    * breaks the hash. */
+  val q73_text_io = QueryDef(
+    "q73_text_io",
+    (s, dir) => {
+      val docs = graft.Tables(s, dir).documents
+      val tmp = scratchDir("text", dir)
+      graft.sources.Text.writeText(docs, "text", tmp)
+      graft.sources.Text.readText(s, tmp)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(length(col("value"))).as("sum_len"),
+          count_distinct(col("value")).as("n_distinct"),
+          min(col("value")).as("min_text"),
+          max(col("value")).as("max_text"))
+    },
+    Some("""
+      SELECT count(*) AS n,
+             cast(sum(length(text)) as bigint) AS sum_len,
+             cast(count(DISTINCT text) as bigint) AS n_distinct,
+             min(text) AS min_text, max(text) AS max_text
+      FROM documents"""))
+
   val all: Seq[QueryDef] = Seq(
     q28_csv_strict, q29_csv_maybe, q30_csv_managers, q31_csv_noheader,
     q32_csv_categorical, q33_csv_fl2_means, q39_csv_timestamp, q62_jsonl_io,
-    q66_partitioned_io, q71_csv_multifile, q72_orc_io)
+    q66_partitioned_io, q71_csv_multifile, q72_orc_io, q73_text_io)
 }

@@ -67,4 +67,17 @@ class JsonlSpec extends SparkSpec {
     assert(back.count() == docs.count())
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
+
+  test("text lines round-trip as a multiset, including empty and unicode lines") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_text_spec").toString
+    val lines = Seq("alpha beta", "", "  leading and trailing  ",
+      "Espérança — ünïcode ✓", "alpha beta")
+    val df = lines.toDF("text")
+    graft.sources.Text.writeText(df, "text", dir)
+    val back = graft.sources.Text.readText(spark, dir)
+      .collect().map(_.getString(0)).toSeq
+    // shard writes reorder rows; content is a multiset
+    assert(back.sorted == lines.sorted, s"got ${back.mkString("|")}")
+  }
 }
