@@ -205,4 +205,77 @@ object Graph {
     }
     ranks
   }
+
+  /** Semi-supervised LABEL PROPAGATION (Zhu & Ghahramani 2002) over a
+    * weighted directed graph — the auto-labeling primitive: a small
+    * vetted label set (human-rated quality tiers, verified topics,
+    * license classes) spreads to the whole corpus along a similarity
+    * graph, typically the kNN graph of an embedding column (build the
+    * edges with any [[Similarity]] kNN face — exact brute force here in
+    * tests, IVF/PQ at scale; the operator only sees the edge list, so
+    * the two compose freely).
+    *
+    * Synchronous rounds; weights are PRE-QUANTIZED longs (quantize the
+    * similarity to integer space — e.g. `round(cosine*1e6)` — before
+    * the call), so each vote tally is an exact long sum: associative,
+    * partitioning-independent, bit-identical in the DuckDB oracle
+    * replay. Per round, every non-seed node adopts the label with the
+    * largest summed weight over its currently-labeled out-neighbors
+    * (ties broken by the smaller label); seeds never change; a node
+    * with no labeled neighbor keeps its previous state, so labels only
+    * ever GROW outward from the seed set and unreached nodes surface as
+    * NULL — a selection signal, like g02's exact zeros.
+    *
+    * Scale shape per round (Pregel contract, like [[pagerankQuantized]]):
+    * one (dst) equi-join of the label state onto the edge list, one
+    * (src, label) keyed long aggregation (map-side partials), and one
+    * per-src WindowGroupLimit argmax — label state is (node, label)
+    * scalars, vectors never ride edges; `localCheckpoint` cuts the
+    * doubling lineage each round (point `checkpoint` at durable storage
+    * on a real cluster). */
+  def labelPropagationQuantized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      seeds: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 0, s"bad label propagation params: iters=$iters")
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val seedLabels = seeds.select(
+      col(nodeCol).cast("long").as("node"),
+      col(labelCol).cast("long").as("label"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(seedLabels.select(col("node"))).distinct()
+    var state = nodes
+      .join(seedLabels, Seq("node"), "left")
+      .select(col("node"), col("label"),
+        col("label").isNotNull.as("__seed"))
+    for (_ <- 0 until iters) {
+      val labeled = state.filter(col("label").isNotNull)
+        .select(col("node").as("__ln"), col("label").as("__l"))
+      val best = e.join(labeled, e("dst") === col("__ln"))
+        .groupBy(col("src"), col("__l")).agg(sum(col("w")).as("__sc"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src"))
+            .orderBy(col("__sc").desc, col("__l").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("src").as("__bn"), col("__l").as("__bl"))
+      state = state
+        .join(best, state("node") === col("__bn"), "left")
+        .select(col("node"),
+          when(col("__seed"), col("label"))
+            .otherwise(coalesce(col("__bl"), col("label"))).as("label"),
+          col("__seed"))
+        .localCheckpoint(true)
+    }
+    state.select(col("node"), col("label"))
+  }
 }

@@ -74,6 +74,57 @@ object Retrieval {
       .limit(k)
   }
 
+  /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher SIGIR 2009):
+    * merge N ranked lists — classically a lexical (BM25) and a dense
+    * (embedding kNN) retriever, the standard "hybrid search" pair —
+    * into one ranking by summing 1/(k0 + rank) per item. Rank-based,
+    * so no score calibration across retrievers is needed (the reason
+    * RRF is the production default for hybrid retrieval).
+    *
+    * Each input carries `keyCols` (e.g. query_id), `idCol`, `rankCol`
+    * (1-based). Contributions are QUANTIZED — round(scale/(k0+rank))
+    * as a long — so the fused score is an exact integer sum:
+    * associative, partitioning-independent, bit-identical in an oracle
+    * replay (the [[graft.operators.Graph]] discipline). `n_lists`
+    * reports how many retrievers surfaced each item — the agreement
+    * signal hybrid pipelines threshold on.
+    *
+    * Scale shape: inputs are top-k lists, already bounded per key; the
+    * fusion is one union + one (keys, id) keyed long aggregation with
+    * map-side partials + one per-key WindowGroupLimit top-k. Nothing
+    * here touches the corpus — fusion cost is |queries| × k × N rows
+    * regardless of corpus size. */
+  def rrfFusion(
+      lists: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      keyCols: Seq[String],
+      k0: Int = 60,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(lists.nonEmpty && k > 0 && k0 > 0 && scale > 0,
+      s"bad rrf params: lists=${lists.size} k=$k k0=$k0 scale=$scale")
+    require(keyCols.nonEmpty,
+      "rrfFusion needs at least one key column (e.g. a query id) — " +
+      "a keyless fusion would need an unpartitioned top-k window")
+    val cols = keyCols.map(col) :+ col(idCol) :+ col(rankCol).cast("long").as("__r")
+    val contrib =
+      round(lit(scale).cast("double") / (lit(k0.toLong) + col("__r")), 0)
+        .cast("long")
+    val fused = lists.map(_.select(cols: _*)).reduce(_ unionByName _)
+      .select(keyCols.map(col) :+ col(idCol) :+ contrib.as("__c"): _*)
+      .groupBy(keyCols.map(col) :+ col(idCol): _*)
+      .agg(sum(col("__c")).as("rrf"), count(lit(1)).as("n_lists"))
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("rrf").desc, col(idCol).asc)
+    fused
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(keyCols.map(col) ++ Seq(col("rank"), col(idCol), col("rrf"),
+        col("n_lists")): _*)
+  }
+
   /** Distributed inverted-index build — the MapReduce canonical made
     * Spark-declarative. One row per term: document frequency `df`,
     * collection frequency `cf` (both over the FULL corpus), and

@@ -179,17 +179,21 @@ object Similarity {
     slice(transform(sorted, s => s("cid")), 1, n)
   }
 
-  /** Corpus side of the IVF structure: (cell, neighbor_id, vector). */
+  /** Corpus side of the IVF structure: (cell, neighbor_id, vector),
+    * plus any `attrCols` carried verbatim — the metadata a FILTERED
+    * probe ([[probeIvfIndex]]'s `filter`) predicates on. */
   private def cellAssignments(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: Array[(Long, Seq[Double])]): DataFrame =
+      centroids: Array[(Long, Seq[Double])],
+      attrCols: Seq[String] = Nil): DataFrame =
     corpus.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__cv"),
+      col(idCol).as("neighbor_id") +:
+      col(vecCol).cast("array<double>").as("__cv") +:
       element_at(
-        cellsFor(centroids, col(vecCol).cast("array<double>"), 1), 1).as("cell"))
+        cellsFor(centroids, col(vecCol).cast("array<double>"), 1), 1).as("cell") +:
+      attrCols.map(col): _*)
 
   /** Probe side: each query exploded to its `nProbe` best cells. */
   private def queryProbes(
@@ -248,9 +252,10 @@ object Similarity {
       vecCol: String,
       centroids: Array[(Long, Seq[Double])],
       table: String,
-      numBuckets: Int = 32): Unit =
+      numBuckets: Int = 32,
+      attrCols: Seq[String] = Nil): Unit =
     Bucketing.writeBucketed(
-      cellAssignments(corpus, idCol, vecCol, centroids),
+      cellAssignments(corpus, idCol, vecCol, centroids, attrCols),
       table, bucketCols = Seq("cell"), numBuckets = numBuckets,
       sortCols = Seq("cell", "neighbor_id"))
 
@@ -267,9 +272,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       centroids: Array[(Long, Seq[Double])],
-      numBuckets: Int = 32): Unit =
+      numBuckets: Int = 32,
+      attrCols: Seq[String] = Nil): Unit =
     Bucketing.appendBucketed(
-      cellAssignments(newCorpus, idCol, vecCol, centroids),
+      cellAssignments(newCorpus, idCol, vecCol, centroids, attrCols),
       table, bucketCols = Seq("cell"), numBuckets = numBuckets,
       sortCols = Seq("cell", "neighbor_id"))
 
@@ -306,7 +312,15 @@ object Similarity {
     * Plan shape, pinned in PlanSpec: the index side has NO Exchange (the
     * query side broadcasts) and the `cell IN (probed...)` literal prunes
     * non-probed buckets inside the scan — the corpus is neither shuffled
-    * nor fully read, which is the entire point of persisting the index. */
+    * nor fully read, which is the entire point of persisting the index.
+    *
+    * `filter` is FILTERED vector search (the vector-DB metadata
+    * predicate): a Column over the index's `attrCols` applied INSIDE
+    * the pruned index scan — PRE-filtering, so every one of the final
+    * `k` neighbors satisfies it (post-filtering top-k can return fewer
+    * than k or none). Candidates shrink but the probed cells do not:
+    * with a selective predicate raise `nProbe` to hold recall — the
+    * standard filtered-ANN recall dial. */
   def probeIvfIndex(
       spark: SparkSession,
       table: String,
@@ -315,12 +329,14 @@ object Similarity {
       vecCol: String,
       k: Int,
       centroids: Array[(Long, Seq[Double])],
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val q = queryProbes(queries, idCol, vecCol, centroids, nProbe)
     // bounded: |queries| x nProbe cell ids
     val probed = q.select(col("cell")).distinct().collect().map(_.getLong(0))
-    val idx = spark.table(table)
-      .filter(col("cell").isin(probed.toSeq: _*))
+    val idx = filter.foldLeft(
+      spark.table(table)
+        .filter(col("cell").isin(probed.toSeq: _*)))(_.filter(_))
     topK(
       broadcast(q).join(idx, Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))

@@ -1242,6 +1242,35 @@ $langScoreCols
     },
     Some(s11Oracle))
 
+  /** FILTERED vector search ([[Similarity.probeIvfIndex]]'s `filter`
+    * over an attribute-carrying [[Similarity.writeIvfIndex]]): the s05
+    * persisted-IVF probe with a metadata predicate (`label % 3 = 1`)
+    * applied INSIDE the bucket-pruned index scan — the vector-DB
+    * "WHERE clause + ANN" combination. Pre-filtering, so all k
+    * neighbors satisfy the predicate; the oracle replays s02's IVF with
+    * the index side restricted to the eligible vectors (probe cells
+    * still derive from the full-corpus centroids — filtering moves no
+    * cell geometry). */
+  val s13_knn_ivf_filtered = QueryDef(
+    "s13_knn_ivf_filtered",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nCells = 16)
+      val table = s"graft_ivf_flt_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, table,
+        attrCols = Seq("label"))
+      Similarity
+        .probeIvfIndex(s, table,
+          queries = emb.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", k = 5,
+          centroids = centroids, nProbe = 6,
+          filter = Some(col("label") % 3 === 1))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s02OracleSurviving(
+      "vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 1)")))
+
   /** Exact oracle for s07: the s02 IVF replay extended with probe ranks,
     * a probe-budget expansion, and the s01-style exact top-k truth set —
     * recall computed by the same left-join-and-count. All cosines via
@@ -2057,6 +2086,119 @@ $langScoreCols
     Some(t23Oracle),
     bench = true)
 
+  /** Exact oracle for t24: the t11 BM25 replay per term set (shared
+    * tokenize/stats CTEs), the s01 dense-kNN replay for the two query
+    * vectors, then quantized reciprocal-rank contributions summed as
+    * exact longs — bit-for-bit, like every quantized-integer family. */
+  private def t24Oracle: String = {
+    def bmCte(qid: Int, terms: Seq[String]): String = {
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val caseSum = terms
+        .map(t => s"sum(CASE WHEN term = '$t' THEN s ELSE 0.0 END)")
+        .mkString("\n               + ")
+      s"""
+      tf$qid AS (
+        SELECT doc_id, dl, term, cast(count(*) AS bigint) AS tf
+        FROM (SELECT doc_id, dl, unnest(ts) AS term FROM dls)
+        WHERE term IN ($inList)
+        GROUP BY 1, 2, 3),
+      dfr$qid AS (SELECT term, cast(count(*) AS bigint) AS df FROM tf$qid GROUP BY 1),
+      sc$qid AS (
+        SELECT tf$qid.doc_id, tf$qid.term,
+               ((n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+                 (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                   (cast(sum_dl AS double) / cast(n_docs AS double)))) AS s
+        FROM tf$qid JOIN dfr$qid USING (term) CROSS JOIN stats),
+      bm$qid AS (
+        SELECT doc_id, ($caseSum) AS score
+        FROM sc$qid GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 50),
+      lex$qid AS (
+        SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM bm$qid)"""
+    }
+    s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      dls AS (SELECT doc_id, cast(len(ts) AS bigint) AS dl, ts FROM toks),
+      stats AS (
+        SELECT cast(count(*) AS bigint) AS n_docs, cast(sum(dl) AS bigint) AS sum_dl
+        FROM dls),
+      ${bmCte(0, t24TermsA)},
+      ${bmCte(1, t24TermsB)},
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      dense AS (
+        SELECT query_id, doc_id, r FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+                            c.vec_id ASC) AS r
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id IN (0, 1))
+        WHERE r <= 50),
+      unioned AS (
+        SELECT query_id, doc_id, r FROM lex0
+        UNION ALL SELECT query_id, doc_id, r FROM lex1
+        UNION ALL SELECT query_id, doc_id, r FROM dense),
+      fused AS (
+        SELECT query_id, doc_id,
+               cast(sum(CAST(round(1000000000000.0 / (60 + r), 0) AS BIGINT))
+                 AS BIGINT) AS rrf,
+               cast(count(*) AS BIGINT) AS n_lists
+        FROM unioned GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, doc_id, rrf, n_lists,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+        FROM fused)
+      SELECT query_id, rank, doc_id, rrf, n_lists
+      FROM ranked WHERE rank <= 20
+      ORDER BY query_id, rank"""
+  }
+
+  private val t24TermsA = Seq("join", "hash", "scan", "filter")
+  private val t24TermsB = Seq("sort", "merge", "window", "stream")
+
+  /** HYBRID retrieval ([[graft.operators.Retrieval.rrfFusion]]): two
+    * queries, each a lexical BM25 top-50 (t11's retriever) fused with a
+    * dense embedding-kNN top-50 (s01's retriever, query vectors 0/1) by
+    * reciprocal-rank fusion — the production hybrid-search shape, where
+    * rank-based fusion sidesteps score calibration between the two
+    * retrievers entirely. Contributions are 1e12-quantized longs, so
+    * the fused scores replay bit-for-bit; `n_lists` = 2 marks docs both
+    * retrievers agree on. Fusion cost is |queries| x k x 2 rows —
+    * corpus-size-independent once the retriever lists exist. */
+  val t24_rrf_hybrid = QueryDef(
+    "t24_rrf_hybrid",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val lex = Seq(0L -> t24TermsA, 1L -> t24TermsB)
+        .map { case (qid, terms) =>
+          graft.operators.Retrieval
+            .bm25TopK(t.documents, "doc_id", "text", terms, k = 50)
+            .withColumn("query_id", lit(qid))
+        }
+        .reduce(_ unionByName _)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id").asc)))
+      val dense = Similarity
+        .bruteForceKnn(
+          corpus = t.embeddings,
+          queries = t.embeddings.filter(col("vec_id").isin(0L, 1L)),
+          idCol = "vec_id", vecCol = "embedding", k = 50)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval
+        .rrfFusion(Seq(lex, dense), idCol = "doc_id", rankCol = "rank",
+          k = 20, keyCols = Seq("query_id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(t24Oracle))
+
   /** PERSISTED incremental LM index ([[graft.operators.TfIdf
     * .writeLmIndex]]/`appendLmIndex`/`scoreWithLmIndex`): the t23 model
     * built from HALF the train split, the other half APPENDED as a
@@ -2865,6 +3007,83 @@ $langScoreCols
         .orderBy(col("node"))
     },
     Some(hitsOracle(iters = 3, scale = 1000000L)))
+
+  /** Exact oracle for g04: the s01 brute-force kNN replayed for EVERY
+    * vector (k=10), weights quantized from the 6-rounded cosine, then
+    * the synchronous vote rounds unrolled as (b_i, l_i) CTE pairs —
+    * all vote tallies exact long sums, so the replay is bit-for-bit. */
+  private def labelPropOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""
+      b$i AS (
+        SELECT node, lab FROM (
+          SELECT e.src AS node, l.lab, sum(e.w) AS sc,
+                 row_number() OVER (
+                   PARTITION BY e.src ORDER BY sum(e.w) DESC, l.lab ASC) AS rn
+          FROM e JOIN l${i - 1} l ON e.dst = l.node
+          WHERE l.lab IS NOT NULL
+          GROUP BY e.src, l.lab)
+        WHERE rn = 1),
+      l$i AS (
+        SELECT p.node, p.sd,
+               CASE WHEN p.sd THEN p.lab ELSE coalesce(b.lab, p.lab) END AS lab
+        FROM l${i - 1} p LEFT JOIN b$i b USING (node))"""
+    }.mkString(",")
+    s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      knn AS (
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.e, c.e), 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+                            c.vec_id ASC) AS rank
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id)
+        WHERE rank <= 10),
+      e AS (
+        SELECT query_id AS src, neighbor_id AS dst,
+               greatest(0, CAST(round(cosine * 1000000.0, 0) AS BIGINT)) AS w
+        FROM knn),
+      l0 AS (
+        SELECT vec_id AS node, vec_id % 4 = 0 AS sd,
+               CASE WHEN vec_id % 4 = 0 THEN CAST(label AS BIGINT) END AS lab
+        FROM embeddings),
+      $rounds
+      SELECT node AS vec_id, lab AS label FROM l$iters ORDER BY vec_id"""
+  }
+
+  /** Semi-supervised label propagation ([[graft.operators.Graph
+    * .labelPropagationQuantized]]) over the exact cosine kNN graph
+    * (k=10) of the embeddings: every 4th vector keeps its true label as
+    * a seed, three synchronous weighted-vote rounds spread labels to
+    * the rest — the auto-labeling stage that scales a small human-rated
+    * set (quality tiers, topics, licenses) across a corpus. Edge
+    * weights are 1e6-quantized cosines, so every vote tally is an
+    * exact long sum (bit-stable under any partitioning); nodes no round
+    * reached stay NULL — a coverage signal. The edge build here is the
+    * s01 brute-force face for oracle exactness; at 100 TB the same
+    * operator takes IVF/PQ-built edges unchanged. */
+  val g04_label_propagation = QueryDef(
+    "g04_label_propagation",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val knn = Similarity.bruteForceKnn(
+        corpus = emb, queries = emb, idCol = "vec_id", vecCol = "embedding",
+        k = 10)
+      val edges = knn.select(
+        col("query_id").as("src"), col("neighbor_id").as("dst"),
+        greatest(lit(0L),
+          round(col("cosine") * 1000000.0, 0).cast("long")).as("w"))
+      graft.operators.Graph
+        .labelPropagationQuantized(
+          edges, "src", "dst", "w",
+          seeds = emb.filter(col("vec_id") % 4 === 0),
+          nodeCol = "vec_id", labelCol = "label", iters = 3)
+        .withColumnRenamed("node", "vec_id")
+        .orderBy(col("vec_id"))
+    },
+    Some(labelPropOracle(iters = 3)))
 
   /** Exact oracle for d10: DuckDB replays quantized k-means verbatim —
     * same 1e6 grid, integer distances via list_reduce, argmin with the
@@ -3778,7 +3997,7 @@ $langScoreCols
     t10_chunk_overlap, t11_bm25, t12_lm_quality, t13_ngram_topk,
     t14_quality_model, t15_rule_filter, t16_inverted_index, t17_bpe_merged,
     t18_bpe_learned, t19_bpe_learned_corpus, t20_bpe_encode, t21_bigram_lm,
-    t22_linear_probe, t23_stupid_backoff,
+    t22_linear_probe, t23_stupid_backoff, t24_rrf_hybrid,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
@@ -3788,6 +4007,7 @@ $langScoreCols
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,
+    s13_knn_ivf_filtered,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,
@@ -3796,5 +4016,5 @@ $langScoreCols
     p17_incremental_stats, p18_corpus_report, p19_incremental_quantiles,
     p20_incremental_clusters, p21_drift_psi, p22_corpus_fingerprint,
     p23_incremental_lm,
-    g01_pagerank, g02_ppr, g03_hits)
+    g01_pagerank, g02_ppr, g03_hits, g04_label_propagation)
 }

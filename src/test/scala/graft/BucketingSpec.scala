@@ -282,6 +282,41 @@ class BucketingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("filtered probe: equals inline over the pre-filtered corpus; predicate holds; buckets still prune") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids,
+      "ivf_flt_spec", numBuckets = 16, attrCols = Seq("label"))
+    try {
+      val queries = emb.filter(col("vec_id") < 5)
+      val pred = col("label") % 3 === 1
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      val probe = Similarity.probeIvfIndex(spark, "ivf_flt_spec", queries,
+        "vec_id", "embedding", k = 5, centroids = centroids, nProbe = 3,
+        filter = Some(pred))
+      // cell assignment is row-local, so filtering the index equals
+      // filtering the corpus before an inline ivfKnn (same centroids)
+      val inline = Similarity.ivfKnn(emb.filter(pred), queries,
+        "vec_id", "embedding", k = 5, centroids = centroids, nProbe = 3)
+      assert(canon(probe) == canon(inline))
+      // PRE-filter semantics: every returned neighbor satisfies the
+      // predicate (post-filtering a top-k could not guarantee this)
+      val eligible = emb.filter(pred)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val rows = probe.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => eligible(r.getAs[Long]("neighbor_id"))),
+        "filtered probe returned an ineligible neighbor")
+      // the metadata predicate must not defeat planning-time bucket
+      // pruning on the probed cells
+      val ps = probe.queryExecution.executedPlan.toString
+      val pruned = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(ps)
+      assert(pruned.isDefined && pruned.get.group(1).toInt < pruned.get.group(2).toInt,
+        s"filtered probe should still prune buckets:\n$ps")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_flt_spec")
+  }
+
   test("purgeDedupIndex: purge equals rebuild over survivors (real corpus)") {
     val docs = Tables(spark, sf0001).documents
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)

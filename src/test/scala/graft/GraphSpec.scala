@@ -148,4 +148,44 @@ class GraphSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.hitsQuantized(empty, "src", "dst", iters = 2).count() == 0L)
   }
+
+  // label propagation fixture: 1 and 2 are seeds (labels 10, 20);
+  // 3 hears both with the weights under test; 4 hears only 3 (two hops
+  // from any seed); 5's only neighbor 6 is never labeled; seed 2 also
+  // hears seed 1 at overwhelming weight (immutability probe).
+  private def lpEdges(w31: Long, w32: Long) = Seq(
+    (3L, 1L, w31), (3L, 2L, w32), (4L, 3L, 7L), (5L, 6L, 9L), (2L, 1L, 999L)
+  ).toDF("src", "dst", "w")
+  private val lpSeeds = Seq((1L, 10L), (2L, 20L)).toDF("node", "label")
+
+  private def lpRun(edges: org.apache.spark.sql.DataFrame, iters: Int) =
+    Graph.labelPropagationQuantized(
+      edges, "src", "dst", "w", lpSeeds, "node", "label", iters)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("label propagation: weighted votes, smaller-label tie-break, seed immutability, unreached stay null") {
+    // equal weights: the tie breaks to the smaller label
+    val tied = lpRun(lpEdges(5L, 5L), iters = 2)
+    assert(tied(3L) == Some(10L), s"tie must break to the smaller label: $tied")
+    // heavier side wins regardless of label order
+    assert(lpRun(lpEdges(3L, 5L), iters = 2)(3L) == Some(20L))
+    // seeds never change, even with a dominant labeled neighbor
+    assert(tied(1L) == Some(10L) && tied(2L) == Some(20L))
+    // labels reach radius <= iters: node 4 is two hops out
+    assert(lpRun(lpEdges(5L, 5L), iters = 1)(4L) == None)
+    assert(tied(4L) == Some(10L))
+    // nodes no labeled path reaches stay null — the coverage signal
+    assert(tied(5L) == None && tied(6L) == None)
+    // iters=0 returns exactly the seeded state
+    val zero = lpRun(lpEdges(5L, 5L), iters = 0)
+    assert(zero(3L) == None && zero(1L) == Some(10L))
+  }
+
+  test("label propagation: bit-identical under repartitioning") {
+    val a = lpRun(lpEdges(4L, 6L), iters = 3)
+    val b = lpRun(lpEdges(4L, 6L).repartition(7), iters = 3)
+    assert(a == b)
+  }
 }

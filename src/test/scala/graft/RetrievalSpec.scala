@@ -128,4 +128,39 @@ class RetrievalSpec extends SparkSpec {
     graft.plans.PlanAudit.assertScalable(
       TfIdf.stupidBackoffScore(train, eval, "doc_id", "text"))
   }
+
+  test("rrfFusion: exact quantized sums, agreement count, id tie-break, per-key top-k") {
+    // query 1: lexical (101, 102), dense (102, 103); query 2: both rank 201 first
+    val lex = Seq((1L, 101L, 1L), (1L, 102L, 2L), (2L, 201L, 1L), (2L, 202L, 2L))
+      .toDF("qid", "doc", "rank")
+    val dense = Seq((1L, 102L, 1L), (1L, 103L, 2L), (2L, 201L, 1L), (2L, 203L, 2L))
+      .toDF("qid", "doc", "rank")
+    def c(r: Long): Long = math.round(1e12 / (60.0 + r))
+    val got = Retrieval
+      .rrfFusion(Seq(lex, dense), "doc", "rank", k = 2, keyCols = Seq("qid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 102 is in both lists (ranks 2 and 1) and must fuse above either
+    // single-list doc; 101 (rank 1) beats 103 (rank 2)
+    assert(got((1L, 1)) == (102L, c(2) + c(1), 2L), got)
+    assert(got((1L, 2)) == (101L, c(1), 1L))
+    assert(!got.values.exists(_._1 == 103L), "k=2 must cut the third doc")
+    // equal fused scores (202 vs 203, one rank-2 hit each) tie to the
+    // smaller id — and only k=2 rows survive per query
+    assert(got((2L, 1)) == (201L, c(1) + c(1), 2L))
+    assert(got((2L, 2)) == (202L, c(2), 1L))
+    // fused scores are exact longs: bit-identical under repartitioning
+    val again = Retrieval
+      .rrfFusion(Seq(lex.repartition(7), dense.repartition(3)),
+        "doc", "rank", k = 2, keyCols = Seq("qid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again == got)
+    // a keyless fusion would need an unpartitioned top-k window: refused
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFusion(Seq(lex), "doc", "rank", k = 2, keyCols = Nil)
+    }
+  }
 }
