@@ -2199,6 +2199,132 @@ $langScoreCols
     },
     Some(t24Oracle))
 
+  // ---- unigram tokenizer (t25/t26): distributed Viterbi-EM learner
+  // gated against the independent sequential twin, t19-style ----
+
+  private val t25Params = graft.functions.expressions.UnigramOps.Params(
+    maxPieceLen = 5, minCount = 5L, seedSize = 120, emIters = 2,
+    vocabSize = 144)
+
+  @volatile private var uniCtx: Option[(org.apache.spark.sql.SparkSession, String)] =
+    None
+
+  /** Twin-side artifacts per dir: the sequentially-learned vocabulary
+    * and the twin's OWN Viterbi piece count for every distinct corpus
+    * pretoken — both independent of the distributed learner/encoder,
+    * so any divergence breaks the hash compare. Empty when no run
+    * stashed a context (yields an empty VALUES relation: zero counts —
+    * a LOUD mismatch, never a silently-absent oracle). */
+  private val uniTwinCache = scala.collection.concurrent.TrieMap[
+    String, (Seq[(String, Long)], Seq[(String, Int)])]()
+  private def uniTwin(): (Seq[(String, Long)], Seq[(String, Int)]) =
+    uniCtx match {
+      case Some((s, dir)) =>
+        uniTwinCache.getOrElseUpdate(dir, {
+          import graft.functions.expressions.{BpeOps, UnigramOps}
+          val counts = Tables(s, dir).documents
+            .select(explode(
+              graft.functions.TextFunctions.bpeTokens(col("text"))).as("pt"))
+            .groupBy(col("pt")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val vocab = UnigramOps.trainLocal(counts, t25Params)
+          val vocabMap = vocab.toMap
+          val segs = counts.keysIterator.toSeq
+            .sorted(BpeOps.codePointOrdering)
+            .map(w => w -> UnigramOps.segmentLocal(w, vocabMap).length)
+          (vocab, segs)
+        })
+      case None => (Seq.empty, Seq.empty)
+    }
+
+  /** Distributed learning cached per dir — the learn-once production
+    * shape for non-benched consumers (t26). t25 bypasses it: learning
+    * is the thing it benches (the t19 discipline). */
+  private val learnedUniCache =
+    scala.collection.concurrent.TrieMap[String, Seq[(String, Long)]]()
+  private def corpusLearnedUni(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, Long)] =
+    learnedUniCache.getOrElseUpdate(dir,
+      graft.operators.Unigram.learnVocab(
+        Tables(s, dir).documents, "doc_id", "text", t25Params))
+
+  private def uniSqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** UNIGRAM tokenizer training AT CORPUS SCALE (Kudo 2018 /
+    * SentencePiece, deterministic Viterbi-EM — [[graft.operators
+    * .Unigram.learnVocab]]): the second learned subword family next to
+    * t19's BPE, trained on the ACTUAL documents table and fed straight
+    * to [[graft.operators.Unigram.tokenCounts]]. Unlike BPE there is no
+    * jobs-per-merge wall at all — training is emIters+1 vocabulary-
+    * relation aggregations regardless of vocabulary size. The oracle is
+    * derived lazily after the run: the EXPECTED per-pretoken Viterbi
+    * piece counts come from the independent sequential twin
+    * ([[graft.functions.expressions.UnigramOps.trainLocal]] +
+    * `segmentLocal`, its own DP), embedded as a VALUES relation that
+    * DuckDB joins against its own pretokenization replay — any
+    * divergence in seeding, EM usage counts, tie-breaking, pruning, or
+    * the distributed encode breaks the hash. */
+  val t25_unigram_learned = QueryDef(
+    "t25_unigram_learned",
+    (s, dir) => {
+      uniCtx = Some((s, dir))
+      val docs = Tables(s, dir).documents
+      val vocab = graft.operators.Unigram
+        .learnVocab(docs, "doc_id", "text", t25Params)
+      graft.operators.Unigram
+        .tokenCounts(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    },
+    None,
+    bench = true,
+    oracleFn = Some { () =>
+      val (_, segs) = uniTwin()
+      val valsRel =
+        if (segs.isEmpty) "SELECT '' AS pt, 0 AS n_tok WHERE FALSE"
+        else "VALUES " + segs
+          .map { case (w, n) => s"(${uniSqlQuote(w)}, $n)" }.mkString(", ")
+      val pat = "$$" + graft.functions.TextFunctions.bpePattern + "$$"
+      s"""
+      WITH uni_vocab(pt, n_tok) AS ($valsRel),
+      uni_doc_pt AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, $pat)) AS pt
+        FROM documents),
+      uni_pt_counts AS (
+        SELECT doc_id, pt, count(*) AS n FROM uni_doc_pt GROUP BY doc_id, pt)
+      SELECT d.doc_id, cast(coalesce(s.nt, 0) AS BIGINT) AS n_unigram_tokens
+      FROM documents d
+      LEFT JOIN (
+        SELECT c.doc_id, sum(c.n * v.n_tok) AS nt
+        FROM uni_pt_counts c JOIN uni_vocab v USING (pt)
+        GROUP BY c.doc_id) s ON d.doc_id = s.doc_id
+      ORDER BY d.doc_id"""
+    })
+
+  /** The learned unigram VOCABULARY itself as the gated artifact:
+    * (piece, quantized log-prob) from the distributed learner (cached
+    * per dir — the learn-once shape) against the twin's VALUES. t25's
+    * count gate only sees score divergences that flip a Viterbi argmax;
+    * this pins the scores themselves. */
+  val t26_unigram_vocab = QueryDef(
+    "t26_unigram_vocab",
+    (s, dir) => {
+      uniCtx = Some((s, dir))
+      import s.implicits._
+      corpusLearnedUni(s, dir).toDF("piece", "logp_q").orderBy(col("piece"))
+    },
+    None,
+    oracleFn = Some { () =>
+      val (vocab, _) = uniTwin()
+      val rel =
+        if (vocab.isEmpty) "SELECT '' AS piece, 0 AS logp_q WHERE FALSE"
+        else "VALUES " + vocab
+          .map { case (p, sc) => s"(${uniSqlQuote(p)}, CAST($sc AS BIGINT))" }
+          .mkString(", ")
+      s"""
+      SELECT piece, logp_q FROM (SELECT * FROM ($rel) AS t(piece, logp_q))
+      ORDER BY piece"""
+    })
+
   /** PERSISTED incremental LM index ([[graft.operators.TfIdf
     * .writeLmIndex]]/`appendLmIndex`/`scoreWithLmIndex`): the t23 model
     * built from HALF the train split, the other half APPENDED as a
@@ -3998,6 +4124,7 @@ $langScoreCols
     t14_quality_model, t15_rule_filter, t16_inverted_index, t17_bpe_merged,
     t18_bpe_learned, t19_bpe_learned_corpus, t20_bpe_encode, t21_bigram_lm,
     t22_linear_probe, t23_stupid_backoff, t24_rrf_hybrid,
+    t25_unigram_learned, t26_unigram_vocab,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

@@ -943,7 +943,9 @@ object EventStreams {
     * only |batch|×nProbe cells are read (literal bucket pruning), the
     * query side broadcasts, and the index never shuffles. Stateless and
     * idempotent exactly like [[dedupProbeSink]]; batch ≡ stream pinned
-    * in StreamingSpec. */
+    * in StreamingSpec. `filter` passes a metadata predicate over the
+    * index's attrCols into the pruned scan (s13's filtered vector
+    * search, served streaming — pinned in StreamingSpec). */
   def ivfProbeSink(
       queries: DataFrame,
       table: String,
@@ -953,13 +955,15 @@ object EventStreams {
       centroids: Array[(Long, Seq[Double])],
       nProbe: Int,
       targetPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      filter: Option[org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Similarity
           .probeIvfIndex(batch.sparkSession, table, batch,
-            idCol, vecCol, k, centroids, nProbe)
+            idCol, vecCol, k, centroids, nProbe, filter)
           .write.mode("overwrite")
           .parquet(f"$targetPath/b_$batchId%012d")
       }

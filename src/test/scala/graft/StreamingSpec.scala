@@ -285,12 +285,13 @@ class StreamingSpec extends SparkSpec {
     val centroids = graft.operators.Similarity
       .sampleCentroids(emb, "vec_id", "embedding", 16)
     graft.operators.Similarity.writeIvfIndex(
-      emb, "vec_id", "embedding", centroids, "ivf_sink_spec", numBuckets = 16)
+      emb, "vec_id", "embedding", centroids, "ivf_sink_spec", numBuckets = 16,
+      attrCols = Seq("label"))
     try {
       val queries = emb.filter(col("vec_id") < 10)
       val src = Files.createTempDirectory("graft-ivfsink-src").toString
       queries.repartition(3).write.mode("overwrite").parquet(src)
-      val stream = spark.readStream
+      def stream = spark.readStream
         .schema(queries.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
@@ -306,6 +307,25 @@ class StreamingSpec extends SparkSpec {
         spark, "ivf_sink_spec", queries, "vec_id", "embedding",
         k = 5, centroids = centroids, nProbe = 6))
       assert(streamed.nonEmpty && streamed == batchRun)
+      // the FILTERED serving face (s13 streamed): same sink with a
+      // metadata predicate — streamed output equals the filtered batch
+      // probe, and every neighbor satisfies the predicate
+      val pred = col("label") % 3 === 1
+      val target2 = Files.createTempDirectory("graft-ivfsink-flt").toString
+      val q2 = EventStreams.ivfProbeSink(
+        stream, "ivf_sink_spec", "vec_id", "embedding", k = 5,
+        centroids = centroids, nProbe = 6, target2, checkpoint(),
+        filter = Some(pred))
+      try q2.processAllAvailable() finally q2.stop()
+      val streamedF = canon(EventStreams.committedBatches(spark, target2))
+      val batchF = canon(graft.operators.Similarity.probeIvfIndex(
+        spark, "ivf_sink_spec", queries, "vec_id", "embedding",
+        k = 5, centroids = centroids, nProbe = 6, filter = Some(pred)))
+      assert(streamedF.nonEmpty && streamedF == batchF)
+      val eligible = emb.filter(pred)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(EventStreams.committedBatches(spark, target2)
+        .collect().forall(r => eligible(r.getAs[Long]("neighbor_id"))))
     } finally spark.sql("DROP TABLE IF EXISTS ivf_sink_spec")
   }
 
