@@ -66,4 +66,39 @@ object Curation {
         col("r_word_count") && col("r_word_len") && col("r_alpha") &&
           col("r_digit") && col("r_repetition") && col("r_stopwords"))
   }
+
+  /** SNAPSHOT DIFF — the data-governance face of corpus versioning:
+    * which documents were ADDED, REMOVED, or CHANGED between two corpus
+    * snapshots (a crawl refresh, a takedown pass, a re-extraction).
+    * [[graft.queries.Corpus]]'s p22 fingerprint answers "are these
+    * snapshots equal" in O(1) payload; this answers "what exactly
+    * differs" with per-document rows — run the fingerprint first, diff
+    * only when it flips.
+    *
+    * Output: (idCol, status) for every id in either snapshot, status in
+    * {added, removed, changed, unchanged}; filter `!= 'unchanged'` for
+    * the change list (the common call). Content equality is
+    * xxhash64 over `contentCols` (computed IN-SCAN, so full text never
+    * shuffles — the full-outer join moves (id, 8-byte hash) per side,
+    * one keyed shuffle each; at 100 TB both sides prune to two columns
+    * at the parquet scan). A 64-bit hash collision reads as
+    * `unchanged`: the standard content-address tradeoff, shared with
+    * every dedup family here. */
+  def snapshotDiff(
+      before: DataFrame,
+      after: DataFrame,
+      idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff needs at least one content column")
+    def hashed(df: DataFrame, out: String) =
+      df.select(col(idCol),
+        xxhash64(contentCols.map(col): _*).as(out))
+    hashed(before, "__hb")
+      .join(hashed(after, "__ha"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__hb").isNull, lit("added"))
+          .when(col("__ha").isNull, lit("removed"))
+          .when(col("__hb") =!= col("__ha"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

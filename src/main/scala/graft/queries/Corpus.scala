@@ -554,6 +554,59 @@ $langScoreCols
              cast(count(*) AS BIGINT) AS n_docs
       FROM p22_fp GROUP BY source ORDER BY source"""))
 
+  /** Snapshot DIFF ([[graft.operators.Curation.snapshotDiff]]): the
+    * per-document change list between two corpus versions — p22's
+    * fingerprint says WHETHER snapshots differ, this says WHAT.
+    * Fixture: the "next crawl" drops every 13th doc, edits every 11th,
+    * and adds a re-keyed copy of every 17th; the diff must recover
+    * exactly those sets. Content equality is in-scan xxhash64 (text
+    * never shuffles; the full-outer join moves (id, hash) pairs only);
+    * the oracle replays the same hash bit-for-bit, so a status flip
+    * anywhere breaks the compare. */
+  val p24_snapshot_diff = QueryDef(
+    "p24_snapshot_diff",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val after = docs
+        .filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.operators.Curation
+        .snapshotDiff(docs, after, "doc_id", Seq("text"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH p24_aft AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END AS text
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 17 = 0),
+      p24_bh AS (
+        SELECT doc_id,
+               cast(${OracleSql.u2s(OracleSql.xxh64Ascii("text"))} AS BIGINT) AS h
+        FROM documents),
+      p24_ah AS (
+        SELECT doc_id,
+               cast(${OracleSql.u2s(OracleSql.xxh64Ascii("text"))} AS BIGINT) AS h
+        FROM p24_aft),
+      p24_j AS (
+        SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, b.h AS hb, a.h AS ha
+        FROM p24_bh b FULL OUTER JOIN p24_ah a ON b.doc_id = a.doc_id)
+      SELECT doc_id,
+             CASE WHEN hb IS NULL THEN 'added'
+                  WHEN ha IS NULL THEN 'removed'
+                  WHEN hb <> ha THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM p24_j
+      WHERE hb IS NULL OR ha IS NULL OR hb <> ha
+      ORDER BY doc_id"""))
+
   /** Quality-aware dedup survivor selection — what a production dedup
     * actually emits: for every document in a near-dup cluster (d07's
     * connected components over the verified MinHash pair graph), keep
@@ -4142,6 +4195,6 @@ $langScoreCols
     p14_shuffle_shards, p15_incremental_dedup_purge, p16_cluster_split,
     p17_incremental_stats, p18_corpus_report, p19_incremental_quantiles,
     p20_incremental_clusters, p21_drift_psi, p22_corpus_fingerprint,
-    p23_incremental_lm,
+    p23_incremental_lm, p24_snapshot_diff,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation)
 }
