@@ -344,6 +344,51 @@ object Similarity {
       k)
   }
 
+  /** WEIGHTED kNN CLASSIFICATION — the vote step over ANY ranked
+    * neighbor list (the [[graft.operators.Graph
+    * .labelPropagationQuantized]] single-shot serving face): label each
+    * query by the cosine-weighted majority of its neighbors' labels.
+    * Composes with every kNN face here ([[bruteForceKnn]] for an exact
+    * gate, [[probeIvfIndex]] / [[pqKnn]] at scale) because it only sees
+    * the (query_id, neighbor_id, cosine) output — the production shape
+    * for auto-labeling a stream of new documents against a labeled,
+    * indexed corpus.
+    *
+    * Weights are 1e6-quantized cosines clamped at 0 (negative
+    * similarity does not vote), so tallies are exact long sums; the
+    * argmax breaks ties toward the smaller label — bit-identical under
+    * any partitioning and in the oracle replay (s14). Output:
+    * (query_id, label, votes, n_neighbors); a query whose neighbors
+    * all have non-positive similarity still labels (all-zero tallies
+    * tie-break to the smallest candidate label).
+    *
+    * Scale shape: neighbors are top-k lists (k rows per query); the
+    * labels join is keyed by neighbor id, the tally is one
+    * (query, label) keyed long aggregation, the argmax a per-query
+    * WindowGroupLimit. Nothing rescans the corpus. */
+  def knnClassify(
+      neighbors: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      labelCol: String): DataFrame = {
+    val lab = labels.select(
+      col(idCol).as("neighbor_id"), col(labelCol).cast("long").as("__l"))
+    val tallies = neighbors
+      .select(col("query_id"), col("neighbor_id"),
+        greatest(lit(0L),
+          round(col("cosine") * 1000000.0, 0).cast("long")).as("__w"))
+      .join(lab, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__l"))
+      .agg(sum(col("__w")).as("votes"), count(lit(1)).as("n_neighbors"))
+    tallies
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("__l").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__l").as("label"),
+        col("votes"), col("n_neighbors"))
+  }
+
   /** Recall@k of the IVF path against exact brute force, per query and
     * probe budget — the evaluation every production ANN deployment runs
     * to place itself on the recall/cost curve before trusting the index.

@@ -1324,6 +1324,58 @@ $langScoreCols
     Some(s02OracleSurviving(
       "vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 1)")))
 
+  /** Weighted kNN classification ([[Similarity.knnClassify]] over
+    * [[Similarity.bruteForceKnn]]): every 10th vector plays the
+    * unlabeled "new document" stream and takes the cosine-weighted
+    * majority label of its 10 nearest LABELED vectors — g04's
+    * propagation as a single-shot serving face, the auto-labeling step
+    * a curation pipeline runs on each ingest batch. Quantized long
+    * tallies, smaller-label tie-break; the oracle replays the s01 kNN
+    * and the integer vote bit-for-bit. The brute-force edge build is
+    * the oracle-exact gate; the operator composes unchanged with the
+    * persisted IVF/PQ probes at scale. */
+  val s14_knn_classify = QueryDef(
+    "s14_knn_classify",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val labeled = emb.filter(col("vec_id") % 10 =!= 0)
+      val queries = emb.filter(col("vec_id") % 10 === 0)
+      Similarity
+        .knnClassify(
+          Similarity.bruteForceKnn(labeled, queries,
+            "vec_id", "embedding", k = 10),
+          labeled, "vec_id", "label")
+        .orderBy(col("query_id"))
+    },
+    Some("""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      knn AS (
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.e, c.e), 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+                            c.vec_id ASC) AS rank
+          FROM v q JOIN v c
+            ON q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+            AND q.vec_id <> c.vec_id)
+        WHERE rank <= 10),
+      tallies AS (
+        SELECT k.query_id, CAST(c.label AS BIGINT) AS label,
+               cast(sum(greatest(0, CAST(round(k.cosine * 1000000.0, 0) AS BIGINT)))
+                 AS BIGINT) AS votes,
+               cast(count(*) AS BIGINT) AS n_neighbors
+        FROM knn k JOIN v c ON k.neighbor_id = c.vec_id
+        GROUP BY 1, 2)
+      SELECT query_id, label, votes, n_neighbors FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+        FROM tallies)
+      WHERE rn = 1
+      ORDER BY query_id"""))
+
   /** Exact oracle for s07: the s02 IVF replay extended with probe ranks,
     * a probe-budget expansion, and the s01-style exact top-k truth set —
     * recall computed by the same left-join-and-count. All cosines via
@@ -4187,7 +4239,7 @@ $langScoreCols
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,
-    s13_knn_ivf_filtered,
+    s13_knn_ivf_filtered, s14_knn_classify,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,

@@ -1671,6 +1671,38 @@ object Relational {
       FROM clicks c JOIN b USING (event_id) JOIN f USING (event_id)
       ORDER BY c.event_id"""))
 
+  /** Retention cohort analysis — the classic product-analytics matrix:
+    * users cohorted by FIRST-activity week, activity counted per
+    * (cohort, week offset). Weeks are epoch-microsecond integer
+    * divisions (no calendar arithmetic — identical longs in both
+    * engines); the shape is two user-keyed aggregations plus one
+    * (cohort, offset) rollup with a partial-aggregated distinct — no
+    * window over raw events, so the plan scales like q52's funnel. */
+  val q74_retention_cohorts = QueryDef(
+    "q74_retention_cohorts",
+    (s, dir) => {
+      val wk = Tables(s, dir).events
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+      val cohort = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      wk.join(cohort, Seq("user_id"))
+        .groupBy(col("cw").as("cohort_week"),
+          (col("wk") - col("cw")).as("week_offset"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id)
+      SELECT c.cw AS cohort_week, w.wk - c.cw AS week_offset,
+             cast(count(DISTINCT w.user_id) AS BIGINT) AS n_users,
+             cast(count(*) AS BIGINT) AS n_events
+      FROM w JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1687,5 +1719,5 @@ object Relational {
     q57_merge_upsert, q58_scd2, q59_resample_ffill, q60_fuzzy_join,
     q61_quantile_bins, q63_profile, q64_corr_matrix, q65_histogram,
     q67_range_window, q68_union_evolved, q69_asof_tolerance,
-    q70_asof_nearest)
+    q70_asof_nearest, q74_retention_cohorts)
 }

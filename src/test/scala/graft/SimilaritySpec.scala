@@ -154,4 +154,48 @@ class SimilaritySpec extends SparkSpec {
     val plan = proj.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "projection must not shuffle")
   }
+
+  test("knnClassify: weighted majority, negative-cosine clamp, tie to smaller label, IVF composition") {
+    import spark.implicits._
+    // hand graph: query 100 has two label-1 neighbors (0.5 + 0.4) vs one
+    // label-2 at 0.6 → label 1 wins 900000 to 600000; query 200 ties
+    // 3 vs 7 at equal weight → smaller label 3; query 300's only
+    // positive-similarity neighbor is label 9 (the -0.9 one clamps to 0)
+    val neighbors = Seq(
+      (100L, 1L, 0.5), (100L, 2L, 0.4), (100L, 3L, 0.6),
+      (200L, 4L, 0.5), (200L, 5L, 0.5),
+      (300L, 6L, -0.9), (300L, 7L, 0.1)
+    ).toDF("query_id", "neighbor_id", "cosine")
+    val labels = Seq(
+      (1L, 1), (2L, 1), (3L, 2), (4L, 7), (5L, 3), (6L, 5), (7L, 9)
+    ).toDF("vec_id", "label")
+    val got = graft.operators.Similarity
+      .knnClassify(neighbors, labels, "vec_id", "label")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(100L) == (1L, 900000L, 2L), got.toString)
+    assert(got(200L) == (3L, 500000L, 1L))
+    assert(got(300L) == (9L, 100000L, 1L))
+    // composition: classifying over a FULL-probe persisted IVF index
+    // equals classifying over brute force (same candidates, same votes)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val labeled = emb.filter(col("vec_id") % 10 =!= 0)
+    val queries = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 100)
+    val centroids = graft.operators.Similarity
+      .sampleCentroids(labeled, "vec_id", "embedding", 8)
+    graft.operators.Similarity.writeIvfIndex(
+      labeled, "vec_id", "embedding", centroids, "ivf_cls_spec", numBuckets = 8)
+    try {
+      def canon(n: org.apache.spark.sql.DataFrame) =
+        graft.operators.Similarity.knnClassify(n, labeled, "vec_id", "label")
+          .orderBy("query_id").collect().map(_.toSeq).toSeq
+      val viaIvf = canon(graft.operators.Similarity.probeIvfIndex(
+        spark, "ivf_cls_spec", queries, "vec_id", "embedding", k = 10,
+        centroids = centroids, nProbe = 8))
+      val viaBrute = canon(graft.operators.Similarity.bruteForceKnn(
+        labeled, queries, "vec_id", "embedding", k = 10))
+      assert(viaIvf.nonEmpty && viaIvf == viaBrute)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_cls_spec")
+  }
 }
