@@ -2315,14 +2315,14 @@ $langScoreCols
     None
 
   /** Twin-side artifacts per dir: the sequentially-learned vocabulary
-    * and the twin's OWN Viterbi piece count for every distinct corpus
-    * pretoken — both independent of the distributed learner/encoder,
-    * so any divergence breaks the hash compare. Empty when no run
-    * stashed a context (yields an empty VALUES relation: zero counts —
-    * a LOUD mismatch, never a silently-absent oracle). */
+    * and the twin's OWN Viterbi piece SEQUENCE for every distinct
+    * corpus pretoken — both independent of the distributed
+    * learner/encoder, so any divergence breaks the hash compare. Empty
+    * when no run stashed a context (yields an empty VALUES relation:
+    * zero counts — a LOUD mismatch, never a silently-absent oracle). */
   private val uniTwinCache = scala.collection.concurrent.TrieMap[
-    String, (Seq[(String, Long)], Seq[(String, Int)])]()
-  private def uniTwin(): (Seq[(String, Long)], Seq[(String, Int)]) =
+    String, (Seq[(String, Long)], Seq[(String, List[String])])]()
+  private def uniTwin(): (Seq[(String, Long)], Seq[(String, List[String])]) =
     uniCtx match {
       case Some((s, dir)) =>
         uniTwinCache.getOrElseUpdate(dir, {
@@ -2336,7 +2336,7 @@ $langScoreCols
           val vocabMap = vocab.toMap
           val segs = counts.keysIterator.toSeq
             .sorted(BpeOps.codePointOrdering)
-            .map(w => w -> UnigramOps.segmentLocal(w, vocabMap).length)
+            .map(w => w -> UnigramOps.segmentLocal(w, vocabMap))
           (vocab, segs)
         })
       case None => (Seq.empty, Seq.empty)
@@ -2387,7 +2387,8 @@ $langScoreCols
       val valsRel =
         if (segs.isEmpty) "SELECT '' AS pt, 0 AS n_tok WHERE FALSE"
         else "VALUES " + segs
-          .map { case (w, n) => s"(${uniSqlQuote(w)}, $n)" }.mkString(", ")
+          .map { case (w, ps) => s"(${uniSqlQuote(w)}, ${ps.length})" }
+          .mkString(", ")
       val pat = "$$" + graft.functions.TextFunctions.bpePattern + "$$"
       s"""
       WITH uni_vocab(pt, n_tok) AS ($valsRel),
@@ -2428,6 +2429,55 @@ $langScoreCols
       s"""
       SELECT piece, logp_q FROM (SELECT * FROM ($rel) AS t(piece, logp_q))
       ORDER BY piece"""
+    })
+
+  /** MATERIALIZED unigram tokenization (the t20 shape on the LEARNED
+    * vocabulary): every document expanded to its full Viterbi piece
+    * stream — the packing/shard-writing input. Scan-and-expand, no
+    * shuffle beyond the output sort; the oracle joins DuckDB's
+    * pretokenization replay against the twin's OWN per-pretoken piece
+    * sequences, so a single divergent Viterbi choice anywhere in the
+    * corpus breaks the compare. */
+  val t27_unigram_encode = QueryDef(
+    "t27_unigram_encode",
+    (s, dir) => {
+      uniCtx = Some((s, dir))
+      val vocab = corpusLearnedUni(s, dir)
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.bpeTokens(col("text")))
+            .as(Seq("pt_pos", "__pt")))
+        .select(col("doc_id"), col("pt_pos"),
+          posexplode(graft.functions.expressions.UnigramOps
+            .unigramPieces(col("__pt"), vocab)).as(Seq("tok_pos", "token")))
+        .orderBy(col("doc_id"), col("pt_pos"), col("tok_pos"))
+    },
+    None,
+    oracleFn = Some { () =>
+      val (_, segs) = uniTwin()
+      val triples = segs.flatMap { case (w, ps) =>
+        ps.zipWithIndex.map { case (piece, i) =>
+          s"(${uniSqlQuote(w)}, $i, ${uniSqlQuote(piece)})"
+        }
+      }
+      val rel =
+        if (triples.isEmpty)
+          "SELECT '' AS pt, 0 AS tok_pos, '' AS token WHERE FALSE"
+        else "VALUES " + triples.mkString(", ")
+      val pat = "$$" + graft.functions.TextFunctions.bpePattern + "$$"
+      s"""
+      WITH uni_pieces(pt, tok_pos, token) AS ($rel),
+      t27_doc_pts AS (
+        SELECT doc_id, regexp_extract_all(text, $pat) AS pts
+        FROM documents),
+      t27_doc_pt AS (
+        SELECT doc_id,
+               cast(unnest(range(len(pts))) AS int) AS pt_pos,
+               unnest(pts) AS pt
+        FROM t27_doc_pts)
+      SELECT doc_id, pt_pos, cast(tok_pos AS int) AS tok_pos, token
+      FROM t27_doc_pt JOIN uni_pieces USING (pt)
+      ORDER BY doc_id, pt_pos, tok_pos"""
     })
 
   /** PERSISTED incremental LM index ([[graft.operators.TfIdf
@@ -3314,7 +3364,8 @@ $langScoreCols
         .withColumnRenamed("node", "vec_id")
         .orderBy(col("vec_id"))
     },
-    Some(labelPropOracle(iters = 3)))
+    Some(labelPropOracle(iters = 3)),
+    bench = true)
 
   /** Exact oracle for d10: DuckDB replays quantized k-means verbatim —
     * same 1e6 grid, integer distances via list_reduce, argmin with the
@@ -4229,7 +4280,7 @@ $langScoreCols
     t14_quality_model, t15_rule_filter, t16_inverted_index, t17_bpe_merged,
     t18_bpe_learned, t19_bpe_learned_corpus, t20_bpe_encode, t21_bigram_lm,
     t22_linear_probe, t23_stupid_backoff, t24_rrf_hybrid,
-    t25_unigram_learned, t26_unigram_vocab,
+    t25_unigram_learned, t26_unigram_vocab, t27_unigram_encode,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
