@@ -243,10 +243,14 @@ object Graph {
       labelCol: String,
       iters: Int): DataFrame = {
     require(iters >= 0, s"bad label propagation params: iters=$iters")
+    // The edge list is re-joined every round and is often EXPENSIVE to
+    // derive (a kNN build) — materialize it once; pagerank/HITS get
+    // this for free because their inputs are cheap equi-joins.
     val e = edges.select(
       col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
       col(weightCol).cast("long").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seedLabels = seeds.select(
       col(nodeCol).cast("long").as("node"),
       col(labelCol).cast("long").as("label"))
@@ -257,6 +261,7 @@ object Graph {
       .join(seedLabels, Seq("node"), "left")
       .select(col("node"), col("label"),
         col("label").isNotNull.as("__seed"))
+      .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val labeled = state.filter(col("label").isNotNull)
         .select(col("node").as("__ln"), col("label").as("__l"))
@@ -276,6 +281,7 @@ object Graph {
           col("__seed"))
         .localCheckpoint(true)
     }
+    e.unpersist()
     state.select(col("node"), col("label"))
   }
 }

@@ -3349,8 +3349,12 @@ $langScoreCols
     "g04_label_propagation",
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
+      // the all-pairs edge build is CPU-bound per corpus row; the test
+      // parquet is one tiny file (one scan task), so spread it — a real
+      // corpus arrives in thousands of splits and needs no repartition
       val knn = Similarity.bruteForceKnn(
-        corpus = emb, queries = emb, idCol = "vec_id", vecCol = "embedding",
+        corpus = emb.repartition(s.sparkContext.defaultParallelism),
+        queries = emb, idCol = "vec_id", vecCol = "embedding",
         k = 10)
       val edges = knn.select(
         col("query_id").as("src"), col("neighbor_id").as("dst"),
