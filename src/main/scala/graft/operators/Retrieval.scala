@@ -125,6 +125,65 @@ object Retrieval {
         col("n_lists")): _*)
   }
 
+  /** RANKING METRICS — the retrieval-evaluation face: per-query MRR,
+    * precision@k, and nDCG@k over any ranked result list with a 0/1
+    * relevance column (how every retriever/index/fusion configuration
+    * here — BM25, dense kNN, IVF probes, RRF — gets placed on a
+    * quality curve before it ships; the quality sibling of
+    * [[graft.operators.Similarity.annRecallCurve]]'s cost curve).
+    *
+    * Cross-engine determinism: the discount weights 1/log2(rank+1)
+    * exist only for ranks 1..k, so they are embedded as DOUBLE
+    * LITERALS (shortest round-trip rendering — both engines parse the
+    * identical doubles; no runtime log whose last ulp could differ),
+    * DCG folds them in ascending-rank order (fixed-order summation,
+    * the t12 discipline), and ideal DCG is the PREFIX-SUM literal of
+    * those same weights indexed by the relevant count. MRR is one
+    * division by the first relevant rank. Everything rounds at 6dp
+    * over the ulp.
+    *
+    * Scale shape: inputs are top-k lists — k rows per query; one
+    * (query) keyed aggregation producing scalars. Corpus-size-free. */
+  def rankingMetrics(
+      ranked: DataFrame,
+      queryCol: String,
+      rankCol: String,
+      relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = (1 to k).map(r => math.log(2.0) / math.log(r + 1.0))
+    val prefix = w.scanLeft(0.0)(_ + _).tail // idealDCG for 1..k relevant
+    val wArr = array(w.map(lit): _*)
+    val pArr = array(prefix.map(lit): _*)
+    val rows = ranked.select(
+      col(queryCol).as("query_id"),
+      col(rankCol).cast("int").as("__r"),
+      col(relCol).cast("long").as("__rel"))
+    rows
+      .filter(col("__r") <= k)
+      .groupBy(col("query_id"))
+      .agg(
+        sum(col("__rel")).as("n_rel"),
+        min(when(col("__rel") === 1L, col("__r"))).as("__first"),
+        sort_array(collect_list(struct(col("__r"), col("__rel"))))
+          .as("__byRank"))
+      .select(
+        col("query_id"),
+        col("n_rel"),
+        round(coalesce(
+          lit(1.0) / col("__first").cast("double"), lit(0.0)), 6).as("mrr"),
+        round(col("n_rel").cast("double") / lit(k.toDouble), 6)
+          .as(s"precision_at_$k"),
+        round(
+          when(col("n_rel") === 0L, lit(0.0)).otherwise(
+            aggregate(col("__byRank"), lit(0.0),
+              (acc, x) =>
+                acc + x.getField("__rel").cast("double") *
+                  element_at(wArr, x.getField("__r"))) /
+            element_at(pArr, col("n_rel").cast("int"))), 6)
+          .as(s"ndcg_at_$k"))
+  }
+
   /** Distributed inverted-index build — the MapReduce canonical made
     * Spark-declarative. One row per term: document frequency `df`,
     * collection frequency `cf` (both over the FULL corpus), and

@@ -2480,6 +2480,68 @@ $langScoreCols
       ORDER BY doc_id, pt_pos, tok_pos"""
     })
 
+  /** Retrieval-quality metrics ([[graft.operators.Retrieval
+    * .rankingMetrics]]) for the s01 dense retriever: relevance = the
+    * neighbor shares the query's label, scored per query as MRR,
+    * precision@10 and nDCG@10 — the offline eval loop every retrieval
+    * configuration (lexical, dense, fused, index-served) runs before
+    * shipping. The discount weights are double LITERALS shared
+    * verbatim with the oracle (same formula, same JVM fold order), so
+    * the replay is bit-for-bit at 6dp. */
+  val t28_retrieval_metrics = QueryDef(
+    "t28_retrieval_metrics",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val lab = emb.select(col("vec_id"), col("label"))
+      val ranked = Similarity
+        .bruteForceKnn(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 10)
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("__ql")), Seq("query_id"))
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__nl")), Seq("neighbor_id"))
+        .withColumn("rel", (col("__ql") === col("__nl")).cast("long"))
+      graft.operators.Retrieval
+        .rankingMetrics(ranked, "query_id", "rank", "rel", k = 10)
+        .orderBy(col("query_id"))
+    },
+    Some {
+      val w = (1 to 10).map(r => math.log(2.0) / math.log(r + 1.0))
+      val prefix = w.scanLeft(0.0)(_ + _).tail
+      val wLit = w.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      val pLit = prefix.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      knn AS (
+        SELECT query_id, neighbor_id, r FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+                            c.vec_id ASC) AS r
+          FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE r <= 10),
+      rl AS (
+        SELECT k.query_id, k.r,
+               CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel
+        FROM knn k JOIN v q ON k.query_id = q.vec_id
+                   JOIN v c ON k.neighbor_id = c.vec_id),
+      ag AS (
+        SELECT query_id,
+               cast(sum(rel) AS BIGINT) AS n_rel,
+               min(CASE WHEN rel = 1 THEN r END) AS first_rel,
+               list(rel * ($wLit)[r] ORDER BY r) AS vs
+        FROM rl GROUP BY query_id)
+      SELECT query_id, n_rel,
+             round(coalesce(1.0 / cast(first_rel AS DOUBLE), 0.0), 6) AS mrr,
+             round(cast(n_rel AS DOUBLE) / 10.0, 6) AS precision_at_10,
+             round(CASE WHEN n_rel = 0 THEN 0.0 ELSE
+                     list_reduce(list_prepend(0.0, vs), (__a, __b) -> __a + __b)
+                       / ($pLit)[cast(n_rel AS INT)] END, 6) AS ndcg_at_10
+      FROM ag ORDER BY query_id"""
+    })
+
   /** PERSISTED incremental LM index ([[graft.operators.TfIdf
     * .writeLmIndex]]/`appendLmIndex`/`scoreWithLmIndex`): the t23 model
     * built from HALF the train split, the other half APPENDED as a
@@ -4285,6 +4347,7 @@ $langScoreCols
     t18_bpe_learned, t19_bpe_learned_corpus, t20_bpe_encode, t21_bigram_lm,
     t22_linear_probe, t23_stupid_backoff, t24_rrf_hybrid,
     t25_unigram_learned, t26_unigram_vocab, t27_unigram_encode,
+    t28_retrieval_metrics,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

@@ -163,4 +163,30 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.rrfFusion(Seq(lex), "doc", "rank", k = 2, keyCols = Nil)
     }
   }
+
+  test("rankingMetrics: hand-computed MRR/precision/nDCG, degenerate queries, determinism") {
+    val w = (1 to 5).map(r => math.log(2.0) / math.log(r + 1.0))
+    // q1: all 5 relevant (the perfect ranking); q2: none; q3: only rank 3
+    // relevant; q4: relevant at ranks 1 and 4
+    val ranked = Seq(
+      (1L, 1, 1L), (1L, 2, 1L), (1L, 3, 1L), (1L, 4, 1L), (1L, 5, 1L),
+      (2L, 1, 0L), (2L, 2, 0L), (2L, 3, 0L), (2L, 4, 0L), (2L, 5, 0L),
+      (3L, 1, 0L), (3L, 2, 0L), (3L, 3, 1L), (3L, 4, 0L), (3L, 5, 0L),
+      (4L, 1, 1L), (4L, 2, 0L), (4L, 3, 0L), (4L, 4, 1L), (4L, 5, 0L)
+    ).toDF("qid", "rank", "rel")
+    def run(df: org.apache.spark.sql.DataFrame) = Retrieval
+      .rankingMetrics(df, "qid", "rank", "rel", k = 5)
+      .orderBy("query_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val got = run(ranked)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == (5L, 1.0, 1.0, 1.0)) // perfect ranking: nDCG exactly 1
+    assert(got(2L) == (0L, 0.0, 0.0, 0.0)) // nothing relevant: all zeros
+    assert(got(3L) == (1L, r6(1.0 / 3.0), 0.2, r6(w(2) / w(0))))
+    assert(got(4L) == (2L, 1.0, 0.4, r6((w(0) + w(3)) / (w(0) + w(1)))))
+    assert(run(ranked.repartition(7)) == got)
+  }
 }
