@@ -918,6 +918,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a learned unigram vocabulary tokenizes a stream unchanged (train batch, serve stream)") {
+    // the tokenizer deployment shape for the SECOND subword family:
+    // learn ONCE on the batch corpus (t25), then the Viterbi encode —
+    // scan-and-expand, no aggregate — runs as a stateless append stream
+    import graft.functions.expressions.UnigramOps
+    val docs = Tables(spark, sf0001).documents
+    val vocab = graft.operators.Unigram.learnVocab(docs, "doc_id", "text",
+      UnigramOps.Params(maxPieceLen = 5, minCount = 5L, seedSize = 80,
+        emIters = 1, vocabSize = 96))
+    def tokenize(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.bpeTokens(col("text")))
+          .as(Seq("pt_pos", "__pt")))
+      .select(col("doc_id"), col("pt_pos"),
+        posexplode(UnigramOps.unigramPieces(col("__pt"), vocab))
+          .as(Seq("tok_pos", "token")))
+    val src = Files.createTempDirectory("graft-uni-stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val q = tokenize(spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src))
+      .writeStream.format("memory").queryName("uni_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy("doc_id", "pt_pos", "tok_pos").collect().map(_.toSeq).toSeq
+      val streamed = canon(spark.table("uni_stream"))
+      val batch = canon(tokenize(docs))
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("hashedLinearScore streams over a JSONL file source, equal to batch") {
     // The scorer is a pure projection (zero shuffle), so the SAME call
     // runs as a stateless streaming select over an ingest directory —
