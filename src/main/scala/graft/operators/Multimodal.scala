@@ -142,6 +142,83 @@ object Multimodal {
       .filter(col("shared_frames") >= minShared)
   }
 
+  /** PERSIST the blob frame-fingerprint index — the multimodal member
+    * of the persisted-index portfolio (text dedup, IVF/PQ, span, LM):
+    * one `(frame_hash, owner id)` row per distinct sampled window,
+    * bucketed by the hash, so each daily blob drop probes the index
+    * instead of re-fingerprinting the corpus. The blob scan is paid
+    * HERE, once; index rows are 16 bytes regardless of blob size. */
+  def writeBlobIndex(
+      corpus: DataFrame,
+      idCol: String,
+      blobCol: String,
+      table: String,
+      n: Int = 8,
+      frameBytes: Int = 64,
+      numBuckets: Int = 32): Unit =
+    Bucketing.writeBucketed(
+      frameSample(corpus, idCol, blobCol, n, frameBytes)
+        .select(col("frame_hash"), col(idCol).as("__cid")).distinct(),
+      table, bucketCols = Seq("frame_hash"), numBuckets = numBuckets)
+
+  /** APPEND a committed blob batch to a persisted [[writeBlobIndex]] —
+    * fingerprints are per-blob-local, so append ≡ rebuild
+    * unconditionally; only the new rows shuffle (one keyed write),
+    * existing index files untouched. Single-writer batch step. */
+  def appendBlobIndex(
+      table: String,
+      newCorpus: DataFrame,
+      idCol: String,
+      blobCol: String,
+      n: Int = 8,
+      frameBytes: Int = 64,
+      numBuckets: Int = 32): Unit =
+    Bucketing.appendBucketed(
+      frameSample(newCorpus, idCol, blobCol, n, frameBytes)
+        .select(col("frame_hash"), col(idCol).as("__cid")).distinct(),
+      table, bucketCols = Seq("frame_hash"), numBuckets = numBuckets)
+
+  /** PROBE a persisted [[writeBlobIndex]] with a batch of new blobs —
+    * the shard-vs-corpus incremental face of [[nearDupPairs]] (the m05
+    * semantics, asymmetric): each batch blob is `dup` when it shares
+    * >= `minShared` sampled windows with some indexed blob (`dup_of` =
+    * the corpus id sharing MOST windows, ties to the smaller id) and
+    * `novel` otherwise. Per probe, only the batch is fingerprinted;
+    * the (hash)-keyed join meets the index in its bucket layout (no
+    * index-side exchange), the per-pair tally is batch-bounded, and
+    * the argmax is a per-batch-blob WindowGroupLimit. */
+  def probeBlobIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      batch: DataFrame,
+      idCol: String,
+      blobCol: String,
+      n: Int = 8,
+      frameBytes: Int = 64,
+      minShared: Int = 2): DataFrame = {
+    val bf = frameSample(batch, idCol, blobCol, n, frameBytes)
+      .select(col(idCol).as("__bid"), col("frame_hash")).distinct()
+    val shared = bf.join(spark.table(table), Seq("frame_hash"))
+      .groupBy(col("__bid"), col("__cid"))
+      .agg(count(lit(1)).as("__sh"))
+      .filter(col("__sh") >= minShared)
+    val best = shared
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__bid"))
+          .orderBy(col("__sh").desc, col("__cid").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("__bid").as(idCol), col("__cid").as("dup_of"),
+        col("__sh").as("shared_frames"))
+    batch.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("dup_of").isNotNull, lit("dup"))
+          .otherwise(lit("novel")).as("status"),
+        col("dup_of"),
+        coalesce(col("shared_frames"), lit(0L)).as("shared_frames"))
+  }
+
   /** Batched decode through `mapPartitions` — the Scala analog of the
     * brief's `mapInPandas` plumbing, for codecs that cannot be expressed
     * as Catalyst expressions (native libraries holding per-thread state).

@@ -84,26 +84,27 @@ object MultimodalQueries {
     * [[graft.functions.expressions.BinaryUtil.frameFingerprints]]. ASCII
     * corpus => byte count = length(text), bytes = ascii codes. */
   /** The frame-fingerprint CTE chain over a source relation with
-    * (doc_id, text) — shared by m03 (raw documents) and m05 (augmented
-    * corpus). Emits CTEs `b, fr, fx, ox` and a final `fp(doc_id,
-    * frame_idx, frame_hash)`. */
-  private def frameCtes(src: String): String = {
+    * (doc_id, text) — shared by m03 (raw documents), m05 (augmented
+    * corpus) and m06 (corpus + batch sides, via distinct `sfx`). Emits
+    * CTEs `b$sfx, fr$sfx, fx$sfx, ox$sfx` and a final
+    * `fp$sfx(doc_id, frame_idx, frame_hash)`. */
+  private def frameCtes(src: String, sfx: String = ""): String = {
     import graft.queries.OracleSql
-    s"""b AS (
+    s"""b$sfx AS (
         SELECT doc_id, ${OracleSql.asciiBytes("text")} AS bs, length(text) AS n
         FROM $src WHERE length(text) > 0),
-      fr AS (
-        SELECT doc_id, bs, n, least(8, greatest(n // 64, 1)) AS frames FROM b),
-      fx AS (
-        SELECT doc_id, bs, n, frames, unnest(range(frames)) AS frame_idx FROM fr),
-      ox AS (
+      fr$sfx AS (
+        SELECT doc_id, bs, n, least(8, greatest(n // 64, 1)) AS frames FROM b$sfx),
+      fx$sfx AS (
+        SELECT doc_id, bs, n, frames, unnest(range(frames)) AS frame_idx FROM fr$sfx),
+      ox$sfx AS (
         SELECT doc_id, bs, n, frame_idx,
                CASE WHEN frames = 1 THEN 0 ELSE ((n - 64) * frame_idx) // (frames - 1) END AS o
-        FROM fx),
-      fp AS (
+        FROM fx$sfx),
+      fp$sfx AS (
         SELECT doc_id, frame_idx,
                (${OracleSql.u2s(OracleSql.xxh64Bytes("list_slice(bs, o + 1, o + least(64, n - o))"))})::BIGINT AS frame_hash
-        FROM ox)"""
+        FROM ox$sfx)"""
   }
 
   private val m03Oracle: String =
@@ -208,7 +209,80 @@ object MultimodalQueries {
       GROUP BY 1, 2 HAVING count(*) >= 2
       ORDER BY id_a, id_b"""))
 
+  /** Persisted blob-index probe ([[Multimodal.writeBlobIndex]] /
+    * `appendBlobIndex` / `probeBlobIndex`): the index is built from the
+    * ORIGINAL blobs in two ingest drops (evens built, odds appended —
+    * append ≡ rebuild is per-blob-local, so the oracle is blind to the
+    * split), then a "next crawl" batch probes it: exact copies
+    * (doc_id % 7, re-keyed +10000) must classify `dup` of their
+    * original, same-length midpoint mutants (% 13, +20000) `dup` when
+    * >= 2 windows survive the edit, and reversed-byte blobs (% 11,
+    * +30000) `novel`. Only the batch is fingerprinted per probe — the
+    * m05 pair semantics made shard-vs-corpus asymmetric, the m-family's
+    * member of the continual-ingest portfolio. */
+  val m06_blob_probe_indexed = QueryDef(
+    "m06_blob_probe_indexed",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      def toBlobs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("text").cast("binary").as("blob"))
+      val batch = docs
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(13)) === 0 && length(col("text")) >= 2)
+          .select(
+            (col("doc_id") + 20000).as("doc_id"),
+            concat(
+              expr("substring(text, 1, length(text) div 2 - 1)"),
+              lit("~"),
+              expr("substring(text, length(text) div 2 + 1)")).as("text")))
+        .unionByName(docs
+          .filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 30000).as("doc_id"),
+            reverse(col("text")).as("text")))
+      val table = s"graft_blob_idx_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+      Multimodal.writeBlobIndex(
+        toBlobs(docs.filter(col("doc_id") % 2 === 0)), "doc_id", "blob", table)
+      Multimodal.appendBlobIndex(
+        table, toBlobs(docs.filter(col("doc_id") % 2 === 1)), "doc_id", "blob")
+      Multimodal
+        .probeBlobIndex(s, table, toBlobs(batch), "doc_id", "blob",
+          minShared = 2)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH m06_batch AS (
+        SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 20000,
+               substr(text, 1, length(text) // 2 - 1) || '~' || substr(text, length(text) // 2 + 1)
+        FROM documents WHERE doc_id % 13 = 0 AND length(text) >= 2
+        UNION ALL
+        SELECT doc_id + 30000, reverse(text) FROM documents WHERE doc_id % 11 = 0),
+      ${frameCtes("documents", "_c")},
+      ${frameCtes("m06_batch", "_b")},
+      ci AS (SELECT DISTINCT doc_id AS cid, frame_hash FROM fp_c),
+      bi AS (SELECT DISTINCT doc_id AS bid, frame_hash FROM fp_b),
+      sh AS (
+        SELECT bid, cid, count(*) AS s
+        FROM bi JOIN ci USING (frame_hash)
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      best AS (
+        SELECT bid, cid, s FROM (
+          SELECT bid, cid, s,
+                 row_number() OVER (PARTITION BY bid ORDER BY s DESC, cid ASC) AS rn
+          FROM sh)
+        WHERE rn = 1)
+      SELECT b.doc_id,
+             CASE WHEN best.cid IS NOT NULL THEN 'dup' ELSE 'novel' END AS status,
+             best.cid AS dup_of,
+             cast(coalesce(best.s, 0) AS BIGINT) AS shared_frames
+      FROM m06_batch b LEFT JOIN best ON b.doc_id = best.bid
+      ORDER BY b.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     m01_blob_meta, m02_blob_features, m03_frame_sample, m04_decode_resize,
-    m05_blob_neardup)
+    m05_blob_neardup, m06_blob_probe_indexed)
 }

@@ -114,4 +114,39 @@ class MultimodalSpec extends SparkSpec {
     val big = Multimodal.repartitionBySize(docs, "blob", targetPartitionBytes = Long.MaxValue)
     assert(big.rdd.getNumPartitions == 1)
   }
+
+  test("blob index: append equals rebuild; probe classifies copies dup and fresh bytes novel") {
+    val corpus = docs
+    val a = corpus.filter(col("doc_id") % 2 === 0)
+    val b = corpus.filter(col("doc_id") % 2 === 1)
+    Multimodal.writeBlobIndex(a, "doc_id", "blob", "blob_app", numBuckets = 8)
+    Multimodal.appendBlobIndex("blob_app", b, "doc_id", "blob", numBuckets = 8)
+    Multimodal.writeBlobIndex(corpus, "doc_id", "blob", "blob_reb", numBuckets = 8)
+    try {
+      // batch: exact copies of three corpus blobs + one genuinely new blob
+      val batch = corpus.filter(col("doc_id").isin(2L, 3L, 5L))
+        .select((col("doc_id") + 1000).as("doc_id"), col("blob"))
+        .unionByName(spark.sql(
+          "SELECT 9999L AS doc_id, cast(repeat('zq!', 100) AS binary) AS blob"))
+      def probe(table: String) = Multimodal
+        .probeBlobIndex(spark, table, batch, "doc_id", "blob", minShared = 2)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val viaAppend = probe("blob_app")
+      assert(viaAppend == probe("blob_reb"),
+        "appended blob index diverged from rebuild")
+      val byId = viaAppend.map(r => r.head -> r).toMap
+      // every copy classifies dup, resolving to a corpus blob with the
+      // SAME bytes (the corpus may contain exact-duplicate texts, in
+      // which case the smaller owner id legitimately wins the tie)
+      val blobOf = corpus.collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      Seq(2L, 3L, 5L).foreach { id =>
+        val row = byId(id + 1000)
+        assert(row(1) == "dup", row.toString)
+        assert(blobOf(row(2).asInstanceOf[Long]) == blobOf(id), row.toString)
+      }
+      assert(byId(9999L)(1) == "novel" && byId(9999L)(3) == 0L)
+    } finally Seq("blob_app", "blob_reb").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
