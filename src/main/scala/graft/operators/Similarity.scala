@@ -208,14 +208,16 @@ object Similarity {
       explode(
         cellsFor(centroids, col(vecCol).cast("array<double>"), nProbe)).as("cell"))
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  private def topK(
+      scored: DataFrame, k: Int, extraCols: Seq[String] = Nil): DataFrame = {
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .select(Seq(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine")) ++ extraCols.map(col): _*)
   }
 
   /** IVF probe: assign corpus rows to their nearest centroid cell (narrow,
@@ -330,7 +332,8 @@ object Similarity {
       k: Int,
       centroids: Array[(Long, Seq[Double])],
       nProbe: Int = 4,
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      filter: Option[org.apache.spark.sql.Column] = None,
+      passAttrs: Seq[String] = Nil): DataFrame = {
     val q = queryProbes(queries, idCol, vecCol, centroids, nProbe)
     // bounded: |queries| x nProbe cell ids
     val probed = q.select(col("cell")).distinct().collect().map(_.getLong(0))
@@ -341,7 +344,7 @@ object Similarity {
       broadcast(q).join(idx, Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6)),
-      k)
+      k, passAttrs)
   }
 
   /** WEIGHTED kNN CLASSIFICATION — the vote step over ANY ranked
@@ -370,14 +373,25 @@ object Similarity {
       neighbors: DataFrame,
       labels: DataFrame,
       idCol: String,
-      labelCol: String): DataFrame = {
-    val lab = labels.select(
-      col(idCol).as("neighbor_id"), col(labelCol).cast("long").as("__l"))
+      labelCol: String): DataFrame =
+    knnClassifyAttached(
+      neighbors
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .join(labels.select(col(idCol).as("neighbor_id"), col(labelCol)),
+          Seq("neighbor_id")),
+      labelCol)
+
+  /** [[knnClassify]] when the label already RIDES the neighbor rows —
+    * the zero-extra-scan form for indexes built with the label as an
+    * attrCol ([[probeIvfIndex]]'s `passAttrs` hands it through the
+    * bucket-pruned probe): no label join at all, just the one
+    * batch-bounded (query, label) tally and the per-query argmax. */
+  def knnClassifyAttached(neighbors: DataFrame, labelCol: String): DataFrame = {
     val tallies = neighbors
-      .select(col("query_id"), col("neighbor_id"),
+      .select(col("query_id"),
         greatest(lit(0L),
-          round(col("cosine") * 1000000.0, 0).cast("long")).as("__w"))
-      .join(lab, Seq("neighbor_id"))
+          round(col("cosine") * 1000000.0, 0).cast("long")).as("__w"),
+        col(labelCol).cast("long").as("__l"))
       .groupBy(col("query_id"), col("__l"))
       .agg(sum(col("__w")).as("votes"), count(lit(1)).as("n_neighbors"))
     tallies

@@ -968,4 +968,43 @@ object EventStreams {
           .parquet(f"$targetPath/b_$batchId%012d")
       }
       .start()
+
+  /** Streaming AUTO-LABELING face — [[graft.operators.Similarity
+    * .knnClassify]] over the persisted IVF index, per micro-batch: a
+    * stream of new vectors takes the cosine-weighted majority label of
+    * its k nearest indexed neighbors (s14's serving loop, live). The
+    * index must carry `labelCol` as an attrCol
+    * ([[graft.operators.Similarity.writeIvfIndex]]'s `attrCols`): the
+    * label RIDES the probe's bucket-pruned scan (`passAttrs`), so there
+    * is no label join, no second index read, and the probe keeps its
+    * zero-index-shuffle shape; the vote adds one batch-bounded keyed
+    * tally per trigger. Stateless and
+    * idempotent like [[ivfProbeSink]]; batch ≡ stream pinned in
+    * StreamingSpec. Index APPENDS between triggers are legal and make
+    * later batches see new labeled neighbors — the continual-labeling
+    * loop. */
+  def knnClassifySink(
+      queries: DataFrame,
+      table: String,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      centroids: Array[(Long, Seq[Double])],
+      nProbe: Int,
+      targetPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity
+          .knnClassifyAttached(
+            graft.operators.Similarity.probeIvfIndex(batch.sparkSession,
+              table, batch, idCol, vecCol, k, centroids, nProbe,
+              passAttrs = Seq(labelCol)),
+            labelCol)
+          .write.mode("overwrite")
+          .parquet(f"$targetPath/b_$batchId%012d")
+      }
+      .start()
 }

@@ -329,6 +329,44 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_sink_spec")
   }
 
+  test("knnClassifySink: streamed labels equal the batch classify (s14 serving face)") {
+    val emb = Tables(spark, sf0001).embeddings
+    val labeled = emb.filter(col("vec_id") % 10 =!= 0)
+    val centroids = graft.operators.Similarity
+      .sampleCentroids(labeled, "vec_id", "embedding", 16)
+    graft.operators.Similarity.writeIvfIndex(
+      labeled, "vec_id", "embedding", centroids, "ivf_cls_sink", numBuckets = 16,
+      attrCols = Seq("label"))
+    try {
+      val queries = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 100)
+      val src = Files.createTempDirectory("graft-cls-src").toString
+      queries.repartition(3).write.mode("overwrite").parquet(src)
+      val stream = spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val target = Files.createTempDirectory("graft-cls-out").toString
+      val q = EventStreams.knnClassifySink(
+        stream, "ivf_cls_sink", "vec_id", "embedding", "label", k = 10,
+        centroids = centroids, nProbe = 8, target, checkpoint())
+      try q.processAllAvailable() finally q.stop()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id").collect().map(_.toSeq).toSeq
+      val streamed = canon(EventStreams.committedBatches(spark, target))
+      val batchRun = canon(graft.operators.Similarity.knnClassifyAttached(
+        graft.operators.Similarity.probeIvfIndex(spark, "ivf_cls_sink",
+          queries, "vec_id", "embedding", k = 10, centroids = centroids,
+          nProbe = 8, passAttrs = Seq("label")),
+        "label"))
+      assert(streamed.nonEmpty && streamed == batchRun)
+      // and the attached-label path equals the join path on the same probe
+      val viaJoin = canon(graft.operators.Similarity.knnClassify(
+        graft.operators.Similarity.probeIvfIndex(spark, "ivf_cls_sink",
+          queries, "vec_id", "embedding", k = 10, centroids = centroids,
+          nProbe = 8),
+        labeled, "vec_id", "label"))
+      assert(batchRun == viaJoin)
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_cls_sink")
+  }
+
   test("dedupIngestSink: batch N+1 detects batch N's novel docs as duplicates") {
     import spark.implicits._
     val seedCorpus = Seq(
