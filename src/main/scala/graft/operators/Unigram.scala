@@ -95,6 +95,38 @@ object Unigram {
     } finally { pre.unpersist(); () }
   }
 
+  /** Persist a learned vocabulary as a tiny (piece, logp_q) parquet
+    * relation — the tokenizer ARTIFACT a learn-once job publishes for
+    * every downstream consumer (the [[Bpe.writeMerges]] contract for
+    * the second subword family). */
+  def writeVocab(
+      spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[(String, Long)],
+      path: String): Unit = {
+    UnigramOps.table(vocab) // fail fast before publishing
+    import spark.implicits._
+    vocab.toDF("piece", "logp_q")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[writeVocab]] artifact, restoring the canonical code-point
+    * piece order and re-validating (duplicate or empty pieces fail HERE,
+    * at load, not mid-pipeline inside a tokenize job). Feeds
+    * [[tokenCounts]] / [[UnigramOps.unigramPieces]] directly. */
+  def readVocab(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Long)] = {
+    val loaded = spark.read.parquet(path)
+      .select(col("piece"), col("logp_q").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+      .sortBy(_._1)(graft.functions.expressions.BpeOps.codePointOrdering)
+    UnigramOps.table(loaded) // fail fast on a corrupted artifact
+    loaded
+  }
+
   /** Per-document Viterbi token counts under a learned vocabulary:
     * (idCol, n_unigram_tokens) — the [[Bpe.tokenCounts]] shape
     * verbatim: ONE corpus scan, no join; pretokenize + `explode_outer`

@@ -108,6 +108,25 @@ class UnigramSpec extends SparkSpec {
     assert(dup == Seq(1L -> 8L, 2L -> 0L, 3L -> 3L))
   }
 
+  test("writeVocab/readVocab round-trips the artifact; corruption fails at load") {
+    val p = Params(maxPieceLen = 4, minCount = 2L, seedSize = 40, emIters = 1, vocabSize = 48)
+    val vocab = Unigram.learnVocab(corpus, "doc_id", "text", p)
+    val dir = java.nio.file.Files.createTempDirectory("graft-univocab").toString
+    Unigram.writeVocab(spark, vocab, dir)
+    assert(Unigram.readVocab(spark, dir) == vocab)
+    // counts under the reloaded artifact are bit-identical
+    val a = Unigram.tokenCounts(corpus, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Unigram.tokenCounts(corpus, "doc_id", "text",
+      Unigram.readVocab(spark, dir)).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // a corrupted artifact (duplicated piece) fails AT LOAD
+    import spark.implicits._
+    (vocab ++ vocab.take(1)).toDF("piece", "logp_q")
+      .write.mode("overwrite").parquet(dir)
+    intercept[IllegalArgumentException] { Unigram.readVocab(spark, dir) }
+  }
+
   test("learn -> count composition runs on the real documents table and is deterministic") {
     val docs = Tables(spark, sf0001).documents
     val p = Params(maxPieceLen = 5, minCount = 5L, seedSize = 80, emIters = 2, vocabSize = 96)
