@@ -2542,6 +2542,81 @@ $langScoreCols
       FROM ag ORDER BY query_id"""
     })
 
+  /** Tokenizer FERTILITY comparison — the tokenizer-selection study a
+    * training pipeline runs before committing 100 TB to one encoding:
+    * per language, total whitespace words vs BPE tokens (the fixed
+    * reference table) vs LEARNED unigram tokens, with tokens-per-word
+    * fertility ratios. Three independent oracle-gated counting paths
+    * (p03's formula, t17's recursive-CTE replay, t25's twin VALUES)
+    * joined doc-wise and rolled up by language — each path already
+    * exact on its own, the composition pins the JOIN arithmetic. */
+  val t29_tokenizer_fertility = QueryDef(
+    "t29_tokenizer_fertility",
+    (s, dir) => {
+      uniCtx = Some((s, dir))
+      val docs = Tables(s, dir).documents
+      val base = docs.select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("long").as("__ws"))
+      val bpe = graft.operators.Bpe.tokenCounts(docs, "doc_id", "text")
+      val uni = graft.operators.Unigram
+        .tokenCounts(docs, "doc_id", "text", corpusLearnedUni(s, dir))
+      base.join(bpe, Seq("doc_id")).join(uni, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(
+          sum(col("__ws")).as("ws_tokens"),
+          sum(col("n_bpe_tokens")).as("bpe_tokens"),
+          sum(col("n_unigram_tokens")).as("unigram_tokens"))
+        .select(col("lang"), col("ws_tokens"), col("bpe_tokens"),
+          col("unigram_tokens"),
+          round(col("bpe_tokens").cast("double") /
+            col("ws_tokens").cast("double"), 6).as("bpe_fertility"),
+          round(col("unigram_tokens").cast("double") /
+            col("ws_tokens").cast("double"), 6).as("unigram_fertility"))
+        .orderBy(col("lang"))
+    },
+    None,
+    oracleFn = Some { () =>
+      val (_, segs) = uniTwin()
+      val valsRel =
+        if (segs.isEmpty) "SELECT '' AS pt, 0 AS n_tok WHERE FALSE"
+        else "VALUES " + segs
+          .map { case (w, ps) => s"(${uniSqlQuote(w)}, ${ps.length})" }
+          .mkString(", ")
+      val pat = "$$" + graft.functions.TextFunctions.bpePattern + "$$"
+      s"""
+      WITH RECURSIVE
+      ${graft.operators.Bpe.countsSqlCtes()},
+      t29_uni_vocab(pt, n_tok) AS ($valsRel),
+      t29_doc_pt AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, $pat)) AS pt
+        FROM documents),
+      t29_ptc AS (
+        SELECT doc_id, pt, count(*) AS n FROM t29_doc_pt GROUP BY doc_id, pt),
+      t29_uni AS (
+        SELECT d.doc_id, cast(coalesce(u.nt, 0) AS BIGINT) AS n_uni
+        FROM documents d
+        LEFT JOIN (
+          SELECT c.doc_id, sum(c.n * v.n_tok) AS nt
+          FROM t29_ptc c JOIN t29_uni_vocab v USING (pt)
+          GROUP BY c.doc_id) u ON d.doc_id = u.doc_id),
+      t29_base AS (
+        SELECT doc_id, lang,
+               (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS ws
+        FROM documents)
+      SELECT b.lang,
+             cast(sum(b.ws) AS BIGINT) AS ws_tokens,
+             cast(sum(c.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+             cast(sum(u.n_uni) AS BIGINT) AS unigram_tokens,
+             round(cast(sum(c.n_bpe_tokens) AS DOUBLE)
+                   / cast(sum(b.ws) AS DOUBLE), 6) AS bpe_fertility,
+             round(cast(sum(u.n_uni) AS DOUBLE)
+                   / cast(sum(b.ws) AS DOUBLE), 6) AS unigram_fertility
+      FROM t29_base b
+      JOIN bpe_counts c USING (doc_id)
+      JOIN t29_uni u USING (doc_id)
+      GROUP BY b.lang ORDER BY b.lang"""
+    })
+
   /** PERSISTED incremental LM index ([[graft.operators.TfIdf
     * .writeLmIndex]]/`appendLmIndex`/`scoreWithLmIndex`): the t23 model
     * built from HALF the train split, the other half APPENDED as a
@@ -4347,7 +4422,7 @@ $langScoreCols
     t18_bpe_learned, t19_bpe_learned_corpus, t20_bpe_encode, t21_bigram_lm,
     t22_linear_probe, t23_stupid_backoff, t24_rrf_hybrid,
     t25_unigram_learned, t26_unigram_vocab, t27_unigram_encode,
-    t28_retrieval_metrics,
+    t28_retrieval_metrics, t29_tokenizer_fertility,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
