@@ -1376,6 +1376,67 @@ $langScoreCols
       WHERE rn = 1
       ORDER BY query_id"""))
 
+  /** HARD-NEGATIVE mining for contrastive/embedding training — the
+    * data-prep face of retrieval: for each query, the highest-cosine
+    * neighbors whose label DISAGREES with the query's (the "hard"
+    * negatives that actually move an embedding model; random negatives
+    * are free but uninformative). Composes the existing pieces — kNN
+    * candidates (brute here for the oracle gate; IVF/PQ at scale),
+    * label joins, per-query WindowGroupLimit — so the mining cost is
+    * the retrieval cost plus one top-k window; nothing rescans the
+    * corpus. Output: 5 hardest negatives per query with their own
+    * rank. */
+  val s15_hard_negatives = QueryDef(
+    "s15_hard_negatives",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val lab = emb.select(col("vec_id"), col("label"))
+      val cand = Similarity
+        .bruteForceKnn(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 20)
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("__ql")), Seq("query_id"))
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("neighbor_label")), Seq("neighbor_id"))
+        .filter(col("__ql") =!= col("neighbor_label"))
+      cand
+        .withColumn("neg_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+        .filter(col("neg_rank") <= 5)
+        .select(col("query_id"), col("neg_rank"), col("neighbor_id"),
+          col("cosine"), col("neighbor_label"))
+        .orderBy(col("query_id"), col("neg_rank"))
+    },
+    Some("""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      knn AS (
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.e, c.e), 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+                            c.vec_id ASC) AS rank
+          FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE rank <= 20),
+      neg AS (
+        SELECT k.query_id, k.neighbor_id, k.cosine,
+               CAST(c.label AS INT) AS neighbor_label
+        FROM knn k JOIN v q ON k.query_id = q.vec_id
+                   JOIN v c ON k.neighbor_id = c.vec_id
+        WHERE q.label <> c.label)
+      SELECT query_id, neg_rank, neighbor_id, cosine, neighbor_label FROM (
+        SELECT query_id, neighbor_id, cosine, neighbor_label,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS neg_rank
+        FROM neg)
+      WHERE neg_rank <= 5
+      ORDER BY query_id, neg_rank"""))
+
   /** Exact oracle for s07: the s02 IVF replay extended with probe ranks,
     * a probe-budget expansion, and the s01-style exact top-k truth set —
     * recall computed by the same left-join-and-count. All cosines via
@@ -4432,7 +4493,7 @@ $langScoreCols
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,
-    s13_knn_ivf_filtered, s14_knn_classify,
+    s13_knn_ivf_filtered, s14_knn_classify, s15_hard_negatives,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,
