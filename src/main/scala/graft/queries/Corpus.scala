@@ -2678,6 +2678,74 @@ $langScoreCols
       GROUP BY b.lang ORDER BY b.lang"""
     })
 
+  /** T5-style span corruption ([[graft.operators.Chunking
+    * .spanCorrupt]]): the denoising-objective example prep —
+    * hash-deterministic span starts, trailing-window masking, island
+    * merge, sentinel input + span target — all ONE in-scan fold, zero
+    * shuffle. The oracle replays the chained two-arg xxhash64 start
+    * decisions bit-for-bit and rebuilds both strings with windowed SQL
+    * (lag masking, gaps-and-islands numbering, ordered string_agg). */
+  val t30_span_corruption = QueryDef(
+    "t30_span_corruption",
+    (s, dir) =>
+      graft.operators.Chunking
+        .spanCorrupt(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some {
+      val inner = OracleSql.xxh64Long(OracleSql.s2u("doc_id"))
+      val outer = OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("p"), seed = inner))
+      s"""
+      WITH t30_toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), __t -> __t <> '') AS ts
+        FROM documents),
+      t30_pos AS (
+        SELECT doc_id, cast(unnest(range(len(ts))) AS BIGINT) AS p, unnest(ts) AS tok
+        FROM t30_toks),
+      t30_st AS (
+        SELECT doc_id, p, tok,
+               ((($outer) % 20) + 20) % 20 = 0 AS st
+        FROM t30_pos),
+      t30_m AS (
+        SELECT doc_id, p, tok, st,
+               (st OR coalesce(lag(st, 1) OVER w, false)
+                   OR coalesce(lag(st, 2) OVER w, false)) AS m
+        FROM t30_st
+        WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+      t30_isl AS (
+        SELECT doc_id, p, tok, m,
+               m AND NOT coalesce(
+                 lag(m, 1) OVER (PARTITION BY doc_id ORDER BY p), false) AS opens
+        FROM t30_m),
+      t30_k AS (
+        SELECT doc_id, p, tok, m, opens,
+               cast(sum(CASE WHEN opens THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p) AS BIGINT) - 1 AS k
+        FROM t30_isl),
+      t30_pieces AS (
+        SELECT doc_id, p, m, opens,
+               CASE WHEN NOT m THEN tok
+                    WHEN opens THEN '<extra_id_' || k || '>'
+                    ELSE NULL END AS ip,
+               CASE WHEN opens THEN '<extra_id_' || k || '>' || ' ' || tok
+                    WHEN m THEN tok
+                    ELSE NULL END AS tp
+        FROM t30_k),
+      t30_agg AS (
+        SELECT doc_id,
+               string_agg(ip, ' ' ORDER BY p) AS input_text,
+               string_agg(tp, ' ' ORDER BY p) AS target_text,
+               sum(CASE WHEN opens THEN 1 ELSE 0 END) AS n_spans,
+               sum(CASE WHEN m THEN 1 ELSE 0 END) AS n_masked
+        FROM t30_pieces GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(a.input_text, '') AS input_text,
+             coalesce(a.target_text, '') AS target_text,
+             cast(coalesce(a.n_spans, 0) AS INT) AS n_spans,
+             cast(coalesce(a.n_masked, 0) AS INT) AS n_masked_tokens
+      FROM documents d LEFT JOIN t30_agg a USING (doc_id)
+      ORDER BY d.doc_id"""
+    })
+
   /** PERSISTED incremental LM index ([[graft.operators.TfIdf
     * .writeLmIndex]]/`appendLmIndex`/`scoreWithLmIndex`): the t23 model
     * built from HALF the train split, the other half APPENDED as a
@@ -4483,7 +4551,7 @@ $langScoreCols
     t18_bpe_learned, t19_bpe_learned_corpus, t20_bpe_encode, t21_bigram_lm,
     t22_linear_probe, t23_stupid_backoff, t24_rrf_hybrid,
     t25_unigram_learned, t26_unigram_vocab, t27_unigram_encode,
-    t28_retrieval_metrics, t29_tokenizer_fertility,
+    t28_retrieval_metrics, t29_tokenizer_fertility, t30_span_corruption,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

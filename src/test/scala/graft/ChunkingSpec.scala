@@ -44,4 +44,52 @@ class ChunkingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
+
+  test("spanCorrupt: reconstruction invariants, sentinel numbering, zero shuffle, determinism") {
+    val docs = Tables(spark, sf0001).documents
+    val out = Chunking.spanCorrupt(docs, "doc_id", "text")
+    // scan-local: the whole example prep adds no exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    val rows = out.collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getInt(3), r.getInt(4))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sentinel = "<extra_id_(\\d+)>".r
+    var masked = 0L
+    var total = 0L
+    texts.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val (inp, tgt, nSpans, nMasked) = rows(id)
+      val inpToks = inp.split(" ").filter(_.nonEmpty).toSeq
+      val tgtToks = tgt.split(" ").filter(_.nonEmpty).toSeq
+      // sentinels number 0..n_spans-1 in order, once in each string
+      def sentinels(ts: Seq[String]) =
+        ts.collect { case sentinel(k) => k.toInt }
+      assert(sentinels(inpToks) == (0 until nSpans))
+      assert(sentinels(tgtToks) == (0 until nSpans))
+      // splice the target spans back into the input: recovers the doc
+      val spans = tgtToks.foldLeft(Vector.empty[Vector[String]]) { (acc, t) =>
+        if (sentinel.matches(t)) acc :+ Vector()
+        else acc.init :+ (acc.last :+ t)
+      }
+      val rebuilt = inpToks.flatMap {
+        case sentinel(k) => spans(k.toInt)
+        case t => Seq(t)
+      }
+      assert(rebuilt == toks, s"doc $id failed reconstruction")
+      assert(nMasked == spans.map(_.size).sum)
+      masked += nMasked
+      total += toks.size
+    }
+    // ~15% expected corruption (3/20); generous band for a finite corpus
+    val rate = masked.toDouble / total.toDouble
+    assert(rate > 0.05 && rate < 0.30, s"corruption rate $rate out of band")
+    // pure function of (id, text): repartitioning changes nothing
+    val again = Chunking.spanCorrupt(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getInt(3), r.getInt(4))).toMap
+    assert(again == rows)
+  }
 }
