@@ -241,7 +241,8 @@ object Graph {
       seeds: DataFrame,
       nodeCol: String,
       labelCol: String,
-      iters: Int): DataFrame = {
+      iters: Int,
+      seedsImmutable: Boolean = true): DataFrame = {
     require(iters >= 0, s"bad label propagation params: iters=$iters")
     // The edge list is re-joined every round and is often EXPENSIVE to
     // derive (a kNN build) — materialize it once; pagerank/HITS get
@@ -276,12 +277,43 @@ object Graph {
       state = state
         .join(best, state("node") === col("__bn"), "left")
         .select(col("node"),
-          when(col("__seed"), col("label"))
-            .otherwise(coalesce(col("__bl"), col("label"))).as("label"),
+          (if (seedsImmutable)
+             when(col("__seed"), col("label"))
+               .otherwise(coalesce(col("__bl"), col("label")))
+           else coalesce(col("__bl"), col("label"))).as("label"),
           col("__seed"))
         .localCheckpoint(true)
     }
     e.unpersist()
     state.select(col("node"), col("label"))
+  }
+
+  /** UNSUPERVISED community detection by label propagation (Raghavan
+    * et al. 2007), the unseeded face of [[labelPropagationQuantized]]:
+    * every node starts as its own community (label = node id) and
+    * synchronously adopts the weighted-majority label of its
+    * out-neighbors each round — dense regions collapse onto one label,
+    * the clustering that groups near-duplicate domains, topic pockets,
+    * or co-purchase communities without any labeled set. Deterministic
+    * by the same discipline (quantized long tallies, smaller-label
+    * ties, fixed round count — synchronous LPA oscillation is settled
+    * by the round budget, not by chance), so the unrolled-CTE oracle
+    * replays bit-for-bit. Scale shape identical to the seeded face. */
+  def communityLabelsQuantized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iters: Int): DataFrame = {
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    labelPropagationQuantized(
+      edges, srcCol, dstCol, weightCol,
+      seeds = nodes.select(col("node"), col("node").as("label")),
+      nodeCol = "node", labelCol = "label", iters = iters,
+      seedsImmutable = false)
   }
 }

