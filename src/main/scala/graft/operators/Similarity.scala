@@ -814,6 +814,47 @@ object Similarity {
     * `corpusVecs` is pre-shaped (neighbor_id, __cv) — the raw corpus
     * for the inline cascades, the index's stored vectors for the
     * persisted probe. */
+  /** TRUNCATED-DIMENSION two-stage kNN — the Matryoshka-representation
+    * serving pattern (Kusupati et al. 2022): shortlist by cosine over
+    * only the first `prefixDims` coordinates (MRL-trained embeddings
+    * front-load information, so a short prefix ranks well), then
+    * re-rank the shortlist with the exact full-dimension cosine. The
+    * zero-training cousin of [[pqKnn]]'s cascade: the scan's bandwidth
+    * and FLOPs drop by dims/prefixDims in stage one, and full-width
+    * vectors move only for |queries| x shortlist rows through the
+    * re-rank broadcast — the corpus itself never shuffles.
+    * Determinism: both stages round at 6dp and tie-break on neighbor
+    * id, so the s16 oracle replays the cascade exactly. */
+  def truncatedKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixDims: Int,
+      shortlist: Int = 50): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val v = col(vecCol).cast("array<double>")
+    val pref = (c: org.apache.spark.sql.Column) => slice(c, 1, prefixDims)
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), v.as("__qv")))
+    val wShort = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__pcos").desc, col("neighbor_id").asc)
+    val short = corpus
+      .select(col(idCol).as("neighbor_id"), pref(v).as("__cp"))
+      .join(q.select(col("query_id"), pref(col("__qv")).as("__qp")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("__pcos", round(cosine(col("__qp"), col("__cp")), 6))
+      .withColumn("__srank", row_number().over(wShort))
+      .filter(col("__srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(
+      corpus.select(col(idCol).as("neighbor_id"), v.as("__cv")),
+      queries, short, idCol, vecCol, k)
+  }
+
   private def exactRerank(
       corpusVecs: DataFrame,
       queries: DataFrame,

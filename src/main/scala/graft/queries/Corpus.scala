@@ -1376,6 +1376,46 @@ $langScoreCols
       WHERE rn = 1
       ORDER BY query_id"""))
 
+  /** Truncated-dimension two-stage kNN ([[Similarity.truncatedKnn]],
+    * the Matryoshka serving pattern): shortlist-50 by cosine over the
+    * first 16 of 64 coordinates (4x less scan bandwidth and FLOPs in
+    * the corpus pass), exact full-width re-rank through a broadcast of
+    * the shortlist — the zero-training cousin of the s10 PQ cascade.
+    * Both stages deterministic (round-6, id tie-breaks), replayed
+    * verbatim by the oracle. */
+  val s16_knn_truncated = QueryDef(
+    "s16_knn_truncated",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity
+        .truncatedKnn(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, prefixDims = 16, shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      pshort AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                              list_slice(q.e, 1, 16), list_slice(c.e, 1, 16)), 6) DESC,
+                            c.vec_id ASC) AS srank
+          FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        WHERE srank <= 50)
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_cosine_similarity(qv.e, nv.e), 6) AS cosine,
+               row_number() OVER (
+                 PARTITION BY s.query_id
+                 ORDER BY round(list_cosine_similarity(qv.e, nv.e), 6) DESC,
+                          s.neighbor_id ASC) AS rank
+        FROM pshort s JOIN v qv ON s.query_id = qv.vec_id
+                      JOIN v nv ON s.neighbor_id = nv.vec_id)
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** HARD-NEGATIVE mining for contrastive/embedding training — the
     * data-prep face of retrieval: for each query, the highest-cosine
     * neighbors whose label DISAGREES with the query's (the "hard"
@@ -4630,6 +4670,7 @@ $langScoreCols
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,
     s13_knn_ivf_filtered, s14_knn_classify, s15_hard_negatives,
+    s16_knn_truncated,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,

@@ -155,6 +155,34 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "projection must not shuffle")
   }
 
+  test("truncatedKnn: full-prefix recovers brute force exactly; 16-dim prefix keeps high recall") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // prefixDims = all dims and an uncut shortlist: the cascade is a
+    // no-op and must equal brute force bit-for-bit (built-in self-check)
+    val full = canon(graft.operators.Similarity.truncatedKnn(
+      emb, queries, "vec_id", "embedding", k = 5, prefixDims = 64,
+      shortlist = 5000))
+    assert(full == canon(graft.operators.Similarity.bruteForceKnn(
+      emb, queries, "vec_id", "embedding", k = 5)))
+    // a 16-dim prefix with shortlist 50: on RANDOM embeddings (no MRL
+    // front-loading) the prefix is a noisy but real signal — recall
+    // must beat the random-shortlist baseline (~5/50 here) by a wide
+    // margin; MRL-trained embeddings are where the prefix approaches 1
+    val truncated = canon(graft.operators.Similarity.truncatedKnn(
+      emb, queries, "vec_id", "embedding", k = 5, prefixDims = 16,
+      shortlist = 50))
+    val exactSet = full.map(r => (r(0), r(2))).toSet
+    val hit = truncated.count(r => exactSet((r(0), r(2))))
+    assert(hit >= 15, s"prefix shortlist no better than random: $hit/50")
+    // deterministic under repartitioning
+    assert(truncated == canon(graft.operators.Similarity.truncatedKnn(
+      emb.repartition(7), queries, "vec_id", "embedding", k = 5,
+      prefixDims = 16, shortlist = 50)))
+  }
+
   test("knnClassify: weighted majority, negative-cosine clamp, tie to smaller label, IVF composition") {
     import spark.implicits._
     // hand graph: query 100 has two label-1 neighbors (0.5 + 0.4) vs one
