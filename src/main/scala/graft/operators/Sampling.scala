@@ -95,6 +95,49 @@ object Sampling {
             .orderBy(h.asc, col(idCol).asc)).cast("long"))
   }
 
+  /** Deterministic WEIGHTED-INTERLEAVE schedule — the smooth
+    * round-robin mixing order a trainer consumes when sources must
+    * appear at controlled RATES rather than in shuffled-together bulk
+    * (the torchdata/T5-style multi-source interleave): source s gets a
+    * STRIDE ∝ 1/weight_s (weight = sqrt of its mass, the alpha = 0.5
+    * temperature rule of p04), each document gets a hash-shuffled rank
+    * WITHIN its source, and the schedule key is `rank × stride` —
+    * sorting by the key yields each source spaced evenly at its rate,
+    * exhausted sources simply stop appearing, every run/partitioning/
+    * engine produces the identical order (exact long keys; sqrt and
+    * one division are the only float ops, identically rounded).
+    *
+    * Scale shape: one keyed aggregation for the masses (broadcast
+    * back), one per-source window for ranks, and the key is a scalar —
+    * consumers take the head via TakeOrderedAndProject (never a global
+    * sort) or materialize the full order with a range-partitioned
+    * write, exactly like [[writeTrainingShards]]. Output adds
+    * (src_rank, sched_key) to (idCol, sourceCol). */
+  def interleaveSchedule(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      sourceCol: String,
+      massExpr: org.apache.spark.sql.Column,
+      strideScale: Long = 1000000000L): org.apache.spark.sql.DataFrame = {
+    require(strideScale >= 1, s"strideScale must be >= 1, got $strideScale")
+    val masses = df
+      .groupBy(col(sourceCol))
+      .agg(sum(massExpr.cast("long")).as("__mass"))
+      .select(col(sourceCol),
+        greatest(lit(1L),
+          round(lit(strideScale.toDouble) /
+            sqrt(col("__mass").cast("double")), 0).cast("long")).as("__stride"))
+    val h = xxhash64(col(idCol))
+    df.join(broadcast(masses), Seq(sourceCol))
+      .withColumn("src_rank",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(sourceCol))
+            .orderBy(h.asc, col(idCol).asc)).cast("long"))
+      .withColumn("sched_key", col("src_rank") * col("__stride"))
+      .drop("__stride")
+  }
+
   /** Materialize [[shuffleShards]]' permutation to disk — the training
     * export: one `shard=<k>` directory per shard, rows PHYSICALLY
     * stored in `pos` order, so any reader (a trainer's data loader, not

@@ -554,6 +554,46 @@ $langScoreCols
              cast(count(*) AS BIGINT) AS n_docs
       FROM p22_fp GROUP BY source ORDER BY source"""))
 
+  /** Weighted-interleave training schedule ([[graft.operators.Sampling
+    * .interleaveSchedule]]): the first 200 positions of the
+    * deterministic multi-source mixing order — token-mass sqrt weights
+    * (p04's alpha = 0.5 rule), per-source hash-shuffled ranks, exact
+    * long schedule keys; the head is a TakeOrderedAndProject, the full
+    * order materializes via a range-partitioned write (p14's export
+    * machinery). The oracle replays masses, strides, ranks and the key
+    * sort bit-for-bit. */
+  val p25_interleave_schedule = QueryDef(
+    "p25_interleave_schedule",
+    (s, dir) =>
+      graft.operators.Sampling
+        .interleaveSchedule(
+          Tables(s, dir).documents, "doc_id", "source",
+          massExpr = tokenCount(col("text")))
+        .select(col("doc_id"), col("source"), col("src_rank"), col("sched_key"))
+        .orderBy(col("sched_key"), col("source"), col("doc_id"))
+        .limit(200),
+    Some(s"""
+      WITH p25_m AS (
+        SELECT source,
+               cast(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                 AS BIGINT) AS mass
+        FROM documents GROUP BY source),
+      p25_st AS (
+        SELECT source,
+               greatest(1, CAST(round(1000000000.0 / sqrt(cast(mass AS DOUBLE)), 0)
+                 AS BIGINT)) AS stride
+        FROM p25_m),
+      p25_r AS (
+        SELECT doc_id, source,
+               cast(row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY cast(${OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("doc_id")))} AS BIGINT) ASC,
+                          doc_id ASC) AS BIGINT) AS src_rank
+        FROM documents)
+      SELECT doc_id, source, src_rank, src_rank * stride AS sched_key
+      FROM p25_r JOIN p25_st USING (source)
+      ORDER BY sched_key, source, doc_id LIMIT 200"""))
+
   /** Snapshot DIFF ([[graft.operators.Curation.snapshotDiff]]): the
     * per-document change list between two corpus versions — p22's
     * fingerprint says WHETHER snapshots differ, this says WHAT.
@@ -4678,7 +4718,7 @@ $langScoreCols
     p14_shuffle_shards, p15_incremental_dedup_purge, p16_cluster_split,
     p17_incremental_stats, p18_corpus_report, p19_incremental_quantiles,
     p20_incremental_clusters, p21_drift_psi, p22_corpus_fingerprint,
-    p23_incremental_lm, p24_snapshot_diff,
+    p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities)
 }

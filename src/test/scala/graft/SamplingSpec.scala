@@ -218,4 +218,37 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.clusterAwareSplit(
       docs, comps, "doc_id", Seq(("train", 90), ("val", 80), ("test", 100))))
   }
+
+  test("interleaveSchedule: source rates follow sqrt weights; ranks dense; deterministic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // heavy source has 100x the mass -> sqrt weighting gives it 10x the
+    // rate (1/10th the stride): a long schedule prefix must contain
+    // roughly 10 heavy docs per light doc
+    val docs = ((1L to 400L).map(i => (i, "heavy", 100L)) ++
+      (1001L to 1040L).map(i => (i, "light", 100L))).toDF("id", "src", "w")
+    val heavyMass = 400L * 100L // vs light 40*100: mass ratio 100 after...
+    assert(heavyMass == 40000L)
+    val sched = Sampling
+      .interleaveSchedule(docs, "id", "src", massExpr = col("w") * when(col("src") === "heavy", 100L).otherwise(1L))
+      .orderBy(col("sched_key"), col("src"), col("id"))
+    val head = sched.limit(110).collect().map(_.getAs[String]("src"))
+    val nHeavy = head.count(_ == "heavy")
+    val nLight = head.count(_ == "light")
+    assert(nHeavy >= 8 * nLight && nLight >= 1,
+      s"rate off: $nHeavy heavy vs $nLight light in the head")
+    // ranks are dense 1..n per source
+    val ranks = sched.collect()
+      .groupBy(_.getAs[String]("src"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("src_rank")).sorted.toSeq }
+    assert(ranks("heavy") == (1L to 400L) && ranks("light") == (1L to 40L))
+    // bit-identical under repartitioning
+    val a = sched.collect().map(_.toSeq).toSeq
+    val b = Sampling
+      .interleaveSchedule(docs.repartition(7), "id", "src",
+        massExpr = col("w") * when(col("src") === "heavy", 100L).otherwise(1L))
+      .orderBy(col("sched_key"), col("src"), col("id"))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
