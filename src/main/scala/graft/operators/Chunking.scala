@@ -66,63 +66,29 @@ object Chunking {
     * setting).
     *
     * Scale shape: ZERO shuffle — tokenization, the hash decisions, the
-    * island merge and both reassemblies are one left fold over the
-    * token array (struct-accumulator `aggregate`, inside the scan),
-    * the same in-scan sequential-fold discipline as the BPE merge
-    * pass. Output: (idCol, input_text, target_text, n_spans,
-    * n_masked_tokens); empty docs yield empty strings and zeros. */
+    * island merge and both reassemblies run as ONE native codegen'd
+    * kernel sweep per document inside the scan
+    * ([[graft.functions.expressions.SpanCorruptOps]] — O(tokens); an
+    * earlier higher-order-function fold paid O(tokens²) array copies
+    * and, because lambda-bearing expressions are skipped by codegen
+    * subexpression elimination, was re-evaluated once per output
+    * field: 16.6 s → 0.64 s at sf0.1). Output: (idCol, input_text,
+    * target_text, n_spans, n_masked_tokens); empty docs yield empty
+    * strings and zeros. */
   def spanCorrupt(
       df: DataFrame,
       idCol: String,
       textCol: String,
       startMod: Int = 20,
-      spanLen: Int = 3): DataFrame = {
-    require(startMod >= 1 && spanLen >= 1,
-      s"need startMod >= 1 and spanLen >= 1, got $startMod, $spanLen")
-    val withMask = df
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
-      .withColumn("__starts",
-        transform(col("__ts"), (_, i) =>
-          pmod(xxhash64(col(idCol).cast("long"), i.cast("long")),
-            lit(startMod.toLong)) === 0))
-      .withColumn("__masked",
-        transform(col("__ts"), (_, i) =>
-          aggregate(
-            sequence(greatest(i - (spanLen - 1), lit(0)), i),
-            lit(false),
-            (a, s) => a || element_at(col("__starts"), s + 1))))
-    val zipped = transform(col("__ts"), (x, i) =>
-      struct(x.as("tok"), element_at(col("__masked"), i + 1).as("m")))
-    val folded = aggregate(
-      zipped,
-      struct(
-        array().cast("array<string>").as("inp"),
-        array().cast("array<string>").as("tgt"),
-        lit(false).as("in_span"),
-        lit(-1).as("k")),
-      (acc, t) => {
-        val tok = t.getField("tok")
-        val m = t.getField("m")
-        val opens = m && !acc.getField("in_span")
-        val newK = when(opens, acc.getField("k") + 1).otherwise(acc.getField("k"))
-        val sentinel = concat(lit("<extra_id_"), newK.cast("string"), lit(">"))
-        struct(
-          when(!m, concat(acc.getField("inp"), array(tok)))
-            .when(opens, concat(acc.getField("inp"), array(sentinel)))
-            .otherwise(acc.getField("inp")).as("inp"),
-          when(opens, concat(acc.getField("tgt"), array(sentinel, tok)))
-            .when(m, concat(acc.getField("tgt"), array(tok)))
-            .otherwise(acc.getField("tgt")).as("tgt"),
-          m.as("in_span"),
-          newK.as("k"))
-      })
-    withMask
-      .withColumn("__f", folded)
+      spanLen: Int = 3): DataFrame =
+    df
+      .select(col(idCol), graft.functions.expressions.SpanCorruptOps
+        .spanCorrupt(col(idCol).cast("long"),
+          TextFunctions.tokens(col(textCol)), startMod, spanLen).as("__f"))
       .select(
         col(idCol),
-        concat_ws(" ", col("__f.inp")).as("input_text"),
-        concat_ws(" ", col("__f.tgt")).as("target_text"),
-        (col("__f.k") + 1).as("n_spans"),
-        size(filter(col("__masked"), m => m)).as("n_masked_tokens"))
-  }
+        col("__f.input_text").as("input_text"),
+        col("__f.target_text").as("target_text"),
+        col("__f.n_spans").as("n_spans"),
+        col("__f.n_masked_tokens").as("n_masked_tokens"))
 }

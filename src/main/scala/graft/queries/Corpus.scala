@@ -1454,7 +1454,8 @@ $langScoreCols
         FROM pshort s JOIN v qv ON s.query_id = qv.vec_id
                       JOIN v nv ON s.neighbor_id = nv.vec_id)
       WHERE rank <= 5
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank"""),
+    bench = true)
 
   /** HARD-NEGATIVE mining for contrastive/embedding training — the
     * data-prep face of retrieval: for each query, the highest-cosine
@@ -2824,7 +2825,8 @@ $langScoreCols
              cast(coalesce(a.n_masked, 0) AS INT) AS n_masked_tokens
       FROM documents d LEFT JOIN t30_agg a USING (doc_id)
       ORDER BY d.doc_id"""
-    })
+    },
+    bench = true)
 
   /** PERSISTED incremental LM index ([[graft.operators.TfIdf
     * .writeLmIndex]]/`appendLmIndex`/`scoreWithLmIndex`): the t23 model
