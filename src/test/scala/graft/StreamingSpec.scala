@@ -990,6 +990,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("spanCorrupt streams statelessly, equal to batch (t30 example prep on arrival)") {
+    // the corruption kernel is a pure per-row projection (native
+    // expression, zero shuffle), so the SAME call prepares denoising
+    // examples on an append stream — tokenize-and-corrupt on ingest
+    val docs = Tables(spark, sf0001).documents
+    val src = Files.createTempDirectory("graft-corrupt-stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = graft.operators.Chunking.spanCorrupt(stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("corrupt_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val streamed = canon(spark.table("corrupt_stream"))
+      val batch = canon(graft.operators.Chunking.spanCorrupt(docs, "doc_id", "text"))
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("hashedLinearScore streams over a JSONL file source, equal to batch") {
     // The scorer is a pure projection (zero shuffle), so the SAME call
     // runs as a stateless streaming select over an ingest directory —
