@@ -189,6 +189,31 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("label propagation composes with IVF-built edges: full-probe equals the brute-force gate") {
+    // the 100 TB story: the operator only sees an edge list, so the
+    // exact brute-force build (the oracle gate) and an ANN build are
+    // interchangeable — with a full probe budget the IVF candidates
+    // ARE brute force, so the propagated labels must match exactly
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    import org.apache.spark.sql.functions._
+    val centroids = graft.operators.Similarity
+      .sampleCentroids(emb, "vec_id", "embedding", 8)
+    def labels(knn: org.apache.spark.sql.DataFrame) = Graph
+      .labelPropagationQuantized(
+        knn.select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+          greatest(lit(0L), round(col("cosine") * 1000000.0, 0).cast("long")).as("w")),
+        "src", "dst", "w",
+        seeds = emb.filter(col("vec_id") % 4 === 0), "vec_id", "label",
+        iters = 2)
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    val viaBrute = labels(graft.operators.Similarity.bruteForceKnn(
+      emb, emb, "vec_id", "embedding", k = 10))
+    val viaIvf = labels(graft.operators.Similarity.ivfKnn(
+      emb, emb, "vec_id", "embedding", k = 10,
+      centroids = centroids, nProbe = 8))
+    assert(viaBrute.nonEmpty && viaIvf == viaBrute)
+  }
+
   test("community labels: dense cliques keep separate labels across a weak link; deterministic") {
     // two directed triangles at weight 10, one weak 3->4 bridge at 1:
     // the bridge can never outvote a clique, so labels stay within
