@@ -347,6 +347,72 @@ object Similarity {
       k, passAttrs)
   }
 
+  /** K-CENTER GREEDY coreset selection (Sener & Savarese 2018; Gonzalez
+    * 1985 2-approximation) — the diverse-exemplar data-pruning method:
+    * pick the vector farthest from the already-selected set, k times,
+    * so the selection COVERS the embedding space (every corpus point is
+    * within the final `dist_q` of some exemplar — the returned radii
+    * are the coverage certificate, decreasing by construction). The
+    * complement of density-based pruning: SemDeDup (d11) removes what
+    * is over-represented, the coreset KEEPS what spans.
+    *
+    * Determinism is the contract (the [[Clustering]] discipline):
+    * coordinates quantize to a 1e6 integer grid, distances are exact
+    * long squared-L2 sums, the farthest-point argmax tie-breaks on the
+    * smaller id, and the seed is the smallest id — every run,
+    * partitioning, and the unrolled-CTE oracle agree bit-for-bit.
+    *
+    * Scale shape: k bounded rounds; each is ONE corpus scan computing
+    * min-distance-to-selected against a BROADCAST selected-set literal
+    * (≤ k vectors — the d10 centroid shape) and one
+    * `TakeOrderedAndProject` head — no shuffle of the corpus, ever;
+    * driver state is k quantized vectors. Output: (rank, idCol,
+    * dist_q) — dist_q = the squared quantized distance at selection
+    * time (0 for the seed). */
+  def kCenterGreedy(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(k >= 1 && scale >= 1, s"bad coreset params: k=$k scale=$scale")
+    val spark = corpus.sparkSession
+    val q = corpus.select(
+      col(idCol).cast("long").as("__id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * scale, 0).cast("long")).as("__q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRow = q.orderBy(col("__id").asc).limit(1).collect()(0)
+      var selected = Vector[(Long, Seq[Long])](
+        seedRow.getLong(0) -> seedRow.getSeq[Long](1))
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
+        (1, selected.head._1, 0L))
+      for (r <- 2 to k) {
+        val selLit = array(selected.map { case (_, v) =>
+          array(v.map(lit): _*)
+        }: _*)
+        val dmin = array_min(transform(selLit, s =>
+          aggregate(
+            zip_with(col("__q"), s, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x)))
+        val far = q
+          .filter(!col("__id").isin(selected.map(_._1): _*))
+          .select(col("__id"), col("__q"), dmin.as("__d"))
+          .orderBy(col("__d").desc, col("__id").asc)
+          .limit(1)
+          .collect()
+        if (far.nonEmpty) {
+          val row = far(0)
+          selected :+= row.getLong(0) -> row.getSeq[Long](1)
+          out += ((r, row.getLong(0), row.getLong(2)))
+        }
+      }
+      import spark.implicits._
+      out.toSeq.toDF("rank", idCol, "dist_q")
+    } finally { q.unpersist(); () }
+  }
+
   /** WEIGHTED kNN CLASSIFICATION — the vote step over ANY ranked
     * neighbor list (the [[graft.operators.Graph
     * .labelPropagationQuantized]] single-shot serving face): label each

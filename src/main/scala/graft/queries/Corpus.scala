@@ -1457,6 +1457,58 @@ $langScoreCols
       ORDER BY query_id, rank"""),
     bench = true)
 
+  /** Exact oracle for s17: the d10 quantization CTE, then the greedy
+    * farthest-point rounds unrolled — every `sel` table MATERIALIZED
+    * (each is referenced by both the next round's distance scan and
+    * the next union; left inlined the chain re-expands exponentially,
+    * the d07 lesson). */
+  private def kcenterOracle(k: Int, dims: Int): String = {
+    def dist(a: String, b: String) =
+      s"""list_reduce(list_transform(range($dims),
+         __i -> ($a[__i + 1] - $b[__i + 1]) * ($a[__i + 1] - $b[__i + 1])),
+         (__s, __t) -> __s + __t)"""
+    val rounds = (2 to k).map { r =>
+      s"""
+      d$r AS (
+        SELECT c.vec_id, min(${dist("c.q", "s.q")}) AS dmin
+        FROM qv c CROSS JOIN sel${r - 1} s
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+        GROUP BY c.vec_id),
+      pick$r AS (
+        SELECT vec_id, dmin FROM d$r ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+      sel$r AS MATERIALIZED (
+        SELECT * FROM sel${r - 1}
+        UNION ALL
+        SELECT $r AS rank, p.vec_id, qv.q, p.dmin AS dist_q
+        FROM pick$r p JOIN qv ON p.vec_id = qv.vec_id)"""
+    }.mkString(",")
+    s"""
+      WITH qv AS (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               __x -> CAST(round(__x * 1000000.0, 0) AS BIGINT)) AS q
+        FROM embeddings),
+      sel1 AS MATERIALIZED (
+        SELECT 1 AS rank, vec_id, q, CAST(0 AS BIGINT) AS dist_q
+        FROM qv ORDER BY vec_id LIMIT 1),
+      $rounds
+      SELECT rank, vec_id, dist_q FROM sel$k ORDER BY rank"""
+  }
+
+  /** K-center greedy coreset ([[Similarity.kCenterGreedy]]): the 16
+    * exemplars that SPAN the embedding space, with their coverage radii
+    * — the diversity-keeping complement of d11's redundancy-removing
+    * SemDeDup. Exact quantized-integer distances end to end, so the
+    * greedy trajectory (seed = min id, farthest-point argmax, id
+    * tie-break) replays bit-for-bit in the unrolled oracle. */
+  val s17_kcenter_coreset = QueryDef(
+    "s17_kcenter_coreset",
+    (s, dir) =>
+      Similarity
+        .kCenterGreedy(Tables(s, dir).embeddings, "vec_id", "embedding",
+          k = 16)
+        .orderBy(col("rank")),
+    Some(kcenterOracle(k = 16, dims = 64)))
+
   /** HARD-NEGATIVE mining for contrastive/embedding training — the
     * data-prep face of retrieval: for each query, the highest-cosine
     * neighbors whose label DISAGREES with the query's (the "hard"
@@ -4712,7 +4764,7 @@ $langScoreCols
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,
     s13_knn_ivf_filtered, s14_knn_classify, s15_hard_negatives,
-    s16_knn_truncated,
+    s16_knn_truncated, s17_kcenter_coreset,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,

@@ -183,6 +183,33 @@ class SimilaritySpec extends SparkSpec {
       prefixDims = 16, shortlist = 50)))
   }
 
+  test("kCenterGreedy: radii non-increasing, corpus covered at the final radius, deterministic") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.operators.Similarity
+      .kCenterGreedy(df, "vec_id", "embedding", k = 12)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val sel = run(emb)
+    assert(sel.length == 12 && sel.head._3 == 0L)
+    // greedy radii are non-increasing — the coverage certificate
+    assert(sel.map(_._3).drop(1).sliding(2).forall(w => w.head >= w.last), sel)
+    // every corpus vector lies within the final pick's radius of SOME
+    // selected exemplar (min-dist can only shrink as picks accumulate)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val chosen = sel.map(t => vecs(t._2))
+    val lastRadius = sel.last._3
+    vecs.foreach { case (id, v) =>
+      val dmin = chosen.map(c => d2(v, c)).min
+      assert(dmin <= lastRadius,
+        s"vector $id at $dmin exceeds the final radius $lastRadius")
+    }
+    assert(run(emb.repartition(7)) == sel)
+  }
+
   test("knnClassify: weighted majority, negative-cosine clamp, tie to smaller label, IVF composition") {
     import spark.implicits._
     // hand graph: query 100 has two label-1 neighbors (0.5 + 0.4) vs one
