@@ -788,6 +788,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact CONTAINMENT self-join — the ASYMMETRIC similarity Jaccard
+    * resemblance is blind to (Broder's original distinction): C(A, B) =
+    * |A ∩ B| / |A| finds documents whose shingle set is mostly INSIDE
+    * another's — quotes, nested articles, boilerplate-wrapped reposts —
+    * where the symmetric ratio stays tiny because the containing
+    * document is large. Emits ORDERED pairs (id_a contained in id_b)
+    * with containment >= `threshold`.
+    *
+    * Candidate generation is the asymmetric prefix principle: only the
+    * CONTAINED side prunes — A emits its `|A| - ceil(t·|A|) + 1` rarest
+    * shingles as keys, probed against every document's FULL shingle
+    * list. (C(A,B) >= t forces >= ceil(t·|A|) shared shingles, more
+    * than fit outside A's prefix, so some shared shingle is in the
+    * prefix and in B's list — recall is EXACT; the d21 oracle verifies
+    * it with a candidate-scheme-blind SQL replay.) The containing side
+    * cannot prune — that asymmetry is inherent to containment, so the
+    * keyed join is bounded by prefix rarity × shingle df rather than a
+    * prefix × prefix product; shingle keys (vs unigrams) keep df low.
+    * Verification carries each shingle set once per side, exactly like
+    * [[jaccardSimilarityJoin]]. */
+  def containmentJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val sets = df
+      .filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("__id"),
+        array_distinct(wordShingles(col(textCol), shingleSize)).as("__set"))
+      .filter(size(col("__set")) > 0)
+    val toks = sets.select(col("__id"), explode(col("__set")).as("__tok"))
+    val tokenDf = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("__df"), col("__tok"))
+    val sizeW = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+    val prefixA = toks
+      .join(tokenDf, Seq("__tok"))
+      .withColumn("__rn", row_number().over(rankW))
+      .withColumn("__sz", count(lit(1)).over(sizeW))
+      .filter(col("__rn") <= col("__sz") - ceil(col("__sz") * threshold) + 1)
+      .select(col("__tok"), col("__id").as("id_a"))
+    val candidates = prefixA
+      .join(toks.select(col("__tok"), col("__id").as("id_b")), Seq("__tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("__id").as("id_a"), col("__set").as("__set_a")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__set").as("__set_b")), Seq("id_b"))
+      .withColumn("containment",
+        round(size(array_intersect(col("__set_a"), col("__set_b"))).cast("double")
+          / size(col("__set_a")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Connected components over a near-dup pair graph (HashMin label
     * propagation): every node's label converges to the minimum id
     * reachable from it — the canonical "dedup cluster" step that turns

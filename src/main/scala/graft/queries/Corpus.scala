@@ -718,6 +718,67 @@ $langScoreCols
       WHERE round(i * 1.0 / (na + nb - i), 6) >= 0.5
       ORDER BY id_a, id_b"""))
 
+  /** Containment self-join ([[Dedup.containmentJoin]]): documents whose
+    * 3-gram shingle set is >= 70% inside another's — the quote/nesting/
+    * boilerplate-wrap duplication symmetric Jaccard under-scores (a
+    * short doc fully quoted inside a long one has tiny resemblance but
+    * containment ~1). The fixture plants real containments: every 9th
+    * document gets a re-keyed copy (+40000) holding its FIRST 60% of
+    * tokens wrapped with two filler sentences — contained in the
+    * original, not vice versa. The oracle is candidate-scheme-BLIND
+    * (it pairs via every co-occurring shingle, not the prefix), so it
+    * verifies the asymmetric prefix filter's exact-recall claim. */
+  val d21_containment = QueryDef(
+    "d21_containment",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val quotes = docs
+        .filter(col("doc_id") % 9 === 0 && size(toks) >= 10)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat_ws(" ",
+            lit("quoting the report below"),
+            array_join(slice(toks, lit(1),
+              floor(size(toks) * 6 / 10).cast("int")), " "),
+            lit("end of quoted material")).as("text"))
+      Dedup
+        .containmentJoin(docs.unionByName(quotes), "doc_id", "text",
+          threshold = 0.7, shingleSize = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH d21_aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 40000,
+               'quoting the report below' || ' ' ||
+               array_to_string(list_slice(ts, 1, (len(ts) * 6) // 10), ' ') ||
+               ' ' || 'end of quoted material'
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), __t -> __t <> '') AS ts
+              FROM documents)
+        WHERE doc_id % 9 = 0 AND len(ts) >= 10),
+      d21_tk AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), __t -> __t <> '') AS ts
+        FROM d21_aug WHERE trim(text) <> ''),
+      d21_s AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(ts) - 2),
+                 __i -> ts[__i+1] || ' ' || ts[__i+2] || ' ' || ts[__i+3])) AS sh
+        FROM d21_tk WHERE len(ts) >= 3),
+      d21_rows AS (SELECT doc_id, unnest(sh) AS g FROM d21_s),
+      d21_i AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, cast(count(*) AS BIGINT) AS i
+        FROM d21_rows a JOIN d21_rows b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2),
+      d21_p AS (
+        SELECT i.id_a, i.id_b, i.i, length(s.sh) AS na
+        FROM d21_i i JOIN d21_s s ON i.id_a = s.doc_id)
+      SELECT id_a, id_b, round(i * 1.0 / na, 6) AS containment
+      FROM d21_p
+      WHERE round(i * 1.0 / na, 6) >= 0.7
+      ORDER BY id_a, id_b"""))
+
   /** Exact DuckDB oracle for d06: the hyperplanes are deterministic
     * (splitmix64 from the seed), so they are computed HERE at oracle-build
     * time and inlined as double literals (shortest-round-trip formatting
@@ -4760,6 +4821,7 @@ $langScoreCols
     d11_semdedup, d12_embed_decontaminate, d13_dedup_survivors,
     d14_contamination, d15_lsh_recall, d16_dup_spans, d17_dedup_span_removal,
     d18_span_probe_indexed, d19_decontaminate_spans, d20_edit_verify,
+    d21_containment,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,

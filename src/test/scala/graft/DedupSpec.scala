@@ -596,4 +596,39 @@ class DedupSpec extends SparkSpec {
     graft.plans.PlanAudit.assertScalable(
       Dedup.editVerifiedPairs(revDocs, "doc_id", "text"))
   }
+
+  test("containmentJoin: quote contained in original (not vice versa); equals brute force") {
+    import spark.implicits._
+    val original =
+      "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square"
+    val quote = "as reported earlier " +
+      "the quick brown fox jumps over the lazy dog" // strict subset run
+    val corpus = Seq(
+      (1L, original), (2L, quote),
+      (3L, "completely unrelated words about database engines and query planners")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(corpus, "doc_id", "text",
+        threshold = 0.5, shingleSize = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the quote's shingles are mostly inside the original...
+    assert(got.contains((2L, 1L)), got.toString)
+    // ...but the original is NOT contained in the quote (asymmetry)
+    assert(!got.contains((1L, 2L)), got.toString)
+    // brute-force replica over all ordered pairs — exact recall + values
+    def shingles(t: String): Set[String] = t.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+      .map(_.mkString(" ")).toSet
+    val sets = Map(1L -> shingles(original), 2L -> shingles(quote),
+      3L -> shingles("completely unrelated words about database engines and query planners"))
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      c = sets(a).intersect(sets(b)).size.toDouble / sets(a).size
+      r = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if r >= 0.5
+    } yield (a, b) -> r).toMap
+    assert(got == brute, s"got $got vs brute $brute")
+    graft.plans.PlanAudit.assertScalable(
+      Dedup.containmentJoin(corpus, "doc_id", "text", 0.5))
+  }
 }
