@@ -863,7 +863,8 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
     val edges = pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
@@ -896,12 +897,12 @@ object Dedup {
       // every few rounds, truncate lineage: persist() caches the DATA but
       // the logical plan still deepens linearly with iterations —
       // analysis and task serialization grow per round until the driver
-      // chokes on a long-diameter graph. localCheckpoint (lazy, so the
-      // changed-count action below is what materializes it) cuts the
-      // plan (use a reliable checkpoint dir instead when executor loss
-      // must be survivable mid-computation).
+      // chokes on a long-diameter graph. The cut is lazy (eager=false)
+      // so the changed-count action below is what materializes it;
+      // pass Checkpoint.reliable when executor loss must be survivable
+      // mid-computation.
       val next =
-        if (iter % 5 == 4) stepped.localCheckpoint(false)
+        if (iter % 5 == 4) checkpointer.cut(stepped, eager = false)
         else stepped.persist()
       val changed = next.filter(col("__ch")).count()
       cached.unpersist()
@@ -917,10 +918,10 @@ object Dedup {
     // the data is cached but any downstream persist() renders that tree
     // into Spark's cache name, and a CHAINED call (mergeComponents runs
     // CC over CC output) multiplies the trees: driver OOM on nothing
-    // but plan strings. An eager localCheckpoint pins the final labels
-    // as a flat LogicalRDD (one row per clustered node — tiny relative
-    // to the pair graph) and lets the loop cache be freed immediately.
-    val out = labels.localCheckpoint(true)
+    // but plan strings. An eager cut pins the final labels as a flat
+    // LogicalRDD (one row per clustered node — tiny relative to the
+    // pair graph) and lets the loop cache be freed immediately.
+    val out = checkpointer.cut(labels, eager = true)
     cached.unpersist()
     out
   }
@@ -947,13 +948,14 @@ object Dedup {
       newPairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
     val star = oldComps
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idA), col("comp").as(idB))
     connectedComponents(
       star.unionByName(newPairs.select(col(idA), col(idB))),
-      idA, idB, maxIter)
+      idA, idB, maxIter, checkpointer)
   }
 
   /** Chunk-level exact dedup across the WHOLE corpus (the exact-substring

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Link analysis over edge lists: PageRank in QUANTIZED integer space.
   *
@@ -27,12 +28,18 @@ import org.apache.spark.sql.functions._
   *     partial sums; vertex data never rides edges more than once);
   *   - the dangling mass is ONE driver scalar (bounded) via an
   *     anti-join aggregate;
-  *   - ranks are `localCheckpoint`ed each round: the plan would
-  *     otherwise reference the previous round's frame twice and double
-  *     per iteration. Ranks are corpus-sized (unlike k-means' k
-  *     centroids) so they cannot land on the driver — at 100 TB point
-  *     `spark.checkpoint.dir` at durable storage and use `checkpoint`
-  *     instead (same contract, executor-loss-safe).
+  *   - the loop INPUTS — the distinct edge list, out-degrees, the
+  *     degree-annotated edges, the node set — are `persist`ed before
+  *     the first round and released after the last: `distinct()` and
+  *     `groupBy` are shuffles, and each round issues fresh actions
+  *     (the dangling scalar, the lineage cut) that would otherwise
+  *     re-execute them from the source every iteration;
+  *   - ranks are lineage-cut each round via `checkpointer`
+  *     ([[Checkpoint.local]] by default; pass [[Checkpoint.reliable]]
+  *     with `spark.sparkContext.setCheckpointDir` at durable storage
+  *     when executor loss must be survivable mid-run — ranks are
+  *     corpus-sized, unlike k-means' k centroids, so they cannot land
+  *     on the driver).
   */
 object Graph {
 
@@ -47,7 +54,8 @@ object Graph {
       iters: Int,
       scale: Long = 1000000L,
       dampNum: Long = 85,
-      dampDen: Long = 100): DataFrame = {
+      dampDen: Long = 100,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampDen > 0 && scale > 0,
       s"bad pagerank params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
     val e = edges
@@ -55,29 +63,42 @@ object Graph {
       .distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ew = e.join(outdeg, Seq("src"))
-    val n = nodes.count()
-    val teleport = (dampDen - dampNum) * scale / dampDen
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count()
+      val teleport = (dampDen - dampNum) * scale / dampDen
 
-    var ranks = nodes.withColumn("pr", lit(scale))
-    if (n == 0) return ranks
-    for (_ <- 0 until iters) {
-      val dangling = ranks
-        .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0L))).collect()(0).getLong(0)
-      val contribs = ew.join(ranks, ew("src") === ranks("node"))
-        .select(col("dst"), expr("pr div odeg").as("__c"))
-        .groupBy(col("dst")).agg(sum(col("__c")).as("__c"))
-      ranks = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"$dampNum * (coalesce(__c, 0L) + ${dangling / n}L) div $dampDen")
-          ).as("pr"))
-        .localCheckpoint(true)
+      var ranks = nodes.withColumn("pr", lit(scale))
+      if (n == 0) return ranks
+      for (_ <- 0 until iters) {
+        val dangling = ranks
+          .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+          .agg(coalesce(sum(col("pr")), lit(0L))).collect()(0).getLong(0)
+        val contribs = ew.join(ranks, ew("src") === ranks("node"))
+          .select(col("dst"), expr("pr div odeg").as("__c"))
+          .groupBy(col("dst")).agg(sum(col("__c")).as("__c"))
+        ranks = checkpointer.cut(
+          nodes
+            .join(contribs, nodes("node") === contribs("dst"), "left")
+            .select(col("node"),
+              (lit(teleport) +
+                expr(s"$dampNum * (coalesce(__c, 0L) + ${dangling / n}L) div $dampDen")
+              ).as("pr")),
+          eager = true)
+      }
+      ranks
+    } finally {
+      // every round is eagerly cut, so the result no longer references
+      // these caches; iters=0 recomputes its (cheap) node relation
+      ew.unpersist(blocking = false)
+      outdeg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      ()
     }
-    ranks
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) in the same quantized
@@ -98,8 +119,12 @@ object Graph {
     *
     * Scale shape per round: two edge-keyed joins + two keyed long
     * aggregations (map-side partials; scores never ride an edge more
-    * than once per direction), two bounded driver scalars (the maxima),
-    * and the same per-round `localCheckpoint` lineage cut as
+    * than once per direction). The max normalizers are folded INTO the
+    * plan as broadcast single-row crossJoins — a round is ONE action
+    * (the lineage cut), not three (no driver max-collects) — and each
+    * half-round's raw-sum relation is `persist`ed for the round because
+    * both its max branch and its join branch consume it. The distinct
+    * edge list and node set persist across the loop exactly as in
     * [[pagerankQuantized]]. Overflow headroom: scores ≤ scale, so a
     * round's raw sum ≤ degree×scale and the scaled product needs
     * degree×scale² < 2^63 — at the default 10^6 scale that is a 9×10^6
@@ -109,40 +134,55 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iters: Int,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
     require(iters >= 0 && scale > 0, s"bad hits params: iters=$iters scale=$scale")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-
-    var scores = nodes
-      .select(col("node"), lit(scale).as("hub"), lit(0L).as("auth"))
-    for (_ <- 0 until iters) {
-      val authRaw = e.join(scores, e("src") === scores("node"))
-        .groupBy(col("dst")).agg(sum(col("hub")).as("__a"))
-      val maxA = authRaw.agg(coalesce(max(col("__a")), lit(0L)))
-        .collect()(0).getLong(0)
-      val auth = nodes
-        .join(authRaw, nodes("node") === authRaw("dst"), "left")
-        .select(col("node"),
-          (if (maxA == 0L) lit(0L)
-           else expr(s"coalesce(__a, 0L) * ${scale}L div ${maxA}L")).as("auth"))
-      val hubRaw = e.join(auth, e("dst") === auth("node"))
-        .groupBy(col("src")).agg(sum(col("auth")).as("__h"))
-      val maxH = hubRaw.agg(coalesce(max(col("__h")), lit(0L)))
-        .collect()(0).getLong(0)
-      scores = nodes
-        .join(hubRaw, nodes("node") === hubRaw("src"), "left")
-        .select(col("node"),
-          (if (maxH == 0L) lit(0L)
-           else expr(s"coalesce(__h, 0L) * ${scale}L div ${maxH}L")).as("hub"))
-        .join(auth, Seq("node"))
-        .select(col("node"), col("hub"), col("auth"))
-        .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var scores = nodes
+        .select(col("node"), lit(scale).as("hub"), lit(0L).as("auth"))
+      for (_ <- 0 until iters) {
+        val authRaw = e.join(scores, e("src") === scores("node"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("__a"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val maxA = authRaw.agg(coalesce(max(col("__a")), lit(0L)).as("__ma"))
+        val auth = nodes
+          .join(authRaw, nodes("node") === authRaw("dst"), "left")
+          .crossJoin(broadcast(maxA))
+          .select(col("node"),
+            when(col("__ma") === 0L, lit(0L))
+              .otherwise(expr(s"coalesce(__a, 0L) * ${scale}L div __ma")).as("auth"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val hubRaw = e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src")).agg(sum(col("auth")).as("__h"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val maxH = hubRaw.agg(coalesce(max(col("__h")), lit(0L)).as("__mh"))
+        scores = checkpointer.cut(
+          nodes
+            .join(hubRaw, nodes("node") === hubRaw("src"), "left")
+            .crossJoin(broadcast(maxH))
+            .select(col("node"),
+              when(col("__mh") === 0L, lit(0L))
+                .otherwise(expr(s"coalesce(__h, 0L) * ${scale}L div __mh")).as("hub"))
+            .join(auth, Seq("node"))
+            .select(col("node"), col("hub"), col("auth")),
+          eager = true)
+        hubRaw.unpersist(blocking = false)
+        auth.unpersist(blocking = false)
+        authRaw.unpersist(blocking = false)
+      }
+      scores
+    } finally {
+      nodes.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      ()
     }
-    scores
   }
 
   /** PERSONALIZED PageRank (Haveliwala 2002): teleport and dangling
@@ -157,9 +197,11 @@ object Graph {
     *   |S|)) div den.
     * Non-seed nodes with no inbound path to a seed stay exactly 0 —
     * the property that makes the output a selection signal. Scale
-    * shape identical to [[pagerankQuantized]]: one node-keyed join and
-    * one dst-keyed long aggregation per iteration, the seed flag rides
-    * the node relation, dangling mass is one bounded driver scalar. */
+    * shape identical to [[pagerankQuantized]], including the persisted
+    * loop inputs (seed-flagged nodes, out-degrees, annotated edges)
+    * and the per-round `checkpointer` cut: one node-keyed join and one
+    * dst-keyed long aggregation per iteration, the seed flag rides the
+    * node relation, dangling mass is one bounded driver scalar. */
   def personalizedPagerankQuantized(
       edges: DataFrame,
       srcCol: String,
@@ -169,7 +211,8 @@ object Graph {
       iters: Int,
       scale: Long = 1000000L,
       dampNum: Long = 85,
-      dampDen: Long = 100): DataFrame = {
+      dampDen: Long = 100,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampDen > 0 && scale > 0,
       s"bad ppr params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
     val e = edges
@@ -181,29 +224,40 @@ object Graph {
       .union(seedSet.select(col("node"))).distinct()
       .join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ew = e.join(outdeg, Seq("src"))
-    val nSeeds = seedSet.count()
-    require(nSeeds > 0, "personalized pagerank needs a non-empty seed set")
-    val teleport = (dampDen - dampNum) * scale / dampDen
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nSeeds = seedSet.count()
+      require(nSeeds > 0, "personalized pagerank needs a non-empty seed set")
+      val teleport = (dampDen - dampNum) * scale / dampDen
 
-    var ranks = nodes.select(col("node"), (col("__s") * scale).as("pr"))
-    for (_ <- 0 until iters) {
-      val dangling = ranks
-        .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0L))).collect()(0).getLong(0)
-      val contribs = ew.join(ranks, ew("src") === ranks("node"))
-        .select(col("dst"), expr("pr div odeg").as("__c"))
-        .groupBy(col("dst")).agg(sum(col("__c")).as("__c"))
-      ranks = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (col("__s") * teleport +
-            expr(s"$dampNum * (coalesce(__c, 0L) + __s * ${dangling / nSeeds}L) div $dampDen")
-          ).as("pr"))
-        .localCheckpoint(true)
+      var ranks = nodes.select(col("node"), (col("__s") * scale).as("pr"))
+      for (_ <- 0 until iters) {
+        val dangling = ranks
+          .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+          .agg(coalesce(sum(col("pr")), lit(0L))).collect()(0).getLong(0)
+        val contribs = ew.join(ranks, ew("src") === ranks("node"))
+          .select(col("dst"), expr("pr div odeg").as("__c"))
+          .groupBy(col("dst")).agg(sum(col("__c")).as("__c"))
+        ranks = checkpointer.cut(
+          nodes
+            .join(contribs, nodes("node") === contribs("dst"), "left")
+            .select(col("node"),
+              (col("__s") * teleport +
+                expr(s"$dampNum * (coalesce(__c, 0L) + __s * ${dangling / nSeeds}L) div $dampDen")
+              ).as("pr")),
+          eager = true)
+      }
+      ranks
+    } finally {
+      ew.unpersist(blocking = false)
+      outdeg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      ()
     }
-    ranks
   }
 
   /** Semi-supervised LABEL PROPAGATION (Zhu & Ghahramani 2002) over a
@@ -230,9 +284,9 @@ object Graph {
     * one (dst) equi-join of the label state onto the edge list, one
     * (src, label) keyed long aggregation (map-side partials), and one
     * per-src WindowGroupLimit argmax — label state is (node, label)
-    * scalars, vectors never ride edges; `localCheckpoint` cuts the
-    * doubling lineage each round (point `checkpoint` at durable storage
-    * on a real cluster). */
+    * scalars, vectors never ride edges; `checkpointer` cuts the
+    * doubling lineage each round ([[Checkpoint.reliable]] at durable
+    * storage on a real cluster). */
   def labelPropagationQuantized(
       edges: DataFrame,
       srcCol: String,
@@ -242,27 +296,29 @@ object Graph {
       nodeCol: String,
       labelCol: String,
       iters: Int,
-      seedsImmutable: Boolean = true): DataFrame = {
+      seedsImmutable: Boolean = true,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
     require(iters >= 0, s"bad label propagation params: iters=$iters")
     // The edge list is re-joined every round and is often EXPENSIVE to
-    // derive (a kNN build) — materialize it once; pagerank/HITS get
-    // this for free because their inputs are cheap equi-joins.
+    // derive (a kNN build) — materialize it once, like the
+    // pagerank/HITS loop inputs.
     val e = edges.select(
       col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
       col(weightCol).cast("long").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val seedLabels = seeds.select(
       col(nodeCol).cast("long").as("node"),
       col(labelCol).cast("long").as("label"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(seedLabels.select(col("node"))).distinct()
-    var state = nodes
-      .join(seedLabels, Seq("node"), "left")
-      .select(col("node"), col("label"),
-        col("label").isNotNull.as("__seed"))
-      .localCheckpoint(true)
+    var state = checkpointer.cut(
+      nodes
+        .join(seedLabels, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          col("label").isNotNull.as("__seed")),
+      eager = true)
     for (_ <- 0 until iters) {
       val labeled = state.filter(col("label").isNotNull)
         .select(col("node").as("__ln"), col("label").as("__l"))
@@ -274,15 +330,16 @@ object Graph {
             .orderBy(col("__sc").desc, col("__l").asc)))
         .filter(col("__rn") === 1)
         .select(col("src").as("__bn"), col("__l").as("__bl"))
-      state = state
-        .join(best, state("node") === col("__bn"), "left")
-        .select(col("node"),
-          (if (seedsImmutable)
-             when(col("__seed"), col("label"))
-               .otherwise(coalesce(col("__bl"), col("label")))
-           else coalesce(col("__bl"), col("label"))).as("label"),
-          col("__seed"))
-        .localCheckpoint(true)
+      state = checkpointer.cut(
+        state
+          .join(best, state("node") === col("__bn"), "left")
+          .select(col("node"),
+            (if (seedsImmutable)
+               when(col("__seed"), col("label"))
+                 .otherwise(coalesce(col("__bl"), col("label")))
+             else coalesce(col("__bl"), col("label"))).as("label"),
+            col("__seed")),
+        eager = true)
     }
     e.unpersist()
     state.select(col("node"), col("label"))
@@ -304,7 +361,8 @@ object Graph {
       srcCol: String,
       dstCol: String,
       weightCol: String,
-      iters: Int): DataFrame = {
+      iters: Int,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
     val e = edges.select(
       col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
@@ -314,6 +372,7 @@ object Graph {
       edges, srcCol, dstCol, weightCol,
       seeds = nodes.select(col("node"), col("node").as("label")),
       nodeCol = "node", labelCol = "label", iters = iters,
-      seedsImmutable = false)
+      seedsImmutable = false,
+      checkpointer = checkpointer)
   }
 }

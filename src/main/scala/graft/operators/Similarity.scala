@@ -362,53 +362,67 @@ object Similarity {
     * smaller id, and the seed is the smallest id — every run,
     * partitioning, and the unrolled-CTE oracle agree bit-for-bit.
     *
-    * Scale shape: k bounded rounds; each is ONE corpus scan computing
-    * min-distance-to-selected against a BROADCAST selected-set literal
-    * (≤ k vectors — the d10 centroid shape) and one
-    * `TakeOrderedAndProject` head — no shuffle of the corpus, ever;
-    * driver state is k quantized vectors. Output: (rank, idCol,
+    * Scale shape: k bounded rounds, INCREMENTAL min-distance — round r
+    * only measures each point against the ONE newest center
+    * (`d_r = min(d_{r-1}, dist(x, c_r))`, which equals the min over
+    * the full selected set), so the per-round plan carries a single
+    * d-dimensional center literal plus the running `__d` column, NOT
+    * an O(r·d) selected-set literal: plan size is O(d) at ANY k (the
+    * driver-heap failure mode an unrolled selected-set literal hits as
+    * k×d grows — SimilaritySpec pins plan-size flatness at k=64). Each
+    * round is one `TakeOrderedAndProject` head (no shuffle of the
+    * corpus, ever) plus the `checkpointer` cut that keeps lineage one
+    * scan deep; driver state is one d-vector. Output: (rank, idCol,
     * dist_q) — dist_q = the squared quantized distance at selection
-    * time (0 for the seed). */
+    * time (0 for the seed); an empty corpus yields an empty frame. */
   def kCenterGreedy(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
     require(k >= 1 && scale >= 1, s"bad coreset params: k=$k scale=$scale")
     val spark = corpus.sparkSession
+    import spark.implicits._
     val q = corpus.select(
       col(idCol).cast("long").as("__id"),
       transform(col(vecCol).cast("array<double>"),
         x => round(x * scale, 0).cast("long")).as("__q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val seedRow = q.orderBy(col("__id").asc).limit(1).collect()(0)
-      var selected = Vector[(Long, Seq[Long])](
-        seedRow.getLong(0) -> seedRow.getSeq[Long](1))
+      val seed = q.orderBy(col("__id").asc).limit(1).collect()
+      if (seed.isEmpty) return Seq.empty[(Int, Long, Long)].toDF("rank", idCol, "dist_q")
+      def distTo(center: Seq[Long]) =
+        aggregate(
+          zip_with(col("__q"), array(center.map(lit): _*),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      // state: (__id, __q, __d = squared dist to nearest selected,
+      // __sel) — cut each round so the plan never accumulates rounds
+      var cur = checkpointer.cut(
+        q.select(col("__id"), col("__q"),
+          distTo(seed(0).getSeq[Long](1)).as("__d"),
+          (col("__id") === seed(0).getLong(0)).as("__sel")),
+        eager = true)
       val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
-        (1, selected.head._1, 0L))
+        (1, seed(0).getLong(0), 0L))
       for (r <- 2 to k) {
-        val selLit = array(selected.map { case (_, v) =>
-          array(v.map(lit): _*)
-        }: _*)
-        val dmin = array_min(transform(selLit, s =>
-          aggregate(
-            zip_with(col("__q"), s, (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x)))
-        val far = q
-          .filter(!col("__id").isin(selected.map(_._1): _*))
-          .select(col("__id"), col("__q"), dmin.as("__d"))
+        val far = cur
+          .filter(!col("__sel"))
           .orderBy(col("__d").desc, col("__id").asc)
           .limit(1)
           .collect()
         if (far.nonEmpty) {
           val row = far(0)
-          selected :+= row.getLong(0) -> row.getSeq[Long](1)
           out += ((r, row.getLong(0), row.getLong(2)))
+          cur = checkpointer.cut(
+            cur.select(col("__id"), col("__q"),
+              least(col("__d"), distTo(row.getSeq[Long](1))).as("__d"),
+              (col("__sel") || col("__id") === row.getLong(0)).as("__sel")),
+            eager = true)
         }
       }
-      import spark.implicits._
       out.toSeq.toDF("rank", idCol, "dist_q")
     } finally { q.unpersist(); () }
   }

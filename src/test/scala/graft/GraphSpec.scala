@@ -232,4 +232,131 @@ class GraphSpec extends SparkSpec {
     assert(Set(4L, 5L, 6L).forall(n => Set(4L, 5L, 6L)(got(n))), got.toString)
     assert(run(edges.repartition(5)) == got)
   }
+
+  // ---------------- scale pins: loop-input persistence & job shape ----------------
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val olds = pairs.map { case (key, _) => key -> spark.conf.getOption(key) }
+    pairs.foreach { case (key, v) => spark.conf.set(key, v) }
+    try body finally olds.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
+  }
+
+  /** (driver actions, completed stages) during `body`. Driver actions
+    * = QueryExecutionListener events — one per blocking Dataset action
+    * (collect / count / checkpoint); broadcast-exchange subjobs never
+    * fire it, which is the semantic line we're pinning. Stages = EVERY
+    * completed stage on any thread (so re-executed shuffles DO count).
+    * Both buses are async — poll to quiescence before reading. */
+  private def countWork(body: => Unit): (Int, Int) = {
+    import org.apache.spark.scheduler._
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = { actions.incrementAndGet(); () }
+    }
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); ()
+      }
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    spark.listenerManager.register(qel)
+    try body finally {
+      var prev = -1
+      var cur = actions.get + stages.get
+      var spins = 0
+      while (prev != cur && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = actions.get + stages.get; spins += 1
+      }
+      spark.listenerManager.unregister(qel)
+      sc.removeSparkListener(listener)
+    }
+    (actions.get, stages.get)
+  }
+
+  test("pagerank per-round work is flat: persisted loop inputs, 2 driver actions per round") {
+    // AQE off for deterministic stage accounting (AQE re-plans stages);
+    // the DELTA between iteration counts isolates per-round cost from
+    // setup (node count, persist materialization, result collect).
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      def run(iters: Int) = countWork {
+        Graph.pagerankQuantized(edges, "src", "dst", iters).collect(); ()
+      }
+      run(1) // warm (fills no cross-call cache, but settles codegen/JIT)
+      val (j1, s1) = run(1)
+      val (j4, s4) = run(4)
+      // per round: the dangling-mass collect + the eager lineage cut
+      assert(j4 - j1 == 6, s"driver jobs per round: j1=$j1 j4=$j4 (want 2/round)")
+      // Un-persisted loop inputs re-execute the edge distinct() + the
+      // out-degree groupBy + the ew join from source EVERY round — at
+      // least 3 extra completed stages per round. Persisted, a round
+      // completes ~8 stages (cached scans + the round's own shuffles);
+      // the bound sits between the two regimes.
+      val perRound = (s4 - s1) / 3.0
+      assert(perRound <= 11.0,
+        s"stages per round: s1=$s1 s4=$s4 perRound=$perRound — loop inputs recomputed?")
+    }
+  }
+
+  test("HITS per-round work is flat and a round is ONE driver action (no max collects)") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (11L, 2L)).toDF("src", "dst")
+      def run(iters: Int) = countWork {
+        Graph.hitsQuantized(e, "src", "dst", iters).collect(); ()
+      }
+      run(1)
+      val (j1, s1) = run(1)
+      val (j4, s4) = run(4)
+      // the max normalizers are plan-folded broadcast crossJoins, so
+      // the only driver-blocking action per round is the lineage cut
+      assert(j4 - j1 == 3, s"driver jobs per round: j1=$j1 j4=$j4 (want 1/round)")
+      // ~22 stages/round flat (the broadcast subjobs re-run their tiny
+      // child DAGs); an un-persisted edge list re-executes distinct()
+      // in each of the round's 4 edge/node consumers: +≥8 stages/round
+      val perRound = (s4 - s1) / 3.0
+      assert(perRound <= 26.0,
+        s"stages per round: s1=$s1 s4=$s4 perRound=$perRound — edge list recomputed?")
+    }
+  }
+
+  test("reliable checkpointer: identical ranks, survives with a durable checkpoint dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    try {
+      spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+      val base = Graph.pagerankQuantized(edges, "src", "dst", 3)
+        .orderBy("node").collect().toSeq
+      val reliable = Graph.pagerankQuantized(edges, "src", "dst", 3,
+          checkpointer = graft.operators.Checkpoint.reliable)
+        .orderBy("node").collect().toSeq
+      assert(reliable == base)
+      // the durable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(dir.toPath)
+        .filter(p => p.toFile.isFile).count()
+      assert(wrote > 0, "reliable checkpointer wrote nothing durable")
+      // label propagation takes the same strategy
+      val lpBase = lpRun(lpEdges(4L, 6L), iters = 2)
+      val lpReliable = Graph.labelPropagationQuantized(
+        lpEdges(4L, 6L), "src", "dst", "w", lpSeeds, "node", "label", 2,
+        checkpointer = graft.operators.Checkpoint.reliable)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(lpReliable == lpBase)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

@@ -210,6 +210,82 @@ class SimilaritySpec extends SparkSpec {
     assert(run(emb.repartition(7)) == sel)
   }
 
+  test("kCenterGreedy: exact vs driver replica at k=64, plan size flat in k, empty corpus") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // driver-side greedy replica (Spark round() = HALF_UP, also for
+    // the negative coordinates — math.round would differ at -x.5)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def replica(k: Int): Seq[(Int, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer((1, vecs.head._1, 0L))
+      val dist = scala.collection.mutable.Map(
+        vecs.map { case (id, v) => id -> d2(v, vecs.head._2) }: _*)
+      val selIds = scala.collection.mutable.Set(vecs.head._1)
+      for (r <- 2 to k) {
+        val cand = vecs.filterNot(v => selIds(v._1))
+        if (cand.nonEmpty) {
+          val (fid, fv) = cand.maxBy { case (id, _) => (dist(id), -id) }
+          out += ((r, fid, dist(fid)))
+          selIds += fid
+          vecs.foreach { case (id, v) =>
+            dist(id) = math.min(dist(id), d2(v, fv)) }
+        }
+      }
+      out.toSeq
+    }
+    // run while recording the LARGEST executed-plan string any driver
+    // action produces (the s10 methodology): the incremental
+    // min-distance form carries ONE d-dim center literal per round, so
+    // plan size must NOT grow with k — the unrolled selected-set
+    // literal form grows O(k·d) and fails this
+    def runMeasured(k: Int): (Seq[(Int, Long, Long)], Int) = {
+      val maxLen = new java.util.concurrent.atomic.AtomicInteger
+      val events = new java.util.concurrent.atomic.AtomicInteger
+      val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = {
+          maxLen.updateAndGet(m => math.max(m, qe.executedPlan.toString.length))
+          events.incrementAndGet(); ()
+        }
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = { events.incrementAndGet(); () }
+      }
+      spark.listenerManager.register(qel)
+      val got =
+        try graft.operators.Similarity
+          .kCenterGreedy(emb, "vec_id", "embedding", k = k)
+          .orderBy("rank").collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        finally {
+          var prev = -1; var spins = 0
+          while (prev != events.get && spins < 50) {
+            prev = events.get; Thread.sleep(100); spins += 1
+          }
+          spark.listenerManager.unregister(qel)
+        }
+      (got, maxLen.get)
+    }
+    val (got8, len8) = runMeasured(8)
+    val (got64, len64) = runMeasured(64)
+    assert(got8 == replica(8))
+    assert(got64 == replica(64))
+    assert(len64 <= 2 * len8,
+      s"plan grew with k: max plan len $len8 at k=8 vs $len64 at k=64")
+    // empty corpus: empty frame, same schema, no exception
+    val empty = graft.operators.Similarity.kCenterGreedy(
+      emb.filter(org.apache.spark.sql.functions.lit(false)),
+      "vec_id", "embedding", k = 3)
+    assert(empty.columns.toSeq == Seq("rank", "vec_id", "dist_q"))
+    assert(empty.count() == 0L)
+  }
+
   test("knnClassify: weighted majority, negative-cosine clamp, tie to smaller label, IVF composition") {
     import spark.implicits._
     // hand graph: query 100 has two label-1 neighbors (0.5 + 0.4) vs one
