@@ -807,7 +807,14 @@ object Dedup {
     * keyed join is bounded by prefix rarity × shingle df rather than a
     * prefix × prefix product; shingle keys (vs unigrams) keep df low.
     * Verification carries each shingle set once per side, exactly like
-    * [[jaccardSimilarityJoin]]. */
+    * [[jaccardSimilarityJoin]].
+    *
+    * Short-doc semantics: documents with FEWER than `shingleSize`
+    * tokens are excluded entirely (they have no full-width shingle;
+    * `wordShingles` would otherwise emit one truncated window, and two
+    * identical sub-width docs would score containment 1.0 on a
+    * window no full-width document can share — d21's oracle drops them
+    * the same way). */
   def containmentJoin(
       df: DataFrame,
       idCol: String,
@@ -817,8 +824,11 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     val sets = df
       .filter(trim(col(textCol)) =!= "")
-      .select(col(idCol).as("__id"),
-        array_distinct(wordShingles(col(textCol), shingleSize)).as("__set"))
+      .select(col(idCol).as("__id"), tokens(lower(col(textCol))).as("__ts"))
+      .filter(size(col("__ts")) >= shingleSize)
+      .select(col("__id"),
+        array_distinct(graft.functions.expressions.Sketches
+          .wordShingles(col("__ts"), shingleSize)).as("__set"))
       .filter(size(col("__set")) > 0)
     val toks = sets.select(col("__id"), explode(col("__set")).as("__tok"))
     val tokenDf = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))

@@ -101,11 +101,18 @@ object Sampling {
     * (the torchdata/T5-style multi-source interleave): source s gets a
     * STRIDE ∝ 1/weight_s (weight = sqrt of its mass, the alpha = 0.5
     * temperature rule of p04), each document gets a hash-shuffled rank
-    * WITHIN its source, and the schedule key is `rank × stride` —
-    * sorting by the key yields each source spaced evenly at its rate,
-    * exhausted sources simply stop appearing, every run/partitioning/
-    * engine produces the identical order (exact long keys; sqrt and
-    * one division are the only float ops, identically rounded).
+    * WITHIN its source, and the schedule key is
+    * `rank × stride + (xxhash64(source) pmod stride)` — the per-source
+    * PHASE offset de-collides sources with EQUAL strides (equal
+    * masses), whose bare `rank × stride` keys would otherwise tie at
+    * every rank. Sorting by the key yields each source spaced evenly
+    * at its rate, exhausted sources simply stop appearing, and every
+    * run/partitioning/engine produces the identical key set (exact
+    * long keys; sqrt and one division are the only float ops,
+    * identically rounded). The offset makes same-stride ties a hash
+    * coincidence rather than the rule, but a CONSUMER materializing
+    * the order must still tie-break totally — sort by
+    * `(sched_key, source, id)`, as p25 does.
     *
     * Scale shape: one keyed aggregation for the masses (broadcast
     * back), one per-source window for ranks, and the key is a scalar —
@@ -134,7 +141,9 @@ object Sampling {
           org.apache.spark.sql.expressions.Window
             .partitionBy(col(sourceCol))
             .orderBy(h.asc, col(idCol).asc)).cast("long"))
-      .withColumn("sched_key", col("src_rank") * col("__stride"))
+      .withColumn("sched_key",
+        col("src_rank") * col("__stride") +
+          pmod(xxhash64(col(sourceCol)), col("__stride")))
       .drop("__stride")
   }
 

@@ -579,10 +579,12 @@ $langScoreCols
                  AS BIGINT) AS mass
         FROM documents GROUP BY source),
       p25_st AS (
-        SELECT source,
-               greatest(1, CAST(round(1000000000.0 / sqrt(cast(mass AS DOUBLE)), 0)
-                 AS BIGINT)) AS stride
-        FROM p25_m),
+        SELECT source, stride, ((hs % stride) + stride) % stride AS off
+        FROM (SELECT source,
+                     greatest(1, CAST(round(1000000000.0 / sqrt(cast(mass AS DOUBLE)), 0)
+                       AS BIGINT)) AS stride,
+                     cast(${OracleSql.u2s(OracleSql.xxh64Ascii("source"))} AS BIGINT) AS hs
+              FROM p25_m)),
       p25_r AS (
         SELECT doc_id, source,
                cast(row_number() OVER (
@@ -590,7 +592,7 @@ $langScoreCols
                  ORDER BY cast(${OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("doc_id")))} AS BIGINT) ASC,
                           doc_id ASC) AS BIGINT) AS src_rank
         FROM documents)
-      SELECT doc_id, source, src_rank, src_rank * stride AS sched_key
+      SELECT doc_id, source, src_rank, src_rank * stride + off AS sched_key
       FROM p25_r JOIN p25_st USING (source)
       ORDER BY sched_key, source, doc_id LIMIT 200"""))
 

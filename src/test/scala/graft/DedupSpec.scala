@@ -631,4 +631,23 @@ class DedupSpec extends SparkSpec {
     graft.plans.PlanAudit.assertScalable(
       Dedup.containmentJoin(corpus, "doc_id", "text", 0.5))
   }
+
+  test("containmentJoin: docs shorter than the shingle width are excluded, matching the oracle") {
+    import spark.implicits._
+    // two IDENTICAL 2-token docs have no full 3-token shingle: the
+    // truncated-window semantics would pair them at containment 1.0,
+    // but the oracle (and now the operator) drops sub-width docs — and
+    // a sub-width doc can never pair with a full-width one either
+    val corpus = Seq(
+      (1L, "hello world"), (2L, "hello world"),
+      (3L, "hello world and more trailing content here"),
+      (4L, "hello world and more trailing content here plus an unshared tail of words")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(corpus, "doc_id", "text",
+        threshold = 0.5, shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists(p => p._1 <= 2L || p._2 <= 2L),
+      s"sub-width docs must not pair: $got")
+    assert(got.contains((3L, 4L)), s"full-width containment intact: $got")
+  }
 }

@@ -251,4 +251,36 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("interleaveSchedule: equal-mass sources get distinct keys via the per-source phase offset") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two sources with IDENTICAL mass share a stride; bare rank*stride
+    // keys would tie at EVERY rank — the xxhash64(source) pmod stride
+    // phase offset separates them (and stays below the stride, so the
+    // per-source rate spacing is preserved)
+    val docs = ((1L to 50L).map(i => (i, "alpha")) ++
+      (101L to 150L).map(i => (i, "beta"))).toDF("id", "src")
+    val sched = Sampling
+      .interleaveSchedule(docs, "id", "src", massExpr = lit(1L))
+      .collect()
+    val bySrc = sched.groupBy(_.getAs[String]("src"))
+      .map { case (s, rs) =>
+        s -> rs.map(r => (r.getAs[Long]("src_rank"), r.getAs[Long]("sched_key"))).toMap }
+    // same stride: key deltas per rank are equal across the sources
+    val strideA = bySrc("alpha")(2L) - bySrc("alpha")(1L)
+    val strideB = bySrc("beta")(2L) - bySrc("beta")(1L)
+    assert(strideA == strideB, s"equal masses must share a stride: $strideA vs $strideB")
+    // but the phase offsets differ, so NO key collides at any rank
+    val keysA = bySrc("alpha").values.toSet
+    val keysB = bySrc("beta").values.toSet
+    assert(keysA.intersect(keysB).isEmpty,
+      s"equal-stride sources collided: ${keysA.intersect(keysB)}")
+    // offsets sit inside [0, stride): rank r of either source still
+    // precedes rank r+1 of both
+    val offA = bySrc("alpha")(1L) - strideA
+    val offB = bySrc("beta")(1L) - strideB
+    assert(offA >= 0L && offA < strideA && offB >= 0L && offB < strideB,
+      s"offsets out of range: $offA / $offB vs stride $strideA")
+  }
 }
