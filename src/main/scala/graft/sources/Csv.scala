@@ -372,6 +372,57 @@ object Csv {
     typedProjection(raw.filter(allTypedParsed(cols)), cols)
   }
 
+  /** TYPED strict read — the consumer half of the `tableTypes`
+    * analogue ([[graft.schema.Codegen]] emits the case class; this
+    * reads the file as `Dataset[T]` for it, the compile-time column
+    * safety a reference user gets from the TH splice on every table,
+    * `src/Frames/TH.hs:174-175`).
+    *
+    * Contract: `T`'s fields map POSITIONALLY to the file's columns
+    * (field names are sanitized forms of the header names, so names
+    * cannot be matched; the generated `columnNames` records the
+    * correspondence). Field types drive parsing — no inference on the
+    * data path: Long/Int ← intish, Double ← lenient double, Boolean,
+    * String raw. `Option[...]` fields take the per-cell-maybe
+    * semantics (failed parse → None, row survives); non-Option typed
+    * fields are strict (any failure drops the row) — exactly the
+    * reference's split between `Record rs` and Maybe-typed rows.
+    * Output columns carry the FIELD names, so the generated
+    * `cols.<field>` accessors address them directly. */
+  def readTableAs[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      spark: SparkSession,
+      path: String,
+      opts: ParserOptions = ParserOptions()): org.apache.spark.sql.Dataset[T] = {
+    val enc = org.apache.spark.sql.Encoders.product[T]
+    val fields = enc.schema.fields
+    val names = sanitize(opts.headerOverride.getOrElse(
+      tokenizeRow(prefixLines(path, 1, opts.encoding).headOption
+        .getOrElse(sys.error(s"empty CSV: $path")), opts)))
+    require(names.length == fields.length,
+      s"${fields.length}-field ${enc.clsTag.runtimeClass.getSimpleName} vs " +
+        s"${names.length}-column file $path (fields map positionally)")
+    def colTypeFor(dt: DataType, field: String): Inference.ColType = dt match {
+      case BooleanType => TBool
+      case LongType | IntegerType | ShortType | ByteType => TInt
+      case DoubleType | FloatType => TDouble
+      case StringType => TText
+      case other =>
+        sys.error(s"readTableAs: unsupported field type $other for $field " +
+          "(Boolean/Long/Int/Double/String and Options thereof)")
+    }
+    val cols = fields.zip(names).map { case (f, n) =>
+      ColInfo(n, colTypeFor(f.dataType, f.name), nullable = f.nullable, None)
+    }
+    val raw = rawRead(spark, path, names, opts)
+    // strict on non-Option typed fields only; Option fields are
+    // per-cell maybe
+    val strict = raw.filter(allTypedParsed(cols.filterNot(_.nullable)))
+    val typed = strict.select(cols.zip(fields).map { case (ci, f) =>
+      parseExpr(ci).cast(f.dataType).as(f.name)
+    }: _*)
+    typed.as[T](enc)
+  }
+
   /** Per-cell-nullable read: failed parses become nulls, rows survive
     * (`readTableMaybe`, `src/Frames/CSV.hs:281-330`). */
   def readTableMaybe(
