@@ -10,6 +10,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // QUIET-BOX guard: timings taken while the machine still carries
+    // load from a preceding run (round 8's record started <60 s after
+    // a full correctness sweep; spread_med_pct read 44%) are
+    // unreadable. Wait — bounded — for the 1-minute loadavg to settle
+    // before any timing, and RECORD the load + cooldown in the output
+    // so a drifted record identifies itself.
+    def loadavg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "8.0").toDouble
+    val cooldownMax = sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_MAX", "240").toInt
+    var cooldownSec = 0
+    while (loadStart >= 0 && loadavg() > maxLoad && cooldownSec < cooldownMax) {
+      Thread.sleep(5000); cooldownSec += 5
+    }
+    val loadBench = loadavg()
     // Throwaway warehouse per run: the index-building queries (s05, p10)
     // create managed bucketed tables, and a shared ./spark-warehouse
     // accumulates state across rounds that can perturb timings and race
@@ -38,6 +57,10 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // microbenchmark hygiene: don't let the previous rep's garbage
+      // bill (young-gen debt, humongous shuffle buffers) land inside
+      // this rep's timing window
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
@@ -59,15 +82,16 @@ object Bench {
       if (wanted.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter(q => wanted.exists(q.name.startsWith))
 
-    // warm the JVM/codegen paths of each SELECTED query once on the
-    // smallest data so the timed numbers measure steady-state throughput
-    // (the 100 TB question), not first-call JIT + codegen compilation —
-    // cold-vs-warm on the text path alone is ~10x. Restricting warm-up to
-    // the selection keeps `runMain graft.Bench q56` a true isolation run.
-    selected.foreach { q =>
-      try q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
+    // warm the JVM/codegen paths of each SELECTED query once AT THE
+    // TARGET SF so the timed reps measure steady-state throughput (the
+    // 100 TB question), not first-call JIT + codegen + page-cache fill
+    // — cold-vs-warm on the text path alone is ~10x, and a warm-up at
+    // sf0.001 only (the pre-round-9 protocol) left the first timed rep
+    // paying the target SF's scan-cache/JIT residue, which alone pushed
+    // spread_med_pct to 30-50%. Restricting warm-up to the selection
+    // keeps `runMain graft.Bench q56` a true isolation run; the `cold`
+    // map records this warm-up pass per query.
+    val coldTimes = selected.map { q => (q.name, timeOne(q.name, q.run)) }.toMap
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = selected.map { q =>
@@ -90,7 +114,7 @@ object Bench {
     val spreadPct = if (spreads.isEmpty) 0.0 else medianOf(spreads)
     def line(key: String => String, full: Boolean): String = {
       val qs = jmap(results.map(r => r._1 -> minOf(r._2)), key)
-      val cold = jmap(results.map(r => r._1 -> r._2.head), key)
+      val cold = jmap(results.map(r => r._1 -> coldTimes(r._1)), key)
       val stats =
         if (!full) ""
         else {
@@ -98,7 +122,7 @@ object Bench {
           val max = jmap(results.map(r => r._1 -> r._2.max), key)
           s""","median":$med,"max":$max"""
         }
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"spread_med_pct":${f3(spreadPct)},"queries":$qs,"cold":$cold$stats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"spread_med_pct":${f3(spreadPct)},"load_start":${f3(loadStart)},"load_bench":${f3(loadBench)},"cooldown_sec":$cooldownSec,"queries":$qs,"cold":$cold$stats,"sf":"$sfDir"}"""
     }
     // Full-name record (with per-query median/max spread) → bench_out
     // .json (the durable artifact). The line printed to stdout uses the

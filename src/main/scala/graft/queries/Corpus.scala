@@ -596,6 +596,93 @@ $langScoreCols
       FROM p25_r JOIN p25_st USING (source)
       ORDER BY sched_key, source, doc_id LIMIT 200"""))
 
+  /** END-TO-END PIPELINE DEMO — SURVEY §7.1's north star as ONE
+    * registered query: the composition a training-data run actually
+    * executes, every stage an operator this library ships.
+    *
+    *   near-dup clustering (MinHash LSH → connected components, FULL
+    *   corpus — cluster identity must pre-date any filtering, or a
+    *   filtered-out bridge document would silently split a cluster and
+    *   let leakage back in) → quality filter → normalized exact dedup
+    *   → cluster-aware leakage-free split → per-split sequence packing
+    *   into 2048-token context windows.
+    *
+    * Output: one row per surviving document with its split and packed
+    * position — every value downstream of every stage, so the oracle
+    * hash pins the WHOLE composition (LSH banding, the CC fixpoint,
+    * quality arithmetic, the split hash, the prefix sum) in one
+    * compare.
+    *
+    * Scale shape: the stages keep their individual contracts (banding
+    * explodes carry (id, band-hash) only; CC is the HashMin loop with
+    * lineage cuts; the split is one hash expression; packing is the
+    * distributed prefix sum per split — three bounded invocations, one
+    * range exchange each, never a 3-partition keyed window). The only
+    * full sort is the oracle-mandated output ORDER BY. */
+  val p26_pipeline_demo = QueryDef(
+    "p26_pipeline_demo",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = Dedup
+        .minhashPairs(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16)
+        .filter(col("jaccard") >= 0.4)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val kept = docs
+        .select(col("doc_id"), col("text"),
+          qualityScore(col("text")).as("q"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("q") >= 0.78)
+        .withColumn("__norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      val surv = Dedup.exact(kept, keys = Seq("__norm"), keep = "doc_id")
+        .select(col("doc_id"))
+      val split = graft.operators.Sampling
+        .clusterAwareSplit(kept.join(surv, Seq("doc_id")), comps, "doc_id",
+          Seq(("train", 80), ("val", 90), ("test", 100)))
+        .select(col("doc_id"), col("split"))
+      val withNt = split
+        .join(kept.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      Seq("train", "val", "test")
+        .map { sp =>
+          graft.operators.Packing
+            .packSequences(withNt.filter(col("split") === sp), "n_tokens",
+              seqLen = 2048, order = Seq(col("doc_id")))
+        }
+        .reduce(_.unionByName(_))
+        .select(col("doc_id"), col("split"), col("n_tokens"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH cc AS MATERIALIZED (SELECT * FROM ($d07Oracle) __cc),
+      p26_k AS (
+        SELECT doc_id, text, q,
+               (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tokens,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nrm
+        FROM (SELECT doc_id, text, $qualitySql AS q FROM documents) __q
+        WHERE q >= 0.78),
+      p26_surv AS (SELECT min(doc_id) AS doc_id FROM p26_k GROUP BY nrm),
+      p26_sk AS (
+        SELECT k.doc_id, k.n_tokens, coalesce(cc.comp, k.doc_id) AS split_key
+        FROM p26_k k JOIN p26_surv s USING (doc_id)
+        LEFT JOIN cc ON k.doc_id = cc.id),
+      p26_sp AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, n_tokens,
+                     ((${OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("split_key")))} % 100) + 100) % 100 AS b
+              FROM p26_sk) __b),
+      p26_p AS (
+        SELECT doc_id, split, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        FROM p26_sp)
+      SELECT doc_id, split, n_tokens,
+             off // 2048 AS pack_id, off % 2048 AS pack_offset
+      FROM p26_p ORDER BY doc_id"""),
+    bench = true)
+
   /** Snapshot DIFF ([[graft.operators.Curation.snapshotDiff]]): the
     * per-document change list between two corpus versions — p22's
     * fingerprint says WHETHER snapshots differ, this says WHAT.
@@ -4837,6 +4924,7 @@ $langScoreCols
     p17_incremental_stats, p18_corpus_report, p19_incremental_quantiles,
     p20_incremental_clusters, p21_drift_psi, p22_corpus_fingerprint,
     p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
+    p26_pipeline_demo,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities)
 }

@@ -42,6 +42,18 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("p26 end-to-end pipeline demo plans clean (no scale antipatterns)") {
+    // the north-star composition: LSH pairs -> CC -> quality filter ->
+    // exact dedup -> cluster-aware split -> per-split packing, audited
+    // as ONE plan — every stage keeps its individual scale contract
+    // when composed (the final output plan is post-CC-checkpoint, so
+    // the audit covers the split + packing + ordering stages plus the
+    // dedup joins feeding them)
+    val p26 = graft.queries.Corpus.p26_pipeline_demo
+      .run(spark, sf0001)
+    PlanAudit.assertScalable(p26)
+  }
+
   test("flags cartesian and single-partition shuffles") {
     // under the broadcast threshold a crossJoin plans as a nested-loop
     // broadcast (WARN); above it, a true CartesianProduct (ERROR)
