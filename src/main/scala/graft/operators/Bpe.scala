@@ -158,7 +158,8 @@ object Bpe {
       numMerges: Int,
       minPairCount: Long = 2L,
       batchSize: Int = 1,
-      candidateLimit: Int = 64): Seq[(String, String)] = {
+      candidateLimit: Int = 64,
+      checkpointer: Checkpoint = Checkpoint.local): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     require(candidateLimit >= batchSize,
@@ -241,9 +242,11 @@ object Bpe {
           })
         val next = vocab.select(merged.as("__syms"), col("__n"))
         // cut lineage every few rounds: each round nests another fold
-        // expression; past ~8 the analyzed plan growth dominates
+        // expression; past ~8 the analyzed plan growth dominates. The
+        // cut is lazy — the count below materializes it; pass
+        // Checkpoint.reliable for executor-loss-safe multi-hour learns.
         val mat =
-          if (round % 4 == 3) next.localCheckpoint(false)
+          if (round % 4 == 3) checkpointer.cut(next, eager = false)
           else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         mat.count(): Unit // materialize before dropping the parent cache
         cached.unpersist()

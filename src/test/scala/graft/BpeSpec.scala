@@ -165,6 +165,12 @@ class BpeSpec extends SparkSpec {
       (4L, "rats and cats chat")).toDF("doc_id", "text")
     val n = 10
     val got = Bpe.learnMerges(docs, "doc_id", "text", numMerges = n)
+    // the reliable-checkpointer path learns the identical table (the
+    // executor-loss-safe strategy changes only where cut blocks live)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-bpe-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    assert(Bpe.learnMerges(docs, "doc_id", "text", numMerges = n,
+      checkpointer = graft.operators.Checkpoint.reliable) == got)
     // brute-force reference: pretoken counts -> repeatedly merge the
     // most frequent adjacent pair (count desc, then (a, b) lexicographic)
     val pat = java.util.regex.Pattern.compile(
