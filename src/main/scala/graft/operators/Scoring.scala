@@ -189,4 +189,68 @@ object Scoring {
             .otherwise(col("__s") / col("dl").cast("double")))), 6)
           .as("quality_prob"))
   }
+
+  /** GRADED n-gram overlap between two text columns of the same row —
+    * BLEU's modified (clipped) n-gram precision (Papineni et al. 2002)
+    * per order, without the geometric mean: the graded complement to
+    * [[Dedup]]'s binary contamination verdicts. Where d09/d14 answer
+    * "does any eval shingle appear in train?", this measures HOW MUCH
+    * of a candidate is covered by a reference, per n-gram order — the
+    * eval-integrity / paraphrase-leakage / summarization-fidelity
+    * number a pipeline reports, not just gates on.
+    *
+    * Per order k = 1..maxOrder, over lowercased whitespace tokens:
+    *   clip_k = Σ_{g ∈ distinct k-grams(cand)}
+    *              min(count_cand(g), count_ref(g))
+    *   tot_k  = |k-grams(cand)|        (all windows, with multiplicity)
+    *   prec_k = round(clip_k / tot_k, 6), NULL when tot_k = 0
+    * Documents shorter than k tokens have NO k-gram (full windows
+    * only — the d21 short-doc lesson). BLEU's exp/ln geometric mean
+    * and brevity penalty are deliberately OMITTED: libm exp is not
+    * bit-portable across engines, while integer counts + one rounded
+    * division replay exactly in the oracle; callers wanting BLEU
+    * combine the returned precisions however their report demands.
+    *
+    * Scale shape: entirely SCAN-LOCAL — both texts live in the same
+    * row, so no shuffle at any corpus size; the pair construction
+    * (eval × train candidates) is the caller's join, typically the
+    * bounded output of an LSH/containment candidate stage. Cost is
+    * O(distinct_grams × len) per row per order (HOF counting; the
+    * clipped fold is lambda-bearing so codegen CSE re-evaluates it
+    * once per output column that references it — a native kernel is
+    * the t30-style upgrade path if this ever reaches a benchmark). */
+  def ngramOverlap(
+      pairs: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      maxOrder: Int = 3): DataFrame = {
+    require(maxOrder >= 1 && maxOrder <= 6,
+      s"maxOrder in [1, 6], got $maxOrder")
+    import graft.functions.Hof.bindOnce
+    val base = pairs.select(
+      col(idCol),
+      TextFunctions.tokens(lower(col(candCol))).as("__ct"),
+      TextFunctions.tokens(lower(col(refCol))).as("__rt"))
+    val outCols = (1 to maxOrder).flatMap { k =>
+      val cg = TextFunctions.ngrams(col("__ct"), k)
+      val rg = TextFunctions.ngrams(col("__rt"), k)
+      def clip: Column = bindOnce(cg) { c =>
+        bindOnce(rg) { r =>
+          aggregate(array_distinct(c), lit(0L), (acc, g) =>
+            acc + least(
+              size(filter(c, x => x === g)),
+              size(filter(r, x => x === g))).cast("long"))
+        }
+      }
+      val tot = size(cg).cast("long")
+      Seq(
+        clip.as(s"clip_$k"),
+        tot.as(s"tot_$k"),
+        when(tot === 0L, lit(null).cast("double"))
+          .otherwise(round(clip.cast("double") / tot.cast("double"), 6))
+          .as(s"prec_$k"))
+    }
+    base.select(col(idCol) +: outCols: _*)
+  }
 }

@@ -3030,6 +3030,65 @@ $langScoreCols
     },
     bench = true)
 
+  /** GRADED n-gram overlap ([[graft.operators.Scoring.ngramOverlap]]):
+    * BLEU-style clipped precision per order between adjacent-document
+    * pairs — the eval-integrity measurement that grades HOW MUCH of a
+    * candidate a reference covers, where d09/d14 only gate on binary
+    * shingle presence. Entirely scan-local (both texts ride the same
+    * row); the oracle replays tokenization, full-window k-grams, the
+    * clipped min-count sum, and the single rounded division per order.
+    * exp/ln deliberately absent (libm is not bit-portable). */
+  val t31_ngram_overlap = QueryDef(
+    "t31_ngram_overlap",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text").as("cand"))
+        .join(
+          docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("ref")),
+          Seq("doc_id"))
+      graft.operators.Scoring
+        .ngramOverlap(pairs, "doc_id", "cand", "ref", maxOrder = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def gramsSql(src: String, k: Int): String =
+        if (k == 1) src
+        else {
+          val parts = (1 to k).map(j => s"$src[__i+$j]").mkString(" || ' ' || ")
+          s"list_transform(range(len($src) - ${k - 1}), __i -> $parts)"
+        }
+      val kCols = (1 to 3).map { k =>
+        val cg = gramsSql("cts", k)
+        val rg = gramsSql("rts", k)
+        s"""coalesce(list_sum(list_transform(list_distinct($cg),
+              __g -> least(len(list_filter($cg, __x -> __x = __g)),
+                           len(list_filter($rg, __x -> __x = __g))))), 0)::BIGINT AS clip_$k,
+            len($cg)::BIGINT AS tot_$k"""
+      }.mkString(",\n            ")
+      val precCols = (1 to 3).map { k =>
+        s"""clip_$k, tot_$k,
+            CASE WHEN tot_$k = 0 THEN NULL
+                 ELSE round(clip_$k * 1.0 / tot_$k, 6) END AS prec_$k"""
+      }.mkString(",\n             ")
+      s"""
+      WITH t31_t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), __t -> __t <> '') AS ts
+        FROM documents),
+      t31_p AS (
+        SELECT a.doc_id, a.ts AS cts, b.ts AS rts
+        FROM t31_t a JOIN t31_t b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 5 = 0),
+      t31_c AS (
+        SELECT doc_id,
+            $kCols
+        FROM t31_p)
+      SELECT doc_id,
+             $precCols
+      FROM t31_c ORDER BY doc_id"""
+    })
+
   /** PERSISTED incremental LM index ([[graft.operators.TfIdf
     * .writeLmIndex]]/`appendLmIndex`/`scoreWithLmIndex`): the t23 model
     * built from HALF the train split, the other half APPENDED as a
@@ -4904,6 +4963,7 @@ $langScoreCols
     t22_linear_probe, t23_stupid_backoff, t24_rrf_hybrid,
     t25_unigram_learned, t26_unigram_vocab, t27_unigram_encode,
     t28_retrieval_metrics, t29_tokenizer_fertility, t30_span_corruption,
+    t31_ngram_overlap,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

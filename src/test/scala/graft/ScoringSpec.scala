@@ -84,4 +84,43 @@ class ScoringSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Scoring.fitRidgeProbe(docs, "text", lit(1L), lambda = 0L))
   }
+
+  test("ngramOverlap: clipped precision (the 'the the the' case), short docs, identity, plan") {
+    import spark.implicits._
+    val pairs = Seq(
+      // Papineni's degenerate candidate: 7x "the" vs a ref with two
+      // "the" -> clip_1 = 2 of 7; no bigram of it repeats in ref
+      (1L, "the the the the the the the", "the cat is on the mat"),
+      // identity: every precision exactly 1.0
+      (2L, "a b c d", "a b c d"),
+      // candidate shorter than order 3: tot_3 = 0 -> prec_3 NULL
+      (3L, "x y", "x y z"),
+      // disjoint: all clips 0, precisions 0
+      (4L, "p q r", "s t u")
+    ).toDF("id", "cand", "ref")
+    val got = Scoring.ngramOverlap(pairs, "id", "cand", "ref", maxOrder = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def prec(r: org.apache.spark.sql.Row, k: Int): Option[Double] = {
+      val i = r.fieldIndex(s"prec_$k")
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+    val r1 = got(1L)
+    assert(r1.getLong(r1.fieldIndex("clip_1")) == 2L &&
+      r1.getLong(r1.fieldIndex("tot_1")) == 7L)
+    assert(prec(r1, 1).contains(0.285714) && prec(r1, 2).contains(0.0))
+    val r2 = got(2L)
+    assert(prec(r2, 1).contains(1.0) && prec(r2, 2).contains(1.0) &&
+      prec(r2, 3).contains(1.0))
+    val r3 = got(3L)
+    assert(r3.getLong(r3.fieldIndex("clip_2")) == 1L && prec(r3, 3).isEmpty &&
+      r3.getLong(r3.fieldIndex("tot_3")) == 0L)
+    val r4 = got(4L)
+    assert(prec(r4, 1).contains(0.0) && r4.getLong(r4.fieldIndex("clip_1")) == 0L)
+    // scan-local: no exchange anywhere in the scoring plan
+    graft.plans.PlanAudit.assertScalable(
+      Scoring.ngramOverlap(pairs, "id", "cand", "ref"))
+    val plan = Scoring.ngramOverlap(pairs, "id", "cand", "ref")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
