@@ -1088,4 +1088,63 @@ object Similarity {
     }
     projected.select(col(idCol) +: outs.toSeq: _*)
   }
+
+  /** MARGIN-BASED BITEXT MINING scores (Artetxe & Schwenk, ACL 2019
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings") — the ratio margin that made mined parallel corpora
+    * (CCMatrix/ParaCrawl-class pipelines) usable where raw cosine
+    * thresholds fail: absolute cosine is miscalibrated per sentence
+    * (hubs score high against EVERYTHING), so each candidate pair is
+    * scored RELATIVE to both sides' neighborhoods:
+    *
+    *   margin(x, y) = cos(x, y) / ((avgF(x) + avgB(y)) / 2)
+    *
+    * where avgF(x) = mean cosine of x's forward k-NN and avgB(y) the
+    * mean of y's backward k-NN. A hub's inflated cosines inflate its
+    * own denominator and cancel out; a genuinely parallel pair stands
+    * above BOTH neighborhoods.
+    *
+    * Takes the two NEIGHBOR LISTS, not the corpora — the composition
+    * contract of [[knnClassify]] and [[graft.operators.Graph
+    * .labelPropagationQuantized]]: feed [[bruteForceKnn]] for the
+    * exact oracle gate, [[probeIvfIndex]]/[[ivfPqKnn]] at 100 TB; this
+    * operator never rescans vectors. Both inputs are
+    * (query_id, rank, neighbor_id, cosine) — forward queries the
+    * SOURCE side against the target corpus, backward the reverse.
+    *
+    * Determinism: cosines arrive 6dp-rounded (every kNN face here);
+    * the neighborhood sums accumulate as exact DECIMAL(18,6) (double
+    * summation order would be partitioning-dependent), and the margin
+    * is one fixed-order double expression, rounded — bit-identical
+    * under any partitioning and in the DuckDB replay. A zero combined
+    * neighborhood average yields a NULL margin (division guard).
+    *
+    * Scale shape: inputs are top-k lists (k rows per id), so
+    * everything here is corpus-size-free past the retrievers — two
+    * id-keyed aggregations of k-row groups, two keyed joins (AQE
+    * broadcasts the tiny avg relations), one per-src WindowGroupLimit
+    * for the margin rank. Output: (src_id, tgt_id, cosine, margin,
+    * mrank); `mrank = 1` rows are the mined pair per source — filter
+    * `margin >= threshold` for the final bitext. */
+  def marginScores(forward: DataFrame, backward: DataFrame): DataFrame = {
+    val fa = forward.groupBy(col("query_id").as("__fid"))
+      .agg(sum(col("cosine").cast("decimal(18,6)")).as("__sf"),
+        count(lit(1)).as("__nf"))
+    val ba = backward.groupBy(col("query_id").as("__bid"))
+      .agg(sum(col("cosine").cast("decimal(18,6)")).as("__sb"),
+        count(lit(1)).as("__nb"))
+    val denom = (col("__sf").cast("double") / col("__nf") +
+      col("__sb").cast("double") / col("__nb")) / lit(2.0)
+    forward
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("cosine"))
+      .join(fa, col("src_id") === col("__fid"))
+      .join(ba, col("tgt_id") === col("__bid"))
+      .select(col("src_id"), col("tgt_id"), col("cosine"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(round(col("cosine") / denom, 6)).as("margin"))
+      .withColumn("mrank", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("margin").desc, col("tgt_id").asc)))
+  }
 }

@@ -1659,6 +1659,71 @@ $langScoreCols
         .orderBy(col("rank")),
     Some(kcenterOracle(k = 16, dims = 64)))
 
+  /** MARGIN-BASED bitext mining ([[graft.operators.Similarity
+    * .marginScores]], Artetxe & Schwenk 2019): the even-id vectors play
+    * the source "language", the odd-id vectors the target; forward and
+    * backward brute-force kNN (the exact gate — swap in IVF/PQ at
+    * scale, the operator only sees neighbor lists) feed the ratio
+    * margin, which rescores each candidate pair relative to BOTH
+    * neighborhoods. The oracle replays cosines, the decimal
+    * neighborhood sums, and the fixed-order margin arithmetic
+    * bit-for-bit. */
+  val s18_bitext_margin = QueryDef(
+    "s18_bitext_margin",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings.filter(col("vec_id") < 400)
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+      val fwd = Similarity.bruteForceKnn(tgt, src, "vec_id", "embedding", k = 4)
+      val bwd = Similarity.bruteForceKnn(src, tgt, "vec_id", "embedding", k = 4)
+      Similarity.marginScores(fwd, bwd)
+        .orderBy(col("src_id"), col("mrank"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 400),
+      s18_s AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+      s18_t AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+      fwd AS MATERIALIZED (
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT s.vec_id AS query_id, t.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(s.v, t.v), 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY round(list_cosine_similarity(s.v, t.v), 6) DESC,
+                            t.vec_id ASC) AS rnk
+          FROM s18_s s JOIN s18_t t ON true) __f
+        WHERE rnk <= 4),
+      bwd AS MATERIALIZED (
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT t.vec_id AS query_id, s.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(t.v, s.v), 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY round(list_cosine_similarity(t.v, s.v), 6) DESC,
+                            s.vec_id ASC) AS rnk
+          FROM s18_t t JOIN s18_s s ON true) __b
+        WHERE rnk <= 4),
+      fa AS (SELECT query_id AS fid, sum(cast(cosine AS DECIMAL(18,6))) AS sf,
+                    count(*) AS nf
+             FROM fwd GROUP BY 1),
+      ba AS (SELECT query_id AS bid, sum(cast(cosine AS DECIMAL(18,6))) AS sb,
+                    count(*) AS nb
+             FROM bwd GROUP BY 1),
+      m AS (
+        SELECT f.query_id AS src_id, f.neighbor_id AS tgt_id, f.cosine,
+               CASE WHEN (cast(fa.sf AS DOUBLE) / fa.nf
+                          + cast(ba.sb AS DOUBLE) / ba.nb) / 2 = 0 THEN NULL
+                    ELSE round(f.cosine /
+                           ((cast(fa.sf AS DOUBLE) / fa.nf
+                             + cast(ba.sb AS DOUBLE) / ba.nb) / 2), 6) END AS margin
+        FROM fwd f JOIN fa ON f.query_id = fa.fid
+                   JOIN ba ON f.neighbor_id = ba.bid)
+      SELECT src_id, tgt_id, cosine, margin,
+             cast(row_number() OVER (
+               PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS INT) AS mrank
+      FROM m ORDER BY src_id, mrank"""))
+
   /** HARD-NEGATIVE mining for contrastive/embedding training — the
     * data-prep face of retrieval: for each query, the highest-cosine
     * neighbors whose label DISAGREES with the query's (the "hard"
@@ -4975,7 +5040,7 @@ $langScoreCols
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,
     s13_knn_ivf_filtered, s14_knn_classify, s15_hard_negatives,
-    s16_knn_truncated, s17_kcenter_coreset,
+    s16_knn_truncated, s17_kcenter_coreset, s18_bitext_margin,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,

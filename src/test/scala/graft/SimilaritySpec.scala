@@ -286,6 +286,35 @@ class SimilaritySpec extends SparkSpec {
     assert(empty.count() == 0L)
   }
 
+  test("marginScores: hub demotion by the ratio margin; deterministic; hand-computed") {
+    import spark.implicits._
+    // tgt 1 is a HUB (cosine 0.9 against everything): raw cosine ranks
+    // it first for src 0, but its inflated backward neighborhood
+    // inflates its denominator — the margin promotes tgt 3 instead,
+    // the exact failure mode the ratio margin exists to fix
+    val fwd = Seq(
+      (0L, 1, 1L, 0.9), (0L, 2, 3L, 0.8),
+      (2L, 1, 1L, 0.9), (2L, 2, 3L, 0.2)
+    ).toDF("query_id", "rank", "neighbor_id", "cosine")
+    val bwd = Seq(
+      (1L, 1, 0L, 0.9), (1L, 2, 2L, 0.9),
+      (3L, 1, 0L, 0.8), (3L, 2, 2L, 0.2)
+    ).toDF("query_id", "rank", "neighbor_id", "cosine")
+    def run(f: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.marginScores(f, b)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(3), r.getInt(4))).toMap
+    val got = run(fwd, bwd)
+    // avgF(0)=0.85 avgF(2)=0.55; avgB(1)=0.9 avgB(3)=0.5
+    assert(got((0L, 1L)) == (1.028571, 2), got.toString) // 0.9/0.875 — demoted
+    assert(got((0L, 3L)) == (1.185185, 1)) // 0.8/0.675 — mined pair for src 0
+    assert(got((2L, 1L)) == (1.241379, 1)) // 0.9/0.725
+    assert(got((2L, 3L)) == (0.380952, 2)) // 0.2/0.525
+    // bit-identical under repartitioning (decimal neighborhood sums)
+    assert(run(fwd.repartition(7), bwd.repartition(5)) == got)
+  }
+
   test("knnClassify: weighted majority, negative-cosine clamp, tie to smaller label, IVF composition") {
     import spark.implicits._
     // hand graph: query 100 has two label-1 neighbors (0.5 + 0.4) vs one
