@@ -1123,7 +1123,12 @@ object Similarity {
     * everything here is corpus-size-free past the retrievers — two
     * id-keyed aggregations of k-row groups, two keyed joins (AQE
     * broadcasts the tiny avg relations), one per-src WindowGroupLimit
-    * for the margin rank. Output: (src_id, tgt_id, cosine, margin,
+    * for the margin rank. `forward` is referenced TWICE in the plan
+    * (pair scoring + its own neighborhood aggregate): the lists are
+    * k×|queries| rows — small by construction — but when the
+    * retrieval itself is expensive, persist (or write) the neighbor
+    * lists before calling, exactly as the graph operators persist
+    * their edge lists. Output: (src_id, tgt_id, cosine, margin,
     * mrank); `mrank = 1` rows are the mined pair per source — filter
     * `margin >= threshold` for the final bitext. */
   def marginScores(forward: DataFrame, backward: DataFrame): DataFrame = {
