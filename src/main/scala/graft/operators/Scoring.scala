@@ -203,13 +203,18 @@ object Scoring {
     *   clip_k = Σ_{g ∈ distinct k-grams(cand)}
     *              min(count_cand(g), count_ref(g))
     *   tot_k  = |k-grams(cand)|        (all windows, with multiplicity)
+    *   rtot_k = |k-grams(ref)|
     *   prec_k = round(clip_k / tot_k, 6), NULL when tot_k = 0
-    * Documents shorter than k tokens have NO k-gram (full windows
-    * only — the d21 short-doc lesson). BLEU's exp/ln geometric mean
-    * and brevity penalty are deliberately OMITTED: libm exp is not
-    * bit-portable across engines, while integer counts + one rounded
-    * division replay exactly in the oracle; callers wanting BLEU
-    * combine the returned precisions however their report demands.
+    *   rec_k  = round(clip_k / rtot_k, 6), NULL when rtot_k = 0
+    * prec_k is BLEU's modified precision; rec_k is ROUGE-N recall
+    * (Lin 2004) — the clipped count is symmetric, so one fold serves
+    * both directions. Documents shorter than k tokens have NO k-gram
+    * (full windows only — the d21 short-doc lesson). BLEU's exp/ln
+    * geometric mean and brevity penalty are deliberately OMITTED: libm
+    * exp is not bit-portable across engines, while integer counts +
+    * rounded divisions replay exactly in the oracle; callers wanting
+    * BLEU or ROUGE-F combine the returned ratios however their report
+    * demands.
     *
     * Scale shape: entirely SCAN-LOCAL — both texts live in the same
     * row, so no shuffle at any corpus size; the pair construction
@@ -244,12 +249,17 @@ object Scoring {
         }
       }
       val tot = size(cg).cast("long")
+      val rtot = size(rg).cast("long")
       Seq(
         clip.as(s"clip_$k"),
         tot.as(s"tot_$k"),
+        rtot.as(s"rtot_$k"),
         when(tot === 0L, lit(null).cast("double"))
           .otherwise(round(clip.cast("double") / tot.cast("double"), 6))
-          .as(s"prec_$k"))
+          .as(s"prec_$k"),
+        when(rtot === 0L, lit(null).cast("double"))
+          .otherwise(round(clip.cast("double") / rtot.cast("double"), 6))
+          .as(s"rec_$k"))
     }
     base.select(col(idCol) +: outCols: _*)
   }

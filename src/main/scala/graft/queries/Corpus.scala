@@ -3129,12 +3129,15 @@ $langScoreCols
         s"""coalesce(list_sum(list_transform(list_distinct($cg),
               __g -> least(len(list_filter($cg, __x -> __x = __g)),
                            len(list_filter($rg, __x -> __x = __g))))), 0)::BIGINT AS clip_$k,
-            len($cg)::BIGINT AS tot_$k"""
+            len($cg)::BIGINT AS tot_$k,
+            len($rg)::BIGINT AS rtot_$k"""
       }.mkString(",\n            ")
       val precCols = (1 to 3).map { k =>
-        s"""clip_$k, tot_$k,
+        s"""clip_$k, tot_$k, rtot_$k,
             CASE WHEN tot_$k = 0 THEN NULL
-                 ELSE round(clip_$k * 1.0 / tot_$k, 6) END AS prec_$k"""
+                 ELSE round(clip_$k * 1.0 / tot_$k, 6) END AS prec_$k,
+            CASE WHEN rtot_$k = 0 THEN NULL
+                 ELSE round(clip_$k * 1.0 / rtot_$k, 6) END AS rec_$k"""
       }.mkString(",\n             ")
       s"""
       WITH t31_t AS (

@@ -104,16 +104,24 @@ class ScoringSpec extends SparkSpec {
       val i = r.fieldIndex(s"prec_$k")
       if (r.isNullAt(i)) None else Some(r.getDouble(i))
     }
+    def rec(r: org.apache.spark.sql.Row, k: Int): Option[Double] = {
+      val i = r.fieldIndex(s"rec_$k")
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
     val r1 = got(1L)
     assert(r1.getLong(r1.fieldIndex("clip_1")) == 2L &&
       r1.getLong(r1.fieldIndex("tot_1")) == 7L)
     assert(prec(r1, 1).contains(0.285714) && prec(r1, 2).contains(0.0))
+    assert(rec(r1, 1).contains(0.333333)) // ROUGE-1 recall: 2 of ref's 6
     val r2 = got(2L)
     assert(prec(r2, 1).contains(1.0) && prec(r2, 2).contains(1.0) &&
-      prec(r2, 3).contains(1.0))
+      prec(r2, 3).contains(1.0) && rec(r2, 3).contains(1.0))
     val r3 = got(3L)
     assert(r3.getLong(r3.fieldIndex("clip_2")) == 1L && prec(r3, 3).isEmpty &&
       r3.getLong(r3.fieldIndex("tot_3")) == 0L)
+    // asymmetry: no cand 3-gram (prec NULL) but the ref HAS one the
+    // cand missed entirely — recall is a hard 0.0, not NULL
+    assert(rec(r3, 2).contains(0.5) && rec(r3, 3).contains(0.0))
     val r4 = got(4L)
     assert(prec(r4, 1).contains(0.0) && r4.getLong(r4.fieldIndex("clip_1")) == 0L)
     // scan-local: no exchange anywhere in the scoring plan
