@@ -4274,6 +4274,119 @@ $langScoreCols
       SELECT doc_id, n_bpe_tokens FROM bpe_counts ORDER BY doc_id"""),
     bench = true)
 
+  /** Fixed demonstration vocabulary for the WordPiece encoder (t32):
+    * every lowercase letter in both word-initial and `##` continuation
+    * form (full character coverage — no corpus token can go [UNK], so
+    * the query exercises SEGMENTATION, while the spec exercises the
+    * whole-word-[UNK] path with gap vocabularies) plus multi-character
+    * pieces chosen to force longest-match decisions on the corpus's
+    * vocabulary ("scan" beats "s|c|a|n"; "col ##umn" beats letters;
+    * "que ##ry" vs the "q|u|e..." fallback). A production caller feeds
+    * a learned/published vocabulary instead — the encoder is
+    * vocabulary-agnostic. */
+  private val wordpieceVocab: Seq[String] = {
+    val letters = ('a' to 'z').map(_.toString)
+    val multi = Seq(
+      "scan", "col", "##umn", "win", "##dow", "ord", "##er", "so", "##rt",
+      "pa", "##rt", "agg", "val", "##ue", "line", "key", "join", "mer",
+      "##ge", "que", "##ry", "gro", "##up", "vec", "##tor", "hash",
+      "slow", "str", "##eam", "fil", "##ter", "fast", "the", "spark",
+      "bat", "##ch", "tab", "##le", "sma", "##ll", "data", "big", "cus",
+      "##tom", "row")
+    letters ++ letters.map("##" + _) ++ multi
+  }
+
+  /** WORDPIECE encoding census ([[graft.functions.expressions
+    * .WordPieceOps]] — BERT's greedy longest-match per pretoken, the
+    * third production tokenizer next to BPE's merge replay (t17/t20)
+    * and unigram's Viterbi (t25–t27)): per document, pretoken count,
+    * total piece count, [UNK] count, the first 12 pieces in order (the
+    * segmentation hash-pin), and fertility. Scan-local: the encoder
+    * runs inside whole-stage codegen per token; no shuffle beyond the
+    * output ORDER BY. The oracle replays greedy longest-match as a
+    * per-token fold over character positions with the same vocabulary
+    * literal — every longest-match decision, continuation prefix, and
+    * piece boundary must agree or the head/counts hash breaks. */
+  val t32_wordpiece_encode = QueryDef(
+    "t32_wordpiece_encode",
+    (s, dir) => {
+      import graft.functions.expressions.WordPieceOps
+      val docs = Tables(s, dir).documents.filter(col("doc_id") % 7 === 0)
+      docs
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(lower(col("text"))).as("__ts"))
+        .filter(size(col("__ts")) > 0)
+        .select(col("doc_id"), size(col("__ts")).cast("long").as("n_tokens"),
+          flatten(transform(col("__ts"),
+            t => WordPieceOps.wordpiecePieces(t, wordpieceVocab))).as("__ps"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("__ps")).cast("long").as("n_pieces"),
+          size(filter(col("__ps"), x => x === lit("[UNK]")))
+            .cast("long").as("n_unk"),
+          array_join(slice(col("__ps"), 1, 12), " ").as("head"),
+          round(size(col("__ps")).cast("double") / col("n_tokens"), 6)
+            .as("fertility"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val vocabLit = wordpieceVocab.map(p => s"'$p'").mkString("[", ",", "]")
+      val maxLen = wordpieceVocab
+        .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+      // Greedy longest-match replay as a RECURSIVE CTE stepping one
+      // piece per iteration (the t17/t20 house style) — the natural
+      // list_reduce fold is NOT usable: DuckDB 1.0.0 mis-binds
+      // correlated outer columns inside list lambdas across rows of a
+      // vector (verified: row N's fold reads row N-1's token), and
+      // struct-typed accumulators collapse their list fields. Row-level
+      // CASE/substr/list_contains in a recursive step have no lambdas
+      // and evaluate correctly.
+      def piece(l: Int): String =
+        s"(CASE WHEN pos = 0 THEN '' ELSE '##' END || substr(tok, pos::INT + 1, $l))"
+      val ml = "CASE " + (maxLen to 1 by -1).map { l =>
+        s"WHEN pos + $l <= length(tok) AND list_contains($vocabLit::VARCHAR[], ${piece(l)}) THEN $l"
+      }.mkString(" ") + " ELSE 0 END"
+      s"""
+      WITH RECURSIVE t32_b AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), __t -> __t <> '') AS ts
+        FROM documents WHERE doc_id % 7 = 0),
+      t32_tk AS (
+        SELECT doc_id,
+               cast(unnest(range(len(ts))) AS BIGINT) AS i,
+               unnest(ts) AS tok
+        FROM t32_b WHERE len(ts) > 0),
+      t32_step AS (
+        SELECT doc_id, i, tok,
+               CASE WHEN length(tok) > 100 THEN length(tok)::BIGINT
+                    ELSE 0::BIGINT END AS pos,
+               CASE WHEN length(tok) > 100 THEN ['[UNK]']::VARCHAR[]
+                    ELSE []::VARCHAR[] END AS ps,
+               (length(tok) > 100) AS unk
+        FROM t32_tk
+        UNION ALL
+        SELECT doc_id, i, tok,
+               CASE WHEN ml = 0 THEN length(tok)::BIGINT ELSE pos + ml END AS pos,
+               CASE WHEN ml = 0 THEN ['[UNK]']::VARCHAR[]
+                    ELSE list_append(ps,
+                      CASE WHEN pos = 0 THEN '' ELSE '##' END
+                        || substr(tok, pos::INT + 1, ml::INT)) END AS ps,
+               (ml = 0) AS unk
+        FROM (SELECT doc_id, i, tok, pos, ps, $ml AS ml
+              FROM t32_step WHERE pos < length(tok)) __s),
+      t32_enc AS (
+        SELECT doc_id, i, ps FROM t32_step WHERE pos >= length(tok)),
+      t32_a AS (
+        SELECT doc_id, cast(count(*) AS BIGINT) AS n_tokens,
+               flatten(list(ps ORDER BY i)) AS allp
+        FROM t32_enc GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+             len(allp)::BIGINT AS n_pieces,
+             len(list_filter(allp, __x -> __x = '[UNK]'))::BIGINT AS n_unk,
+             array_to_string(allp[1:12], ' ') AS head,
+             round(len(allp) * 1.0 / n_tokens, 6) AS fertility
+      FROM t32_a ORDER BY doc_id"""
+    })
+
   /** MATERIALIZED tokenization — the token SEQUENCES t17 only counts:
     * one row per (doc, pretoken position, subword position), the
     * exploded form a shard writer or [[graft.operators.Packing]]
@@ -5031,7 +5144,7 @@ $langScoreCols
     t22_linear_probe, t23_stupid_backoff, t24_rrf_hybrid,
     t25_unigram_learned, t26_unigram_vocab, t27_unigram_encode,
     t28_retrieval_metrics, t29_tokenizer_fertility, t30_span_corruption,
-    t31_ngram_overlap,
+    t31_ngram_overlap, t32_wordpiece_encode,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
