@@ -147,6 +147,36 @@ object Sampling {
       .drop("__stride")
   }
 
+  /** Per-group document QUOTA — the RefinedWeb/C4-style cap on how many
+    * documents any one domain/source may contribute, applied as "keep
+    * the BEST k" rather than "keep an arbitrary k": rows rank within
+    * their group by the caller's preference order (quality descending,
+    * id ascending — any total order) and rows past `maxPerGroup` are
+    * flagged, not dropped, so the caller chooses between
+    * `filter(col("kept"))` and auditing the casualties. A cap bounds
+    * the INFLUENCE of template-farm domains that survive per-document
+    * quality filters precisely because their boilerplate is
+    * well-formed — the failure mode per-row scoring cannot see.
+    *
+    * Scale shape: one group-keyed window (rank + flag in the same
+    * frame), no join, no second pass; with millions of domains the key
+    * is high-cardinality and skew-free. The rank must be a TOTAL order
+    * (tie-break on the id) or the kept set is partitioning-dependent. */
+  def quotaCap(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      maxPerGroup: Int,
+      orderBy: Seq[Column]): org.apache.spark.sql.DataFrame = {
+    require(maxPerGroup >= 1, s"maxPerGroup must be >= 1, got $maxPerGroup")
+    require(orderBy.nonEmpty, "orderBy must give a total order within the group")
+    df.withColumn("src_rank",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(groupCol))
+            .orderBy(orderBy: _*)))
+      .withColumn("kept", col("src_rank") <= maxPerGroup)
+  }
+
   /** Materialize [[shuffleShards]]' permutation to disk — the training
     * export: one `shard=<k>` directory per shard, rows PHYSICALLY
     * stored in `pos` order, so any reader (a trainer's data loader, not

@@ -868,6 +868,46 @@ $langScoreCols
       WHERE round(i * 1.0 / na, 6) >= 0.7
       ORDER BY id_a, id_b"""))
 
+  /** Per-source document quota ([[graft.operators.Sampling.quotaCap]]):
+    * the RefinedWeb-style domain cap — every source keeps at most its
+    * 12 HIGHEST-quality documents (t02's composite score, doc_id
+    * tie-break makes the order total), the rest are flagged rather
+    * than dropped. The cap bounds any one domain's influence on the
+    * corpus — the curation pass per-document quality scoring cannot
+    * express, because a template farm's boilerplate scores well
+    * per-document. One group-keyed window, no join. */
+  val d22_domain_cap = QueryDef(
+    "d22_domain_cap",
+    (s, dir) =>
+      graft.operators.Sampling
+        .quotaCap(
+          Tables(s, dir).documents
+            .select(col("doc_id"), col("source"),
+              qualityScore(col("text")).as("quality")),
+          groupCol = "source",
+          maxPerGroup = 12,
+          orderBy = Seq(col("quality").desc, col("doc_id").asc))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH q AS (
+        SELECT doc_id, source,
+          round(((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0
+                 / length(text)) * 0.6
+            + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                 / length(text)) * 0.2
+            + least((length(replace(text, ' ', '')) * 1.0
+                 / (length(text) - length(replace(text, ' ', '')) + 1)) / 10.0, 1.0) * 0.2,
+            6) AS quality
+        FROM documents),
+      r AS (
+        SELECT doc_id, source, quality,
+               CAST(row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY quality DESC, doc_id ASC) AS INT) AS src_rank
+        FROM q)
+      SELECT doc_id, source, quality, src_rank, src_rank <= 12 AS kept
+      FROM r ORDER BY doc_id"""))
+
   /** Exact DuckDB oracle for d06: the hyperplanes are deterministic
     * (splitmix64 from the seed), so they are computed HERE at oracle-build
     * time and inlined as double literals (shortest-round-trip formatting
@@ -5151,7 +5191,7 @@ $langScoreCols
     d11_semdedup, d12_embed_decontaminate, d13_dedup_survivors,
     d14_contamination, d15_lsh_recall, d16_dup_spans, d17_dedup_span_removal,
     d18_span_probe_indexed, d19_decontaminate_spans, d20_edit_verify,
-    d21_containment,
+    d21_containment, d22_domain_cap,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,

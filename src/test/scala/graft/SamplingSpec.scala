@@ -283,4 +283,43 @@ class SamplingSpec extends SparkSpec {
     assert(offA >= 0L && offA < strideA && offB >= 0L && offB < strideB,
       s"offsets out of range: $offA / $offB vs stride $strideA")
   }
+
+  // ---------------- quotaCap ----------------
+
+  test("quotaCap: keeps exactly min(k, |group|) best rows per group, flags the rest") {
+    val docs = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.7), (4L, "a", 0.6),
+      (5L, "b", 0.5), (6L, "b", 0.4),
+      (7L, "c", 0.3)).toDF("id", "src", "q")
+    val out = Sampling
+      .quotaCap(docs, "src", maxPerGroup = 2,
+        orderBy = Seq(col("q").desc, col("id").asc))
+      .collect()
+    val kept = out.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("id")).toSet
+    assert(kept == Set(1L, 2L, 5L, 6L, 7L))
+    // ranks are dense per group and the cut is rank-based
+    out.filter(_.getAs[String]("src") == "a").foreach { r =>
+      assert(r.getAs[Boolean]("kept") == (r.getAs[Int]("src_rank") <= 2))
+    }
+  }
+
+  test("quotaCap: tie-break column makes the kept set partitioning-stable") {
+    val docs = (1L to 40L).map(i => (i, s"s${i % 3}", 0.5)).toDF("id", "src", "q")
+    def keptSet(df: org.apache.spark.sql.DataFrame) =
+      Sampling.quotaCap(df, "src", maxPerGroup = 5,
+          orderBy = Seq(col("q").desc, col("id").asc))
+        .filter(col("kept")).collect().map(_.getAs[Long]("id")).toSet
+    assert(keptSet(docs) == keptSet(docs.repartition(13)))
+    // all-equal scores: the cap keeps the 5 LOWEST ids per source
+    assert(keptSet(docs) ==
+      (1L to 40L).groupBy(i => i % 3).values.flatMap(_.sorted.take(5)).toSet)
+  }
+
+  test("quotaCap: rejects k = 0 and an empty order") {
+    val docs = Seq((1L, "a", 0.9)).toDF("id", "src", "q")
+    intercept[IllegalArgumentException](
+      Sampling.quotaCap(docs, "src", 0, Seq(col("q").desc)))
+    intercept[IllegalArgumentException](
+      Sampling.quotaCap(docs, "src", 1, Seq.empty))
+  }
 }
