@@ -263,4 +263,86 @@ object Scoring {
     }
     base.select(col(idCol) +: outCols: _*)
   }
+
+  /** Corpus-scale BINARY-CLASSIFIER evaluation — exact tie-aware
+    * ROC-AUC plus thresholded confusion metrics, in ONE aggregation
+    * pass. The curation loop trains quality/toxicity/language
+    * classifiers (t14/t22) and then must measure them on millions of
+    * held-out rows; this is that measurement as a Spark plan, not a
+    * driver-side sklearn call.
+    *
+    * Scores quantize to a `scale` grid (round(score × scale) — exact
+    * longs), labels to a boolean positive flag. The evaluation state
+    * is the per-score HISTOGRAM (score, n_pos, n_neg) — corpus rows
+    * never leave their scan except as map-side partial counts, and
+    * the reduced state is bounded by the number of DISTINCT quantized
+    * scores (≤ the grid width, e.g. 2·10⁶ for cosine at 1e-6),
+    * independent of corpus size. AUC folds over the sorted histogram
+    * in a single row with pure integer arithmetic:
+    *
+    *   numer2 = Σ_s n_pos(s) · (2·N_neg(<s) + n_neg(s))
+    *   AUC    = numer2 / (2·P·N)
+    *
+    * — the Mann-Whitney U with the standard ½ credit for ties, exact
+    * (no trapezoid sampling, unlike MLlib's downsampled curve), and
+    * deterministic across partitionings because every accumulated
+    * quantity is a long. Confusion counts cut the same histogram at
+    * `threshold` (score ≥ threshold ⇒ predicted positive). Ratio
+    * metrics are NULL when undefined (empty class / no predicted
+    * positives) rather than NaN.
+    *
+    * Returns ONE row: (n_pos, n_neg, tp, fp, fn, tn, auc, precision,
+    * recall, f1, accuracy). */
+  def classifierMetrics(
+      scored: DataFrame,
+      scoreCol: String,
+      positiveCol: String,
+      threshold: Double = 0.0,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    val qt = Math.round(threshold * scale)
+    val hist = scored
+      .select(
+        round(col(scoreCol) * scale.toDouble, 0).cast("long").as("__qs"),
+        col(positiveCol).cast("boolean").as("__pos"))
+      .groupBy(col("__qs"))
+      .agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("__np"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("__nn"))
+    val folded = hist.agg(
+      sum(col("__np")).as("__p"),
+      sum(col("__nn")).as("__n"),
+      sum(when(col("__qs") >= qt, col("__np")).otherwise(0L)).as("__tp"),
+      sum(when(col("__qs") >= qt, col("__nn")).otherwise(0L)).as("__fp"),
+      sort_array(collect_list(struct(
+        col("__qs"), col("__np"), col("__nn")))).as("__h"))
+    val acc0 = struct(lit(0L).as("neg"), lit(0L).as("num"))
+    val numer2 = aggregate(
+      col("__h"), acc0,
+      (acc, x) => struct(
+        (acc.getField("neg") + x.getField("__nn")).as("neg"),
+        (acc.getField("num") + x.getField("__np") *
+          (lit(2L) * acc.getField("neg") + x.getField("__nn"))).as("num")))
+      .getField("num")
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    folded
+      .select(col("__p"), col("__n"), col("__tp"), col("__fp"),
+        numer2.as("__numer2"))
+      .select(
+        col("__p").as("n_pos"), col("__n").as("n_neg"),
+        col("__tp").as("tp"), col("__fp").as("fp"),
+        (col("__p") - col("__tp")).as("fn"),
+        (col("__n") - col("__fp")).as("tn"),
+        ratio(col("__numer2"), lit(2L) * col("__p") * col("__n")).as("auc"),
+        ratio(col("__tp"), col("__tp") + col("__fp")).as("precision"),
+        ratio(col("__tp"), col("__p")).as("recall"),
+        // f1 = 2tp / (2tp + fp + fn); fn = p - tp
+        ratio(lit(2L) * col("__tp"),
+          lit(2L) * col("__tp") + col("__fp") + (col("__p") - col("__tp")))
+          .as("f1"),
+        ratio(col("__tp") + (col("__n") - col("__fp")),
+          col("__p") + col("__n")).as("accuracy"))
+  }
 }

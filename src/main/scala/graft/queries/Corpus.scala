@@ -4427,6 +4427,77 @@ $langScoreCols
       FROM t32_a ORDER BY doc_id"""
     })
 
+  /** Classifier evaluation at corpus scale ([[graft.operators.Scoring
+    * .classifierMetrics]]): exact tie-aware ROC-AUC + thresholded
+    * confusion metrics for a relevance scorer, in one histogram
+    * aggregation. The scorer under test is a dual-encoder shape:
+    * cosine against an anchor embedding (the lowest-id label-0
+    * vector), positives = label 0 — "does embedding similarity to a
+    * class exemplar retrieve that class?". The oracle replays the
+    * quantized histogram and the Mann-Whitney numerator with window
+    * prefix sums (integer arithmetic end-to-end; DuckDB's windows are
+    * fine where its list-lambda folds are not — the t32 lesson). */
+  val t33_eval_metrics = QueryDef(
+    "t33_eval_metrics",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val anchor = emb.filter(col("label") === 0)
+        .orderBy(col("vec_id")).limit(1)
+        .select(col("embedding").as("__anchor"))
+      val scored = emb
+        .crossJoin(broadcast(anchor))
+        .select(
+          round(graft.functions.VectorFunctions
+            .cosine(col("embedding"), col("__anchor")), 6).as("score"),
+          (col("label") === 0).as("is_pos"))
+      graft.operators.Scoring
+        .classifierMetrics(scored, "score", "is_pos", threshold = 0.0)
+    },
+    Some("""
+      WITH t33_a AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS av
+        FROM embeddings WHERE label = 0 ORDER BY vec_id LIMIT 1),
+      t33_sc AS (
+        SELECT CAST(round(round(list_cosine_similarity(
+                 CAST(embedding AS DOUBLE[]), av), 6) * 1000000.0, 0) AS BIGINT) AS qs,
+               (label = 0) AS is_pos
+        FROM embeddings CROSS JOIN t33_a),
+      t33_h AS (
+        SELECT qs,
+               cast(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+               cast(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        FROM t33_sc GROUP BY qs),
+      t33_w AS (
+        SELECT qs, np, nn,
+               cast(coalesce(sum(nn) OVER (ORDER BY qs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS negbelow
+        FROM t33_h),
+      t33_t AS (
+        SELECT cast(sum(np) AS BIGINT) AS p, cast(sum(nn) AS BIGINT) AS n,
+               cast(sum(np * (2 * negbelow + nn)) AS BIGINT) AS numer2,
+               cast(sum(CASE WHEN qs >= 0 THEN np ELSE 0 END) AS BIGINT) AS tp,
+               cast(sum(CASE WHEN qs >= 0 THEN nn ELSE 0 END) AS BIGINT) AS fp
+        FROM t33_w)
+      SELECT p AS n_pos, n AS n_neg, tp, fp,
+             p - tp AS fn, n - fp AS tn,
+             CASE WHEN 2 * p * n = 0 THEN NULL
+                  ELSE round(CAST(numer2 AS DOUBLE) / CAST(2 * p * n AS DOUBLE), 6)
+             END AS auc,
+             CASE WHEN tp + fp = 0 THEN NULL
+                  ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+             END AS precision,
+             CASE WHEN p = 0 THEN NULL
+                  ELSE round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6)
+             END AS recall,
+             CASE WHEN 2 * tp + fp + (p - tp) = 0 THEN NULL
+                  ELSE round(CAST(2 * tp AS DOUBLE)
+                             / CAST(2 * tp + fp + (p - tp) AS DOUBLE), 6)
+             END AS f1,
+             CASE WHEN p + n = 0 THEN NULL
+                  ELSE round(CAST(tp + (n - fp) AS DOUBLE) / CAST(p + n AS DOUBLE), 6)
+             END AS accuracy
+      FROM t33_t"""))
+
   /** MATERIALIZED tokenization — the token SEQUENCES t17 only counts:
     * one row per (doc, pretoken position, subword position), the
     * exploded form a shard writer or [[graft.operators.Packing]]
@@ -5184,7 +5255,7 @@ $langScoreCols
     t22_linear_probe, t23_stupid_backoff, t24_rrf_hybrid,
     t25_unigram_learned, t26_unigram_vocab, t27_unigram_encode,
     t28_retrieval_metrics, t29_tokenizer_fertility, t30_span_corruption,
-    t31_ngram_overlap, t32_wordpiece_encode,
+    t31_ngram_overlap, t32_wordpiece_encode, t33_eval_metrics,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

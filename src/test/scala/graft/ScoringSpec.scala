@@ -131,4 +131,48 @@ class ScoringSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  // ---------------- classifierMetrics ----------------
+
+  test("classifierMetrics: hand-computed tie-aware AUC and confusion counts") {
+    // pos: .9 .8 .4 | neg: .7 .4 .1 — pos>neg pairs 7, one tie (.4)
+    // AUC = (7 + 0.5) / 9; at threshold .5: tp=2 fp=1 fn=1 tn=2
+    val scored = Seq(
+      (0.9, true), (0.8, true), (0.4, true),
+      (0.7, false), (0.4, false), (0.1, false)).toDF("score", "is_pos")
+    val r = Scoring.classifierMetrics(scored, "score", "is_pos",
+      threshold = 0.5).collect().head
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 3L)
+    assert(r.getAs[Long]("tp") == 2L && r.getAs[Long]("fp") == 1L &&
+      r.getAs[Long]("fn") == 1L && r.getAs[Long]("tn") == 2L)
+    assert(r.getAs[Double]("auc") == 0.833333)
+    assert(r.getAs[Double]("precision") == 0.666667 &&
+      r.getAs[Double]("recall") == 0.666667 &&
+      r.getAs[Double]("f1") == 0.666667 &&
+      r.getAs[Double]("accuracy") == 0.666667)
+  }
+
+  test("classifierMetrics: perfect / inverted separation; single-class AUC is NULL") {
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("score", "is_pos")
+    assert(Scoring.classifierMetrics(perfect, "score", "is_pos")
+      .collect().head.getAs[Double]("auc") == 1.0)
+    val inverted = perfect.withColumn("is_pos", !col("is_pos"))
+    assert(Scoring.classifierMetrics(inverted, "score", "is_pos")
+      .collect().head.getAs[Double]("auc") == 0.0)
+    val onlyPos = Seq((0.9, true), (0.1, true)).toDF("score", "is_pos")
+    val r = Scoring.classifierMetrics(onlyPos, "score", "is_pos").collect().head
+    assert(r.isNullAt(r.fieldIndex("auc")), "AUC undefined with one class")
+    assert(r.getAs[Double]("recall") == 1.0)
+  }
+
+  test("classifierMetrics: partitioning-invariant (long-only accumulation)") {
+    val rows = (1 to 500).map { i =>
+      (math.sin(i * 0.7) * 0.5 + 0.5, i % 3 == 0) }
+    val df = rows.toDF("score", "is_pos")
+    val a = Scoring.classifierMetrics(df, "score", "is_pos", 0.5).collect().head
+    val b = Scoring.classifierMetrics(df.repartition(17), "score", "is_pos", 0.5)
+      .collect().head
+    assert(a == b)
+  }
 }
