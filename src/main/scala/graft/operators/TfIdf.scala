@@ -422,4 +422,58 @@ object TfIdf {
           6))
       .select(col(idCol), col("dl"), col("lm_score"))
   }
+
+  /** CCNet-style per-group QUALITY BUCKETS (Wenzek et al. 2020): within
+    * every group (per language, the CCNet cut), rank documents by an
+    * LM score and split the mass into head / middle / tail terciles —
+    * the standard coarse quality label a pretraining mixture samples
+    * from ("train mostly on head+middle"). Composes with ANY scorer
+    * that yields a deterministic per-document double (t12 unigram, t21
+    * bigram, t23 stupid backoff — higher = better).
+    *
+    * The cuts are VALUE thresholds, not per-document ranks: c1 = the
+    * score of the ⌈n/3⌉-th best document, c2 = the ⌈2n/3⌉-th, and a
+    * document's bucket is `score ≥ c1 → head`, `≥ c2 → middle`, else
+    * tail — so score ties share a bucket (head may slightly exceed n/3
+    * on a tie, exactly like CCNet's perplexity-value cuts) and the
+    * assignment is reproducible across partitionings.
+    *
+    * Scale shape: corpus rows pass ONE histogram aggregation keyed
+    * (group, quantized score) — map-side partials, state bounded by
+    * the quantization grid per group — then rejoin the per-group cut
+    * pair by broadcast. The rank-over-histogram window runs on the
+    * HISTOGRAM relation (grid-sized), never the corpus; all threshold
+    * arithmetic is integer (ceil via `(n+2) div 3`). */
+  def perplexityBuckets(
+      scored: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    val base = scored.select(
+      col(idCol), col(groupCol), col(scoreCol),
+      round(col(scoreCol) * scale.toDouble, 0).cast("long").as("__qs"))
+    val hist = base
+      .groupBy(col(groupCol), col("__qs"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))
+          .orderBy(col("__qs").desc)))
+    val tot = hist.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
+    val cuts = cum.join(tot, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("__cum") >= expr("(__n + 2) div 3"), col("__qs")))
+          .as("__c1"),
+        max(when(col("__cum") >= expr("(2 * __n + 2) div 3"), col("__qs")))
+          .as("__c2"))
+    base.join(broadcast(cuts), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        when(col("__qs") >= col("__c1"), lit("head"))
+          .when(col("__qs") >= col("__c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

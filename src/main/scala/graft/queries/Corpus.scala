@@ -4498,6 +4498,74 @@ $langScoreCols
              END AS accuracy
       FROM t33_t"""))
 
+  /** CCNet head/middle/tail buckets ([[graft.operators.TfIdf
+    * .perplexityBuckets]], Wenzek et al. LREC 2020): per LANGUAGE,
+    * split the corpus into quality terciles by the t12 unigram LM
+    * score — the coarse label CCNet ships with every CommonCrawl
+    * document and pretraining mixtures sample on. Value-threshold
+    * cuts (ties share a bucket) on the 1e-6-quantized score; the
+    * corpus pays one histogram aggregation and a broadcast join —
+    * the tercile window runs over the (lang, score) histogram, never
+    * the corpus. Oracle = t12's fixed-order fold CTEs + the same
+    * integer threshold arithmetic. */
+  val t34_ccnet_buckets = QueryDef(
+    "t34_ccnet_buckets",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val scored = graft.operators.TfIdf
+        .unigramLmScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.operators.TfIdf
+        .perplexityBuckets(scored, "doc_id", "lang", "lm_score")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t34_toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      t34_tf AS (
+        SELECT doc_id, lang, dl, term, cast(count(*) AS BIGINT) AS m
+        FROM (SELECT doc_id, lang, cast(len(ts) AS BIGINT) AS dl,
+                     unnest(ts) AS term
+              FROM t34_toks)
+        GROUP BY 1, 2, 3, 4),
+      t34_cts AS (SELECT term, cast(sum(m) AS BIGINT) AS c FROM t34_tf GROUP BY 1),
+      t34_tot AS (SELECT cast(sum(c) AS BIGINT) AS n FROM t34_cts),
+      t34_contrib AS (
+        SELECT tf.doc_id, tf.lang, tf.dl, tf.term,
+               cast(tf.m AS DOUBLE) * ln(cast(c AS DOUBLE) / cast(n AS DOUBLE)) AS v
+        FROM t34_tf tf JOIN t34_cts USING (term) CROSS JOIN t34_tot),
+      t34_folded AS (
+        SELECT doc_id, lang, dl, list(v ORDER BY term) AS vs
+        FROM t34_contrib GROUP BY 1, 2, 3),
+      t34_sc AS (
+        SELECT doc_id, lang,
+               round(list_reduce(list_prepend(0.0, vs), (s, t) -> s + t)
+                     / cast(dl AS DOUBLE), 6) AS lm_score
+        FROM t34_folded),
+      t34_q AS (
+        SELECT doc_id, lang, lm_score,
+               CAST(round(lm_score * 1000000.0, 0) AS BIGINT) AS qs
+        FROM t34_sc),
+      t34_h AS (SELECT lang, qs, cast(count(*) AS BIGINT) AS c FROM t34_q GROUP BY 1, 2),
+      t34_w AS (
+        SELECT lang, qs, c,
+               cast(sum(c) OVER (PARTITION BY lang ORDER BY qs DESC) AS BIGINT) AS cum
+        FROM t34_h),
+      t34_n AS (SELECT lang, cast(sum(c) AS BIGINT) AS nl FROM t34_h GROUP BY 1),
+      t34_cuts AS (
+        SELECT w.lang,
+               max(CASE WHEN cum >= (nl + 2) // 3 THEN qs END) AS c1,
+               max(CASE WHEN cum >= (2 * nl + 2) // 3 THEN qs END) AS c2
+        FROM t34_w w JOIN t34_n USING (lang) GROUP BY 1)
+      SELECT q.doc_id, q.lang, q.lm_score,
+             CASE WHEN qs >= c1 THEN 'head'
+                  WHEN qs >= c2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM t34_q q JOIN t34_cuts USING (lang)
+      ORDER BY doc_id"""))
+
   /** MATERIALIZED tokenization — the token SEQUENCES t17 only counts:
     * one row per (doc, pretoken position, subword position), the
     * exploded form a shard writer or [[graft.operators.Packing]]
@@ -5256,6 +5324,7 @@ $langScoreCols
     t25_unigram_learned, t26_unigram_vocab, t27_unigram_encode,
     t28_retrieval_metrics, t29_tokenizer_fertility, t30_span_corruption,
     t31_ngram_overlap, t32_wordpiece_encode, t33_eval_metrics,
+    t34_ccnet_buckets,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

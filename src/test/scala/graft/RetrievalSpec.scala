@@ -189,4 +189,31 @@ class RetrievalSpec extends SparkSpec {
     assert(got(4L) == (2L, 1.0, 0.4, r6((w(0) + w(3)) / (w(0) + w(1)))))
     assert(run(ranked.repartition(7)) == got)
   }
+
+  test("perplexityBuckets: value-threshold terciles per group, ties share a bucket") {
+    import graft.operators.TfIdf
+    import org.apache.spark.sql.functions.col
+    // group a: 9 distinct scores -> exact terciles 3/3/3
+    // group b: 6 docs, the top FOUR tie -> all four land in head
+    val scored = ((1 to 9).map(i => (i.toLong, "a", i.toDouble / 10.0)) ++
+      Seq((11L, "b", 0.9), (12L, "b", 0.9), (13L, "b", 0.9), (14L, "b", 0.9),
+        (15L, "b", 0.2), (16L, "b", 0.1))).toDF("id", "grp", "sc")
+    val out = TfIdf.perplexityBuckets(scored, "id", "grp", "sc")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket")).toMap
+    // a: 0.9/0.8/0.7 head; 0.6/0.5/0.4 middle; rest tail
+    assert(Seq(9L, 8L, 7L).forall(out(_) == "head"))
+    assert(Seq(6L, 5L, 4L).forall(out(_) == "middle"))
+    assert(Seq(3L, 2L, 1L).forall(out(_) == "tail"))
+    // b: c1 = score of 2nd best = 0.9 -> the whole tie is head; c2 =
+    // score of the 4th best = 0.9 too, so middle is empty above 0.2
+    assert(Seq(11L, 12L, 13L, 14L).forall(out(_) == "head"))
+    assert(out(15L) == "tail" || out(15L) == "middle")
+    assert(out(16L) == "tail")
+    // partitioning-invariant
+    val out2 = TfIdf.perplexityBuckets(scored.repartition(13), "id", "grp", "sc")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket")).toMap
+    assert(out == out2)
+    graft.plans.PlanAudit.assertScalable(
+      TfIdf.perplexityBuckets(scored, "id", "grp", "sc"))
+  }
 }
