@@ -44,6 +44,80 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Exact top-k MAXIMUM-INNER-PRODUCT neighbors — retrieval under a
+    * DOT-PRODUCT score, the objective unnormalized dual encoders and
+    * recommender factor models actually train (cosine kNN silently
+    * divides away the magnitude a popularity/quality-aware embedding
+    * encodes on purpose). Same shape and determinism contract as
+    * [[bruteForceKnn]]: queries broadcast, corpus never shuffles,
+    * rounded score + id tie-break. This is the oracle gate; at scale,
+    * [[mipsAugmentCorpus]]/[[mipsAugmentQueries]] reduce MIPS to the
+    * cosine faces (IVF / IVF-PQ) this file already serves. */
+  def bruteForceMips(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c
+      .join(q, col("query_id") =!= col("neighbor_id")) // broadcast NL join
+      .withColumn("dot",
+        round(graft.functions.VectorFunctions
+          .dot(col("__qv"), col("__cv")), 6))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+  }
+
+  /** MIPS → cosine reduction, corpus side (Bachrach et al. RecSys 2014;
+    * Shrivastava & Li NeurIPS 2014's asymmetric-transform family):
+    * append one dimension sqrt(M² − ‖x‖²) to every corpus vector,
+    * where M = the corpus's maximum norm. Every augmented corpus
+    * vector then has norm exactly M, so for a zero-padded query
+    * ([[mipsAugmentQueries]])
+    *   cos([q,0], [x, √(M²−‖x‖²)]) = ⟨q,x⟩ / (M·‖q‖)
+    * — a per-query-constant rescale of the inner product. Cosine
+    * RANKING over augmented vectors IS inner-product ranking, so the
+    * whole cosine ANN portfolio (IVF cells, PQ codes, the persisted
+    * index lifecycle) serves MIPS without a new kernel.
+    *
+    * Scale shape: one max aggregation for M² (a scalar, broadcast as a
+    * single-row crossJoin — the q61/q65 pattern), then a scan-local
+    * projection. Pass the returned frame anywhere a (id, vector)
+    * corpus goes. */
+  def mipsAugmentCorpus(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val m2 = corpus.agg(
+      max(dot(col(vecCol), col(vecCol))).as("__m2"))
+    corpus
+      .crossJoin(broadcast(m2))
+      .select(col(idCol),
+        concat(col(vecCol).cast("array<double>"),
+          array(sqrt(greatest(
+            col("__m2") - dot(col(vecCol), col(vecCol)),
+            lit(0.0))))).as(vecCol))
+  }
+
+  /** MIPS → cosine reduction, query side: zero-pad — the appended
+    * coordinate contributes nothing to the dot product, it only
+    * equalizes dimensions. */
+  def mipsAugmentQueries(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    queries.select(col(idCol),
+      concat(col(vecCol).cast("array<double>"), array(lit(0.0))).as(vecCol))
+
   /** Deterministic coarse centroids: the `nCells` corpus vectors with the
     * smallest `xxhash64(id)` — a pseudo-random but reproducible sample.
     * `orderBy(...).limit(n)` plans as TakeOrderedAndProject: each

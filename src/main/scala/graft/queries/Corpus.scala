@@ -1764,6 +1764,42 @@ $langScoreCols
                PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS INT) AS mrank
       FROM m ORDER BY src_id, mrank"""))
 
+  /** Maximum-inner-product retrieval ([[Similarity.bruteForceMips]]):
+    * top-k under the raw DOT PRODUCT — the score unnormalized dual
+    * encoders and factorization recommenders train, where magnitude
+    * carries meaning cosine divides away. Exact brute force is the
+    * oracle gate; SimilaritySpec pins the Bachrach/Shrivastava-Li
+    * norm-augmentation reduction ([[Similarity.mipsAugmentCorpus]])
+    * equal to it through the UNCHANGED cosine IVF face — how MIPS
+    * rides the existing index lifecycle at 100 TB. The oracle replays
+    * the same in-order double fold (0.0-seeded left fold over the
+    * element products — bit-identical to the scan kernel). */
+  val s19_knn_mips = QueryDef(
+    "s19_knn_mips",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity
+        .bruteForceMips(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s19_sc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_reduce(
+                 list_prepend(0.0, list_transform(range(len(q.e)),
+                   __i -> q.e[__i+1] * c.e[__i+1])),
+                 (__a, __b) -> __a + __b), 6) AS dot
+        FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      SELECT query_id, rank, neighbor_id, dot FROM (
+        SELECT query_id, neighbor_id, dot,
+               cast(row_number() OVER (
+                 PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
+        FROM s19_sc)
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** HARD-NEGATIVE mining for contrastive/embedding training — the
     * data-prep face of retrieval: for each query, the highest-cosine
     * neighbors whose label DISAGREES with the query's (the "hard"
@@ -5337,6 +5373,7 @@ $langScoreCols
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,
     s13_knn_ivf_filtered, s14_knn_classify, s15_hard_negatives,
     s16_knn_truncated, s17_kcenter_coreset, s18_bitext_margin,
+    s19_knn_mips,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,

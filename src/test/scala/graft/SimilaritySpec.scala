@@ -358,4 +358,38 @@ class SimilaritySpec extends SparkSpec {
       assert(viaIvf.nonEmpty && viaIvf == viaBrute)
     } finally spark.sql("DROP TABLE IF EXISTS ivf_cls_spec")
   }
+
+  test("MIPS: norm augmentation reduces dot-product retrieval to the cosine IVF face") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity
+      .bruteForceMips(emb, queries, "vec_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    // augmented corpus + zero-padded queries through the UNCHANGED
+    // cosine machinery; full probe budget = exact, so the id sets must
+    // match brute MIPS rank-for-rank (cosine rescales the dot by the
+    // per-query constant M*|q| — order-preserving, same tie-break ids)
+    val augC = Similarity.mipsAugmentCorpus(emb, "vec_id", "embedding")
+    val augQ = Similarity.mipsAugmentQueries(queries, "vec_id", "embedding")
+    val cents = Similarity.sampleCentroids(augC, "vec_id", "embedding", nCells = 8)
+    val viaCosine = Similarity
+      .ivfKnn(augC, augQ, "vec_id", "embedding", k = 5,
+        centroids = cents, nProbe = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(brute.nonEmpty && viaCosine.keySet == brute.keySet)
+    val disagree = brute.keys.filter(k => brute(k) != viaCosine(k))
+    // rounding the rescaled cosine to 1e-6 can swap ids only inside
+    // near-ties; demand exact agreement, which the fixture satisfies
+    assert(disagree.isEmpty, s"rank disagreements: ${disagree.toSeq.sorted}")
+    // augmented corpus vectors all share the max norm (the invariant
+    // that makes cosine ranking = dot ranking)
+    val norms = augC
+      .select(round(graft.functions.VectorFunctions
+        .norm2(col("embedding")), 4).as("n"))
+      .distinct().collect().map(_.getDouble(0))
+    assert(norms.length == 1, s"augmented norms not constant: ${norms.toSeq}")
+  }
 }
