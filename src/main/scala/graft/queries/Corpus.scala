@@ -4166,6 +4166,73 @@ $langScoreCols
     },
     Some(communityOracle(iters = 4)))
 
+  /** Triangle census over the exact kNN graph
+    * ([[graft.operators.Graph.triangleStats]]): per-node triangle
+    * counts and local clustering coefficients — the density diagnostic
+    * that surfaces near-duplicate pockets and clique-shaped link spam
+    * in a similarity graph (g01–g05's sixth face: global structure
+    * through closed wedges). Degree-ordered orientation counts each
+    * triangle once with O(√m)-bounded out-degrees — hub-skew-proof;
+    * exact integer counts replay verbatim in the oracle over the same
+    * materialized kNN edge list. */
+  val g06_triangles = QueryDef(
+    "g06_triangles",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val knn = Similarity.bruteForceKnn(
+        corpus = emb.repartition(s.sparkContext.defaultParallelism),
+        queries = emb, idCol = "vec_id", vecCol = "embedding",
+        k = 10)
+      graft.operators.Graph
+        .triangleStats(knn, "query_id", "neighbor_id")
+        .select(col("node").as("vec_id"), col("degree"),
+          col("triangles"), col("lcc"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      g06_knn AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+                            c.vec_id ASC) AS rank
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id)
+        WHERE rank <= 10),
+      g06_und AS (
+        SELECT DISTINCT least(query_id, neighbor_id) AS a,
+                        greatest(query_id, neighbor_id) AS b
+        FROM g06_knn WHERE query_id <> neighbor_id),
+      g06_deg AS (
+        SELECT node, cast(count(*) AS BIGINT) AS degree
+        FROM (SELECT unnest([a, b]) AS node FROM g06_und) GROUP BY 1),
+      g06_o AS MATERIALIZED (
+        SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+               CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+               CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+        FROM (SELECT g06_und.a, g06_und.b, x.degree AS da, y.degree AS db
+              FROM g06_und
+              JOIN g06_deg x ON g06_und.a = x.node
+              JOIN g06_deg y ON g06_und.b = y.node)),
+      g06_w AS (
+        SELECT e1.u, e1.v AS x, e2.v AS y
+        FROM g06_o e1 JOIN g06_o e2 ON e1.u = e2.u
+        WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+      g06_tri AS (
+        SELECT w.u, w.x, w.y FROM g06_w w
+        WHERE EXISTS (SELECT 1 FROM g06_o o WHERE o.u = w.x AND o.v = w.y)),
+      g06_pn AS (
+        SELECT node, cast(count(*) AS BIGINT) AS triangles
+        FROM (SELECT unnest([u, x, y]) AS node FROM g06_tri) GROUP BY 1)
+      SELECT d.node AS vec_id, d.degree,
+             cast(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+             CASE WHEN d.degree < 2 THEN 0.0
+                  ELSE round(2.0 * coalesce(p.triangles, 0)
+                             / (d.degree * (d.degree - 1)), 6) END AS lcc
+      FROM g06_deg d LEFT JOIN g06_pn p USING (node)
+      ORDER BY vec_id"""))
+
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
     (s, dir) => {
@@ -5384,5 +5451,5 @@ $langScoreCols
     p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
     p26_pipeline_demo,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
-    g05_communities)
+    g05_communities, g06_triangles)
 }

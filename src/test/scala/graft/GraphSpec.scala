@@ -359,4 +359,34 @@ class GraphSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("triangleStats: K4 + pendant, direction/duplicate/self-loop cleanup, repartition-stable") {
+    // K4 on 1..4 (4 triangles, every node in 3) + pendant 5-1; edges
+    // arrive messy: both directions, duplicates, one self-loop
+    val messy = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 2L),
+      (2L, 4L), (3L, 4L), (4L, 3L), (1L, 5L), (5L, 1L), (2L, 2L)
+    ).toDF("src", "dst")
+    val got = Graph.triangleStats(messy, "src", "dst")
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+          r.getAs[Double]("lcc"))).toMap
+    assert(got(1L) == (4L, 3L, 0.5)) // deg 4: 3 triangles of C(4,2)=6 wedges
+    assert(got(2L) == (3L, 3L, 1.0))
+    assert(got(3L) == (3L, 3L, 1.0))
+    assert(got(4L) == (3L, 3L, 1.0))
+    assert(got(5L) == (1L, 0L, 0.0))
+    // global count: sum of per-node tallies = 3 * triangles
+    assert(got.values.map(_._2).sum == 12L)
+    // pure function of the undirected graph — partitioning-invariant
+    val got2 = Graph.triangleStats(messy.repartition(7), "src", "dst")
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+          r.getAs[Double]("lcc"))).toMap
+    assert(got2 == got)
+    graft.plans.PlanAudit.assertScalable(
+      Graph.triangleStats(messy, "src", "dst"))
+  }
 }
