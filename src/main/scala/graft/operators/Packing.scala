@@ -18,6 +18,52 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** SFT / chat-data assembly: flatten per-key event streams into
+    * role-tagged conversation TURNS with token offsets — the structure
+    * an instruction-tuning tokenizer consumes to build (input_ids,
+    * loss_mask) pairs. Each key's rows order by `order` (must be
+    * total), alternate user/assistant roles from "user", render as
+    * `<|role|> content`, and get [tok_start, tok_end) whitespace-token
+    * offsets within their conversation via a per-key running sum (the
+    * role marker is token tok_start; content spans [tok_start+1,
+    * tok_end)). `loss` marks assistant turns — the spans a
+    * cross-entropy mask keeps. Offsets make the downstream tokenizer
+    * embarrassingly parallel: every turn knows its position without
+    * re-scanning the conversation.
+    *
+    * Scale shape: ONE key-partitioned window (rank + running sum in
+    * the same frame) — conversations are user-sized, never
+    * corpus-sized; no join, no global sort. Content is the caller's
+    * expression, so any event→text rendering composes in-scan. */
+  def chatTurns(
+      events: DataFrame,
+      keyCol: String,
+      order: Seq[Column],
+      contentExpr: Column): DataFrame = {
+    require(order.nonEmpty, "order must be a total order within the key")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(order: _*)
+    val base = events.select(
+      col(keyCol),
+      contentExpr.as("content"),
+      row_number().over(w).as("turn_idx"))
+    val ntok = lit(1L) +
+      graft.functions.TextFunctions.tokenCount(col("content")).cast("long")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("turn_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base
+      .withColumn("role",
+        when(col("turn_idx") % 2 === 1, lit("user")).otherwise(lit("assistant")))
+      .withColumn("__ntok", ntok)
+      .withColumn("tok_start", coalesce(sum(col("__ntok")).over(w2), lit(0L)))
+      .select(col(keyCol), col("turn_idx"), col("role"),
+        concat(lit("<|"), col("role"), lit("|> "), col("content")).as("rendered"),
+        col("tok_start"),
+        (col("tok_start") + col("__ntok")).as("tok_end"),
+        (col("role") === "assistant").as("loss"))
+  }
+
   /** Assign each document its position in the packed token stream:
     *   - `pack_id`     — context window containing the doc's FIRST token
     *   - `pack_offset` — token offset of the doc within that window

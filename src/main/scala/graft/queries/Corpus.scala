@@ -683,6 +683,60 @@ $langScoreCols
       FROM p26_p ORDER BY doc_id"""),
     bench = true)
 
+  /** SFT conversation assembly ([[graft.operators.Packing.chatTurns]]):
+    * flatten each user's event stream into role-tagged chat turns with
+    * whitespace-token offsets — the (rendered, tok_start, tok_end,
+    * loss) structure an instruction-tuning pipeline feeds its
+    * tokenizer to build loss-masked training examples. Alternating
+    * roles from "user", content rendered in-scan from the event
+    * fields (value quantized to integer cents — long→string is the
+    * only cross-engine-safe double rendering), one user-keyed window.
+    * The oracle replays the rank, the running token sum, and the
+    * template concatenation verbatim. */
+  val p27_sft_turns = QueryDef(
+    "p27_sft_turns",
+    (s, dir) => {
+      val ev = Tables(s, dir).events.filter(col("user_id") % 5 === 0)
+      graft.operators.Packing
+        .chatTurns(
+          ev, "user_id",
+          order = Seq(col("ts").asc, col("event_id").asc),
+          contentExpr = concat(col("event_type"), lit(" "),
+            round(col("value") * 100, 0).cast("long").cast("string")))
+        .orderBy(col("user_id"), col("turn_idx"))
+    },
+    Some("""
+      WITH p27_e AS (
+        SELECT user_id, event_id, ts,
+               event_type || ' ' ||
+                 CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) AS content
+        FROM events WHERE user_id % 5 = 0),
+      p27_t AS (
+        SELECT user_id, content,
+               CAST(row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS turn_idx
+        FROM p27_e),
+      p27_r AS (
+        SELECT user_id, turn_idx,
+               CASE WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+               content,
+               CAST(1 + (length(content) - length(replace(content, ' ', '')) + 1)
+                    AS BIGINT) AS ntok
+        FROM p27_t),
+      p27_o AS (
+        SELECT user_id, turn_idx, role,
+               '<|' || role || '|> ' || content AS rendered,
+               CAST(coalesce(sum(ntok) OVER (
+                 PARTITION BY user_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS tok_start,
+               ntok
+        FROM p27_r)
+      SELECT user_id, turn_idx, role, rendered, tok_start,
+             tok_start + ntok AS tok_end,
+             role = 'assistant' AS loss
+      FROM p27_o ORDER BY user_id, turn_idx"""))
+
   /** Snapshot DIFF ([[graft.operators.Curation.snapshotDiff]]): the
     * per-document change list between two corpus versions — p22's
     * fingerprint says WHETHER snapshots differ, this says WHAT.
@@ -5449,7 +5503,7 @@ $langScoreCols
     p17_incremental_stats, p18_corpus_report, p19_incremental_quantiles,
     p20_incremental_clusters, p21_drift_psi, p22_corpus_fingerprint,
     p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
-    p26_pipeline_demo,
+    p26_pipeline_demo, p27_sft_turns,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles)
 }

@@ -132,4 +132,33 @@ class PackingSpec extends SparkSpec {
       assert(!nullable.queryExecution.executedPlan.toString.contains("PrefixSum"))
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  test("chatTurns: alternating roles, contiguous token offsets, loss on assistant turns") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, 10L, "hello there"), (1L, 20L, "hi how can i help"),
+      (1L, 30L, "fix my build"),
+      (2L, 5L, "ping")).toDF("uid", "seq", "msg")
+    val out = graft.operators.Packing
+      .chatTurns(ev, "uid", order = Seq(col("seq").asc), contentExpr = col("msg"))
+      .orderBy(col("uid"), col("turn_idx")).collect()
+    val u1 = out.filter(_.getAs[Long]("uid") == 1L)
+    assert(u1.map(_.getAs[String]("role")).toSeq ==
+      Seq("user", "assistant", "user"))
+    assert(u1.map(_.getAs[String]("rendered")).toSeq == Seq(
+      "<|user|> hello there", "<|assistant|> hi how can i help",
+      "<|user|> fix my build"))
+    // per-turn tokens = 1 marker + content tokens; offsets contiguous
+    assert(u1.map(r => (r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end")))
+      .toSeq == Seq((0L, 3L), (3L, 9L), (9L, 13L)))
+    assert(u1.map(_.getAs[Boolean]("loss")).toSeq == Seq(false, true, false))
+    val u2 = out.filter(_.getAs[Long]("uid") == 2L)
+    assert(u2.map(r => (r.getAs[String]("role"), r.getAs[Long]("tok_start"),
+      r.getAs[Long]("tok_end"))).toSeq == Seq(("user", 0L, 2L)))
+    // partitioning-invariant
+    val out2 = graft.operators.Packing
+      .chatTurns(ev.repartition(5), "uid", Seq(col("seq").asc), col("msg"))
+      .orderBy(col("uid"), col("turn_idx")).collect()
+    assert(out2.toSeq == out.toSeq)
+  }
 }
