@@ -4287,6 +4287,78 @@ $langScoreCols
       FROM g06_deg d LEFT JOIN g06_pn p USING (node)
       ORDER BY vec_id"""))
 
+  /** Link prediction over the exact kNN graph
+    * ([[graft.operators.Graph.linkPrediction]]): top-5 non-adjacent
+    * distance-2 candidates per node by Adamic-Adar (quantized-long
+    * neighbor weights), with common-neighbor count and neighborhood
+    * Jaccard — the related-item/graph-completion face of the graph
+    * family. One (z)-keyed wedge self-join + one (x, y) aggregation;
+    * the oracle replays the same per-neighbor quantization and the
+    * (aa, cn, id) total order. */
+  val g07_link_prediction = QueryDef(
+    "g07_link_prediction",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val knn = Similarity.bruteForceKnn(
+        corpus = emb.repartition(s.sparkContext.defaultParallelism),
+        queries = emb, idCol = "vec_id", vecCol = "embedding",
+        k = 10)
+      graft.operators.Graph
+        .linkPrediction(knn, "query_id", "neighbor_id", k = 5)
+        .orderBy(col("src_id"), col("rank"))
+    },
+    Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      g07_knn AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+                            c.vec_id ASC) AS rank
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id)
+        WHERE rank <= 10),
+      g07_und AS (
+        SELECT DISTINCT least(query_id, neighbor_id) AS a,
+                        greatest(query_id, neighbor_id) AS b
+        FROM g07_knn WHERE query_id <> neighbor_id),
+      g07_deg AS (
+        SELECT node, cast(count(*) AS BIGINT) AS degree
+        FROM (SELECT unnest([a, b]) AS node FROM g07_und) GROUP BY 1),
+      g07_adj AS MATERIALIZED (
+        SELECT j.z, j.x,
+               CAST(round(1000000000.0 / ln(d.degree), 0) AS BIGINT) AS w
+        FROM (SELECT a AS z, b AS x FROM g07_und
+              UNION ALL
+              SELECT b AS z, a AS x FROM g07_und) j
+        JOIN g07_deg d ON j.z = d.node),
+      g07_wg AS (
+        SELECT e1.x AS x, e2.x AS y, e1.w
+        FROM g07_adj e1 JOIN g07_adj e2 ON e1.z = e2.z AND e1.x < e2.x),
+      g07_p AS (
+        SELECT x, y, cast(count(*) AS BIGINT) AS cn,
+               cast(sum(w) AS BIGINT) AS aaq
+        FROM g07_wg GROUP BY 1, 2),
+      g07_np AS (
+        SELECT p.* FROM g07_p p
+        WHERE NOT EXISTS (SELECT 1 FROM g07_und u
+                          WHERE u.a = p.x AND u.b = p.y)),
+      g07_j AS (
+        SELECT np.x, np.y, np.cn, np.aaq,
+               dx.degree AS dgx, dy.degree AS dgy
+        FROM g07_np np
+        JOIN g07_deg dx ON np.x = dx.node
+        JOIN g07_deg dy ON np.y = dy.node)
+      SELECT src_id, rank, cand_id, cn, aa, jaccard FROM (
+        SELECT x AS src_id, y AS cand_id, cn,
+               round(CAST(aaq AS DOUBLE) / 1000000000.0, 6) AS aa,
+               round(CAST(cn AS DOUBLE) / CAST(dgx + dgy - cn AS DOUBLE), 6) AS jaccard,
+               cast(row_number() OVER (
+                 PARTITION BY x ORDER BY aaq DESC, cn DESC, y ASC) AS INT) AS rank
+        FROM g07_j)
+      WHERE rank <= 5
+      ORDER BY src_id, rank"""))
+
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
     (s, dir) => {
@@ -5505,5 +5577,5 @@ $langScoreCols
     p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
     p26_pipeline_demo, p27_sft_turns,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
-    g05_communities, g06_triangles)
+    g05_communities, g06_triangles, g07_link_prediction)
 }

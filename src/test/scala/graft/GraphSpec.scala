@@ -389,4 +389,35 @@ class GraphSpec extends SparkSpec {
     graft.plans.PlanAudit.assertScalable(
       Graph.triangleStats(messy, "src", "dst"))
   }
+
+  test("linkPrediction: hand-computed AA/CN/Jaccard; existing edges excluded; deterministic") {
+    // path 1-2-3 (1,3 share neighbor 2) + square 4-5-6-7-4 (diagonals
+    // share TWO degree-2 neighbors); 1-3 then added as a real edge in
+    // a second run to check the anti-join
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.linkPrediction(edges, "src", "dst", k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("cand_id")) ->
+        (r.getAs[Long]("cn"), r.getAs[Double]("aa"), r.getAs[Double]("jaccard")))
+      .toMap
+    val aa1 = Math.round(1.0e9 / math.log(2.0)) / 1.0e9 // one deg-2 neighbor
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 3L)) == (1L, r6(aa1), 1.0))
+    assert(got((4L, 6L)) == (2L, r6(Math.round(1.0e9 / math.log(2.0)) * 2L / 1.0e9), 1.0))
+    assert(got((5L, 7L)) == got((4L, 6L)))
+    assert(got.size == 3, s"unexpected candidates: ${got.keySet}")
+    // close the 1-3 edge: the pair must vanish from the predictions
+    val closed = Graph.linkPrediction(
+      edges.unionByName(Seq((3L, 1L)).toDF("src", "dst")), "src", "dst", k = 5)
+      .collect().map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(!closed.contains((1L, 3L)))
+    // partitioning-invariant
+    val got2 = Graph.linkPrediction(edges.repartition(7), "src", "dst", k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("cand_id")) ->
+        (r.getAs[Long]("cn"), r.getAs[Double]("aa"), r.getAs[Double]("jaccard")))
+      .toMap
+    assert(got2 == got)
+  }
 }
