@@ -345,4 +345,60 @@ object Scoring {
         ratio(col("__tp") + (col("__n") - col("__fp")),
           col("__p") + col("__n")).as("accuracy"))
   }
+
+  /** CALIBRATION report for a probabilistic scorer — the reliability
+    * diagram as a relation plus per-bin Expected Calibration Error
+    * contributions (Guo et al. ICML 2017): a quality/toxicity
+    * classifier whose 0.9 means "90% actually positive" can gate a
+    * corpus on thresholds; one that is over-confident cannot, and AUC
+    * (t33) is blind to the difference. Probabilities quantize to a
+    * `scale` grid, bucket into `bins` equal-width confidence bins
+    * (clamped to [0, bins)), and each bin reports
+    *   n, n_pos, conf = mean quantized probability, acc = positive
+    *   rate, gap = |conf − acc|, contrib = gap · n / N
+    * with ECE = Σ contrib (the caller's one-line sum). All
+    * accumulation is long-integer (counts + quantized-prob sums), so
+    * the report is partitioning-independent and oracle-replayable;
+    * ratios round to 6 at the END.
+    *
+    * Scale shape: one (bin) aggregation — ≤ `bins` groups, map-side
+    * partials — plus a broadcast single-row total. Corpus rows never
+    * shuffle. */
+  def calibrationReport(
+      scored: DataFrame,
+      probCol: String,
+      positiveCol: String,
+      bins: Int = 10,
+      scale: Long = 1000000L): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(scale >= bins, s"scale must be >= bins, got $scale")
+    val base = scored
+      .select(
+        round(col(probCol) * scale.toDouble, 0).cast("long").as("__qp"),
+        col(positiveCol).cast("boolean").as("__pos"))
+      .withColumn("__bin",
+        greatest(lit(0L),
+          least(expr(s"(__qp * ${bins}L) div ${scale}L"),
+            lit((bins - 1).toLong))))
+    val hist = base
+      .groupBy(col("__bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__qp")).as("__sqp"))
+    val tot = hist.agg(sum(col("n")).as("__nt"))
+    hist.crossJoin(broadcast(tot))
+      .select(
+        col("__bin").as("bin"), col("n"), col("n_pos"),
+        round(col("__sqp").cast("double") /
+          (col("n").cast("double") * scale.toDouble), 6).as("conf"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("acc"),
+        col("__nt"))
+      .withColumn("gap", round(abs(col("conf") - col("acc")), 6))
+      .withColumn("contrib",
+        round(col("gap") * col("n").cast("double") /
+          col("__nt").cast("double"), 6))
+      .drop("__nt")
+  }
 }

@@ -3922,6 +3922,70 @@ $langScoreCols
                AS quality_prob
       FROM z ORDER BY doc_id"""))
 
+  /** Calibration report ([[graft.operators.Scoring.calibrationReport]]):
+    * the reliability diagram + ECE contributions for t14's hashed
+    * linear quality probability, evaluated against the English label —
+    * the "is 0.9 really 90%?" check t33's AUC cannot answer. One
+    * bins-bounded aggregation; the oracle replays t14's sigmoid CTEs
+    * (xxh64 bucket emulation) and the same integer bin/quantized-sum
+    * arithmetic. The label binding is a demonstration harness — any
+    * deterministic boolean column composes. */
+  val t35_calibration = QueryDef(
+    "t35_calibration",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val scored = graft.operators.Scoring
+        .hashedLinearScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_pos")),
+          Seq("doc_id"))
+      graft.operators.Scoring
+        .calibrationReport(scored, "quality_prob", "is_pos", bins = 10)
+        .orderBy(col("bin"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_pos,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      bs AS (
+        SELECT doc_id, is_pos, cast(len(ts) AS BIGINT) AS dl,
+               list_sort(list_transform(ts,
+                 tok -> cast((${OracleSql.xxh64Ascii("tok")}) % 64 AS BIGINT))) AS b
+        FROM toks),
+      z AS (
+        SELECT doc_id, is_pos, dl,
+               list_reduce(list_prepend(0.0,
+                 list_transform(b,
+                   __b -> cast((__b * 37 + 11) % 101 - 50 AS DOUBLE) / 100.0)),
+                 (s, t) -> s + t) AS zz
+        FROM bs),
+      t35_p AS (
+        SELECT is_pos,
+               CAST(round(round(1.0 / (1.0 + exp(-(CASE WHEN dl = 0 THEN 0.0
+                      ELSE zz / cast(dl AS DOUBLE) END))), 6)
+                    * 1000000.0, 0) AS BIGINT) AS qp
+        FROM z),
+      t35_b AS (
+        SELECT greatest(0, least((qp * 10) // 1000000, 9)) AS bin, qp, is_pos
+        FROM t35_p),
+      t35_h AS (
+        SELECT bin, cast(count(*) AS BIGINT) AS n,
+               cast(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               cast(sum(qp) AS BIGINT) AS sqp
+        FROM t35_b GROUP BY 1),
+      t35_t AS (SELECT cast(sum(n) AS BIGINT) AS nt FROM t35_h),
+      t35_r AS (
+        SELECT bin, n, n_pos,
+               round(CAST(sqp AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS conf,
+               round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc,
+               nt
+        FROM t35_h CROSS JOIN t35_t)
+      SELECT cast(bin AS BIGINT) AS bin, n, n_pos, conf, acc,
+             round(abs(conf - acc), 6) AS gap,
+             round(round(abs(conf - acc), 6) * CAST(n AS DOUBLE)
+                   / CAST(nt AS DOUBLE), 6) AS contrib
+      FROM t35_r ORDER BY bin"""))
+
   /** Exact oracle for g01: DuckDB replays quantized PageRank verbatim —
     * same integer teleport/damping/truncating-division formula per
     * round, one CTE pair (dangling scalar + contribution sums) per
@@ -5553,7 +5617,7 @@ $langScoreCols
     t25_unigram_learned, t26_unigram_vocab, t27_unigram_encode,
     t28_retrieval_metrics, t29_tokenizer_fertility, t30_span_corruption,
     t31_ngram_overlap, t32_wordpiece_encode, t33_eval_metrics,
-    t34_ccnet_buckets,
+    t34_ccnet_buckets, t35_calibration,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

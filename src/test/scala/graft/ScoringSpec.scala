@@ -166,6 +166,32 @@ class ScoringSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") == 1.0)
   }
 
+  test("calibrationReport: hand-computed bins, boundary clamping, ECE sums from contribs") {
+    val scored = Seq(
+      (0.95, true), (0.95, true), (0.95, false), // bin 9
+      (0.05, false), (0.05, false),              // bin 0
+      (1.0, true), (0.0, false)                  // clamped to 9 / 0
+    ).toDF("p", "y")
+    val rows = Scoring.calibrationReport(scored, "p", "y", bins = 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(rows.keySet == Set(0L, 9L))
+    val b9 = rows(9L)
+    assert(b9.getAs[Long]("n") == 4L && b9.getAs[Long]("n_pos") == 3L)
+    assert(b9.getAs[Double]("conf") == 0.9625) // (0.95*3 + 1.0)/4
+    assert(b9.getAs[Double]("acc") == 0.75 && b9.getAs[Double]("gap") == 0.2125)
+    val b0 = rows(0L)
+    assert(b0.getAs[Long]("n") == 3L && b0.getAs[Long]("n_pos") == 0L)
+    assert(b0.getAs[Double]("conf") == 0.033333 && b0.getAs[Double]("acc") == 0.0)
+    // ECE = sum of contribs = gap-weighted bin masses
+    val ece = rows.values.map(_.getAs[Double]("contrib")).sum
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ece == r6(0.2125 * 4.0 / 7.0) + r6(0.033333 * 3.0 / 7.0))
+    // partitioning-invariant
+    val again = Scoring.calibrationReport(scored.repartition(5), "p", "y", 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r.toSeq).toMap
+    assert(again == rows.view.mapValues(_.toSeq).toMap)
+  }
+
   test("classifierMetrics: partitioning-invariant (long-only accumulation)") {
     val rows = (1 to 500).map { i =>
       (math.sin(i * 0.7) * 0.5 + 0.5, i % 3 == 0) }
