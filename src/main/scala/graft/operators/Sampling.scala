@@ -147,6 +147,46 @@ object Sampling {
       .drop("__stride")
   }
 
+  /** Downsample to a TARGET MIXTURE — the "rebalance the corpus to the
+    * planned source/language proportions" pass a pretraining run does
+    * after curation: every group g gets the deterministic accept
+    * probability min(1, share_g · N / n_g), so over-represented groups
+    * thin toward their target share and under-represented ones keep
+    * everything (resampling can only DROP; reaching an exact mixture
+    * against a binding cap is the caller's iteration or p04's
+    * oversample knob). Groups absent from `targets` drop entirely —
+    * the blocklist face for free. Per-row fate is [[weightedKeep]]'s
+    * pure hash function: reproducible, growth-stable, engine-exact.
+    *
+    * Scale shape: one group-size aggregation (groups-sized, broadcast
+    * back), then a scan-fused hash compare — corpus rows never
+    * shuffle. Returns the input keys plus (accept_prob, kept);
+    * flag-don't-drop, like [[quotaCap]]. */
+  def mixtureResample(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      groupCol: String,
+      targets: Seq[(String, Double)],
+      buckets: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.forall(_._2 >= 0.0), s"negative target share in $targets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tg = targets.toDF(groupCol, "__target")
+    val sz = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val tot = sz.agg(sum(col("__n")).as("__nt"))
+    val rates = sz.crossJoin(broadcast(tot))
+      .join(broadcast(tg), Seq(groupCol), "left")
+      .select(col(groupCol),
+        least(lit(1.0),
+          coalesce(col("__target"), lit(0.0)) * col("__nt").cast("double")
+            / col("__n").cast("double")).as("__accept"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        round(col("__accept"), 6).as("accept_prob"),
+        weightedKeep(col(idCol), col("__accept"), buckets).as("kept"))
+  }
+
   /** Per-group document QUOTA — the RefinedWeb/C4-style cap on how many
     * documents any one domain/source may contribute, applied as "keep
     * the BEST k" rather than "keep an arbitrary k": rows rank within

@@ -737,6 +737,40 @@ $langScoreCols
              role = 'assistant' AS loss
       FROM p27_o ORDER BY user_id, turn_idx"""))
 
+  /** Mixture resampling ([[graft.operators.Sampling.mixtureResample]]):
+    * thin the corpus toward a uniform five-language target — each
+    * language's accept probability is min(1, share·N/n_lang), applied
+    * as the scan-fused deterministic hash keep. The dominant language
+    * (en, ~43% of docs) thins to ~20%-share rate while minority
+    * languages keep everything; the oracle replays the group sizes,
+    * the rate arithmetic, and the bit-exact xxhash64 keep. */
+  val p28_mixture_resample = QueryDef(
+    "p28_mixture_resample",
+    (s, dir) =>
+      graft.operators.Sampling
+        .mixtureResample(
+          Tables(s, dir).documents, "doc_id", "lang",
+          targets = Seq("de" -> 0.2, "en" -> 0.2, "es" -> 0.2,
+            "fr" -> 0.2, "zh" -> 0.2))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH p28_sz AS (
+        SELECT lang, cast(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+      p28_t AS (SELECT cast(sum(n) AS BIGINT) AS nt FROM p28_sz),
+      p28_tg AS (
+        SELECT * FROM (VALUES ('de', 0.2), ('en', 0.2), ('es', 0.2),
+                              ('fr', 0.2), ('zh', 0.2)) AS t(lang, target)),
+      p28_r AS (
+        SELECT s.lang,
+               least(1.0, coalesce(g.target, 0.0) * nt / n) AS accept
+        FROM p28_sz s CROSS JOIN p28_t LEFT JOIN p28_tg g ON s.lang = g.lang)
+      SELECT d.doc_id, d.lang, round(accept, 6) AS accept_prob,
+             CAST(((${OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("doc_id")))} % 1000000)
+                   + 1000000) % 1000000 AS DOUBLE)
+               < accept * 1000000.0 AS kept
+      FROM documents d JOIN p28_r r ON d.lang = r.lang
+      ORDER BY d.doc_id"""))
+
   /** Snapshot DIFF ([[graft.operators.Curation.snapshotDiff]]): the
     * per-document change list between two corpus versions — p22's
     * fingerprint says WHETHER snapshots differ, this says WHAT.
@@ -5639,7 +5673,7 @@ $langScoreCols
     p17_incremental_stats, p18_corpus_report, p19_incremental_quantiles,
     p20_incremental_clusters, p21_drift_psi, p22_corpus_fingerprint,
     p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
-    p26_pipeline_demo, p27_sft_turns,
+    p26_pipeline_demo, p27_sft_turns, p28_mixture_resample,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction)
 }

@@ -315,6 +315,33 @@ class SamplingSpec extends SparkSpec {
       (1L to 40L).groupBy(i => i % 3).values.flatMap(_.sorted.take(5)).toSet)
   }
 
+  test("mixtureResample: binding caps thin, non-binding keep all, absent groups drop") {
+    val rows = ((1L to 60L).map(i => (i, "a")) ++
+      (61L to 90L).map(i => (i, "b")) ++
+      (91L to 100L).map(i => (i, "c")) ++
+      (101L to 105L).map(i => (i, "d"))).toDF("id", "grp")
+    val out = Sampling.mixtureResample(rows, "id", "grp",
+      targets = Seq("a" -> 0.1, "b" -> 0.45, "c" -> 0.45))
+      .collect()
+    val byGrp = out.groupBy(_.getAs[String]("grp"))
+    // N=105: a caps at .1*105/60 = 0.175; b/c exceed 1 -> keep all
+    assert(byGrp("a").forall(_.getAs[Double]("accept_prob") == 0.175))
+    assert(byGrp("b").forall(r => r.getAs[Double]("accept_prob") == 1.0 &&
+      r.getAs[Boolean]("kept")))
+    assert(byGrp("c").forall(_.getAs[Boolean]("kept")))
+    // d has no target: accept 0, nothing kept
+    assert(byGrp("d").forall(r => r.getAs[Double]("accept_prob") == 0.0 &&
+      !r.getAs[Boolean]("kept")))
+    // a thins: some kept, some dropped, decision = weightedKeep's hash
+    val aKept = byGrp("a").count(_.getAs[Boolean]("kept"))
+    assert(aKept > 0 && aKept < 60, s"a kept $aKept of 60")
+    // pure function: partitioning-invariant
+    val again = Sampling.mixtureResample(rows.repartition(11), "id", "grp",
+      Seq("a" -> 0.1, "b" -> 0.45, "c" -> 0.45))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(again == out.map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap)
+  }
+
   test("quotaCap: rejects k = 0 and an empty order") {
     val docs = Seq((1L, "a", 0.9)).toDF("id", "src", "q")
     intercept[IllegalArgumentException](
