@@ -400,6 +400,75 @@ object Graph {
     * Returns (node, degree, triangles, lcc) where lcc = 2·t/(d·(d−1))
     * rounded to 6 (0.0 when degree < 2) — exact integer counts, so
     * partitioning-independent and oracle-replayable. */
+  /** k-CORE peeling — the density filter over a link/similarity graph:
+    * repeatedly delete nodes with fewer than `k` surviving neighbors;
+    * what remains (the k-core) is the maximal subgraph of minimum
+    * degree k. Membership is a standard structural quality/spam
+    * signal: link farms live in dense cores, isolated boilerplate
+    * falls out in round one. Runs `iters` SYNCHRONOUS peel rounds —
+    * peeling is monotone (each round's survivor set only shrinks) and
+    * CONFLUENT, so a fixed round budget is deterministic, extra
+    * rounds past the fixpoint are no-ops, and the oracle unrolls the
+    * same rounds as CTE pairs. `converged` reports whether round
+    * `iters` removed nobody (the fixpoint certificate; if false, the
+    * survivor set is a SUPERSET of the true k-core — raise `iters`).
+    *
+    * Scale shape per round (the g01 Pregel contract): one degree
+    * aggregation + two node-keyed LEFT SEMI joins restricting the
+    * edge list; state is (node) scalars, `checkpointer` cuts the
+    * doubling lineage each round. Output: every original node with
+    * its starting degree, final membership, and surviving degree. */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      iters: Int,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = edges
+      .select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      def degrees(e: DataFrame): DataFrame = e
+        .select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      // materialized: the returned plan must not re-derive the edge
+      // distinct after the finally-block unpersists `und`
+      val deg0 = checkpointer.cut(degrees(und), eager = true)
+      var e = und
+      var removedLast = 0L
+      for (_ <- 0 until iters) {
+        val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
+        val next = checkpointer.cut(
+          e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+            .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+            .select(col("a"), col("b")),
+          eager = true)
+        removedLast = e.count() - next.count()
+        e = next
+      }
+      val finalDeg = degrees(e)
+      val out = deg0
+        .join(finalDeg.select(col("node"), col("degree").as("__cd")),
+          Seq("node"), "left")
+        .select(
+          col("node"), col("degree"),
+          (coalesce(col("__cd"), lit(0L)) >= k).as("in_core"),
+          coalesce(col("__cd"), lit(0L)).as("core_degree"),
+          lit(removedLast == 0L).as("converged"))
+      out
+    } finally {
+      und.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** LINK PREDICTION by neighborhood overlap — score non-adjacent node
     * pairs at distance 2 by common-neighbor statistics: CN (count),
     * Adamic-Adar (Σ 1/ln(deg z) over shared neighbors z — rare shared
@@ -440,8 +509,12 @@ object Graph {
     val adj = und.select(col("a").as("z"), col("b").as("x"))
       .unionByName(und.select(col("b").as("z"), col("a").as("x")))
       .join(deg.select(col("node").as("z"), col("degree").as("__dz")), Seq("z"))
-      .withColumn("__w", round(lit(1.0e9) / log(col("__dz").cast("double")), 0)
-        .cast("long"))
+      // deg-1 neighbors can never anchor a wedge (one adjacency row),
+      // but their weight still EVALUATES pre-join — guard ln(1) = 0
+      .withColumn("__w",
+        when(col("__dz") >= 2L,
+          round(lit(1.0e9) / log(col("__dz").cast("double")), 0).cast("long"))
+          .otherwise(lit(0L)))
     val wedges = adj.select(col("z"), col("x"), col("__w"))
       .join(adj.select(col("z"), col("x").as("y")), Seq("z"))
       .filter(col("x") < col("y"))

@@ -4457,6 +4457,75 @@ $langScoreCols
       WHERE rank <= 5
       ORDER BY src_id, rank"""))
 
+  /** Unrolled-round DuckDB oracle for g08: per peel round one degree
+    * CTE + one survivor CTE + one restricted (MATERIALIZED — each e_i
+    * is read by three later CTEs) edge CTE; convergence = round
+    * `iters` deleted no edges. */
+  private def kCoreOracle(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""
+      g08_d$i AS (
+        SELECT node, cast(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest([a, b]) AS node FROM g08_e${i - 1}) GROUP BY 1),
+      g08_k$i AS (SELECT node FROM g08_d$i WHERE c >= $k),
+      g08_e$i AS MATERIALIZED (
+        SELECT a, b FROM g08_e${i - 1}
+        WHERE a IN (SELECT node FROM g08_k$i)
+          AND b IN (SELECT node FROM g08_k$i))"""
+    }.mkString(",")
+    s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      g08_knn AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+                            c.vec_id ASC) AS rank
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id)
+        WHERE rank <= 10),
+      g08_e0 AS MATERIALIZED (
+        SELECT DISTINCT least(query_id, neighbor_id) AS a,
+                        greatest(query_id, neighbor_id) AS b
+        FROM g08_knn WHERE query_id <> neighbor_id),
+      $rounds,
+      g08_fd AS (
+        SELECT node, cast(count(*) AS BIGINT) AS cd
+        FROM (SELECT unnest([a, b]) AS node FROM g08_e$iters) GROUP BY 1),
+      g08_conv AS (
+        SELECT (SELECT count(*) FROM g08_e${iters - 1})
+               = (SELECT count(*) FROM g08_e$iters) AS converged)
+      SELECT d.node AS vec_id, d.c AS degree,
+             coalesce(fd.cd, 0) >= $k AS in_core,
+             cast(coalesce(fd.cd, 0) AS BIGINT) AS core_degree,
+             conv.converged
+      FROM g08_d1 d LEFT JOIN g08_fd fd USING (node) CROSS JOIN g08_conv conv
+      ORDER BY vec_id"""
+  }
+
+  /** k-core membership over the exact kNN graph
+    * ([[graft.operators.Graph.kCore]]): four synchronous peel rounds
+    * at k = 12 — the structural density filter (dense near-dup pockets
+    * survive, sparse periphery falls out round by round). Monotone +
+    * confluent peeling makes the fixed round budget deterministic;
+    * the oracle unrolls the identical rounds and the convergence
+    * certificate. */
+  val g08_kcore = QueryDef(
+    "g08_kcore",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val knn = Similarity.bruteForceKnn(
+        corpus = emb.repartition(s.sparkContext.defaultParallelism),
+        queries = emb, idCol = "vec_id", vecCol = "embedding",
+        k = 10)
+      graft.operators.Graph
+        .kCore(knn, "query_id", "neighbor_id", k = 12, iters = 4)
+        .select(col("node").as("vec_id"), col("degree"), col("in_core"),
+          col("core_degree"), col("converged"))
+        .orderBy(col("vec_id"))
+    },
+    Some(kCoreOracle(k = 12, iters = 4)))
+
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
     (s, dir) => {
@@ -5675,5 +5744,5 @@ $langScoreCols
     p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
     p26_pipeline_demo, p27_sft_turns, p28_mixture_resample,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
-    g05_communities, g06_triangles, g07_link_prediction)
+    g05_communities, g06_triangles, g07_link_prediction, g08_kcore)
 }

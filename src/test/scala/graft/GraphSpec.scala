@@ -390,6 +390,30 @@ class GraphSpec extends SparkSpec {
       Graph.triangleStats(messy, "src", "dst"))
   }
 
+  test("kCore: K5 core survives, tail peels, cascade empties a path; convergence flag") {
+    // K5 on 1..5 + tail 5-6-7: the 3-core is exactly the K5
+    val k5 = (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)) ++
+      Seq((5L, 6L), (6L, 7L))
+    val out = Graph.kCore(k5.toDF("src", "dst"), "src", "dst", k = 3, iters = 3)
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("degree"), r.getAs[Boolean]("in_core"),
+          r.getAs[Long]("core_degree"), r.getAs[Boolean]("converged"))).toMap
+    assert((1L to 4L).forall(n => out(n) == (4L, true, 4L, true)))
+    assert(out(5L) == (5L, true, 4L, true)) // loses the tail edge only
+    assert(out(6L) == (2L, false, 0L, true) && out(7L) == (1L, false, 0L, true))
+    // cascade: a path has NO 2-core, but it takes rounds to see it
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val peeled = Graph.kCore(path, "src", "dst", k = 2, iters = 3).collect()
+    assert(peeled.forall(!_.getAs[Boolean]("in_core")))
+    assert(peeled.forall(_.getAs[Boolean]("converged")))
+    // an insufficient round budget reports non-convergence instead of
+    // silently presenting the superset as the core
+    val early = Graph.kCore(path, "src", "dst", k = 2, iters = 1).collect()
+    assert(early.forall(!_.getAs[Boolean]("converged")))
+    assert(early.exists(_.getAs[Boolean]("in_core"))) // superset, flagged
+  }
+
   test("linkPrediction: hand-computed AA/CN/Jaccard; existing edges excluded; deterministic") {
     // path 1-2-3 (1,3 share neighbor 2) + square 4-5-6-7-4 (diagonals
     // share TWO degree-2 neighbors); 1-3 then added as a real edge in
