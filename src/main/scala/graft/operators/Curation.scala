@@ -101,4 +101,43 @@ object Curation {
           .when(col("__hb") =!= col("__ha"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
+
+  /** Preference-pair assembly — the DPO/RLHF reward-data step: from a
+    * table of scored candidate responses, emit per prompt group the
+    * (chosen, rejected) pair with maximal score separation. `chosen`
+    * is the response maximizing (score, id) lexicographically and
+    * `rejected` the one minimizing it — the struct min/max total order
+    * makes ties deterministic without a second pass. Groups with fewer
+    * than two responses, or where every response scores identically
+    * (margin 0 — no learning signal), are dropped.
+    *
+    * Scores should be exact (longs or quantized longs): `margin` is
+    * then an exact integer difference and the whole output replays
+    * bit-for-bit cross-engine.
+    *
+    * Scale shape: ONE (prompt) aggregation — two struct min/max
+    * accumulators with map-side partials; response text/ids never
+    * shuffle beyond the winning structs. At 100 TB this is the same
+    * cost as a count per prompt, regardless of responses-per-prompt
+    * skew. */
+  def preferencePairs(
+      responses: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String): DataFrame =
+    responses
+      .groupBy(col(promptCol))
+      .agg(
+        count(lit(1)).as("n_responses"),
+        max(struct(col(scoreCol).as("score"), col(idCol).as("id"))).as("__c"),
+        min(struct(col(scoreCol).as("score"), col(idCol).as("id"))).as("__r"))
+      .where(col("n_responses") >= 2 &&
+        col("__c.score") > col("__r.score"))
+      .select(
+        col(promptCol), col("n_responses"),
+        col("__c.id").as("chosen_id"),
+        col("__c.score").as("chosen_score"),
+        col("__r.id").as("rejected_id"),
+        col("__r.score").as("rejected_score"),
+        (col("__c.score") - col("__r.score")).as("margin"))
 }

@@ -401,4 +401,52 @@ object Scoring {
           col("__nt").cast("double"), 6))
       .drop("__nt")
   }
+
+  /** Unbiased pass@k over a (task, sample, correct) evaluation log —
+    * the code-eval headline number (Chen et al. 2021, "Evaluating
+    * Large Language Models Trained on Code", eq. 1): with n samples
+    * per task of which c pass, the unbiased estimator is
+    *   pass@k = 1 − C(n−c, k)/C(n, k)
+    *          = 1 − Π_{i=0..k−1} (n−c−i)/(n−i),
+    * NOT the naive (c/n)^k-style plug-in, which is biased low for
+    * small n. Per task this emits `n`, `n_correct`, and one
+    * `pass_at_k` column per requested k: NULL when n < k (the
+    * estimator is undefined), exactly 1.0 when n − c < k (a correct
+    * sample is guaranteed in every size-k draw), else the k-term
+    * product above.
+    *
+    * Determinism contract: the product is a FIXED-SHAPE scalar
+    * expression over the two long counts — k left-associated double
+    * multiplications of exact small-integer ratios — so it evaluates
+    * bit-identically on any engine and any partitioning; the result
+    * rounds to 6 at the end.
+    *
+    * Scale shape: ONE (task) aggregation with map-side partial counts;
+    * everything after is a projection on task-count-many rows. No
+    * per-sample data survives the aggregation. */
+  def passAtK(
+      samples: DataFrame,
+      taskCol: String,
+      correctCol: String,
+      ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty, "passAtK needs at least one k")
+    require(ks.forall(_ >= 1), s"every k must be >= 1, got $ks")
+    require(ks.distinct.size == ks.size, s"duplicate k in $ks")
+    val counts = samples
+      .groupBy(col(taskCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(correctCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_correct"))
+    ks.foldLeft(counts) { (df, k) =>
+      val failProd = (0 until k)
+        .map(i => (col("n") - col("n_correct") - lit(i.toLong)).cast("double") /
+          (col("n") - lit(i.toLong)).cast("double"))
+        .reduce(_ * _)
+      df.withColumn(s"pass_at_$k",
+        when(col("n") < k, lit(null).cast("double"))
+          .otherwise(when(col("n") - col("n_correct") < k, lit(1.0))
+            .otherwise(round(lit(1.0) - failProd, 6))))
+    }
+  }
 }

@@ -59,4 +59,58 @@ object TimeSeries {
       .withColumn("is_observed", col("__obs").isNotNull.cast("int"))
       .drop("__obs")
   }
+
+  /** Robust per-key anomaly detection via the median/MAD rule
+    * (Hampel identifier): flag rows where
+    *   |v − median_key(v)| > threshold · MAD_key(v),
+    * the outlier test that, unlike mean/stddev z-scores, is not itself
+    * dragged by the outliers it hunts (50% breakdown point) — the
+    * right default for telemetry and training-curve spike detection.
+    *
+    * Determinism contract: values quantize to longs at `scale`; the
+    * median of longs is x.0/x.5 (exact in binary), so deviations are
+    * tracked in DOUBLED units (`2·|q − 2·med/2|` — exact longs), the
+    * MAD of those is again exact x.0/x.5, and the final score is one
+    * double division of exact values, rounded to 6. Bit-stable under
+    * any partitioning and replayable in any engine with linear
+    * interpolation percentiles.
+    *
+    * Scale shape: two (key) aggregations (median, then MAD of the
+    * deviations) + two keyed equi-joins back — all shuffles on the key
+    * column. Exact `percentile` holds a per-key value-count map, fine
+    * at quantized-telemetry cardinality; at 100 TB with unbounded
+    * value domains swap `approx_percentile` in (same plan shape), as
+    * with q61's equi-depth bins. Keys with MAD = 0 (over half the
+    * values identical) emit no anomalies — the standard Hampel
+    * convention, documented rather than NaN-ed. */
+  def madAnomalies(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      threshold: Double = 3.5,
+      scale: Long = 100L): DataFrame = {
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    val base = df.withColumn("__qv",
+      round(col(valueCol) * scale.toDouble, 0).cast("long"))
+    val med = base
+      .groupBy(col(keyCol))
+      .agg(expr("percentile(__qv, 0.5)").as("__med"))
+    // 2·median is an exact integer; track deviations in doubled units
+    // so they stay longs and the second percentile is exact too.
+    val dev = base
+      .join(med, Seq(keyCol))
+      .withColumn("__dev2",
+        abs(col("__qv") * 2L - (col("__med") * 2.0).cast("long")))
+    val mad = dev
+      .groupBy(col(keyCol))
+      .agg(expr("percentile(__dev2, 0.5)").as("__mad2"))
+    dev
+      .join(mad, Seq(keyCol))
+      .where(col("__mad2") > 0.0 &&
+        col("__dev2").cast("double") > lit(threshold) * col("__mad2"))
+      .withColumn("score",
+        round(col("__dev2").cast("double") / col("__mad2"), 6))
+      .drop("__qv", "__med", "__dev2", "__mad2")
+  }
 }

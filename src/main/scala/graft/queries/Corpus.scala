@@ -4020,6 +4020,86 @@ $langScoreCols
                    / CAST(nt AS DOUBLE), 6) AS contrib
       FROM t35_r ORDER BY bin"""))
 
+  /** Unbiased pass@k ([[graft.operators.Scoring.passAtK]]): the
+    * code-eval headline estimator (Chen et al. 2021, eq. 1) per task —
+    * 1 − C(n−c,k)/C(n,k) via the unrolled fixed-shape ratio product,
+    * never the biased (c/n)^k plug-in. Fixture: documents as an
+    * evaluation log with 32 tasks and a deterministic ~25%
+    * per-sample pass bit from xxhash64(doc_id); the oracle replays the
+    * hash and the same left-associated double product. */
+  val t36_pass_at_k = QueryDef(
+    "t36_pass_at_k",
+    (s, dir) =>
+      graft.operators.Scoring
+        .passAtK(
+          Tables(s, dir).documents.select(
+            pmod(col("doc_id"), lit(32L)).as("task_id"),
+            (pmod(xxhash64(col("doc_id")), lit(4L)) === 0L).as("correct")),
+          "task_id", "correct", ks = Seq(1, 5, 10))
+        .orderBy(col("task_id")),
+    Some {
+      val h = OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("doc_id")))
+      def prod(k: Int) = (0 until k)
+        .map(i => s"(CAST(n - n_correct - $i AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+        .mkString(" * ")
+      def passK(k: Int) =
+        s"""CASE WHEN n < $k THEN NULL
+               WHEN n - n_correct < $k THEN CAST(1.0 AS DOUBLE)
+               ELSE round(1.0 - ${prod(k)}, 6) END AS pass_at_$k"""
+      s"""
+      WITH t36_s AS (
+        SELECT doc_id % 32 AS task_id,
+               ((($h) % 4) + 4) % 4 = 0 AS correct
+        FROM documents),
+      t36_c AS (
+        SELECT task_id, cast(count(*) AS BIGINT) AS n,
+               cast(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct
+        FROM t36_s GROUP BY 1)
+      SELECT task_id, n, n_correct,
+             ${passK(1)}, ${passK(5)}, ${passK(10)}
+      FROM t36_c ORDER BY task_id"""
+    })
+
+  /** Preference-pair assembly ([[graft.operators.Curation
+    * .preferencePairs]]): the DPO/reward-model data step — per prompt
+    * group, the (chosen, rejected) pair at maximal exact-score
+    * separation, struct-lexicographic tie-breaks, zero-margin groups
+    * dropped. Fixture: documents as scored candidates in 97 prompt
+    * groups with n_chars as the (exact long) score; the oracle
+    * replays the struct min/max total order with twin row_number
+    * windows. */
+  val p29_preference_pairs = QueryDef(
+    "p29_preference_pairs",
+    (s, dir) =>
+      graft.operators.Curation
+        .preferencePairs(
+          Tables(s, dir).documents.select(
+            pmod(col("doc_id"), lit(97L)).as("prompt_id"),
+            col("doc_id"), col("n_chars")),
+          "prompt_id", "doc_id", "n_chars")
+        .orderBy(col("prompt_id")),
+    Some("""
+      WITH p29_r AS (
+        SELECT doc_id % 97 AS prompt_id, doc_id, n_chars FROM documents),
+      p29_w AS (
+        SELECT prompt_id, doc_id, n_chars,
+               row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY n_chars DESC, doc_id DESC) AS rc,
+               row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY n_chars ASC, doc_id ASC) AS rr,
+               cast(count(*) OVER (PARTITION BY prompt_id) AS BIGINT)
+                 AS n_responses
+        FROM p29_r)
+      SELECT c.prompt_id, c.n_responses,
+             c.doc_id AS chosen_id, c.n_chars AS chosen_score,
+             j.doc_id AS rejected_id, j.n_chars AS rejected_score,
+             c.n_chars - j.n_chars AS margin
+      FROM (SELECT * FROM p29_w WHERE rc = 1) c
+      JOIN (SELECT * FROM p29_w WHERE rr = 1) j USING (prompt_id)
+      WHERE c.n_responses >= 2 AND c.n_chars > j.n_chars
+      ORDER BY c.prompt_id"""))
+
   /** Exact oracle for g01: DuckDB replays quantized PageRank verbatim —
     * same integer teleport/damping/truncating-division formula per
     * round, one CTE pair (dangling scalar + contribution sums) per
@@ -5720,7 +5800,7 @@ $langScoreCols
     t25_unigram_learned, t26_unigram_vocab, t27_unigram_encode,
     t28_retrieval_metrics, t29_tokenizer_fertility, t30_span_corruption,
     t31_ngram_overlap, t32_wordpiece_encode, t33_eval_metrics,
-    t34_ccnet_buckets, t35_calibration,
+    t34_ccnet_buckets, t35_calibration, t36_pass_at_k,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
@@ -5743,6 +5823,7 @@ $langScoreCols
     p20_incremental_clusters, p21_drift_psi, p22_corpus_fingerprint,
     p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
     p26_pipeline_demo, p27_sft_turns, p28_mixture_resample,
+    p29_preference_pairs,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore)
 }

@@ -1703,6 +1703,47 @@ object Relational {
       FROM w JOIN c USING (user_id)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Robust anomaly detection ([[graft.operators.TimeSeries
+    * .madAnomalies]]): the Hampel median/MAD outlier rule per
+    * event_type over the heavy-tailed `value` — the telemetry-spike
+    * detector a mean/stddev z-score gets wrong (the spikes inflate the
+    * stddev that is supposed to catch them). All arithmetic on
+    * quantized cents; medians of longs are exact halves; the oracle
+    * replays the doubled-units deviation trick bit-for-bit via
+    * `quantile_cont` (same linear interpolation as Spark's exact
+    * `percentile`). */
+  val q75_mad_anomaly = QueryDef(
+    "q75_mad_anomaly",
+    (s, dir) =>
+      graft.operators.TimeSeries
+        .madAnomalies(
+          Tables(s, dir).events
+            .select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", threshold = 3.0, scale = 100L)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("score"))
+        .orderBy(col("event_type"), col("event_id")),
+    Some("""
+      WITH q75_b AS (
+        SELECT event_type, event_id, value,
+               CAST(round(value * 100.0, 0) AS BIGINT) AS qv
+        FROM events),
+      q75_m AS (
+        SELECT event_type, quantile_cont(qv, 0.5) AS med
+        FROM q75_b GROUP BY 1),
+      q75_d AS (
+        SELECT b.event_type, b.event_id, b.value,
+               abs(b.qv * 2 - CAST(m.med * 2.0 AS BIGINT)) AS dev2
+        FROM q75_b b JOIN q75_m m USING (event_type)),
+      q75_s AS (
+        SELECT event_type, quantile_cont(dev2, 0.5) AS mad2
+        FROM q75_d GROUP BY 1)
+      SELECT d.event_type, d.event_id, d.value,
+             round(CAST(d.dev2 AS DOUBLE) / s.mad2, 6) AS score
+      FROM q75_d d JOIN q75_s s USING (event_type)
+      WHERE s.mad2 > 0.0 AND CAST(d.dev2 AS DOUBLE) > 3.0 * s.mad2
+      ORDER BY d.event_type, d.event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1719,5 +1760,5 @@ object Relational {
     q57_merge_upsert, q58_scd2, q59_resample_ffill, q60_fuzzy_join,
     q61_quantile_bins, q63_profile, q64_corr_matrix, q65_histogram,
     q67_range_window, q68_union_evolved, q69_asof_tolerance,
-    q70_asof_nearest, q74_retention_cohorts)
+    q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly)
 }

@@ -39,4 +39,38 @@ class CurationSpec extends SparkSpec {
     assert(Curation.snapshotDiff(before, before, "id", Seq("text"))
       .filter(col("status") =!= "unchanged").count() == 0L)
   }
+
+  test("preferencePairs: argmax/argmin pairing, tie-breaks, degenerate groups") {
+    val responses = Seq(
+      // g1: clear ordering
+      (1L, 10L, 5L), (1L, 11L, 3L), (1L, 12L, 1L),
+      // g2: all tied — no margin, dropped
+      (2L, 20L, 7L), (2L, 21L, 7L),
+      // g3: singleton — dropped
+      (3L, 30L, 9L),
+      // g4: tie at the top (ids 41 > 40 wins chosen), distinct bottom
+      (4L, 40L, 9L), (4L, 41L, 9L), (4L, 42L, 2L)
+    ).toDF("prompt", "resp_id", "score")
+    val out = Curation.preferencePairs(responses, "prompt", "resp_id", "score")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 4L))
+    val g1 = out(1L)
+    assert(g1.getAs[Long]("chosen_id") == 10L &&
+      g1.getAs[Long]("rejected_id") == 12L &&
+      g1.getAs[Long]("margin") == 4L && g1.getAs[Long]("n_responses") == 3L)
+    val g4 = out(4L)
+    assert(g4.getAs[Long]("chosen_id") == 41L && // struct max: (9, 41) > (9, 40)
+      g4.getAs[Long]("rejected_id") == 42L && g4.getAs[Long]("margin") == 7L)
+    // partitioning-invariant (struct min/max is a total order)
+    val again = Curation
+      .preferencePairs(responses.repartition(7), "prompt", "resp_id", "score")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(again == out.view.mapValues(_.toSeq).toMap)
+  }
+
+  test("preferencePairs: one keyed aggregation, no scale antipattern") {
+    val responses = Seq((1L, 10L, 5L), (1L, 11L, 3L)).toDF("prompt", "id", "s")
+    graft.plans.PlanAudit.assertScalable(
+      Curation.preferencePairs(responses, "prompt", "id", "s"))
+  }
 }

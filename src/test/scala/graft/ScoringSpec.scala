@@ -201,4 +201,61 @@ class ScoringSpec extends SparkSpec {
       .collect().head
     assert(a == b)
   }
+
+  // ---------------- pass@k ----------------
+
+  test("passAtK: hand-checked estimator values, boundary cases") {
+    // task A: n=5, c=2; B: n=10, c=0; C: n=6, c=1
+    val samples =
+      (Seq.fill(2)(("A", true)) ++ Seq.fill(3)(("A", false)) ++
+        Seq.fill(10)(("B", false)) ++
+        Seq(("C", true)) ++ Seq.fill(5)(("C", false)))
+        .toDF("task", "correct")
+    val out = Scoring.passAtK(samples, "task", "correct", Seq(1, 5, 10))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n") == 5L && a.getAs[Long]("n_correct") == 2L)
+    assert(a.getAs[Double]("pass_at_1") == 0.4) // 1 - 3/5
+    assert(a.getAs[Double]("pass_at_5") == 1.0) // n-c=3 < 5: guaranteed
+    assert(a.isNullAt(a.fieldIndex("pass_at_10"))) // n=5 < 10: undefined
+    val b = out("B")
+    assert(b.getAs[Double]("pass_at_1") == 0.0 &&
+      b.getAs[Double]("pass_at_5") == 0.0 &&
+      b.getAs[Double]("pass_at_10") == 0.0)
+    // C: pass@5 = 1 - C(5,5)/C(6,5) = 1 - 1/6
+    assert(out("C").getAs[Double]("pass_at_5") == 0.833333)
+  }
+
+  test("passAtK: matches the exact binomial formula on varied counts") {
+    def binom(n: Int, k: Int): BigInt =
+      (0 until k).map(i => BigInt(n - i)).product /
+        (1 to k).map(BigInt(_)).product
+    val cases = Seq((12, 4), (20, 0), (20, 20), (7, 1), (15, 14))
+    val samples = cases.zipWithIndex.flatMap { case ((n, c), t) =>
+      (0 until n).map(i => (s"t$t", i < c)) }.toDF("task", "correct")
+    val got = Scoring.passAtK(samples, "task", "correct", Seq(3))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("pass_at_3")).toMap
+    cases.zipWithIndex.foreach { case ((n, c), t) =>
+      val expect = 1.0 - binom(n - c, 3).toDouble / binom(n, 3).toDouble
+      val r6 = BigDecimal(expect)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(s"t$t") == r6, s"task t$t n=$n c=$c")
+    }
+  }
+
+  test("passAtK: partitioning-invariant; bad ks rejected") {
+    val samples = (1 to 200).map(i => (i % 9, i % 4 == 0))
+      .toDF("task", "correct")
+    val a = Scoring.passAtK(samples, "task", "correct", Seq(1, 5))
+      .orderBy("task").collect().toSeq
+    val b = Scoring.passAtK(samples.repartition(13), "task", "correct", Seq(1, 5))
+      .orderBy("task").collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Scoring.passAtK(samples, "task", "correct", Seq.empty))
+    intercept[IllegalArgumentException](
+      Scoring.passAtK(samples, "task", "correct", Seq(0)))
+    intercept[IllegalArgumentException](
+      Scoring.passAtK(samples, "task", "correct", Seq(2, 2)))
+  }
 }

@@ -44,4 +44,40 @@ class TimeSeriesSpec extends SparkSpec {
     graft.plans.PlanAudit.assertScalable(
       TimeSeries.resampleFfill(observed, Seq("k"), "hour", "1 hour", Seq("v")))
   }
+
+  // ---------------- median/MAD anomalies ----------------
+
+  test("madAnomalies: hand-checked Hampel flags, MAD=0 convention, even-count medians") {
+    val rows = Seq(
+      // key a: constant but for one spike — MAD = 0, Hampel emits nothing
+      ("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 1.0), ("a", 4L, 1.0),
+      ("a", 5L, 100.0),
+      // key b: med=3.0, MAD=1.0 — only the 100.0 exceeds 3.5·MAD
+      ("b", 6L, 1.0), ("b", 7L, 2.0), ("b", 8L, 3.0), ("b", 9L, 4.0),
+      ("b", 10L, 100.0),
+      // key c: even count, half-integer median (1.5); devs tie — no flags
+      ("c", 11L, 1.0), ("c", 12L, 2.0)
+    ).toDF("k", "id", "v")
+    val out = TimeSeries.madAnomalies(rows, "k", "v", threshold = 3.5)
+      .collect()
+    assert(out.map(r => (r.getAs[String]("k"), r.getAs[Long]("id"))).toSet ==
+      Set(("b", 10L)))
+    // score = dev2/mad2 = 19400/200 = 97 in doubled-cent units
+    assert(out.head.getAs[Double]("score") == 97.0)
+  }
+
+  test("madAnomalies: partitioning-invariant; plan scalable; bad params rejected") {
+    val rows = (1 to 300)
+      .map(i => (s"k${i % 3}", i.toLong, if (i % 50 == 0) 900.0 else (i % 7).toDouble))
+      .toDF("k", "id", "v")
+    val a = TimeSeries.madAnomalies(rows, "k", "v").orderBy("id").collect().toSeq
+    val b = TimeSeries.madAnomalies(rows.repartition(11), "k", "v")
+      .orderBy("id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    graft.plans.PlanAudit.assertScalable(TimeSeries.madAnomalies(rows, "k", "v"))
+    intercept[IllegalArgumentException](
+      TimeSeries.madAnomalies(rows, "k", "v", threshold = 0.0))
+    intercept[IllegalArgumentException](
+      TimeSeries.madAnomalies(rows, "k", "v", scale = 0L))
+  }
 }
