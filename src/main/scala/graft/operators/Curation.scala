@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -101,6 +101,51 @@ object Curation {
           .when(col("__hb") =!= col("__ha"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
+
+  /** URL canonicalization for dedup keys — the web-curation step that
+    * collapses crawl-variant URLs of the same resource before any
+    * content hashing: lowercase scheme + host, strip the default port
+    * (:80 for http, :443 for https), drop the fragment, strip trailing
+    * slashes from the path, drop tracking query params
+    * (utm_&#42;, fbclid, gclid, msclkid, ref), and SORT the surviving params
+    * (param order is transport noise). Expects absolute http(s) URLs
+    * (`scheme://host[:port][/path][?query][#frag]`).
+    *
+    * Pure `functions` composition — whole-stage codegen'd, zero
+    * shuffle, streaming-safe — and every step (split_part-style
+    * indexing, anchored regexp, binary-collation array sort) replays
+    * exactly in DuckDB for the d23 oracle. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val scheme = lower(substring_index(noFrag, "://", 1))
+    val rest = substring_index(noFrag, "://", -1)
+    val base = substring_index(rest, "?", 1)
+    val query = when(instr(rest, "?") > 0, substring_index(rest, "?", -1))
+      .otherwise(lit(""))
+    val hostPort = lower(substring_index(base, "/", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path = regexp_replace(
+      base.substr(length(substring_index(base, "/", 1)) + 1, lit(Int.MaxValue)),
+      "/+$", "")
+    val params = array_join(
+      array_sort(filter(split(query, "&"), p =>
+        p =!= "" && !p.rlike("^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)="))),
+      "&")
+    concat(scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
+  /** URL-keyed dedup over [[canonicalizeUrl]]: one keyed aggregation
+    * per canonical URL — `n_docs` crawl variants collapsed, keeper =
+    * smallest id (deterministic; compose with d13-style quality
+    * survivor selection when content quality should pick instead).
+    * The canonical key is computed in-scan; raw URLs never shuffle. */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .groupBy(canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
 
   /** Preference-pair assembly — the DPO/RLHF reward-data step: from a
     * table of scored candidate responses, emit per prompt group the

@@ -540,6 +540,54 @@ object Graph {
           .as("jaccard"))
   }
 
+  /** Bipartite co-engagement projection — build the item–item graph
+    * from a (user, item) interaction log: edge (i, j) weighted by the
+    * number of DISTINCT users who interacted with both. This is how
+    * production pipelines manufacture the edge lists the rest of this
+    * file consumes (related-items graphs, co-citation, co-click) when
+    * no explicit graph exists.
+    *
+    * Skew control is the whole design: a user with d items yields
+    * C(d, 2) wedges, so one crawler/bot with 10⁶ items would emit
+    * 5·10¹¹ pairs. `maxPerUser` caps every user's contribution at
+    * C(cap, 2) BEFORE the self-join — the cap keeps each user's
+    * lowest item ids (a deterministic, partitioning-free rule), the
+    * standard practice for co-occurrence at corpus scale. With the cap
+    * the wedge stage is O(users · cap²), embarrassingly partitioned by
+    * user, and the (i, j) tally has map-side partial counts.
+    *
+    * `minSupport` prunes the long noise tail (weight-1 pairs dominate
+    * real logs) before the result ever materializes. All counts are
+    * exact longs. Shape: one distinct + one per-user WindowGroupLimit
+    * + one user-keyed self-join + one (i, j) aggregation. */
+  def cooccurrenceEdges(
+      interactions: DataFrame,
+      userCol: String,
+      itemCol: String,
+      maxPerUser: Int = 64,
+      minSupport: Long = 1L): DataFrame = {
+    require(maxPerUser >= 2, s"maxPerUser must be >= 2, got $maxPerUser")
+    require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
+    val ui = interactions
+      .select(
+        col(userCol).cast("long").as("__u"),
+        col(itemCol).cast("long").as("__i"))
+      .filter(col("__u").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val capped = ui
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__u")).orderBy(col("__i"))))
+      .filter(col("__rn") <= maxPerUser)
+      .select(col("__u"), col("__i"))
+    capped
+      .join(capped.select(col("__u"), col("__i").as("__j")), Seq("__u"))
+      .filter(col("__i") < col("__j"))
+      .groupBy(col("__i").as("item_a"), col("__j").as("item_b"))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minSupport)
+  }
+
   def triangleStats(
       edges: DataFrame,
       srcCol: String,

@@ -163,4 +163,71 @@ object Profile {
       .select(col("bin"), col("lo_edge"), col("hi_edge"),
         coalesce(col("__cnt"), lit(0L)).as("n"))
   }
+
+  /** Lexical corpus diagnostics per group: token/type counts,
+    * type–token ratio, and the ZIPF SLOPE — the least-squares slope of
+    * ln(frequency) on ln(rank) over the `topK` most frequent tokens.
+    * Natural text sits near −1 (Zipf's law); a slope far above it
+    * flags boilerplate/template floods, far below it flags
+    * vocabulary-starved spam — a corpus-health gate that needs no
+    * model and no reference corpus.
+    *
+    * Determinism contract (the g07 trick): both logs quantize to longs
+    * at 1e6 BEFORE the regression, so all four regression sums are
+    * exact integers accumulated order-free, and the slope is a single
+    * double division rounded to 6 — bit-stable under partitioning and
+    * oracle-replayable. Magnitudes: ln ≤ ~40e6 quantized, topK ≤ 10⁴ →
+    * every sum stays far inside long range.
+    *
+    * Scale shape: one (group, token) count aggregation (map-side
+    * partials — the same relation a tf build needs), one group-keyed
+    * stats rollup, one per-group WindowGroupLimit for the top-K, one
+    * tiny regression rollup over group×topK rows. Raw text never
+    * shuffles past tokenization. */
+  def zipfDiagnostics(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    val counts = docs
+      .select(col(groupCol).as("__g"),
+        explode(split(lower(col(textCol)), " ")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val stats = counts
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val ranked = counts
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__g"))
+          .orderBy(col("__c").desc, col("__t").asc)))
+      .filter(col("__r") <= topK)
+      .select(col("__g"),
+        round(log(col("__r").cast("double")) * 1e6, 0).cast("long").as("__x"),
+        round(log(col("__c").cast("double")) * 1e6, 0).cast("long").as("__y"))
+    val reg = ranked
+      .groupBy(col("__g"))
+      .agg(
+        count(lit(1)).as("__k"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    stats
+      .join(reg, Seq("__g"))
+      .select(
+        col("__g").as(groupCol), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        when(col("__k") * col("__sxx") - col("__sx") * col("__sx") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("__k") * col("__sxy") - col("__sx") * col("__sy"))
+              .cast("double") /
+              (col("__k") * col("__sxx") - col("__sx") * col("__sx"))
+                .cast("double"), 6))
+          .as("zipf_slope"))
+  }
 }

@@ -964,6 +964,90 @@ $langScoreCols
     * corpus — the curation pass per-document quality scoring cannot
     * express, because a template farm's boilerplate scores well
     * per-document. One group-keyed window, no join. */
+  /** URL canonicalization dedup ([[graft.operators.Curation
+    * .canonicalizeUrl]] + urlDedup): collapse crawl-variant URLs —
+    * scheme/host case, default :443 port, trailing slash, tracking
+    * params (utm_*), param order, fragments — onto one canonical key
+    * per (source, page), then keep the smallest doc id. The fixture
+    * manufactures every variant class from doc_id residues; the oracle
+    * rebuilds the same URLs and replays each canonicalization step
+    * with split_part/regexp/list primitives. */
+  val d23_url_dedup = QueryDef(
+    "d23_url_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val urls = docs.select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+          lit("://"),
+          when(col("doc_id") % 4 === 0, upper(col("source")))
+            .otherwise(col("source")),
+          lit(".Example.COM"),
+          when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+          lit("/page/"), (col("doc_id") % 20).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&id="), (col("doc_id") % 10).cast("string"),
+          lit("&b=2&a=1"),
+          when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+          .as("url"))
+      graft.operators.Curation
+        .urlDedup(urls, "doc_id", "url")
+        .orderBy(col("canon_url"))
+    },
+    Some("""
+      WITH d23_u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+               || '://'
+               || (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END)
+               || '.Example.COM'
+               || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+               || '/page/' || CAST(doc_id % 20 AS VARCHAR)
+               || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+               || '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+               || '&b=2&a=1'
+               || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        FROM documents),
+      d23_p AS (
+        SELECT doc_id,
+               lower(split_part(split_part(url, '#', 1), '://', 1)) AS sch,
+               split_part(split_part(url, '#', 1), '://', 2) AS rest
+        FROM d23_u),
+      d23_q AS (
+        SELECT doc_id, sch,
+               split_part(rest, '?', 1) AS base,
+               CASE WHEN strpos(rest, '?') > 0
+                    THEN split_part(rest, '?', 2) ELSE '' END AS qry
+        FROM d23_p),
+      d23_h AS (
+        SELECT doc_id, sch, qry,
+               lower(split_part(base, '/', 1)) AS hp,
+               regexp_replace(
+                 substr(base, length(split_part(base, '/', 1)) + 1),
+                 '/+$', '') AS path
+        FROM d23_q),
+      d23_c AS (
+        SELECT doc_id,
+               sch || '://'
+               || (CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+                        WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+                        ELSE hp END)
+               || path
+               || (CASE WHEN params = '' THEN '' ELSE '?' || params END)
+                 AS canon_url
+        FROM (
+          SELECT *,
+                 array_to_string(list_sort(list_filter(
+                   string_split(qry, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p,
+                     '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)='))),
+                   '&') AS params
+          FROM d23_h))
+      SELECT canon_url, cast(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS keeper_id
+      FROM d23_c GROUP BY 1 ORDER BY canon_url"""))
+
   val d22_domain_cap = QueryDef(
     "d22_domain_cap",
     (s, dir) =>
@@ -4061,6 +4145,57 @@ $langScoreCols
       FROM t36_c ORDER BY task_id"""
     })
 
+  /** Lexical corpus diagnostics ([[graft.operators.Profile
+    * .zipfDiagnostics]]): per-source token/type counts, type–token
+    * ratio, and the Zipf slope — ln(freq)-on-ln(rank) least squares
+    * over the top-50 tokens with both logs quantized to 1e6 longs
+    * before exact-integer regression sums (the g07 determinism trick).
+    * The model-free corpus-health gate: template floods and
+    * vocabulary-starved spam bend the slope away from Zipf's −1. */
+  val t37_zipf = QueryDef(
+    "t37_zipf",
+    (s, dir) =>
+      graft.operators.Profile
+        .zipfDiagnostics(Tables(s, dir).documents, "source", "text", topK = 50)
+        .orderBy(col("source")),
+    Some("""
+      WITH t37_tok AS (
+        SELECT source AS g,
+               unnest(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS t
+        FROM documents),
+      t37_c AS (
+        SELECT g, t, cast(count(*) AS BIGINT) AS c
+        FROM t37_tok GROUP BY 1, 2),
+      t37_s AS (
+        SELECT g, cast(sum(c) AS BIGINT) AS n_tokens,
+               cast(count(*) AS BIGINT) AS n_types
+        FROM t37_c GROUP BY 1),
+      t37_r AS (
+        SELECT g,
+               CAST(round(ln(r) * 1000000.0, 0) AS BIGINT) AS x,
+               CAST(round(ln(c) * 1000000.0, 0) AS BIGINT) AS y
+        FROM (SELECT g, c,
+                     row_number() OVER (PARTITION BY g
+                       ORDER BY c DESC, t ASC) AS r
+              FROM t37_c)
+        WHERE r <= 50),
+      t37_reg AS (
+        SELECT g, cast(count(*) AS BIGINT) AS k,
+               cast(sum(x) AS BIGINT) AS sx, cast(sum(y) AS BIGINT) AS sy,
+               cast(sum(x * y) AS BIGINT) AS sxy,
+               cast(sum(x * x) AS BIGINT) AS sxx
+        FROM t37_r GROUP BY 1)
+      SELECT s.g AS source, s.n_tokens, s.n_types,
+             round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS ttr,
+             CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+                  ELSE round(CAST(k * sxy - sx * sy AS DOUBLE)
+                             / CAST(k * sxx - sx * sx AS DOUBLE), 6)
+             END AS zipf_slope
+      FROM t37_s s JOIN t37_reg r2 ON s.g = r2.g
+      ORDER BY source"""))
+
   /** Preference-pair assembly ([[graft.operators.Curation
     * .preferencePairs]]): the DPO/reward-model data step — per prompt
     * group, the (chosen, rejected) pair at maximal exact-score
@@ -4605,6 +4740,40 @@ $langScoreCols
         .orderBy(col("vec_id"))
     },
     Some(kCoreOracle(k = 12, iters = 4)))
+
+  /** Co-engagement graph build ([[graft.operators.Graph
+    * .cooccurrenceEdges]]): project the (user, item) bipartite
+    * interaction log onto item–item edges weighted by distinct shared
+    * users — how pipelines MANUFACTURE the edge lists g01–g08 consume
+    * when no explicit graph exists. Items are the JSON `k` prop; the
+    * per-user degree cap (the bot/crawler wedge bound) and the
+    * min-support noise prune both replay in the oracle. */
+  val g09_cooccurrence = QueryDef(
+    "g09_cooccurrence",
+    (s, dir) =>
+      graft.operators.Graph
+        .cooccurrenceEdges(
+          Tables(s, dir).events.select(
+            col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item")),
+          "user_id", "item", maxPerUser = 64, minSupport = 3L)
+        .orderBy(col("item_a"), col("item_b")),
+    Some("""
+      WITH g09_ui AS (
+        SELECT DISTINCT user_id AS u,
+               cast(json_extract_string(props, '$.k') AS BIGINT) AS i
+        FROM events),
+      g09_nn AS (
+        SELECT u, i FROM g09_ui WHERE u IS NOT NULL AND i IS NOT NULL),
+      g09_c AS (
+        SELECT u, i FROM (
+          SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+          FROM g09_nn) WHERE rn <= 64)
+      SELECT a.i AS item_a, b.i AS item_b,
+             cast(count(*) AS BIGINT) AS weight
+      FROM g09_c a JOIN g09_c b ON a.u = b.u AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= 3
+      ORDER BY item_a, item_b"""))
 
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
@@ -5800,14 +5969,14 @@ $langScoreCols
     t25_unigram_learned, t26_unigram_vocab, t27_unigram_encode,
     t28_retrieval_metrics, t29_tokenizer_fertility, t30_span_corruption,
     t31_ngram_overlap, t32_wordpiece_encode, t33_eval_metrics,
-    t34_ccnet_buckets, t35_calibration, t36_pass_at_k,
+    t34_ccnet_buckets, t35_calibration, t36_pass_at_k, t37_zipf,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
     d11_semdedup, d12_embed_decontaminate, d13_dedup_survivors,
     d14_contamination, d15_lsh_recall, d16_dup_spans, d17_dedup_span_removal,
     d18_span_probe_indexed, d19_decontaminate_spans, d20_edit_verify,
-    d21_containment, d22_domain_cap,
+    d21_containment, d22_domain_cap, d23_url_dedup,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,
@@ -5825,5 +5994,6 @@ $langScoreCols
     p26_pipeline_demo, p27_sft_turns, p28_mixture_resample,
     p29_preference_pairs,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
-    g05_communities, g06_triangles, g07_link_prediction, g08_kcore)
+    g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
+    g09_cooccurrence)
 }

@@ -73,4 +73,44 @@ class CurationSpec extends SparkSpec {
     graft.plans.PlanAudit.assertScalable(
       Curation.preferencePairs(responses, "prompt", "id", "s"))
   }
+
+  test("canonicalizeUrl: every variant class collapses; benign parts survive") {
+    val cases = Seq(
+      // scheme/host case + default port + fragment
+      ("HTTPS://WWW.Example.COM:443/a/b#frag", "https://www.example.com/a/b"),
+      ("http://host.com:80/x", "http://host.com/x"),
+      // NON-default port survives
+      ("http://host.com:8080/x", "http://host.com:8080/x"),
+      // trailing slashes stripped; bare host stays bare
+      ("https://h.com/a/b///", "https://h.com/a/b"),
+      ("https://h.com/", "https://h.com"),
+      ("https://h.com", "https://h.com"),
+      // tracking params dropped, rest sorted; all-tracking -> no query
+      ("https://h.com/p?utm_source=x&b=2&a=1&fbclid=z", "https://h.com/p?a=1&b=2"),
+      ("https://h.com/p?utm_campaign=c&gclid=g", "https://h.com/p"),
+      // ref is tracking; id and page are not
+      ("https://h.com/p?ref=tw&page=3&id=7", "https://h.com/p?id=7&page=3"),
+      // empty query handled
+      ("https://h.com/p?", "https://h.com/p"))
+    val df = cases.map(_._1).toDF("url")
+      .select(Curation.canonicalizeUrl(col("url")).as("c"))
+    assert(df.collect().map(_.getString(0)).toSeq == cases.map(_._2))
+  }
+
+  test("urlDedup: variants group to one key, keeper is the smallest id") {
+    val docs = Seq(
+      (1L, "https://h.com/p?b=2&a=1"),
+      (2L, "HTTPS://H.COM:443/p/?a=1&b=2&utm_source=x"),
+      (3L, "https://h.com/p?a=1&b=2#frag"),
+      (4L, "https://h.com/other")
+    ).toDF("id", "url")
+    val got = Curation.urlDedup(docs, "id", "url")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "https://h.com/p?a=1&b=2" -> (3L, 1L),
+      "https://h.com/other" -> (1L, 4L)))
+    // canonicalization is a pure projection: zero-shuffle before the agg
+    graft.plans.PlanAudit.assertScalable(Curation.urlDedup(docs, "id", "url"))
+  }
 }

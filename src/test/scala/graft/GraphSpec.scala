@@ -444,4 +444,39 @@ class GraphSpec extends SparkSpec {
       .toMap
     assert(got2 == got)
   }
+
+  test("cooccurrenceEdges: distinct-user weights, degree cap, min-support") {
+    import spark.implicits._
+    // u1: items 1,2,3; u2: items 1,2 (twice — distinct collapses);
+    // u3: items 2,3; u4: item 1 only (no wedge)
+    val log = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 2L), (2L, 1L),
+      (3L, 2L), (3L, 3L),
+      (4L, 1L)
+    ).toDF("user", "item")
+    val got = Graph.cooccurrenceEdges(log, "user", "item")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("weight")).toMap
+    assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 2L))
+    // min-support prunes the weight-1 pair
+    val pruned = Graph.cooccurrenceEdges(log, "user", "item", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == Set((1L, 2L), (2L, 3L)))
+    // cap=2 keeps each user's LOWEST item ids: u1 -> {1,2}, so (1,3)/(2,3)
+    // lose u1's contribution and (2,3) keeps u3's
+    val capped = Graph.cooccurrenceEdges(log, "user", "item", maxPerUser = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("weight")).toMap
+    assert(capped == Map((1L, 2L) -> 2L, (2L, 3L) -> 1L))
+    // partitioning-invariant
+    val again = Graph.cooccurrenceEdges(log.repartition(5), "user", "item")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("weight")).toMap
+    assert(again == got)
+    intercept[IllegalArgumentException](
+      Graph.cooccurrenceEdges(log, "user", "item", maxPerUser = 1))
+    intercept[IllegalArgumentException](
+      Graph.cooccurrenceEdges(log, "user", "item", minSupport = 0L))
+  }
 }

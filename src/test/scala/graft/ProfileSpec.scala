@@ -107,4 +107,52 @@ class ProfileSpec extends SparkSpec {
     val plan = approx.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), "approx profile must stay one-pass mergeable")
   }
+
+  // ---------------- Zipf diagnostics ----------------
+
+  test("zipfDiagnostics: counts, ttr, and hand-replayed quantized regression") {
+    import spark.implicits._
+    // group A: "a"×8 "b"×4 "c"×2 "d"×1 (a geometric rank-frequency),
+    // group B: every token once (slope undefined at equal counts? no —
+    // counts all 1, ln(c)=0 for every rank, slope = 0)
+    val aText = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val docs = Seq(("A", aText), ("B", "u v w x")).toDF("g", "text")
+    val out = Profile.zipfDiagnostics(docs, "g", "text", topK = 50)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_tokens") == 15L && a.getAs[Long]("n_types") == 4L)
+    assert(a.getAs[Double]("ttr") == 0.266667)
+    // replay the quantized regression in test code
+    val pts = Seq((1, 8), (2, 4), (3, 2), (4, 1)).map { case (r, c) =>
+      (math.round(math.log(r.toDouble) * 1e6),
+        math.round(math.log(c.toDouble) * 1e6)) }
+    val (k, sx, sy) = (pts.size.toLong, pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = BigDecimal((k * sxy - sx * sy).toDouble / (k * sxx - sx * sx).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a.getAs[Double]("zipf_slope") == slope)
+    // near -1.5 for this halving distribution (ln2-per-rank-step bends it)
+    assert(slope < -1.0 && slope > -2.0)
+    val b = out("B")
+    assert(b.getAs[Long]("n_types") == 4L && b.getAs[Double]("zipf_slope") == 0.0)
+  }
+
+  test("zipfDiagnostics: partitioning-invariant; single-type group yields null slope") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (s"g${i % 2}",
+      (1 to (i % 5 + 1)).map(j => s"tok${(i * j) % 13}").mkString(" ")))
+      .toDF("g", "text")
+    val a = Profile.zipfDiagnostics(docs, "g", "text").orderBy("g").collect().toSeq
+    val b = Profile.zipfDiagnostics(docs.repartition(7), "g", "text")
+      .orderBy("g").collect().toSeq
+    assert(a == b)
+    // one distinct token: k=1 → zero denominator → null, not a crash
+    val one = Profile.zipfDiagnostics(
+      Seq(("s", "same same same")).toDF("g", "text"), "g", "text").collect().head
+    assert(one.isNullAt(one.fieldIndex("zipf_slope")))
+    intercept[IllegalArgumentException](
+      Profile.zipfDiagnostics(docs, "g", "text", topK = 1))
+  }
 }
