@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling — the way a 100 TB pipeline samples:
@@ -185,6 +185,48 @@ object Sampling {
       .select(col(idCol), col(groupCol),
         round(col("__accept"), 6).as("accept_prob"),
         weightedKeep(col(idCol), col("__accept"), buckets).as("kept"))
+  }
+
+  /** Temperature-scaled mixture resampling — the mT5/XLM-R alpha
+    * sampling rule: rebalance group masses from p_l ∝ n_l to
+    * q_l ∝ n_l^alpha (alpha < 1 upsamples the tail RELATIVELY by
+    * thinning the head), implemented as per-group thinning with
+    *   accept_l = (n_l / n_min)^(alpha−1)
+    * so the smallest group keeps everything and group masses land
+    * ∝ n_l^alpha exactly — no targets table to maintain, unlike
+    * [[mixtureResample]], just the one temperature knob.
+    *
+    * Determinism: the exponent evaluates once per GROUP as
+    * exp((alpha−1)·(ln n_l − ln n_min)) and quantizes to a long
+    * threshold at `buckets` before any per-row decision; rows then
+    * keep via the integer-vs-integer xxhash64 compare (no doubles in
+    * the row path). The per-group ln/exp follow the t12/g07
+    * round-over-libm contract.
+    *
+    * Scale shape: one (group) count aggregation, a broadcast
+    * single-row min, and a broadcast rate join back onto the scan —
+    * corpus rows never shuffle, and the same plan runs as a stateless
+    * streaming select past the (static) rate table. */
+  def temperatureResample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      alpha: Double,
+      buckets: Long = 1000000L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(buckets >= 2L, s"buckets must be >= 2, got $buckets")
+    val sz = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val mn = sz.agg(min(col("__n")).as("__nmin"))
+    val rates = sz.crossJoin(broadcast(mn))
+      .select(col(groupCol),
+        round(exp(lit(alpha - 1.0) *
+          (log(col("__n").cast("double")) - log(col("__nmin").cast("double"))))
+          * buckets.toDouble, 0).cast("long").as("__aq"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        round(col("__aq").cast("double") / buckets.toDouble, 6)
+          .as("accept_prob"),
+        (pmod(xxhash64(col(idCol)), lit(buckets)) < col("__aq")).as("kept"))
   }
 
   /** Per-group document QUOTA — the RefinedWeb/C4-style cap on how many

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 
@@ -447,6 +448,102 @@ object Scoring {
         when(col("n") < k, lit(null).cast("double"))
           .otherwise(when(col("n") - col("n_correct") < k, lit(1.0))
             .otherwise(round(lit(1.0) - failProd, 6))))
+    }
+  }
+
+  /** Bradley–Terry skill ratings from a pairwise win/loss log — the
+    * arena-eval aggregation (Chatbot-Arena-style model comparison,
+    * annotator preference consolidation): find ratings r with
+    * P(i beats j) = r_i/(r_i + r_j), fit by the classic MM iteration
+    * (Hunter 2004):  r_i ← W_i / Σ_j n_ij/(r_i + r_j), renormalized to
+    * mean `scale` each round. Unlike naive win-RATE ranking this
+    * accounts for opponent strength — beating strong opponents counts
+    * more — which is the entire point of an arena.
+    *
+    * Determinism contract (the g01 discipline): ratings are longs at
+    * `scale`; each round's pair contribution, rating update, and
+    * renormalization are integer multiply-then-truncating-divide, so
+    * `iters` rounds replay bit-for-bit in any engine whose integer
+    * division truncates (DuckDB `//` on these non-negative values).
+    * Winless players clamp to rating 1 (MM sends them to 0, which
+    * would poison later divisions). Long-range budget: with P players
+    * and up to ~9·10⁶ matches per pair at scale 1e6, every
+    * intermediate stays under 2⁶³ for P ≤ ~9000 — the arena regime;
+    * shrink `scale` for bigger leagues.
+    *
+    * Scale shape per round — Pregel-like, all relations player- or
+    * pair-sized after the first aggregation: one (pair) double rating
+    * join, one per-player contribution sum, one broadcast single-row
+    * renormalization. The raw match log aggregates ONCE up front; the
+    * loop never rescans it. Lineage is cut per round via
+    * `checkpointer` ([[Checkpoint.reliable]] for executor-loss-safe
+    * long runs). */
+  def bradleyTerryQuantized(
+      matches: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 5,
+      scale: Long = 1000000L,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale >= 1000L, s"scale must be >= 1000, got $scale")
+    val pairs = matches
+      .select(
+        col(winnerCol).cast("long").as("__w"),
+        col(loserCol).cast("long").as("__l"))
+      .filter(col("__w") =!= col("__l") &&
+        col("__w").isNotNull && col("__l").isNotNull)
+      .select(
+        least(col("__w"), col("__l")).as("a"),
+        greatest(col("__w"), col("__l")).as("b"),
+        when(col("__w") < col("__l"), 1L).otherwise(0L).as("__iswa"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("__iswa")).as("wa"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = checkpointer.cut(
+        pairs.select(col("a").as("p"), col("wa").as("__wp"), col("n"))
+          .unionByName(pairs.select(col("b").as("p"),
+            (col("n") - col("wa")).as("__wp"), col("n")))
+          .groupBy(col("p"))
+          .agg(sum(col("__wp")).as("wins"), sum(col("n")).as("n_matches")),
+        eager = true)
+      var r = stats.select(col("p"), lit(scale).as("r"))
+      for (_ <- 0 until iters) {
+        val pr = pairs
+          .join(r.select(col("p").as("a"), col("r").as("__ra")), Seq("a"))
+          .join(r.select(col("p").as("b"), col("r").as("__rb")), Seq("b"))
+          .withColumn("__c",
+            expr(s"(n * ${scale}L * ${scale}L) div (__ra + __rb)"))
+        val denom = pr
+          .select(explode(array(
+            struct(col("a").as("p"), col("__c").as("c")),
+            struct(col("b").as("p"), col("__c").as("c")))).as("x"))
+          .select(col("x.p").as("p"), col("x.c").as("c"))
+          .groupBy(col("p")).agg(sum(col("c")).as("__d"))
+        val rnew = stats
+          .join(denom, Seq("p"))
+          .select(col("p"),
+            greatest(lit(1L),
+              expr(s"(wins * ${scale}L * ${scale}L) div __d")).as("__rn"))
+        val tot = rnew.agg(
+          sum(col("__rn")).as("__t"), count(lit(1)).as("__np"))
+        r = checkpointer.cut(
+          rnew.crossJoin(broadcast(tot))
+            .select(col("p"),
+              greatest(lit(1L),
+                expr(s"(__rn * (__np * ${scale}L)) div __t")).as("r")),
+          eager = true)
+      }
+      stats
+        .join(r, Seq("p"))
+        .select(
+          col("p").as("player"), col("n_matches"), col("wins"),
+          col("r").as("rating_q"),
+          round(col("r").cast("double") / scale.toDouble, 6).as("rating"))
+    } finally {
+      pairs.unpersist(blocking = false)
+      ()
     }
   }
 }

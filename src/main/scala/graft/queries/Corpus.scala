@@ -744,6 +744,36 @@ $langScoreCols
     * (en, ~43% of docs) thins to ~20%-share rate while minority
     * languages keep everything; the oracle replays the group sizes,
     * the rate arithmetic, and the bit-exact xxhash64 keep. */
+  /** Temperature-scaled mixture ([[graft.operators.Sampling
+    * .temperatureResample]]): the mT5/XLM-R alpha-sampling rule —
+    * group masses rebalance from ∝n to ∝n^0.5 by thinning each
+    * language at (n/n_min)^(alpha−1); the smallest language keeps
+    * everything. The per-group exponent quantizes to a long threshold
+    * before the integer xxhash64 keep, all replayed in the oracle. */
+  val p30_temperature_resample = QueryDef(
+    "p30_temperature_resample",
+    (s, dir) =>
+      graft.operators.Sampling
+        .temperatureResample(
+          Tables(s, dir).documents, "doc_id", "lang", alpha = 0.5)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH p30_n AS (
+        SELECT lang, cast(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+      p30_m AS (SELECT cast(min(n) AS BIGINT) AS nmin FROM p30_n),
+      p30_r AS (
+        SELECT lang,
+               CAST(round(exp(-0.5 *
+                 (ln(CAST(n AS DOUBLE)) - ln(CAST(nmin AS DOUBLE))))
+                 * 1000000.0, 0) AS BIGINT) AS aq
+        FROM p30_n CROSS JOIN p30_m)
+      SELECT d.doc_id, d.lang,
+             round(CAST(aq AS DOUBLE) / 1000000.0, 6) AS accept_prob,
+             CAST(((${OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("d.doc_id")))}
+                    % 1000000) + 1000000) % 1000000 AS BIGINT) < aq AS kept
+      FROM documents d JOIN p30_r USING (lang)
+      ORDER BY d.doc_id"""))
+
   val p28_mixture_resample = QueryDef(
     "p28_mixture_resample",
     (s, dir) =>
@@ -4196,6 +4226,84 @@ $langScoreCols
       FROM t37_s s JOIN t37_reg r2 ON s.g = r2.g
       ORDER BY source"""))
 
+  /** Exact oracle for t38: the quantized Bradley–Terry MM unrolled —
+    * per round, one MATERIALIZED pair-contribution CTE (integer
+    * truncating divisions, `//` = `div` on these non-negative longs),
+    * a per-player denominator sum, the clamped rating update, and the
+    * broadcast renormalization. */
+  private def bradleyTerryOracle(iters: Int, scale: Long): String = {
+    val S = scale.toString
+    val rounds = (1 to iters).map { i =>
+      s"""
+      j$i AS MATERIALIZED (
+        SELECT a, b, (n * $S * $S) // (ra.r + rb.r) AS c
+        FROM t38_pr JOIN r${i - 1} ra ON ra.p = t38_pr.a
+                    JOIN r${i - 1} rb ON rb.p = t38_pr.b),
+      c$i AS (
+        SELECT p, cast(sum(c) AS BIGINT) AS d FROM (
+          SELECT a AS p, c FROM j$i UNION ALL SELECT b, c FROM j$i)
+        GROUP BY 1),
+      x$i AS (
+        SELECT s.p, greatest(1, (s.wins * $S * $S) // c.d) AS rn
+        FROM t38_st s JOIN c$i c ON s.p = c.p),
+      t$i AS (SELECT cast(sum(rn) AS BIGINT) AS tt,
+                     cast(count(*) AS BIGINT) AS np FROM x$i),
+      r$i AS MATERIALIZED (
+        SELECT p, cast(greatest(1, (rn * (np * $S)) // tt) AS BIGINT) AS r
+        FROM x$i CROSS JOIN t$i)"""
+    }.mkString(",")
+    s"""
+      WITH t38_e AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS qv,
+               user_id % 8 AS p1,
+               (user_id + 1 +
+                (CAST(json_extract_string(props, '$$.k') AS BIGINT) % 7)) % 8
+                 AS p2
+        FROM events),
+      t38_m AS (
+        SELECT CASE WHEN qv % 2 = 0 THEN p1 ELSE p2 END AS w,
+               CASE WHEN qv % 2 = 0 THEN p2 ELSE p1 END AS l
+        FROM t38_e WHERE p1 IS NOT NULL AND p2 IS NOT NULL),
+      t38_pr AS MATERIALIZED (
+        SELECT least(w, l) AS a, greatest(w, l) AS b,
+               cast(count(*) AS BIGINT) AS n,
+               cast(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS wa
+        FROM t38_m WHERE w <> l GROUP BY 1, 2),
+      t38_st AS MATERIALIZED (
+        SELECT p, cast(sum(wp) AS BIGINT) AS wins, cast(sum(n) AS BIGINT) AS nm
+        FROM (SELECT a AS p, wa AS wp, n FROM t38_pr
+              UNION ALL SELECT b, n - wa, n FROM t38_pr)
+        GROUP BY 1),
+      r0 AS (SELECT p, CAST($S AS BIGINT) AS r FROM t38_st),$rounds
+      SELECT s.p AS player, s.nm AS n_matches, s.wins,
+             r.r AS rating_q,
+             round(CAST(r.r AS DOUBLE) / $S.0, 6) AS rating
+      FROM t38_st s JOIN r$iters r ON s.p = r.p
+      ORDER BY player"""
+  }
+
+  /** Bradley–Terry arena ratings ([[graft.operators.Scoring
+    * .bradleyTerryQuantized]]): pairwise preference aggregation with
+    * opponent-strength correction — the Chatbot-Arena evaluation
+    * shape. Fixture: events as an 8-player match log (players and
+    * winners derived from user/prop/value residues); 4 quantized MM
+    * rounds replay bit-for-bit through the unrolled oracle. */
+  val t38_bradley_terry = QueryDef(
+    "t38_bradley_terry",
+    (s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val qv = round(col("value") * 100, 0).cast("long")
+      val p1 = pmod(col("user_id"), lit(8L))
+      val p2 = pmod(col("user_id") + 1L + pmod(k, lit(7L)), lit(8L))
+      val m = Tables(s, dir).events.select(
+        when(qv % 2 === 0, p1).otherwise(p2).as("winner"),
+        when(qv % 2 === 0, p2).otherwise(p1).as("loser"))
+      graft.operators.Scoring
+        .bradleyTerryQuantized(m, "winner", "loser", iters = 4)
+        .orderBy(col("player"))
+    },
+    Some(bradleyTerryOracle(iters = 4, scale = 1000000L)))
+
   /** Preference-pair assembly ([[graft.operators.Curation
     * .preferencePairs]]): the DPO/reward-model data step — per prompt
     * group, the (chosen, rejected) pair at maximal exact-score
@@ -5970,6 +6078,7 @@ $langScoreCols
     t28_retrieval_metrics, t29_tokenizer_fertility, t30_span_corruption,
     t31_ngram_overlap, t32_wordpiece_encode, t33_eval_metrics,
     t34_ccnet_buckets, t35_calibration, t36_pass_at_k, t37_zipf,
+    t38_bradley_terry,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
@@ -5992,7 +6101,7 @@ $langScoreCols
     p20_incremental_clusters, p21_drift_psi, p22_corpus_fingerprint,
     p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
     p26_pipeline_demo, p27_sft_turns, p28_mixture_resample,
-    p29_preference_pairs,
+    p29_preference_pairs, p30_temperature_resample,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence)

@@ -349,4 +349,46 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.quotaCap(docs, "src", 1, Seq.empty))
   }
+
+  // ---------------- temperatureResample ----------------
+
+  test("temperatureResample: alpha-scaled rates, smallest group keeps all") {
+    // group big: 16 docs, small: 4 docs, tiny: 1 doc
+    val docs = ((1 to 16).map(i => (i.toLong, "big")) ++
+      (17 to 20).map(i => (i.toLong, "small")) ++ Seq((21L, "tiny")))
+      .toDF("id", "g")
+    val out = Sampling.temperatureResample(docs, "id", "g", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // accept = (n/nmin)^(alpha-1) = (n/1)^-0.5
+    assert(out(1L).getAs[Double]("accept_prob") == 0.25)    // 16^-0.5
+    assert(out(17L).getAs[Double]("accept_prob") == 0.5)    // 4^-0.5
+    assert(out(21L).getAs[Double]("accept_prob") == 1.0 &&
+      out(21L).getAs[Boolean]("kept"))
+    // alpha = 1: identity mixture, everything kept at rate 1
+    val id = Sampling.temperatureResample(docs, "id", "g", alpha = 1.0)
+      .collect()
+    assert(id.forall(r => r.getAs[Double]("accept_prob") == 1.0 &&
+      r.getAs[Boolean]("kept")))
+    // deterministic under repartitioning
+    val again = Sampling
+      .temperatureResample(docs.repartition(7), "id", "g", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(again == out.view.mapValues(_.toSeq).toMap)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureResample(docs, "id", "g", alpha = 0.0))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureResample(docs, "id", "g", alpha = 1.5))
+  }
+
+  test("temperatureResample: realized masses land near n^alpha shares") {
+    val docs = ((1 to 4000).map(i => (i.toLong, "a")) ++
+      (4001 to 5000).map(i => (i.toLong, "b")))
+      .toDF("id", "g")
+    val kept = Sampling.temperatureResample(docs, "id", "g", alpha = 0.5)
+      .filter(col("kept")).groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected: b keeps ~1000, a keeps ~4000/2 = 2000 -> ratio 2:1 = (4:1)^0.5
+    assert(kept("b") == 1000L)
+    assert(math.abs(kept("a") - 2000L) < 150, s"got ${kept("a")}")
+  }
 }

@@ -243,6 +243,66 @@ class ScoringSpec extends SparkSpec {
     }
   }
 
+  // ---------------- Bradley–Terry ----------------
+
+  test("bradleyTerryQuantized: order, opponent strength, winless clamp") {
+    import graft.operators.Scoring
+    // A dominates: beats B 3-1, beats C 4-0; B beats C 3-1; D loses all 4
+    val matches = (
+      Seq.fill(3)((1L, 2L)) ++ Seq((2L, 1L)) ++
+        Seq.fill(4)((1L, 3L)) ++
+        Seq.fill(3)((2L, 3L)) ++ Seq((3L, 2L)) ++
+        Seq.fill(4)((1L, 4L))
+      ).toDF("winner", "loser")
+    val out = Scoring.bradleyTerryQuantized(matches, "winner", "loser", iters = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val rating = out.view.mapValues(_.getAs[Long]("rating_q")).toMap
+    assert(rating(1L) > rating(2L) && rating(2L) > rating(3L) &&
+      rating(3L) > rating(4L))
+    assert(out(1L).getAs[Long]("wins") == 11L &&
+      out(1L).getAs[Long]("n_matches") == 12L)
+    // winless D clamps above the MM zero, never poisons a division
+    assert(rating(4L) >= 1L)
+    // ratings sum to ~players x scale (renormalized each round)
+    assert(math.abs(rating.values.sum - 4L * 1000000L) <= 4)
+  }
+
+  test("bradleyTerryQuantized: beats win-rate ranking on opponent strength") {
+    import graft.operators.Scoring
+    // E and F both go 2-2, but E's wins are over the strong champion G
+    // (who beats everyone else), F's over the weak H (who loses to all).
+    val matches = (
+      Seq.fill(2)((5L, 7L)) ++ Seq.fill(2)((7L, 5L)) ++   // E 2-2 vs G
+        Seq.fill(2)((6L, 8L)) ++ Seq.fill(2)((8L, 6L)) ++ // F 2-2 vs H
+        Seq.fill(4)((7L, 8L)) ++                          // G crushes H
+        Seq.fill(2)((7L, 6L)) ++ Seq.fill(2)((5L, 8L))    // cross games
+      ).toDF("winner", "loser")
+    val r = Scoring.bradleyTerryQuantized(matches, "winner", "loser", iters = 12)
+      .collect().map(x => x.getLong(0) -> x.getAs[Long]("rating_q")).toMap
+    // same raw win counts for E and F...
+    assert(r(5L) > r(6L), s"strong-schedule player must outrank: $r")
+    assert(r(7L) > r(5L) && r(6L) > r(8L))
+  }
+
+  test("bradleyTerryQuantized: partitioning-invariant; self-matches dropped") {
+    import graft.operators.Scoring
+    val matches = (1 to 120)
+      .map(i => ((i % 5).toLong, ((i % 5 + i % 3 + 1) % 5).toLong))
+      .toDF("winner", "loser")
+    val a = Scoring.bradleyTerryQuantized(matches, "winner", "loser")
+      .orderBy("player").collect().toSeq
+    val b = Scoring.bradleyTerryQuantized(matches.repartition(13), "winner", "loser")
+      .orderBy("player").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // self-matches contribute nothing: adding them changes no rating
+    val withSelf = matches.unionByName(Seq((1L, 1L), (2L, 2L)).toDF("winner", "loser"))
+    val c = Scoring.bradleyTerryQuantized(withSelf, "winner", "loser")
+      .orderBy("player").collect().toSeq
+    assert(c == a)
+    intercept[IllegalArgumentException](
+      Scoring.bradleyTerryQuantized(matches, "winner", "loser", iters = 0))
+  }
+
   test("passAtK: partitioning-invariant; bad ks rejected") {
     val samples = (1 to 200).map(i => (i % 9, i % 4 == 0))
       .toDF("task", "correct")
