@@ -187,6 +187,43 @@ object Sampling {
         weightedKeep(col(idCol), col("__accept"), buckets).as("kept"))
   }
 
+  /** Token-BALANCED training shards — cut the (deterministically
+    * shuffled) corpus into shards of ~`targetWeight` tokens EACH,
+    * rather than [[shuffleShards]]' equal document COUNTS: trainer
+    * throughput is token-bound, and a shard of 1000 long documents is
+    * not the same unit of work as a shard of 1000 tweets. Documents
+    * are never split: a document belongs to the shard its leading
+    * token offset lands in, so every shard's mass is `targetWeight`
+    * ± one document.
+    *
+    * The global token offset is the distributed prefix sum
+    * ([[graft.plans.PrefixSumExec]]) under the (xxhash64(id, seed),
+    * id) shuffle order — a range-partitioned parallel sort, never a
+    * single-task window — so the assignment is a pure function of
+    * (ids, weights, seed): reproducible across partitionings and
+    * engines, and a different `seed` reshuffles without extra state.
+    * Output: (id, weight, global_offset, shard, pos-within-shard). */
+  def balancedShards(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      targetWeight: Long,
+      seed: Long = 42L): DataFrame = {
+    require(targetWeight >= 1L, s"targetWeight must be >= 1, got $targetWeight")
+    val h = xxhash64(col(idCol), lit(seed))
+    graft.Frame
+      .withPrefixSum(df.select(col(idCol), col(weightCol)),
+        Seq(h.asc, col(idCol).asc), col(weightCol).cast("long"),
+        "__idx", "__off")
+      .withColumn("shard", expr(s"__off div ${targetWeight}L"))
+      .select(col(idCol), col(weightCol),
+        col("__off").as("global_offset"), col("shard"),
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard")).orderBy(col("__idx")))
+          .cast("long").as("pos"))
+  }
+
   /** Temperature-scaled mixture resampling — the mT5/XLM-R alpha
     * sampling rule: rebalance group masses from p_l ∝ n_l to
     * q_l ∝ n_l^alpha (alpha < 1 upsamples the tail RELATIVELY by

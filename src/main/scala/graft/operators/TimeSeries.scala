@@ -88,29 +88,59 @@ object TimeSeries {
       keyCol: String,
       valueCol: String,
       threshold: Double = 3.5,
+      scale: Long = 100L): DataFrame =
+    madScore(df, madBaseline(df, keyCol, valueCol, scale),
+      keyCol, valueCol, threshold, scale)
+
+  /** The per-key robust baseline [[madAnomalies]] scores against:
+    * `med2` = 2·median and `mad2` = median absolute deviation, both in
+    * DOUBLED quantized units (exact longs — see the determinism
+    * contract above). Key-sized; persist or broadcast it for serving. */
+  def madBaseline(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      scale: Long = 100L): DataFrame = {
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    val base = df.select(col(keyCol),
+      round(col(valueCol) * scale.toDouble, 0).cast("long").as("__qv"))
+    val med = base
+      .groupBy(col(keyCol))
+      // 2·median of longs is an exact integer; track deviations in
+      // doubled units so they stay longs and the MAD percentile is
+      // exact too.
+      .agg((expr("percentile(__qv, 0.5)") * 2.0).cast("long").as("med2"))
+    base
+      .join(med, Seq(keyCol))
+      .withColumn("__dev2", abs(col("__qv") * 2L - col("med2")))
+      .groupBy(col(keyCol), col("med2"))
+      .agg(expr("percentile(__dev2, 0.5)").as("mad2"))
+  }
+
+  /** Score rows against a (possibly pre-computed) [[madBaseline]] —
+    * the SERVING face: the baseline is a static key-sized relation, so
+    * this is a stateless broadcast-join projection that runs unchanged
+    * over a Structured Stream (batch ≡ stream pinned in
+    * StreamingSpec) — fit the robust baseline on yesterday's batch,
+    * flag today's telemetry as it arrives. */
+  def madScore(
+      df: DataFrame,
+      baseline: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      threshold: Double = 3.5,
       scale: Long = 100L): DataFrame = {
     require(scale >= 1L, s"scale must be >= 1, got $scale")
     require(threshold > 0.0, s"threshold must be > 0, got $threshold")
-    val base = df.withColumn("__qv",
-      round(col(valueCol) * scale.toDouble, 0).cast("long"))
-    val med = base
-      .groupBy(col(keyCol))
-      .agg(expr("percentile(__qv, 0.5)").as("__med"))
-    // 2·median is an exact integer; track deviations in doubled units
-    // so they stay longs and the second percentile is exact too.
-    val dev = base
-      .join(med, Seq(keyCol))
-      .withColumn("__dev2",
-        abs(col("__qv") * 2L - (col("__med") * 2.0).cast("long")))
-    val mad = dev
-      .groupBy(col(keyCol))
-      .agg(expr("percentile(__dev2, 0.5)").as("__mad2"))
-    dev
-      .join(mad, Seq(keyCol))
-      .where(col("__mad2") > 0.0 &&
-        col("__dev2").cast("double") > lit(threshold) * col("__mad2"))
+    df
+      .withColumn("__qv",
+        round(col(valueCol) * scale.toDouble, 0).cast("long"))
+      .join(broadcast(baseline), Seq(keyCol))
+      .withColumn("__dev2", abs(col("__qv") * 2L - col("med2")))
+      .where(col("mad2") > 0.0 &&
+        col("__dev2").cast("double") > lit(threshold) * col("mad2"))
       .withColumn("score",
-        round(col("__dev2").cast("double") / col("__mad2"), 6))
-      .drop("__qv", "__med", "__dev2", "__mad2")
+        round(col("__dev2").cast("double") / col("mad2"), 6))
+      .drop("__qv", "med2", "__dev2", "mad2")
   }
 }

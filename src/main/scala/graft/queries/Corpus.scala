@@ -5670,6 +5670,39 @@ $langScoreCols
       SELECT doc_id, n_chars, shard, pos
       FROM sh ORDER BY shard, pos"""))
 
+  /** Token-balanced shards ([[graft.operators.Sampling
+    * .balancedShards]]): cut the hash-shuffled corpus into shards of
+    * ~16384 chars each — equal WORK per shard, not equal document
+    * counts; documents never split (shard mass = target ± one doc).
+    * The oracle replays the chained xxhash64 shuffle order and the
+    * exclusive running sum the distributed prefix sum computes. */
+  val p31_balanced_shards = QueryDef(
+    "p31_balanced_shards",
+    (s, dir) =>
+      graft.operators.Sampling
+        .balancedShards(
+          Tables(s, dir).documents.select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", targetWeight = 16384L)
+        .orderBy(col("shard"), col("pos")),
+    Some(s"""
+      WITH p31_h AS (
+        SELECT doc_id, n_chars,
+               ${OracleSql.u2s(OracleSql.xxh64Long("42",
+                 seed = OracleSql.xxh64Long(OracleSql.s2u("doc_id"))))} AS hv
+        FROM documents),
+      p31_o AS (
+        SELECT doc_id, n_chars,
+               cast(coalesce(sum(n_chars) OVER (ORDER BY hv, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS goff,
+               hv
+        FROM p31_h)
+      SELECT doc_id, n_chars, goff AS global_offset,
+             goff // 16384 AS shard,
+             cast(row_number() OVER (PARTITION BY goff // 16384
+               ORDER BY hv, doc_id) AS BIGINT) AS pos
+      FROM p31_o ORDER BY shard, pos"""))
+
   /** Per-eval-document contamination verdict
     * ([[Dedup.contaminationReport]]): the GPT-3-appendix report — what
     * fraction of each held-out document's distinct 3-shingles occurs
@@ -6101,7 +6134,7 @@ $langScoreCols
     p20_incremental_clusters, p21_drift_psi, p22_corpus_fingerprint,
     p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
     p26_pipeline_demo, p27_sft_turns, p28_mixture_resample,
-    p29_preference_pairs, p30_temperature_resample,
+    p29_preference_pairs, p30_temperature_resample, p31_balanced_shards,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence)

@@ -350,6 +350,50 @@ class SamplingSpec extends SparkSpec {
       Sampling.quotaCap(docs, "src", 1, Seq.empty))
   }
 
+  // ---------------- balancedShards ----------------
+
+  test("balancedShards: complete permutation, bounded shard masses, exact offsets") {
+    val docs = (1 to 400).map(i => (i.toLong, (i % 90 + 10).toLong)).toDF("id", "w")
+    val out = Sampling.balancedShards(docs, "id", "w", targetWeight = 1000L)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == (1 to 400).map(_.toLong).toSet)
+    // global_offset is the exclusive running weight sum: consecutive rows
+    // (by offset) differ by exactly the predecessor's weight
+    val byOff = out.sortBy(_.getAs[Long]("global_offset"))
+    assert(byOff.head.getAs[Long]("global_offset") == 0L)
+    byOff.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("global_offset") ==
+        a.getAs[Long]("global_offset") + a.getLong(1))
+    }
+    // every non-final shard's mass is target ± max doc weight (docs are
+    // never split; assignment is by leading offset)
+    val masses = out.groupBy(_.getAs[Long]("shard"))
+      .view.mapValues(_.map(_.getLong(1)).sum).toMap
+    val last = masses.keys.max
+    val maxW = 99L
+    masses.foreach { case (sh, m) =>
+      if (sh != last)
+        assert(m > 1000L - maxW && m < 1000L + maxW, s"shard $sh mass $m")
+    }
+    // pos is dense 1..n within each shard
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq ==
+        (1 to rows.size).map(_.toLong))
+    }
+    // pure function of (ids, weights, seed): repartition-stable
+    val again = Sampling
+      .balancedShards(docs.repartition(7), "id", "w", 1000L)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(again == out.map(r => r.getLong(0) -> r.toSeq).toMap)
+    // a different seed is a different shuffle order
+    val other = Sampling.balancedShards(docs, "id", "w", 1000L, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("global_offset")).toMap
+    assert(out.exists(r =>
+      other(r.getLong(0)) != r.getAs[Long]("global_offset")))
+    intercept[IllegalArgumentException](
+      Sampling.balancedShards(docs, "id", "w", 0L))
+  }
+
   // ---------------- temperatureResample ----------------
 
   test("temperatureResample: alpha-scaled rates, smallest group keeps all") {

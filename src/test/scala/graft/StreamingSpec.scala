@@ -1061,6 +1061,34 @@ class StreamingSpec extends SparkSpec {
       assert(streaming.toSeq == batch.toSeq && streaming.nonEmpty)
     } finally q.stop()
   }
+
+  test("madScore: a batch-fit robust baseline flags a stream identically (q75 fixture)") {
+    // anomaly SERVING: fit median/MAD per key on the batch, then the
+    // stateless broadcast-join projection scores live telemetry —
+    // batch ≡ stream on the exact q75 fixture
+    val ev = Tables(spark, sf0001).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    val baseline = graft.operators.TimeSeries
+      .madBaseline(ev, "event_type", "value")
+    val dir = Files.createTempDirectory("graft-mad-stream").toString
+    ev.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = graft.operators.TimeSeries
+      .madScore(stream, baseline, "event_type", "value", threshold = 3.0)
+      .writeStream.format("memory").queryName("mad_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("mad_stream").orderBy("event_id").collect()
+      val batch = graft.operators.TimeSeries
+        .madAnomalies(ev, "event_type", "value", threshold = 3.0)
+        .orderBy("event_id").collect()
+      assert(streaming.toSeq == batch.toSeq && streaming.nonEmpty)
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
