@@ -102,6 +102,41 @@ object Curation {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Blocklist phrase filter — the safety/NSFW gate every web corpus
+    * passes (the C4 "bad words" step): count occurrences of any listed
+    * phrase (word-boundary, case-insensitive) and flag documents over
+    * `maxHits`. Phrases compile into ONE alternation regex ordered
+    * longest-first, which makes Java's leftmost-FIRST alternation
+    * agree with RE2's leftmost-LONGEST (DuckDB) on overlapping
+    * phrases — the one cross-engine regex trap here. Phrases must be
+    * plain lowercase word sequences (no regex metacharacters) so the
+    * compiled pattern is a literal alternation.
+    *
+    * Scale shape: a pure projection — the pattern compiles once per
+    * codegen task and each row pays one linear scan; no shuffle, no
+    * UDF, streams stateless. This is the right shape to ~10³ phrases;
+    * past that the upgrade path is an Aho–Corasick native kernel (the
+    * t32 WordPiece addReferenceObj pattern), not a longer regex. */
+  def blocklistFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: Seq[String],
+      maxHits: Long = 0L): DataFrame = {
+    require(phrases.nonEmpty, "blocklistFilter needs at least one phrase")
+    require(maxHits >= 0L, s"maxHits must be >= 0, got $maxHits")
+    val ok = "^[a-z0-9 ]+$".r
+    phrases.foreach(p => require(ok.matches(p),
+      s"phrases must be lowercase word sequences, got '$p'"))
+    val pattern =
+      phrases.sortBy(p => (-p.length, p)).mkString("\\b(?:", "|", ")\\b")
+    docs.select(
+      col(idCol),
+      regexp_count(lower(col(textCol)), lit(pattern)).cast("long")
+        .as("n_hits"))
+      .withColumn("blocked", col("n_hits") > maxHits)
+  }
+
   /** URL canonicalization for dedup keys — the web-curation step that
     * collapses crawl-variant URLs of the same resource before any
     * content hashing: lowercase scheme + host, strip the default port

@@ -4304,6 +4304,31 @@ $langScoreCols
     },
     Some(bradleyTerryOracle(iters = 4, scale = 1000000L)))
 
+  /** Blocklist safety filter ([[graft.operators.Curation
+    * .blocklistFilter]]): the C4-style bad-phrase gate as one
+    * longest-first alternation regex (the ordering that makes Java's
+    * leftmost-first agree with RE2's leftmost-longest), word-bounded
+    * and case-insensitive, counted per document. The oracle counts the
+    * same pattern with `regexp_extract_all`. */
+  val t39_blocklist = QueryDef(
+    "t39_blocklist",
+    (s, dir) =>
+      graft.operators.Curation
+        .blocklistFilter(
+          Tables(s, dir).documents, "doc_id", "text",
+          phrases = Seq("slow fast", "data window", "the part", "spark"),
+          maxHits = 1L)
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             cast(len(regexp_extract_all(lower(text),
+               '\b(?:data window|slow fast|the part|spark)\b')) AS BIGINT)
+               AS n_hits,
+             cast(len(regexp_extract_all(lower(text),
+               '\b(?:data window|slow fast|the part|spark)\b')) AS BIGINT) > 1
+               AS blocked
+      FROM documents ORDER BY doc_id"""))
+
   /** Preference-pair assembly ([[graft.operators.Curation
     * .preferencePairs]]): the DPO/reward-model data step — per prompt
     * group, the (chosen, rejected) pair at maximal exact-score
@@ -4882,6 +4907,54 @@ $langScoreCols
       FROM g09_c a JOIN g09_c b ON a.u = b.u AND a.i < b.i
       GROUP BY 1, 2 HAVING count(*) >= 3
       ORDER BY item_a, item_b"""))
+
+  /** 2-hop neighborhood expansion ([[graft.operators.Graph
+    * .neighborhoodProfile]]): per-node degree, exact distance-≤2
+    * reach, and the expansion ratio — the radius-2 ANF health read
+    * that separates organic connectivity from link-farm cliques.
+    * Fixture: the user–item bipartite graph from events (items
+    * offset past the user id range), where distance-2 IS
+    * co-engagement. */
+  val g10_neighborhood = QueryDef(
+    "g10_neighborhood",
+    (s, dir) =>
+      graft.operators.Graph
+        .neighborhoodProfile(
+          Tables(s, dir).events.select(
+            col("user_id").as("src"),
+            (get_json_object(col("props"), "$.k").cast("long") % 50 + 1000L)
+              .as("dst")),
+          "src", "dst")
+        .orderBy(col("node")),
+    Some("""
+      WITH g10_e AS (
+        SELECT user_id AS src,
+               (cast(json_extract_string(props, '$.k') AS BIGINT) % 50) + 1000
+                 AS dst
+        FROM events),
+      g10_u AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM g10_e
+        WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+      g10_adj AS (
+        SELECT a AS x, b AS y FROM g10_u
+        UNION ALL SELECT b, a FROM g10_u),
+      g10_deg AS (
+        SELECT x, cast(count(*) AS BIGINT) AS degree FROM g10_adj GROUP BY 1),
+      g10_p2 AS (
+        SELECT l.x, r.y
+        FROM g10_adj l JOIN g10_adj r ON l.y = r.x),
+      g10_w2 AS (
+        SELECT x, cast(count(*) AS BIGINT) AS reach2 FROM (
+          SELECT DISTINCT x, y FROM (
+            SELECT x, y FROM g10_adj UNION ALL SELECT x, y FROM g10_p2)
+          WHERE x <> y)
+        GROUP BY 1)
+      SELECT d.x AS node, d.degree, w.reach2,
+             round(CAST(w.reach2 AS DOUBLE) / CAST(d.degree AS DOUBLE), 6)
+               AS expansion
+      FROM g10_deg d JOIN g10_w2 w ON d.x = w.x
+      ORDER BY node"""))
 
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
@@ -6111,7 +6184,7 @@ $langScoreCols
     t28_retrieval_metrics, t29_tokenizer_fertility, t30_span_corruption,
     t31_ngram_overlap, t32_wordpiece_encode, t33_eval_metrics,
     t34_ccnet_buckets, t35_calibration, t36_pass_at_k, t37_zipf,
-    t38_bradley_terry,
+    t38_bradley_terry, t39_blocklist,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
@@ -6137,5 +6210,5 @@ $langScoreCols
     p29_preference_pairs, p30_temperature_resample, p31_balanced_shards,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
-    g09_cooccurrence)
+    g09_cooccurrence, g10_neighborhood)
 }

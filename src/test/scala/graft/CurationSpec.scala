@@ -74,6 +74,32 @@ class CurationSpec extends SparkSpec {
       Curation.preferencePairs(responses, "prompt", "id", "s"))
   }
 
+  test("blocklistFilter: word boundaries, overlap longest-first, case, validation") {
+    val docs = Seq(
+      (1L, "a bad apple pie"),        // overlapping phrases: ONE hit
+      (2L, "an Apple a day"),         // case-insensitive single-word hit
+      (3L, "scrapple and pineapple"), // substrings do NOT match (\b)
+      (4L, "bad apple bad apple"),    // two hits -> blocked at maxHits=1
+      (5L, "nothing here")
+    ).toDF("id", "text")
+    val got = Curation
+      .blocklistFilter(docs, "id", "text",
+        phrases = Seq("apple", "bad apple"), maxHits = 1L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_hits"),
+        r.getAs[Boolean]("blocked"))).toMap
+    assert(got == Map(
+      1L -> (1L, false), 2L -> (1L, false), 3L -> (0L, false),
+      4L -> (2L, true), 5L -> (0L, false)))
+    // phrases must be plain lowercase word sequences
+    intercept[IllegalArgumentException](
+      Curation.blocklistFilter(docs, "id", "text", Seq("Bad")))
+    intercept[IllegalArgumentException](
+      Curation.blocklistFilter(docs, "id", "text", Seq("a.c")))
+    intercept[IllegalArgumentException](
+      Curation.blocklistFilter(docs, "id", "text", Seq.empty))
+  }
+
   test("canonicalizeUrl: every variant class collapses; benign parts survive") {
     val cases = Seq(
       // scheme/host case + default port + fragment

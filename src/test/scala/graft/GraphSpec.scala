@@ -445,6 +445,34 @@ class GraphSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("neighborhoodProfile: path vs clique expansion, hand-checked reach") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus clique {10,11,12,13}
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++
+      Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L),
+        (12L, 13L))).toDF("s", "d")
+    val got = Graph.neighborhoodProfile(edges, "s", "d")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("reach2"),
+          r.getAs[Double]("expansion"))).toMap
+    // path ends see 2 nodes within distance 2; the middle sees all 4
+    assert(got(1L) == (1L, 2L, 2.0))
+    assert(got(2L) == (2L, 3L, 1.5))
+    assert(got(3L) == (2L, 4L, 2.0))
+    // clique: neighbors' neighbors are the same nodes — expansion 1.0,
+    // the link-farm signature
+    Seq(10L, 11L, 12L, 13L).foreach(n => assert(got(n) == (3L, 3L, 1.0)))
+    // partitioning-invariant (and duplicate/reversed edges collapse)
+    val noisy = edges.unionByName(edges.select(col("d").as("s"), col("s").as("d")))
+    val again = Graph.neighborhoodProfile(noisy.repartition(5), "s", "d")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("reach2"),
+          r.getAs[Double]("expansion"))).toMap
+    assert(again == got)
+  }
+
   test("cooccurrenceEdges: distinct-user weights, degree cap, min-support") {
     import spark.implicits._
     // u1: items 1,2,3; u2: items 1,2 (twice — distinct collapses);
