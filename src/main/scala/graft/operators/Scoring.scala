@@ -451,6 +451,45 @@ object Scoring {
     }
   }
 
+  /** Multiclass classifier evaluation — the confusion-matrix rollup
+    * (per-class tp / support / predicted-count, precision, recall,
+    * F1) t33's binary metrics can't express: language-ID vs labels,
+    * topic routers, quality tiers. Classes appearing only as
+    * predictions (or only as labels) still get a row — their absent
+    * ratio is NULL, not NaN, the t33 convention.
+    *
+    * Scale shape: ONE (label, pred) aggregation — at most classes²
+    * rows with map-side partials — then class-keyed rollups and joins
+    * on that tiny relation. Corpus rows die at the first aggregation;
+    * every ratio is one exact-long division rounded at the end. */
+  def multiclassMetrics(
+      scored: DataFrame,
+      labelCol: String,
+      predCol: String): DataFrame = {
+    val cm = scored
+      .groupBy(col(labelCol).as("__t"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val byTrue = cm.groupBy(col("__t")).agg(sum(col("__n")).as("n_true"))
+    val byPred = cm.groupBy(col("__p")).agg(sum(col("__n")).as("n_pred"))
+    val diag = cm.filter(col("__t") === col("__p"))
+      .select(col("__t"), col("__n").as("__tp"))
+    def ratio(num: Column, den: Column): Column =
+      when(den.isNull || den === 0L, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    byTrue
+      .join(byPred.withColumnRenamed("__p", "__t"), Seq("__t"), "full_outer")
+      .join(diag, Seq("__t"), "left")
+      .select(
+        col("__t").as("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("__tp"), lit(0L)).as("tp"))
+      .withColumn("precision", ratio(col("tp"), col("n_pred")))
+      .withColumn("recall", ratio(col("tp"), col("n_true")))
+      .withColumn("f1",
+        ratio(lit(2L) * col("tp"), col("n_true") + col("n_pred")))
+  }
+
   /** Bradley–Terry skill ratings from a pairwise win/loss log — the
     * arena-eval aggregation (Chatbot-Arena-style model comparison,
     * annotator preference consolidation): find ratings r with

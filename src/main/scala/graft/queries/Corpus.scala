@@ -109,6 +109,61 @@ $langScoreCols
         .orderBy(col("doc_id")),
     Some(langIdOracleSql))
 
+  /** Multiclass language-ID evaluation ([[graft.operators.Scoring
+    * .multiclassMetrics]]): the confusion-matrix rollup of t03's
+    * predictions against the labeled language — per-class support,
+    * predicted counts, tp, precision/recall/F1 (NULL-not-NaN when a
+    * class never occurs on one side). The oracle recomputes the same
+    * stopword-profile argmax CTEs as t03, then the same exact-count
+    * rollup. */
+  val t40_langid_eval = QueryDef(
+    "t40_langid_eval",
+    (s, dir) =>
+      graft.operators.Scoring
+        .multiclassMetrics(
+          Tables(s, dir).documents
+            .select(col("lang"), langId(col("text")).as("pred")),
+          "lang", "pred")
+        .orderBy(col("cls")),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang AS labeled_lang,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      scored AS (
+        SELECT doc_id, labeled_lang,
+$langScoreCols
+        FROM toks),
+      t40_cm AS (
+        SELECT labeled_lang AS t, $langCase AS p,
+               cast(count(*) AS BIGINT) AS n
+        FROM scored GROUP BY 1, 2),
+      t40_bt AS (SELECT t, cast(sum(n) AS BIGINT) AS n_true
+                 FROM t40_cm GROUP BY 1),
+      t40_bp AS (SELECT p AS t, cast(sum(n) AS BIGINT) AS n_pred
+                 FROM t40_cm GROUP BY 1),
+      t40_di AS (SELECT t, n AS tp FROM t40_cm WHERE t = p),
+      t40_j AS (
+        SELECT coalesce(bt.t, bp.t) AS cls,
+               coalesce(bt.n_true, 0) AS n_true,
+               coalesce(bp.n_pred, 0) AS n_pred,
+               coalesce(di.tp, 0) AS tp
+        FROM t40_bt bt
+        FULL OUTER JOIN t40_bp bp ON bt.t = bp.t
+        LEFT JOIN t40_di di ON coalesce(bt.t, bp.t) = di.t)
+      SELECT cls, n_true, n_pred, tp,
+             CASE WHEN n_pred = 0 THEN NULL
+                  ELSE round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+             END AS precision,
+             CASE WHEN n_true = 0 THEN NULL
+                  ELSE round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+             END AS recall,
+             CASE WHEN n_true + n_pred = 0 THEN NULL
+                  ELSE round(CAST(2 * tp AS DOUBLE)
+                             / CAST(n_true + n_pred AS DOUBLE), 6)
+             END AS f1
+      FROM t40_j ORDER BY cls"""))
+
   val t04_fingerprint = QueryDef(
     "t04_fingerprint",
     (s, dir) =>
@@ -6184,7 +6239,7 @@ $langScoreCols
     t28_retrieval_metrics, t29_tokenizer_fertility, t30_span_corruption,
     t31_ngram_overlap, t32_wordpiece_encode, t33_eval_metrics,
     t34_ccnet_buckets, t35_calibration, t36_pass_at_k, t37_zipf,
-    t38_bradley_terry, t39_blocklist,
+    t38_bradley_terry, t39_blocklist, t40_langid_eval,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

@@ -243,6 +243,40 @@ class ScoringSpec extends SparkSpec {
     }
   }
 
+  // ---------------- multiclass metrics ----------------
+
+  test("multiclassMetrics: hand confusion matrix, one-sided classes NULL-not-NaN") {
+    import graft.operators.Scoring
+    // truth a: 3 (2 right, 1 -> c); truth b: 2 (1 right, 1 -> a);
+    // c is PREDICTED only, d is LABELED only (never predicted)
+    val scored = Seq(
+      ("a", "a"), ("a", "a"), ("a", "c"),
+      ("b", "b"), ("b", "a"),
+      ("d", "a")
+    ).toDF("y", "p")
+    val out = Scoring.multiclassMetrics(scored, "y", "p")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b", "c", "d"))
+    val a = out("a")
+    assert(a.getAs[Long]("n_true") == 3L && a.getAs[Long]("n_pred") == 4L &&
+      a.getAs[Long]("tp") == 2L)
+    assert(a.getAs[Double]("precision") == 0.5 &&
+      a.getAs[Double]("recall") == 0.666667 &&
+      a.getAs[Double]("f1") == BigDecimal(4.0 / 7.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val c = out("c") // predicted-only: recall undefined, precision 0
+    assert(c.getAs[Long]("n_true") == 0L && c.getAs[Long]("n_pred") == 1L)
+    assert(c.isNullAt(c.fieldIndex("recall")) &&
+      c.getAs[Double]("precision") == 0.0)
+    val d = out("d") // labeled-only: precision undefined, recall 0
+    assert(d.isNullAt(d.fieldIndex("precision")) &&
+      d.getAs[Double]("recall") == 0.0 && d.getAs[Double]("f1") == 0.0)
+    // partitioning-invariant
+    val again = Scoring.multiclassMetrics(scored.repartition(5), "y", "p")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == out.view.mapValues(_.toSeq).toMap)
+  }
+
   // ---------------- Bradley–Terry ----------------
 
   test("bradleyTerryQuantized: order, opponent strength, winless clamp") {
