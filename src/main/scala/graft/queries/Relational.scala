@@ -1744,6 +1744,47 @@ object Relational {
       WHERE s.mad2 > 0.0 AND CAST(d.dev2 AS DOUBLE) > 3.0 * s.mad2
       ORDER BY d.event_type, d.event_id"""))
 
+  /** Exact heavy hitters via sketch-guided pruning
+    * ([[graft.operators.Aggregates.exactHeavyHitters]]): a mergeable
+    * Misra–Gries pass bounds the candidate set, the exact aggregation
+    * then shuffles ONLY candidate-key rows, and the run certifies its
+    * own exactness (min(top-k)·(capacity+1) > N — integer arithmetic
+    * on exact counts). The q55-bloom-join idea applied to aggregation.
+    * Fixture: a linear-skew key (floor √(orderkey mod 10⁴), count ∝
+    * 2k+1) certified at all three SFs; the oracle is the PLAIN exact
+    * top-k plus the same certification formula. */
+  val q76_heavy_hitters = QueryDef(
+    "q76_heavy_hitters",
+    (s, dir) =>
+      graft.operators.Aggregates
+        .exactHeavyHitters(
+          Tables(s, dir).lineitem.select(
+            floor(sqrt(pmod(col("l_orderkey"), lit(10000L)).cast("double")))
+              .cast("long").as("hot_key")),
+          "hot_key", k = 10, capacity = 64)
+        .select(col("hot_key"), col("cnt"), col("rank").cast("long").as("rank"),
+          col("certified"))
+        .orderBy(col("rank")),
+    Some("""
+      WITH q76_k AS (
+        SELECT CAST(floor(sqrt(CAST(l_orderkey % 10000 AS DOUBLE))) AS BIGINT)
+          AS hot_key
+        FROM lineitem),
+      q76_c AS (
+        SELECT hot_key, cast(count(*) AS BIGINT) AS cnt
+        FROM q76_k GROUP BY 1),
+      q76_t AS (
+        SELECT hot_key, cnt FROM q76_c ORDER BY cnt DESC, hot_key LIMIT 10),
+      q76_n AS (SELECT cast(count(*) AS BIGINT) AS nn FROM q76_k),
+      q76_m AS (SELECT cast(min(cnt) AS BIGINT) AS mc,
+                       cast(count(*) AS BIGINT) AS rws FROM q76_t)
+      SELECT t.hot_key, t.cnt,
+             cast(row_number() OVER (ORDER BY t.cnt DESC, t.hot_key) AS BIGINT)
+               AS rank,
+             (rws = 10 AND mc * 65 > nn) AS certified
+      FROM q76_t t CROSS JOIN q76_n CROSS JOIN q76_m
+      ORDER BY rank"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1760,5 +1801,6 @@ object Relational {
     q57_merge_upsert, q58_scd2, q59_resample_ffill, q60_fuzzy_join,
     q61_quantile_bins, q63_profile, q64_corr_matrix, q65_histogram,
     q67_range_window, q68_union_evolved, q69_asof_tolerance,
-    q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly)
+    q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly,
+    q76_heavy_hitters)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Aggregates
+
+/** [[Aggregates.exactHeavyHitters]]: sketch-guided pruning with exact
+  * results — Misra–Gries candidates, pruned exact verify, and the
+  * per-run certification bound. */
+class HeavyHittersSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Zipf-ish: key k occurs 300/k times for k in 1..10 (so the 5th
+  // hitter holds 60 > N/(16+1) ≈ 53 — certifiable at capacity 16),
+  // plus 30 singleton noise keys to keep eviction pressure real
+  private def skewed = ((1 to 10).flatMap(k => Seq.fill(300 / k)(k.toLong)) ++
+    (100 to 129).map(_.toLong))
+    .toDF("key")
+
+  test("matches the full groupBy top-k exactly and certifies it") {
+    val truth = skewed.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("key").asc).limit(5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = Aggregates.exactHeavyHitters(skewed, "key", k = 5, capacity = 16)
+      .orderBy(col("rank")).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == truth.toSeq)
+    assert(got.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+    assert(got.forall(_.getAs[Boolean]("certified")))
+  }
+
+  test("partitioning-invariant under the certification bound") {
+    val a = Aggregates.exactHeavyHitters(skewed, "key", 5, 16)
+      .orderBy("rank").collect().toSeq
+    val b = Aggregates.exactHeavyHitters(skewed.repartition(13), "key", 5, 16)
+      .orderBy("rank").collect().toSeq
+    val c = Aggregates.exactHeavyHitters(skewed.repartition(1), "key", 5, 16)
+      .orderBy("rank").collect().toSeq
+    assert(a == b && b == c)
+  }
+
+  test("near-uniform keys under a tiny summary: certified = false, never a silent lie") {
+    val uniform = (1 to 2000).map(i => (i % 100).toLong).toDF("key")
+    val got = Aggregates.exactHeavyHitters(uniform, "key", 5, capacity = 8)
+      .collect()
+    // 20-per-key uniform vs N/(8+1) = 222 bound: the run must refuse to
+    // certify (the flag is the contract; candidates MAY still be right)
+    assert(got.forall(!_.getAs[Boolean]("certified")))
+  }
+
+  test("plan stays scalable; bad params rejected") {
+    graft.plans.PlanAudit.assertScalable(
+      Aggregates.exactHeavyHitters(skewed, "key", 5, 16))
+    intercept[IllegalArgumentException](
+      Aggregates.exactHeavyHitters(skewed, "key", 0, 16))
+    intercept[IllegalArgumentException](
+      Aggregates.exactHeavyHitters(skewed, "key", 5, 5))
+  }
+}
