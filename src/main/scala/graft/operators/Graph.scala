@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -586,6 +586,115 @@ object Graph {
       .groupBy(col("__i").as("item_a"), col("__j").as("item_b"))
       .agg(count(lit(1)).as("weight"))
       .filter(col("weight") >= minSupport)
+  }
+
+  private def uiDistinct(
+      interactions: DataFrame, userCol: String, itemCol: String): DataFrame =
+    interactions
+      .select(
+        col(userCol).cast("long").as("__u"),
+        col(itemCol).cast("long").as("__i"))
+      .filter(col("__u").isNotNull && col("__i").isNotNull)
+      .distinct()
+
+  private def pairDeltas(newUi: DataFrame, oldUi: DataFrame): DataFrame = {
+    // each (user, unordered item pair) contributes EXACTLY once over
+    // the user's lifetime: when its later item first arrives. New-old
+    // wedges pair arrivals with the existing profile; new-new wedges
+    // (i < j) cover pairs born inside one batch.
+    val newOld = newUi
+      .join(oldUi.select(col("__u"), col("__i").as("__j")), Seq("__u"))
+    val newNew = newUi
+      .join(newUi.select(col("__u"), col("__i").as("__j")), Seq("__u"))
+      .filter(col("__i") < col("__j"))
+    newOld.unionByName(newNew)
+      .select(
+        least(col("__i"), col("__j")).as("a"),
+        greatest(col("__i"), col("__j")).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Both orientations of the (a, b, w) pair deltas — the stored
+    * layout, so a probe on ANY item hits only its own buckets. */
+  private def orient(pairs: DataFrame): DataFrame =
+    pairs.select(col("a").as("item"), col("b").as("other"), col("w"))
+      .unionByName(
+        pairs.select(col("b").as("item"), col("a").as("other"), col("w")))
+
+  /** PERSISTED co-occurrence index — the related-items serving face of
+    * [[cooccurrenceEdges]], in the same lifecycle discipline as the
+    * dedup/IVF/span/LM indexes: two bucketed tables,
+    * `<table>_profile` (user, item — the distinct interaction sets
+    * appends dedup against; bucketed by user) and `<table>_pairs`
+    * (item, other, w in BOTH orientations; bucketed by item so probes
+    * prune to their own buckets). Pair weights are ADDITIVE deltas:
+    * each (user, unordered pair) contributes exactly once — when its
+    * later item first arrives — so sums over any batch split equal the
+    * one-shot build (append ≡ rebuild as an abelian-group identity,
+    * the LM-index argument; pinned in BucketingSpec). Per append, only
+    * the batch's new (user, item) rows and their wedges shuffle; the
+    * wedge join prunes the profile to TOUCHED users first. */
+  def writeCooccurrenceIndex(
+      spark: SparkSession,
+      table: String,
+      interactions: DataFrame,
+      userCol: String,
+      itemCol: String,
+      numBuckets: Int = 8): Unit = {
+    val ui = uiDistinct(interactions, userCol, itemCol)
+    Bucketing.writeBucketed(ui, s"${table}_profile", Seq("__u"), numBuckets)
+    Bucketing.writeBucketed(
+      orient(pairDeltas(ui, ui.limit(0))),
+      s"${table}_pairs", Seq("item"), numBuckets)
+  }
+
+  /** Append a batch of interactions to a [[writeCooccurrenceIndex]] —
+    * batch-proportional: the profile is pruned to the batch's users
+    * (broadcast LEFT SEMI) before the already-present anti-join and
+    * the wedge join; pair deltas append additively, never rewriting
+    * existing rows. Single-writer, ids assumed stable. */
+  def appendCooccurrence(
+      spark: SparkSession,
+      table: String,
+      batch: DataFrame,
+      userCol: String,
+      itemCol: String,
+      numBuckets: Int = 8): Unit = {
+    val b = uiDistinct(batch, userCol, itemCol)
+    val touched = spark.table(s"${table}_profile")
+      .join(broadcast(b.select(col("__u")).distinct()), Seq("__u"), "left_semi")
+    val newUi = b.join(touched, Seq("__u", "__i"), "left_anti")
+    Bucketing.appendBucketed(
+      orient(pairDeltas(newUi, touched)),
+      s"${table}_pairs", Seq("item"), numBuckets)
+    Bucketing.appendBucketed(newUi, s"${table}_profile", Seq("__u"), numBuckets)
+  }
+
+  /** Top-k related items per probe item from the persisted pairs
+    * table: appended deltas merge in one bucket-local (item, other)
+    * sum — bucketing by `item` means the aggregation needs NO exchange
+    * (hash-clustered on a prefix of the grouping key) and the probe
+    * filter prunes to the probed items' buckets. Rank = (weight desc,
+    * other asc), a total order. */
+  def probeCoItems(
+      spark: SparkSession,
+      table: String,
+      probeItems: DataFrame,
+      itemCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    spark.table(s"${table}_pairs")
+      .join(broadcast(
+        probeItems.select(col(itemCol).cast("long").as("item")).distinct()),
+        Seq("item"), "left_semi")
+      .groupBy(col("item"), col("other"))
+      .agg(sum(col("w")).as("weight"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("item"))
+          .orderBy(col("weight").desc, col("other").asc)))
+      .filter(col("rank") <= k)
   }
 
   /** 2-hop neighborhood expansion profile — per node: degree, the

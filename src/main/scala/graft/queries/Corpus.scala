@@ -5011,6 +5011,50 @@ $langScoreCols
       FROM g10_deg d JOIN g10_w2 w ON d.x = w.x
       ORDER BY node"""))
 
+  /** Persisted co-occurrence index with an APPEND in its history
+    * ([[graft.operators.Graph.writeCooccurrenceIndex]] on the first
+    * event half, [[graft.operators.Graph.appendCooccurrence]] of the
+    * second, then the bucket-pruned top-5 probe): pair weights are
+    * additive per-user-arrival deltas, so the split-build index must
+    * serve EXACTLY the one-shot answer — the oracle computes plain
+    * co-occurrence over ALL events and ranks the same probe items. */
+  val g11_coocc_indexed = QueryDef(
+    "g11_coocc_indexed",
+    (s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val table = s"graft_coocc_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+      graft.operators.Graph.writeCooccurrenceIndex(
+        s, table, ev.filter(col("event_id") % 2 === 0), "user_id", "item")
+      graft.operators.Graph.appendCooccurrence(
+        s, table, ev.filter(col("event_id") % 2 =!= 0), "user_id", "item")
+      graft.operators.Graph
+        .probeCoItems(s, table,
+          ev.filter(col("item") < 10), "item", k = 5)
+        .orderBy(col("item"), col("rank"))
+    },
+    Some("""
+      WITH g11_ui AS (
+        SELECT DISTINCT user_id AS u,
+               cast(json_extract_string(props, '$.k') AS BIGINT) AS i
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND json_extract_string(props, '$.k') IS NOT NULL),
+      g11_p AS (
+        SELECT a.i AS item, b.i AS other, cast(count(*) AS BIGINT) AS weight
+        FROM g11_ui a JOIN g11_ui b ON a.u = b.u AND a.i <> b.i
+        GROUP BY 1, 2),
+      g11_r AS (
+        SELECT item, other, weight,
+               cast(row_number() OVER (PARTITION BY item
+                 ORDER BY weight DESC, other ASC) AS INT) AS rank
+        FROM g11_p WHERE item < 10)
+      SELECT item, other, weight, rank
+      FROM g11_r WHERE rank <= 5
+      ORDER BY item, rank"""))
+
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
     (s, dir) => {
@@ -6265,5 +6309,5 @@ $langScoreCols
     p29_preference_pairs, p30_temperature_resample, p31_balanced_shards,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
-    g09_cooccurrence, g10_neighborhood)
+    g09_cooccurrence, g10_neighborhood, g11_coocc_indexed)
 }

@@ -602,6 +602,47 @@ class BucketingSpec extends SparkSpec {
           spark.sql(s"DROP TABLE IF EXISTS $t$s")))
   }
 
+  test("co-occurrence index: append equals rebuild; cross-batch pairs; probe unshuffled") {
+    import graft.operators.Graph
+    val ev = Tables(spark, sf0001).events.select(
+      col("event_id"), col("user_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val first = ev.filter(col("event_id") % 2 === 0)
+    val second = ev.filter(col("event_id") % 2 =!= 0)
+    Graph.writeCooccurrenceIndex(spark, "co_app", first, "user_id", "item")
+    Graph.appendCooccurrence(spark, "co_app", second, "user_id", "item")
+    Graph.writeCooccurrenceIndex(spark, "co_reb", ev, "user_id", "item")
+    try {
+      val probes = ev.filter(col("item") < 25)
+      def canon(t: String) = Graph.probeCoItems(spark, t, probes, "item", 5)
+        .orderBy("item", "rank").collect().map(_.toSeq).toSeq
+      val viaAppend = canon("co_app")
+      // pair deltas are once-per-(user, unordered pair) — the split
+      // build must serve the exact one-shot answer
+      assert(viaAppend == canon("co_reb"), "append diverged from rebuild")
+      assert(viaAppend.nonEmpty)
+      // a user whose two items arrive in DIFFERENT batches still forms
+      // the pair: a synthetic user sends item 7001 in the build batch
+      // and 7002 only in the append — the pair must exist afterwards
+      import spark.implicits._
+      val uA = Seq((999999L, 7001L)).toDF("user_id", "item")
+      val uB = Seq((999999L, 7002L)).toDF("user_id", "item")
+      Graph.writeCooccurrenceIndex(spark, "co_x", uA, "user_id", "item")
+      Graph.appendCooccurrence(spark, "co_x", uB, "user_id", "item")
+      val cross = Graph.probeCoItems(spark, "co_x",
+        Seq(7001L).toDF("item"), "item", 5).collect()
+      assert(cross.map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("weight"))).toSeq == Seq((7001L, 7002L, 1L)))
+      // probe: the bucket layout replaces the aggregation shuffle
+      val probe = Graph.probeCoItems(spark, "co_app", probes, "item", 5)
+      probe.collect(): Unit
+      assertIndexUnshuffled(probe.queryExecution.executedPlan, "co_app_pairs")
+    } finally
+      Seq("co_app", "co_reb", "co_x").foreach(t =>
+        Seq("_profile", "_pairs").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+  }
+
   test("purgeLmIndex: negative-count purge equals rebuild over survivors") {
     import graft.operators.TfIdf
     val docs = Tables(spark, sf0001).documents

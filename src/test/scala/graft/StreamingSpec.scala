@@ -1062,6 +1062,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("blocklistFilter: stateless safety gate scores a stream unchanged (t39 fixture)") {
+    val docs = Tables(spark, sf0001).documents
+    val phrases = Seq("slow fast", "data window", "the part", "spark")
+    val dir = Files.createTempDirectory("graft-block-stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = graft.operators.Curation
+      .blocklistFilter(stream, "doc_id", "text", phrases, maxHits = 1L)
+      .writeStream.format("memory").queryName("block_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("block_stream").orderBy("doc_id").collect()
+      val batch = graft.operators.Curation
+        .blocklistFilter(docs, "doc_id", "text", phrases, maxHits = 1L)
+        .orderBy("doc_id").collect()
+      assert(streaming.toSeq == batch.toSeq && streaming.nonEmpty)
+    } finally q.stop()
+  }
+
   test("madScore: a batch-fit robust baseline flags a stream identically (q75 fixture)") {
     // anomaly SERVING: fit median/MAD per key on the batch, then the
     // stateless broadcast-join projection scores live telemetry —
