@@ -634,7 +634,17 @@ object Graph {
     * one-shot build (append ≡ rebuild as an abelian-group identity,
     * the LM-index argument; pinned in BucketingSpec). Per append, only
     * the batch's new (user, item) rows and their wedges shuffle; the
-    * wedge join prunes the profile to TOUCHED users first. */
+    * wedge join prunes the profile to TOUCHED users first.
+    *
+    * Like the LM index (and unlike the hash-membership dedup/IVF/span
+    * families), this index deliberately has NO at-least-once streaming
+    * ingest sink: additive counts are not replay-idempotent — a
+    * half-appended batch replayed by `foreachBatch` would double its
+    * deltas, where the membership indexes merely collapse duplicates.
+    * Continual ingest drives [[appendCooccurrence]] from a
+    * batch pipeline whose step boundaries are exactly-once (the
+    * single-writer contract all appends here share); purge is the
+    * negated-delta append, the p23 group-theoretic pattern. */
   def writeCooccurrenceIndex(
       spark: SparkSession,
       table: String,
@@ -671,11 +681,38 @@ object Graph {
     Bucketing.appendBucketed(newUi, s"${table}_profile", Seq("__u"), numBuckets)
   }
 
+  /** PURGE users from a persisted co-occurrence index — the takedown
+    * half: the purged users' pair contributions leave as NEGATED
+    * deltas (the LM-index group-theoretic purge — no survivor rewrite
+    * of the pairs table; a fully-purged pair's NET weight goes to
+    * zero and [[probeCoItems]] drops it at read), and their
+    * (user, item) profile rows — the personal data — are rewritten
+    * away, so a returning user re-forms pairs from scratch.
+    * Purge ≡ rebuild over survivors, pinned in BucketingSpec. */
+  def purgeCooccurrence(
+      spark: SparkSession,
+      table: String,
+      purgeUsers: DataFrame,
+      numBuckets: Int = 8): Unit = {
+    val us = purgeUsers
+      .select(col(purgeUsers.columns.head).cast("long").as("__u")).distinct()
+    val prof = spark.table(s"${table}_profile")
+    val gone = prof.join(broadcast(us), Seq("__u"), "left_semi")
+    Bucketing.appendBucketed(
+      orient(pairDeltas(gone, gone.limit(0)))
+        .withColumn("w", -col("w")),
+      s"${table}_pairs", Seq("item"), numBuckets)
+    Bucketing.replaceBucketed(
+      prof.join(broadcast(us), Seq("__u"), "left_anti"),
+      s"${table}_profile", Seq("__u"), numBuckets)
+  }
+
   /** Top-k related items per probe item from the persisted pairs
     * table: appended deltas merge in one bucket-local (item, other)
     * sum — bucketing by `item` means the aggregation needs NO exchange
     * (hash-clustered on a prefix of the grouping key) and the probe
-    * filter prunes to the probed items' buckets. Rank = (weight desc,
+    * filter prunes to the probed items' buckets. Pairs whose net
+    * weight is zero (fully purged) drop post-sum. Rank = (weight desc,
     * other asc), a total order. */
   def probeCoItems(
       spark: SparkSession,
@@ -690,6 +727,7 @@ object Graph {
         Seq("item"), "left_semi")
       .groupBy(col("item"), col("other"))
       .agg(sum(col("w")).as("weight"))
+      .filter(col("weight") > 0L)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("item"))

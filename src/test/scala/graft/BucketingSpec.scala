@@ -643,6 +643,39 @@ class BucketingSpec extends SparkSpec {
           spark.sql(s"DROP TABLE IF EXISTS $t$s")))
   }
 
+  test("purgeCooccurrence: negated-delta purge equals rebuild over survivors") {
+    import graft.operators.Graph
+    val ev = Tables(spark, sf0001).events.select(
+      col("user_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("item"))
+    Graph.writeCooccurrenceIndex(spark, "co_pur", ev, "user_id", "item")
+    Graph.purgeCooccurrence(spark, "co_pur",
+      ev.filter(col("user_id") % 3 === 0).select(col("user_id")))
+    Graph.writeCooccurrenceIndex(spark, "co_srv",
+      ev.filter(col("user_id") % 3 =!= 0), "user_id", "item")
+    try {
+      val probes = ev.filter(col("item") < 25)
+      def canon(t: String) = Graph.probeCoItems(spark, t, probes, "item", 5)
+        .orderBy("item", "rank").collect().map(_.toSeq).toSeq
+      assert(canon("co_pur") == canon("co_srv"), "purge diverged from rebuild")
+      assert(canon("co_pur").nonEmpty)
+      // the personal rows are GONE, not just masked
+      assert(spark.table("co_pur_profile")
+        .filter(col("__u") % 3 === 0).count() == 0L)
+      // a pair formed ONLY by purged users nets to zero and vanishes
+      import spark.implicits._
+      Graph.writeCooccurrenceIndex(spark, "co_z",
+        Seq((7L, 9001L), (7L, 9002L)).toDF("user_id", "item"),
+        "user_id", "item")
+      Graph.purgeCooccurrence(spark, "co_z", Seq(7L).toDF("user_id"))
+      assert(Graph.probeCoItems(spark, "co_z",
+        Seq(9001L).toDF("item"), "item", 5).count() == 0L)
+    } finally
+      Seq("co_pur", "co_srv", "co_z").foreach(t =>
+        Seq("_profile", "_pairs").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+  }
+
   test("purgeLmIndex: negative-count purge equals rebuild over survivors") {
     import graft.operators.TfIdf
     val docs = Tables(spark, sf0001).documents
