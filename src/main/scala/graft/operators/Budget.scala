@@ -61,4 +61,74 @@ object Budget {
       .filter(col("cum_tokens") - col(ntCol) < budget)
       .select(col(groupCol), col(idCol), col(qCol), col(ntCol), col("cum_tokens"))
   }
+
+  /** MAX-MIN FAIR budget allocation across sources — water-filling:
+    * given each source's token SUPPLY and a total TARGET, take every
+    * small source whole and split what remains EVENLY across the
+    * large ones (the level every uncapped source fills to), so no
+    * source is favored beyond its supply. This is the mixture-planning
+    * step upstream of the thinning operators (p28/p30 APPLY shares;
+    * this COMPUTES takeable shares under supply caps — asking 20% from
+    * a source that only has 3% silently re-weights everything else).
+    *
+    * Exact integer semantics (partitioning- and engine-independent):
+    * sort sources by (supply, key); a source is capped iff every
+    * source so far — itself included — satisfies
+    *   supply_i ≤ (target − taken_before_i) div (sources_left_i),
+    * the running-AND making the capped set the unique water-filling
+    * prefix; uncapped sources get the level
+    *   L = (target − Σ capped) div (#uncapped),
+    * with the division remainder distributed +1 to the FIRST
+    * `rem` uncapped sources in sort order, so Σ alloc == target
+    * exactly (or Σ supply when the target exceeds it). Output one row
+    * per source: (key, supply, alloc, capped, fill_level).
+    *
+    * Scale shape: the relation is source-level (domains can reach
+    * millions), so BOTH running quantities — the prefix supply sum and
+    * the running capped-AND — come from the distributed prefix sum
+    * ([[graft.plans.PrefixSumExec]], a range-partitioned parallel
+    * sort), never a single-task global window; the totals row
+    * broadcasts. The corpus itself is never touched. */
+  def waterFill(
+      sources: DataFrame,
+      keyCol: String,
+      supplyCol: String,
+      target: Long): DataFrame = {
+    require(target >= 0L, s"target must be >= 0, got $target")
+    val order = Seq(col("__s").asc, col(keyCol).asc)
+    val p1 = graft.Frame.withPrefixSum(
+      sources.select(col(keyCol), col(supplyCol).cast("long").as("__s")),
+      order, col("__s"), "__idx0", "__pre")
+      .withColumn("__idx", col("__idx0") + 1L)
+    val m = p1.agg(count(lit(1)).as("__m"))
+    val lvl = p1.crossJoin(broadcast(m))
+      .withColumn("__lvl",
+        expr(s"($target - __pre) div (__m - __idx + 1)"))
+      .withColumn("__viol",
+        when(col("__s") <= col("__lvl"), 0L).otherwise(1L))
+    // running AND via a second prefix sum: capped iff no violation at
+    // or before this row (exclusive prefix of violations + own flag)
+    val base = graft.Frame.withPrefixSum(
+      lvl, order, col("__viol"), "__idx1", "__violPre")
+      .withColumn("__capped", col("__violPre") === 0L && col("__viol") === 0L)
+    val cut = base
+      .agg(
+        sum(when(col("__capped"), col("__s")).otherwise(0L)).as("__taken"),
+        sum(when(col("__capped"), 0L).otherwise(1L)).as("__nu"),
+        max(when(col("__capped"), col("__idx")).otherwise(0L)).as("__lastc"))
+      .select(col("__taken"), col("__nu"), col("__lastc"),
+        when(col("__nu") > 0L,
+          expr(s"($target - __taken) div __nu")).as("__L"),
+        when(col("__nu") > 0L,
+          expr(s"($target - __taken) % __nu")).as("__rem"))
+    base.crossJoin(broadcast(cut))
+      .select(
+        col(keyCol), col("__s").as(supplyCol),
+        when(col("__capped"), col("__s"))
+          .otherwise(col("__L") +
+            when(col("__idx") - col("__lastc") <= col("__rem"), 1L)
+              .otherwise(0L)).as("alloc"),
+        col("__capped").as("capped"),
+        coalesce(col("__L"), lit(0L)).as("fill_level"))
+  }
 }

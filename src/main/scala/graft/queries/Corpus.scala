@@ -829,6 +829,67 @@ $langScoreCols
       FROM documents d JOIN p30_r USING (lang)
       ORDER BY d.doc_id"""))
 
+  /** Water-filling budget allocation ([[graft.operators.Budget
+    * .waterFill]]): max-min fair token takes per source under supply
+    * caps — small sources taken whole, the remainder split evenly
+    * (integer level + deterministic remainder spread) so Σ alloc hits
+    * the target EXACTLY. The planning step upstream of p28/p30: it
+    * computes the shares those operators apply. The oracle replays the
+    * sorted prefix feasibility test and the remainder arithmetic. */
+  val p32_water_fill = QueryDef(
+    "p32_water_fill",
+    (s, dir) =>
+      graft.operators.Budget
+        .waterFill(
+          Tables(s, dir).documents
+            .groupBy(col("source"))
+            .agg(sum(col("n_chars")).as("supply_chars")),
+          "source", "supply_chars", target = 100000L)
+        .orderBy(col("source")),
+    Some("""
+      WITH p32_s AS (
+        SELECT source, cast(sum(n_chars) AS BIGINT) AS s
+        FROM documents GROUP BY 1),
+      p32_w AS (
+        SELECT source, s,
+               cast(row_number() OVER (ORDER BY s, source) AS BIGINT) AS idx,
+               cast(coalesce(sum(s) OVER (ORDER BY s, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS pre,
+               cast(count(*) OVER () AS BIGINT) AS m
+        FROM p32_s),
+      p32_l AS (
+        SELECT *,
+               CASE WHEN s <= (100000 - pre) // (m - idx + 1)
+                    THEN 0 ELSE 1 END AS viol
+        FROM p32_w),
+      p32_c AS (
+        SELECT *,
+               CASE WHEN coalesce(sum(viol) OVER (ORDER BY s, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0
+                     AND viol = 0
+                    THEN 1 ELSE 0 END AS capped
+        FROM p32_l),
+      p32_t AS (
+        SELECT cast(sum(CASE WHEN capped = 1 THEN s ELSE 0 END) AS BIGINT)
+                 AS taken,
+               cast(sum(CASE WHEN capped = 1 THEN 0 ELSE 1 END) AS BIGINT)
+                 AS nu,
+               cast(max(CASE WHEN capped = 1 THEN idx ELSE 0 END) AS BIGINT)
+                 AS lastc
+        FROM p32_c)
+      SELECT c.source, c.s AS supply_chars,
+             CASE WHEN capped = 1 THEN c.s
+                  ELSE (100000 - taken) // nu +
+                       (CASE WHEN idx - lastc <= (100000 - taken) % nu
+                             THEN 1 ELSE 0 END)
+             END AS alloc,
+             capped = 1 AS capped,
+             CASE WHEN nu > 0 THEN (100000 - taken) // nu ELSE 0 END
+               AS fill_level
+      FROM p32_c c CROSS JOIN p32_t
+      ORDER BY c.source"""))
+
   val p28_mixture_resample = QueryDef(
     "p28_mixture_resample",
     (s, dir) =>
@@ -6307,6 +6368,7 @@ $langScoreCols
     p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
     p26_pipeline_demo, p27_sft_turns, p28_mixture_resample,
     p29_preference_pairs, p30_temperature_resample, p31_balanced_shards,
+    p32_water_fill,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence, g10_neighborhood, g11_coocc_indexed)

@@ -63,4 +63,46 @@ class BudgetSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning(lang#") && l.contains("(q#"))
     assert(stratumExchange, p.take(3000))
   }
+
+  // ---------------- waterFill ----------------
+
+  test("waterFill: hand-checked levels, caps, remainder spread, degenerate targets") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long)], target: Long) =
+      Budget.waterFill(rows.toDF("src", "sup"), "src", "sup", target)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("alloc"), r.getAs[Boolean]("capped"))).toMap
+    // [2, 5, 100] at T=10: the 2 is taken whole, 8 splits 4/4
+    val a = run(Seq(("a", 2L), ("b", 5L), ("c", 100L)), 10L)
+    assert(a == Map("a" -> (2L, true), "b" -> (4L, false), "c" -> (4L, false)))
+    // remainder: [10,10,10] at T=8 -> level 2, +1 to the first two
+    val b = run(Seq(("x", 10L), ("y", 10L), ("z", 10L)), 8L)
+    assert(b == Map("x" -> (3L, false), "y" -> (3L, false), "z" -> (2L, false)))
+    assert(b.values.map(_._1).sum == 8L)
+    // target >= total supply: everything taken whole
+    val c = run(Seq(("a", 2L), ("b", 5L)), 100L)
+    assert(c == Map("a" -> (2L, true), "b" -> (5L, true)))
+    // target 0: nothing taken, nothing capped
+    val d = run(Seq(("a", 2L), ("b", 5L)), 0L)
+    assert(d.values.map(_._1).toSeq.sorted == Seq(0L, 0L))
+    intercept[IllegalArgumentException](
+      Budget.waterFill(Seq(("a", 1L)).toDF("s", "v"), "s", "v", -1L))
+  }
+
+  test("waterFill: sums hit the target exactly; partitioning-invariant; plan scalable") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (s"s$i", ((i * 37) % 91 + 3).toLong))
+    val df = rows.toDF("src", "sup")
+    val out = Budget.waterFill(df, "src", "sup", 4000L)
+    val total = out.agg(sum(col("alloc"))).head.getLong(0)
+    assert(total == math.min(4000L, rows.map(_._2).sum))
+    val again = Budget.waterFill(df.repartition(17), "src", "sup", 4000L)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == out.collect().map(r => r.getString(0) -> r.toSeq).toMap)
+    // max-min fairness: no uncapped source sits below another's alloc-1
+    val allocs = out.filter(!col("capped")).collect().map(_.getAs[Long]("alloc"))
+    if (allocs.nonEmpty) assert(allocs.max - allocs.min <= 1)
+    graft.plans.PlanAudit.assertScalable(out)
+  }
 }
