@@ -451,6 +451,40 @@ object Scoring {
     }
   }
 
+  /** ROUGE-L precision/recall/F over whitespace tokens (Lin 2004) —
+    * the in-order-across-gaps overlap the contiguous n-gram metrics
+    * (t31's BLEU/ROUGE-N) cannot credit: the standard summarization
+    * and reference-comparison score. LCS runs as a native codegen
+    * kernel ([[graft.functions.expressions.LcsOps]]); F is computed
+    * exactly as 2·lcs/(ref+cand) (algebraically the harmonic mean of
+    * P and R), one division per row, rounded at the end — so rows
+    * replay bit-for-bit against an independent reference
+    * implementation. Quadratic per pair: bound pair construction
+    * upstream (the d20 edit-verify contract). Zero shuffle; streams
+    * stateless. */
+  def rougeL(pairs: DataFrame, refCol: String, candCol: String): DataFrame = {
+    def nz(den: Column, v: Column): Column =
+      when(den === 0L, lit(null).cast("double")).otherwise(round(v, 6))
+    pairs
+      .withColumn("lcs",
+        graft.functions.expressions.LcsOps
+          .lcsTokens(col(refCol), col(candCol)).cast("long"))
+      .withColumn("ref_tokens",
+        TextFunctions.tokenCount(col(refCol)).cast("long"))
+      .withColumn("cand_tokens",
+        TextFunctions.tokenCount(col(candCol)).cast("long"))
+      .withColumn("rouge_l_p",
+        nz(col("cand_tokens"),
+          col("lcs").cast("double") / col("cand_tokens").cast("double")))
+      .withColumn("rouge_l_r",
+        nz(col("ref_tokens"),
+          col("lcs").cast("double") / col("ref_tokens").cast("double")))
+      .withColumn("rouge_l_f",
+        nz(col("ref_tokens") + col("cand_tokens"),
+          lit(2.0) * col("lcs").cast("double") /
+            (col("ref_tokens") + col("cand_tokens")).cast("double")))
+  }
+
   /** Multiclass classifier evaluation — the confusion-matrix rollup
     * (per-class tp / support / predicted-count, precision, recall,
     * F1) t33's binary metrics can't express: language-ID vs labels,

@@ -164,6 +164,71 @@ $langScoreCols
              END AS f1
       FROM t40_j ORDER BY cls"""))
 
+  /** Deterministic ROUGE-L fixture: 80 (ref, cand) token-sequence
+    * pairs from residue arithmetic — SF-independent by design, so the
+    * oracle can be a TWIN-VALUES table: an independent memoized-
+    * recursion LCS (below) computes the expected rows at oracle-
+    * generation time, pinning the distributed two-row-DP kernel
+    * against a structurally different reference implementation. */
+  private def t41Fixture: Seq[(Long, String, String)] =
+    (0L until 80L).map { i =>
+      val ref = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 13}").mkString(" ")
+      val cand = (0 until 10).map(j => s"w${(i * 5 + j * 2) % 11}").mkString(" ")
+      (i, ref, cand)
+    }
+
+  /** Independent LCS twin (top-down memoized recursion — deliberately
+    * NOT the kernel's iterative two-row DP). */
+  private def t41LcsTwin(a: Seq[String], b: Seq[String]): Int = {
+    val memo = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    def go(i: Int, j: Int): Int =
+      if (i == a.length || j == b.length) 0
+      else memo.getOrElseUpdate((i, j),
+        if (a(i) == b(j)) 1 + go(i + 1, j + 1)
+        else math.max(go(i + 1, j), go(i, j + 1)))
+    go(0, 0)
+  }
+
+  private def t41Oracle: String = {
+    def r6(x: Double): String = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val rows = t41Fixture.map { case (i, ref, cand) =>
+      val (ra, ca) = (ref.split(" ").toSeq, cand.split(" ").toSeq)
+      val l = t41LcsTwin(ra, ca)
+      val (nr, nc) = (ra.size, ca.size)
+      s"($i, $l, $nr, $nc, ${r6(l.toDouble / nc)}, ${r6(l.toDouble / nr)}, " +
+        s"${r6(2.0 * l / (nr + nc))})"
+    }
+    s"""
+      SELECT pair_id, cast(lcs AS BIGINT) AS lcs,
+             cast(ref_tokens AS BIGINT) AS ref_tokens,
+             cast(cand_tokens AS BIGINT) AS cand_tokens,
+             cast(rouge_l_p AS DOUBLE) AS rouge_l_p,
+             cast(rouge_l_r AS DOUBLE) AS rouge_l_r,
+             cast(rouge_l_f AS DOUBLE) AS rouge_l_f
+      FROM (VALUES ${rows.mkString(", ")})
+        AS t(pair_id, lcs, ref_tokens, cand_tokens,
+             rouge_l_p, rouge_l_r, rouge_l_f)
+      ORDER BY pair_id"""
+  }
+
+  /** ROUGE-L ([[graft.operators.Scoring.rougeL]]): LCS-based
+    * precision/recall/F via the native two-row-DP codegen kernel,
+    * gated against an independently implemented twin (memoized
+    * recursion) through the VALUES oracle. */
+  val t41_rouge_l = QueryDef(
+    "t41_rouge_l",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Scoring
+        .rougeL(t41Fixture.toDF("pair_id", "ref", "cand"), "ref", "cand")
+        .select(col("pair_id"), col("lcs"), col("ref_tokens"),
+          col("cand_tokens"), col("rouge_l_p"), col("rouge_l_r"),
+          col("rouge_l_f"))
+        .orderBy(col("pair_id"))
+    },
+    Some(t41Oracle))
+
   val t04_fingerprint = QueryDef(
     "t04_fingerprint",
     (s, dir) =>
@@ -6344,7 +6409,7 @@ $langScoreCols
     t28_retrieval_metrics, t29_tokenizer_fertility, t30_span_corruption,
     t31_ngram_overlap, t32_wordpiece_encode, t33_eval_metrics,
     t34_ccnet_buckets, t35_calibration, t36_pass_at_k, t37_zipf,
-    t38_bradley_terry, t39_blocklist, t40_langid_eval,
+    t38_bradley_terry, t39_blocklist, t40_langid_eval, t41_rouge_l,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

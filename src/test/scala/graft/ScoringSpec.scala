@@ -243,6 +243,38 @@ class ScoringSpec extends SparkSpec {
     }
   }
 
+  // ---------------- ROUGE-L ----------------
+
+  test("rougeL: hand-checked LCS, boundary cases, F = harmonic identity") {
+    import graft.operators.Scoring
+    val pairs = Seq(
+      (1L, "a b c d e", "b d"),       // lcs 2
+      (2L, "a b c", "a b c"),         // identical
+      (3L, "a b c", "x y z"),         // disjoint
+      (4L, "", "a b"),                // empty ref
+      (5L, "a c b", "a b c")          // order matters: lcs 2, not 3
+    ).toDF("pair_id", "ref", "cand")
+    val out = Scoring.rougeL(pairs, "ref", "cand")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("lcs") == 2L &&
+      out(1L).getAs[Double]("rouge_l_p") == 1.0 &&
+      out(1L).getAs[Double]("rouge_l_r") == 0.4)
+    assert(out(2L).getAs[Long]("lcs") == 3L &&
+      out(2L).getAs[Double]("rouge_l_f") == 1.0)
+    assert(out(3L).getAs[Long]("lcs") == 0L &&
+      out(3L).getAs[Double]("rouge_l_f") == 0.0)
+    assert(out(4L).getAs[Long]("lcs") == 0L &&
+      out(4L).isNullAt(out(4L).fieldIndex("rouge_l_r")))
+    assert(out(5L).getAs[Long]("lcs") == 2L)
+    // F identity: 2pr/(p+r) == 2l/(nr+nc) (checked on the unrounded row 1)
+    assert(out(1L).getAs[Double]("rouge_l_f") == BigDecimal(2.0 * 2 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // codegen and repartition stable
+    val again = Scoring.rougeL(pairs.repartition(3), "ref", "cand")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(again == out.view.mapValues(_.toSeq).toMap)
+  }
+
   // ---------------- multiclass metrics ----------------
 
   test("multiclassMetrics: hand confusion matrix, one-sided classes NULL-not-NaN") {
