@@ -137,6 +137,33 @@ object Curation {
       .withColumn("blocked", col("n_hits") > maxHits)
   }
 
+  /** [[blocklistFilter]] at dictionary scale: identical output, but the
+    * phrases compile into a TRIE walked by a native codegen kernel
+    * ([[graft.functions.expressions.PhraseMatchOps]]) instead of an
+    * alternation regex — per-character cost independent of phrase
+    * COUNT, so a 10⁵-phrase safety dictionary (realistic for a
+    * multilingual bad-words + PII-pattern list) scans at the same rate
+    * as t39's four. Leftmost-longest non-overlapping word-bounded
+    * semantics, equal to the regex face by construction (CurationSpec
+    * pins the two faces equal phrase-set-for-phrase-set; the t42
+    * oracle still replays the REGEX — the independent twin). */
+  def blocklistFilterTrie(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: Seq[String],
+      maxHits: Long = 0L): DataFrame = {
+    require(maxHits >= 0L, s"maxHits must be >= 0, got $maxHits")
+    // validate eagerly (the kernel's table builds lazily at execution;
+    // a bad dictionary should fail at CALL time like the regex face)
+    graft.functions.expressions.PhraseMatchOps.table(phrases)
+    docs.select(
+      col(idCol),
+      graft.functions.expressions.PhraseMatchOps
+        .phraseCount(lower(col(textCol)), phrases).as("n_hits"))
+      .withColumn("blocked", col("n_hits") > maxHits)
+  }
+
   /** URL canonicalization for dedup keys — the web-curation step that
     * collapses crawl-variant URLs of the same resource before any
     * content hashing: lowercase scheme + host, strip the default port

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Experimentation readout: the unequal-variance two-sample t-test
+  * (Welch 1947) per metric group, computed at the UNIT of randomization.
+  *
+  * A/B analysis over an event log has one statistical trap and one
+  * distributed-systems trap, and this operator closes both:
+  *
+  *   - *Statistical*: events from one user are correlated, so testing
+  *     event-level values overstates significance. The operator first
+  *     collapses events to one metric value per (group, arm, unit) —
+  *     revenue per user, not revenue per event — and runs the test over
+  *     UNITS, the randomization granularity (Deng et al., KDD'17's
+  *     "analysis unit = randomization unit" rule).
+  *   - *Distributed*: both stages are keyed partial aggregations (unit
+  *     collapse, then arm moments) — two map-side-combined shuffles
+  *     whose output is one row per (group, arm); no window, no collect,
+  *     no per-group iteration. The moment state is (n, Σm, Σm²) with
+  *     Σm² accumulated in DECIMAL(38,0) (the s09 discipline: integer
+  *     squares of quantized metrics overflow longs near 1e10 units,
+  *     decimals never do), so the sums are EXACT and order-free and the
+  *     final Welch arithmetic is one fixed-shape double expression per
+  *     group — bit-replayable by an oracle that follows the same
+  *     formula (q77's gate).
+  *
+  * Input metric `qCol` must be an integer-quantized value (e.g. cents),
+  * the same exactness contract as [[Graph]]/[[Clustering]]; `armCol`
+  * must be 0 (control) / 1 (treatment). Output per group: unit counts,
+  * arm means (descaled by `scale`), Welch t and its Welch–Satterthwaite
+  * degrees of freedom, both NULL when either arm has < 2 units (the
+  * variance is undefined there — a NULL, not a silent 0). */
+object Experiments {
+
+  def welchAbTest(
+      df: DataFrame,
+      groupCol: String,
+      armCol: String,
+      unitCol: String,
+      qCol: String,
+      scale: Long = 100L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val unit = df
+      .groupBy(col(groupCol), col(armCol).cast("int").as("__arm"), col(unitCol))
+      .agg(sum(col(qCol).cast("long")).as("__m"))
+    val dec = col("__m").cast("decimal(38,0)")
+    val arm = unit
+      .groupBy(col(groupCol), col("__arm"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__m")).as("__s"),
+        sum(dec * dec).as("__ss"))
+    def pick(c: String, a: Int) =
+      max(when(col("__arm") === a, col(c))).as(s"${c}_$a")
+    val wide = arm
+      .groupBy(col(groupCol))
+      .agg(
+        pick("__n", 0), pick("__s", 0), pick("__ss", 0),
+        pick("__n", 1), pick("__s", 1), pick("__ss", 1))
+      .filter(col("__n_0").isNotNull && col("__n_1").isNotNull)
+    // fixed-shape IEEE double arithmetic from the exact integer moments:
+    // identical expression order on the oracle side replays it bit-for-bit
+    def m(a: Int) =
+      col(s"__s_$a").cast("double") /
+        (lit(scale.toDouble) * col(s"__n_$a").cast("double"))
+    def v(a: Int) = {
+      val n = col(s"__n_$a").cast("double")
+      val s = col(s"__s_$a").cast("double")
+      (col(s"__ss_$a").cast("double") - s * s / n) /
+        (n - lit(1.0)) / lit(scale.toDouble * scale.toDouble)
+    }
+    def se(a: Int) = v(a) / col(s"__n_$a").cast("double")
+    val se2 = se(0) + se(1)
+    val tStat = (m(1) - m(0)) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      (se(0) * se(0) / (col("__n_0").cast("double") - lit(1.0)) +
+        se(1) * se(1) / (col("__n_1").cast("double") - lit(1.0)))
+    // also NULL when both arms are constant (se2 = 0): 0/0 is engine
+    // noise, not a statistic
+    val ok = col("__n_0") > 1 && col("__n_1") > 1 && se2 > lit(0.0)
+    wide.select(
+      col(groupCol),
+      col("__n_0").as("n_control"),
+      col("__n_1").as("n_treat"),
+      round(m(0), 6).as("mean_control"),
+      round(m(1), 6).as("mean_treat"),
+      when(ok, round(tStat, 6)).as("welch_t"),
+      when(ok, round(dfW, 6)).as("welch_df"))
+  }
+}

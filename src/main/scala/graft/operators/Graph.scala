@@ -779,6 +779,82 @@ object Graph {
           .as("expansion"))
   }
 
+  /** Approximate Neighborhood Function (Palmer et al. KDD'02 ANF;
+    * HyperBall, Boldi–Vigna 2013) — per node, the estimated number of
+    * nodes within distance ≤ r for every r in 1..`radius`, carried as
+    * 256-byte [[graft.functions.expressions.HllSketch]] registers:
+    * ball_r(u) = ball_{r-1}(u) ∪ ⋃_{v∈N(u)} ball_{r-1}(v), and
+    * because the registers' elementwise max IS set union, one
+    * (node)-keyed [[graft.functions.expressions.HllUnion]] aggregation
+    * per radius replaces the frontier join whose output EXPLODES with
+    * r (g10's exact reach stops at radius 2 for exactly that reason —
+    * its docstring names this operator as the deeper-radius upgrade).
+    *
+    * Scale shape per round: one (y=node) equi-join of the state onto
+    * the adjacency list + one (node) union aggregation with map-side
+    * partial merges — E sketch rows shuffle, 256 B each, independent
+    * of ball size; total cost is O(radius · E) with NO dependence on
+    * reach, versus exact ANF's Θ(Σ|ball_r|) pair materialization.
+    * State is nodes × 256 B per round, lineage-cut via `checkpointer`.
+    *
+    * Determinism: registers are maxima of per-member rho values — a
+    * pure function of the exact ball SET, independent of partitioning,
+    * merge order, or propagation path (union-of-sketches ≡
+    * sketch-of-union, HllSpec), so the estimate replays bit-for-bit
+    * in an oracle that computes the exact balls and derives the same
+    * registers (g12's gate does exactly this).
+    *
+    * Returns one row per (node, r): (node, r, degree, anf) where anf
+    * estimates |ball_r(node)| INCLUDING the node itself. */
+  def anfProfile(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      radius: Int,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
+    import graft.functions.expressions.{HllEstimate, HllSketch, HllUnion}
+    require(radius >= 1 && radius <= 16, s"radius must be in [1,16], got $radius")
+    val und = edges
+      .select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("y")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("degree"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ball_0: every node's sketch holds the node itself (the node set
+      // is exactly adj's x side — self-loops are filtered, so every
+      // node has >= 1 neighbor and the union below always sees it)
+      var state = deg.select(col("x").as("node"))
+        .groupBy(col("node")).agg(HllSketch(col("node")).as("sk"))
+      val rounds = (1 to radius).map { r =>
+        val nbr = adj.join(state, adj("y") === state("node"))
+          .select(adj("x").as("node"), col("sk"))
+        state = checkpointer.cut(
+          nbr.unionByName(state.select(col("node"), col("sk")))
+            .groupBy(col("node")).agg(HllUnion(col("sk")).as("sk")),
+          eager = true)
+        state.select(col("node"), lit(r).as("r"),
+          HllEstimate(col("sk")).as("anf"))
+      }
+      checkpointer.cut(
+        rounds.reduce(_ unionByName _)
+          .join(deg.select(col("x").as("node"), col("degree")), Seq("node"))
+          .select(col("node"), col("r"), col("degree"), col("anf")),
+        eager = true)
+    } finally {
+      // rounds are eagerly cut and so is the returned frame, so neither
+      // references these caches
+      deg.unpersist(blocking = false)
+      adj.unpersist(blocking = false)
+      ()
+    }
+  }
+
   def triangleStats(
       edges: DataFrame,
       srcCol: String,

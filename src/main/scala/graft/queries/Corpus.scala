@@ -4510,6 +4510,42 @@ $langScoreCols
                AS blocked
       FROM documents ORDER BY doc_id"""))
 
+  private val t42Phrases: Seq[String] = Seq(
+    "slow fast", "slow", "fast key order", "fast key", "data window",
+    "window row", "the part", "part merge", "spark window", "spark",
+    "batch batch", "stream", "join order", "join", "sort agg", "agg line",
+    "merge data", "key data", "small hash scan", "hash scan", "big",
+    "customer line", "value merge", "row data", "a")
+
+  /** Blocklist at dictionary scale ([[graft.operators.Curation
+    * .blocklistFilterTrie]]): the same C4-style gate as t39 but through
+    * the native phrase-TRIE kernel t39's docstring names as the
+    * >10³-phrase upgrade — per-character cost independent of phrase
+    * count. The 25-phrase fixture is deliberately adversarial
+    * (phrases that are prefixes of other phrases, shared first words,
+    * single-character words) and the oracle replays the REGEX
+    * formulation — RE2's native leftmost-longest — so kernel ≡ regex
+    * is proven by an independent engine, not by the kernel's twin. */
+  val t42_blocklist_trie = QueryDef(
+    "t42_blocklist_trie",
+    (s, dir) =>
+      graft.operators.Curation
+        .blocklistFilterTrie(
+          Tables(s, dir).documents, "doc_id", "text", t42Phrases,
+          maxHits = 3L)
+        .orderBy(col("doc_id")),
+    Some {
+      val pat = "\\b(?:" +
+        t42Phrases.sortBy(p => (-p.length, p)).mkString("|") + ")\\b"
+      s"""
+      SELECT doc_id,
+             cast(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT)
+               AS n_hits,
+             cast(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT) > 3
+               AS blocked
+      FROM documents ORDER BY doc_id"""
+    })
+
   /** Preference-pair assembly ([[graft.operators.Curation
     * .preferencePairs]]): the DPO/reward-model data step — per prompt
     * group, the (chosen, rejected) pair at maximal exact-score
@@ -5180,6 +5216,92 @@ $langScoreCols
       SELECT item, other, weight, rank
       FROM g11_r WHERE rank <= 5
       ORDER BY item, rank"""))
+
+  /** Exact oracle for g12: the HLL registers are a pure function of the
+    * ball SET (per-index max of member rho values, order-free), so the
+    * oracle computes the exact distance-≤r balls by unrolled relational
+    * composition and derives the SAME registers + the q51 estimator —
+    * bit-identical to the sketch-propagated Spark side. */
+  private def g12Oracle(radius: Int): String = {
+    import graft.functions.expressions.HllDistinct
+    import graft.functions.expressions.HllDistinct.{AlphaMM, M, RhoCap}
+    val pw = (0 to RhoCap).map(k => (BigInt(1) << k).toString)
+      .mkString("[", ",", "]::HUGEINT[]")
+    val rhoCase = ((64 - HllDistinct.P - 1) to 0 by -1)
+      .map(k => s"WHEN w >= ${(BigInt(1) << k).toString} THEN ${64 - HllDistinct.P - k}")
+      .mkString("CASE ", " ", s" ELSE $RhoCap END")
+    val pow2Cap = s"${(BigInt(1) << RhoCap).toString}"
+    val balls = (2 to radius).map(r =>
+      s"""g12_b$r AS (
+        SELECT DISTINCT l.x, rr.y FROM g12_b${r - 1} l
+        JOIN g12_b1 rr ON l.y = rr.x),""").mkString("\n")
+    val members = (1 to radius).map(r =>
+      s"SELECT $r AS r, x, y FROM g12_b$r").mkString(" UNION ALL ")
+    s"""
+      WITH g12_e AS (
+        SELECT user_id AS src,
+               (cast(json_extract_string(props, '$$.k') AS BIGINT) % 50) + 1000
+                 AS dst
+        FROM events),
+      g12_u AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM g12_e
+        WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+      g12_adj AS (
+        SELECT a AS x, b AS y FROM g12_u
+        UNION ALL SELECT b, a FROM g12_u),
+      g12_deg AS (
+        SELECT x, cast(count(*) AS BIGINT) AS degree FROM g12_adj GROUP BY 1),
+      g12_b1 AS (
+        SELECT DISTINCT x, y FROM (
+          SELECT x, x AS y FROM g12_adj UNION ALL SELECT x, y FROM g12_adj)),
+      $balls
+      g12_m AS ($members),
+      g12_hh AS (
+        SELECT r, x, ${OracleSql.xxh64Long(OracleSql.s2u("y"))} AS hu
+        FROM g12_m),
+      g12_rr0 AS (
+        SELECT r, x, (hu % $M)::INT AS idx, (hu // $M) AS w FROM g12_hh),
+      g12_rr AS (
+        SELECT r, x, idx, $rhoCase AS rho FROM g12_rr0),
+      g12_regs AS (
+        SELECT r, x, idx, max(rho) AS reg FROM g12_rr GROUP BY 1, 2, 3),
+      g12_est AS (
+        SELECT r, x,
+               (sum(($pw)[${RhoCap + 1} - reg]) + ($M - count(*)) * $pow2Cap::HUGEINT) AS num,
+               ($M - count(*)) AS zeros
+        FROM g12_regs GROUP BY 1, 2),
+      g12_fin AS (
+        SELECT r, x, $AlphaMM * $pow2Cap.0 / num::DOUBLE AS raw, zeros
+        FROM g12_est)
+      SELECT f.x AS node, cast(f.r AS INT) AS r, d.degree,
+             round_even((CASE WHEN raw <= ${2.5 * M} AND zeros > 0
+               THEN $M * ln($M.0 / zeros) ELSE raw END) * 1000000.0, 0) / 1000000.0
+               AS anf
+      FROM g12_fin f JOIN g12_deg d USING (x)
+      ORDER BY node, r"""
+  }
+
+  /** ANF / HyperBall neighborhood function
+    * ([[graft.operators.Graph.anfProfile]]): per-node ball-size
+    * estimates at radii 1..3 via propagated HLL register sketches —
+    * the deeper-radius upgrade g10's exact reach documents (frontier
+    * joins explode with r; register propagation is O(radius · E)
+    * whatever the reach). Same bipartite fixture as g10, radius 3:
+    * far enough that distance-3 balls span most of the component,
+    * exactly where exact pair materialization stops scaling. */
+  val g12_anf = QueryDef(
+    "g12_anf",
+    (s, dir) =>
+      graft.operators.Graph
+        .anfProfile(
+          Tables(s, dir).events.select(
+            col("user_id").as("src"),
+            (get_json_object(col("props"), "$.k").cast("long") % 50 + 1000L)
+              .as("dst")),
+          "src", "dst", radius = 3)
+        .orderBy(col("node"), col("r")),
+    Some(g12Oracle(radius = 3)))
 
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
@@ -6410,6 +6532,7 @@ $langScoreCols
     t31_ngram_overlap, t32_wordpiece_encode, t33_eval_metrics,
     t34_ccnet_buckets, t35_calibration, t36_pass_at_k, t37_zipf,
     t38_bradley_terry, t39_blocklist, t40_langid_eval, t41_rouge_l,
+    t42_blocklist_trie,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,
@@ -6436,5 +6559,5 @@ $langScoreCols
     p32_water_fill,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
-    g09_cooccurrence, g10_neighborhood, g11_coocc_indexed)
+    g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf)
 }

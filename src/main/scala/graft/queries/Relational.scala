@@ -1785,6 +1785,76 @@ object Relational {
       FROM q76_t t CROSS JOIN q76_n CROSS JOIN q76_m
       ORDER BY rank"""))
 
+  /** Experiment readout ([[graft.operators.Experiments.welchAbTest]]):
+    * Welch's unequal-variance t per event type between a deterministic
+    * 50/50 user split, computed over per-USER revenue (the
+    * randomization unit), from exact integer moments (cents; Σm² in
+    * DECIMAL). The oracle replays the unit collapse, the moment
+    * aggregation, and the SAME fixed-shape double formula — t and the
+    * Welch–Satterthwaite df match to the bit before the shared 6-dp
+    * round. */
+  val q77_ab_welch = QueryDef(
+    "q77_ab_welch",
+    (s, dir) =>
+      graft.operators.Experiments
+        .welchAbTest(
+          Tables(s, dir).events
+            .filter(col("user_id").isNotNull)
+            .select(
+              col("event_type"),
+              pmod(col("user_id"), lit(2L)).cast("int").as("arm"),
+              col("user_id"),
+              round(col("value") * 100.0, 0).cast("long").as("cents")),
+          "event_type", "arm", "user_id", "cents")
+        .orderBy(col("event_type")),
+    Some("""
+      WITH q77_u AS (
+        SELECT event_type, (user_id % 2)::INT AS arm, user_id,
+               CAST(round(value * 100.0) AS BIGINT) AS cents
+        FROM events WHERE user_id IS NOT NULL),
+      q77_m AS (
+        SELECT event_type, arm, user_id, cast(sum(cents) AS BIGINT) AS m
+        FROM q77_u GROUP BY 1, 2, 3),
+      q77_a AS (
+        SELECT event_type, arm,
+               cast(count(*) AS BIGINT) AS n,
+               cast(sum(m) AS BIGINT) AS s,
+               sum(m::HUGEINT * m::HUGEINT) AS ss
+        FROM q77_m GROUP BY 1, 2),
+      q77_w AS (
+        SELECT event_type,
+               max(CASE WHEN arm = 0 THEN n END) AS n0,
+               max(CASE WHEN arm = 0 THEN s END) AS s0,
+               max(CASE WHEN arm = 0 THEN ss END) AS ss0,
+               max(CASE WHEN arm = 1 THEN n END) AS n1,
+               max(CASE WHEN arm = 1 THEN s END) AS s1,
+               max(CASE WHEN arm = 1 THEN ss END) AS ss1
+        FROM q77_a GROUP BY 1),
+      q77_d AS (
+        SELECT event_type, n0, n1,
+               s0::DOUBLE / (100.0 * n0::DOUBLE) AS m0,
+               s1::DOUBLE / (100.0 * n1::DOUBLE) AS m1,
+               ((ss0::DOUBLE - s0::DOUBLE * s0::DOUBLE / n0::DOUBLE)
+                 / (n0::DOUBLE - 1.0) / 10000.0) / n0::DOUBLE AS se0,
+               ((ss1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+                 / (n1::DOUBLE - 1.0) / 10000.0) / n1::DOUBLE AS se1
+        FROM q77_w WHERE n0 IS NOT NULL AND n1 IS NOT NULL),
+      q77_f AS (
+        SELECT event_type, n0, n1, m0, m1, se0 + se1 AS se2, se0, se1
+        FROM q77_d)
+      SELECT event_type,
+             n0 AS n_control, n1 AS n_treat,
+             round(m0, 6) AS mean_control,
+             round(m1, 6) AS mean_treat,
+             CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0
+               THEN round((m1 - m0) / sqrt(se2), 6) END AS welch_t,
+             CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0
+               THEN round((se2 * se2) /
+                 (se0 * se0 / (n0::DOUBLE - 1.0) +
+                  se1 * se1 / (n1::DOUBLE - 1.0)), 6) END AS welch_df
+      FROM q77_f
+      ORDER BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1802,5 +1872,5 @@ object Relational {
     q61_quantile_bins, q63_profile, q64_corr_matrix, q65_histogram,
     q67_range_window, q68_union_evolved, q69_asof_tolerance,
     q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly,
-    q76_heavy_hitters)
+    q76_heavy_hitters, q77_ab_welch)
 }

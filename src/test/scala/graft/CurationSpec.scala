@@ -100,6 +100,54 @@ class CurationSpec extends SparkSpec {
       Curation.blocklistFilter(docs, "id", "text", Seq.empty))
   }
 
+  test("blocklistFilterTrie: equals the regex face on hand traps AND the corpus fixture") {
+    // the kernel's contract is EXACT agreement with the alternation
+    // regex — pin it on the adversarial shapes first
+    val docs = Seq(
+      (1L, "a bad apple pie"),          // overlap: longest wins, ONE hit
+      (2L, "an Apple a day"),           // case via lower()
+      (3L, "scrapple and pineapple"),   // \b: substrings don't match
+      (4L, "bad apple bad apple"),      // repeated, non-overlapping resume
+      (5L, "bad apples"),               // trailing boundary fails the long
+                                        // phrase, short one still hits
+      (6L, "bad_apple bad"),            // underscore IS a word char: no
+                                        // boundary inside bad_apple
+      (7L, "x bad bad apple y"),        // match resume lands on next start
+      (8L, "")
+    ).toDF("id", "text")
+    val phrases = Seq("apple", "bad apple", "bad")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_hits"),
+        r.getAs[Boolean]("blocked"))).toMap
+    val viaRegex = run(Curation.blocklistFilter(docs, "id", "text", phrases, 1L))
+    val viaTrie = run(Curation.blocklistFilterTrie(docs, "id", "text", phrases, 1L))
+    assert(viaTrie == viaRegex)
+    // spot-check the traps are what they claim (not just face-equal)
+    assert(viaTrie(5L) == (1L, false))  // "bad" hits, "bad apple(s)" doesn't
+    assert(viaTrie(6L) == (1L, false))  // only the standalone "bad"
+    assert(viaTrie(7L) == (2L, true))   // "bad" then "bad apple"
+    // corpus fixture: both faces agree document-for-document on real
+    // text with the 25-phrase adversarial dictionary
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ph = Seq(
+      "slow fast", "slow", "fast key order", "fast key", "data window",
+      "window row", "the part", "part merge", "spark window", "spark",
+      "batch batch", "stream", "join order", "join", "sort agg", "agg line",
+      "merge data", "key data", "small hash scan", "hash scan", "big",
+      "customer line", "value merge", "row data", "a")
+    val a = Curation.blocklistFilter(corpus, "doc_id", "text", ph, 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Curation.blocklistFilterTrie(corpus, "doc_id", "text", ph, 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.values.sum > 0)
+    intercept[IllegalArgumentException](
+      Curation.blocklistFilterTrie(docs, "id", "text", Seq("Bad")))
+    intercept[IllegalArgumentException](
+      Curation.blocklistFilterTrie(docs, "id", "text", Seq.empty))
+  }
+
   test("canonicalizeUrl: every variant class collapses; benign parts survive") {
     val cases = Seq(
       // scheme/host case + default port + fragment

@@ -473,6 +473,59 @@ class GraphSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("anfProfile: sketch propagation equals sketching the exact ball; monotone; repartition-stable") {
+    import spark.implicits._
+    import graft.functions.expressions.HllDistinct
+    // path 1-2-3-4-5 plus clique {10,11,12,13}: known balls at every radius
+    val edgeSeq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++
+      Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L))
+    val edges = edgeSeq.toDF("s", "d")
+    val adj = (edgeSeq ++ edgeSeq.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val nodes = adj.keySet
+    def ball(u: Long, r: Int): Set[Long] =
+      (0 until r).foldLeft(Set(u))((b, _) => b ++ b.flatMap(adj))
+    val radius = 3
+    val got = Graph.anfProfile(edges, "s", "d", radius)
+      .collect()
+      .map(row => (row.getLong(0), row.getAs[Int]("r")) ->
+        (row.getAs[Long]("degree"), row.getAs[Double]("anf"))).toMap
+    assert(got.keySet ==
+      (for (n <- nodes; r <- 1 to radius) yield (n, r)).toSet)
+    // THE pin: union-propagated registers are a pure function of the
+    // exact ball set, so the estimate must EQUAL hll_distinct over the
+    // enumerated members — bit-for-bit, not approximately
+    val members = (for {
+      n <- nodes.toSeq; r <- 1 to radius; m <- ball(n, r)
+    } yield (n, r, m)).toDF("node", "r", "m")
+    val expect = members.groupBy($"node", $"r")
+      .agg(HllDistinct($"m").as("e"))
+      .collect()
+      .map(row => (row.getLong(0), row.getInt(1)) -> row.getAs[Double]("e"))
+      .toMap
+    expect.foreach { case (k, e) =>
+      assert(got(k)._2 == e, s"estimate mismatch at $k") }
+    // degree column, monotonicity in r, and the tiny-ball regime staying
+    // within rounding distance of the exact count
+    nodes.foreach { n =>
+      assert(got((n, 1))._1 == adj(n).size.toLong)
+      assert(got((n, 1))._2 <= got((n, 2))._2 && got((n, 2))._2 <= got((n, 3))._2)
+      // the estimate is APPROXIMATE — a register collision among 4
+      // members legitimately reads 3 — so band, don't pin, accuracy
+      (1 to radius).foreach { r =>
+        val e = ball(n, r).size.toDouble
+        assert(math.abs(got((n, r))._2 - e) <= math.max(1.5, 0.15 * e), s"($n,$r)")
+      }
+    }
+    // partitioning-invariant; duplicate/reversed edges collapse
+    val noisy = edges.unionByName(edges.select($"d".as("s"), $"s".as("d")))
+    val again = Graph.anfProfile(noisy.repartition(5), "s", "d", radius)
+      .collect()
+      .map(row => (row.getLong(0), row.getAs[Int]("r")) ->
+        (row.getAs[Long]("degree"), row.getAs[Double]("anf"))).toMap
+    assert(again == got)
+  }
+
   test("cooccurrenceEdges: distinct-user weights, degree cap, min-support") {
     import spark.implicits._
     // u1: items 1,2,3; u2: items 1,2 (twice — distinct collapses);
