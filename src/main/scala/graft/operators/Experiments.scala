@@ -89,4 +89,110 @@ object Experiments {
       when(ok, round(tStat, 6)).as("welch_t"),
       when(ok, round(dfW, 6)).as("welch_df"))
   }
+
+  /** CUPED-adjusted readout (Deng, Xu, Kohavi & Walker, WSDM'13): the
+    * variance-reduction companion to [[welchAbTest]]. Each unit's
+    * experiment metric Y is adjusted by its PRE-experiment covariate X
+    * (Y′ = Y − θ·(X − X̄), θ = cov(X,Y)/var(X) pooled over both arms —
+    * pre-period behavior is arm-independent by randomization, so the
+    * adjustment shrinks variance without biasing the lift), and the
+    * Welch test runs on Y′.
+    *
+    * The scale trick: Y′ is NEVER materialized per unit. Every adjusted
+    * statistic is algebra over the exact integer moment matrix —
+    * var(Y′) = var(Y) − 2θ·cov(X,Y) + θ²·var(X), mean_a(Y′) =
+    * mean_a(Y) − θ·(mean_a(X) − X̄_pool) — so one keyed aggregation
+    * pass (unit collapse, then per-arm {n, ΣX, ΣY, ΣX², ΣY², ΣXY} with
+    * the Σ-of-products in DECIMAL(38,0)) yields the whole readout, the
+    * per-unit double subtraction that would make results
+    * partitioning-dependent never happens, and the oracle replays the
+    * same fixed-shape formula bit-for-bit. `var_reduction` is pooled
+    * ρ²(X,Y) — the fraction of metric variance the covariate removed,
+    * the number a platform uses to justify CUPED's bookkeeping.
+    *
+    * Input rows are events carrying BOTH quantized columns (`yQCol`
+    * experiment-period metric, `xQCol` pre-period covariate, zero
+    * outside their windows); the unit collapse sums each. θ falls back
+    * to 0 (plain Welch) when the pooled covariate is constant. t/df
+    * are NULL under the same guards as [[welchAbTest]]. */
+  def cupedAbTest(
+      df: DataFrame,
+      groupCol: String,
+      armCol: String,
+      unitCol: String,
+      yQCol: String,
+      xQCol: String,
+      scale: Long = 100L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val unit = df
+      .groupBy(col(groupCol), col(armCol).cast("int").as("__arm"), col(unitCol))
+      .agg(
+        sum(col(yQCol).cast("long")).as("__y"),
+        sum(col(xQCol).cast("long")).as("__x"))
+    def d38(c: String) = col(c).cast("decimal(38,0)")
+    val arm = unit
+      .groupBy(col(groupCol), col("__arm"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x")).as("__sx"),
+        sum(d38("__y") * d38("__y")).as("__syy"),
+        sum(d38("__x") * d38("__x")).as("__sxx"),
+        sum(d38("__x") * d38("__y")).as("__sxy"))
+    def pick(c: String, a: Int) =
+      max(when(col("__arm") === a, col(c))).as(s"${c}_$a")
+    val picks = for {
+      c <- Seq("__n", "__sy", "__sx", "__syy", "__sxx", "__sxy")
+      a <- Seq(0, 1)
+    } yield pick(c, a)
+    val wide = arm
+      .groupBy(col(groupCol))
+      .agg(picks.head, picks.tail: _*)
+      .filter(col("__n_0").isNotNull && col("__n_1").isNotNull)
+    def dbl(c: String) = col(c).cast("double")
+    // pooled moments: exact integer/decimal adds BEFORE any cast
+    val nP = (col("__n_0") + col("__n_1")).cast("double")
+    val sxP = (col("__sx_0") + col("__sx_1")).cast("double")
+    val syP = (col("__sy_0") + col("__sy_1")).cast("double")
+    val sxxP = (col("__sxx_0") + col("__sxx_1")).cast("double")
+    val syyP = (col("__syy_0") + col("__syy_1")).cast("double")
+    val sxyP = (col("__sxy_0") + col("__sxy_1")).cast("double")
+    val varxP = (sxxP - sxP * sxP / nP) / (nP - lit(1.0))
+    val varyP = (syyP - syP * syP / nP) / (nP - lit(1.0))
+    val covP = (sxyP - sxP * syP / nP) / (nP - lit(1.0))
+    val theta = when(varxP > lit(0.0), covP / varxP).otherwise(lit(0.0))
+    val mxP = sxP / nP
+    def n(a: Int) = dbl(s"__n_$a")
+    def madj(a: Int) =
+      dbl(s"__sy_$a") / n(a) - theta * (dbl(s"__sx_$a") / n(a) - mxP)
+    def vy(a: Int) =
+      (dbl(s"__syy_$a") - dbl(s"__sy_$a") * dbl(s"__sy_$a") / n(a)) /
+        (n(a) - lit(1.0))
+    def vx(a: Int) =
+      (dbl(s"__sxx_$a") - dbl(s"__sx_$a") * dbl(s"__sx_$a") / n(a)) /
+        (n(a) - lit(1.0))
+    def cxy(a: Int) =
+      (dbl(s"__sxy_$a") - dbl(s"__sx_$a") * dbl(s"__sy_$a") / n(a)) /
+        (n(a) - lit(1.0))
+    def se(a: Int) =
+      (vy(a) - lit(2.0) * theta * cxy(a) + theta * theta * vx(a)) / n(a)
+    val se2 = se(0) + se(1)
+    val tStat = (madj(1) - madj(0)) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      (se(0) * se(0) / (n(0) - lit(1.0)) + se(1) * se(1) / (n(1) - lit(1.0)))
+    val vred = when(varxP > lit(0.0) && varyP > lit(0.0),
+      covP * covP / (varxP * varyP)).otherwise(lit(0.0))
+    val ok = col("__n_0") > 1 && col("__n_1") > 1 && se2 > lit(0.0)
+    val sD = lit(scale.toDouble)
+    wide.select(
+      col(groupCol),
+      col("__n_0").as("n_control"),
+      col("__n_1").as("n_treat"),
+      round(theta, 6).as("theta"),
+      round(madj(0) / sD, 6).as("mean_control_adj"),
+      round(madj(1) / sD, 6).as("mean_treat_adj"),
+      when(ok, round(tStat, 6)).as("welch_t_adj"),
+      when(ok, round(dfW, 6)).as("welch_df_adj"),
+      round(vred, 6).as("var_reduction"))
+  }
 }

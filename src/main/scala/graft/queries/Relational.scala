@@ -1855,6 +1855,127 @@ object Relational {
       FROM q77_f
       ORDER BY event_type"""))
 
+  /** CUPED variance-reduced readout
+    * ([[graft.operators.Experiments.cupedAbTest]]): q77's test with
+    * each user's PRE-period revenue (Jan 1–15) as the control
+    * covariate for the experiment-period metric (Jan 16–30) — the
+    * Deng-et-al adjustment every experimentation platform runs. All
+    * adjusted statistics are ALGEBRA over one exact moment matrix
+    * ({n, ΣX, ΣY, ΣX², ΣY², ΣXY} per arm, products in HUGEINT/DECIMAL)
+    * — Y′ never materializes per unit — so the oracle replays the
+    * identical fixed-shape double formula. */
+  val q78_cuped = QueryDef(
+    "q78_cuped",
+    (s, dir) => {
+      val cents = round(col("value") * 100.0, 0).cast("long")
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      graft.operators.Experiments
+        .cupedAbTest(
+          Tables(s, dir).events
+            .filter(col("user_id").isNotNull)
+            .select(
+              col("event_type"),
+              pmod(col("user_id"), lit(2L)).cast("int").as("arm"),
+              col("user_id"),
+              when(col("ts") >= cut, cents).otherwise(lit(0L)).as("y_cents"),
+              when(col("ts") < cut, cents).otherwise(lit(0L)).as("x_cents")),
+          "event_type", "arm", "user_id", "y_cents", "x_cents")
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH q78_e AS (
+        SELECT event_type, (user_id % 2)::INT AS arm, user_id,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END AS y,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END AS x
+        FROM events WHERE user_id IS NOT NULL),
+      q78_m AS (
+        SELECT event_type, arm, user_id,
+               cast(sum(y) AS BIGINT) AS my, cast(sum(x) AS BIGINT) AS mx
+        FROM q78_e GROUP BY 1, 2, 3),
+      q78_a AS (
+        SELECT event_type, arm,
+               cast(count(*) AS BIGINT) AS n,
+               cast(sum(my) AS BIGINT) AS sy,
+               cast(sum(mx) AS BIGINT) AS sx,
+               sum(my::HUGEINT * my::HUGEINT) AS syy,
+               sum(mx::HUGEINT * mx::HUGEINT) AS sxx,
+               sum(mx::HUGEINT * my::HUGEINT) AS sxy
+        FROM q78_m GROUP BY 1, 2),
+      q78_w AS (
+        SELECT event_type,
+               max(CASE WHEN arm = 0 THEN n END) AS n0,
+               max(CASE WHEN arm = 0 THEN sy END) AS sy0,
+               max(CASE WHEN arm = 0 THEN sx END) AS sx0,
+               max(CASE WHEN arm = 0 THEN syy END) AS syy0,
+               max(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+               max(CASE WHEN arm = 0 THEN sxy END) AS sxy0,
+               max(CASE WHEN arm = 1 THEN n END) AS n1,
+               max(CASE WHEN arm = 1 THEN sy END) AS sy1,
+               max(CASE WHEN arm = 1 THEN sx END) AS sx1,
+               max(CASE WHEN arm = 1 THEN syy END) AS syy1,
+               max(CASE WHEN arm = 1 THEN sxx END) AS sxx1,
+               max(CASE WHEN arm = 1 THEN sxy END) AS sxy1
+        FROM q78_a GROUP BY 1),
+      q78_p AS (
+        SELECT *,
+               (n0 + n1)::DOUBLE AS np, (sx0 + sx1)::DOUBLE AS sxp,
+               (sy0 + sy1)::DOUBLE AS syp, (sxx0 + sxx1)::DOUBLE AS sxxp,
+               (syy0 + syy1)::DOUBLE AS syyp, (sxy0 + sxy1)::DOUBLE AS sxyp
+        FROM q78_w WHERE n0 IS NOT NULL AND n1 IS NOT NULL),
+      q78_t AS (
+        SELECT *,
+               (sxxp - sxp * sxp / np) / (np - 1.0) AS varxp,
+               (syyp - syp * syp / np) / (np - 1.0) AS varyp,
+               (sxyp - sxp * syp / np) / (np - 1.0) AS covp
+        FROM q78_p),
+      q78_h AS (
+        SELECT *,
+               CASE WHEN varxp > 0.0 THEN covp / varxp ELSE 0.0 END AS theta,
+               sxp / np AS mxp
+        FROM q78_t),
+      q78_s AS (
+        SELECT *,
+               sy0::DOUBLE / n0::DOUBLE
+                 - theta * (sx0::DOUBLE / n0::DOUBLE - mxp) AS madj0,
+               sy1::DOUBLE / n1::DOUBLE
+                 - theta * (sx1::DOUBLE / n1::DOUBLE - mxp) AS madj1,
+               ((syy0::DOUBLE - sy0::DOUBLE * sy0::DOUBLE / n0::DOUBLE)
+                  / (n0::DOUBLE - 1.0)
+                - 2.0 * theta * ((sxy0::DOUBLE
+                  - sx0::DOUBLE * sy0::DOUBLE / n0::DOUBLE)
+                  / (n0::DOUBLE - 1.0))
+                + theta * theta * ((sxx0::DOUBLE
+                  - sx0::DOUBLE * sx0::DOUBLE / n0::DOUBLE)
+                  / (n0::DOUBLE - 1.0))) / n0::DOUBLE AS se0,
+               ((syy1::DOUBLE - sy1::DOUBLE * sy1::DOUBLE / n1::DOUBLE)
+                  / (n1::DOUBLE - 1.0)
+                - 2.0 * theta * ((sxy1::DOUBLE
+                  - sx1::DOUBLE * sy1::DOUBLE / n1::DOUBLE)
+                  / (n1::DOUBLE - 1.0))
+                + theta * theta * ((sxx1::DOUBLE
+                  - sx1::DOUBLE * sx1::DOUBLE / n1::DOUBLE)
+                  / (n1::DOUBLE - 1.0))) / n1::DOUBLE AS se1
+        FROM q78_h),
+      q78_f AS (SELECT *, se0 + se1 AS se2 FROM q78_s)
+      SELECT event_type,
+             n0 AS n_control, n1 AS n_treat,
+             round(theta, 6) AS theta,
+             round(madj0 / 100.0, 6) AS mean_control_adj,
+             round(madj1 / 100.0, 6) AS mean_treat_adj,
+             CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0
+               THEN round((madj1 - madj0) / sqrt(se2), 6) END AS welch_t_adj,
+             CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0
+               THEN round((se2 * se2) /
+                 (se0 * se0 / (n0::DOUBLE - 1.0) +
+                  se1 * se1 / (n1::DOUBLE - 1.0)), 6) END AS welch_df_adj,
+             round(CASE WHEN varxp > 0.0 AND varyp > 0.0
+               THEN covp * covp / (varxp * varyp) ELSE 0.0 END, 6)
+               AS var_reduction
+      FROM q78_f
+      ORDER BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1872,5 +1993,5 @@ object Relational {
     q61_quantile_bins, q63_profile, q64_corr_matrix, q65_histogram,
     q67_range_window, q68_union_evolved, q69_asof_tolerance,
     q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly,
-    q76_heavy_hitters, q77_ab_welch)
+    q76_heavy_hitters, q77_ab_welch, q78_cuped)
 }

@@ -69,4 +69,78 @@ class ExperimentsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Experiments.welchAbTest(rows, "grp", "arm", "user", "cents", scale = 0L))
   }
+
+  /** The operator's CUPED formula replayed in plain Scala, same
+    * operation order, from per-unit (x, y) cents. */
+  private def cupedReplica(
+      c: Seq[(Long, Long)], t: Seq[(Long, Long)])
+      : (Double, Double, Double, Double, Double, Double) = {
+    def mom(xs: Seq[(Long, Long)]) = (
+      xs.size.toDouble,
+      xs.map(_._2).sum.toDouble, xs.map(_._1).sum.toDouble,
+      xs.map(p => BigInt(p._2) * BigInt(p._2)).sum.toDouble,
+      xs.map(p => BigInt(p._1) * BigInt(p._1)).sum.toDouble,
+      xs.map(p => BigInt(p._1) * BigInt(p._2)).sum.toDouble)
+    val (n0, sy0, sx0, syy0, sxx0, sxy0) = mom(c)
+    val (n1, sy1, sx1, syy1, sxx1, sxy1) = mom(t)
+    val (np, sxp, syp) = (n0 + n1, sx0 + sx1, sy0 + sy1)
+    val (sxxp, syyp, sxyp) = (sxx0 + sxx1, syy0 + syy1, sxy0 + sxy1)
+    val varxp = (sxxp - sxp * sxp / np) / (np - 1.0)
+    val varyp = (syyp - syp * syp / np) / (np - 1.0)
+    val covp = (sxyp - sxp * syp / np) / (np - 1.0)
+    val theta = if (varxp > 0.0) covp / varxp else 0.0
+    val mxp = sxp / np
+    def madj(sy: Double, sx: Double, n: Double) = sy / n - theta * (sx / n - mxp)
+    def se(sy: Double, sx: Double, syy: Double, sxx: Double, sxy: Double, n: Double) =
+      ((syy - sy * sy / n) / (n - 1.0)
+        - 2.0 * theta * ((sxy - sx * sy / n) / (n - 1.0))
+        + theta * theta * ((sxx - sx * sx / n) / (n - 1.0))) / n
+    val (m0, m1) = (madj(sy0, sx0, n0), madj(sy1, sx1, n1))
+    val (e0, e1) = (se(sy0, sx0, syy0, sxx0, sxy0, n0), se(sy1, sx1, syy1, sxx1, sxy1, n1))
+    val se2 = e0 + e1
+    (round6(theta), round6(m0 / 100.0), round6(m1 / 100.0),
+      round6((m1 - m0) / math.sqrt(se2)),
+      round6(se2 * se2 / (e0 * e0 / (n0 - 1.0) + e1 * e1 / (n1 - 1.0))),
+      round6(if (varxp > 0.0 && varyp > 0.0) covp * covp / (varxp * varyp) else 0.0))
+  }
+
+  test("cupedAbTest: driver replica; theta=0 fallback equals plain Welch; unit collapse") {
+    // correlated covariate: high pre-period spenders spend high later
+    val c = Seq((100L, 150L), (200L, 260L), (300L, 340L), (400L, 470L))
+    val t = Seq((150L, 260L), (250L, 350L), (350L, 480L))
+    val rows = (
+      // unit 1's x and y arrive as SEPARATE event rows (zero-filled):
+      // the collapse must sum per column before any moment
+      Seq(("g", 0, 1L, 0L, 100L), ("g", 0, 1L, 150L, 0L)) ++
+        c.drop(1).zipWithIndex.map { case ((x, y), i) => ("g", 0, i + 2L, y, x) } ++
+        t.zipWithIndex.map { case ((x, y), i) => ("g", 1, i + 10L, y, x) }
+      ).toDF("grp", "arm", "user", "y", "x")
+    val got = Experiments.cupedAbTest(rows, "grp", "arm", "user", "y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (th, m0, m1, tt, df, vr) = cupedReplica(c, t)
+    val g = got("g")
+    assert((g.getLong(1), g.getLong(2)) == ((4L, 3L)))
+    assert((g.getDouble(3), g.getDouble(4), g.getDouble(5)) == ((th, m0, m1)))
+    assert((g.getDouble(6), g.getDouble(7), g.getDouble(8)) == ((tt, df, vr)))
+    // the adjustment must actually help on correlated data
+    assert(vr > 0.5)
+    // constant covariate -> theta = 0 -> the CUPED t IS the plain Welch t
+    // (one row per unit here: a per-ROW constant would still sum to a
+    // non-constant per-unit covariate for multi-row units)
+    val flat = (
+      c.zipWithIndex.map { case ((_, y), i) => ("g", 0, i + 1L, y, 7L) } ++
+        t.zipWithIndex.map { case ((_, y), i) => ("g", 1, i + 10L, y, 7L) }
+      ).toDF("grp", "arm", "user", "y", "x")
+    val viaCuped = Experiments.cupedAbTest(flat, "grp", "arm", "user", "y", "x")
+      .collect().map(r => (r.getDouble(3), r.get(6), r.get(8))).head
+    val viaWelch = Experiments.welchAbTest(rows, "grp", "arm", "user", "y")
+      .collect().map(r => r.get(5)).head
+    assert(viaCuped._1 == 0.0 && viaCuped._3 == 0.0)
+    assert(viaCuped._2 == viaWelch)
+    // partitioning-invariant
+    val again = Experiments
+      .cupedAbTest(rows.repartition(7), "grp", "arm", "user", "y", "x")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again("g") == got("g").toSeq.map(identity))
+  }
 }
