@@ -107,6 +107,39 @@ object Packing {
     * Window boundaries split documents mid-stream by construction —
     * pack_id/end_pack of [[packSequences]] agree with the first/last
     * token's seq_id here (the two faces share the prefix-sum offsets). */
+  /** Length-grouped batch assembly — the padded-batching counterpart
+    * of [[packSequences]]: when training/inference consumes PADDED
+    * batches (SFT, reward models, encoders — anything that can't
+    * concatenate across examples), batching similar-length documents
+    * together is what keeps the pad-token fraction low (HuggingFace's
+    * `group_by_length`; bucketing in Tensor2Tensor). Documents sort by
+    * (length, id) — a strict total order, so assignment is
+    * deterministic — and consecutive runs of `batchSize` docs form a
+    * batch; each batch pads to its own max.
+    *
+    * Returns one row per document: (id, n_tokens, batch_id) — the
+    * assignment a loader consumes. Aggregate per batch for the
+    * padding audit (p33 does; `pad_waste = n·max − Σlen`).
+    *
+    * Scale shape: the global order comes from
+    * [[graft.plans.RowIndexExec]] (range-partitioned parallel sort +
+    * per-partition offsets), NEVER a single-task `row_number()`
+    * window; everything after the index is per-row arithmetic. One
+    * sort shuffle total — same cost class as the packing path. */
+  def lengthGroupedBatches(
+      docs: DataFrame,
+      idCol: String,
+      lenCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    graft.Frame
+      .withRowIndex(
+        docs.select(col(idCol), col(lenCol).cast("long").as("n_tokens")),
+        Seq(col("n_tokens"), col(idCol)), "__idx")
+      .select(col(idCol), col("n_tokens"),
+        expr(s"__idx div $batchSize").as("batch_id"))
+  }
+
   def packTokens(
       docs: DataFrame,
       idCol: String,

@@ -955,6 +955,52 @@ $langScoreCols
       FROM p32_c c CROSS JOIN p32_t
       ORDER BY c.source"""))
 
+  /** Length-grouped batch assembly ([[graft.operators.Packing
+    * .lengthGroupedBatches]]): the padded-batch counterpart of
+    * p06/p12's packing — similar-length documents batch together so
+    * each batch pads only to its OWN max (HF `group_by_length`).
+    * Per-batch padding audit: waste = n·max − Σlen, efficiency =
+    * Σlen/(n·max). The assignment rides the parallel RowIndexExec
+    * sort; the oracle replays it with a window row_number. */
+  val p33_length_batches = QueryDef(
+    "p33_length_batches",
+    (s, dir) =>
+      graft.operators.Packing
+        .lengthGroupedBatches(
+          Tables(s, dir).documents.select(
+            col("doc_id"),
+            size(split(col("text"), " ")).as("len")),
+          "doc_id", "len", batchSize = 32)
+        .groupBy(col("batch_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("pad_waste",
+          col("n_docs") * col("max_tokens") - col("sum_tokens"))
+        .withColumn("efficiency",
+          round(col("sum_tokens").cast("double") /
+            (col("n_docs") * col("max_tokens")).cast("double"), 6))
+        .orderBy(col("batch_id")),
+    Some("""
+      WITH p33_l AS (
+        SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      p33_i AS (
+        SELECT doc_id, n_tokens,
+               (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32
+                 AS batch_id
+        FROM p33_l)
+      SELECT batch_id,
+             cast(count(*) AS BIGINT) AS n_docs,
+             cast(max(n_tokens) AS BIGINT) AS max_tokens,
+             cast(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             cast(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+               AS pad_waste,
+             round(sum(n_tokens)::DOUBLE /
+               (count(*) * max(n_tokens))::DOUBLE, 6) AS efficiency
+      FROM p33_i GROUP BY 1 ORDER BY batch_id"""))
+
   val p28_mixture_resample = QueryDef(
     "p28_mixture_resample",
     (s, dir) =>
@@ -6556,7 +6602,7 @@ $langScoreCols
     p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
     p26_pipeline_demo, p27_sft_turns, p28_mixture_resample,
     p29_preference_pairs, p30_temperature_resample, p31_balanced_shards,
-    p32_water_fill,
+    p32_water_fill, p33_length_batches,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf)

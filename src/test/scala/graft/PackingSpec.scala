@@ -133,6 +133,38 @@ class PackingSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("lengthGroupedBatches: (len, id) order, batch boundaries, partition-invariant") {
+    // sorted by (len, id): (5,1),(7,2),(2,3),(9,5),(1,4),(6,6),(10,9),(3,12)
+    val d = Seq(
+      (1L, 3L), (2L, 3L), (3L, 2L), (4L, 6L),
+      (5L, 4L), (6L, 8L), (7L, 2L), (9L, 5L), (10L, 9L), (3L + 9L, 1L)
+    ).map { case (id, len) => (id, len) }.toDF("id", "len")
+    val got = Packing.lengthGroupedBatches(d, "id", "len", batchSize = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver replica of the contract: sort by (len, id), chunk by 3
+    val expect = Seq(
+      (1L, 3L), (2L, 3L), (3L, 2L), (4L, 6L), (5L, 4L), (6L, 8L),
+      (7L, 2L), (9L, 5L), (10L, 9L), (12L, 1L))
+      .sortBy { case (id, len) => (len, id) }
+      .zipWithIndex
+      .map { case ((id, len), i) => id -> (len, i.toLong / 3L) }
+      .toMap
+    assert(got == expect)
+    // batches pad to their own max: audit math on the replica
+    val waste = expect.values.groupBy(_._2).map { case (b, ls) =>
+      b -> (ls.size * ls.map(_._1).max - ls.map(_._1).sum) }
+    assert(waste.values.sum < 10L) // grouped-by-length keeps waste low
+    // partition-invariant
+    val again = Packing
+      .lengthGroupedBatches(d.repartition(7), "id", "len", batchSize = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == got)
+    intercept[IllegalArgumentException](
+      Packing.lengthGroupedBatches(d, "id", "len", batchSize = 0))
+  }
+
   test("chatTurns: alternating roles, contiguous token offsets, loss on assistant turns") {
     import org.apache.spark.sql.functions._
     val ev = Seq(
