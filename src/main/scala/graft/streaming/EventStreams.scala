@@ -541,6 +541,59 @@ object EventStreams {
     spark.read.parquet(committed: _*)
   }
 
+  /** Streaming ingest face of the experimentation readout
+    * ([[graft.operators.Experiments]]): each micro-batch pre-aggregates
+    * its events to (group, arm, unit, Σy, Σx) partial metric rows —
+    * unit-cardinality-bounded, NOT event-cardinality — written as the
+    * usual idempotent `b_<batchId>` directories (overwrite-by-id makes
+    * replays absorb). Because the unit collapse is ADDITIVE, feeding
+    * the committed partials back through `welchAbTest`/`cupedAbTest`
+    * (which re-collapses per unit across batches before any moment is
+    * taken) yields EXACTLY the one-shot batch answer — pinned in
+    * StreamingSpec via [[experimentReadout]]. The live-monitoring
+    * shape: the stream never holds state beyond the trigger, the
+    * readout reads unit rows, not raw events. (Peeking at a running
+    * experiment repeatedly is the usual sequential-testing caveat —
+    * the STATISTIC is exact; the stopping rule is the caller's.) */
+  def experimentIngestSink(
+      events: DataFrame,
+      groupCol: String,
+      armCol: String,
+      unitCol: String,
+      yQCol: String,
+      xQCol: String,
+      targetPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .groupBy(col(groupCol), col(armCol), col(unitCol))
+          .agg(
+            sum(col(yQCol).cast("long")).as(yQCol),
+            sum(col(xQCol).cast("long")).as(xQCol))
+          .write.mode("overwrite")
+          .parquet(f"$targetPath/b_$batchId%012d")
+      }
+      .start()
+
+  /** CUPED readout over an [[experimentIngestSink]] target: the
+    * committed per-batch unit partials ARE valid operator input (the
+    * collapse re-sums them per unit), so this is one call — and equal
+    * to running [[graft.operators.Experiments.cupedAbTest]] on the
+    * full event history directly. */
+  def experimentReadout(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      groupCol: String,
+      armCol: String,
+      unitCol: String,
+      yQCol: String,
+      xQCol: String): DataFrame =
+    graft.operators.Experiments.cupedAbTest(
+      committedBatches(spark, targetPath),
+      groupCol, armCol, unitCol, yQCol, xQCol)
+
   /** All COMMITTED [[asofEnrichSink]] output batches as one relation. */
   def asofEnriched(
       spark: org.apache.spark.sql.SparkSession,

@@ -208,6 +208,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("experimentIngestSink: streamed unit partials reproduce the batch CUPED readout (q78 fixture)") {
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    val cents = round(col("value") * 100.0, 0).cast("long")
+    val ev = Tables(spark, sf0001).events
+      .filter(col("user_id").isNotNull)
+      .select(
+        col("event_type"),
+        pmod(col("user_id"), lit(2L)).cast("int").as("arm"),
+        col("user_id"),
+        when(col("ts") >= cut, cents).otherwise(lit(0L)).as("y_cents"),
+        when(col("ts") < cut, cents).otherwise(lit(0L)).as("x_cents"))
+    // stream file-by-file: users' events deliberately SPAN micro-batches,
+    // so the readout only matches if cross-batch unit re-collapse is exact
+    val src = Files.createTempDirectory("graft-exp-src").toString
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val target = Files.createTempDirectory("graft-exp-out").toString
+    val q = EventStreams.experimentIngestSink(
+      stream, "event_type", "arm", "user_id", "y_cents", "x_cents",
+      target, checkpoint())
+    try q.processAllAvailable() finally q.stop()
+    val nBatches = EventStreams.committedBatches(spark, target)
+      .select(input_file_name()).distinct().count()
+    assert(nBatches >= 2, s"wanted >=2 committed micro-batches, got $nBatches")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type").collect().map(_.toSeq).toSeq
+    val streamed = canon(EventStreams.experimentReadout(
+      spark, target, "event_type", "arm", "user_id", "y_cents", "x_cents"))
+    val direct = canon(graft.operators.Experiments.cupedAbTest(
+      ev, "event_type", "arm", "user_id", "y_cents", "x_cents"))
+    // additive unit collapse + moments-from-exact-integers: the doubles
+    // are bit-identical, not approximately equal
+    assert(streamed == direct)
+  }
+
   test("dedupProbeSink: streamed micro-batches equal the batch probe (p10 fixture)") {
     val docs = Tables(spark, sf0001).documents
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
