@@ -855,6 +855,44 @@ object Graph {
     }
   }
 
+  /** Harmonic centrality via HyperBall (Boldi–Vigna WebSci'14 §4: the
+    * centrality HyperBall exists to compute at web scale) — for each
+    * node, hc(u) = Σ_{r=1..radius} (|B(u,r)| − |B(u,r−1)|) / r, i.e.
+    * every other node contributes the reciprocal of its distance,
+    * truncated at `radius`. Reads the per-(node, r) ball estimates
+    * straight off [[anfProfile]] — the propagation cost is identical
+    * (O(radius · E) sketch rows, 256 B each) and this adds one (node)
+    * pivot aggregation, nothing frontier-shaped.
+    *
+    * Determinism: |B(u,0)| = 1 EXACTLY (Boldi–Vigna count the singleton
+    * ball exactly rather than estimating it), the deeper balls are
+    * [[graft.functions.expressions.HllEstimate]]'s 6-dp-quantized
+    * doubles — a pure function of the exact ball set — and the
+    * telescoping sum is a fixed-shape left-associated IEEE expression
+    * over those quantized inputs, so an oracle that derives the same
+    * registers from exact balls replays hc bit-for-bit (g13's gate).
+    *
+    * Returns (node, degree, ball_r at max radius as `reach`, hc),
+    * hc > 0 for every node (self-loop-free nodes all have a neighbor). */
+  def harmonicCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      radius: Int,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
+    val prof = anfProfile(edges, srcCol, dstCol, radius, checkpointer)
+    val radii = (1 to radius).map(r =>
+      max(when(col("r") === r, col("anf"))).as(s"__a$r"))
+    val byNode = prof.groupBy(col("node"))
+      .agg(max(col("degree")).as("degree"), radii: _*)
+    val hc = (2 to radius).foldLeft(col("__a1") - lit(1.0)) { (acc, r) =>
+      acc + (col(s"__a$r") - col(s"__a${r - 1}")) / lit(r.toDouble)
+    }
+    byNode.select(
+      col("node"), col("degree"),
+      col(s"__a$radius").as("reach"), hc.as("hc"))
+  }
+
   def triangleStats(
       edges: DataFrame,
       srcCol: String,

@@ -5268,7 +5268,42 @@ $langScoreCols
     * oracle computes the exact distance-≤r balls by unrolled relational
     * composition and derives the SAME registers + the q51 estimator —
     * bit-identical to the sketch-propagated Spark side. */
-  private def g12Oracle(radius: Int): String = {
+  private def g12Oracle(radius: Int): String =
+    anfOracle(radius, s"""
+      SELECT f.x AS node, cast(f.r AS INT) AS r, d.degree,
+             round_even((CASE WHEN raw <= ${2.5 * graft.functions.expressions.HllDistinct.M} AND zeros > 0
+               THEN ${graft.functions.expressions.HllDistinct.M} * ln(${graft.functions.expressions.HllDistinct.M}.0 / zeros) ELSE raw END) * 1000000.0, 0) / 1000000.0
+               AS anf
+      FROM g12_fin f JOIN g12_deg d USING (x)
+      ORDER BY node, r""")
+
+  /** Exact oracle for g13: the same exact-ball register derivation as
+    * g12 (the hc sum is pure algebra over the 6-dp-quantized ball
+    * estimates, replayed with the identical left-associated shape). */
+  private def g13Oracle(radius: Int): String = {
+    val M = graft.functions.expressions.HllDistinct.M
+    val est =
+      s"""round_even((CASE WHEN raw <= ${2.5 * M} AND zeros > 0
+               THEN $M * ln($M.0 / zeros) ELSE raw END) * 1000000.0, 0) / 1000000.0"""
+    def a(r: Int) = s"max(CASE WHEN r = $r THEN anf END)"
+    val hc = (2 to radius).foldLeft(s"(${a(1)} - 1.0)") { (acc, r) =>
+      s"$acc + (${a(r)} - ${a(r - 1)}) / $r.0"
+    }
+    anfOracle(radius, s"""
+      , g13_anf AS (
+        SELECT f.x AS node, f.r, d.degree, $est AS anf
+        FROM g12_fin f JOIN g12_deg d USING (x))
+      SELECT node, degree, ${a(radius)} AS reach, $hc AS hc
+      FROM g13_anf GROUP BY 1, 2
+      ORDER BY node""")
+  }
+
+  /** Shared CTE machinery for g12/g13: exact distance-≤r balls by
+    * unrolled relational composition, then the HLL registers + raw
+    * estimator derived from the exact member sets (ending at relations
+    * `g12_fin` (x, r, raw, zeros) and `g12_deg`); `finalSelect` closes
+    * over them. */
+  private def anfOracle(radius: Int, finalSelect: String): String = {
     import graft.functions.expressions.HllDistinct
     import graft.functions.expressions.HllDistinct.{AlphaMM, M, RhoCap}
     val pw = (0 to RhoCap).map(k => (BigInt(1) << k).toString)
@@ -5320,12 +5355,7 @@ $langScoreCols
       g12_fin AS (
         SELECT r, x, $AlphaMM * $pow2Cap.0 / num::DOUBLE AS raw, zeros
         FROM g12_est)
-      SELECT f.x AS node, cast(f.r AS INT) AS r, d.degree,
-             round_even((CASE WHEN raw <= ${2.5 * M} AND zeros > 0
-               THEN $M * ln($M.0 / zeros) ELSE raw END) * 1000000.0, 0) / 1000000.0
-               AS anf
-      FROM g12_fin f JOIN g12_deg d USING (x)
-      ORDER BY node, r"""
+      $finalSelect"""
   }
 
   /** ANF / HyperBall neighborhood function
@@ -5348,6 +5378,26 @@ $langScoreCols
           "src", "dst", radius = 3)
         .orderBy(col("node"), col("r")),
     Some(g12Oracle(radius = 3)))
+
+  /** Harmonic centrality via HyperBall
+    * ([[graft.operators.Graph.harmonicCentrality]]): the centrality
+    * readout Boldi–Vigna built HyperBall FOR — each node scored by
+    * Σ_r Δball_r / r over g12's propagated register sketches, radius 3
+    * on the same bipartite fixture. Complements the spectral
+    * centralities (g01 PageRank, g03 HITS) with the distance-based one
+    * none of the frontier-exact operators can reach past radius 2. */
+  val g13_harmonic = QueryDef(
+    "g13_harmonic",
+    (s, dir) =>
+      graft.operators.Graph
+        .harmonicCentrality(
+          Tables(s, dir).events.select(
+            col("user_id").as("src"),
+            (get_json_object(col("props"), "$.k").cast("long") % 50 + 1000L)
+              .as("dst")),
+          "src", "dst", radius = 3)
+        .orderBy(col("node")),
+    Some(g13Oracle(radius = 3)))
 
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
@@ -6605,5 +6655,6 @@ $langScoreCols
     p32_water_fill, p33_length_batches,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
-    g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf)
+    g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf,
+    g13_harmonic)
 }

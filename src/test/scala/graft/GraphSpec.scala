@@ -526,6 +526,40 @@ class GraphSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("harmonicCentrality: telescoping sum over anfProfile's balls; centrality ordering") {
+    import spark.implicits._
+    val edgeSeq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++
+      Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L))
+    val edges = edgeSeq.toDF("s", "d")
+    val radius = 3
+    val prof = Graph.anfProfile(edges, "s", "d", radius)
+      .collect()
+      .map(row => (row.getLong(0), row.getAs[Int]("r")) -> row.getAs[Double]("anf"))
+      .toMap
+    val got = Graph.harmonicCentrality(edges, "s", "d", radius)
+      .collect()
+      .map(row => row.getLong(0) ->
+        (row.getAs[Long]("degree"), row.getAs[Double]("reach"), row.getAs[Double]("hc")))
+      .toMap
+    // hc IS the fixed-shape telescoping sum over the ball estimates —
+    // bit-for-bit, same association order as the operator
+    got.foreach { case (n, (_, reach, hc)) =>
+      assert(reach == prof((n, radius)))
+      val expect = (2 to radius).foldLeft(prof((n, 1)) - 1.0) { (acc, r) =>
+        acc + (prof((n, r)) - prof((n, r - 1))) / r.toDouble
+      }
+      assert(hc == expect, s"node $n")
+    }
+    // distance-based ordering: the path CENTER (3) reaches everything
+    // within 2 hops and must outrank the path END (1), whose 3-ball is
+    // still growing; clique members outrank every path node
+    assert(got(3L)._3 > got(1L)._3)
+    assert(got(10L)._3 > got(1L)._3)
+    // exact-count band (tiny balls: estimates within rounding distance)
+    assert(math.abs(got(3L)._3 - 3.0) < 0.5)
+    assert(math.abs(got(1L)._3 - (1.0 + 0.5 + 1.0 / 3.0)) < 0.5)
+  }
+
   test("cooccurrenceEdges: distinct-user weights, degree cap, min-support") {
     import spark.implicits._
     // u1: items 1,2,3; u2: items 1,2 (twice — distinct collapses);
