@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage — the Fellegi–Sunter model (JASA 1969),
+  * the standard framework behind every production entity-resolution
+  * system (Splink, dedupe.io): candidate pairs from BLOCKING, a
+  * comparison vector γ of per-field agreement indicators, and a
+  * log-likelihood-ratio match score
+  *
+  *   score(a,b) = Σ_f  γ_f ? log2(m_f / u_f) : log2((1-m_f)/(1-u_f))
+  *
+  * where m_f = P(field f agrees | true match) and u_f = P(agrees |
+  * non-match). Two thresholds give the three-way decision rule the
+  * model is named for: match / possible (clerical review) / non-match.
+  *
+  * This is a different animal from the similarity dedup family
+  * ([[Dedup]]): those ask "is this text near-identical", linkage asks
+  * "do these STRUCTURED records denote the same entity" with per-field
+  * evidence weights — low-cardinality fields (segment) contribute
+  * little, high-discrimination fields (name) dominate, and DISAGREEMENT
+  * is evidence too.
+  */
+object Linkage {
+
+  /** One comparison field: `col` must exist in both inputs; `agree`
+    * receives (a-side column, b-side column) and returns the γ_f
+    * boolean; `m`/`u` are the conditional agreement probabilities. */
+  final case class FieldSpec(
+      col: String,
+      agree: (Column, Column) => Column,
+      m: Double,
+      u: Double) {
+    require(m > 0.0 && m < 1.0 && u > 0.0 && u < 1.0, s"m/u in (0,1) for $col")
+    require(m > u, s"agreement must be evidence FOR a match (m > u) for $col")
+  }
+
+  /** 6-dp-quantized log2 likelihood weight — quantized ON THE DRIVER so
+    * the weights enter both the Spark plan and any replaying oracle as
+    * identical double literals (log2 is not correctly rounded
+    * cross-engine; a fixed-shape sum over identical literals is). */
+  private[graft] def weight(p: Double, q: Double): Double =
+    math.rint(math.log(p / q) / math.log(2.0) * 1e6) / 1e6
+
+  /** Blocked Fellegi–Sunter linkage of `a` to `b`.
+    *
+    * Output: one row per candidate pair with score ≥ `lower`:
+    * (a_<idCol>, b_<idCol>, score, decision) where decision is
+    * 'match' (score ≥ upper) or 'possible'.
+    *
+    * Scale shape: candidates are the within-block pairs of a
+    * (blockCols)-keyed equi-join — never all-pairs; both sides'
+    * blocks are capped at `maxBlock` rows (deterministically, by id
+    * order — the [[Dedup.lshCandidatePairs]] discipline) so one
+    * pathological block (null city, 'UNKNOWN' everything) cannot go
+    * quadratic. Only (id, block, field) columns ride the join —
+    * payloads stay in the scans. The score is a fixed-shape
+    * left-associated sum of driver-quantized literal weights, so an
+    * oracle replaying the same blocking and γ computes it
+    * bit-for-bit (d24's gate). */
+  def fellegiSunter(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      fields: Seq[FieldSpec],
+      lower: Double,
+      upper: Double,
+      maxBlock: Int = 10000): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    require(fields.nonEmpty, "need at least one comparison field")
+    require(lower <= upper, "lower must not exceed upper")
+    require(maxBlock >= 1, "maxBlock must be positive")
+    // block columns stay unprefixed (they're the join key); id and
+    // comparison fields get side prefixes
+    def side(df: DataFrame, p: String): DataFrame =
+      df.select(col(idCol).as(s"$p$idCol") +: blockCols.map(col) ++:
+          fields.map(f => col(f.col).as(s"$p${f.col}")): _*)
+        .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(blockCols.map(col): _*).orderBy(col(s"$p$idCol"))))
+        .filter(col("__rn") <= maxBlock)
+        .drop("__rn")
+    val pairs = side(a, "a_").join(side(b, "b_"), blockCols)
+    val score = fields
+      .map(f => when(
+        f.agree(col(s"a_${f.col}"), col(s"b_${f.col}")),
+        lit(weight(f.m, f.u))).otherwise(lit(weight(1.0 - f.m, 1.0 - f.u))))
+      .reduce(_ + _)
+    pairs
+      .withColumn("score", score)
+      .filter(col("score") >= lit(lower))
+      .select(
+        col(s"a_$idCol"), col(s"b_$idCol"), col("score"),
+        when(col("score") >= lit(upper), lit("match"))
+          .otherwise(lit("possible")).as("decision"))
+  }
+}

@@ -1305,6 +1305,78 @@ $langScoreCols
              min(doc_id) AS keeper_id
       FROM d23_c GROUP BY 1 ORDER BY canon_url"""))
 
+  /** Fellegi–Sunter probabilistic record linkage
+    * ([[graft.operators.Linkage.fellegiSunter]]): customer linked to a
+    * deterministically-perturbed twin (name mangled for custkey%3,
+    * balance jittered ±3 cents, segment blanked for custkey%11) —
+    * blocked on nation, scored by three fields' log-likelihood
+    * weights, three-way match/possible decision. The weights are
+    * driver-quantized log2 literals, so the oracle's identically-shaped
+    * CASE sum replays the score bit-for-bit. Balance cents are
+    * computed on the +1000-shifted value so the half-up rounding
+    * never sees a negative tie. */
+  val d24_record_linkage = QueryDef(
+    "d24_record_linkage",
+    (s, dir) => {
+      import graft.operators.Linkage
+      val c = Tables(s, dir).customer
+      val cents =
+        round((col("c_acctbal") + 1000.0) * 100.0, 0).cast("long")
+      val aSide = c.select(
+        col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+        lower(col("c_name")).as("name"), cents.as("cents"),
+        col("c_mktsegment").as("seg"))
+      val bSide = c.select(
+        (col("c_custkey") + 1000000L).as("id"), col("c_nationkey").as("nat"),
+        when(col("c_custkey") % 3 === 0,
+          concat(lower(col("c_name")), lit("x")))
+          .otherwise(lower(col("c_name"))).as("name"),
+        (cents + col("c_custkey") % 7 - 3).as("cents"),
+        when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      Linkage.fellegiSunter(
+          aSide, bSide, idCol = "id", blockCols = Seq("nat"),
+          fields = Seq(
+            Linkage.FieldSpec("name", (x, y) => x === y, m = 0.95, u = 0.005),
+            Linkage.FieldSpec("cents",
+              (x, y) => abs(x - y) <= lit(2L), m = 0.9, u = 0.05),
+            Linkage.FieldSpec("seg", (x, y) => x === y, m = 0.98, u = 0.2)),
+          lower = 0.0, upper = 5.0)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some {
+      import graft.operators.Linkage.weight
+      val (wna, wnd) = (weight(0.95, 0.005), weight(0.05, 0.995))
+      val (wca, wcd) = (weight(0.9, 0.05), weight(0.1, 0.95))
+      val (wsa, wsd) = (weight(0.98, 0.2), weight(0.02, 0.8))
+      s"""
+      WITH d24_a AS (
+        SELECT c_custkey AS id, c_nationkey AS nat, lower(c_name) AS name,
+               CAST(round((c_acctbal + 1000.0) * 100.0) AS BIGINT) AS cents,
+               c_mktsegment AS seg
+        FROM customer),
+      d24_b AS (
+        SELECT c_custkey + 1000000 AS id, c_nationkey AS nat,
+               CASE WHEN c_custkey % 3 = 0 THEN lower(c_name) || 'x'
+                    ELSE lower(c_name) END AS name,
+               CAST(round((c_acctbal + 1000.0) * 100.0) AS BIGINT)
+                 + c_custkey % 7 - 3 AS cents,
+               CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+                    ELSE c_mktsegment END AS seg
+        FROM customer),
+      d24_p AS (
+        SELECT a.id AS a_id, b.id AS b_id,
+               (CASE WHEN a.name = b.name THEN $wna ELSE $wnd END)
+               + (CASE WHEN abs(a.cents - b.cents) <= 2 THEN $wca ELSE $wcd END)
+               + (CASE WHEN a.seg = b.seg THEN $wsa ELSE $wsd END) AS score
+        FROM d24_a a JOIN d24_b b USING (nat))
+      SELECT a_id, b_id, score,
+             CASE WHEN score >= 5.0 THEN 'match' ELSE 'possible' END
+               AS decision
+      FROM d24_p WHERE score >= 0.0
+      ORDER BY a_id, b_id"""
+    })
+
   val d22_domain_cap = QueryDef(
     "d22_domain_cap",
     (s, dir) =>
@@ -6635,7 +6707,7 @@ $langScoreCols
     d11_semdedup, d12_embed_decontaminate, d13_dedup_survivors,
     d14_contamination, d15_lsh_recall, d16_dup_spans, d17_dedup_span_removal,
     d18_span_probe_indexed, d19_decontaminate_spans, d20_edit_verify,
-    d21_containment, d22_domain_cap, d23_url_dedup,
+    d21_containment, d22_domain_cap, d23_url_dedup, d24_record_linkage,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,
