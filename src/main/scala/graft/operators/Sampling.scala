@@ -147,6 +147,77 @@ object Sampling {
       .drop("__stride")
   }
 
+  /** Curriculum schedule — stage the corpus easy-to-hard (Bengio et al.
+    * ICML'09; length- or perplexity-ordered warmups are the standard
+    * instantiation) and hash-shuffle WITHIN each stage: the trainer
+    * consumes stages in order, but inside a stage sees an unbiased
+    * shuffle, so difficulty ramps without per-batch ordering bias.
+    *
+    * Stage cuts are VALUE thresholds over the difficulty histogram
+    * (the t34 perplexityBuckets discipline): cut_s = the smallest
+    * difficulty whose ascending cumulative count reaches ⌈s·n/stages⌉,
+    * and a document's stage = #{s : difficulty > cut_s} — so equal
+    * difficulties always share a stage (a stage may exceed n/stages on
+    * a tie), and the assignment is a pure function of the difficulty
+    * MULTISET, reproducible across partitionings and engines (integer
+    * arithmetic only).
+    *
+    * Scale shape: one (difficulty)-keyed histogram aggregation with
+    * map-side partials (state = the quantized-difficulty grid), a
+    * grid-sized cumulative window (never corpus rows), cuts broadcast
+    * back as one row, and one (stage, shard)-keyed window for the
+    * intra-stage shuffle — the same single exchange as
+    * [[shuffleShards]]. Callers with continuous difficulties quantize
+    * first (the house grid rule); `difficultyCol` must be integral.
+    *
+    * Output adds (stage, shard, pos): stage ∈ [0, stages), shard ∈
+    * [0, nShards), pos = 1-based rank by (xxhash64(id, seed), id)
+    * within (stage, shard). */
+  def curriculumShards(
+      df: DataFrame,
+      idCol: String,
+      difficultyCol: String,
+      stages: Int,
+      nShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(stages >= 1, s"stages must be positive, got $stages")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val hist = df
+      .groupBy(col(difficultyCol).cast("long").as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum",
+        sum(col("__c")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__d"))))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+    val h = xxhash64(col(idCol), lit(seed))
+    val staged =
+      if (stages == 1) df.withColumn("stage", lit(0))
+      else {
+        val cutCols = (1 until stages).map(s =>
+          min(when(
+            col("__cum") >= expr(s"($s * __n + ${stages - 1}) div $stages"),
+            col("__d"))).as(s"__cut$s"))
+        val cuts = cum.groupBy().agg(cutCols.head, cutCols.tail: _*)
+        val stage = (1 until stages).foldLeft(lit(0)) { (acc, s) =>
+          acc + when(col(difficultyCol).cast("long") > col(s"__cut$s"), 1)
+            .otherwise(0)
+        }
+        df.crossJoin(broadcast(cuts))
+          .withColumn("stage", stage)
+          .drop((1 until stages).map(s => s"__cut$s"): _*)
+      }
+    staged
+      .withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .withColumn("pos",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("stage"), col("shard"))
+            .orderBy(h.asc, col(idCol).asc)).cast("long"))
+  }
+
   /** Downsample to a TARGET MIXTURE — the "rebalance the corpus to the
     * planned source/language proportions" pass a pretraining run does
     * after curation: every group g gets the deterministic accept

@@ -6258,6 +6258,51 @@ $langScoreCols
       SELECT doc_id, n_chars, shard, pos
       FROM sh ORDER BY shard, pos"""))
 
+  /** Curriculum schedule ([[graft.operators.Sampling
+    * .curriculumShards]]): the corpus staged easy→hard by document
+    * length (the classic length curriculum) into 4 stages with value-
+    * threshold cuts over the length histogram, hash-shuffled into 8
+    * shards within each stage. The oracle replays the integer cut
+    * arithmetic and the chained-xxhash64 shuffle order exactly. */
+  val p34_curriculum = QueryDef(
+    "p34_curriculum",
+    (s, dir) =>
+      graft.operators.Sampling
+        .curriculumShards(
+          Tables(s, dir).documents.select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", stages = 4, nShards = 8)
+        .select(col("doc_id"), col("n_chars"), col("stage"),
+          col("shard"), col("pos"))
+        .orderBy(col("stage"), col("shard"), col("pos")),
+    Some(s"""
+      WITH p34_h AS (
+        SELECT doc_id, n_chars,
+               ${OracleSql.u2s(OracleSql.xxh64Long("42",
+                 seed = OracleSql.xxh64Long(OracleSql.s2u("doc_id"))))} AS hv
+        FROM documents),
+      p34_g AS (
+        SELECT n_chars AS d, count(*) AS c FROM documents GROUP BY 1),
+      p34_c AS (
+        SELECT d, sum(c) OVER (ORDER BY d) AS cum, sum(c) OVER () AS n
+        FROM p34_g),
+      p34_k AS (
+        SELECT min(CASE WHEN cum >= (1 * n + 3) // 4 THEN d END) AS cut1,
+               min(CASE WHEN cum >= (2 * n + 3) // 4 THEN d END) AS cut2,
+               min(CASE WHEN cum >= (3 * n + 3) // 4 THEN d END) AS cut3
+        FROM p34_c),
+      p34_s AS (
+        SELECT h.doc_id, h.n_chars,
+               ((CASE WHEN h.n_chars > k.cut1 THEN 1 ELSE 0 END)
+                + (CASE WHEN h.n_chars > k.cut2 THEN 1 ELSE 0 END)
+                + (CASE WHEN h.n_chars > k.cut3 THEN 1 ELSE 0 END)) AS stg,
+               ((hv % 8) + 8) % 8 AS shard, hv
+        FROM p34_h h CROSS JOIN p34_k k)
+      SELECT doc_id, n_chars, cast(stg AS INT) AS stage,
+             cast(shard AS BIGINT) AS shard,
+             row_number() OVER (PARTITION BY stg, shard
+                                ORDER BY hv, doc_id) AS pos
+      FROM p34_s ORDER BY stage, shard, pos"""))
+
   /** Token-balanced shards ([[graft.operators.Sampling
     * .balancedShards]]): cut the hash-shuffled corpus into shards of
     * ~16384 chars each — equal WORK per shard, not equal document
@@ -6724,7 +6769,7 @@ $langScoreCols
     p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
     p26_pipeline_demo, p27_sft_turns, p28_mixture_resample,
     p29_preference_pairs, p30_temperature_resample, p31_balanced_shards,
-    p32_water_fill, p33_length_batches,
+    p32_water_fill, p33_length_batches, p34_curriculum,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf,

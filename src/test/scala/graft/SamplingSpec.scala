@@ -435,4 +435,46 @@ class SamplingSpec extends SparkSpec {
     assert(kept("b") == 1000L)
     assert(math.abs(kept("a") - 2000L) < 150, s"got ${kept("a")}")
   }
+
+  test("curriculumShards: monotone stages, balanced cuts, ties share a stage, repartition-stable") {
+    import spark.implicits._
+    // difficulties 1..100 once each, plus a 50-way tie at difficulty 40
+    val rows = (1L to 100L).map(i => (i, i)) ++
+      (101L to 150L).map(i => (i, 40L))
+    val df = rows.toDF("id", "diff")
+    val got = Sampling.curriculumShards(df, "id", "diff", stages = 3, nShards = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.size == 150)
+    // stages partition by difficulty VALUE: every stage-0 difficulty
+    // strictly below every stage-1 difficulty, etc.
+    val byStage = got.values.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byStage.keySet == Set(0, 1, 2))
+    assert(byStage(0).max < byStage(1).min)
+    assert(byStage(1).max < byStage(2).min)
+    // the 50-way tie at 40 lands whole in one stage and pushes that
+    // stage past n/3 = 50; later stages stay at ~50
+    val tieStage = got(101L)._2
+    assert((101L to 150L).forall(got(_)._2 == tieStage))
+    assert(byStage(tieStage).size >= 50)
+    // shard in range; pos is a 1-based dense permutation per (stage, shard)
+    got.values.foreach { case (_, _, shard, _) => assert(shard >= 0 && shard < 4) }
+    got.values.groupBy(v => (v._2, v._3)).values.foreach { g =>
+      assert(g.map(_._4).toSeq.sorted == (1L to g.size).toSeq)
+    }
+    // pure function of the data: partitioning must not matter
+    val again = Sampling.curriculumShards(
+        df.repartition(7), "id", "diff", stages = 3, nShards = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(again == got)
+    // stages = 1 degenerates to shuffleShards-with-stage-0
+    val one = Sampling.curriculumShards(df, "id", "diff", stages = 1, nShards = 4)
+      .collect().map(r => r.getInt(2)).toSet
+    assert(one == Set(0))
+  }
 }
