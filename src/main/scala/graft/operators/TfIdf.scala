@@ -444,6 +444,44 @@ object TfIdf {
     * pair by broadcast. The rank-over-histogram window runs on the
     * HISTOGRAM relation (grid-sized), never the corpus; all threshold
     * arithmetic is integer (ceil via `(n+2) div 3`). */
+  /** Distinct-n diversity (Li et al. NAACL'16's "distinct" metric at
+    * corpus granularity): per group and n ∈ 1..`maxN`, the number of
+    * n-gram TYPES over the number of n-gram TOKENS — low distinct-2/3
+    * flags mode collapse in generated corpora and boilerplate floods in
+    * scraped ones, the complement of t06's WITHIN-document repetition
+    * signals (a corpus of unique documents can still be collectively
+    * repetitive; this sees it, t06 cannot).
+    *
+    * Scale shape: every n-gram order extracts in ONE shared scan
+    * (posexplode over the per-n gram arrays — scan-local, no shuffle),
+    * then one (group, n, gram)-keyed count with map-side partials and
+    * one (group, n) rollup; gram strings shuffle once. Exact integer
+    * counts; the ratio is one division, round(6) over the ulp. */
+  def distinctN(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN in [1,8], got $maxN")
+    val toks = graft.functions.TextFunctions.tokens(lower(col(textCol)))
+    val perN = docs
+      .select(col(groupCol),
+        posexplode(array((1 to maxN).map(n =>
+          graft.functions.TextFunctions.ngrams(toks, n)): _*))
+          .as(Seq("__p", "__gs")))
+      .select(col(groupCol), (col("__p") + 1).as("n"),
+        explode(col("__gs")).as("__g"))
+    perN
+      .groupBy(col(groupCol), col("n"), col("__g"))
+      .agg(count(lit(1)).as("__m"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(
+        count(lit(1)).as("types"),
+        sum(col("__m")).as("tokens"))
+      .withColumn("distinct_ratio",
+        round(col("types").cast("double") / col("tokens").cast("double"), 6))
+  }
+
   def perplexityBuckets(
       scored: DataFrame,
       idCol: String,

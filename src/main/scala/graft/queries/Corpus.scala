@@ -3786,6 +3786,40 @@ $langScoreCols
       SELECT ngram, count(*) AS n FROM bg
       GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50"""))
 
+  /** Distinct-n corpus diversity ([[graft.operators.TfIdf.distinctN]]):
+    * per-source type/token ratios for n = 1..3 — the corpus-level
+    * repetitiveness readout complementing t06's within-document
+    * signals. Exact integer counts; one division + round(6). */
+  val t43_distinct_n = QueryDef(
+    "t43_distinct_n",
+    (s, dir) =>
+      graft.operators.TfIdf
+        .distinctN(Tables(s, dir).documents, "source", "text", maxN = 3)
+        .orderBy(col("source"), col("n")),
+    Some("""
+      WITH t43_toks AS (
+        SELECT source,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      t43_g AS (
+        SELECT source, 1 AS n, unnest(ts) AS g FROM t43_toks
+        UNION ALL
+        SELECT source, 2 AS n, ts[i] || ' ' || ts[i + 1] AS g
+        FROM (SELECT source, ts,
+                     unnest(generate_series(1, len(ts) - 1)) AS i
+              FROM t43_toks)
+        UNION ALL
+        SELECT source, 3 AS n, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+        FROM (SELECT source, ts,
+                     unnest(generate_series(1, len(ts) - 2)) AS i
+              FROM t43_toks)),
+      t43_c AS (
+        SELECT source, n, g, count(*) AS m FROM t43_g GROUP BY 1, 2, 3)
+      SELECT source, n, cast(count(*) AS BIGINT) AS types,
+             cast(sum(m) AS BIGINT) AS tokens,
+             round(count(*)::DOUBLE / sum(m)::DOUBLE, 6) AS distinct_ratio
+      FROM t43_c GROUP BY 1, 2 ORDER BY source, n"""))
+
   /** Per-source distribution drift ([[graft.operators.TfIdf.klDrift]]):
     * KL(P_source || P_corpus) over unigram token distributions — the
     * mixture-diagnostics health check that catches a drifting scraper or
@@ -6745,7 +6779,7 @@ $langScoreCols
     t31_ngram_overlap, t32_wordpiece_encode, t33_eval_metrics,
     t34_ccnet_buckets, t35_calibration, t36_pass_at_k, t37_zipf,
     t38_bradley_terry, t39_blocklist, t40_langid_eval, t41_rouge_l,
-    t42_blocklist_trie,
+    t42_blocklist_trie, t43_distinct_n,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

@@ -29,4 +29,24 @@ class NgramSpec extends SparkSpec {
     assert(grams("x  y\tz", 1) == Seq("x", "y", "z"))
     intercept[IllegalArgumentException](ngrams(col("t"), 0))
   }
+
+  test("distinctN: exact type/token ratios per group and order") {
+    val docs = Seq(
+      ("a", "x x x x"), ("a", "x y"), ("b", "p q r"))
+      .toDF("source", "text")
+    val got = graft.operators.TfIdf.distinctN(docs, "source", "text", maxN = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // a: unigrams x*5 y*1; bigrams "x x"*3 "x y"*1; trigrams "x x x"*2
+    assert(got(("a", 1)) == (2L, 6L, 0.333333))
+    assert(got(("a", 2)) == (2L, 4L, 0.5))
+    assert(got(("a", 3)) == (1L, 2L, 0.5))
+    // b: all orders fully diverse
+    assert(got(("b", 1)) == (3L, 3L, 1.0))
+    assert(got(("b", 2)) == (2L, 2L, 1.0))
+    assert(got(("b", 3)) == (1L, 1L, 1.0))
+    assert(got.size == 6)
+  }
 }
