@@ -857,6 +857,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("containment"))
   }
 
+  /** Soft dedup — duplicate-count REWEIGHTING instead of removal: every
+    * document gets weight 1/|cluster| from its near-dup component, so a
+    * passage duplicated k times contributes total mass 1 to the
+    * training objective however it is sharded (the "down-weight, don't
+    * drop" alternative curation pipelines use when duplicates carry
+    * provenance signal worth keeping — the limit case weight→keep-one
+    * IS d13's survivor pick). Unclustered documents keep weight 1.0
+    * with themselves as representative.
+    *
+    * Scale shape: `comps` ((id, comp) from [[connectedComponents]])
+    * covers only pair-graph members — a few percent of a deduplicated
+    * corpus — so the size tally is one comp-keyed count over that small
+    * relation and the corpus pays one id-keyed left join (AQE
+    * broadcasts the clustered side when it fits). Weight = one exact
+    * division, round(6). */
+  def duplicateWeights(
+      docs: DataFrame,
+      comps: DataFrame,
+      idCol: String): DataFrame = {
+    val sizes = comps.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val member = comps.select(col("id").as(idCol), col("comp"))
+      .join(sizes, Seq("comp"))
+    docs.select(col(idCol))
+      .join(member, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("comp"), col(idCol)).as("rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) /
+          coalesce(col("cluster_size"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+  }
+
   /** Connected components over a near-dup pair graph (HashMin label
     * propagation): every node's label converges to the minimum id
     * reachable from it — the canonical "dedup cluster" step that turns

@@ -617,6 +617,36 @@ $langScoreCols
     },
     Some(d07Oracle))
 
+  /** Soft dedup ([[Dedup.duplicateWeights]]): d07's clusters turned
+    * into per-document loss weights (1/|cluster|, unclustered = 1.0) —
+    * down-weight duplicates instead of dropping them. Oracle: the d07
+    * recursive-CTE components, sized, left-joined to the corpus. */
+  val d25_dup_weights = QueryDef(
+    "d25_dup_weights",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = Dedup
+        .minhashPairs(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16)
+        .filter(col("jaccard") >= 0.4)
+      Dedup.duplicateWeights(
+          docs, Dedup.connectedComponents(pairs, "id_a", "id_b"), "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH d25_comps AS MATERIALIZED (SELECT * FROM ($d07Oracle) __c),
+      d25_sizes AS (
+        SELECT comp, cast(count(*) AS BIGINT) AS cluster_size
+        FROM d25_comps GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(c.comp, d.doc_id) AS rep,
+             coalesce(s.cluster_size, 1) AS cluster_size,
+             round(1.0 / coalesce(s.cluster_size, 1)::DOUBLE, 6) AS weight
+      FROM documents d
+      LEFT JOIN d25_comps c ON d.doc_id = c.id
+      LEFT JOIN d25_sizes s ON c.comp = s.comp
+      ORDER BY d.doc_id"""))
+
   /** INCREMENTAL dedup clustering ([[Dedup.mergeComponents]]): the
     * cluster view of the continual-ingest loop. Yesterday's corpus
     * (doc_id % 5 != 0) has its components computed once; today's batch
@@ -6787,6 +6817,7 @@ $langScoreCols
     d14_contamination, d15_lsh_recall, d16_dup_spans, d17_dedup_span_removal,
     d18_span_probe_indexed, d19_decontaminate_spans, d20_edit_verify,
     d21_containment, d22_domain_cap, d23_url_dedup, d24_record_linkage,
+    d25_dup_weights,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,

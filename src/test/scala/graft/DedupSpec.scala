@@ -68,6 +68,27 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L), got)
   }
 
+  test("duplicateWeights: 1/|cluster| mass, singletons keep 1.0, cluster mass sums to 1") {
+    import spark.implicits._
+    val docs = (1L to 6L).toDF("doc_id")
+    val comps = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b"))
+    val got = Dedup.duplicateWeights(docs, comps, "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == (1L, 3L, 0.333333))
+    assert(got(2L) == (1L, 3L, 0.333333))
+    assert(got(3L) == (1L, 3L, 0.333333))
+    assert(got(4L) == (4L, 1L, 1.0)) // unclustered: self-rep, full weight
+    assert(got(5L) == (5L, 2L, 0.5))
+    assert(got(6L) == (5L, 2L, 0.5))
+    // every cluster contributes ~unit mass to the reweighted corpus
+    got.values.groupBy(_._1).foreach { case (_, ms) =>
+      assert(math.abs(ms.map(_._3).sum - 1.0) < 1e-5)
+    }
+  }
+
   test("connectedComponents of an empty pair set is empty") {
     import spark.implicits._
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
