@@ -444,6 +444,53 @@ object TfIdf {
     * pair by broadcast. The rank-over-histogram window runs on the
     * HISTOGRAM relation (grid-sized), never the corpus; all threshold
     * arithmetic is integer (ceil via `(n+2) div 3`). */
+  /** Pairwise corpus-overlap matrix: unigram-vocabulary Jaccard and
+    * containment between every pair of groups (sources, snapshots,
+    * shards) — the corpus due-diligence readout that catches two
+    * "independent" scrapes of the same site or a snapshot that is a
+    * strict subset of another, BEFORE they inflate the mixture. t31
+    * grades one candidate/reference document pair; this grades the
+    * corpus-by-corpus grid.
+    *
+    * Scale shape: one (group, term)-distinct aggregation collapses the
+    * corpus to a vocabulary relation; the term-keyed self-join fans out
+    * at most |groups|² per term (groups are few); the complete grid —
+    * zero-overlap pairs included — comes from a groups×groups cross of
+    * the size relation (tiny) left-joined to the intersections. Exact
+    * integer counts; two divisions, round(6). */
+  def vocabOverlapMatrix(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val vocab = docs
+      .select(col(groupCol).as("__g"),
+        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+          .as("__t"))
+      .distinct()
+    val sizes = vocab.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val inter = vocab.select(col("__g").as("__ga"), col("__t"))
+      .join(vocab.select(col("__g").as("__gb"), col("__t")), Seq("__t"))
+      .filter(col("__ga") < col("__gb"))
+      .groupBy(col("__ga"), col("__gb"))
+      .agg(count(lit(1)).as("__i"))
+    sizes.select(col("__g").as("__ga"), col("__n").as("n_a"))
+      // |groups|² grid — bounded by the group count, the one crossJoin
+      // class the house allows
+      .crossJoin(sizes.select(col("__g").as("__gb"), col("__n").as("n_b")))
+      .filter(col("__ga") < col("__gb"))
+      .join(inter, Seq("__ga", "__gb"), "left")
+      .withColumn("intersection", coalesce(col("__i"), lit(0L)))
+      .select(
+        col("__ga").as(s"${groupCol}_a"), col("__gb").as(s"${groupCol}_b"),
+        col("n_a"), col("n_b"), col("intersection"),
+        round(col("intersection").cast("double") /
+          (col("n_a") + col("n_b") - col("intersection")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("intersection").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6)
+          .as("containment"))
+  }
+
   /** Distinct-n diversity (Li et al. NAACL'16's "distinct" metric at
     * corpus granularity): per group and n ∈ 1..`maxN`, the number of
     * n-gram TYPES over the number of n-gram TOKENS — low distinct-2/3

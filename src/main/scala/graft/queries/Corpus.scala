@@ -3816,6 +3816,40 @@ $langScoreCols
       SELECT ngram, count(*) AS n FROM bg
       GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50"""))
 
+  /** Pairwise source-overlap matrix
+    * ([[graft.operators.TfIdf.vocabOverlapMatrix]]): unigram-vocabulary
+    * Jaccard + containment for every source pair — the corpus grid
+    * readout (t31 grades one doc pair). Exact set counts via one
+    * vocab relation self-join; zero-overlap pairs kept. */
+  val t44_vocab_overlap = QueryDef(
+    "t44_vocab_overlap",
+    (s, dir) =>
+      graft.operators.TfIdf
+        .vocabOverlapMatrix(Tables(s, dir).documents, "source", "text")
+        .orderBy(col("source_a"), col("source_b")),
+    Some("""
+      WITH t44_v AS (
+        SELECT DISTINCT source AS g, t
+        FROM (SELECT source,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS t
+              FROM documents)),
+      t44_n AS (SELECT g, cast(count(*) AS BIGINT) AS n FROM t44_v GROUP BY 1),
+      t44_i AS (
+        SELECT a.g AS ga, b.g AS gb, cast(count(*) AS BIGINT) AS i
+        FROM t44_v a JOIN t44_v b ON a.t = b.t AND a.g < b.g
+        GROUP BY 1, 2)
+      SELECT na.g AS source_a, nb.g AS source_b,
+             na.n AS n_a, nb.n AS n_b,
+             coalesce(i.i, 0) AS intersection,
+             round(coalesce(i.i, 0)::DOUBLE
+               / (na.n + nb.n - coalesce(i.i, 0))::DOUBLE, 6) AS jaccard,
+             round(coalesce(i.i, 0)::DOUBLE
+               / least(na.n, nb.n)::DOUBLE, 6) AS containment
+      FROM t44_n na JOIN t44_n nb ON na.g < nb.g
+      LEFT JOIN t44_i i ON i.ga = na.g AND i.gb = nb.g
+      ORDER BY source_a, source_b"""))
+
   /** Distinct-n corpus diversity ([[graft.operators.TfIdf.distinctN]]):
     * per-source type/token ratios for n = 1..3 — the corpus-level
     * repetitiveness readout complementing t06's within-document
@@ -6809,7 +6843,7 @@ $langScoreCols
     t31_ngram_overlap, t32_wordpiece_encode, t33_eval_metrics,
     t34_ccnet_buckets, t35_calibration, t36_pass_at_k, t37_zipf,
     t38_bradley_terry, t39_blocklist, t40_langid_eval, t41_rouge_l,
-    t42_blocklist_trie, t43_distinct_n,
+    t42_blocklist_trie, t43_distinct_n, t44_vocab_overlap,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

@@ -30,6 +30,26 @@ class NgramSpec extends SparkSpec {
     intercept[IllegalArgumentException](ngrams(col("t"), 0))
   }
 
+  test("vocabOverlapMatrix: exact Jaccard/containment grid, zero-overlap pairs kept") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "c d"),     // vocab {a,b,c,d}
+      ("s2", "c d e"),                    // vocab {c,d,e}
+      ("s3", "x y"))                      // vocab {x,y} — disjoint
+      .toDF("source", "text")
+    val got = graft.operators.TfIdf.vocabOverlapMatrix(docs, "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    // complete upper-triangle grid over 3 sources
+    assert(got.keySet == Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    // s1 ∩ s2 = {c,d}: J = 2/(4+3-2) = 0.4; containment = 2/3
+    assert(got(("s1", "s2")) == (4L, 3L, 2L, 0.4, 0.666667))
+    // disjoint pairs present with zeros
+    assert(got(("s1", "s3")) == (4L, 2L, 0L, 0.0, 0.0))
+    assert(got(("s2", "s3")) == (3L, 2L, 0L, 0.0, 0.0))
+  }
+
   test("distinctN: exact type/token ratios per group and order") {
     val docs = Seq(
       ("a", "x x x x"), ("a", "x y"), ("b", "p q r"))
