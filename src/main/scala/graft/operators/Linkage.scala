@@ -97,4 +97,67 @@ object Linkage {
         when(col("score") >= lit(upper), lit("match"))
           .otherwise(lit("possible")).as("decision"))
   }
+
+  /** Persist a linkage REFERENCE as a block-bucketed table — the
+    * entity-resolution service shape: the master record set is linked
+    * against continuously (new customer batches, arriving claims), so
+    * its block-keyed shuffle should be paid ONCE at build. Probes then
+    * join block-to-bucket with zero index-side exchange, and the
+    * per-block cap window runs bucket-local for the same reason. Stores
+    * the pruned (id, blocks, comparison fields) projection — payload
+    * columns never enter the index. Same single-writer, append-only
+    * discipline as the other four index families. */
+  def writeReferenceIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      reference: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      fields: Seq[FieldSpec],
+      numBuckets: Int = 8): Unit =
+    Bucketing.writeBucketed(
+      referenceProjection(reference, idCol, blockCols, fields),
+      table, blockCols, numBuckets)
+
+  /** Append a reference batch to a [[writeReferenceIndex]] table —
+    * batch-proportional (one keyed shuffle of the NEW rows; existing
+    * bucket files untouched). Append ≡ rebuild exactly: the index is a
+    * plain row set, no per-build state. */
+  def appendReference(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      batch: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      fields: Seq[FieldSpec],
+      numBuckets: Int = 8): Unit =
+    Bucketing.appendBucketed(
+      referenceProjection(batch, idCol, blockCols, fields),
+      table, blockCols, numBuckets)
+
+  /** Link a probe batch against the persisted reference — EXACTLY
+    * [[fellegiSunter]] with the index as the b side (same caps, same
+    * weights, bit-identical scores), but the reference's join and
+    * cap-window distribution come free from the bucket layout. */
+  def probeReferenceIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      probe: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      fields: Seq[FieldSpec],
+      lower: Double,
+      upper: Double,
+      maxBlock: Int = 10000): DataFrame =
+    fellegiSunter(
+      probe, spark.table(table), idCol, blockCols, fields,
+      lower, upper, maxBlock)
+
+  private def referenceProjection(
+      df: DataFrame,
+      idCol: String,
+      blockCols: Seq[String],
+      fields: Seq[FieldSpec]): DataFrame =
+    df.select((idCol +: blockCols ++: fields.map(_.col)).map(col): _*)
+      .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
 }

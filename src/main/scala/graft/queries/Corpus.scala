@@ -1374,7 +1374,11 @@ $langScoreCols
           lower = 0.0, upper = 5.0)
         .orderBy(col("a_id"), col("b_id"))
     },
-    Some {
+    Some(d24OracleSql))
+
+  /** Shared by d24 and the persisted-index face d26 (split build +
+    * append + probe must serve EXACTLY the one-shot linkage). */
+  private lazy val d24OracleSql: String = {
       import graft.operators.Linkage.weight
       val (wna, wnd) = (weight(0.95, 0.005), weight(0.05, 0.995))
       val (wca, wcd) = (weight(0.9, 0.05), weight(0.1, 0.95))
@@ -1405,7 +1409,51 @@ $langScoreCols
                AS decision
       FROM d24_p WHERE score >= 0.0
       ORDER BY a_id, b_id"""
-    })
+  }
+
+  /** Persisted linkage-reference index
+    * ([[graft.operators.Linkage.writeReferenceIndex]] on half the twin
+    * records, [[graft.operators.Linkage.appendReference]] of the rest,
+    * then the bucket-layout probe): the entity-resolution-service face
+    * of d24 — the oracle is d24's one-shot SQL verbatim, so the
+    * split-built index must serve the identical match set. */
+  val d26_linkage_indexed = QueryDef(
+    "d26_linkage_indexed",
+    (s, dir) => {
+      import graft.operators.Linkage
+      val c = Tables(s, dir).customer
+      val cents =
+        round((col("c_acctbal") + 1000.0) * 100.0, 0).cast("long")
+      val aSide = c.select(
+        col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+        lower(col("c_name")).as("name"), cents.as("cents"),
+        col("c_mktsegment").as("seg"))
+      val bSide = c.select(
+        col("c_custkey").as("ck"),
+        (col("c_custkey") + 1000000L).as("id"), col("c_nationkey").as("nat"),
+        when(col("c_custkey") % 3 === 0,
+          concat(lower(col("c_name")), lit("x")))
+          .otherwise(lower(col("c_name"))).as("name"),
+        (cents + col("c_custkey") % 7 - 3).as("cents"),
+        when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      val fields = Seq(
+        Linkage.FieldSpec("name", (x, y) => x === y, m = 0.95, u = 0.005),
+        Linkage.FieldSpec("cents",
+          (x, y) => abs(x - y) <= lit(2L), m = 0.9, u = 0.05),
+        Linkage.FieldSpec("seg", (x, y) => x === y, m = 0.98, u = 0.2))
+      val table = s"graft_linkref_${Integer.toHexString(dir.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+      Linkage.writeReferenceIndex(
+        s, table, bSide.filter(col("ck") % 2 === 0), "id", Seq("nat"), fields)
+      Linkage.appendReference(
+        s, table, bSide.filter(col("ck") % 2 =!= 0), "id", Seq("nat"), fields)
+      Linkage.probeReferenceIndex(
+          s, table, aSide, "id", Seq("nat"), fields,
+          lower = 0.0, upper = 5.0)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(d24OracleSql))
 
   val d22_domain_cap = QueryDef(
     "d22_domain_cap",
@@ -6851,7 +6899,7 @@ $langScoreCols
     d14_contamination, d15_lsh_recall, d16_dup_spans, d17_dedup_span_removal,
     d18_span_probe_indexed, d19_decontaminate_spans, d20_edit_verify,
     d21_containment, d22_domain_cap, d23_url_dedup, d24_record_linkage,
-    d25_dup_weights,
+    d25_dup_weights, d26_linkage_indexed,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,

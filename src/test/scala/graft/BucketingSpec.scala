@@ -714,4 +714,45 @@ class BucketingSpec extends SparkSpec {
         Seq("_uni", "_big", "_tri").foreach(s =>
           spark.sql(s"DROP TABLE IF EXISTS $t$s")))
   }
+
+  test("persisted linkage reference: probe equals inline; append equals rebuild; index unshuffled") {
+    import graft.operators.Linkage
+    import graft.operators.Linkage.FieldSpec
+    val c = Tables(spark, sf0001).customer
+    val ref = c.select(
+      col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+      lower(col("c_name")).as("name"), col("c_mktsegment").as("seg"))
+    val probe = ref.select(
+      (col("id") + 500000L).as("id"), col("nat"),
+      when(col("id") % 4 === 0, concat(col("name"), lit("q")))
+        .otherwise(col("name")).as("name"),
+      col("seg"))
+    val fields = Seq(
+      FieldSpec("name", (x, y) => x === y, m = 0.9, u = 0.01),
+      FieldSpec("seg", (x, y) => x === y, m = 0.8, u = 0.2))
+    Linkage.writeReferenceIndex(spark, "link_app",
+      ref.filter(col("id") % 2 === 0), "id", Seq("nat"), fields)
+    Linkage.appendReference(spark, "link_app",
+      ref.filter(col("id") % 2 =!= 0), "id", Seq("nat"), fields)
+    Linkage.writeReferenceIndex(spark, "link_reb",
+      ref, "id", Seq("nat"), fields)
+    try {
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+      val viaAppend = run(Linkage.probeReferenceIndex(
+        spark, "link_app", probe, "id", Seq("nat"), fields, 0.0, 5.0))
+      val viaRebuild = run(Linkage.probeReferenceIndex(
+        spark, "link_reb", probe, "id", Seq("nat"), fields, 0.0, 5.0))
+      val inline = run(Linkage.fellegiSunter(
+        probe, ref, "id", Seq("nat"), fields, 0.0, 5.0))
+      assert(viaAppend == viaRebuild, "append diverged from rebuild")
+      assert(viaAppend == inline, "persisted probe diverged from inline linkage")
+      assert(viaAppend.nonEmpty)
+      val plan = Linkage.probeReferenceIndex(
+        spark, "link_app", probe, "id", Seq("nat"), fields, 0.0, 5.0)
+        .queryExecution.executedPlan
+      assertIndexUnshuffled(plan, "link_app")
+    } finally Seq("link_app", "link_reb").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
