@@ -638,6 +638,37 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming probe face of the persisted linkage reference
+    * ([[graft.operators.Linkage.probeReferenceIndex]] per micro-batch):
+    * arriving records link against the block-bucketed master set —
+    * the entity-resolution service loop (new signups matched against
+    * the customer master as they arrive). Each trigger pays one
+    * block-keyed shuffle of ITS BATCH only; the reference is read in
+    * bucket layout, never redistributed. Scores are a pure function of
+    * (batch, reference), so each committed `b_<batchId>` directory
+    * equals the batch operator on the same rows — idempotent under
+    * replay via overwrite-by-id. */
+  def linkageProbeSink(
+      records: DataFrame,
+      table: String,
+      idCol: String,
+      blockCols: Seq[String],
+      fields: Seq[graft.operators.Linkage.FieldSpec],
+      lower: Double,
+      upper: Double,
+      targetPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Linkage
+          .probeReferenceIndex(batch.sparkSession, table, batch,
+            idCol, blockCols, fields, lower, upper)
+          .write.mode("overwrite")
+          .parquet(f"$targetPath/b_$batchId%012d")
+      }
+      .start()
+
   /** Streaming scoring face of the PERSISTED stupid-backoff LM index
     * ([[graft.operators.TfIdf.scoreWithLmIndex]] per micro-batch):
     * score a document STREAM against [[graft.operators.TfIdf

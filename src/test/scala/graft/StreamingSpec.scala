@@ -246,6 +246,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("linkageProbeSink: streamed record batches equal the batch linkage (d26 fixture)") {
+    import graft.operators.Linkage
+    import graft.operators.Linkage.FieldSpec
+    val c = Tables(spark, sf0001).customer
+    val ref = c.select(
+      col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+      lower(col("c_name")).as("name"), col("c_mktsegment").as("seg"))
+    val probe = ref.select(
+      (col("id") + 500000L).as("id"), col("nat"),
+      when(col("id") % 4 === 0, concat(col("name"), lit("q")))
+        .otherwise(col("name")).as("name"),
+      col("seg"))
+    val fields = Seq(
+      FieldSpec("name", (x, y) => x === y, m = 0.9, u = 0.01),
+      FieldSpec("seg", (x, y) => x === y, m = 0.8, u = 0.2))
+    Linkage.writeReferenceIndex(spark, "link_sink_spec", ref, "id", Seq("nat"), fields)
+    try {
+      val src = Files.createTempDirectory("graft-linksink-src").toString
+      probe.repartition(4).write.mode("overwrite").parquet(src)
+      val stream = spark.readStream
+        .schema(probe.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val target = Files.createTempDirectory("graft-linksink-out").toString
+      val q = EventStreams.linkageProbeSink(
+        stream, "link_sink_spec", "id", Seq("nat"), fields,
+        lower = 0.0, upper = 5.0, target, checkpoint())
+      try q.processAllAvailable() finally q.stop()
+      val nBatches = EventStreams.committedBatches(spark, target)
+        .select(input_file_name()).distinct().count()
+      assert(nBatches >= 2, s"want >=2 committed micro-batches, got $nBatches")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+      val streamed = canon(EventStreams.committedBatches(spark, target))
+      val batchRun = canon(Linkage.probeReferenceIndex(
+        spark, "link_sink_spec", probe, "id", Seq("nat"), fields, 0.0, 5.0))
+      assert(streamed.nonEmpty && streamed == batchRun)
+    } finally spark.sql("DROP TABLE IF EXISTS link_sink_spec")
+  }
+
   test("dedupProbeSink: streamed micro-batches equal the batch probe (p10 fixture)") {
     val docs = Tables(spark, sf0001).documents
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
