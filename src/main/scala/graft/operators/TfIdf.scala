@@ -453,26 +453,41 @@ object TfIdf {
     * corpus-by-corpus grid.
     *
     * Scale shape: one (group, term)-distinct aggregation collapses the
-    * corpus to a vocabulary relation; the term-keyed self-join fans out
-    * at most |groups|² per term (groups are few); the complete grid —
-    * zero-overlap pairs included — comes from a groups×groups cross of
-    * the size relation (tiny) left-joined to the intersections. Exact
-    * integer counts; two divisions, round(6). */
+    * corpus to a vocabulary relation, one term-keyed aggregation packs
+    * each term's (sorted, ≤|groups|) group list, and the scan-local
+    * ordered-pair expansion INCLUDING the diagonal feeds ONE pair
+    * tally — (g,g) counts ARE the per-group vocabulary sizes, (ga<gb)
+    * the intersections, so a single aggregation pipeline serves both
+    * (its shared exchange is stage-reused across the two readers; a
+    * term-keyed self-join would pay the vocab pipeline per side). The
+    * complete grid — zero-overlap pairs included — is a groups×groups
+    * cross of the tiny size slice left-joined to the intersections.
+    * Exact integer counts; two divisions, round(6). */
   def vocabOverlapMatrix(
       docs: DataFrame,
       groupCol: String,
       textCol: String): DataFrame = {
+    import graft.functions.Hof.bindOnce
     val vocab = docs
       .select(col(groupCol).as("__g"),
         explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
           .as("__t"))
       .distinct()
-    val sizes = vocab.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
-    val inter = vocab.select(col("__g").as("__ga"), col("__t"))
-      .join(vocab.select(col("__g").as("__gb"), col("__t")), Seq("__t"))
-      .filter(col("__ga") < col("__gb"))
+    val pc = vocab
+      .groupBy(col("__t"))
+      .agg(sort_array(collect_set(col("__g"))).as("__gs"))
+      .select(explode(bindOnce(col("__gs")) { gs =>
+        flatten(transform(gs, (ga, i) =>
+          transform(slice(gs, i + lit(1), size(gs)),
+            gb => struct(ga.as("a"), gb.as("b")))))
+      }).as("__p"))
+      .select(col("__p.a").as("__ga"), col("__p.b").as("__gb"))
       .groupBy(col("__ga"), col("__gb"))
-      .agg(count(lit(1)).as("__i"))
+      .agg(count(lit(1)).as("__c"))
+    val sizes = pc.filter(col("__ga") === col("__gb"))
+      .select(col("__ga").as("__g"), col("__c").as("__n"))
+    val inter = pc.filter(col("__ga") < col("__gb"))
+      .select(col("__ga"), col("__gb"), col("__c").as("__i"))
     sizes.select(col("__g").as("__ga"), col("__n").as("n_a"))
       // |groups|² grid — bounded by the group count, the one crossJoin
       // class the house allows
