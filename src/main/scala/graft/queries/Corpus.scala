@@ -5617,6 +5617,61 @@ $langScoreCols
         .orderBy(col("node")),
     Some(g13Oracle(radius = 3)))
 
+  /** Degree assortativity ([[graft.operators.Graph
+    * .degreeAssortativity]]) of the g09 co-engagement item graph: the
+    * one-row hubs-link-to-hubs? readout (Newman 2002 r) that separates
+    * organic social cores (r>0) from link-farm stars (r<0) before any
+    * per-node centrality is spent. Exact decimal moments, one double
+    * division, round(6). */
+  val g14_assortativity = QueryDef(
+    "g14_assortativity",
+    (s, dir) =>
+      graft.operators.Graph.degreeAssortativity(
+        graft.operators.Graph.cooccurrenceEdges(
+          Tables(s, dir).events.select(
+            col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item")),
+          "user_id", "item", maxPerUser = 64, minSupport = 3L),
+        "item_a", "item_b"),
+    Some("""
+      WITH g14_ui AS (
+        SELECT DISTINCT user_id AS u,
+               cast(json_extract_string(props, '$.k') AS BIGINT) AS i
+        FROM events),
+      g14_nn AS (
+        SELECT u, i FROM g14_ui WHERE u IS NOT NULL AND i IS NOT NULL),
+      g14_cap AS (
+        SELECT u, i FROM (
+          SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+          FROM g14_nn) WHERE rn <= 64),
+      g14_e AS (
+        SELECT a.i AS ia, b.i AS ib
+        FROM g14_cap a JOIN g14_cap b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      g14_d AS (
+        SELECT node, cast(count(*) AS HUGEINT) AS d
+        FROM (SELECT ia AS node FROM g14_e
+              UNION ALL SELECT ib FROM g14_e)
+        GROUP BY 1),
+      g14_ann AS (
+        SELECT da.d AS da, db.d AS db
+        FROM g14_e
+        JOIN g14_d da ON da.node = g14_e.ia
+        JOIN g14_d db ON db.node = g14_e.ib),
+      g14_m AS (
+        SELECT cast(count(*) AS BIGINT) AS m,
+               sum(da * db) AS s1h,
+               sum(da + db) AS s2,
+               sum(da * da + db * db) AS s3
+        FROM g14_ann),
+      g14_n AS (SELECT cast(count(*) AS BIGINT) AS n FROM g14_d)
+      SELECT n AS nodes, m AS edges,
+             round(2.0 * m::DOUBLE / n::DOUBLE, 6) AS avg_degree,
+             round((4 * m::HUGEINT * s1h - s2 * s2)::DOUBLE
+               / nullif((2 * m::HUGEINT * s3 - s2 * s2)::DOUBLE, 0.0),
+               6) AS assortativity
+      FROM g14_n CROSS JOIN g14_m"""))
+
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
     (s, dir) => {
@@ -6920,5 +6975,5 @@ $langScoreCols
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf,
-    g13_harmonic)
+    g13_harmonic, g14_assortativity)
 }

@@ -594,4 +594,43 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.cooccurrenceEdges(log, "user", "item", minSupport = 0L))
   }
+
+  test("degreeAssortativity: star = -1, regular graph = null, barbell hand value; cleanup + repartition-stable") {
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val r = Graph.degreeAssortativity(df, "src", "dst").collect()(0)
+      (r.getAs[Long]("nodes"), r.getAs[Long]("edges"),
+        r.getAs[Double]("avg_degree"),
+        if (r.isNullAt(3)) None else Some(r.getAs[Double]("assortativity")))
+    }
+    // star K1,3: every edge joins deg 3 to deg 1 -> perfectly disassortative
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    assert(run(star) == ((4L, 3L, 1.5, Some(-1.0))))
+    // 4-cycle: degree-regular, zero variance -> null
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(run(cycle) == ((4L, 4L, 2.0, None)))
+    // barbell (two triangles + a bridge): degrees {2,2,3,3,2,2}, 7 edges;
+    // expectation replayed from Newman's formula on the hand degree map
+    val barbell = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("src", "dst")
+    val deg = Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 5L -> 2L, 6L -> 2L)
+    val undirected = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val s1 = 2L * undirected.map { case (a, b) => deg(a) * deg(b) }.sum
+    val s2 = undirected.map { case (a, b) => deg(a) + deg(b) }.sum
+    val s3 = undirected.map { case (a, b) => deg(a) * deg(a) + deg(b) * deg(b) }.sum
+    val m2 = 2L * undirected.size
+    val expect = BigDecimal(
+      (m2 * s1 - s2 * s2).toDouble / (m2 * s3 - s2 * s2).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(run(barbell) == ((6L, 7L, BigDecimal(14.0 / 6.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, Some(expect))))
+    // self-loops, duplicates, and reversed duplicates are cleaned up
+    val messy = star.union(Seq((1L, 0L), (0L, 1L), (2L, 2L)).toDF("src", "dst"))
+    assert(run(messy) == run(star))
+    assert(run(barbell.repartition(7)) == run(barbell))
+    // empty graph: one row, nulls where undefined
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val er = Graph.degreeAssortativity(empty, "src", "dst").collect()(0)
+    assert(er.getAs[Long]("nodes") == 0L && er.getAs[Long]("edges") == 0L)
+  }
 }
