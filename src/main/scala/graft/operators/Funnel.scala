@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream — the product-analytics
+  * readout (signup → view → click → purchase) the reference's fold
+  * surface computes per column but never per ordered SEQUENCE
+  * (reference `src/Frames/Folds.hs` builds per-column folds; a funnel
+  * is a per-entity ORDER-sensitive fold).
+  *
+  * Semantics: a user reaches step k when some step-k event strictly
+  * follows their step-(k−1) reach time, greedily matched — step 1 is
+  * the user's earliest step-1 event, step k the earliest step-k event
+  * after the step-(k−1) match (the standard strict-order funnel;
+  * same-timestamp events do NOT chain).
+  *
+  * Scale shape: ONE user-keyed aggregation collapses the stream to a
+  * per-user row of per-step sorted timestamp arrays (collect_list has
+  * map-side partial merge; state per user is that user's own matching
+  * events, never the stream). The greedy chain is a scan-local HOF
+  * cascade over those arrays; per-user depth explodes into at most
+  * |steps| rows, and the step tally plus two |steps|-row joins finish
+  * the readout. No window over raw events, nothing driver-side.
+  */
+object Funnel {
+
+  /** (step, event_type, users, conv_prev, conv_first) — one row per
+    * funnel step, zero-reach steps kept. Timestamps compare at
+    * microsecond precision; `conv_prev` is NULL for step 1 and for
+    * steps whose predecessor had zero users. */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val perStep = steps.zipWithIndex.map { case (st, i) =>
+      sort_array(collect_list(
+        when(col(typeCol) === st, unix_micros(col(tsCol))))).as(s"__a$i")
+    }
+    val perUser = events
+      .groupBy(col(userCol).as("__u"))
+      .agg(perStep.head, perStep.tail: _*)
+    // greedy chain: __t0 = first step-0 event; __tk = min step-k event
+    // strictly after __t(k-1) (null propagates: an unreached step keeps
+    // every later step null because x > NULL filters everything out)
+    val chained = steps.indices.foldLeft(perUser) { (df, i) =>
+      val t =
+        if (i == 0) try_element_at(col("__a0"), lit(1))
+        else array_min(filter(col(s"__a$i"), x => x > col(s"__t${i - 1}")))
+      df.withColumn(s"__t$i", t)
+    }
+    // reach is monotone (__tk nonnull implies __t(k-1) nonnull), so the
+    // DEEPEST check must sit outermost: fold ascending, each step wrapping
+    // the shallower cases
+    val depth = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"__t$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    val counts = chained
+      .select(depth.as("__depth"))
+      .filter(col("__depth") >= 1)
+      .select(explode(sequence(lit(1), col("__depth"))).as("step"))
+      .groupBy(col("step")).agg(count(lit(1)).as("__users"))
+    val dim = steps.zipWithIndex
+      .map { case (st, i) => (i + 1, st) }.toDF("step", "event_type")
+    val full = dim
+      .join(counts, Seq("step"), "left")
+      .select(col("step"), col("event_type"),
+        coalesce(col("__users"), lit(0L)).as("users"))
+    val first = full.filter(col("step") === 1)
+      .select(col("users").as("__f"))
+    val prev = full.select((col("step") + 1).as("step"), col("users").as("__p"))
+    full
+      .join(prev, Seq("step"), "left")
+      .crossJoin(first) // single row: the one crossJoin class the house allows
+      .select(
+        col("step"), col("event_type"), col("users"),
+        round(col("users").cast("double") /
+          nullif(col("__p").cast("double"), lit(0.0)), 6).as("conv_prev"),
+        round(col("users").cast("double") /
+          nullif(col("__f").cast("double"), lit(0.0)), 6).as("conv_first"))
+  }
+}

@@ -1976,6 +1976,60 @@ object Relational {
       FROM q78_f
       ORDER BY event_type"""))
 
+  /** N-step strict-order funnel ([[graft.operators.Funnel.funnel]]):
+    * the q52 shape generalized — arbitrary step lists, ONE user-keyed
+    * shuffle (q52 joins the raw stream once PER stage), and a per-step
+    * conversion table with zero-reach steps kept. The oracle replays
+    * the greedy chain as a lambda-free join cascade (min step-k time
+    * strictly after the step-(k−1) match). */
+  val q79_funnel_steps = QueryDef(
+    "q79_funnel_steps",
+    (s, dir) =>
+      graft.operators.Funnel
+        .funnel(
+          Tables(s, dir).events.filter(col("user_id").isNotNull),
+          "user_id", "event_type", "ts",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("step")),
+    Some("""
+      WITH q79_e AS (
+        SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+        FROM events WHERE user_id IS NOT NULL),
+      q79_s1 AS (
+        SELECT u, min(t) AS t1 FROM q79_e WHERE et = 'signup' GROUP BY 1),
+      q79_s2 AS (
+        SELECT e.u, min(t) AS t2 FROM q79_e e JOIN q79_s1 s ON e.u = s.u
+        WHERE et = 'view' AND t > s.t1 GROUP BY 1),
+      q79_s3 AS (
+        SELECT e.u, min(t) AS t3 FROM q79_e e JOIN q79_s2 s ON e.u = s.u
+        WHERE et = 'click' AND t > s.t2 GROUP BY 1),
+      q79_s4 AS (
+        SELECT e.u, min(t) AS t4 FROM q79_e e JOIN q79_s3 s ON e.u = s.u
+        WHERE et = 'purchase' AND t > s.t3 GROUP BY 1),
+      q79_n AS (
+        SELECT (SELECT cast(count(*) AS BIGINT) FROM q79_s1) AS n1,
+               (SELECT cast(count(*) AS BIGINT) FROM q79_s2) AS n2,
+               (SELECT cast(count(*) AS BIGINT) FROM q79_s3) AS n3,
+               (SELECT cast(count(*) AS BIGINT) FROM q79_s4) AS n4)
+      SELECT * FROM (
+        SELECT 1 AS step, 'signup' AS event_type, n1 AS users,
+               CAST(NULL AS DOUBLE) AS conv_prev,
+               round(n1::DOUBLE / nullif(n1::DOUBLE, 0.0), 6) AS conv_first
+        FROM q79_n
+        UNION ALL
+        SELECT 2, 'view', n2,
+               round(n2::DOUBLE / nullif(n1::DOUBLE, 0.0), 6),
+               round(n2::DOUBLE / nullif(n1::DOUBLE, 0.0), 6) FROM q79_n
+        UNION ALL
+        SELECT 3, 'click', n3,
+               round(n3::DOUBLE / nullif(n2::DOUBLE, 0.0), 6),
+               round(n3::DOUBLE / nullif(n1::DOUBLE, 0.0), 6) FROM q79_n
+        UNION ALL
+        SELECT 4, 'purchase', n4,
+               round(n4::DOUBLE / nullif(n3::DOUBLE, 0.0), 6),
+               round(n4::DOUBLE / nullif(n1::DOUBLE, 0.0), 6) FROM q79_n)
+      ORDER BY step"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -1993,5 +2047,5 @@ object Relational {
     q61_quantile_bins, q63_profile, q64_corr_matrix, q65_histogram,
     q67_range_window, q68_union_evolved, q69_asof_tolerance,
     q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly,
-    q76_heavy_hitters, q77_ab_welch, q78_cuped)
+    q76_heavy_hitters, q77_ab_welch, q78_cuped, q79_funnel_steps)
 }
