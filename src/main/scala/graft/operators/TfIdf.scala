@@ -576,4 +576,85 @@ object TfIdf {
           .when(col("__qs") >= col("__c2"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): damped
+    * PageRank over the corpus word-adjacency graph, top-`topK` words
+    * by rank — the unsupervised keyword pass that needs no labels and
+    * no idf table. Complements t08's TF-IDF (frequency-based) with the
+    * graph-centrality view; reference fold surface: Frames computes
+    * per-column folds (`src/Frames/Folds.hs`), never a fixpoint.
+    *
+    * Graph: adjacent-token pairs (window 2) in both orientations,
+    * self-pairs dropped, deduplicated — symmetric, so there is NO
+    * dangling mass and a round is exactly two jobs (the contribution
+    * join-aggregate and the eager lineage cut), with the quantized
+    * integer update pr ← teleport + damp·Σ pr(v) div odeg(v) making
+    * every round bit-exact (same discipline as
+    * [[graft.operators.Graph.pagerankQuantized]]).
+    *
+    * Scale shape: pair expansion is scan-local (one HOF zip over each
+    * token array); the edge distinct is one vocabulary-bounded shuffle;
+    * the loop INPUTS (edges+degrees, nodes) are persisted before round
+    * one — the g01 lesson — and the per-round plan is one keyed join +
+    * one tally with map-side partials over a vocabulary-sized (never
+    * corpus-sized) relation. Output heads plan as
+    * TakeOrderedAndProject: no global sort. */
+  def textRankKeywords(
+      docs: DataFrame,
+      textCol: String,
+      iters: Int,
+      topK: Int,
+      scale: Long = 1000000L,
+      dampNum: Long = 85,
+      dampDen: Long = 100,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
+    require(iters >= 0 && topK >= 1 && scale > 0 && dampNum >= 0 && dampDen > 0,
+      s"bad textrank params: iters=$iters topK=$topK scale=$scale damp=$dampNum/$dampDen")
+    import org.apache.spark.storage.StorageLevel
+    val ts = docs
+      .select(TextFunctions.tokens(lower(col(textCol))).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+    val pairs = ts
+      .select(explode(zip_with(
+        slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+        slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    val e = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // symmetric graph: every node is a source, no dangling mass
+    val nodes = e.select(col("a").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ew = e.join(
+      e.groupBy(col("a")).agg(count(lit(1)).as("odeg")), Seq("a"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val teleport = (dampDen - dampNum) * scale / dampDen
+      var ranks = nodes.withColumn("pr", lit(scale))
+      for (_ <- 0 until iters) {
+        val contribs = ew.join(ranks, ew("a") === ranks("node"))
+          .select(col("b"), expr("pr div odeg").as("__c"))
+          .groupBy(col("b")).agg(sum(col("__c")).as("__c"))
+        ranks = checkpointer.cut(
+          nodes
+            .join(contribs, nodes("node") === contribs("b"), "left")
+            .select(col("node"),
+              (lit(teleport) +
+                expr(s"$dampNum * coalesce(__c, 0L) div $dampDen")).as("pr")),
+          eager = true)
+      }
+      ranks
+        .orderBy(col("pr").desc, col("node"))
+        .limit(topK)
+        .select(col("node").as("word"), col("pr"))
+    } finally {
+      ew.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      ()
+    }
+  }
 }

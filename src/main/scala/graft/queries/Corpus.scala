@@ -3898,6 +3898,63 @@ $langScoreCols
       LEFT JOIN t44_i i ON i.ga = na.g AND i.gb = nb.g
       ORDER BY source_a, source_b"""))
 
+  /** Exact oracle for t45: the quantized TextRank loop replayed with
+    * `iters` unrolled CTE rounds over the word-adjacency graph (the
+    * symmetric graph has no dangling mass, so a round is one join-tally
+    * plus the teleport update). Shared relations MATERIALIZED or DuckDB
+    * re-inlines them per round (the d07 lesson). */
+  private def textrankOracle(
+      iters: Int, scale: Long, num: Long, den: Long, topK: Int): String = {
+    val teleport = (den - num) * scale / den
+    val rounds = (1 to iters).map { i =>
+      s"""
+      t45_c$i AS (
+        SELECT b AS node, cast(sum(pr // odeg) AS BIGINT) AS c
+        FROM t45_ew JOIN t45_r${i - 1} ON t45_ew.a = t45_r${i - 1}.node
+        GROUP BY 1),
+      t45_r$i AS (
+        SELECT t45_n.node,
+               cast($teleport + ($num * coalesce(c, 0)) // $den AS BIGINT)
+                 AS pr
+        FROM t45_n LEFT JOIN t45_c$i USING (node))"""
+    }.mkString(",")
+    s"""
+      WITH t45_tok AS (
+        SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      t45_pair AS (
+        SELECT ts[i] AS a, ts[i + 1] AS b
+        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+              FROM t45_tok WHERE len(ts) >= 2)),
+      t45_e AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+          SELECT a, b FROM t45_pair UNION ALL SELECT b, a FROM t45_pair)
+        WHERE a <> b),
+      t45_n AS MATERIALIZED (SELECT DISTINCT a AS node FROM t45_e),
+      t45_od AS (
+        SELECT a, cast(count(*) AS BIGINT) AS odeg FROM t45_e GROUP BY 1),
+      t45_ew AS MATERIALIZED (
+        SELECT t45_e.a, t45_e.b, odeg FROM t45_e JOIN t45_od USING (a)),
+      t45_r0 AS (SELECT node, cast($scale AS BIGINT) AS pr FROM t45_n),
+      $rounds
+      SELECT node AS word, pr FROM t45_r$iters
+      ORDER BY pr DESC, word LIMIT $topK"""
+  }
+
+  /** TextRank keyword extraction ([[graft.operators.TfIdf
+    * .textRankKeywords]]): damped quantized PageRank over the corpus
+    * word-adjacency graph, top-30 words — the unsupervised
+    * graph-centrality keyword pass next to t08's frequency-based
+    * TF-IDF. Integer-exact rounds; the oracle unrolls them. */
+  val t45_textrank = QueryDef(
+    "t45_textrank",
+    (s, dir) =>
+      graft.operators.TfIdf
+        .textRankKeywords(Tables(s, dir).documents, "text",
+          iters = 5, topK = 30),
+    Some(textrankOracle(
+      iters = 5, scale = 1000000L, num = 85, den = 100, topK = 30)))
+
   /** Distinct-n corpus diversity ([[graft.operators.TfIdf.distinctN]]):
     * per-source type/token ratios for n = 1..3 — the corpus-level
     * repetitiveness readout complementing t06's within-document
@@ -6946,7 +7003,7 @@ $langScoreCols
     t31_ngram_overlap, t32_wordpiece_encode, t33_eval_metrics,
     t34_ccnet_buckets, t35_calibration, t36_pass_at_k, t37_zipf,
     t38_bradley_terry, t39_blocklist, t40_langid_eval, t41_rouge_l,
-    t42_blocklist_trie, t43_distinct_n, t44_vocab_overlap,
+    t42_blocklist_trie, t43_distinct_n, t44_vocab_overlap, t45_textrank,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

@@ -69,4 +69,32 @@ class NgramSpec extends SparkSpec {
     assert(got(("b", 3)) == (1L, 1L, 1.0))
     assert(got.size == 6)
   }
+
+  test("textRankKeywords: hand-computed path-graph round; self/duplicate pairs collapse; repartition-stable") {
+    def run(texts: Seq[String], iters: Int) =
+      graft.operators.TfIdf
+        .textRankKeywords(texts.toDF("text"), "text", iters = iters, topK = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // path a-b-c: odeg a=1 b=2 c=1; one round from pr=1e6:
+    //   a = 150000 + 85*(1e6 div 2) div 100 = 575000 (c symmetric)
+    //   b = 150000 + 85*(1e6 + 1e6) div 100 = 1850000
+    assert(run(Seq("a b c"), 1) ==
+      Seq(("b", 1850000L), ("a", 575000L), ("c", 575000L)))
+    // duplicate adjacencies and self-pairs don't change the graph
+    assert(run(Seq("a b c", "a a b b c", "b a"), 1) == run(Seq("a b c"), 1))
+    // iters=0 is the uniform seed, ordered by word on the tie
+    assert(run(Seq("a b c"), 0) ==
+      Seq(("a", 1000000L), ("b", 1000000L), ("c", 1000000L)))
+    // single-token and empty docs contribute nothing
+    assert(run(Seq("a b c", "x", ""), 1) == run(Seq("a b c"), 1))
+    val many = (1 to 40).map(i => s"w$i w${i + 1} w${i + 2}")
+    val df = many.toDF("text")
+    val once = graft.operators.TfIdf
+      .textRankKeywords(df, "text", iters = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val again = graft.operators.TfIdf
+      .textRankKeywords(df.repartition(7), "text", iters = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(once == again)
+  }
 }
