@@ -1226,4 +1226,105 @@ object Similarity {
         Window.partitionBy(col("src_id"))
           .orderBy(col("margin").desc, col("tgt_id").asc)))
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * per query, greedily pick `k` of the `poolSize` nearest candidates
+    * maximizing λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s) — the
+    * diversity-aware top-k every retrieval-augmented pipeline puts
+    * between ANN and the context window (pure top-k returns k near
+    * duplicates of the best hit; MMR spends the same k on coverage).
+    *
+    * Determinism: sims quantize to longs (round6 × scale), λ is the
+    * rational lambdaNum/lambdaDen, so the objective is the INTEGER
+    * lambdaNum·simq − (lambdaDen−lambdaNum)·penalty with ties broken
+    * on candidate id — bit-exact at any partitioning (the s20 oracle
+    * unrolls the k rounds in SQL).
+    *
+    * Scale shape: the candidate pool is |Q|·poolSize rows and the
+    * pairwise-sim relation |Q|·poolSize² — QUERY-bounded, never
+    * corpus-bounded; the corpus is touched once (the pool build) plus
+    * one id-keyed join to attach candidate vectors. Each greedy round
+    * is one keyed tally + one per-query WindowGroupLimit argmax over
+    * those bounded relations, lineage-cut per round. Pass `pool` to
+    * re-rank an ANN shortlist instead (ivfKnn/ivfPqKnn output):
+    * brute-force pooling is the oracle gate, not the 100 TB path. */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      poolSize: Int,
+      lambdaNum: Long = 70,
+      lambdaDen: Long = 100,
+      scale: Long = 1000000L,
+      pool: Option[DataFrame] = None,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"pool $poolSize must cover k=$k")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda must be a rational in [0,1]: $lambdaNum/$lambdaDen")
+    require(scale > 0, s"scale must be positive, got $scale")
+    import org.apache.spark.storage.StorageLevel
+    val rawPool = pool.getOrElse(
+      bruteForceKnn(corpus, queries, idCol, vecCol, poolSize))
+    val cand = rawPool.select(
+      col("query_id"), col("neighbor_id").as("cid"),
+      round(col("cosine") * scale, 0).cast("long").as("simq"))
+    val vecs = corpus.select(col(idCol).as("cid"), col(vecCol).as("__v"))
+    val pv = cand.join(vecs, Seq("cid"))
+      .select(col("query_id"), col("cid"), col("simq"), col("__v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = pv.select(col("query_id"), col("cid").as("a"), col("__v").as("__va"))
+      .join(pv.select(col("query_id"), col("cid").as("b"), col("__v").as("__vb")),
+        Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(round(cosine(col("__va"), col("__vb")), 6) * scale, 0)
+          .cast("long").as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val penaltyNum = lambdaDen - lambdaNum
+      var sel: DataFrame = null
+      for (r <- 1 to k) {
+        val scored =
+          if (r == 1)
+            pv.select(col("query_id"), col("cid"),
+              (lit(lambdaNum) * col("simq")).as("__score"))
+          else {
+            val pen = pairs
+              .join(sel.select(col("query_id"), col("cid").as("b")),
+                Seq("query_id", "b"))
+              .groupBy(col("query_id"), col("a"))
+              .agg(max(col("s")).as("__pen"))
+              .select(col("query_id"), col("a").as("cid"), col("__pen"))
+            pv.select(col("query_id"), col("cid"), col("simq"))
+              .join(sel.select(col("query_id"), col("cid")),
+                Seq("query_id", "cid"), "left_anti")
+              .join(pen, Seq("query_id", "cid"), "left")
+              .select(col("query_id"), col("cid"),
+                (lit(lambdaNum) * col("simq") -
+                  lit(penaltyNum) * coalesce(col("__pen"), lit(0L)))
+                  .as("__score"))
+          }
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("__score").desc, col("cid").asc)
+        val pick = scored
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("query_id"), col("cid"),
+            lit(r).as("rank"), col("__score").as("mmr_q"))
+        // selections are |Q|·r rows but re-read thrice per round: cut
+        // the union lineage or the plan doubles per round (CC lesson)
+        sel = checkpointer.cut(
+          if (r == 1) pick else sel.union(pick), eager = true)
+      }
+      sel.select(col("query_id"), col("rank"),
+        col("cid").as("neighbor_id"), col("mmr_q"))
+    } finally {
+      pairs.unpersist(blocking = false)
+      pv.unpersist(blocking = false)
+      ()
+    }
+  }
 }

@@ -2379,6 +2379,87 @@ $langScoreCols
       WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Exact oracle for s20: candidate pool + pairwise sim matrix
+    * MATERIALIZED once, then the greedy MMR rounds unrolled as CTE
+    * triples (penalty, score-with-anti-join, pick); every selected set
+    * is MATERIALIZED too — it is referenced three times per round and
+    * DuckDB would otherwise re-inline the whole prefix exponentially
+    * (the d07 lesson). Integer objective, id tie-break. */
+  private def mmrOracle(
+      k: Int, poolSize: Int, lamNum: Long, lamDen: Long): String = {
+    val pen = lamDen - lamNum
+    val rounds = (2 to k).map { r =>
+      s"""
+      s20_pen$r AS (
+        SELECT p.qid, p.a AS cid, max(p.s) AS pen
+        FROM s20_pairs p
+        JOIN s20_sel${r - 1} s ON p.qid = s.qid AND p.b = s.cid
+        GROUP BY 1, 2),
+      s20_row$r AS (
+        SELECT c.qid, c.cid,
+               $lamNum * c.simq - $pen * coalesce(pn.pen, 0) AS score
+        FROM s20_cand c
+        LEFT JOIN s20_pen$r pn ON pn.qid = c.qid AND pn.cid = c.cid
+        LEFT JOIN s20_sel${r - 1} sl ON sl.qid = c.qid AND sl.cid = c.cid
+        WHERE sl.cid IS NULL),
+      s20_pick$r AS (
+        SELECT qid, cid, $r AS rank, score AS mmr_q FROM (
+          SELECT qid, cid, score, row_number() OVER (
+            PARTITION BY qid ORDER BY score DESC, cid) AS rn
+          FROM s20_row$r) WHERE rn = 1),
+      s20_sel$r AS MATERIALIZED (
+        SELECT * FROM s20_sel${r - 1} UNION ALL SELECT * FROM s20_pick$r)"""
+    }.mkString(",")
+    s"""
+      WITH s20_v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s20_sc AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               round(list_cosine_similarity(q.e, c.e), 6) AS cos6
+        FROM s20_v q JOIN s20_v c
+          ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+      s20_cand AS MATERIALIZED (
+        SELECT qid, cid,
+               CAST(round(cos6 * 1000000) AS BIGINT) AS simq
+        FROM (SELECT qid, cid, cos6, row_number() OVER (
+                PARTITION BY qid ORDER BY cos6 DESC, cid) AS rn
+              FROM s20_sc)
+        WHERE rn <= $poolSize),
+      s20_pairs AS MATERIALIZED (
+        SELECT a.qid, a.cid AS a, b.cid AS b,
+               CAST(round(round(list_cosine_similarity(va.e, vb.e), 6)
+                 * 1000000) AS BIGINT) AS s
+        FROM s20_cand a
+        JOIN s20_cand b ON a.qid = b.qid AND a.cid <> b.cid
+        JOIN s20_v va ON va.vec_id = a.cid
+        JOIN s20_v vb ON vb.vec_id = b.cid),
+      s20_sel1 AS MATERIALIZED (
+        SELECT qid, cid, 1 AS rank, $lamNum * simq AS mmr_q FROM (
+          SELECT qid, cid, simq, row_number() OVER (
+            PARTITION BY qid ORDER BY $lamNum * simq DESC, cid) AS rn
+          FROM s20_cand) WHERE rn = 1),
+      $rounds
+      SELECT qid AS query_id, rank, cid AS neighbor_id, mmr_q
+      FROM s20_sel$k ORDER BY query_id, rank"""
+  }
+
+  /** MMR diversity re-rank ([[graft.operators.Similarity.mmrRerank]]):
+    * per query, the greedy λ-tradeoff between query similarity and
+    * redundancy to already-picked results — the post-ANN stage that
+    * turns k near-duplicate hits into k covering ones. Brute pool =
+    * the oracle gate; the `pool` parameter takes the IVF/PQ shortlist
+    * at scale. Integer objective (quantized sims, rational λ). */
+  val s20_mmr_rerank = QueryDef(
+    "s20_mmr_rerank",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Similarity
+        .mmrRerank(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 8, poolSize = 24)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(mmrOracle(k = 8, poolSize = 24, lamNum = 70, lamDen = 100)))
+
   /** HARD-NEGATIVE mining for contrastive/embedding training — the
     * data-prep face of retrieval: for each query, the highest-cosine
     * neighbors whose label DISAGREES with the query's (the "hard"
@@ -7017,7 +7098,7 @@ $langScoreCols
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,
     s13_knn_ivf_filtered, s14_knn_classify, s15_hard_negatives,
     s16_knn_truncated, s17_kcenter_coreset, s18_bitext_margin,
-    s19_knn_mips,
+    s19_knn_mips, s20_mmr_rerank,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,

@@ -359,6 +359,92 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_cls_spec")
   }
 
+  test("mmrRerank: exact vs driver replica; near-duplicate demoted; lambda=1 is pure knn; pool injection; guards") {
+    import spark.implicits._
+    // query 100 along x; a/b near-duplicates of each other, c diverse
+    val vecs = Seq(
+      (100L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.05, 0.0)),
+      (2L, Seq(1.0, 0.055, 0.0)),
+      (3L, Seq(0.6, 0.8, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0)),
+      (5L, Seq(-1.0, 0.2, 0.1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") === 100L)
+
+    // driver replica of the exact quantized pipeline
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      var na = 0.0; i = 0
+      while (i < a.length) { na += a(i) * a(i); i += 1 }
+      var nb = 0.0; i = 0
+      while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      val norm = math.sqrt(na) * math.sqrt(nb)
+      if (norm == 0.0) 0.0 else d / norm
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def simq(a: Seq[Double], b: Seq[Double]): Long =
+      BigDecimal(round6(cosine(a, b)) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def replica(k: Int, lamNum: Long, lamDen: Long): Seq[(Long, Int, Long, Long)] = {
+      val q = vecs.find(_._1 == 100L).get._2
+      val cands = vecs.filter(_._1 != 100L)
+      var sel = Vector.empty[(Long, Long)] // (cid, score)
+      for (_ <- 1 to k) {
+        val rem = cands.filterNot(c => sel.exists(_._1 == c._1))
+        val scored = rem.map { c =>
+          val pen =
+            if (sel.isEmpty) 0L
+            else sel.map(s => simq(c._2, vecs.find(_._1 == s._1).get._2)).max
+          (c._1, lamNum * simq(q, c._2) - (lamDen - lamNum) * pen)
+        }
+        sel :+= scored.minBy { case (id, sc) => (-sc, id) }
+      }
+      sel.zipWithIndex.map { case ((id, sc), i) => (100L, i + 1, id, sc) }
+    }
+
+    def run(k: Int, lamNum: Long, pool: Option[org.apache.spark.sql.DataFrame] = None) =
+      Similarity
+        .mmrRerank(df, queries, "vec_id", "embedding",
+          k = k, poolSize = 5, lambdaNum = lamNum, pool = pool)
+        .orderBy(col("query_id"), col("rank"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+
+    val got = run(4, 70)
+    assert(got == replica(4, 70, 100))
+    // at a diversity-heavy λ the near-duplicate (id 2) is demoted OUT
+    // of the top-4 entirely: the anti-similar candidate (id 5, negative
+    // cosine to the selected set — signed MMR rewards it) takes rank 2,
+    // then the orthogonal id 4, then the diverse id 3
+    val got30 = run(4, 30)
+    assert(got30 == replica(4, 30, 100))
+    assert(got30.map(_._3) == Seq(1L, 5L, 4L, 3L))
+    // λ = 1: no diversity penalty -> exactly the knn order
+    val knn = Similarity
+      .bruteForceKnn(df, queries, "vec_id", "embedding", 4)
+      .orderBy(col("rank")).collect().map(_.getLong(2)).toSeq
+    assert(run(4, 100).map(_._3) == knn)
+    // injected pool (the ANN-shortlist path) reproduces the brute pool
+    val pool = Similarity.bruteForceKnn(df, queries, "vec_id", "embedding", 5)
+    assert(run(4, 70, Some(pool)) == got)
+    // repartition-stable
+    val re = Similarity
+      .mmrRerank(df.repartition(7), queries, "vec_id", "embedding",
+        k = 4, poolSize = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(re == got)
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(df, queries, "vec_id", "embedding", k = 9, poolSize = 5))
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(df, queries, "vec_id", "embedding", k = 2,
+        poolSize = 5, lambdaNum = 101))
+  }
+
   test("MIPS: norm augmentation reduces dot-product retrieval to the cosine IVF face") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity
