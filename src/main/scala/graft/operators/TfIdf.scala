@@ -577,6 +577,67 @@ object TfIdf {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** PMI collocation mining (Church & Hanks 1990; the word2phrase pass
+    * of Mikolov et al. 2013): adjacent word pairs scored by pointwise
+    * mutual information ln(P(ab) / (P(a)·P(b))) — the phrase-detection
+    * step that decides which bigrams ("new york") deserve a single
+    * token before tokenizer training. `minCount` suppresses the
+    * low-frequency PMI explosion (a hapax pair scores huge PMI on
+    * noise); top-`topK` by (pmi desc, pair asc).
+    *
+    * Determinism: counts are exact integers from two keyed tallies;
+    * the score is a FIXED-SHAPE sum of logs
+    * ln(c_ab) + 2·ln(N) − ln(M) − ln(c_a) − ln(c_b) (never a product
+    * that could leave double-exact range), rounded to 6 dp over the
+    * libm ulp — the p08 discipline.
+    *
+    * Scale shape: pair expansion is scan-local; one (a,b)-keyed tally
+    * and one unigram tally (both map-side partial); unigram counts
+    * join back onto the SURVIVING (≥ minCount) pairs only, with AQE
+    * broadcasting the vocabulary side when it fits; corpus totals are
+    * single-row aggregates crossed in. Heads plan as
+    * TakeOrderedAndProject. */
+  def pmiCollocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1,
+      s"bad collocation params: minCount=$minCount topK=$topK")
+    val ts = docs
+      .select(TextFunctions.tokens(lower(col(textCol))).as("__ts"))
+    val uni = ts.select(explode(col("__ts")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val pairs = ts
+      .filter(size(col("__ts")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+        slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("__p"))
+      .select(col("__p.a").as("word_a"), col("__p.b").as("word_b"))
+    val pc = pairs
+      .groupBy(col("word_a"), col("word_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minCount)
+    val nn = uni.agg(sum(col("__c")).as("__nn"))
+    val m = pairs.agg(count(lit(1)).as("__m"))
+    pc
+      .join(uni.select(col("__w").as("word_a"), col("__c").as("__ca")),
+        Seq("word_a"))
+      .join(uni.select(col("__w").as("word_b"), col("__c").as("__cb")),
+        Seq("word_b"))
+      .crossJoin(nn).crossJoin(m) // two single-row totals
+      .select(col("word_a"), col("word_b"), col("pair_n"),
+        round(
+          log(col("pair_n").cast("double")) +
+            lit(2.0) * log(col("__nn").cast("double")) -
+            log(col("__m").cast("double")) -
+            log(col("__ca").cast("double")) -
+            log(col("__cb").cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
+      .limit(topK)
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): damped
     * PageRank over the corpus word-adjacency graph, top-`topK` words
     * by rank — the unsupervised keyword pass that needs no labels and

@@ -4036,6 +4036,42 @@ $langScoreCols
     Some(textrankOracle(
       iters = 5, scale = 1000000L, num = 85, den = 100, topK = 30)))
 
+  /** PMI collocations ([[graft.operators.TfIdf.pmiCollocations]]):
+    * top adjacent-pair pointwise mutual information with a min-count
+    * floor — the word2phrase phrase-mining readout. Exact integer
+    * counts; fixed-shape log-sum score, round(6). */
+  val t46_pmi_collocations = QueryDef(
+    "t46_pmi_collocations",
+    (s, dir) =>
+      graft.operators.TfIdf
+        .pmiCollocations(Tables(s, dir).documents, "text",
+          minCount = 5L, topK = 40),
+    Some("""
+      WITH t46_tok AS (
+        SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      t46_uni AS (
+        SELECT w, cast(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ts) AS w FROM t46_tok) GROUP BY 1),
+      t46_pair AS (
+        SELECT ts[i] AS a, ts[i + 1] AS b
+        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+              FROM t46_tok WHERE len(ts) >= 2)),
+      t46_pc AS (
+        SELECT a, b, cast(count(*) AS BIGINT) AS pair_n
+        FROM t46_pair GROUP BY 1, 2 HAVING count(*) >= 5),
+      t46_nn AS (SELECT cast(sum(c) AS BIGINT) AS nn FROM t46_uni),
+      t46_m AS (SELECT cast(count(*) AS BIGINT) AS m FROM t46_pair)
+      SELECT a AS word_a, b AS word_b, pair_n,
+             round(ln(pair_n::DOUBLE) + 2.0 * ln(nn::DOUBLE)
+               - ln(m::DOUBLE) - ln(ca.c::DOUBLE) - ln(cb.c::DOUBLE), 6)
+               AS pmi
+      FROM t46_pc
+      JOIN t46_uni ca ON ca.w = t46_pc.a
+      JOIN t46_uni cb ON cb.w = t46_pc.b
+      CROSS JOIN t46_nn CROSS JOIN t46_m
+      ORDER BY pmi DESC, word_a, word_b LIMIT 40"""))
+
   /** Distinct-n corpus diversity ([[graft.operators.TfIdf.distinctN]]):
     * per-source type/token ratios for n = 1..3 — the corpus-level
     * repetitiveness readout complementing t06's within-document
@@ -7085,6 +7121,7 @@ $langScoreCols
     t34_ccnet_buckets, t35_calibration, t36_pass_at_k, t37_zipf,
     t38_bradley_terry, t39_blocklist, t40_langid_eval, t41_rouge_l,
     t42_blocklist_trie, t43_distinct_n, t44_vocab_overlap, t45_textrank,
+    t46_pmi_collocations,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

@@ -70,6 +70,32 @@ class NgramSpec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  test("pmiCollocations: hand-computed log-sum score, min-count floor, tie order, repartition-stable") {
+    val docs = (Seq.fill(5)("new york") :+ "a b a b a b a b a b").toDF("text")
+    val got = graft.operators.TfIdf
+      .pmiCollocations(docs, "text", minCount = 5L, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // unigrams: new=5 york=5 a=5 b=5, N=20; pairs: (new,york)=5 (a,b)=5
+    // (b,a)=4 -> floored out; M=14; both survivors share count shape ->
+    // identical PMI, tie breaks on word_a
+    val expect = BigDecimal(
+      math.log(5.0) + 2.0 * math.log(20.0) - math.log(14.0) -
+        math.log(5.0) - math.log(5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      ("a", "b", 5L, expect), ("new", "york", 5L, expect)))
+    val again = graft.operators.TfIdf
+      .pmiCollocations(docs.repartition(7), "text", minCount = 5L, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(again == got)
+    intercept[IllegalArgumentException](
+      graft.operators.TfIdf.pmiCollocations(docs, "text", 0L, 10))
+  }
+
   test("textRankKeywords: hand-computed path-graph round; self/duplicate pairs collapse; repartition-stable") {
     def run(texts: Seq[String], iters: Int) =
       graft.operators.TfIdf
