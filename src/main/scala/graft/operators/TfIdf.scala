@@ -577,6 +577,67 @@ object TfIdf {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** Vocabulary growth curve (Heaps 1978): cumulative distinct types
+    * vs cumulative tokens over `buckets` id-ordered corpus prefixes —
+    * the sublinearity diagnostic that separates organic text (β≈0.5)
+    * from template spam (β→0) or id-like noise (β→1), and sizes
+    * tokenizer vocabularies before training one.
+    *
+    * A term's contribution to every prefix is decided by its FIRST
+    * occurrence alone, so the curve needs no per-prefix distinct: one
+    * min-bucket aggregation per term, one per-bucket tally, and the
+    * cumulative sums come from exploding each of the ≤`buckets` tally
+    * rows to its suffix range — never a running window. Bucket
+    * boundaries are integer id-range cuts from one min/max single-row
+    * aggregate (crossed in broadcast); empty buckets are kept.
+    * β = ln(types)/ln(tokens) on the cumulative point, round(6). */
+  def vocabGrowthCurve(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ts = docs.select(
+      col(idCol).cast("long").as("__id"),
+      TextFunctions.tokens(lower(col(textCol))).as("__ts"))
+    val bounds = ts.agg(min(col("__id")).as("__lo"), max(col("__id")).as("__hi"))
+    val withB = ts.crossJoin(broadcast(bounds)) // single-row bounds
+      .withColumn("__b",
+        (expr(s"(__id - __lo) * $buckets div (__hi - __lo + 1)") + 1L)
+          .cast("int"))
+    val perDoc = withB
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__docs"), sum(size(col("__ts"))).as("__toks"))
+    val firstSeen = withB
+      .select(col("__b"), explode(col("__ts")).as("__w"))
+      .groupBy(col("__w")).agg(min(col("__b")).as("__fb"))
+      .groupBy(col("__fb")).agg(count(lit(1)).as("__types"))
+    val dim = (1 to buckets).toDF("bucket")
+    val perBucket = dim
+      .join(perDoc, col("bucket") === col("__b"), "left")
+      .join(firstSeen, col("bucket") === col("__fb"), "left")
+      .select(col("bucket"),
+        coalesce(col("__docs"), lit(0L)).as("__docs"),
+        coalesce(col("__toks"), lit(0L)).as("__toks"),
+        coalesce(col("__types"), lit(0L)).as("__types"))
+    // suffix-explode the <=buckets tally rows instead of a running
+    // window: row b contributes to every cumulative point >= b
+    perBucket
+      .select(explode(sequence(col("bucket"), lit(buckets))).as("bucket"),
+        col("__docs"), col("__toks"), col("__types"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__docs")).as("cum_docs"),
+        sum(col("__toks")).as("cum_tokens"),
+        sum(col("__types")).as("cum_types"))
+      .select(col("bucket"), col("cum_docs"), col("cum_tokens"),
+        col("cum_types"),
+        when(col("cum_tokens") > 1L && col("cum_types") >= 1L,
+          round(log(col("cum_types").cast("double")) /
+            log(col("cum_tokens").cast("double")), 6)).as("heaps_beta"))
+  }
+
   /** PMI collocation mining (Church & Hanks 1990; the word2phrase pass
     * of Mikolov et al. 2013): adjacent word pairs scored by pointwise
     * mutual information ln(P(ab) / (P(a)·P(b))) — the phrase-detection

@@ -4072,6 +4072,57 @@ $langScoreCols
       CROSS JOIN t46_nn CROSS JOIN t46_m
       ORDER BY pmi DESC, word_a, word_b LIMIT 40"""))
 
+  /** Vocabulary growth curve ([[graft.operators.TfIdf
+    * .vocabGrowthCurve]]): cumulative types vs tokens over ten
+    * id-ordered corpus prefixes with the Heaps exponent per point —
+    * the sublinearity health check before sizing a tokenizer. First
+    * occurrences decide everything; no per-prefix distinct. */
+  val t47_vocab_growth = QueryDef(
+    "t47_vocab_growth",
+    (s, dir) =>
+      graft.operators.TfIdf
+        .vocabGrowthCurve(Tables(s, dir).documents, "doc_id", "text",
+          buckets = 10)
+        .orderBy(col("bucket")),
+    Some("""
+      WITH t47_ts AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents),
+      t47_bd AS (SELECT min(id) AS lo, max(id) AS hi FROM t47_ts),
+      t47_b AS (
+        SELECT CAST((id - lo) * 10 // (hi - lo + 1) + 1 AS INT) AS b, ts
+        FROM t47_ts CROSS JOIN t47_bd),
+      t47_doc AS (
+        SELECT b, cast(count(*) AS BIGINT) AS docs,
+               cast(sum(len(ts)) AS BIGINT) AS toks
+        FROM t47_b GROUP BY 1),
+      t47_fs AS (
+        SELECT fb, cast(count(*) AS BIGINT) AS types FROM (
+          SELECT w, min(b) AS fb
+          FROM (SELECT b, unnest(ts) AS w FROM t47_b) GROUP BY 1)
+        GROUP BY 1),
+      t47_dim AS (SELECT unnest(generate_series(1, 10))::INT AS bucket),
+      t47_pb AS (
+        SELECT bucket,
+               coalesce(docs, 0) AS docs, coalesce(toks, 0) AS toks,
+               coalesce(types, 0) AS types
+        FROM t47_dim
+        LEFT JOIN t47_doc ON t47_doc.b = bucket
+        LEFT JOIN t47_fs ON t47_fs.fb = bucket),
+      t47_cum AS (
+        SELECT c.bucket,
+               cast(sum(p.docs) AS BIGINT) AS cum_docs,
+               cast(sum(p.toks) AS BIGINT) AS cum_tokens,
+               cast(sum(p.types) AS BIGINT) AS cum_types
+        FROM t47_dim c JOIN t47_pb p ON p.bucket <= c.bucket
+        GROUP BY 1)
+      SELECT bucket, cum_docs, cum_tokens, cum_types,
+             CASE WHEN cum_tokens > 1 AND cum_types >= 1
+               THEN round(ln(cum_types::DOUBLE) / ln(cum_tokens::DOUBLE), 6)
+             END AS heaps_beta
+      FROM t47_cum ORDER BY bucket"""))
+
   /** Distinct-n corpus diversity ([[graft.operators.TfIdf.distinctN]]):
     * per-source type/token ratios for n = 1..3 — the corpus-level
     * repetitiveness readout complementing t06's within-document
@@ -7121,7 +7172,7 @@ $langScoreCols
     t34_ccnet_buckets, t35_calibration, t36_pass_at_k, t37_zipf,
     t38_bradley_terry, t39_blocklist, t40_langid_eval, t41_rouge_l,
     t42_blocklist_trie, t43_distinct_n, t44_vocab_overlap, t45_textrank,
-    t46_pmi_collocations,
+    t46_pmi_collocations, t47_vocab_growth,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

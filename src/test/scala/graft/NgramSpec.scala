@@ -70,6 +70,36 @@ class NgramSpec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  test("vocabGrowthCurve: first occurrences drive types, empty buckets kept, cumulative exact") {
+    // ids 0..3 over 2 buckets: bucket 1 = {0,1}, bucket 2 = {2,3}
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"), (2L, "a b d"), (3L, "")).toDF("doc_id", "text")
+    val got = graft.operators.TfIdf
+      .vocabGrowthCurve(docs, "doc_id", "text", buckets = 2)
+      .orderBy(col("bucket"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toSeq
+    def beta(types: Long, toks: Long) = Some(BigDecimal(
+      math.log(types.toDouble) / math.log(toks.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // prefix 1: 2 docs, 4 tokens, types {a,b,c}; prefix 2: +d only
+    assert(got == Seq(
+      (1, 2L, 4L, 3L, beta(3, 4)),
+      (2, 4L, 7L, 4L, beta(4, 7))))
+    // a bucket with no docs stays, carrying the previous cumulative
+    val sparse = Seq((0L, "x y"), (9L, "x z")).toDF("doc_id", "text")
+    val g2 = graft.operators.TfIdf
+      .vocabGrowthCurve(sparse, "doc_id", "text", buckets = 5)
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(g2 == Seq((1, 1L, 2L), (2, 1L, 2L), (3, 1L, 2L), (4, 1L, 2L),
+      (5, 2L, 3L)))
+    intercept[IllegalArgumentException](
+      graft.operators.TfIdf.vocabGrowthCurve(docs, "doc_id", "text", 0))
+  }
+
   test("pmiCollocations: hand-computed log-sum score, min-count floor, tie order, repartition-stable") {
     val docs = (Seq.fill(5)("new york") :+ "a b a b a b a b a b").toDF("text")
     val got = graft.operators.TfIdf
