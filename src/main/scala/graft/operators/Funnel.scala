@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * map-side partial merge; state per user is that user's own matching
   * events, never the stream). The greedy chain is a scan-local HOF
   * cascade over those arrays; per-user depth explodes into at most
-  * |steps| rows, and the step tally plus two |steps|-row joins finish
-  * the readout. No window over raw events, nothing driver-side.
+  * |steps| rows, and the step tally (≤|steps| rows — collected, so the
+  * conversion columns can't re-trigger the stream pass) finishes the
+  * readout. No window over raw events; driver state is |steps| longs.
   */
 object Funnel {
 
@@ -62,28 +63,28 @@ object Funnel {
     val depth = steps.indices.foldLeft(lit(0)) { (acc, i) =>
       when(col(s"__t$i").isNotNull, lit(i + 1)).otherwise(acc)
     }
+    // the tally is <=|steps| rows — collect it (bounded by the step
+    // list, never by the data) so the conversion arithmetic can't
+    // re-trigger the stream aggregation once per derived column
     val counts = chained
       .select(depth.as("__depth"))
       .filter(col("__depth") >= 1)
       .select(explode(sequence(lit(1), col("__depth"))).as("step"))
       .groupBy(col("step")).agg(count(lit(1)).as("__users"))
-    val dim = steps.zipWithIndex
-      .map { case (st, i) => (i + 1, st) }.toDF("step", "event_type")
-    val full = dim
-      .join(counts, Seq("step"), "left")
-      .select(col("step"), col("event_type"),
-        coalesce(col("__users"), lit(0L)).as("users"))
-    val first = full.filter(col("step") === 1)
-      .select(col("users").as("__f"))
-    val prev = full.select((col("step") + 1).as("step"), col("users").as("__p"))
-    full
-      .join(prev, Seq("step"), "left")
-      .crossJoin(first) // single row: the one crossJoin class the house allows
-      .select(
-        col("step"), col("event_type"), col("users"),
-        round(col("users").cast("double") /
-          nullif(col("__p").cast("double"), lit(0.0)), 6).as("conv_prev"),
-        round(col("users").cast("double") /
-          nullif(col("__f").cast("double"), lit(0.0)), 6).as("conv_first"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val readout = steps.zipWithIndex.map { case (st, i) =>
+      val step = i + 1
+      (step, st, counts.getOrElse(step, 0L),
+        if (i == 0) None else Some(counts.getOrElse(i, 0L)),
+        counts.getOrElse(1, 0L))
+    }.toDF("step", "event_type", "users", "__p", "__f")
+    readout.select(
+      col("step"), col("event_type"), col("users"),
+      round(col("users").cast("double") /
+        nullif(col("__p").cast("double"), lit(0.0)), 6).as("conv_prev"),
+      round(col("users").cast("double") /
+        nullif(col("__f").cast("double"), lit(0.0)), 6).as("conv_first"))
   }
 }

@@ -956,51 +956,71 @@ object Graph {
     * tally a second (map-side partial), two degree equi-joins annotate
     * the edges (AQE broadcasts the degree side when it fits), and the
     * moments collapse in ONE global aggregation with partial merge —
-    * no window, no self-join. Moments accumulate in DECIMAL(38,0):
-    * degree products reach deg², and long sums would overflow near
-    * 1e9-edge/1e5-degree graphs; the division happens once, on the
-    * final row, in double (round 6). */
+    * no window, no self-join. The edge list and degree relations are
+    * persisted for the duration (the moment and node-count readers
+    * would otherwise each re-derive the input edge pipeline — the g01
+    * loop-input lesson applied to a DAG with two sinks), and the
+    * result materializes eagerly as its ONE row (a bounded collect),
+    * so the caller can never re-trigger the pipeline. Moments
+    * accumulate in DECIMAL(38,0): degree products reach deg², and long
+    * sums would overflow near 1e9-edge/1e5-degree graphs; the division
+    * happens once, on the final row, in double (round 6). */
   def degreeAssortativity(
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val und = edges
       .select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und
       .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    val annotated = und
-      .join(deg.select(col("node").as("a"), col("d").as("__da")), Seq("a"))
-      .join(deg.select(col("node").as("b"), col("d").as("__db")), Seq("b"))
-    val dec = "decimal(38,0)"
-    // each undirected edge contributes BOTH orientations: symmetric
-    // sums fold to 2× one orientation for S2/S3 and 2× the ab product
-    // for S1 — still one aggregation over the single-orientation rows
-    val moments = annotated.agg(
-      count(lit(1)).as("__m"),
-      sum((col("__da") * col("__db")).cast(dec)).as("__s1h"),
-      sum(col("__da").cast(dec) + col("__db").cast(dec)).as("__s2"),
-      sum((col("__da") * col("__da")).cast(dec) +
-        (col("__db") * col("__db")).cast(dec)).as("__s3"))
-    val nodes = deg.agg(count(lit(1)).as("__n"))
-    // two single-row frames: the one crossJoin class the house allows
-    nodes.crossJoin(moments).select(
-      col("__n").as("nodes"),
-      col("__m").as("edges"),
-      round(
-        lit(2.0) * col("__m").cast("double") /
-          nullif(col("__n").cast("double"), lit(0.0)),
-        6).as("avg_degree"),
-      round(
-        ((col("__m").cast(dec) * lit(2) * col("__s1h") * lit(2)) -
-          col("__s2") * col("__s2")).cast("double") /
-          nullif(
-            ((col("__m").cast(dec) * lit(2) * col("__s3")) -
-              col("__s2") * col("__s2")).cast("double"),
-            lit(0.0)), 6).as("assortativity"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val annotated = und
+        .join(deg.select(col("node").as("a"), col("d").as("__da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("d").as("__db")), Seq("b"))
+      val dec = "decimal(38,0)"
+      // each undirected edge contributes BOTH orientations: symmetric
+      // sums fold to 2× one orientation for S2/S3 and 2× the ab product
+      // for S1 — still one aggregation over the single-orientation rows
+      val moments = annotated.agg(
+        count(lit(1)).as("__m"),
+        sum((col("__da") * col("__db")).cast(dec)).as("__s1h"),
+        sum(col("__da").cast(dec) + col("__db").cast(dec)).as("__s2"),
+        sum((col("__da") * col("__da")).cast(dec) +
+          (col("__db") * col("__db")).cast(dec)).as("__s3"))
+      val nodes = deg.agg(count(lit(1)).as("__n"))
+      // two single-row frames: the one crossJoin class the house allows
+      val row = nodes.crossJoin(moments).select(
+        col("__n").as("nodes"),
+        col("__m").as("edges"),
+        round(
+          lit(2.0) * col("__m").cast("double") /
+            nullif(col("__n").cast("double"), lit(0.0)),
+          6).as("avg_degree"),
+        round(
+          ((col("__m").cast(dec) * lit(2) * col("__s1h") * lit(2)) -
+            col("__s2") * col("__s2")).cast("double") /
+            nullif(
+              ((col("__m").cast(dec) * lit(2) * col("__s3")) -
+                col("__s2") * col("__s2")).cast("double"),
+              lit(0.0)), 6).as("assortativity"))
+        .collect()(0)
+      Seq((row.getLong(0), row.getLong(1),
+        if (row.isNullAt(2)) None else Some(row.getDouble(2)),
+        if (row.isNullAt(3)) None else Some(row.getDouble(3))))
+        .toDF("nodes", "edges", "avg_degree", "assortativity")
+    } finally {
+      deg.unpersist(blocking = false)
+      und.unpersist(blocking = false)
+      ()
+    }
   }
 }

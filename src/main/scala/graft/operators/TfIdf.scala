@@ -588,8 +588,10 @@ object TfIdf {
     * min-bucket aggregation per term, one per-bucket tally, and the
     * cumulative sums come from exploding each of the ≤`buckets` tally
     * rows to its suffix range — never a running window. Bucket
-    * boundaries are integer id-range cuts from one min/max single-row
-    * aggregate (crossed in broadcast); empty buckets are kept.
+    * boundaries are integer id-range cuts from one min/max aggregate,
+    * COLLECTED as two plan literals (one bounded row) so the two
+    * downstream corpus passes bucket scan-locally instead of each
+    * re-deriving the bounds pass; empty buckets are kept.
     * β = ln(types)/ln(tokens) on the cumulative point, round(6). */
   def vocabGrowthCurve(
       docs: DataFrame,
@@ -602,11 +604,16 @@ object TfIdf {
     val ts = docs.select(
       col(idCol).cast("long").as("__id"),
       TextFunctions.tokens(lower(col(textCol))).as("__ts"))
-    val bounds = ts.agg(min(col("__id")).as("__lo"), max(col("__id")).as("__hi"))
-    val withB = ts.crossJoin(broadcast(bounds)) // single-row bounds
-      .withColumn("__b",
-        (expr(s"(__id - __lo) * $buckets div (__hi - __lo + 1)") + 1L)
-          .cast("int"))
+    val bounds = ts
+      .agg(min(col("__id")).as("__lo"), max(col("__id")).as("__hi"))
+      .collect()(0)
+    if (bounds.isNullAt(0))
+      return (1 to buckets).map(b => (b, 0L, 0L, 0L, None: Option[Double]))
+        .toDF("bucket", "cum_docs", "cum_tokens", "cum_types", "heaps_beta")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val withB = ts.withColumn("__b",
+      (expr(s"(__id - ${lo}L) * $buckets div (${hi}L - ${lo}L + 1)") + 1L)
+        .cast("int"))
     val perDoc = withB
       .groupBy(col("__b"))
       .agg(count(lit(1)).as("__docs"), sum(size(col("__ts"))).as("__toks"))
@@ -652,12 +659,14 @@ object TfIdf {
     * that could leave double-exact range), rounded to 6 dp over the
     * libm ulp — the p08 discipline.
     *
-    * Scale shape: pair expansion is scan-local; one (a,b)-keyed tally
-    * and one unigram tally (both map-side partial); unigram counts
-    * join back onto the SURVIVING (≥ minCount) pairs only, with AQE
-    * broadcasting the vocabulary side when it fits; corpus totals are
-    * single-row aggregates crossed in. Heads plan as
-    * TakeOrderedAndProject. */
+    * Scale shape: the corpus is read exactly TWICE — one (a,b)-keyed
+    * pair tally and one unigram tally (both map-side partial); every
+    * other relation derives from those two vocabulary-bounded
+    * aggregates: the corpus totals N and M are their re-aggregated
+    * sums (single rows, crossed in), never fresh corpus passes, and
+    * unigram counts join back onto the SURVIVING (≥ minCount) pairs
+    * only, with AQE broadcasting the vocabulary side when it fits.
+    * Heads plan as TakeOrderedAndProject. */
   def pmiCollocations(
       docs: DataFrame,
       textCol: String,
@@ -669,34 +678,52 @@ object TfIdf {
       .select(TextFunctions.tokens(lower(col(textCol))).as("__ts"))
     val uni = ts.select(explode(col("__ts")).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
-    val pairs = ts
+    val pcAll = ts
       .filter(size(col("__ts")) >= 2)
       .select(explode(zip_with(
         slice(col("__ts"), lit(1), size(col("__ts")) - 1),
         slice(col("__ts"), lit(2), size(col("__ts")) - 1),
         (x, y) => struct(x.as("a"), y.as("b")))).as("__p"))
       .select(col("__p.a").as("word_a"), col("__p.b").as("word_b"))
-    val pc = pairs
       .groupBy(col("word_a"), col("word_b"))
       .agg(count(lit(1)).as("pair_n"))
-      .filter(col("pair_n") >= minCount)
-    val nn = uni.agg(sum(col("__c")).as("__nn"))
-    val m = pairs.agg(count(lit(1)).as("__m"))
-    pc
-      .join(uni.select(col("__w").as("word_a"), col("__c").as("__ca")),
-        Seq("word_a"))
-      .join(uni.select(col("__w").as("word_b"), col("__c").as("__cb")),
-        Seq("word_b"))
-      .crossJoin(nn).crossJoin(m) // two single-row totals
-      .select(col("word_a"), col("word_b"), col("pair_n"),
-        round(
-          log(col("pair_n").cast("double")) +
-            lit(2.0) * log(col("__nn").cast("double")) -
-            log(col("__m").cast("double")) -
-            log(col("__ca").cast("double")) -
-            log(col("__cb").cast("double")), 6).as("pmi"))
-      .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
-      .limit(topK)
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // both tallies are vocabulary-bounded: persist them so the five
+    // readers (two count joins, two totals, the survivor filter) each
+    // read the cached relation instead of re-deriving a corpus pass
+    uni.persist(StorageLevel.MEMORY_AND_DISK)
+    pcAll.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pc = pcAll.filter(col("pair_n") >= minCount)
+      val nn = uni.agg(sum(col("__c")).as("__nn"))
+      val m = pcAll.agg(sum(col("pair_n")).as("__m"))
+      val heads = pc
+        .join(uni.select(col("__w").as("word_a"), col("__c").as("__ca")),
+          Seq("word_a"))
+        .join(uni.select(col("__w").as("word_b"), col("__c").as("__cb")),
+          Seq("word_b"))
+        .crossJoin(nn).crossJoin(m) // two single-row totals
+        .select(col("word_a"), col("word_b"), col("pair_n"),
+          round(
+            log(col("pair_n").cast("double")) +
+              lit(2.0) * log(col("__nn").cast("double")) -
+              log(col("__m").cast("double")) -
+              log(col("__ca").cast("double")) -
+              log(col("__cb").cast("double")), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
+        .limit(topK)
+        .collect() // bounded by topK — the caches can then be released
+      heads.toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+        .toDF("word_a", "word_b", "pair_n", "pmi")
+    } finally {
+      pcAll.unpersist(blocking = false)
+      uni.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): damped
