@@ -1091,4 +1091,58 @@ object EventStreams {
           .parquet(f"$targetPath/b_$batchId%012d")
       }
       .start()
+
+  /** Streaming ingest face of the N-step funnel
+    * ([[graft.operators.Funnel.funnel]]): each micro-batch appends its
+    * funnel-RELEVANT events — (user, step type, event time), non-step
+    * events dropped at the trigger — as an idempotent `b_<batchId>`
+    * directory, exactly the [[asofEnrichSink]] append discipline.
+    *
+    * The append-only log IS the funnel state: the greedy chain is
+    * order-sensitive and a LATE event can re-route every later match,
+    * so any per-user (t₁..tₖ) summary is unmaintainable under
+    * out-of-order arrival — but the multiset of per-step event times
+    * is a commutative monoid under union, append-only by construction,
+    * and exactly sufficient. [[funnelProgress]] recomputes the chain
+    * from the union of committed directories, so
+    * stream-then-read ≡ one batch call over the same events, bit for
+    * bit, REGARDLESS of how events were split or ordered across
+    * triggers (pinned in StreamingSpec, late-arrival case included).
+    *
+    * Scale shape: per trigger one filtered projection of the batch
+    * (no state store, no shuffle); the readout is the batch operator's
+    * single user-keyed aggregation over step events only — the log
+    * never holds the stream's non-funnel traffic. */
+  def funnelIngestSink(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      targetPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"funnel steps must be non-empty and distinct: $steps")
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .filter(col(userCol).isNotNull && col(typeCol).isin(steps: _*))
+          .select(col(userCol).as("user"), col(typeCol).as("step"),
+            col(tsCol).as("ts"))
+          .write.mode("overwrite")
+          .parquet(f"$targetPath/b_$batchId%012d")
+      }
+      .start()
+  }
+
+  /** The live funnel readout over a [[funnelIngestSink]] target: the
+    * batch operator, verbatim, over every committed micro-batch —
+    * (step, event_type, users, conv_prev, conv_first). */
+  def funnelProgress(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      steps: Seq[String]): DataFrame =
+    graft.operators.Funnel.funnel(
+      committedBatches(spark, targetPath), "user", "step", "ts", steps)
 }

@@ -1190,6 +1190,56 @@ class StreamingSpec extends SparkSpec {
       assert(streaming.toSeq == batch.toSeq && streaming.nonEmpty)
     } finally q.stop()
   }
+
+  test("funnelIngestSink: stream-then-read equals one batch funnel; late arrivals re-route; noise dropped") {
+    import spark.implicits._
+    val steps = Seq("signup", "view", "click", "purchase")
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // batch 1: user 1's PURCHASE arrives first (out of order); user 2
+    // starts; a noise event type and a null-user row must be dropped
+    val b1 = Seq(
+      (java.lang.Long.valueOf(1L), "purchase", t(4, 0)),
+      (java.lang.Long.valueOf(2L), "signup", t(1, 0)),
+      (java.lang.Long.valueOf(2L), "error", t(1, 30)),
+      (null.asInstanceOf[java.lang.Long], "signup", t(1, 0)))
+    // batch 2: user 1's middle steps arrive
+    val b2 = Seq(
+      (java.lang.Long.valueOf(1L), "view", t(2, 0)),
+      (java.lang.Long.valueOf(1L), "click", t(3, 0)),
+      (java.lang.Long.valueOf(2L), "view", t(2, 0)))
+    // batch 3: user 1's signup arrives LAST — only now does the whole
+    // chain light up; an EARLIER view for user 2 re-routes nothing
+    // (greedy keeps the min qualifying time)
+    val b3 = Seq(
+      (java.lang.Long.valueOf(1L), "signup", t(1, 0)),
+      (java.lang.Long.valueOf(2L), "view", t(1, 30)))
+    val input = MemoryStream[(java.lang.Long, String, Timestamp)](spark)
+    val target = Files.createTempDirectory("graft-funnel-out").toString
+    val q = EventStreams.funnelIngestSink(
+      input.toDF.toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", steps, target, checkpoint())
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // a crash-partial dir without _SUCCESS stays invisible
+    val partial = new java.io.File(s"$target/b_000000000099")
+    assert(partial.mkdirs())
+    Files.writeString(partial.toPath.resolve("part-0.parquet"), "junk")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("step").collect().map(_.toSeq).toSeq
+    val streamed = canon(EventStreams.funnelProgress(spark, target, steps))
+    val all = (b1 ++ b2 ++ b3).toDF("user_id", "event_type", "ts")
+      .filter(col("user_id").isNotNull)
+    val batchRun = canon(graft.operators.Funnel
+      .funnel(all, "user_id", "event_type", "ts", steps))
+    assert(streamed == batchRun)
+    // the late signup completed user 1's whole chain; user 2 stops at
+    // view (her view at 1:30 strictly follows signup at 1:00)
+    val users = streamed.map(r => (r(0), r(2))).toMap
+    assert(users == Map(1 -> 2L, 2 -> 2L, 3 -> 1L, 4 -> 1L))
+  }
 }
 
 object StreamingSpec {
