@@ -176,4 +176,52 @@ object Aggregates {
           .orderBy(col("cnt").desc, col("__k").asc)))
       .select(col("__k").as(keyCol), col("cnt"), col("rank"), col("certified"))
   }
+
+  /** Pareto concentration readout (the 80/20 diagnostic): keys ranked
+    * by descending total weight, cut into `buckets` equal-population
+    * tiers, each tier reporting its key count, weight mass, and the
+    * CUMULATIVE share of total weight through that tier — "the top 10%
+    * of customers carry X% of revenue", or domains vs corpus tokens
+    * when pointed at a crawl. Weights must be non-negative longs
+    * (quantize upstream).
+    *
+    * Scale shape: one keyed tally, then the global descending rank and
+    * running sum come from the custom [[graft.plans.PrefixSumExec]]
+    * (range-partitioned parallel sort + per-partition offsets) — NEVER
+    * a single-task `row_number()/sum() OVER (ORDER BY …)` window. Key
+    * count and weight total are one bounded collect (a single row)
+    * feeding the tier cut as literals; the tier rollup is a ≤`buckets`
+    * aggregation. Ties break on the key for a total order. */
+  def paretoConcentration(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perKey = df
+      .groupBy(col(keyCol).as("__k"))
+      .agg(sum(col(weightCol)).as("__w"))
+    val tot = perKey
+      .agg(count(lit(1)).as("__n"), sum(col("__w")).as("__t"))
+      .collect()(0)
+    if (tot.getLong(0) == 0L)
+      return Seq.empty[(Int, Long, Long, Option[Double])]
+        .toDF("bucket", "keys", "weight", "cum_share")
+    val (n, total) = (tot.getLong(0), tot.getLong(1))
+    val ranked = graft.Frame.withPrefixSum(
+      perKey,
+      order = Seq(col("__w").desc, col("__k").asc),
+      weight = col("__w"),
+      idxName = "__idx", sumName = "__before")
+    ranked
+      .select(
+        (expr(s"__idx * $buckets div ${n}L") + 1).cast("int").as("bucket"),
+        col("__w"), (col("__before") + col("__w")).as("__thru"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("keys"), sum(col("__w")).as("weight"),
+        round(max(col("__thru")).cast("double") /
+          nullif(lit(total).cast("double"), lit(0.0)), 6).as("cum_share"))
+  }
 }

@@ -2030,6 +2030,46 @@ object Relational {
                round(n4::DOUBLE / nullif(n1::DOUBLE, 0.0), 6) FROM q79_n)
       ORDER BY step"""))
 
+  /** Pareto concentration ([[graft.operators.Aggregates
+    * .paretoConcentration]]): customers ranked by lifetime revenue,
+    * cut into deciles, cumulative share per tier — the 80/20 readout,
+    * with the global rank and running sum planned through the custom
+    * PrefixSumExec (parallel range sort), never a single-task window.
+    * The oracle replays it with DuckDB's window functions. */
+  val q80_pareto = QueryDef(
+    "q80_pareto",
+    (s, dir) =>
+      graft.operators.Aggregates
+        .paretoConcentration(
+          Tables(s, dir).orders.select(
+            col("o_custkey"),
+            round(col("o_totalprice") * 100.0, 0).cast("long").as("cents")),
+          "o_custkey", "cents", buckets = 10)
+        .orderBy(col("bucket")),
+    Some("""
+      WITH q80_r AS (
+        SELECT o_custkey AS k,
+               cast(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS w
+        FROM orders GROUP BY 1),
+      q80_t AS (
+        SELECT cast(count(*) AS BIGINT) AS n, cast(sum(w) AS BIGINT) AS t
+        FROM q80_r),
+      q80_w AS (
+        SELECT w,
+               row_number() OVER (ORDER BY w DESC, k) - 1 AS idx,
+               cast(coalesce(sum(w) OVER (ORDER BY w DESC, k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cumb
+        FROM q80_r)
+      SELECT CAST(idx * 10 // n + 1 AS INT) AS bucket,
+             cast(count(*) AS BIGINT) AS keys,
+             cast(sum(w) AS BIGINT) AS weight,
+             round(max(cumb + w)::DOUBLE / nullif(t::DOUBLE, 0.0), 6)
+               AS cum_share
+      FROM q80_w CROSS JOIN q80_t
+      GROUP BY 1, n, t ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -2047,5 +2087,6 @@ object Relational {
     q61_quantile_bins, q63_profile, q64_corr_matrix, q65_histogram,
     q67_range_window, q68_union_evolved, q69_asof_tolerance,
     q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly,
-    q76_heavy_hitters, q77_ab_welch, q78_cuped, q79_funnel_steps)
+    q76_heavy_hitters, q77_ab_welch, q78_cuped, q79_funnel_steps,
+    q80_pareto)
 }

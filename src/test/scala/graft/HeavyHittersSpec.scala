@@ -56,4 +56,27 @@ class HeavyHittersSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Aggregates.exactHeavyHitters(skewed, "key", 5, 5))
   }
+
+  test("paretoConcentration: hand-computed tiers, tie order, repartition-stable, empty input") {
+    // weights desc: k3=60, k1=30, k2=8, k4=2 (total 100); 2 buckets ->
+    // tier 1 = {k3,k1} carrying 90%, tier 2 = {k2,k4} closing at 100%
+    val rows = Seq(
+      ("k1", 10L), ("k1", 20L), ("k2", 8L), ("k3", 60L), ("k4", 2L))
+      .toDF("key", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Aggregates.paretoConcentration(df, "key", "w", buckets = 2)
+        .orderBy(col("bucket"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    assert(run(rows) == Seq((1, 2L, 90L, 0.9), (2, 2L, 10L, 1.0)))
+    assert(run(rows.repartition(5)) == run(rows))
+    // equal weights: rank ties break on key, buckets stay balanced
+    val ties = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L)).toDF("key", "w")
+    assert(run(ties) == Seq((1, 2L, 10L, 0.5), (2, 2L, 10L, 1.0)))
+    val empty = Seq.empty[(String, Long)].toDF("key", "w")
+    assert(Aggregates.paretoConcentration(empty, "key", "w", 2).count() == 0L)
+    intercept[IllegalArgumentException](
+      Aggregates.paretoConcentration(rows, "key", "w", 0))
+  }
 }
