@@ -143,4 +143,82 @@ object TimeSeries {
         round(col("__dev2").cast("double") / col("mad2"), 6))
       .drop("__qv", "med2", "__dev2", "mad2")
   }
+
+  /** Integer EWMA spike detection over the dense hourly grid: per key,
+    * hourly event counts smoothed by the exponential moving average
+    * s_t = ((α⁻¹−1)·s_{t−1} + c_t·scale) div α⁻¹ (α = 1/`alphaDen`,
+    * all operands non-negative longs — truncating and flooring integer
+    * division agree, so every engine replays it bit-for-bit), and an
+    * hour flagged when the raw count deviates from the PRIOR smoothed
+    * level by more than `threshNum`/`threshDen` of it — the live
+    * rate-anomaly complement to the level-based q75 MAD detector
+    * (EWMA sees drift the global median forgives). Missing hours count
+    * as ZERO — a silent scraper is exactly the anomaly to catch.
+    *
+    * Scale shape: one (key, hour)-keyed tally over the stream, a
+    * literal-bounds hour grid (min/max epoch hour is one bounded
+    * collect), and ONE key-keyed aggregation whose per-key state is
+    * the key's own hour range — the sequential recurrence runs as a
+    * scan-local HOF fold per key, embarrassingly parallel ACROSS keys
+    * (time ranges bound the array, data volume never does). No window
+    * over raw events, no driver iteration. */
+  def ewmaSpikes(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      alphaDen: Long = 8L,
+      threshNum: Long = 1L,
+      threshDen: Long = 2L,
+      scale: Long = 1000000L): DataFrame = {
+    require(alphaDen >= 2 && threshNum >= 1 && threshDen >= 1 && scale >= 1,
+      s"bad ewma params: alphaDen=$alphaDen thresh=$threshNum/$threshDen scale=$scale")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hc = events.select(
+      col(keyCol).as("__k"),
+      expr(s"unix_micros($tsCol) div 3600000000").as("__h"))
+      .groupBy(col("__k"), col("__h")).agg(count(lit(1)).as("__c"))
+    val bounds = hc.agg(min(col("__h")).as("lo"), max(col("__h")).as("hi"))
+      .collect()(0)
+    if (bounds.isNullAt(0))
+      return Seq.empty[(String, Long, Long, Long, Boolean)]
+        .toDF(keyCol, "hour_epoch_s", "cnt", "ewma_q", "spike")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val grid = hc.select(col("__k")).distinct()
+      .select(col("__k"),
+        explode(sequence(lit(0L), lit(hi - lo))).as("__i"))
+      .join(hc.select(col("__k"), (col("__h") - lo).as("__i"), col("__c")),
+        Seq("__k", "__i"), "left")
+      .select(col("__k"), col("__i"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val stepped = grid
+      .groupBy(col("__k"))
+      .agg(sort_array(collect_list(struct(col("__i"), col("__c")))).as("__a"))
+      .select(col("__k"), explode(expr(
+        s"""aggregate(
+           |  __a,
+           |  named_struct(
+           |    's', cast(-1 as bigint),
+           |    'o', cast(array() as
+           |           array<struct<i:bigint,c:bigint,e:bigint,f:boolean>>)),
+           |  (acc, x) -> named_struct(
+           |    's', CASE WHEN acc.s < 0 THEN x.__c * ${scale}L
+           |         ELSE (${alphaDen - 1}L * acc.s + x.__c * ${scale}L)
+           |              div ${alphaDen}L END,
+           |    'o', array_append(acc.o, named_struct(
+           |      'i', x.__i,
+           |      'c', x.__c,
+           |      'e', CASE WHEN acc.s < 0 THEN x.__c * ${scale}L
+           |           ELSE (${alphaDen - 1}L * acc.s + x.__c * ${scale}L)
+           |                div ${alphaDen}L END,
+           |      'f', acc.s >= 0 AND
+           |        abs(x.__c * ${scale}L - acc.s) * ${threshDen}L
+           |          > ${threshNum}L * acc.s))),
+           |  acc -> acc.o)""".stripMargin)).as("__r"))
+    stepped.select(
+      col("__k").as(keyCol),
+      ((col("__r.i") + lo) * 3600L).as("hour_epoch_s"),
+      col("__r.c").as("cnt"),
+      col("__r.e").as("ewma_q"),
+      col("__r.f").as("spike"))
+  }
 }

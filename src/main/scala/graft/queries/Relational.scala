@@ -2070,6 +2070,51 @@ object Relational {
       FROM q80_w CROSS JOIN q80_t
       GROUP BY 1, n, t ORDER BY 1"""))
 
+  /** Hourly EWMA spike detection ([[graft.operators.TimeSeries
+    * .ewmaSpikes]]): per event type, the dense hour grid smoothed by an
+    * integer α=1/8 EWMA, hours flagged when the raw count deviates
+    * from the prior smoothed level by more than half of it. The
+    * recurrence is non-negative integer arithmetic, so the DuckDB
+    * replay is a recursive CTE stepping one hour per iteration
+    * (depth = the time range, independent of data volume). */
+  val q81_ewma_spikes = QueryDef(
+    "q81_ewma_spikes",
+    (s, dir) =>
+      graft.operators.TimeSeries
+        .ewmaSpikes(Tables(s, dir).events, "event_type", "ts")
+        .orderBy(col("event_type"), col("hour_epoch_s")),
+    Some("""
+      WITH RECURSIVE q81_hc AS MATERIALIZED (
+        SELECT event_type AS k, epoch_us(ts) // 3600000000 AS h,
+               cast(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      q81_bd AS MATERIALIZED (SELECT min(h) AS lo, max(h) AS hi FROM q81_hc),
+      q81_ks AS (SELECT DISTINCT k FROM q81_hc),
+      q81_is AS (
+        SELECT unnest(generate_series(
+          0, (SELECT hi - lo FROM q81_bd))) AS i),
+      q81_grid AS MATERIALIZED (
+        SELECT ks.k, ii.i, coalesce(hc.c, 0) AS c
+        FROM q81_ks ks CROSS JOIN q81_is ii
+        LEFT JOIN (SELECT k, h - (SELECT lo FROM q81_bd) AS i, c
+                   FROM q81_hc) hc
+          ON hc.k = ks.k AND hc.i = ii.i),
+      q81_r AS (
+        SELECT k, i, c, cast(c * 1000000 AS BIGINT) AS e, false AS f,
+               cast(c * 1000000 AS BIGINT) AS s
+        FROM q81_grid WHERE i = 0
+        UNION ALL
+        SELECT g.k, g.i, g.c,
+               cast((7 * r.s + g.c * 1000000) // 8 AS BIGINT) AS e,
+               (2 * abs(g.c * 1000000 - r.s) > 1 * r.s) AS f,
+               cast((7 * r.s + g.c * 1000000) // 8 AS BIGINT) AS s
+        FROM q81_r r JOIN q81_grid g ON g.k = r.k AND g.i = r.i + 1)
+      SELECT k AS event_type,
+             cast((i + (SELECT lo FROM q81_bd)) * 3600 AS BIGINT)
+               AS hour_epoch_s,
+             c AS cnt, e AS ewma_q, f AS spike
+      FROM q81_r ORDER BY event_type, hour_epoch_s"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -2088,5 +2133,5 @@ object Relational {
     q67_range_window, q68_union_evolved, q69_asof_tolerance,
     q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly,
     q76_heavy_hitters, q77_ab_welch, q78_cuped, q79_funnel_steps,
-    q80_pareto)
+    q80_pareto, q81_ewma_spikes)
 }

@@ -80,4 +80,39 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.madAnomalies(rows, "k", "v", scale = 0L))
   }
+
+  test("ewmaSpikes: hand-computed recurrence, zero-filled gap hours, per-key independence") {
+    def at(h: Int) = s"2024-01-01 ${"%02d".format(h)}:30:00"
+    // key a: 8 events in hour 0, NOTHING in hour 1 (a silent gap — the
+    // anomaly), 16 events in hour 2; key b: constant 4 per hour
+    val rows = (
+      Seq.fill(8)(("a", at(0))) ++ Seq.fill(16)(("a", at(2))) ++
+        (0 to 2).flatMap(h => Seq.fill(4)(("b", at(h)))))
+      .toDF("k", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.ewmaSpikes(df, "k", "ts")
+        .orderBy(col("k"), col("hour_epoch_s"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+        .toSeq
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L
+    // a: s0=8e6; gap hour dev=8e6 > s0/2 -> spike, s1=(7*8e6)/8=7e6;
+    //    burst dev=|16e6-7e6|=9e6 > 3.5e6 -> spike, s2=(49e6+16e6)/8
+    // b: constant rate never deviates
+    assert(run(rows) == Seq(
+      ("a", h0, 8L, 8000000L, false),
+      ("a", h0 + 3600, 0L, 7000000L, true),
+      ("a", h0 + 7200, 16L, 8125000L, true),
+      ("b", h0, 4L, 4000000L, false),
+      ("b", h0 + 3600, 4L, 4000000L, false),
+      ("b", h0 + 7200, 4L, 4000000L, false)))
+    assert(run(rows.repartition(13)) == run(rows))
+    val empty = Seq.empty[(String, String)].toDF("k", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+    assert(TimeSeries.ewmaSpikes(empty, "k", "ts").count() == 0L)
+    intercept[IllegalArgumentException](
+      TimeSeries.ewmaSpikes(rows, "k", "ts", alphaDen = 1L))
+  }
 }
