@@ -170,3 +170,82 @@ object FrameFingerprints {
   def apply(c: Column, frameBytes: Int, n: Int): Column =
     ColumnBridge.column(FrameFingerprints(ColumnBridge.expression(c), frameBytes, n))
 }
+
+/** `cdc_chunks(binary, window, maskBits) ->
+  * array<struct<start:int, len:int, hash:long>>` — content-defined
+  * chunking (the Rabin/FastCDC family, LBFS Muthitacharoen et al. 2001):
+  * a chunk boundary falls after every position whose `window`-byte
+  * polynomial rolling fingerprint has its low `maskBits` bits zero, so
+  * identical byte runs chunk identically REGARDLESS of their offset —
+  * an insertion early in a blob disturbs only the chunk containing it,
+  * where fixed-stride chunking would shift (and miss) every later
+  * duplicate. Expected chunk length ≈ 2^maskBits bytes.
+  *
+  * Each chunk carries its XXH64 (Spark seed), so downstream dedup joins
+  * move 8-byte hashes, never blob bytes. The window fingerprint is the
+  * exact integer Σ b_j·31^(window−1−j) (window ≤ 8 keeps it inside a
+  * long with no wraparound — the DuckDB oracle replays it as the same
+  * 8-term sum), making the whole kernel bit-replayable. Empty blobs
+  * yield an empty array; a trailing remainder always closes the last
+  * chunk. */
+object CdcUtil {
+  def cdcChunks(bytes: Array[Byte], window: Int, maskBits: Int): GenericArrayData = {
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    val mask = (1L << maskBits) - 1L
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var start = 0
+    var p = window - 1
+    // positions before the first full window can't host a boundary.
+    // The boundary SET is purely positional ({p : H(p) & mask == 0},
+    // windows may straddle a previous cut) — no sequential suppression,
+    // so the oracle can replay boundaries independently per position.
+    while (p < n) {
+      var h = 0L
+      var j = p - window + 1
+      while (j <= p) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
+      if ((h & mask) == 0L) {
+        out += new GenericInternalRow(Array[Any](
+          start, p - start + 1,
+          XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + start,
+            p - start + 1, SketchUtil.SparkSeed)))
+        start = p + 1
+      }
+      p += 1
+    }
+    if (start < n)
+      out += new GenericInternalRow(Array[Any](
+        start, n - start,
+        XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + start,
+          n - start, SketchUtil.SparkSeed)))
+    new GenericArrayData(out.toArray)
+  }
+}
+
+case class CdcChunks(child: Expression, window: Int, maskBits: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(window >= 1 && window <= 8, "window in [1, 8] (exact long fingerprint)")
+  require(maskBits >= 1 && maskBits <= 30, "maskBits in [1, 30]")
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    CdcUtil.cdcChunks(input.asInstanceOf[Array[Byte]], window, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.CdcUtil.cdcChunks($c, $window, $maskBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+
+  override def prettyName: String = "cdc_chunks"
+}
+
+object CdcChunks {
+  def apply(c: Column, window: Int, maskBits: Int): Column =
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(c), window, maskBits))
+}

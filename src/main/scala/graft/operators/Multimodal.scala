@@ -277,4 +277,62 @@ object Multimodal {
     val n = math.max(1, math.ceil(total.toDouble / targetPartitionBytes).toInt)
     df.repartition(n)
   }
+
+  /** Per-blob content-defined chunks
+    * ([[graft.functions.expressions.CdcChunks]], exploded):
+    * (id, start, len, hash) — the storage-dedup building block. */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      window: Int = 8,
+      maskBits: Int = 5): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.expressions.CdcChunks(
+        col(blobCol), window, maskBits)).as("__ch"))
+      .select(col(idCol), col("__ch.start").as("start"),
+        col("__ch.len").as("len"), col("__ch.hash").as("hash"))
+
+  /** Corpus chunk-dedup readout over content-defined chunks: how much
+    * of the blob corpus is byte-identical at chunk granularity —
+    * (n_blobs, n_chunks, distinct_chunks, total_bytes, unique_bytes,
+    * dedup_ratio), where dedup_ratio is the byte fraction a
+    * hash-addressed store would NOT have to keep. The CDC boundaries
+    * (not fixed strides) make the measure insertion-robust: a shifted
+    * copy re-chunks identically past the edit.
+    *
+    * Scale shape: the chunk kernel is one codegen'd pass inside the
+    * blob scan; the ONLY shuffled relation is the (hash, count,
+    * min len) tally — 24 bytes per distinct chunk, never blob bytes —
+    * and every global number folds out of that tally plus one id-only
+    * corpus count. The result materializes eagerly as its single row
+    * (two bounded collects), so callers can't re-trigger the scan. */
+  def cdcDedupStats(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      window: Int = 8,
+      maskBits: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byHash = cdcChunks(df, idCol, blobCol, window, maskBits)
+      .groupBy(col("hash"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("len")).as("__sl"),
+        min(col("len")).as("__ml"))
+      .agg(
+        coalesce(sum(col("__cnt")), lit(0L)).as("n_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        coalesce(sum(col("__sl")), lit(0L)).as("total_bytes"),
+        coalesce(sum(col("__ml")), lit(0L)).as("unique_bytes"))
+      .collect()(0)
+    val nBlobs = df.select(col(idCol)).count()
+    Seq((nBlobs, byHash.getLong(0), byHash.getLong(1), byHash.getLong(2),
+      byHash.getLong(3)))
+      .toDF("n_blobs", "n_chunks", "distinct_chunks", "total_bytes",
+        "unique_bytes")
+      .select(col("*"),
+        round(lit(1.0) - col("unique_bytes").cast("double") /
+          nullif(col("total_bytes").cast("double"), lit(0.0)), 6)
+          .as("dedup_ratio"))
+  }
 }

@@ -282,7 +282,73 @@ object MultimodalQueries {
       FROM m06_batch b LEFT JOIN best ON b.doc_id = best.bid
       ORDER BY b.doc_id"""))
 
+  /** Exact oracle for m07: boundary positions are independent per
+    * position (the 8-byte polynomial is an explicit 8-term integer sum,
+    * replayed verbatim), chunks come from a per-doc lag window over the
+    * cut list plus the tail segment, and each chunk's XXH64 is the
+    * [[OracleSql]] emulation over its byte slice. */
+  private val m07Oracle: String = {
+    import graft.queries.OracleSql
+    s"""
+      WITH m07_b AS MATERIALIZED (
+        SELECT doc_id, ${OracleSql.asciiBytes("text")} AS bs,
+               length(text) AS n
+        FROM documents WHERE length(text) > 0),
+      m07_cut AS MATERIALIZED (
+        SELECT doc_id, p FROM (
+          SELECT doc_id, bs, unnest(generate_series(8, n)) AS p FROM m07_b)
+        WHERE (bs[p-7] * 27512614111 + bs[p-6] * 887503681
+             + bs[p-5] * 28629151 + bs[p-4] * 923521 + bs[p-3] * 29791
+             + bs[p-2] * 961 + bs[p-1] * 31 + bs[p]) % 32 = 0),
+      m07_mx AS (SELECT doc_id, max(p) AS mp FROM m07_cut GROUP BY 1),
+      m07_ch AS (
+        SELECT doc_id,
+               coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1
+                 AS s,
+               p AS e
+        FROM m07_cut
+        UNION ALL
+        SELECT b.doc_id, coalesce(mp, 0) + 1 AS s, b.n AS e
+        FROM m07_b b LEFT JOIN m07_mx USING (doc_id)
+        WHERE b.n > coalesce(mp, 0)),
+      m07_h AS MATERIALIZED (
+        SELECT c.doc_id, c.s, c.e,
+               (${OracleSql.u2s(
+                 OracleSql.xxh64Bytes("list_slice(b.bs, c.s, c.e)"))})::BIGINT
+                 AS h
+        FROM m07_ch c JOIN m07_b b USING (doc_id)),
+      m07_g AS (
+        SELECT h, cast(count(*) AS BIGINT) AS cnt,
+               cast(sum(e - s + 1) AS BIGINT) AS sl,
+               cast(min(e - s + 1) AS BIGINT) AS ml
+        FROM m07_h GROUP BY 1),
+      m07_t AS (
+        SELECT cast(coalesce(sum(cnt), 0) AS BIGINT) AS n_chunks,
+               cast(count(*) AS BIGINT) AS distinct_chunks,
+               cast(coalesce(sum(sl), 0) AS BIGINT) AS total_bytes,
+               cast(coalesce(sum(ml), 0) AS BIGINT) AS unique_bytes
+        FROM m07_g)
+      SELECT (SELECT cast(count(*) AS BIGINT) FROM documents) AS n_blobs,
+             n_chunks, distinct_chunks, total_bytes, unique_bytes,
+             round(1.0 - unique_bytes::DOUBLE
+               / nullif(total_bytes::DOUBLE, 0.0), 6) AS dedup_ratio
+      FROM m07_t"""
+  }
+
+  /** Content-defined chunk dedup ([[graft.operators.Multimodal
+    * .cdcDedupStats]]): the storage-dedup readout — what byte fraction
+    * of the blob corpus a hash-addressed chunk store deduplicates,
+    * with Rabin-style boundaries so shifted copies still chunk
+    * identically. One codegen'd kernel pass; only 24-byte chunk
+    * tallies ever shuffle. */
+  val m07_cdc_dedup = QueryDef(
+    "m07_cdc_dedup",
+    (s, dir) =>
+      Multimodal.cdcDedupStats(blobs(s, dir), "doc_id", "blob",
+        window = 8, maskBits = 5),
+    Some(m07Oracle))
+
   val all: Seq[QueryDef] = Seq(
     m01_blob_meta, m02_blob_features, m03_frame_sample, m04_decode_resize,
-    m05_blob_neardup, m06_blob_probe_indexed)
+    m05_blob_neardup, m06_blob_probe_indexed, m07_cdc_dedup)
 }

@@ -149,4 +149,54 @@ class MultimodalSpec extends SparkSpec {
     } finally Seq("blob_app", "blob_reb").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("cdcChunks: tiling exact, JVM replica, SHIFT resistance (fixed stride lacks it), dedup stats") {
+    import graft.operators.Multimodal
+    // non-repeating content: chunk hashes stay distinct, so the shift
+    // test below compares real alignment, not periodic collisions
+    val base = (1 to 90).map(i => s"tok${i * 7919}").mkString(" ")
+    def chunksOf(s: String): Seq[(Int, Int, Long)] =
+      Multimodal
+        .cdcChunks(Seq((1L, s.getBytes("UTF-8"))).toDF("id", "blob"),
+          "id", "blob")
+        .orderBy(col("start"))
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    val a = chunksOf(base)
+    // chunks tile the blob exactly: starts chain, lengths sum to n
+    assert(a.head._1 == 0 && a.map(_._2).sum == base.length)
+    assert(a.sliding(2).forall {
+      case Seq((s1, l1, _), (s2, _, _)) => s2 == s1 + l1
+      case _ => true
+    })
+    // JVM replica of the boundary rule: cut after p when the 8-byte
+    // 31-polynomial has its low 5 bits zero
+    val bs = base.getBytes("UTF-8")
+    val cuts = (7 until bs.length).filter { p =>
+      val h = (p - 7 to p).foldLeft(0L)((acc, j) => acc * 31L + (bs(j) & 0xffL))
+      (h & 31L) == 0L
+    }
+    val expectStarts = 0 +: cuts.map(_ + 1).filter(_ < bs.length)
+    assert(a.map(_._1) == expectStarts)
+    assert(a.size >= 4, s"fixture too smooth: ${a.size} chunks")
+    // SHIFT RESISTANCE: prefixing 3 bytes re-chunks identically past
+    // the first post-seam boundary — all but the seam chunk's hashes
+    // reappear (a fixed 32-byte stride would lose every alignment)
+    val b = chunksOf("xy." + base)
+    val aSet = a.map(_._3).toSet
+    val shared = aSet.intersect(b.map(_._3).toSet)
+    assert(shared.size >= aSet.size - 1,
+      s"CDC lost alignment: ${shared.size} of ${aSet.size} distinct chunks survive a 3-byte shift")
+    // dedup stats: two identical blobs halve the unique bytes
+    val two = Seq((1L, base.getBytes("UTF-8")), (2L, base.getBytes("UTF-8")))
+      .toDF("id", "blob")
+    val st = Multimodal.cdcDedupStats(two, "id", "blob").collect()(0)
+    assert(st.getLong(0) == 2L && st.getLong(3) == 2L * base.length &&
+      st.getLong(4) == base.length && st.getDouble(5) == 0.5)
+    // empty corpus and empty blob degenerate cleanly
+    val emptyBlob = Seq((1L, Array.empty[Byte])).toDF("id", "blob")
+    val st2 = Multimodal.cdcDedupStats(emptyBlob, "id", "blob").collect()(0)
+    assert(st2.getLong(0) == 1L && st2.getLong(1) == 0L && st2.isNullAt(5))
+    intercept[IllegalArgumentException](
+      graft.functions.expressions.CdcChunks(col("blob"), 9, 5))
+  }
 }
