@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -938,6 +939,63 @@ object Graph {
           .otherwise(round(
             lit(2.0) * col("triangles").cast("double") /
               (col("degree") * (col("degree") - 1)).cast("double"), 6)))
+  }
+
+  /** SESSION-scoped co-occurrence edges: items engaged by the same user
+    * within one session (events closer than `gapMinutes` chain into a
+    * session; a longer silence cuts) — the time-local complement of
+    * [[cooccurrenceEdges]], whose lifetime window conflates a January
+    * purchase with a December one. Co-browse signals (recommendation
+    * candidates, complement detection) live at session granularity.
+    *
+    * Sessionization is the lag-gap flag + per-user running count —
+    * both windows PARTITIONED by user (PlanAudit-safe), ordered by
+    * (ts, item) so same-timestamp events sessionize deterministically.
+    * Per (user, session) the item set is distinct-capped to
+    * `maxPerSession` lowest item ids (WindowGroupLimit — caps the
+    * quadratic pair fanout per session, the g09 skew discipline), and
+    * the pair tally keeps weight ≥ `minSupport`. Output:
+    * (item_a, item_b, weight) with item_a < item_b. */
+  def sessionCooccurrenceEdges(
+      events: DataFrame,
+      userCol: String,
+      itemCol: String,
+      tsCol: String,
+      gapMinutes: Long,
+      maxPerSession: Int = 64,
+      minSupport: Long = 1L): DataFrame = {
+    require(gapMinutes >= 1 && maxPerSession >= 2 && minSupport >= 1,
+      s"bad session params: gap=$gapMinutes cap=$maxPerSession support=$minSupport")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val base = events
+      .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(userCol).as("__u"), col(itemCol).cast("long").as("__i"),
+        unix_micros(col(tsCol)).as("__t"))
+    val order = Seq(col("__t").asc, col("__i").asc)
+    val w = Window.partitionBy(col("__u")).orderBy(order: _*)
+    val sessioned = base
+      .withColumn("__new",
+        when(col("__t") - lag(col("__t"), 1).over(w) > gapUs ||
+          lag(col("__t"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val items = sessioned
+      .select(col("__u"), col("__sid"), col("__i"))
+      .distinct()
+    val capped = items
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__u"), col("__sid"))
+          .orderBy(col("__i").asc)))
+      .filter(col("__rn") <= maxPerSession)
+      .select(col("__u"), col("__sid"), col("__i"))
+    capped.select(col("__u"), col("__sid"), col("__i").as("item_a"))
+      .join(
+        capped.select(col("__u"), col("__sid"), col("__i").as("item_b")),
+        Seq("__u", "__sid"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minSupport)
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of

@@ -5897,6 +5897,56 @@ $langScoreCols
                6) AS assortativity
       FROM g14_n CROSS JOIN g14_m"""))
 
+  /** Session co-occurrence ([[graft.operators.Graph
+    * .sessionCooccurrenceEdges]]): item pairs engaged within one
+    * 6-hour-gap session — the time-local co-browse graph g09's
+    * lifetime window can't see. Lag-gap sessionization, per-session
+    * cap 16, support ≥ 2; the oracle replays the identical windows. */
+  val g15_session_coocc = QueryDef(
+    "g15_session_coocc",
+    (s, dir) =>
+      graft.operators.Graph
+        .sessionCooccurrenceEdges(
+          Tables(s, dir).events.select(
+            col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"),
+            col("ts")),
+          "user_id", "item", "ts",
+          gapMinutes = 360L, maxPerSession = 16, minSupport = 2L)
+        .orderBy(col("item_a"), col("item_b")),
+    Some("""
+      WITH g15_e AS (
+        SELECT user_id AS u,
+               cast(json_extract_string(props, '$.k') AS BIGINT) AS i,
+               epoch_us(ts) AS t
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND json_extract_string(props, '$.k') IS NOT NULL),
+      g15_s AS (
+        SELECT u, i, t,
+               CASE WHEN lag(t) OVER (PARTITION BY u ORDER BY t, i) IS NULL
+                      OR t - lag(t) OVER (PARTITION BY u ORDER BY t, i)
+                         > 21600000000
+                 THEN 1 ELSE 0 END AS nw
+        FROM g15_e),
+      g15_sid AS (
+        SELECT u, i,
+               cast(sum(nw) OVER (PARTITION BY u ORDER BY t, i
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM g15_s),
+      g15_d AS (SELECT DISTINCT u, sid, i FROM g15_sid),
+      g15_c AS (
+        SELECT u, sid, i FROM (
+          SELECT u, sid, i, row_number() OVER (
+            PARTITION BY u, sid ORDER BY i) AS rn
+          FROM g15_d) WHERE rn <= 16)
+      SELECT a.i AS item_a, b.i AS item_b,
+             cast(count(*) AS BIGINT) AS weight
+      FROM g15_c a JOIN g15_c b
+        ON a.u = b.u AND a.sid = b.sid AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY item_a, item_b"""))
+
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
     (s, dir) => {
@@ -7201,5 +7251,5 @@ $langScoreCols
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf,
-    g13_harmonic, g14_assortativity)
+    g13_harmonic, g14_assortativity, g15_session_coocc)
 }

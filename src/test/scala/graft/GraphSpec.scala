@@ -595,6 +595,37 @@ class GraphSpec extends SparkSpec {
       Graph.cooccurrenceEdges(log, "user", "item", minSupport = 0L))
   }
 
+  test("sessionCooccurrenceEdges: gap cuts sessions, cap keeps lowest ids, support prunes; repartition-stable") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      // user 1, session A (items 1,2), then a >6h silence, session B (2,3)
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (1L, 2L, ts("2024-01-01 00:30:00")),
+      (1L, 2L, ts("2024-01-01 12:00:00")),
+      (1L, 3L, ts("2024-01-01 12:10:00")),
+      // user 2, one session with items 1,2 — and a triple for the cap test
+      (2L, 2L, ts("2024-01-02 05:00:00")),
+      (2L, 1L, ts("2024-01-02 05:05:00")),
+      (2L, 9L, ts("2024-01-02 05:06:00")))
+      .toDF("user", "item", "ts")
+    def run(df: org.apache.spark.sql.DataFrame, cap: Int, sup: Long) =
+      Graph.sessionCooccurrenceEdges(df, "user", "item", "ts",
+        gapMinutes = 360L, maxPerSession = cap, minSupport = sup)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // sessions: u1A={1,2}, u1B={2,3}, u2={1,2,9}
+    assert(run(log, 64, 1L) == Map(
+      (1L, 2L) -> 2L, (2L, 3L) -> 1L, (1L, 9L) -> 1L, (2L, 9L) -> 1L))
+    assert(run(log, 64, 2L) == Map((1L, 2L) -> 2L))
+    // cap 2 keeps u2's LOWEST ids {1,2}: the 9-pairs disappear
+    assert(run(log, 2, 1L) == Map((1L, 2L) -> 2L, (2L, 3L) -> 1L))
+    assert(run(log.repartition(5), 64, 1L) == run(log, 64, 1L))
+    // without the silence cut, u1's 1 and 3 would co-occur: they don't
+    assert(!run(log, 64, 1L).contains((1L, 3L)))
+    intercept[IllegalArgumentException](
+      Graph.sessionCooccurrenceEdges(log, "user", "item", "ts", 0L))
+  }
+
   test("degreeAssortativity: star = -1, regular graph = null, barbell hand value; cleanup + repartition-stable") {
     def run(df: org.apache.spark.sql.DataFrame) = {
       val r = Graph.degreeAssortativity(df, "src", "dst").collect()(0)
