@@ -163,12 +163,16 @@ object Sampling {
     * arithmetic only).
     *
     * Scale shape: one (difficulty)-keyed histogram aggregation with
-    * map-side partials (state = the quantized-difficulty grid), a
-    * grid-sized cumulative window (never corpus rows), cuts broadcast
-    * back as one row, and one (stage, shard)-keyed window for the
-    * intra-stage shuffle — the same single exchange as
-    * [[shuffleShards]]. Callers with continuous difficulties quantize
-    * first (the house grid rule); `difficultyCol` must be integral.
+    * map-side partials (state = the quantized-difficulty grid,
+    * persisted for its two readers), the grid's ascending cumulative
+    * via the parallel [[graft.plans.PrefixSumExec]] — a fine grid can
+    * be millions of rows, so no unpartitioned window even here — and
+    * the ≤(stages−1) cut values COLLECTED into scan-local literals
+    * (one bounded row), so staging is a pure projection; the
+    * intra-stage shuffle is one (stage, shard)-keyed window, the same
+    * single exchange as [[shuffleShards]]. Callers with continuous
+    * difficulties quantize first (the house grid rule);
+    * `difficultyCol` must be integral.
     *
     * Output adds (stage, shard, pos): stage ∈ [0, stages), shard ∈
     * [0, nShards), pos = 1-based rank by (xxhash64(id, seed), id)
@@ -182,32 +186,41 @@ object Sampling {
       seed: Long = 42L): DataFrame = {
     require(stages >= 1, s"stages must be positive, got $stages")
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val hist = df
-      .groupBy(col(difficultyCol).cast("long").as("__d"))
-      .agg(count(lit(1)).as("__c"))
-    val cum = hist
-      .withColumn("__cum",
-        sum(col("__c")).over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("__d"))))
-      .withColumn("__n", sum(col("__c")).over(
-        org.apache.spark.sql.expressions.Window
-          .rowsBetween(Long.MinValue, Long.MaxValue)))
     val h = xxhash64(col(idCol), lit(seed))
     val staged =
       if (stages == 1) df.withColumn("stage", lit(0))
       else {
-        val cutCols = (1 until stages).map(s =>
-          min(when(
-            col("__cum") >= expr(s"($s * __n + ${stages - 1}) div $stages"),
-            col("__d"))).as(s"__cut$s"))
-        val cuts = cum.groupBy().agg(cutCols.head, cutCols.tail: _*)
+        val hist = df
+          .groupBy(col(difficultyCol).cast("long").as("__d"))
+          .agg(count(lit(1)).as("__c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cutVals =
+          try {
+            val nRow = hist.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
+            val cum = graft.Frame
+              .withPrefixSum(hist, Seq(col("__d").asc), col("__c"),
+                "__idx", "__before")
+              .withColumn("__cum", col("__before") + col("__c"))
+            val cutCols = (1 until stages).map(s =>
+              min(when(
+                col("__cum") >= expr(s"($s * __n + ${stages - 1}) div $stages"),
+                col("__d"))).as(s"__cut$s"))
+            // ≤(stages-1) values, one bounded row — scan-local literals
+            // beat a crossJoin the audit would have to trace
+            cum.crossJoin(broadcast(nRow))
+              .agg(cutCols.head, cutCols.tail: _*)
+              .collect()(0)
+          } finally {
+            hist.unpersist(blocking = false)
+            ()
+          }
         val stage = (1 until stages).foldLeft(lit(0)) { (acc, s) =>
-          acc + when(col(difficultyCol).cast("long") > col(s"__cut$s"), 1)
-            .otherwise(0)
+          val cut =
+            if (cutVals.isNullAt(s - 1)) lit(null).cast("long")
+            else lit(cutVals.getLong(s - 1))
+          acc + when(col(difficultyCol).cast("long") > cut, 1).otherwise(0)
         }
-        df.crossJoin(broadcast(cuts))
-          .withColumn("stage", stage)
-          .drop((1 until stages).map(s => s"__cut$s"): _*)
+        df.withColumn("stage", stage)
       }
     staged
       .withColumn("shard", pmod(h, lit(nShards.toLong)))
