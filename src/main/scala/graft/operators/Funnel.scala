@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analysis over an event stream — the product-analytics
@@ -86,5 +87,68 @@ object Funnel {
         nullif(col("__p").cast("double"), lit(0.0)), 6).as("conv_prev"),
       round(col("users").cast("double") /
         nullif(col("__f").cast("double"), lit(0.0)), 6).as("conv_first"))
+  }
+
+  /** Linear multi-touch attribution: each conversion's value splits
+    * EQUALLY across the same user's touch events inside the lookback
+    * window (strictly before the conversion, within `lookback`);
+    * conversions with no qualifying touch credit the synthetic
+    * `direct` channel — the marketing-analytics readout between
+    * last-touch (one winner) and data-driven (a model).
+    *
+    * Integer-exact: conversion value quantizes to cents upstream,
+    * each touch gets `cents·10⁶ div touches` micro-cents (truncation
+    * applied identically in the oracle), so shares are deterministic
+    * at any partitioning. Output per channel: conversions touched,
+    * raw touch count, and the attributed micro-cent total.
+    *
+    * Scale shape: ONE user-keyed join of conversions onto touches —
+    * the output rows ARE the attribution pairs (every pair carries
+    * credit, nothing is wasted), bounded per user by that user's own
+    * conversions × touches, never by the corpus; the per-conversion
+    * touch count is a conversion-partitioned window on the SAME pass
+    * (no second join), and the channel rollup is a ≤|channels|+1
+    * aggregation. */
+  def linearAttribution(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      touchTypes: Seq[String],
+      conversionType: String,
+      lookbackHours: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"touch types $touchTypes must be non-empty and exclude $conversionType")
+    require(lookbackHours >= 1, s"lookbackHours must be >= 1, got $lookbackHours")
+    val lookUs = lookbackHours * 3600L * 1000000L
+    val conv = events
+      .filter(col(typeCol) === conversionType && col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), col(idCol).as("__pid"),
+        unix_micros(col(tsCol)).as("__pt"),
+        round(col(valueCol) * 100.0, 0).cast("long").as("__cents"))
+    val touch = events
+      .filter(col(typeCol).isin(touchTypes: _*) && col(userCol).isNotNull)
+      .select(col(userCol).as("__u2"), col(typeCol).as("__ch"),
+        unix_micros(col(tsCol)).as("__tt"))
+    val w = Window.partitionBy(col("__pid"))
+    conv
+      .join(touch,
+        col("__u") === col("__u2") &&
+          col("__tt") < col("__pt") &&
+          col("__tt") >= col("__pt") - lookUs,
+        "left")
+      .withColumn("__tc", count(col("__ch")).over(w))
+      .select(
+        coalesce(col("__ch"), lit("direct")).as("channel"),
+        col("__pid"),
+        col("__ch").isNotNull.as("__touched"),
+        expr("__cents * 1000000L div greatest(__tc, 1L)").as("__amc"))
+      .groupBy(col("channel"))
+      .agg(
+        count_distinct(col("__pid")).as("conversions"),
+        sum(when(col("__touched"), 1L).otherwise(0L)).as("touches"),
+        sum(col("__amc")).as("attributed_microcents"))
   }
 }

@@ -2115,6 +2115,49 @@ object Relational {
              c AS cnt, e AS ewma_q, f AS spike
       FROM q81_r ORDER BY event_type, hour_epoch_s"""))
 
+  /** Linear multi-touch attribution ([[graft.operators.Funnel
+    * .linearAttribution]]): every purchase's cents split equally over
+    * the user's view/click touches inside a 48 h lookback, untouched
+    * purchases crediting `direct` — micro-cent integer shares, so the
+    * DuckDB replay is bit-exact. */
+  val q82_attribution = QueryDef(
+    "q82_attribution",
+    (s, dir) =>
+      graft.operators.Funnel
+        .linearAttribution(
+          Tables(s, dir).events,
+          "user_id", "event_type", "ts", "event_id", "value",
+          touchTypes = Seq("view", "click"),
+          conversionType = "purchase",
+          lookbackHours = 48L)
+        .orderBy(col("channel")),
+    Some("""
+      WITH q82_c AS (
+        SELECT user_id AS u, event_id AS pid, epoch_us(ts) AS pt,
+               CAST(round(value * 100.0) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+      q82_t AS (
+        SELECT user_id AS u, event_type AS ch, epoch_us(ts) AS tt
+        FROM events
+        WHERE event_type IN ('view', 'click') AND user_id IS NOT NULL),
+      q82_j AS (
+        SELECT c.pid, c.cents, t.ch
+        FROM q82_c c LEFT JOIN q82_t t
+          ON t.u = c.u AND t.tt < c.pt
+         AND t.tt >= c.pt - 172800000000),
+      q82_w AS (
+        SELECT pid, cents, ch,
+               count(ch) OVER (PARTITION BY pid) AS tc
+        FROM q82_j)
+      SELECT coalesce(ch, 'direct') AS channel,
+             cast(count(DISTINCT pid) AS BIGINT) AS conversions,
+             cast(sum(CASE WHEN ch IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS touches,
+             cast(sum(cents * 1000000 // greatest(tc, 1)) AS BIGINT)
+               AS attributed_microcents
+      FROM q82_w GROUP BY 1 ORDER BY channel"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -2133,5 +2176,5 @@ object Relational {
     q67_range_window, q68_union_evolved, q69_asof_tolerance,
     q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly,
     q76_heavy_hitters, q77_ab_welch, q78_cuped, q79_funnel_steps,
-    q80_pareto, q81_ewma_spikes)
+    q80_pareto, q81_ewma_spikes, q82_attribution)
 }

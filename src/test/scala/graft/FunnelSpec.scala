@@ -88,6 +88,40 @@ class FunnelSpec extends SparkSpec {
     assert(run(df.repartition(7)) == run(df))
   }
 
+  test("linearAttribution: equal split, direct fallback, lookback + strict-order cutoffs, truncation exact") {
+    val df = Seq(
+      // user 1: 2 touches inside the window, purchase 10.01 -> each
+      // channel gets floor(1001 * 1e6 / 2) micro-cents
+      (1L, 1L, "view", "2024-01-01 00:00:00", 0.0),
+      (1L, 2L, "click", "2024-01-01 01:00:00", 0.0),
+      (1L, 3L, "purchase", "2024-01-01 02:00:00", 10.01),
+      // user 2: touch AT the purchase instant doesn't count (strict <),
+      // touch past the 48h lookback doesn't count -> direct
+      (2L, 4L, "view", "2023-12-28 00:00:00", 0.0),
+      (2L, 5L, "view", "2024-01-01 02:00:00", 0.0),
+      (2L, 6L, "purchase", "2024-01-01 02:00:00", 5.0),
+      // user 3: no touches at all -> direct
+      (3L, 7L, "purchase", "2024-01-01 02:00:00", 1.0))
+      .toDF("user_id", "event_id", "event_type", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.linearAttribution(d, "user_id", "event_type", "ts",
+        "event_id", "value", Seq("view", "click"), "purchase", 48L)
+        .orderBy(col("channel"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val half = 1001L * 1000000L / 2L
+    assert(run(df) == Seq(
+      ("click", 1L, 1L, half),
+      ("direct", 2L, 0L, 600L * 1000000L),
+      ("view", 1L, 1L, half)))
+    assert(run(df.repartition(7)) == run(df))
+    intercept[IllegalArgumentException](
+      Funnel.linearAttribution(df, "user_id", "event_type", "ts",
+        "event_id", "value", Seq("purchase"), "purchase", 48L))
+  }
+
   test("bad params rejected") {
     val df = ev((1L, "signup", "2024-01-01 00:00:00"))
     intercept[IllegalArgumentException](
