@@ -941,6 +941,74 @@ object Graph {
               (col("degree") * (col("degree") - 1)).cast("double"), 6)))
   }
 
+  /** Weighted PageRank: [[pagerankQuantized]] with per-edge long
+    * weights — contributions split proportionally,
+    * pr(v)·w(v→u) div Σw(v→·), instead of uniformly. The natural rank
+    * over MANUFACTURED edge lists that carry strength (co-occurrence
+    * counts, similarity quantizations), where uniform splitting
+    * discards exactly the signal the edge build paid for.
+    *
+    * Same discipline as g01: distinct parallel edges collapse by
+    * SUMMING weight (w ≤ 0 edges drop), loop inputs persist, dangling
+    * mass is one bounded scalar per round, every round lineage-cut,
+    * all arithmetic integer-exact (weights must keep pr·w inside a
+    * long — quantize huge weights down; co-occurrence counts and 1e6
+    * cosines are fine). */
+  def pagerankWeightedQuantized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iters: Int,
+      scale: Long = 1000000L,
+      dampNum: Long = 85,
+      dampDen: Long = 100,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampDen > 0 && scale > 0,
+      s"bad pagerank params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0L)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ew = e.join(outw, Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count()
+      val teleport = (dampDen - dampNum) * scale / dampDen
+      var ranks = nodes.withColumn("pr", lit(scale))
+      if (n == 0) return ranks
+      for (_ <- 0 until iters) {
+        val dangling = ranks
+          .join(outw, ranks("node") === outw("src"), "left_anti")
+          .agg(coalesce(sum(col("pr")), lit(0L))).collect()(0).getLong(0)
+        val contribs = ew.join(ranks, ew("src") === ranks("node"))
+          .select(col("dst"), expr("pr * w div sw").as("__c"))
+          .groupBy(col("dst")).agg(sum(col("__c")).as("__c"))
+        ranks = checkpointer.cut(
+          nodes
+            .join(contribs, nodes("node") === contribs("dst"), "left")
+            .select(col("node"),
+              (lit(teleport) +
+                expr(s"$dampNum * (coalesce(__c, 0L) + ${dangling / n}L) div $dampDen")
+              ).as("pr")),
+          eager = true)
+      }
+      ranks
+    } finally {
+      ew.unpersist(blocking = false)
+      outw.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** SESSION-scoped co-occurrence edges: items engaged by the same user
     * within one session (events closer than `gapMinutes` chain into a
     * session; a longer silence cuts) — the time-local complement of

@@ -5947,6 +5947,80 @@ $langScoreCols
       GROUP BY 1, 2 HAVING count(*) >= 2
       ORDER BY item_a, item_b"""))
 
+  /** Exact oracle for g16: the g09 co-engagement build, both
+    * orientations with their counts, then the weighted quantized
+    * PageRank rounds unrolled (symmetric graph ⇒ dangling mass is
+    * identically zero, so a round is one weighted join-tally plus the
+    * teleport update). */
+  private def g16Oracle(
+      iters: Int, scale: Long, num: Long, den: Long): String = {
+    val teleport = (den - num) * scale / den
+    val rounds = (1 to iters).map { i =>
+      s"""
+      g16_c$i AS (
+        SELECT dst AS node, cast(sum(pr * w // sw) AS BIGINT) AS c
+        FROM g16_ew JOIN g16_r${i - 1} ON g16_ew.src = g16_r${i - 1}.node
+        GROUP BY 1),
+      g16_r$i AS (
+        SELECT g16_n.node,
+               cast($teleport + ($num * coalesce(c, 0)) // $den AS BIGINT)
+                 AS pr
+        FROM g16_n LEFT JOIN g16_c$i USING (node))"""
+    }.mkString(",")
+    s"""
+      WITH g16_ui AS (
+        SELECT DISTINCT user_id AS u,
+               cast(json_extract_string(props, '$$.k') AS BIGINT) AS i
+        FROM events),
+      g16_nn AS (
+        SELECT u, i FROM g16_ui WHERE u IS NOT NULL AND i IS NOT NULL),
+      g16_cap AS (
+        SELECT u, i FROM (
+          SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+          FROM g16_nn) WHERE rn <= 64),
+      g16_und AS (
+        SELECT a.i AS ia, b.i AS ib, cast(count(*) AS BIGINT) AS w
+        FROM g16_cap a JOIN g16_cap b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      g16_e AS MATERIALIZED (
+        SELECT ia AS src, ib AS dst, w FROM g16_und
+        UNION ALL SELECT ib, ia, w FROM g16_und),
+      g16_n AS MATERIALIZED (SELECT DISTINCT src AS node FROM g16_e),
+      g16_sw AS (
+        SELECT src, cast(sum(w) AS BIGINT) AS sw FROM g16_e GROUP BY 1),
+      g16_ew AS MATERIALIZED (
+        SELECT g16_e.src, g16_e.dst, g16_e.w, sw
+        FROM g16_e JOIN g16_sw USING (src)),
+      g16_r0 AS (SELECT node, cast($scale AS BIGINT) AS pr FROM g16_n),
+      $rounds
+      SELECT node AS item, pr FROM g16_r$iters ORDER BY item"""
+  }
+
+  /** Weighted PageRank ([[graft.operators.Graph
+    * .pagerankWeightedQuantized]]) over the co-engagement graph with
+    * its co-occurrence counts as edge weights — item importance that
+    * respects tie strength where g01's uniform split discards it.
+    * Integer-exact rounds, unrolled oracle. */
+  val g16_pagerank_weighted = QueryDef(
+    "g16_pagerank_weighted",
+    (s, dir) => {
+      val und = graft.operators.Graph.cooccurrenceEdges(
+        Tables(s, dir).events.select(
+          col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", maxPerUser = 64, minSupport = 3L)
+      val both = und
+        .select(col("item_a").as("src"), col("item_b").as("dst"),
+          col("weight"))
+        .union(und.select(col("item_b").as("src"), col("item_a").as("dst"),
+          col("weight")))
+      graft.operators.Graph
+        .pagerankWeightedQuantized(both, "src", "dst", "weight", iters = 3)
+        .withColumnRenamed("node", "item")
+        .orderBy(col("item"))
+    },
+    Some(g16Oracle(iters = 3, scale = 1000000L, num = 85, den = 100)))
+
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
     (s, dir) => {
@@ -7251,5 +7325,6 @@ $langScoreCols
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf,
-    g13_harmonic, g14_assortativity, g15_session_coocc)
+    g13_harmonic, g14_assortativity, g15_session_coocc,
+    g16_pagerank_weighted)
 }

@@ -595,6 +595,33 @@ class GraphSpec extends SparkSpec {
       Graph.cooccurrenceEdges(log, "user", "item", minSupport = 0L))
   }
 
+  test("pagerankWeightedQuantized: w=1 equals the unweighted operator; parallel edges sum; weight proportionality") {
+    // uniform weights on the g01 fixture (which includes a dangling
+    // node) must reproduce the unweighted operator bit-for-bit
+    val w1 = edges.withColumn("w", lit(1L))
+    val weighted = Graph
+      .pagerankWeightedQuantized(w1, "src", "dst", "w", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val plain = Graph.pagerankQuantized(edges, "src", "dst", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(weighted == plain)
+    // parallel edges collapse by SUMMING weight
+    val dup = Seq((1L, 2L, 3L), (1L, 2L, 1L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val merged = Seq((1L, 2L, 4L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    def run(df: org.apache.spark.sql.DataFrame) = Graph
+      .pagerankWeightedQuantized(df, "src", "dst", "w", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(run(dup) == run(merged))
+    // the heavier edge's target outranks the lighter's, strictly
+    val got = run(merged)
+    assert(got(2L) > got(3L))
+    // non-positive weights drop (a zero-weight edge is no edge)
+    assert(run(merged.union(Seq((1L, 9L, 0L)).toDF("src", "dst", "w")))
+      == got)
+    assert(run(merged.repartition(5)) == got)
+  }
+
   test("sessionCooccurrenceEdges: gap cuts sessions, cap keeps lowest ids, support prunes; repartition-stable") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val log = Seq(
