@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experimentation readout: the unequal-variance two-sample t-test
@@ -194,5 +195,59 @@ object Experiments {
       when(ok, round(tStat, 6)).as("welch_t_adj"),
       when(ok, round(dfW, 6)).as("welch_df_adj"),
       round(vred, 6).as("var_reduction"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic per group: the
+    * NONPARAMETRIC complement to q77's Welch t — distribution-shape
+    * shifts (variance, tails, bimodality) that leave the mean
+    * untouched, the readout a guardrail metric needs. D = max over
+    * observed values of |F̂₀(v) − F̂₁(v)| computed EXACTLY: the CDFs
+    * never materialize as doubles — the max runs over the integer
+    * cross-product |cum₀·n₁ − cum₁·n₀|, one division at the end
+    * (round 6). `valueCol` must be integral (quantize upstream — the
+    * house grid rule); ties in D break toward the smallest value.
+    *
+    * Scale shape: one (group, value)-keyed tally with map-side
+    * partials collapses the stream to the per-group value GRID; the
+    * running counts are windows PARTITIONED by group over grid rows
+    * (never raw events); arm sizes join back from a group-keyed
+    * aggregate of the same tally (broadcast under AQE). Output:
+    * (group, n0, n1, ks_d, ks_at) — NULL D when either arm is empty. */
+  def ksTest(
+      df: DataFrame,
+      groupCol: String,
+      armCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      col(armCol).cast("int").as("__a"),
+      col(valueCol).cast("long").as("__v"))
+    val counts = base
+      .groupBy(col("__g"), col("__v"))
+      .agg(
+        sum(when(col("__a") === 0, 1L).otherwise(0L)).as("__c0"),
+        sum(when(col("__a") === 1, 1L).otherwise(0L)).as("__c1"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.groupBy(col("__g"))
+      .agg(sum(col("__c0")).as("__n0"), sum(col("__c1")).as("__n1"))
+    counts
+      .withColumn("__cum0", sum(col("__c0")).over(w))
+      .withColumn("__cum1", sum(col("__c1")).over(w))
+      .join(tot, Seq("__g"))
+      .select(col("__g"),
+        col("__n0"), col("__n1"), col("__v"),
+        abs(col("__cum0") * col("__n1") - col("__cum1") * col("__n0"))
+          .as("__d"))
+      .groupBy(col("__g"))
+      .agg(
+        max(col("__n0")).as("n0"), max(col("__n1")).as("n1"),
+        // lexicographic struct max: largest D, then smallest value
+        max(struct(col("__d"), (-col("__v")).as("__nv"))).as("__m"))
+      .select(col("__g").as(groupCol), col("n0"), col("n1"),
+        when(col("n0") > 0 && col("n1") > 0,
+          round(col("__m.__d").cast("double") /
+            (col("n0").cast("double") * col("n1").cast("double")), 6))
+          .as("ks_d"),
+        when(col("n0") > 0 && col("n1") > 0, -col("__m.__nv")).as("ks_at"))
   }
 }

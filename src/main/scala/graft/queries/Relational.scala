@@ -2158,6 +2158,61 @@ object Relational {
                AS attributed_microcents
       FROM q82_w GROUP BY 1 ORDER BY channel"""))
 
+  /** Exact two-sample KS test ([[graft.operators.Experiments.ksTest]]):
+    * the distribution-shape guardrail next to q77's mean test — D and
+    * its location from integer cross-products over the per-arm value
+    * grids, one division at the end. */
+  val q83_ks_test = QueryDef(
+    "q83_ks_test",
+    (s, dir) =>
+      graft.operators.Experiments
+        .ksTest(
+          Tables(s, dir).events
+            .filter(col("user_id").isNotNull)
+            .select(
+              col("event_type"),
+              pmod(col("user_id"), lit(2L)).cast("int").as("arm"),
+              round(col("value") * 100.0, 0).cast("long").as("cents")),
+          "event_type", "arm", "cents")
+        .orderBy(col("event_type")),
+    Some("""
+      WITH q83_b AS (
+        SELECT event_type AS g, (user_id % 2)::INT AS a,
+               CAST(round(value * 100.0) AS BIGINT) AS v
+        FROM events WHERE user_id IS NOT NULL),
+      q83_c AS (
+        SELECT g, v,
+               cast(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               cast(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM q83_b GROUP BY 1, 2),
+      q83_t AS (
+        SELECT g, cast(sum(c0) AS BIGINT) AS n0,
+               cast(sum(c1) AS BIGINT) AS n1
+        FROM q83_c GROUP BY 1),
+      q83_w AS (
+        SELECT g, v,
+               cast(sum(c0) OVER (PARTITION BY g ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum0,
+               cast(sum(c1) OVER (PARTITION BY g ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1
+        FROM q83_c),
+      q83_d AS (
+        SELECT w.g, n0, n1, v,
+               abs(cum0 * n1 - cum1 * n0) AS d
+        FROM q83_w w JOIN q83_t USING (g)),
+      q83_m AS (SELECT g, n0, n1, max(d) AS md FROM q83_d GROUP BY 1, 2, 3),
+      q83_at AS (
+        SELECT d.g, min(v) AS ks_at
+        FROM q83_d d JOIN q83_m m ON d.g = m.g AND d.d = m.md
+        GROUP BY 1)
+      SELECT m.g AS event_type, n0, n1,
+             CASE WHEN n0 > 0 AND n1 > 0
+               THEN round(md::DOUBLE / (n0::DOUBLE * n1::DOUBLE), 6)
+             END AS ks_d,
+             CASE WHEN n0 > 0 AND n1 > 0 THEN ks_at END AS ks_at
+      FROM q83_m m JOIN q83_at a ON m.g = a.g
+      ORDER BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -2176,5 +2231,5 @@ object Relational {
     q67_range_window, q68_union_evolved, q69_asof_tolerance,
     q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly,
     q76_heavy_hitters, q77_ab_welch, q78_cuped, q79_funnel_steps,
-    q80_pareto, q81_ewma_spikes, q82_attribution)
+    q80_pareto, q81_ewma_spikes, q82_attribution, q83_ks_test)
 }

@@ -143,4 +143,33 @@ class ExperimentsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.toSeq).toMap
     assert(again("g") == got("g").toSeq.map(identity))
   }
+
+  test("ksTest: hand-computed D and location, identical arms at zero, empty arm nulls, repartition-stable") {
+    import org.apache.spark.sql.functions._
+    // arm0 {1,2}, arm1 {2,3}: D = |F0-F1| peaks at v=1 with 1/2
+    val rows = Seq(
+      ("g", 0, 1L), ("g", 0, 2L), ("g", 1, 2L), ("g", 1, 3L),
+      // identical distributions -> D = 0 (at the smallest value)
+      ("h", 0, 5L), ("h", 1, 5L),
+      // one-armed group -> NULL statistic
+      ("e", 0, 7L))
+      .toDF("grp", "arm", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Experiments.ksTest(df, "grp", "arm", "v")
+        .orderBy(col("grp"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .toSeq
+    assert(run(rows) == Seq(
+      ("e", 1L, 0L, None, None),
+      ("g", 2L, 2L, Some(0.5), Some(1L)),
+      ("h", 1L, 1L, Some(0.0), Some(5L))))
+    assert(run(rows.repartition(7)) == run(rows))
+    // a pure location shift is detected at full strength: D = 1
+    val shift = (1 to 5).flatMap(i =>
+      Seq(("s", 0, i.toLong), ("s", 1, i + 100L))).toDF("grp", "arm", "v")
+    assert(run(shift) == Seq(("s", 5L, 5L, Some(1.0), Some(5L))))
+  }
 }
