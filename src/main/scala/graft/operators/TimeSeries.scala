@@ -172,12 +172,34 @@ object TimeSeries {
       scale: Long = 1000000L): DataFrame = {
     require(alphaDen >= 2 && threshNum >= 1 && threshDen >= 1 && scale >= 1,
       s"bad ewma params: alphaDen=$alphaDen thresh=$threshNum/$threshDen scale=$scale")
-    val spark = events.sparkSession
-    import spark.implicits._
     val hc = events.select(
       col(keyCol).as("__k"),
       expr(s"unix_micros($tsCol) div 3600000000").as("__h"))
       .groupBy(col("__k"), col("__h")).agg(count(lit(1)).as("__c"))
+    ewmaSpikesFromTallies(hc, "__k", "__h", "__c",
+      alphaDen, threshNum, threshDen, scale)
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /** [[ewmaSpikes]] starting from PRE-AGGREGATED (key, epoch-hour,
+    * count) tallies — the entry point streaming partial tallies fold
+    * into ([[graft.streaming.EventStreams.ewmaProgress]]); counts for
+    * the same (key, hour) must already be summed. */
+  def ewmaSpikesFromTallies(
+      tallies: DataFrame,
+      keyCol: String,
+      hourCol: String,
+      cntCol: String,
+      alphaDen: Long = 8L,
+      threshNum: Long = 1L,
+      threshDen: Long = 2L,
+      scale: Long = 1000000L): DataFrame = {
+    require(alphaDen >= 2 && threshNum >= 1 && threshDen >= 1 && scale >= 1,
+      s"bad ewma params: alphaDen=$alphaDen thresh=$threshNum/$threshDen scale=$scale")
+    val spark = tallies.sparkSession
+    import spark.implicits._
+    val hc = tallies.select(col(keyCol).as("__k"),
+      col(hourCol).cast("long").as("__h"), col(cntCol).cast("long").as("__c"))
     val bounds = hc.agg(min(col("__h")).as("lo"), max(col("__h")).as("hi"))
       .collect()(0)
     if (bounds.isNullAt(0))

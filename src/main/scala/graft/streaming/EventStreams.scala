@@ -1145,4 +1145,53 @@ object EventStreams {
       steps: Seq[String]): DataFrame =
     graft.operators.Funnel.funnel(
       committedBatches(spark, targetPath), "user", "step", "ts", steps)
+
+  /** Streaming ingest face of the EWMA spike detector
+    * ([[graft.operators.TimeSeries.ewmaSpikes]]): each micro-batch
+    * appends its (key, epoch-hour, count) PARTIAL tallies as an
+    * idempotent `b_<batchId>` directory. Hourly counts are an additive
+    * commutative monoid, so the log stays batch-proportional (tally
+    * rows, never events) and ORDER-free: however events split across
+    * triggers — including late arrivals into hours that already have
+    * partials — [[ewmaProgress]] re-sums per (key, hour) and folds the
+    * recurrence, equal to one batch call over the union, bit for bit
+    * (pinned in StreamingSpec). The sequential EWMA state itself is
+    * deliberately NOT checkpointed: a late event would invalidate
+    * every smoothed value after it, and re-folding costs one pass over
+    * the tally grid (time-range-sized), not the stream. */
+  def ewmaIngestSink(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      targetPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .filter(col(keyCol).isNotNull)
+          .select(col(keyCol).as("key"),
+            expr(s"unix_micros($tsCol) div 3600000000").as("hour"))
+          .groupBy(col("key"), col("hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite")
+          .parquet(f"$targetPath/b_$batchId%012d")
+      }
+      .start()
+
+  /** The live spike readout over an [[ewmaIngestSink]] target: re-sum
+    * the partial tallies per (key, hour) — additive, so late partials
+    * just add — and fold the batch recurrence
+    * ([[graft.operators.TimeSeries.ewmaSpikesFromTallies]]). */
+  def ewmaProgress(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      alphaDen: Long = 8L,
+      threshNum: Long = 1L,
+      threshDen: Long = 2L): DataFrame =
+    graft.operators.TimeSeries.ewmaSpikesFromTallies(
+      committedBatches(spark, targetPath)
+        .groupBy(col("key"), col("hour"))
+        .agg(sum(col("cnt")).as("cnt")),
+      "key", "hour", "cnt", alphaDen, threshNum, threshDen)
 }

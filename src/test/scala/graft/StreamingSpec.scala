@@ -1191,6 +1191,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaIngestSink: additive partial tallies make stream-then-read equal one batch call, late partials included") {
+    import spark.implicits._
+    def t(d: Int, h: Int, m: Int) =
+      Timestamp.valueOf(f"2024-01-0$d $h%02d:$m%02d:00")
+    // batch 2 delivers LATE events into hour windows batch 1 already
+    // tallied — additive partials must merge, not shadow
+    val b1 = Seq(("a", t(1, 0, 10)), ("a", t(1, 0, 20)), ("b", t(1, 1, 0)))
+    val b2 = Seq(("a", t(1, 0, 40)), ("a", t(1, 2, 5)), ("b", t(1, 0, 59)))
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val target = Files.createTempDirectory("graft-ewma-out").toString
+    val q = EventStreams.ewmaIngestSink(
+      input.toDF.toDF("k", "ts"), "k", "ts", target, checkpoint())
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.head, "hour_epoch_s").collect().map(_.toSeq).toSeq
+    val streamed = canon(
+      EventStreams.ewmaProgress(spark, target).withColumnRenamed("key", "k"))
+    val batchRun = canon(graft.operators.TimeSeries
+      .ewmaSpikes((b1 ++ b2).toDF("k", "ts"), "k", "ts"))
+    assert(streamed == batchRun && streamed.nonEmpty)
+    // the log holds tally rows, not events: batch 1 wrote at most one
+    // row per (key, hour) it saw
+    val log0 = spark.read.parquet(s"$target/b_000000000000")
+    assert(log0.count() == log0.select("key", "hour").distinct().count())
+  }
+
   test("funnelIngestSink: stream-then-read equals one batch funnel; late arrivals re-route; noise dropped") {
     import spark.implicits._
     val steps = Seq("signup", "view", "click", "purchase")
