@@ -577,6 +577,53 @@ object TfIdf {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** Term burstiness (Church & Gale 1995): terms ranked by how
+    * CLUMPED their occurrences are across documents — burstiness
+    * cf/df (mean occurrences per containing doc) and the index of
+    * dispersion var/mean over containing docs. Uniform content words
+    * sit near 1; template boilerplate and keyword-stuffing spam
+    * spike both — the spam tell frequency alone (t08/t13) misses,
+    * because a stuffed term can be globally rare.
+    *
+    * Exact integer moments: one (doc, term) tally, one per-term
+    * aggregation of (df, Σm, Σm²); the two ratios are fixed-shape
+    * double expressions rounded to 6 (the p08 discipline). `minDf`
+    * floors the denominator noise; heads plan as
+    * TakeOrderedAndProject. */
+  def termBurstiness(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long,
+      topK: Int): DataFrame = {
+    require(minDf >= 1 && topK >= 1,
+      s"bad burstiness params: minDf=$minDf topK=$topK")
+    val tf = docs
+      .select(col(idCol).as("__doc"),
+        TextFunctions.tokens(lower(col(textCol))).as("__ts"))
+      .select(col("__doc"), explode(col("__ts")).as("term"))
+      .groupBy(col("__doc"), col("term"))
+      .agg(count(lit(1)).as("__m"))
+    tf
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("__m")).as("cf"),
+        sum(col("__m") * col("__m")).as("__m2"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("cf"),
+        round(col("cf").cast("double") / col("df").cast("double"), 6)
+          .as("burstiness"),
+        round(
+          ((col("__m2").cast("double") -
+            col("cf").cast("double") * col("cf").cast("double") /
+              col("df").cast("double")) / col("df").cast("double")) /
+            (col("cf").cast("double") / col("df").cast("double")), 6)
+          .as("dispersion"))
+      .orderBy(col("dispersion").desc, col("term"))
+      .limit(topK)
+  }
+
   /** Vocabulary growth curve (Heaps 1978): cumulative distinct types
     * vs cumulative tokens over `buckets` id-ordered corpus prefixes —
     * the sublinearity diagnostic that separates organic text (β≈0.5)

@@ -4072,6 +4072,37 @@ $langScoreCols
       CROSS JOIN t46_nn CROSS JOIN t46_m
       ORDER BY pmi DESC, word_a, word_b LIMIT 40"""))
 
+  /** Term burstiness ([[graft.operators.TfIdf.termBurstiness]]):
+    * cf/df and the per-containing-doc index of dispersion — the
+    * clumpedness spam tell raw frequency misses. Exact integer
+    * moments, two fixed-shape ratios, round(6). */
+  val t48_burstiness = QueryDef(
+    "t48_burstiness",
+    (s, dir) =>
+      graft.operators.TfIdf
+        .termBurstiness(Tables(s, dir).documents, "doc_id", "text",
+          minDf = 10L, topK = 40),
+    Some("""
+      WITH t48_tf AS (
+        SELECT doc_id, term, cast(count(*) AS BIGINT) AS m
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                            t -> t <> '')) AS term
+              FROM documents)
+        GROUP BY 1, 2),
+      t48_s AS (
+        SELECT term,
+               cast(count(*) AS BIGINT) AS df,
+               cast(sum(m) AS BIGINT) AS cf,
+               cast(sum(m * m) AS BIGINT) AS m2
+        FROM t48_tf GROUP BY 1 HAVING count(*) >= 10)
+      SELECT term, df, cf,
+             round(cf::DOUBLE / df::DOUBLE, 6) AS burstiness,
+             round(((m2::DOUBLE - cf::DOUBLE * cf::DOUBLE / df::DOUBLE)
+               / df::DOUBLE) / (cf::DOUBLE / df::DOUBLE), 6) AS dispersion
+      FROM t48_s
+      ORDER BY dispersion DESC, term LIMIT 40"""))
+
   /** Vocabulary growth curve ([[graft.operators.TfIdf
     * .vocabGrowthCurve]]): cumulative types vs tokens over ten
     * id-ordered corpus prefixes with the Heaps exponent per point —
@@ -7296,7 +7327,7 @@ $langScoreCols
     t34_ccnet_buckets, t35_calibration, t36_pass_at_k, t37_zipf,
     t38_bradley_terry, t39_blocklist, t40_langid_eval, t41_rouge_l,
     t42_blocklist_trie, t43_distinct_n, t44_vocab_overlap, t45_textrank,
-    t46_pmi_collocations, t47_vocab_growth,
+    t46_pmi_collocations, t47_vocab_growth, t48_burstiness,
     d01_dedup_exact, d02_dedup_exact_norm, d03_minhash_pairs,
     d04_simhash_pairs, d05_ngram_jaccard, d06_embed_neardup,
     d07_dedup_clusters, d08_chunk_dedup, d09_decontaminate, d10_kmeans,

@@ -70,6 +70,37 @@ class NgramSpec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  test("termBurstiness: clumped vs uniform hand values, min-df floor, repartition-stable") {
+    // "x" appears once in each of 4 docs (uniform: dispersion 0);
+    // "s" appears 4 times in one doc and once in another (bursty)
+    val docs = Seq(
+      (1L, "x s s s s"), (2L, "x s"), (3L, "x"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TfIdf
+      .termBurstiness(docs, "doc_id", "text", minDf = 2L, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    // s: df=2 cf=5 m2=17 -> mean 2.5, var (17-12.5)/2 = 2.25,
+    //    dispersion 0.9; x: df=4 cf=4 -> burstiness 1, dispersion 0
+    assert(got == Seq(
+      ("s", 2L, 5L, 2.5, 0.9), ("x", 4L, 4L, 1.0, 0.0)))
+    // min-df floors rare terms out entirely
+    assert(!graft.operators.TfIdf
+      .termBurstiness(docs, "doc_id", "text", minDf = 3L, topK = 10)
+      .collect().map(_.getString(0)).contains("s"))
+    val again = graft.operators.TfIdf
+      .termBurstiness(docs.repartition(7), "doc_id", "text", 2L, 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(again == got)
+    intercept[IllegalArgumentException](
+      graft.operators.TfIdf.termBurstiness(docs, "doc_id", "text", 0L, 10))
+  }
+
   test("vocabGrowthCurve: first occurrences drive types, empty buckets kept, cumulative exact") {
     // ids 0..3 over 2 buckets: bucket 1 = {0,1}, bucket 2 = {2,3}
     val docs = Seq(
