@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
@@ -1225,6 +1225,93 @@ object Similarity {
       .withColumn("mrank", row_number().over(
         Window.partitionBy(col("src_id"))
           .orderBy(col("margin").desc, col("tgt_id").asc)))
+  }
+
+  /** Embedding-quality report (Wang & Isola ICML 2020): ALIGNMENT —
+    * mean squared distance between same-label pairs (positives should
+    * sit close) — and UNIFORMITY — ln E[exp(−2‖x−y‖²)] over vector
+    * pairs (the whole cloud should spread over the sphere; collapsed
+    * embeddings score near 0) — the two numbers that predict
+    * contrastive-embedding transfer before any retrieval eval runs.
+    *
+    * Determinism: vectors quantize to the 1e6 long grid, distances are
+    * exact integer sums, each pair's exp quantizes to 1e9 before the
+    * sum (so a 1-ulp libm divergence cannot move the total), and both
+    * final statistics are fixed-shape doubles rounded to 6.
+    *
+    * Scale shape: a deterministic arithmetic-hash vector sample
+    * (`vecKeep`/1000) bounds EVERYTHING — the corpus contributes one
+    * scan; within the sample, uniformity pairs come from a broadcast
+    * NL self-join (the s01 pattern) thinned again per-pair
+    * (1/`pairMod`), and alignment pairs from the label equi-join. The
+    * report materializes eagerly as its single row (bounded
+    * collects). Estimates are sample statistics, exactly reproducible
+    * at any partitioning — the honest contract for a metric whose
+    * exact form is O(n²). */
+  def embeddingQualityReport(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      vecKeep: Long = 400L,
+      pairMod: Long = 10L,
+      scale: Long = 1000000L): DataFrame = {
+    require(vecKeep >= 1 && vecKeep <= 1000,
+      s"vecKeep is a per-mille rate in [1,1000], got $vecKeep")
+    require(pairMod >= 1 && scale >= 1,
+      s"bad params: pairMod=$pairMod scale=$scale")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val s = emb
+      .filter(pmod(col(idCol).cast("long") * 1103515245L + 12345L,
+        lit(1000L)) < vecKeep)
+      .select(col(idCol).cast("long").as("__id"),
+        col(labelCol).cast("long").as("__l"),
+        transform(col(vecCol).cast("array<double>"),
+          x => round(x * scale, 0).cast("long")).as("__q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = s.count()
+      def d2q(a: Column, b: Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+      val a = s.select(col("__id").as("__ia"), col("__l").as("__la"),
+        col("__q").as("__qa"))
+      val b = s.select(col("__id").as("__ib"), col("__l").as("__lb"),
+        col("__q").as("__qb"))
+      val sq = lit(scale).cast("double") * lit(scale).cast("double")
+      val uni = broadcast(a)
+        .join(b, col("__ia") < col("__ib")) // broadcast NL, the s01 pattern
+        .filter(pmod(col("__ia") * 31L + col("__ib"), lit(pairMod)) === 0L)
+        .select(round(
+          exp(lit(-2.0) * (d2q(col("__qa"), col("__qb")).cast("double") / sq))
+            * 1000000000.0, 0).cast("long").as("__e"))
+        .agg(count(lit(1)).as("__np"),
+          coalesce(sum(col("__e")), lit(0L)).as("__se"))
+        .collect()(0)
+      val ali = a
+        .join(b, col("__la") === col("__lb") && col("__ia") < col("__ib"))
+        .select(d2q(col("__qa"), col("__qb")).as("__d"))
+        .agg(count(lit(1)).as("__na"),
+          coalesce(sum(col("__d")), lit(0L)).as("__sd"))
+        .collect()(0)
+      Seq((n, ali.getLong(0), uni.getLong(0),
+        ali.getLong(1), uni.getLong(1)))
+        .toDF("sampled_vectors", "align_pairs", "uniform_pairs",
+          "__sd", "__se")
+        .select(col("sampled_vectors"), col("align_pairs"),
+          col("uniform_pairs"),
+          round(col("__sd").cast("double") /
+            nullif(col("align_pairs").cast("double"), lit(0.0)) /
+            (lit(scale).cast("double") * lit(scale).cast("double")), 6)
+            .as("alignment"),
+          round(log(col("__se").cast("double") /
+            nullif(col("uniform_pairs").cast("double"), lit(0.0)) /
+            lit(1000000000.0)), 6).as("uniformity"))
+    } finally {
+      s.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):

@@ -2460,6 +2460,50 @@ $langScoreCols
     },
     Some(mmrOracle(k = 8, poolSize = 24, lamNum = 70, lamDen = 100)))
 
+  /** Embedding-quality report ([[graft.operators.Similarity
+    * .embeddingQualityReport]]): Wang–Isola alignment + uniformity
+    * from deterministically sampled pairs — quantized distances,
+    * per-pair 1e9-quantized exp, fixed-shape final doubles. */
+  val s21_embed_quality = QueryDef(
+    "s21_embed_quality",
+    (s, dir) =>
+      Similarity.embeddingQualityReport(
+        Tables(s, dir).embeddings, "vec_id", "embedding", "label"),
+    Some("""
+      WITH s21_s AS MATERIALIZED (
+        SELECT vec_id AS id, label::BIGINT AS l,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+        FROM embeddings
+        WHERE (vec_id * 1103515245 + 12345) % 1000 < 400),
+      s21_u AS (
+        SELECT CAST(round(exp(-2.0 * (d::DOUBLE / (1000000.0 * 1000000.0)))
+                 * 1000000000.0) AS BIGINT) AS e
+        FROM (
+          SELECT list_reduce(list_transform(range(len(a.q)),
+                   i -> (a.q[i+1] - b.q[i+1]) * (a.q[i+1] - b.q[i+1])),
+                 (x, y) -> x + y) AS d
+          FROM s21_s a JOIN s21_s b
+            ON a.id < b.id AND (a.id * 31 + b.id) % 10 = 0)),
+      s21_un AS (
+        SELECT cast(count(*) AS BIGINT) AS np,
+               cast(coalesce(sum(e), 0) AS BIGINT) AS se FROM s21_u),
+      s21_a AS (
+        SELECT list_reduce(list_transform(range(len(a.q)),
+                 i -> (a.q[i+1] - b.q[i+1]) * (a.q[i+1] - b.q[i+1])),
+               (x, y) -> x + y) AS d
+        FROM s21_s a JOIN s21_s b ON a.l = b.l AND a.id < b.id),
+      s21_an AS (
+        SELECT cast(count(*) AS BIGINT) AS na,
+               cast(coalesce(sum(d), 0) AS BIGINT) AS sd FROM s21_a),
+      s21_n AS (SELECT cast(count(*) AS BIGINT) AS n FROM s21_s)
+      SELECT n AS sampled_vectors, na AS align_pairs, np AS uniform_pairs,
+             round(sd::DOUBLE / nullif(na::DOUBLE, 0.0)
+               / (1000000.0 * 1000000.0), 6) AS alignment,
+             round(ln(se::DOUBLE / nullif(np::DOUBLE, 0.0)
+               / 1000000000.0), 6) AS uniformity
+      FROM s21_n CROSS JOIN s21_an CROSS JOIN s21_un"""))
+
   /** HARD-NEGATIVE mining for contrastive/embedding training — the
     * data-prep face of retrieval: for each query, the highest-cosine
     * neighbors whose label DISAGREES with the query's (the "hard"
@@ -7341,7 +7385,7 @@ $langScoreCols
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,
     s13_knn_ivf_filtered, s14_knn_classify, s15_hard_negatives,
     s16_knn_truncated, s17_kcenter_coreset, s18_bitext_margin,
-    s19_knn_mips, s20_mmr_rerank,
+    s19_knn_mips, s20_mmr_rerank, s21_embed_quality,
     p01_corpus_pipeline, p02_token_budget, p03_split, p04_mixture,
     p05_weighted_sample, p06_sequence_pack, p07_consistent_sample,
     p08_kl_drift, p09_incremental_dedup, p10_incremental_dedup_indexed,

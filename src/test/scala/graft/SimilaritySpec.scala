@@ -359,6 +359,38 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_cls_spec")
   }
 
+  test("embeddingQualityReport: collapsed cloud scores (0, 0); orthogonal clusters hand values; deterministic sample") {
+    import spark.implicits._
+    // ids surviving the 400/1000 arithmetic-hash sample: 0,3,4,7,8;
+    // the pair thinning keeps exactly (3,7) for uniformity
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+    def run(vec: Long => Seq[Double], label: Long => Int) =
+      Similarity.embeddingQualityReport(
+        ids.map(i => (i, vec(i), label(i))).toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label")
+        .collect()(0)
+    // collapsed embeddings: alignment 0, uniformity ln(exp(0)) = 0 —
+    // the degenerate cloud the metric exists to expose
+    val collapsed = run(_ => Seq(1.0, 0.0), _ => 0)
+    assert(collapsed.getLong(0) == 5L && collapsed.getLong(1) == 10L &&
+      collapsed.getLong(2) == 1L &&
+      collapsed.getDouble(3) == 0.0 && collapsed.getDouble(4) == 0.0)
+    // two orthogonal clusters: within-label distances 0 -> alignment 0;
+    // the one sampled uniformity pair (3,7) crosses them: ln(exp(-4))
+    val split = run(
+      i => if (i <= 4) Seq(1.0, 0.0) else Seq(0.0, 1.0),
+      i => if (i <= 4) 0 else 1)
+    assert(split.getDouble(3) == 0.0 && split.getDouble(4) == -4.0)
+    val again = run(
+      i => if (i <= 4) Seq(1.0, 0.0) else Seq(0.0, 1.0),
+      i => if (i <= 4) 0 else 1)
+    assert(again.toSeq == split.toSeq)
+    intercept[IllegalArgumentException](
+      Similarity.embeddingQualityReport(
+        ids.map(i => (i, Seq(1.0), 0)).toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", vecKeep = 0L))
+  }
+
   test("mmrRerank: exact vs driver replica; near-duplicate demoted; lambda=1 is pure knn; pool injection; guards") {
     import spark.implicits._
     // query 100 along x; a/b near-duplicates of each other, c diverse
