@@ -31,7 +31,10 @@ object Funnel {
     * funnel step, zero-reach steps kept. Timestamps compare at
     * microsecond precision; `conv_prev` is NULL for step 1 and for
     * steps whose predecessor had zero users. */
-  def funnel(
+  /** Per-user greedy chain times: one row per user with `__t0..__tn`
+    * match timestamps (micros; null from the first unreached step on).
+    * Shared by [[funnel]] and [[funnelLags]]. */
+  private def chainTimes(
       events: DataFrame,
       userCol: String,
       typeCol: String,
@@ -39,9 +42,6 @@ object Funnel {
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
-    val spark = events.sparkSession
-    import spark.implicits._
-
     val perStep = steps.zipWithIndex.map { case (st, i) =>
       sort_array(collect_list(
         when(col(typeCol) === st, unix_micros(col(tsCol))))).as(s"__a$i")
@@ -52,12 +52,23 @@ object Funnel {
     // greedy chain: __t0 = first step-0 event; __tk = min step-k event
     // strictly after __t(k-1) (null propagates: an unreached step keeps
     // every later step null because x > NULL filters everything out)
-    val chained = steps.indices.foldLeft(perUser) { (df, i) =>
+    steps.indices.foldLeft(perUser) { (df, i) =>
       val t =
         if (i == 0) try_element_at(col("__a0"), lit(1))
         else array_min(filter(col(s"__a$i"), x => x > col(s"__t${i - 1}")))
       df.withColumn(s"__t$i", t)
     }
+  }
+
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val chained = chainTimes(events, userCol, typeCol, tsCol, steps)
     // reach is monotone (__tk nonnull implies __t(k-1) nonnull), so the
     // DEEPEST check must sit outermost: fold ascending, each step wrapping
     // the shallower cases
@@ -87,6 +98,45 @@ object Funnel {
         nullif(col("__p").cast("double"), lit(0.0)), 6).as("conv_prev"),
       round(col("users").cast("double") /
         nullif(col("__f").cast("double"), lit(0.0)), 6).as("conv_first"))
+  }
+
+  /** Time-to-convert per funnel transition: for each adjacent step
+    * pair, how long the users who made it took — count, mean, median
+    * and p90 lag in seconds (exact interpolated percentiles over the
+    * matched-time differences). Slow transitions localize WHERE a
+    * funnel leaks even when the q79 conversion counts look healthy.
+    *
+    * Same single user-keyed aggregation as [[funnel]] (the chain is
+    * shared); per-user lags explode scan-locally into ≤|steps|−1 rows
+    * and the quantiles aggregate per TRANSITION — |steps|-bounded
+    * groups, never a global sort. Transitions nobody completed are
+    * absent (there is no lag distribution to describe). */
+  def funnelLags(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "funnelLags needs at least two steps")
+    val chained = chainTimes(events, userCol, typeCol, tsCol, steps)
+    val lagStructs = (1 until steps.size).map { i =>
+      struct(
+        lit(i + 1).as("step"),
+        lit(s"${steps(i - 1)}->${steps(i)}").as("transition"),
+        (col(s"__t$i") - col(s"__t${i - 1}")).as("lag"))
+    }
+    chained
+      .select(explode(array(lagStructs: _*)).as("__l"))
+      .select(col("__l.step").as("step"),
+        col("__l.transition").as("transition"),
+        col("__l.lag").as("__lag"))
+      .filter(col("__lag").isNotNull)
+      .groupBy(col("step"), col("transition"))
+      .agg(
+        count(lit(1)).as("users"),
+        round(avg(col("__lag")) / 1000000.0, 6).as("avg_lag_s"),
+        round(expr("percentile(__lag, 0.5)") / 1000000.0, 6).as("p50_lag_s"),
+        round(expr("percentile(__lag, 0.9)") / 1000000.0, 6).as("p90_lag_s"))
   }
 
   /** Linear multi-touch attribution: each conversion's value splits

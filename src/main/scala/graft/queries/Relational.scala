@@ -2213,6 +2213,51 @@ object Relational {
       FROM q83_m m JOIN q83_at a ON m.g = a.g
       ORDER BY event_type"""))
 
+  /** Funnel time-to-convert ([[graft.operators.Funnel.funnelLags]]):
+    * mean/median/p90 lag per adjacent step transition over the same
+    * greedy chain as q79 — WHERE the funnel is slow, not just where it
+    * leaks. The oracle replays the chain as the q79 join cascade and
+    * the quantiles as quantile_cont (≡ Spark's exact percentile). */
+  val q84_funnel_lags = QueryDef(
+    "q84_funnel_lags",
+    (s, dir) =>
+      graft.operators.Funnel
+        .funnelLags(
+          Tables(s, dir).events.filter(col("user_id").isNotNull),
+          "user_id", "event_type", "ts",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("step")),
+    Some("""
+      WITH q84_e AS (
+        SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+        FROM events WHERE user_id IS NOT NULL),
+      q84_s1 AS (
+        SELECT u, min(t) AS t1 FROM q84_e WHERE et = 'signup' GROUP BY 1),
+      q84_s2 AS (
+        SELECT e.u, min(t) AS t2 FROM q84_e e JOIN q84_s1 s ON e.u = s.u
+        WHERE et = 'view' AND t > s.t1 GROUP BY 1),
+      q84_s3 AS (
+        SELECT e.u, min(t) AS t3 FROM q84_e e JOIN q84_s2 s ON e.u = s.u
+        WHERE et = 'click' AND t > s.t2 GROUP BY 1),
+      q84_s4 AS (
+        SELECT e.u, min(t) AS t4 FROM q84_e e JOIN q84_s3 s ON e.u = s.u
+        WHERE et = 'purchase' AND t > s.t3 GROUP BY 1),
+      q84_l AS (
+        SELECT 2 AS step, 'signup->view' AS transition, (t2 - t1) AS lag
+        FROM q84_s2 JOIN q84_s1 USING (u)
+        UNION ALL
+        SELECT 3, 'view->click', (t3 - t2)
+        FROM q84_s3 JOIN q84_s2 USING (u)
+        UNION ALL
+        SELECT 4, 'click->purchase', (t4 - t3)
+        FROM q84_s4 JOIN q84_s3 USING (u))
+      SELECT step, transition,
+             cast(count(*) AS BIGINT) AS users,
+             round(avg(lag) / 1000000.0, 6) AS avg_lag_s,
+             round(quantile_cont(lag, 0.5) / 1000000.0, 6) AS p50_lag_s,
+             round(quantile_cont(lag, 0.9) / 1000000.0, 6) AS p90_lag_s
+      FROM q84_l GROUP BY 1, 2 ORDER BY step"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -2231,5 +2276,6 @@ object Relational {
     q67_range_window, q68_union_evolved, q69_asof_tolerance,
     q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly,
     q76_heavy_hitters, q77_ab_welch, q78_cuped, q79_funnel_steps,
-    q80_pareto, q81_ewma_spikes, q82_attribution, q83_ks_test)
+    q80_pareto, q81_ewma_spikes, q82_attribution, q83_ks_test,
+    q84_funnel_lags)
 }

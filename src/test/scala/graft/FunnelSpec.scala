@@ -88,6 +88,34 @@ class FunnelSpec extends SparkSpec {
     assert(run(df.repartition(7)) == run(df))
   }
 
+  test("funnelLags: exact transition lags, percentiles, unreached transitions absent") {
+    val df = ev(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 00:00:10"),
+      (1L, "click", "2024-01-01 00:01:10"),
+      (2L, "signup", "2024-01-01 00:00:00"),
+      (2L, "view", "2024-01-01 00:00:30"))
+    val got = Funnel
+      .funnelLags(df, "user_id", "event_type", "ts", steps)
+      .orderBy(col("step"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toSeq
+    // signup->view lags {10s, 30s}: mean 20, p50 interpolated 20, p90 28;
+    // view->click only user 1 (60s); click->purchase reached by nobody
+    assert(got == Seq(
+      (2, "signup->view", 2L, 20.0, 20.0, 28.0),
+      (3, "view->click", 1L, 60.0, 60.0, 60.0)))
+    val again = Funnel
+      .funnelLags(df.repartition(5), "user_id", "event_type", "ts", steps)
+      .orderBy(col("step")).collect().map(_.toSeq).toSeq
+    assert(again == Funnel.funnelLags(df, "user_id", "event_type", "ts", steps)
+      .orderBy(col("step")).collect().map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException](
+      Funnel.funnelLags(df, "user_id", "event_type", "ts", Seq("signup")))
+  }
+
   test("linearAttribution: equal split, direct fallback, lookback + strict-order cutoffs, truncation exact") {
     val df = Seq(
       // user 1: 2 touches inside the window, purchase 10.01 -> each
