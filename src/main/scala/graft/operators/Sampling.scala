@@ -231,6 +231,44 @@ object Sampling {
             .orderBy(h.asc, col(idCol).asc)).cast("long"))
   }
 
+  /** Epoch-recipe executor — the "data recipe" step of a pretraining
+    * run: each group g is assigned a (possibly fractional) epoch count
+    * e_g, and every document materializes ⌊e_g⌋ copies plus one more
+    * with probability frac(e_g), decided by [[weightedKeep]]'s pure
+    * hash — so "Wikipedia ×2.3, CommonCrawl ×0.8" executes
+    * deterministically: reproducible across reruns and partitionings,
+    * stable under corpus growth (a new doc never flips an old doc's
+    * fate). Groups absent from the recipe get ZERO copies (the
+    * blocklist face for free).
+    *
+    * Flag-don't-materialize: emits (id, group, epochs, copies); the
+    * trainer explodes `sequence(1, copies)` at shard-write time (and
+    * varies the shuffle seed per copy). One broadcast recipe join, one
+    * scan-fused hash — corpus rows never shuffle. */
+  def epochRecipe(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      groupCol: String,
+      epochs: Seq[(String, Double)],
+      buckets: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    require(epochs.nonEmpty, "epoch recipe must be non-empty")
+    require(epochs.forall(_._2 >= 0.0), s"negative epochs in $epochs")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tg = epochs.toDF(groupCol, "__e")
+    df.join(broadcast(tg), Seq(groupCol), "left")
+      .select(col(idCol), col(groupCol),
+        round(coalesce(col("__e"), lit(0.0)), 6).as("epochs"),
+        (floor(coalesce(col("__e"), lit(0.0))).cast("long") +
+          when(
+            weightedKeep(col(idCol),
+              coalesce(col("__e"), lit(0.0)) -
+                floor(coalesce(col("__e"), lit(0.0))).cast("double"),
+              buckets),
+            1L).otherwise(0L)).as("copies"))
+  }
+
   /** Downsample to a TARGET MIXTURE — the "rebalance the corpus to the
     * planned source/language proportions" pass a pretraining run does
     * after curation: every group g gets the deterministic accept

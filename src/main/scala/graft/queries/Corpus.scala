@@ -1031,6 +1031,35 @@ $langScoreCols
                (count(*) * max(n_tokens))::DOUBLE, 6) AS efficiency
       FROM p33_i GROUP BY 1 ORDER BY batch_id"""))
 
+  /** Epoch-recipe executor ([[graft.operators.Sampling.epochRecipe]]):
+    * fractional per-group epoch counts decided per document by the
+    * pure keep hash — "de ×2.5, fr ×0.25, zh unlisted ⇒ 0" runs
+    * deterministically; the oracle replays floor + the xxhash64
+    * fractional draw bit-for-bit. */
+  val p35_epoch_recipe = QueryDef(
+    "p35_epoch_recipe",
+    (s, dir) =>
+      graft.operators.Sampling
+        .epochRecipe(
+          Tables(s, dir).documents, "doc_id", "lang",
+          epochs = Seq("de" -> 2.5, "en" -> 1.0, "es" -> 0.25,
+            "fr" -> 3.0))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH p35_tg AS (
+        SELECT * FROM (VALUES ('de', 2.5), ('en', 1.0), ('es', 0.25),
+                              ('fr', 3.0)) AS t(lang, e))
+      SELECT d.doc_id, d.lang,
+             round(coalesce(e, 0.0), 6) AS epochs,
+             CAST(CAST(floor(coalesce(e, 0.0)) AS BIGINT) +
+               CASE WHEN
+                 CAST(((${OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("doc_id")))} % 1000000)
+                       + 1000000) % 1000000 AS DOUBLE)
+                   < (coalesce(e, 0.0) - floor(coalesce(e, 0.0))) * 1000000.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS copies
+      FROM documents d LEFT JOIN p35_tg g ON d.lang = g.lang
+      ORDER BY d.doc_id"""))
+
   val p28_mixture_resample = QueryDef(
     "p28_mixture_resample",
     (s, dir) =>
@@ -7396,7 +7425,7 @@ $langScoreCols
     p23_incremental_lm, p24_snapshot_diff, p25_interleave_schedule,
     p26_pipeline_demo, p27_sft_turns, p28_mixture_resample,
     p29_preference_pairs, p30_temperature_resample, p31_balanced_shards,
-    p32_water_fill, p33_length_batches, p34_curriculum,
+    p32_water_fill, p33_length_batches, p34_curriculum, p35_epoch_recipe,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf,

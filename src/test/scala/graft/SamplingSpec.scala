@@ -477,4 +477,35 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getInt(2)).toSet
     assert(one == Set(0))
   }
+
+  test("epochRecipe: integer epochs exact, fractional rate converges, absent group zero, growth-stable") {
+    import spark.implicits._
+    val rows = (0L until 2000L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "grp")
+    val got = Sampling
+      .epochRecipe(rows, "id", "grp", Seq("a" -> 2.0, "b" -> 1.5))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val byG = got.groupBy(_._2)
+    // integer epochs: every 'a' doc gets exactly 2 copies
+    assert(byG("a").forall(_._4 == 2L))
+    // absent group: zero copies, epochs 0.0
+    assert(byG("c").forall(t => t._4 == 0L && t._3 == 0.0))
+    // fractional: 'b' docs get 1 or 2, and the 2-rate tracks 0.5
+    val b = byG("b").map(_._4)
+    assert(b.forall(c => c == 1L || c == 2L))
+    val rate = b.count(_ == 2L).toDouble / b.size
+    assert(rate > 0.4 && rate < 0.6, s"fractional rate off: $rate")
+    // growth-stable: adding docs never flips an existing doc's fate
+    val grown = Sampling
+      .epochRecipe(rows.union(Seq((9999L, "b")).toDF("id", "grp")),
+        "id", "grp", Seq("a" -> 2.0, "b" -> 1.5))
+      .filter(col("id") < 2000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(grown.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException](
+      Sampling.epochRecipe(rows, "id", "grp", Seq("a" -> -0.1)))
+  }
 }
