@@ -144,6 +144,68 @@ object TimeSeries {
       .drop("__qv", "med2", "__dev2", "mad2")
   }
 
+  /** Per-key daily trend: ordinary-least-squares slope / intercept /
+    * r² of the quantized daily total against the day index, over the
+    * DENSE day grid (a day with no events is a zero — a decaying
+    * source shows decay, not a shorter series). The trend readout
+    * that turns q75/q81's point anomalies into a direction.
+    *
+    * Exact integer moments (Σd, Σy, Σd², Σdy, Σy² — day indexes and
+    * quantized totals are longs), one fixed-shape double evaluation
+    * per key at the end (round 6); slope/intercept/r² are NULL on a
+    * single-day range (zero variance in d). Scale shape: one
+    * (key, day) tally, a literal-bounds grid fill, one key-keyed
+    * moment aggregation — grid rows, never raw events, after the
+    * first tally. */
+  def dailyTrend(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dc = events.select(
+      col(keyCol).as("__k"),
+      expr(s"unix_micros($tsCol) div 86400000000").as("__d"),
+      col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__k"), col("__d")).agg(sum(col("__v")).as("__y"))
+    val bounds = dc.agg(min(col("__d")).as("lo"), max(col("__d")).as("hi"))
+      .collect()(0)
+    if (bounds.isNullAt(0))
+      return Seq.empty[(String, Long, Option[Double], Option[Double], Option[Double])]
+        .toDF(keyCol, "n_days", "slope", "intercept", "r2")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val grid = dc.select(col("__k")).distinct()
+      .select(col("__k"), explode(sequence(lit(0L), lit(hi - lo))).as("__i"))
+      .join(dc.select(col("__k"), (col("__d") - lo).as("__i"), col("__y")),
+        Seq("__k", "__i"), "left")
+      .select(col("__k"), col("__i"), coalesce(col("__y"), lit(0L)).as("__y"))
+    val m = grid.groupBy(col("__k")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__i")).as("__sx"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__i") * col("__i")).as("__sxx"),
+      sum(col("__i") * col("__y")).as("__sxy"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val den = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val deny = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    val slope = num / den
+    m.select(
+      col("__k").as(keyCol),
+      col("__n").as("n_days"),
+      when(den > 0.0, round(slope, 6)).as("slope"),
+      when(den > 0.0,
+        round(col("__sy").cast("double") / col("__n").cast("double") -
+          slope * (col("__sx").cast("double") / col("__n").cast("double")),
+          6)).as("intercept"),
+      when(den > 0.0 && deny > 0.0,
+        round(num * num / (den * deny), 6)).as("r2"))
+  }
+
   /** Integer EWMA spike detection over the dense hourly grid: per key,
     * hourly event counts smoothed by the exponential moving average
     * s_t = ((α⁻¹−1)·s_{t−1} + c_t·scale) div α⁻¹ (α = 1/`alphaDen`,

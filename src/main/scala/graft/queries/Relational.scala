@@ -2258,6 +2258,58 @@ object Relational {
              round(quantile_cont(lag, 0.9) / 1000000.0, 6) AS p90_lag_s
       FROM q84_l GROUP BY 1, 2 ORDER BY step"""))
 
+  /** Daily revenue trend per event type ([[graft.operators.TimeSeries
+    * .dailyTrend]]): exact-moment OLS over the zero-filled day grid —
+    * slope (cents/day), intercept, r². */
+  val q85_daily_trend = QueryDef(
+    "q85_daily_trend",
+    (s, dir) =>
+      graft.operators.TimeSeries
+        .dailyTrend(
+          Tables(s, dir).events.select(
+            col("event_type"), col("ts"),
+            round(col("value") * 100.0, 0).cast("long").as("cents")),
+          "event_type", "ts", "cents")
+        .orderBy(col("event_type")),
+    Some("""
+      WITH q85_dc AS (
+        SELECT event_type AS k, epoch_us(ts) // 86400000000 AS d,
+               cast(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      q85_bd AS (SELECT min(d) AS lo, max(d) AS hi FROM q85_dc),
+      q85_g AS (
+        SELECT ks.k, ii.i, coalesce(dc.y, 0) AS y
+        FROM (SELECT DISTINCT k FROM q85_dc) ks
+        CROSS JOIN (SELECT unnest(generate_series(
+          0, (SELECT hi - lo FROM q85_bd))) AS i) ii
+        LEFT JOIN (SELECT k, d - (SELECT lo FROM q85_bd) AS i, y
+                   FROM q85_dc) dc
+          ON dc.k = ks.k AND dc.i = ii.i),
+      q85_m AS (
+        SELECT k, cast(count(*) AS BIGINT) AS n,
+               cast(sum(i) AS BIGINT) AS sx,
+               cast(sum(y) AS BIGINT) AS sy,
+               cast(sum(i * i) AS BIGINT) AS sxx,
+               cast(sum(i * y) AS BIGINT) AS sxy,
+               cast(sum(y * y) AS BIGINT) AS syy
+        FROM q85_g GROUP BY 1)
+      SELECT k AS event_type, n AS n_days,
+             CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0.0
+               THEN round((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE, 6) END AS slope,
+             CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0.0
+               THEN round(sy::DOUBLE / n::DOUBLE
+                 - ((n * sxy - sx * sy)::DOUBLE
+                    / (n * sxx - sx * sx)::DOUBLE)
+                   * (sx::DOUBLE / n::DOUBLE), 6) END AS intercept,
+             CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0.0
+                    AND (n * syy - sy * sy)::DOUBLE > 0.0
+               THEN round((n * sxy - sx * sy)::DOUBLE
+                 * (n * sxy - sx * sy)::DOUBLE
+                 / ((n * sxx - sx * sx)::DOUBLE
+                    * (n * syy - sy * sy)::DOUBLE), 6) END AS r2
+      FROM q85_m ORDER BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -2277,5 +2329,5 @@ object Relational {
     q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly,
     q76_heavy_hitters, q77_ab_welch, q78_cuped, q79_funnel_steps,
     q80_pareto, q81_ewma_spikes, q82_attribution, q83_ks_test,
-    q84_funnel_lags)
+    q84_funnel_lags, q85_daily_trend)
 }

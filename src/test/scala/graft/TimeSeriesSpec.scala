@@ -81,6 +81,39 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.madAnomalies(rows, "k", "v", scale = 0L))
   }
 
+  test("dailyTrend: exact line recovered, zero-filled gap days, single-day nulls") {
+    def at(d: Int) = s"2024-01-${"%02d".format(d)} 12:00:00"
+    // key a: y = 100 + 50d exactly over days 0..3 -> slope 50, r2 1;
+    // key b: days 0 and 2 observed, day 1 missing -> y = (70, 0, 10)
+    val rows = Seq(
+      ("a", at(1), 100L), ("a", at(2), 150L), ("a", at(3), 200L),
+      ("a", at(4), 250L),
+      ("b", at(1), 70L), ("b", at(3), 10L))
+      .toDF("k", "tss", "v")
+      .withColumn("ts", to_timestamp(col("tss")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.dailyTrend(df, "k", "ts", "v")
+        .orderBy(col("k"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .toSeq
+    val got = run(rows)
+    // the global grid spans days 0..3 for BOTH keys
+    assert(got.head == ("a", 4L, Some(50.0), Some(100.0), Some(1.0)))
+    // b: points (0,70),(1,0),(2,10),(3,0): sxy=20, so
+    // slope = (4*20-6*80)/(4*14-36) = -20; intercept = 20-(-20)*1.5 = 50
+    assert(got(1)._1 == "b" && got(1)._3 == Some(-20.0) &&
+      got(1)._4 == Some(50.0))
+    assert(run(rows.repartition(7)) == got)
+    // a single-day range has no x-variance: null statistics
+    val oneDay = Seq(("a", at(1), 5L)).toDF("k", "tss", "v")
+      .withColumn("ts", to_timestamp(col("tss")))
+    assert(run(oneDay) == Seq(("a", 1L, None, None, None)))
+  }
+
   test("ewmaSpikes: hand-computed recurrence, zero-filled gap hours, per-key independence") {
     def at(h: Int) = s"2024-01-01 ${"%02d".format(h)}:30:00"
     // key a: 8 events in hour 0, NOTHING in hour 1 (a silent gap — the
