@@ -177,6 +177,68 @@ object Aggregates {
       .select(col("__k").as(keyCol), col("cnt"), col("rank"), col("certified"))
   }
 
+  /** Pairwise association rules (Agrawal & Srikant 1994, the level-2
+    * Apriori pass): for item pairs co-occurring in ≥ `minSupport`
+    * baskets — support, both directional confidences, and lift
+    * (lift > 1 = genuinely associated, not just popular). The
+    * market-basket readout raw co-occurrence counts (g09) stop short
+    * of: a pair can co-occur often purely because both items are
+    * everywhere; lift divides that away.
+    *
+    * Scale shape: baskets collapse to distinct (basket, item) rows;
+    * the per-basket pair fanout is capped at `maxPerBasket` lowest
+    * item ids (the g09 skew discipline — a mega-basket would
+    * otherwise explode quadratically); item supports join back onto
+    * the SURVIVING pairs only (AQE broadcasts the item side); the
+    * basket total is one literal from a bounded collect. Exact
+    * integer counts, fixed-shape ratio doubles, round(6). Heads by
+    * (lift desc, pair) plan as TakeOrderedAndProject. */
+  def associationRules(
+      baskets: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long,
+      maxPerBasket: Int,
+      topK: Int): DataFrame = {
+    require(minSupport >= 1 && maxPerBasket >= 2 && topK >= 1,
+      s"bad rule params: minSupport=$minSupport cap=$maxPerBasket topK=$topK")
+    val spark = baskets.sparkSession
+    val bi = baskets
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).cast("long").as("__i"))
+      .distinct()
+    val capped = bi
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("__i").asc)))
+      .filter(col("__rn") <= maxPerBasket)
+      .select(col("__b"), col("__i"))
+    val nBaskets = capped.select(col("__b")).distinct().count()
+    val items = capped.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val pairs = capped.select(col("__b"), col("__i").as("item_a"))
+      .join(capped.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_baskets"))
+      .filter(col("pair_baskets") >= minSupport)
+    pairs
+      .join(items.select(col("__i").as("item_a"), col("__n").as("__na")),
+        Seq("item_a"))
+      .join(items.select(col("__i").as("item_b"), col("__n").as("__nb")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("pair_baskets"),
+        round(col("pair_baskets").cast("double") / lit(nBaskets).cast("double"),
+          6).as("support"),
+        round(col("pair_baskets").cast("double") / col("__na").cast("double"),
+          6).as("conf_a_to_b"),
+        round(col("pair_baskets").cast("double") / col("__nb").cast("double"),
+          6).as("conf_b_to_a"),
+        round(col("pair_baskets").cast("double") * lit(nBaskets).cast("double")
+          / (col("__na").cast("double") * col("__nb").cast("double")),
+          6).as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
   /** Pareto concentration readout (the 80/20 diagnostic): keys ranked
     * by descending total weight, cut into `buckets` equal-population
     * tiers, each tier reporting its key count, weight mass, and the

@@ -2310,6 +2310,46 @@ object Relational {
                     * (n * syy - sy * sy)::DOUBLE), 6) END AS r2
       FROM q85_m ORDER BY event_type"""))
 
+  /** Market-basket rules ([[graft.operators.Aggregates
+    * .associationRules]]): part pairs within orders scored by
+    * support/confidence/lift — top 40 by lift with a support-5 floor. */
+  val q86_basket_rules = QueryDef(
+    "q86_basket_rules",
+    (s, dir) =>
+      graft.operators.Aggregates
+        .associationRules(
+          Tables(s, dir).lineitem.select(
+            col("l_orderkey"), (col("l_partkey") % 500).as("part_bucket")),
+          "l_orderkey", "part_bucket",
+          minSupport = 5L, maxPerBasket = 16, topK = 40),
+    Some("""
+      WITH q86_bi AS (
+        SELECT DISTINCT l_orderkey AS b, (l_partkey % 500) AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      q86_c AS (
+        SELECT b, i FROM (
+          SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS rn
+          FROM q86_bi) WHERE rn <= 16),
+      q86_n AS (SELECT cast(count(DISTINCT b) AS BIGINT) AS nb FROM q86_c),
+      q86_it AS (SELECT i, cast(count(*) AS BIGINT) AS n FROM q86_c GROUP BY 1),
+      q86_p AS (
+        SELECT a.i AS item_a, b.i AS item_b,
+               cast(count(*) AS BIGINT) AS pair_baskets
+        FROM q86_c a JOIN q86_c b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT item_a, item_b, pair_baskets,
+             round(pair_baskets::DOUBLE / nb::DOUBLE, 6) AS support,
+             round(pair_baskets::DOUBLE / na.n::DOUBLE, 6) AS conf_a_to_b,
+             round(pair_baskets::DOUBLE / nbi.n::DOUBLE, 6) AS conf_b_to_a,
+             round(pair_baskets::DOUBLE * nb::DOUBLE
+               / (na.n::DOUBLE * nbi.n::DOUBLE), 6) AS lift
+      FROM q86_p
+      JOIN q86_it na ON na.i = item_a
+      JOIN q86_it nbi ON nbi.i = item_b
+      CROSS JOIN q86_n
+      ORDER BY lift DESC, item_a, item_b LIMIT 40"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -2329,5 +2369,5 @@ object Relational {
     q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly,
     q76_heavy_hitters, q77_ab_welch, q78_cuped, q79_funnel_steps,
     q80_pareto, q81_ewma_spikes, q82_attribution, q83_ks_test,
-    q84_funnel_lags, q85_daily_trend)
+    q84_funnel_lags, q85_daily_trend, q86_basket_rules)
 }

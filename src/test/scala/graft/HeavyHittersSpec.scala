@@ -57,6 +57,38 @@ class HeavyHittersSpec extends SparkSpec {
       Aggregates.exactHeavyHitters(skewed, "key", 5, 5))
   }
 
+  test("associationRules: hand-computed support/confidence/lift, cap and floor, repartition-stable") {
+    // baskets: {1,2} x3, {1,3} x1, {2,3} x1, {9} x1  (6 baskets)
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 3L), (14L, 2L), (14L, 3L), (15L, 9L),
+      (10L, 1L)) // duplicate item in a basket collapses
+      .toDF("b", "i")
+    def run(minSup: Long) =
+      Aggregates.associationRules(rows, "b", "i", minSup, 16, 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+        .toSeq
+    // pair (1,2): 3 baskets; n1=4, n2=4, N=6: support .5,
+    // conf .75 both ways, lift 3*6/16 = 1.125
+    val got = run(2L)
+    assert(got == Seq((1L, 2L, 3L, 0.5, 0.75, 0.75, 1.125)))
+    // floor 1 admits the singletons' pairs too, lift ordering holds
+    val all = run(1L)
+    assert(all.size == 3 && all.head == ((1L, 2L, 3L, 0.5, 0.75, 0.75, 1.125)))
+    assert(all.map(_._7) == all.map(_._7).sorted.reverse)
+    val again = Aggregates
+      .associationRules(rows.repartition(7), "b", "i", 2L, 16, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toSeq
+    assert(again == got)
+    intercept[IllegalArgumentException](
+      Aggregates.associationRules(rows, "b", "i", 0L, 16, 10))
+  }
+
   test("paretoConcentration: hand-computed tiers, tie order, repartition-stable, empty input") {
     // weights desc: k3=60, k1=30, k2=8, k4=2 (total 100); 2 buckets ->
     // tier 1 = {k3,k1} carrying 90%, tier 2 = {k2,k4} closing at 100%
