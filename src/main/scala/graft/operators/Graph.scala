@@ -894,6 +894,55 @@ object Graph {
       col(s"__a$radius").as("reach"), hc.as("hc"))
   }
 
+  /** Effective diameter via HyperBall (Boldi & Vigna 2011's headline
+    * readout over [[anfProfile]]'s sketches): the smallest radius
+    * whose total estimated ball mass reaches `qNum`/`qDen` (default
+    * 90%) of the radius-`radius` mass — "most pairs connect within
+    * THIS many hops", the one-number connectivity summary.
+    *
+    * Per-node estimates are already on the 1e-6 grid (the g12
+    * contract), so they re-quantize to longs before summation — long
+    * sums are associative; double sums are not — and the comparison
+    * qDen·S_r ≥ qNum·S_R is pure integer. The per-radius totals are a
+    * ≤radius-row relation (bounded collect); output one row:
+    * (eff_radius, reach_fraction, avg_ball). NULL radius when the
+    * graph is empty. */
+  def effectiveDiameter(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      radius: Int,
+      qNum: Long = 90,
+      qDen: Long = 100,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
+    require(qNum >= 1 && qNum <= qDen,
+      s"quantile must be a rational in (0,1]: $qNum/$qDen")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sums = anfProfile(edges, srcCol, dstCol, radius, checkpointer)
+      .groupBy(col("r"))
+      .agg(sum(round(col("anf") * 1000000.0, 0).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .collect() // <= radius rows
+      .map(row => (row.getInt(0), row.getLong(1), row.getLong(2)))
+      .sortBy(_._1)
+    if (sums.isEmpty)
+      return Seq((None: Option[Int], None: Option[Double], None: Option[Double]))
+        .toDF("eff_radius", "reach_fraction", "avg_ball")
+    val (_, sR, nodes) = sums.last
+    val (effR, sEff, _) = sums
+      .find { case (_, s, _) => qDen * s >= qNum * sR }
+      .getOrElse(sums.last)
+    Seq((effR, sEff, sR, nodes))
+      .toDF("eff_radius", "__se", "__sr", "__n")
+      .select(col("eff_radius"),
+        round(col("__se").cast("double") /
+          nullif(col("__sr").cast("double"), lit(0.0)), 6)
+          .as("reach_fraction"),
+        round(col("__sr").cast("double") /
+          (col("__n").cast("double") * lit(1000000.0)), 6).as("avg_ball"))
+  }
+
   def triangleStats(
       edges: DataFrame,
       srcCol: String,

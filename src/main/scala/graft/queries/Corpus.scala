@@ -5946,6 +5946,50 @@ $langScoreCols
         .orderBy(col("node")),
     Some(g13Oracle(radius = 3)))
 
+  /** Exact oracle for g17: the g12 estimator per (node, r), quantized
+    * to longs BEFORE summation (grid values sum associatively), then
+    * the integer quantile rule over the ≤radius per-radius totals. */
+  private def g17Oracle(radius: Int, qNum: Long, qDen: Long): String = {
+    val M = graft.functions.expressions.HllDistinct.M
+    val est =
+      s"""round_even((CASE WHEN raw <= ${2.5 * M} AND zeros > 0
+               THEN $M * ln($M.0 / zeros) ELSE raw END) * 1000000.0, 0) / 1000000.0"""
+    anfOracle(radius, s"""
+      , g17_anf AS (
+        SELECT f.r, CAST(round(($est) * 1000000.0) AS BIGINT) AS aq
+        FROM g12_fin f),
+      g17_s AS (
+        SELECT r, cast(sum(aq) AS BIGINT) AS s,
+               cast(count(*) AS BIGINT) AS n
+        FROM g17_anf GROUP BY 1),
+      g17_f AS (SELECT s AS sr, n FROM g17_s WHERE r = $radius),
+      g17_e AS (
+        SELECT g17_s.r, g17_s.s FROM g17_s CROSS JOIN g17_f
+        WHERE $qDen * g17_s.s >= $qNum * sr
+        ORDER BY g17_s.r LIMIT 1)
+      SELECT CAST(e.r AS INT) AS eff_radius,
+             round(e.s::DOUBLE / nullif(f.sr::DOUBLE, 0.0), 6)
+               AS reach_fraction,
+             round(f.sr::DOUBLE / (f.n::DOUBLE * 1000000.0), 6) AS avg_ball
+      FROM g17_e e CROSS JOIN g17_f f""")
+  }
+
+  /** Effective diameter ([[graft.operators.Graph.effectiveDiameter]]):
+    * HyperBall's one-number connectivity summary over the same
+    * bipartite fixture as g12/g13 — the smallest radius covering 90%
+    * of the radius-3 ball mass. */
+  val g17_effective_diameter = QueryDef(
+    "g17_effective_diameter",
+    (s, dir) =>
+      graft.operators.Graph
+        .effectiveDiameter(
+          Tables(s, dir).events.select(
+            col("user_id").as("src"),
+            (get_json_object(col("props"), "$.k").cast("long") % 50 + 1000L)
+              .as("dst")),
+          "src", "dst", radius = 3),
+    Some(g17Oracle(radius = 3, qNum = 90, qDen = 100)))
+
   /** Degree assortativity ([[graft.operators.Graph
     * .degreeAssortativity]]) of the g09 co-engagement item graph: the
     * one-row hubs-link-to-hubs? readout (Newman 2002 r) that separates
@@ -7430,5 +7474,5 @@ $langScoreCols
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf,
     g13_harmonic, g14_assortativity, g15_session_coocc,
-    g16_pagerank_weighted)
+    g16_pagerank_weighted, g17_effective_diameter)
 }

@@ -595,6 +595,26 @@ class GraphSpec extends SparkSpec {
       Graph.cooccurrenceEdges(log, "user", "item", minSupport = 0L))
   }
 
+  test("effectiveDiameter: path graph covers at the expected hop count; clique at 1; empty graph nulls") {
+    def run(es: Seq[(Long, Long)], radius: Int) = {
+      val r = Graph.effectiveDiameter(
+        es.toDF("src", "dst"), "src", "dst", radius).collect()(0)
+      (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
+    // clique K4: every ball is complete at radius 1 -> eff radius 1,
+    // fraction exactly 1 (identical sketch totals at every radius)
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val (cr, cf) = run(k4, 3)
+    assert(cr == Some(1) && cf == Some(1.0))
+    // path of 9 nodes: ball mass keeps growing through radius 4 —
+    // 90% of the radius-4 mass needs more than one hop
+    val path = (0L until 8L).map(i => (i, i + 1))
+    val (pr, pf) = run(path, 4)
+    assert(pr.exists(_ > 1) && pf.exists(f => f >= 0.9 && f <= 1.0))
+    assert(run(Seq.empty, 3) == ((None, None)))
+  }
+
   test("pagerankWeightedQuantized: w=1 equals the unweighted operator; parallel edges sum; weight proportionality") {
     // uniform weights on the g01 fixture (which includes a dangling
     // node) must reproduce the unweighted operator bit-for-bit
