@@ -209,15 +209,29 @@ object Experiments {
     *
     * Scale shape: one (group, value)-keyed tally with map-side
     * partials collapses the stream to the per-group value GRID; the
-    * running counts are windows PARTITIONED by group over grid rows
-    * (never raw events); arm sizes join back from a group-keyed
-    * aggregate of the same tally (broadcast under AQE). Output:
-    * (group, n0, n1, ks_d, ks_at) — NULL D when either arm is empty. */
+    * running counts then come from a TWO-LEVEL group-keyed prefix sum
+    * (the distributed-scan decomposition, same family as
+    * [[graft.plans.PrefixSumExec]]): values bucket into 2^`blockBits`
+    * -wide blocks, the within-block cumsum is a window PARTITIONED BY
+    * (group, block) — each task holds at most 2^blockBits grid rows —
+    * and the cross-block offsets come from a per-group window over the
+    * BLOCK relation (≤ range/2^blockBits rows per group, never the
+    * grid). No single task ever serializes a group's whole value grid,
+    * so a wide-range metric (microseconds, token counts) costs
+    * max(2^blockBits, range/2^blockBits) rows per task instead of
+    * `range`. Results are bit-identical to the one-window form — the
+    * decomposition is pure associativity of +. Arm sizes join back
+    * from a group-keyed aggregate of the same tally (broadcast under
+    * AQE). Output: (group, n0, n1, ks_d, ks_at) — NULL D when either
+    * arm is empty. */
   def ksTest(
       df: DataFrame,
       groupCol: String,
       armCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      blockBits: Int = 16): DataFrame = {
+    require(blockBits >= 1 && blockBits <= 40,
+      s"blockBits must be in [1, 40], got $blockBits")
     val base = df.select(col(groupCol).as("__g"),
       col(armCol).cast("int").as("__a"),
       col(valueCol).cast("long").as("__v"))
@@ -226,13 +240,31 @@ object Experiments {
       .agg(
         sum(when(col("__a") === 0, 1L).otherwise(0L)).as("__c0"),
         sum(when(col("__a") === 1, 1L).otherwise(0L)).as("__c1"))
-    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      // arithmetic shift floors toward -inf, so the block key is
+      // monotonic in __v for negative values too
+      .withColumn("__blk", shiftright(col("__v"), blockBits))
+    // level 1: within-block running counts — partitioned by (g, block),
+    // each task bounded by the block width, never the group's grid
+    val wIn = Window.partitionBy(col("__g"), col("__blk")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // level 2: exclusive prefix of block totals — per group over BLOCK
+    // rows (range >> blockBits of them), not grid rows
+    val wBlk = Window.partitionBy(col("__g")).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .groupBy(col("__g"), col("__blk"))
+      .agg(sum(col("__c0")).as("__b0"), sum(col("__c1")).as("__b1"))
+      .select(col("__g"), col("__blk"),
+        coalesce(sum(col("__b0")).over(wBlk), lit(0L)).as("__o0"),
+        coalesce(sum(col("__b1")).over(wBlk), lit(0L)).as("__o1"))
     val tot = counts.groupBy(col("__g"))
       .agg(sum(col("__c0")).as("__n0"), sum(col("__c1")).as("__n1"))
     counts
-      .withColumn("__cum0", sum(col("__c0")).over(w))
-      .withColumn("__cum1", sum(col("__c1")).over(w))
+      .withColumn("__i0", sum(col("__c0")).over(wIn))
+      .withColumn("__i1", sum(col("__c1")).over(wIn))
+      .join(offsets, Seq("__g", "__blk"))
+      .withColumn("__cum0", col("__i0") + col("__o0"))
+      .withColumn("__cum1", col("__i1") + col("__o1"))
       .join(tot, Seq("__g"))
       .select(col("__g"),
         col("__n0"), col("__n1"), col("__v"),
