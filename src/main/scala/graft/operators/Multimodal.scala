@@ -14,6 +14,18 @@ final case class DecodedBlob(
     channels: Int,
     byte_len: Long)
 
+/** Decoded-IMAGE record from the real codec path ([[Multimodal.decodeImages]]):
+  * pixel-level truth, not just header fields — `px_sum` is the exact
+  * integer sum of every sample in every band, so an oracle that knows
+  * the image contents can verify the decode bit-for-bit. */
+final case class DecodedImage(
+    id: Long,
+    format: String,
+    width: Int,
+    height: Int,
+    channels: Int,
+    px_sum: Long)
+
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
   * metadata (builder brief — beyond the reference's scope; acowley/Frames
   * has no binary cells).
@@ -249,6 +261,95 @@ object Multimodal {
         DecodedBlob(r.getLong(0), r.getString(1), w, h, c, blob.length.toLong)
       }
     }
+  }
+
+  /** REAL image codec (round 10 — replaces the stub as m04's decode):
+    * `javax.imageio` is JDK-built-in (public, zero new dependencies), so
+    * PNG/GIF/JPEG/BMP decode needs no native library even in this
+    * container. Returns (width, height, bands, exact integer sum of all
+    * raster samples); `None` when the bytes are not a decodable image —
+    * callers choose drop/fallback ([[stubCodec]] remains the
+    * format-agnostic fallback for blobs that are not images at all). */
+  def imageCodec(blob: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val w = img.getWidth
+        val h = img.getHeight
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, bands, s))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Batched REAL image decode through the same iterator-to-iterator
+    * `mapPartitions` slot as [[decodeBatch]] — per-partition init turns
+    * off ImageIO's disk cache (the decode must never touch local disk on
+    * an executor), then rows stream through the codec without
+    * materializing the partition. Undecodable / null blobs are dropped —
+    * the curation semantics: a corrupt image exits the pipeline here,
+    * with [[features]]'s stats pass the place to triage it. */
+  def decodeImages(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      codec: Array[Byte] => Option[(Int, Int, Int, Long)] = imageCodec)
+      : Dataset[DecodedImage] = {
+    implicit val enc: Encoder[DecodedImage] = Encoders.product[DecodedImage]
+    df.filter(col(blobCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("id"),
+        sniffFormat(col(blobCol)).as("format"),
+        col(blobCol).as("blob"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        rows.flatMap { r =>
+          codec(r.getAs[Array[Byte]]("blob")).map { case (w, h, c, s) =>
+            DecodedImage(r.getLong(0), r.getString(1), w, h, c, s)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic PNG — REAL image bytes for fixtures and the
+    * m04 oracle gate: a w×h truecolor gradient with w = 1 + (id mod 13),
+    * h = 1 + ((id div 13) mod 11) and gray level (id + 7x + 13y) mod 256
+    * at pixel (x, y), encoded by the JDK's PNG writer. Every field a
+    * decode recovers (dimensions, 3 bands, exact sample sum) is pure
+    * arithmetic in `id`, so DuckDB can verify a genuine ImageIO decode
+    * without being able to parse PNG itself. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    require(id >= 0, s"synthetic image id must be >= 0, got $id")
+    val w = (1L + id % 13).toInt
+    val h = (1L + (id / 13) % 11).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((id + 7L * x + 13L * y) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Deterministic stand-in codec: dimensions derived from blob length and

@@ -98,6 +98,40 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.sortBy(_.id).toSeq == rows2.sortBy(_.id).toSeq)
   }
 
+  test("imageCodec decodes genuine PNG bytes: dims, bands, exact pixel sum; garbage is dropped, not fabricated") {
+    // hand-built 3x2 truecolor PNG through the JDK writer, decoded back
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val px = Seq((0, 0, 5), (1, 0, 10), (2, 0, 15), (0, 1, 20), (1, 1, 25), (2, 1, 255))
+    px.foreach { case (x, y, g) => img.setRGB(x, y, (g << 16) | (g << 8) | g) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val decoded = Multimodal.imageCodec(bos.toByteArray)
+    assert(decoded.contains((3, 2, 3, 3L * px.map(_._3).sum)))
+    // not an image -> None (never stub-fabricated dims)
+    assert(Multimodal.imageCodec("not a png at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.imageCodec(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3)).isEmpty)
+  }
+
+  test("decodeImages runs the REAL ImageIO codec through mapPartitions: synthetic PNGs round-trip, corrupt rows drop") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 12L, 13L, 144L, 9999L)
+    val pngs = ids.map(id => (id, Multimodal.syntheticPng(id)))
+      .toDF("doc_id", "blob")
+    val junk = Seq((777L, "corrupt bytes".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    val got = Multimodal.decodeImages(pngs.union(junk), "doc_id", "blob")
+      .collect().sortBy(_.id)
+    assert(got.map(_.id).toSeq == ids.sorted)
+    got.foreach { d =>
+      val w = (1L + d.id % 13).toInt
+      val h = (1L + (d.id / 13) % 11).toInt
+      val expectSum = 3L * (for { y <- 0 until h; x <- 0 until w }
+        yield (d.id + 7L * x + 13L * y) % 256).sum
+      assert(d.format == "png" && d.width == w && d.height == h)
+      assert(d.channels == 3 && d.px_sum == expectSum)
+    }
+  }
+
   test("resizeStub scales decode dims, clamps at 1") {
     val d = docs.limit(5)
       .withColumn("decoded", Multimodal.decodeImageStub(col("blob")))
