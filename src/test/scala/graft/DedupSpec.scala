@@ -671,4 +671,27 @@ class DedupSpec extends SparkSpec {
       s"sub-width docs must not pair: $got")
     assert(got.contains((3L, 4L)), s"full-width containment intact: $got")
   }
+
+  test("connectedComponents per-iteration work is flat: persisted edges/labels, 1 driver action and bounded stages per round") {
+    import spark.implicits._
+    // the GraphSpec loop-hygiene pin (round 10, also covers
+    // mergeComponents, which delegates here): without the edge persist
+    // the distinct'd bidirectional edge build re-executes every HashMin
+    // round. A 40-node path can't converge inside 4 rounds, so maxIter
+    // is the round dial. AQE off for deterministic stage accounting.
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val path = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      def run(maxIter: Int) = countWork {
+        Dedup.connectedComponents(path, maxIter = maxIter).collect(); ()
+      }
+      run(1) // settle codegen/JIT
+      val (j1, s1) = run(1)
+      val (j4, s4) = run(4)
+      // per iteration: exactly the fused changed-count action
+      assert(j4 - j1 == 3, s"driver actions per round: j1=$j1 j4=$j4 (want 1/round)")
+      val perRound = (s4 - s1) / 3.0
+      assert(perRound <= 8.0,
+        s"stages per round: s1=$s1 s4=$s4 perRound=$perRound — loop inputs recomputed?")
+    }
+  }
 }

@@ -384,4 +384,29 @@ class ScoringSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Scoring.passAtK(samples, "task", "correct", Seq(2, 2)))
   }
+
+  test("bradleyTerry per-round work is flat: persisted pair tally, 1 driver action and bounded stages per round") {
+    import graft.operators.Scoring
+    // the GraphSpec loop-hygiene pin (round 10): a refactor that drops
+    // the pairs persist or the per-round checkpoint cut re-aggregates
+    // the raw match log every MM round — visible as extra completed
+    // stages per round. AQE off for deterministic stage accounting.
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val matches = (1L to 200L).map { i =>
+        (i % 13 + 1, (i * 7) % 17 + 14)
+      }.toDF("winner", "loser")
+      def run(iters: Int) = countWork {
+        Scoring.bradleyTerryQuantized(matches, "winner", "loser",
+          iters = iters).collect(); ()
+      }
+      run(1) // settle codegen/JIT
+      val (j1, s1) = run(1)
+      val (j4, s4) = run(4)
+      // per round: exactly the eager renormalized-ratings checkpoint cut
+      assert(j4 - j1 == 3, s"driver actions per round: j1=$j1 j4=$j4 (want 1/round)")
+      val perRound = (s4 - s1) / 3.0
+      assert(perRound <= 12.0,
+        s"stages per round: s1=$s1 s4=$s4 perRound=$perRound — pair tally recomputed?")
+    }
+  }
 }

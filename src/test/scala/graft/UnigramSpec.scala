@@ -140,4 +140,27 @@ class UnigramSpec extends SparkSpec {
       .tokenCounts(docs.repartition(13), "doc_id", "text", vocab)
       .orderBy("doc_id").collect().map(_.toSeq).toSeq)
   }
+
+  test("unigram EM per-round work is flat: cached pretoken relation, 1 usage aggregation per round") {
+    // the GraphSpec loop-hygiene pin (round 10): the structural claim in
+    // the scaladoc — emIters + 1 corpus-relation aggregations TOTAL —
+    // made listener-checkable. Without the pretoken persist each EM
+    // round re-tokenizes the corpus (extra scan stages per round). AQE
+    // off for deterministic stage accounting.
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      def run(iters: Int) = countWork {
+        Unigram.learnVocab(corpus, "doc_id", "text",
+          Params(maxPieceLen = 4, minCount = 2L, seedSize = 40,
+            emIters = iters, vocabSize = 48)); ()
+      }
+      run(1) // settle codegen/JIT
+      val (j1, s1) = run(1)
+      val (j4, s4) = run(4)
+      // per EM round: exactly the usage-aggregation collect
+      assert(j4 - j1 == 3, s"driver actions per round: j1=$j1 j4=$j4 (want 1/round)")
+      val perRound = (s4 - s1) / 3.0
+      assert(perRound <= 3.0,
+        s"stages per round: s1=$s1 s4=$s4 perRound=$perRound — corpus re-tokenized?")
+    }
+  }
 }
