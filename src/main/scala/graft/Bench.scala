@@ -22,13 +22,19 @@ object Bench {
         try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case _: Throwable => -1.0 }
     val loadStart = loadavg()
-    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "8.0").toDouble
-    val cooldownMax = sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_MAX", "240").toInt
+    // Round-10 tightening: round 9's record started at load 6.41 under a
+    // maxLoad of 8.0 — the gate never fired and the artifact self-reported
+    // 59% spread. A 1-minute loadavg decays with a ~1 min half-life, so
+    // even a full correctness sweep settles under 2.0 within ~4-5 min;
+    // budget 15 so the gate, not the timeout, is the common path.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "2.0").toDouble
+    val cooldownMax = sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_MAX", "900").toInt
     var cooldownSec = 0
     while (loadStart >= 0 && loadavg() > maxLoad && cooldownSec < cooldownMax) {
       Thread.sleep(5000); cooldownSec += 5
     }
     val loadBench = loadavg()
+    val cooldownTimedOut = loadBench > maxLoad && loadBench >= 0
     // Throwaway warehouse per run: the index-building queries (s05, p10)
     // create managed bucketed tables, and a shared ./spark-warehouse
     // accumulates state across rounds that can perturb timings and race
@@ -112,6 +118,21 @@ object Bench {
     def minOf(ts: Seq[Double]) = ts.min // any failed rep (-1) marks the query failed
     def medianOf(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
     val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
+    // If the load gate timed out, this run's timings are suspect: point
+    // the record at the last QUIET run's durable artifact so a valid
+    // number survives alongside the contaminated one.
+    val quietFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET", "bench_out_quiet.json"))
+    val quietRef: String =
+      if (!cooldownTimedOut) ""
+      else if (!java.nio.file.Files.exists(quietFile)) ""
+      else {
+        val prior = new String(
+          java.nio.file.Files.readAllBytes(quietFile), "UTF-8")
+        """"value":([0-9.]+)""".r.findFirstMatchIn(prior)
+          .map(m => s""","last_quiet_total":${m.group(1)},"last_quiet_file":"$quietFile"""")
+          .getOrElse("")
+      }
     val spreads = results
       .filter(r => minOf(r._2) > 0)
       .map(r => 100.0 * (r._2.max - minOf(r._2)) / minOf(r._2))
@@ -126,7 +147,7 @@ object Bench {
           val max = jmap(results.map(r => r._1 -> r._2.max), key)
           s""","median":$med,"max":$max"""
         }
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"spread_med_pct":${f3(spreadPct)},"load_start":${f3(loadStart)},"load_bench":${f3(loadBench)},"cooldown_sec":$cooldownSec,"queries":$qs,"cold":$cold$stats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"spread_med_pct":${f3(spreadPct)},"load_start":${f3(loadStart)},"load_bench":${f3(loadBench)},"cooldown_sec":$cooldownSec,"cooldown_timeout":$cooldownTimedOut$quietRef,"queries":$qs,"cold":$cold$stats,"sf":"$sfDir"}"""
     }
     // Full-name record (with per-query median/max spread) → bench_out
     // .json (the durable artifact). The line printed to stdout uses the
@@ -139,6 +160,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(outFile,
       (line(identity, full = true) + "\n").getBytes("UTF-8"))
+    // A clean full-set run becomes the durable "last quiet" artifact the
+    // next contaminated run can point at (full set only — a filtered
+    // `runMain graft.Bench q56` total would be misleading as a fallback).
+    if (!cooldownTimedOut && wanted.isEmpty)
+      java.nio.file.Files.copy(outFile, quietFile,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     spark.stop()
     val shorts = results.map(_._1.takeWhile(_ != '_'))
     val shortKey: String => String =

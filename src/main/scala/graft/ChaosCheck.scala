@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Executor-loss drill for [[graft.operators.Checkpoint.reliable]] — the
+  * end-to-end proof behind the 100 TB story: a multi-hour PageRank over a
+  * 1000-executor cluster WILL lose executors, and the durable checkpoint
+  * path must carry the iteration through that loss with bit-identical
+  * results, not just write files (GraphSpec pins the files; this pins the
+  * recovery).
+  *
+  * Runs as its OWN main (one SparkContext per JVM — the suites' shared
+  * local[*] session can't coexist with this one) on a real two-executor
+  * `local-cluster[2,1,1536]`: separate executor JVMs, real RPC, real
+  * block/shuffle loss when one dies.
+  *
+  * Protocol:
+  *   1. baseline ranks on the healthy cluster (default local checkpointer);
+  *   2. chaos run with `Checkpoint.reliable` wrapped to HALT one executor
+  *      JVM (`Runtime.halt` from inside a task — no shutdown hooks, the
+  *      closest local stand-in for a machine loss) right after round 2's
+  *      durable cut;
+  *   3. the remaining rounds must complete on the degraded-then-restored
+  *      cluster and the final ranks must equal the baseline exactly
+  *      (pagerankQuantized is exact integer arithmetic — any divergence
+  *      means recovery replayed state wrong).
+  *
+  * Prints ONE JSON line {"pass":…} and exits 0 (pass), 1 (mismatch), or
+  * 2 (cluster never came up — environment, not code). Driven by
+  * ExecutorLossSpec via a forked JVM.
+  */
+object ChaosCheck {
+  def main(args: Array[String]): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chaos-ckpt")
+    // executor JVMs need the same JDK17 module opens the driver gets from
+    // build.sbt; they inherit this JVM's classpath via the worker's
+    // command builder, but javaOptions do NOT propagate
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,1,1536]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .getOrCreate()
+    try {
+      val sc = spark.sparkContext
+      sc.setLogLevel("ERROR")
+      sc.setCheckpointDir(ckpt.toString)
+      // wait for both executors (driver also lists itself)
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (sc.statusTracker.getExecutorInfos.length < 3 &&
+          System.nanoTime() < deadline) Thread.sleep(500)
+      if (sc.statusTracker.getExecutorInfos.length < 3) {
+        println("""{"pass":false,"reason":"cluster never reached 2 executors"}""")
+        sys.exit(2)
+      }
+
+      // deterministic, fully recomputable edge list (no cached source to
+      // lose): 300 nodes, two arithmetic out-edges each + a hub
+      val edges = spark.range(0L, 300L).toDF("src")
+        .select(col("src"), explode(array(
+          (col("src") * 7 + 1) % 300,
+          (col("src") * 13 + 5) % 300,
+          lit(0L))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+
+      def collectRanks(ckp: graft.operators.Checkpoint) =
+        graft.operators.Graph
+          .pagerankQuantized(edges, "src", "dst", iters = 4, checkpointer = ckp)
+          .orderBy(col("node"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSeq
+
+      val base = collectRanks(graft.operators.Checkpoint.local)
+
+      // chaos checkpointer: durable cut every round; right after round
+      // 2's cut, halt whichever executor runs partition 0 (first attempt
+      // only — the retried task must not cascade)
+      var rounds = 0
+      var killed = false
+      val chaos = graft.operators.Checkpoint { (df, eager) =>
+        val cut = df.checkpoint(eager)
+        rounds += 1
+        if (rounds == 2 && !killed) {
+          killed = true
+          try sc.parallelize(0 until 2, 2).foreach { i =>
+            if (i == 0 && org.apache.spark.TaskContext.get().attemptNumber() == 0)
+              Runtime.getRuntime.halt(99)
+          } catch { case _: org.apache.spark.SparkException => () }
+        }
+        cut
+      }
+      val got = collectRanks(chaos)
+
+      val pass = got == base && killed && rounds == 4
+      println(s"""{"pass":$pass,"rounds":$rounds,"killed":$killed,"nodes":${base.size}}""")
+      if (!pass) sys.exit(1)
+    } finally {
+      spark.stop()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(ckpt.toFile)
+    }
+  }
+}

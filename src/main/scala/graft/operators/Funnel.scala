@@ -60,6 +60,31 @@ object Funnel {
     }
   }
 
+  /** reach is monotone (__tk nonnull implies __t(k-1) nonnull), so the
+    * DEEPEST check must sit outermost: fold ascending, each step wrapping
+    * the shallower cases */
+  private def depthExpr(steps: Seq[String]) =
+    steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"__t$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+
+  /** Per-user funnel reach: one row per user with the deepest step index
+    * (1-based; 0 = no step-1 event) under the same greedy strict-order
+    * chain as [[funnel]]. The composable face — [[funnel]] is this
+    * collapsed to step tallies, and a pipeline that needs to GATE on
+    * funnel progress (p36: attribution and experiment readout over
+    * users who reached "click") joins against this instead of
+    * re-deriving the chain. Same scale shape: one user-keyed
+    * aggregation, no window over raw events. */
+  def userDepth(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame =
+    chainTimes(events, userCol, typeCol, tsCol, steps)
+      .select(col("__u").as(userCol), depthExpr(steps).cast("int").as("depth"))
+
   def funnel(
       events: DataFrame,
       userCol: String,
@@ -69,12 +94,7 @@ object Funnel {
     val spark = events.sparkSession
     import spark.implicits._
     val chained = chainTimes(events, userCol, typeCol, tsCol, steps)
-    // reach is monotone (__tk nonnull implies __t(k-1) nonnull), so the
-    // DEEPEST check must sit outermost: fold ascending, each step wrapping
-    // the shallower cases
-    val depth = steps.indices.foldLeft(lit(0)) { (acc, i) =>
-      when(col(s"__t$i").isNotNull, lit(i + 1)).otherwise(acc)
-    }
+    val depth = depthExpr(steps)
     // the tally is <=|steps| rows — collect it (bounded by the step
     // list, never by the data) so the conversion arithmetic can't
     // re-trigger the stream aggregation once per derived column

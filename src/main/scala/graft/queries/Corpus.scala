@@ -1060,6 +1060,234 @@ $langScoreCols
       FROM documents d LEFT JOIN p35_tg g ON d.lang = g.lang
       ORDER BY d.doc_id"""))
 
+  /** END-TO-END ANALYTICS DEMO — the events-table counterpart of p26:
+    * sessionize → funnel-gate → attribution → experiment readout as ONE
+    * registered query, every stage an operator this library ships
+    * (q36's native session windows, q79's greedy strict-order funnel
+    * chain, q82's linear multi-touch attribution, q77's exact-moment
+    * Welch test).
+    *
+    *   gap-sessionize the event stream (6 h) → "engaged" users = anyone
+    *   with a multi-event session (drive-by single-event sessions carry
+    *   no journey signal) → funnel-qualify the engaged users who reached
+    *   "click" under the strict-order chain → linear-attribute THEIR
+    *   purchases over view/click touches in a 48 h lookback → Welch
+    *   readout across arms (user_id parity) on two session-derived
+    *   per-user metrics (session count, session revenue).
+    *
+    * Output: one long-format row per readout fact — four funnel steps,
+    * the attribution channels, two experiment rows — so the oracle hash
+    * pins the WHOLE composition (session merges, chain order, micro-cent
+    * shares, exact Welch moments) in one compare.
+    *
+    * Scale shape: every stage keeps its own contract — sessionization is
+    * one native session_window aggregation; the chain is one user-keyed
+    * aggregation (never a window over raw events); gating is two
+    * left-semi hash joins on user_id; attribution's touch count is a
+    * conversion-keyed window on the attribution pairs themselves; the
+    * Welch moments are two keyed partial aggregations. The funnel tally
+    * collects ≤4 step counts; nothing else touches the driver. */
+  val p36_analytics_demo = QueryDef(
+    "p36_analytics_demo",
+    (s, dir) => {
+      import graft.operators.{Experiments, Funnel}
+      val steps = Seq("signup", "view", "click", "purchase")
+      val ev = Tables(s, dir).events.filter(col("user_id").isNotNull)
+      // stage 1: sessionize (q36), session revenue in exact cents
+      val sessions = graft.streaming.EventStreams.sessionWindowAgg(
+        ev, gap = "6 hours",
+        totalValue = c => sum(round(c * 100.0, 0).cast("long")))
+      val engaged = sessions
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("n_events")).as("__mx"),
+          count(lit(1)).as("n_sessions"),
+          sum(col("total_value")).as("sess_cents"))
+        .filter(col("__mx") >= 2)
+        .select(col("user_id"), col("n_sessions"), col("sess_cents"))
+      val engEv = ev.join(engaged.select("user_id"), Seq("user_id"), "left_semi")
+      // stage 2: funnel readout + per-user qualification (q79's chain)
+      val funnelRows = Funnel
+        .funnel(engEv, "user_id", "event_type", "ts", steps)
+        .select(
+          lit("funnel").as("section"),
+          col("event_type").as("key"),
+          col("step").cast("long").as("n_a"),
+          col("users").as("n_b"),
+          col("conv_prev").as("v1"),
+          col("conv_first").as("v2"),
+          lit(null).cast("double").as("v3"),
+          lit(null).cast("double").as("v4"))
+      val qualified = Funnel
+        .userDepth(engEv, "user_id", "event_type", "ts", steps)
+        .filter(col("depth") >= 3)
+        .select("user_id")
+      val quEv = ev.join(qualified, Seq("user_id"), "left_semi")
+      // stage 3: attribution over qualified users' purchases (q82)
+      val attrRows = Funnel
+        .linearAttribution(quEv, "user_id", "event_type", "ts",
+          "event_id", "value",
+          touchTypes = Seq("view", "click"),
+          conversionType = "purchase",
+          lookbackHours = 48L)
+        .select(
+          lit("attribution").as("section"),
+          col("channel").as("key"),
+          col("conversions").as("n_a"),
+          col("attributed_microcents").as("n_b"),
+          col("touches").cast("double").as("v1"),
+          lit(null).cast("double").as("v2"),
+          lit(null).cast("double").as("v3"),
+          lit(null).cast("double").as("v4"))
+      // stage 4: Welch readout (q77) on session-derived per-user metrics
+      val units = engaged.join(qualified, Seq("user_id"))
+      def welchRows(metric: String, qCol: String, scale: Long) =
+        Experiments
+          .welchAbTest(
+            units.select(
+              lit(metric).as("metric"),
+              pmod(col("user_id"), lit(2L)).cast("int").as("arm"),
+              col("user_id"), col(qCol)),
+            "metric", "arm", "user_id", qCol, scale = scale)
+          .select(
+            lit("welch").as("section"),
+            col("metric").as("key"),
+            col("n_control").as("n_a"),
+            col("n_treat").as("n_b"),
+            col("mean_control").as("v1"),
+            col("mean_treat").as("v2"),
+            col("welch_t").as("v3"),
+            col("welch_df").as("v4"))
+      funnelRows
+        .unionByName(attrRows)
+        .unionByName(welchRows("revenue", "sess_cents", 100L))
+        .unionByName(welchRows("sessions", "n_sessions", 1L))
+        .orderBy(col("section"), col("n_a"), col("key"))
+    },
+    Some("""
+      WITH p36_ev AS (
+        SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t,
+               event_id AS eid, CAST(round(value * 100.0) AS BIGINT) AS cents
+        FROM events WHERE user_id IS NOT NULL),
+      p36_mk AS (
+        SELECT u, t, cents,
+               CASE WHEN lag(t) OVER w IS NULL
+                      OR t - lag(t) OVER w >= 21600000000 THEN 1 ELSE 0 END AS ns
+        FROM p36_ev
+        WINDOW w AS (PARTITION BY u ORDER BY t)),
+      p36_ss AS (
+        SELECT u, t, cents,
+               sum(ns) OVER (PARTITION BY u ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM p36_mk),
+      p36_sa AS (
+        SELECT u, sid, count(*) AS ne, cast(sum(cents) AS BIGINT) AS sc
+        FROM p36_ss GROUP BY 1, 2),
+      p36_eng AS (
+        SELECT u, cast(count(*) AS BIGINT) AS n_sessions,
+               cast(sum(sc) AS BIGINT) AS sess_cents
+        FROM p36_sa GROUP BY u HAVING max(ne) >= 2),
+      p36_ee AS (SELECT e.* FROM p36_ev e JOIN p36_eng g ON e.u = g.u),
+      p36_s1 AS (SELECT u, min(t) AS t1 FROM p36_ee WHERE et = 'signup' GROUP BY 1),
+      p36_s2 AS (SELECT e.u, min(t) AS t2 FROM p36_ee e JOIN p36_s1 s ON e.u = s.u
+                 WHERE et = 'view' AND t > s.t1 GROUP BY 1),
+      p36_s3 AS (SELECT e.u, min(t) AS t3 FROM p36_ee e JOIN p36_s2 s ON e.u = s.u
+                 WHERE et = 'click' AND t > s.t2 GROUP BY 1),
+      p36_s4 AS (SELECT e.u, min(t) AS t4 FROM p36_ee e JOIN p36_s3 s ON e.u = s.u
+                 WHERE et = 'purchase' AND t > s.t3 GROUP BY 1),
+      p36_n AS (
+        SELECT (SELECT cast(count(*) AS BIGINT) FROM p36_s1) AS n1,
+               (SELECT cast(count(*) AS BIGINT) FROM p36_s2) AS n2,
+               (SELECT cast(count(*) AS BIGINT) FROM p36_s3) AS n3,
+               (SELECT cast(count(*) AS BIGINT) FROM p36_s4) AS n4),
+      p36_q AS (SELECT u FROM p36_s3),
+      p36_qe AS (SELECT e.* FROM p36_ev e JOIN p36_q q ON e.u = q.u),
+      p36_c AS (SELECT u, eid AS pid, t AS pt, cents
+                FROM p36_qe WHERE et = 'purchase'),
+      p36_t AS (SELECT u, et AS ch, t AS tt
+                FROM p36_qe WHERE et IN ('view', 'click')),
+      p36_j AS (
+        SELECT c.pid, c.cents, t.ch
+        FROM p36_c c LEFT JOIN p36_t t
+          ON t.u = c.u AND t.tt < c.pt AND t.tt >= c.pt - 172800000000),
+      p36_w AS (
+        SELECT pid, cents, ch, count(ch) OVER (PARTITION BY pid) AS tc
+        FROM p36_j),
+      p36_at AS (
+        SELECT coalesce(ch, 'direct') AS channel,
+               cast(count(DISTINCT pid) AS BIGINT) AS conversions,
+               cast(sum(CASE WHEN ch IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS touches,
+               cast(sum(cents * 1000000 // greatest(tc, 1)) AS BIGINT) AS amc
+        FROM p36_w GROUP BY 1),
+      p36_u AS (
+        SELECT (g.u % 2)::INT AS arm, g.u, g.n_sessions, g.sess_cents
+        FROM p36_eng g JOIN p36_q q ON g.u = q.u),
+      p36_wa AS (
+        SELECT m, sc1, arm, cast(count(*) AS BIGINT) AS n,
+               cast(sum(v) AS BIGINT) AS s,
+               sum(v::HUGEINT * v::HUGEINT) AS ss
+        FROM (SELECT 'revenue' AS m, 100.0 AS sc1, arm, sess_cents AS v FROM p36_u
+              UNION ALL
+              SELECT 'sessions', 1.0, arm, n_sessions FROM p36_u) __m
+        GROUP BY 1, 2, 3),
+      p36_ww AS (
+        SELECT m, sc1,
+               max(CASE WHEN arm = 0 THEN n END) AS n0,
+               max(CASE WHEN arm = 0 THEN s END) AS s0,
+               max(CASE WHEN arm = 0 THEN ss END) AS ss0,
+               max(CASE WHEN arm = 1 THEN n END) AS n1,
+               max(CASE WHEN arm = 1 THEN s END) AS s1,
+               max(CASE WHEN arm = 1 THEN ss END) AS ss1
+        FROM p36_wa GROUP BY 1, 2),
+      p36_wd AS (
+        SELECT m, n0, n1,
+               s0::DOUBLE / (sc1 * n0::DOUBLE) AS m0,
+               s1::DOUBLE / (sc1 * n1::DOUBLE) AS m1,
+               ((ss0::DOUBLE - s0::DOUBLE * s0::DOUBLE / n0::DOUBLE)
+                 / (n0::DOUBLE - 1.0) / (sc1 * sc1)) / n0::DOUBLE AS se0,
+               ((ss1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+                 / (n1::DOUBLE - 1.0) / (sc1 * sc1)) / n1::DOUBLE AS se1
+        FROM p36_ww WHERE n0 IS NOT NULL AND n1 IS NOT NULL),
+      p36_wf AS (
+        SELECT m, n0, n1, m0, m1, se0, se1, se0 + se1 AS se2 FROM p36_wd)
+      SELECT section, key, n_a, n_b, v1, v2, v3, v4 FROM (
+        SELECT 'funnel' AS section, 'signup' AS key, 1::BIGINT AS n_a,
+               n1 AS n_b, CAST(NULL AS DOUBLE) AS v1,
+               round(n1::DOUBLE / nullif(n1::DOUBLE, 0.0), 6) AS v2,
+               CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4
+        FROM p36_n
+        UNION ALL
+        SELECT 'funnel', 'view', 2, n2,
+               round(n2::DOUBLE / nullif(n1::DOUBLE, 0.0), 6),
+               round(n2::DOUBLE / nullif(n1::DOUBLE, 0.0), 6), NULL, NULL
+        FROM p36_n
+        UNION ALL
+        SELECT 'funnel', 'click', 3, n3,
+               round(n3::DOUBLE / nullif(n2::DOUBLE, 0.0), 6),
+               round(n3::DOUBLE / nullif(n1::DOUBLE, 0.0), 6), NULL, NULL
+        FROM p36_n
+        UNION ALL
+        SELECT 'funnel', 'purchase', 4, n4,
+               round(n4::DOUBLE / nullif(n3::DOUBLE, 0.0), 6),
+               round(n4::DOUBLE / nullif(n1::DOUBLE, 0.0), 6), NULL, NULL
+        FROM p36_n
+        UNION ALL
+        SELECT 'attribution', channel, conversions, amc,
+               touches::DOUBLE, NULL, NULL, NULL
+        FROM p36_at
+        UNION ALL
+        SELECT 'welch', m, n0, n1, round(m0, 6), round(m1, 6),
+               CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0
+                 THEN round((m1 - m0) / sqrt(se2), 6) END,
+               CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0
+                 THEN round((se2 * se2) /
+                   (se0 * se0 / (n0::DOUBLE - 1.0) +
+                    se1 * se1 / (n1::DOUBLE - 1.0)), 6) END
+        FROM p36_wf) __all
+      ORDER BY section, n_a, key"""),
+    bench = true)
+
   val p28_mixture_resample = QueryDef(
     "p28_mixture_resample",
     (s, dir) =>
@@ -1403,7 +1631,8 @@ $langScoreCols
           lower = 0.0, upper = 5.0)
         .orderBy(col("a_id"), col("b_id"))
     },
-    Some(d24OracleSql))
+    Some(d24OracleSql),
+    bench = true)
 
   /** Shared by d24 and the persisted-index face d26 (split build +
     * append + probe must serve EXACTLY the one-shot linkage). */
@@ -1482,7 +1711,8 @@ $langScoreCols
           lower = 0.0, upper = 5.0)
         .orderBy(col("a_id"), col("b_id"))
     },
-    Some(d24OracleSql))
+    Some(d24OracleSql),
+    bench = true)
 
   val d22_domain_cap = QueryDef(
     "d22_domain_cap",
@@ -2107,7 +2337,8 @@ $langScoreCols
           k = 5, centroids = centroids, codebooks = cb, nProbe = 6, shortlist = 50)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(s11Oracle))
+    Some(s11Oracle),
+    bench = true)
 
   /** PERSISTED IVF-PQ ([[Similarity.writeIvfPqIndex]] +
     * [[Similarity.probeIvfPqIndex]]): s11's cascade served from a
@@ -4107,7 +4338,8 @@ $langScoreCols
         .textRankKeywords(Tables(s, dir).documents, "text",
           iters = 5, topK = 30),
     Some(textrankOracle(
-      iters = 5, scale = 1000000L, num = 85, den = 100, topK = 30)))
+      iters = 5, scale = 1000000L, num = 85, den = 100, topK = 30)),
+    bench = true)
 
   /** PMI collocations ([[graft.operators.TfIdf.pmiCollocations]]):
     * top adjacent-pair pointwise mutual information with a min-count
@@ -5076,7 +5308,8 @@ $langScoreCols
         .bradleyTerryQuantized(m, "winner", "loser", iters = 4)
         .orderBy(col("player"))
     },
-    Some(bradleyTerryOracle(iters = 4, scale = 1000000L)))
+    Some(bradleyTerryOracle(iters = 4, scale = 1000000L)),
+    bench = true)
 
   /** Blocklist safety filter ([[graft.operators.Curation
     * .blocklistFilter]]): the C4-style bad-phrase gate as one
@@ -5231,7 +5464,8 @@ $langScoreCols
       graft.operators.Graph.pagerankQuantized(edges, "src", "dst", iters = 3)
         .orderBy(col("node"))
     },
-    Some(pagerankOracle(iters = 3, scale = 1000000L, num = 85, den = 100)))
+    Some(pagerankOracle(iters = 3, scale = 1000000L, num = 85, den = 100)),
+    bench = true)
 
   /** Exact oracle for g02: the g01 replay with teleport and dangling
     * mass confined to the seed flag (seeds = even-tagged customers
@@ -5924,7 +6158,8 @@ $langScoreCols
               .as("dst")),
           "src", "dst", radius = 3)
         .orderBy(col("node"), col("r")),
-    Some(g12Oracle(radius = 3)))
+    Some(g12Oracle(radius = 3)),
+    bench = true)
 
   /** Harmonic centrality via HyperBall
     * ([[graft.operators.Graph.harmonicCentrality]]): the centrality
@@ -5988,7 +6223,8 @@ $langScoreCols
             (get_json_object(col("props"), "$.k").cast("long") % 50 + 1000L)
               .as("dst")),
           "src", "dst", radius = 3),
-    Some(g17Oracle(radius = 3, qNum = 90, qDen = 100)))
+    Some(g17Oracle(radius = 3, qNum = 90, qDen = 100)),
+    bench = true)
 
   /** Degree assortativity ([[graft.operators.Graph
     * .degreeAssortativity]]) of the g09 co-engagement item graph: the
@@ -6167,7 +6403,8 @@ $langScoreCols
         .withColumnRenamed("node", "item")
         .orderBy(col("item"))
     },
-    Some(g16Oracle(iters = 3, scale = 1000000L, num = 85, den = 100)))
+    Some(g16Oracle(iters = 3, scale = 1000000L, num = 85, den = 100)),
+    bench = true)
 
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
@@ -7470,6 +7707,7 @@ $langScoreCols
     p26_pipeline_demo, p27_sft_turns, p28_mixture_resample,
     p29_preference_pairs, p30_temperature_resample, p31_balanced_shards,
     p32_water_fill, p33_length_batches, p34_curriculum, p35_epoch_recipe,
+    p36_analytics_demo,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf,

@@ -355,7 +355,8 @@ object MultimodalQueries {
     (s, dir) =>
       Multimodal.cdcDedupStats(blobs(s, dir), "doc_id", "blob",
         window = 8, maskBits = 5),
-    Some(m07Oracle))
+    Some(m07Oracle),
+    bench = true)
 
   val all: Seq[QueryDef] = Seq(
     m01_blob_meta, m02_blob_features, m03_frame_sample, m04_decode_resize,

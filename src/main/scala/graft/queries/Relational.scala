@@ -2211,7 +2211,8 @@ object Relational {
              END AS ks_d,
              CASE WHEN n0 > 0 AND n1 > 0 THEN ks_at END AS ks_at
       FROM q83_m m JOIN q83_at a ON m.g = a.g
-      ORDER BY event_type"""))
+      ORDER BY event_type"""),
+    bench = true)
 
   /** Funnel time-to-convert ([[graft.operators.Funnel.funnelLags]]):
     * mean/median/p90 lag per adjacent step transition over the same
@@ -2348,7 +2349,8 @@ object Relational {
       JOIN q86_it na ON na.i = item_a
       JOIN q86_it nbi ON nbi.i = item_b
       CROSS JOIN q86_n
-      ORDER BY lift DESC, item_a, item_b LIMIT 40"""))
+      ORDER BY lift DESC, item_a, item_b LIMIT 40"""),
+    bench = true)
 
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,

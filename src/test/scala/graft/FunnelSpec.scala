@@ -150,6 +150,32 @@ class FunnelSpec extends SparkSpec {
         "event_id", "value", Seq("purchase"), "purchase", 48L))
   }
 
+  test("userDepth: per-user reach agrees with the funnel tally") {
+    val df = ev(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 01:00:00"),
+      (1L, "click", "2024-01-01 02:00:00"),
+      (1L, "purchase", "2024-01-01 03:00:00"),
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "signup", "2024-01-01 01:00:00"),
+      (3L, "view", "2024-01-01 00:00:00"))
+    val got = Funnel.userDepth(df, "user_id", "event_type", "ts", steps)
+      .orderBy(col("user_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toSeq
+    assert(got == Seq((1L, 4), (2L, 1), (3L, 0)))
+    // tally consistency: #users with depth >= k equals funnel's step-k count
+    val depths = got.map(_._2)
+    val tally = run(df).map(_._3)
+    assert(steps.indices.map(i => depths.count(_ >= i + 1).toLong) == tally)
+    // repartition-stable
+    assert(Funnel.userDepth(df.repartition(5), "user_id", "event_type", "ts", steps)
+      .orderBy(col("user_id")).collect().map(_.toSeq).toSeq ==
+      Funnel.userDepth(df, "user_id", "event_type", "ts", steps)
+        .orderBy(col("user_id")).collect().map(_.toSeq).toSeq)
+  }
+
   test("bad params rejected") {
     val df = ev((1L, "signup", "2024-01-01 00:00:00"))
     intercept[IllegalArgumentException](
