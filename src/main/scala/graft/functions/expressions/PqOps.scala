@@ -1,0 +1,168 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Product-quantization encoder (Jégou, Douze & Schmid, TPAMI 2011): for
+  * each of `numSub` contiguous blocks of a vector, the index of the
+  * nearest codeword under squared L2 — the per-row kernel of the PQ/
+  * IVF-PQ similarity cascade ([[graft.operators.Similarity.pqKnn]]).
+  *
+  * A native Catalyst `Expression` with `doGenCode`, NOT the higher-order
+  * `transform`/`aggregate` composition it replaces: encoding is
+  * numSub x numCodes x sub FLOPs per corpus row (16 384 at the canonical
+  * 8x256x8 shape), and the HOF version paid an interpreted lambda
+  * dispatch per FLOP — the s11 corpus pass was ~20 s at sf0.1 against
+  * tens of milliseconds of actual arithmetic. This kernel is the same
+  * arithmetic as ONE tight codegen loop per row.
+  *
+  * Exactness contract (the DuckDB oracle replays it bit-for-bit, and the
+  * swap from the HOF version must not move a single code):
+  *   - block distance is the LEFT fold ((0 + t₁) + t₂) + … in coordinate
+  *     order, tᵢ = (xᵢ − cᵢ)²;
+  *   - each distance rounds at 9 dp exactly like Spark's `round`
+  *     (BigDecimal.valueOf, HALF_UP) before comparison;
+  *   - argmin ties take the smallest code (strict `<` over ascending k —
+  *     the lexicographic struct-min the HOF version used).
+  *
+  * The flattened codebook ([m][k][i] → m·numCodes·sub + k·sub + i) rides
+  * the plan as a reference object, not a literal expression tree — the
+  * unrolled-literal alternative was a ~100k-node tree that blew
+  * codegen/broadcast planning (see subDist's history). */
+case class PqEncode(
+    child: Expression,
+    numSub: Int,
+    numCodes: Int,
+    sub: Int,
+    codebook: Array[Double]) extends UnaryExpression with ExpectsInputTypes {
+
+  require(codebook.length == numSub * numCodes * sub,
+    s"codebook length ${codebook.length} != $numSub*$numCodes*$sub")
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // The decimal rounding itself (BigDecimal.valueOf → Double.toString →
+  // setScale) costs ~100× the 8 FLOPs it follows, so the argmin loop
+  // exploits monotonicity to skip it: round(d) ≥ d − 5e-10 (HALF_UP moves
+  // a value by at most half a 9-dp step), so any d > bestRounded + 2e-9
+  // rounds strictly above the incumbent and can neither win nor tie —
+  // only near-boundary candidates pay the exact rounding, and the
+  // coordinate loop may bail the moment the partial sum crosses the same
+  // threshold (the sum of squares only grows). Selection is IDENTICAL to
+  // rounding all candidates: ties at 9 dp land inside the window, get
+  // rounded, and lose to the incumbent under strict `<` exactly as in
+  // the all-rounded loop.
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val codes = new Array[Int](numSub)
+    var m = 0
+    while (m < numSub) {
+      var bestD = Double.PositiveInfinity
+      var skip = Double.PositiveInfinity
+      var bestC = 0
+      val base = m * numCodes * sub
+      val vo = m * sub
+      var k = 0
+      while (k < numCodes) {
+        var d = 0.0
+        val co = base + k * sub
+        var i = 0
+        while (i < sub && d <= skip) {
+          val t = v.getDouble(vo + i) - codebook(co + i)
+          d += t * t
+          i += 1
+        }
+        if (d <= skip) {
+          d = java.math.BigDecimal.valueOf(d)
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (d < bestD) { bestD = d; bestC = k; skip = d + 2e-9 }
+        }
+        k += 1
+      }
+      codes(m) = bestC
+      m += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val codes = ctx.freshName("codes")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val bestD = ctx.freshName("bestD")
+      val bestC = ctx.freshName("bestC")
+      val base = ctx.freshName("base")
+      val vo = ctx.freshName("vo")
+      val co = ctx.freshName("co")
+      val skip = ctx.freshName("skip")
+      // same skip-window argmin as nullSafeEval (see the comment there)
+      s"""
+         |int[] $codes = new int[$numSub];
+         |for (int $m = 0; $m < $numSub; $m++) {
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  double $skip = Double.POSITIVE_INFINITY;
+         |  int $bestC = 0;
+         |  int $base = $m * $numCodes * $sub;
+         |  int $vo = $m * $sub;
+         |  for (int $k = 0; $k < $numCodes; $k++) {
+         |    double $d = 0.0;
+         |    int $co = $base + $k * $sub;
+         |    for (int $i = 0; $i < $sub && $d <= $skip; $i++) {
+         |      double $t = $c.getDouble($vo + $i) - $cb[$co + $i];
+         |      $d += $t * $t;
+         |    }
+         |    if ($d <= $skip) {
+         |      $d = java.math.BigDecimal.valueOf($d)
+         |        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue();
+         |      if ($d < $bestD) { $bestD = $d; $bestC = $k; $skip = $d + 2e-9; }
+         |    }
+         |  }
+         |  $codes[$m] = $bestC;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_encode"
+}
+
+object PqEncode {
+  /** Column entry point: codes(m) = nearest codeword of block m.
+    * `codebooks(m)(k)` is the sub-length codeword. */
+  def codes(vec: Column, codebooks: Array[Array[Seq[Double]]]): Column = {
+    val numSub = codebooks.length
+    val numCodes = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val flat = new Array[Double](numSub * numCodes * sub)
+    var m = 0
+    while (m < numSub) {
+      var k = 0
+      while (k < numCodes) {
+        val cw = codebooks(m)(k)
+        var i = 0
+        while (i < sub) {
+          flat(m * numCodes * sub + k * sub + i) = cw(i)
+          i += 1
+        }
+        k += 1
+      }
+      m += 1
+    }
+    ColumnBridge.column(
+      PqEncode(ColumnBridge.expression(vec), numSub, numCodes, sub, flat))
+  }
+}

@@ -834,7 +834,7 @@ object Similarity {
       v.as("__cv"))
       .select(
         col("neighbor_id"),
-        pqCodesExpr(col("__cv"), cbLit, numSub, numCodes, sub).as("__codes"))
+        pqCodesExpr(col("__cv"), codebooks).as("__codes"))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), v.as("__qv"))
         .select(
@@ -866,20 +866,19 @@ object Similarity {
       k: org.apache.spark.sql.Column) =
     element_at(element_at(cbLit, m + 1), k + 1)
 
-  /** Per-block nearest-codeword codes: array_min over (rounded dist,
-    * code) structs — struct ordering is lexicographic, so ties take
-    * the smallest code. */
+  /** Per-block nearest-codeword codes — the native codegen kernel
+    * [[graft.functions.expressions.PqEncode]] (round-9 left-fold
+    * distances, smallest-code tiebreak — the same arithmetic, and the
+    * same oracle contract, as the lexicographic struct-min HOF cascade
+    * it replaced; that version paid an interpreted lambda dispatch per
+    * FLOP and made the corpus encode pass ~1000× slower than the
+    * arithmetic). Encoding is the corpus-side cost of the PQ family —
+    * numSub·numCodes·sub FLOPs per row — so it is the one stage that
+    * must be a tight per-row loop. */
   private def pqCodesExpr(
       vec: org.apache.spark.sql.Column,
-      cbLit: org.apache.spark.sql.Column,
-      numSub: Int,
-      numCodes: Int,
-      sub: Int): org.apache.spark.sql.Column =
-    transform(sequence(lit(0), lit(numSub - 1)), m =>
-      array_min(transform(sequence(lit(0), lit(numCodes - 1)), k =>
-        struct(
-          round(subDist(vec, m, sub, codewordAt(cbLit, m, k)), 9).as("d"),
-          k.as("c")))).getField("c"))
+      codebooks: Array[Array[Seq[Double]]]): org.apache.spark.sql.Column =
+    graft.functions.expressions.PqEncode.codes(vec, codebooks)
 
   /** Per-query ADC lookup table: m-major, code-minor, unrounded. */
   private def pqLutExpr(
@@ -937,7 +936,7 @@ object Similarity {
       .select(
         col("neighbor_id"),
         element_at(cellsFor(centroids, col("__cv"), 1), 1).as("cell"),
-        pqCodesExpr(col("__cv"), cbLit, numSub, numCodes, sub).as("__codes"))
+        pqCodesExpr(col("__cv"), codebooks).as("__codes"))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), v.as("__qv"))
         .select(
@@ -1050,7 +1049,7 @@ object Similarity {
       .select(
         col("neighbor_id"),
         element_at(cellsFor(centroids, col("__cv"), 1), 1).as("cell"),
-        pqCodesExpr(col("__cv"), cbLit, numSub, numCodes, sub).as("__codes"),
+        pqCodesExpr(col("__cv"), codebooks).as("__codes"),
         col("__cv"))
   }
 
