@@ -27,13 +27,17 @@ import org.apache.spark.storage.StorageLevel
   *   - one (node) equi-join of ranks onto the out-degree-annotated edge
   *     list and one (dst) keyed aggregation of long scalars (map-side
   *     partial sums; vertex data never rides edges more than once);
-  *   - the dangling mass is ONE driver scalar (bounded) via an
-  *     anti-join aggregate;
+  *   - the dangling mass is an anti-join aggregate folded INTO the
+  *     round's plan as a broadcast single-row crossJoin (the HITS
+  *     normalizer treatment) — a round is ONE driver action, the
+  *     lineage cut, with no mid-round collect serializing the
+  *     iteration on driver round-trips;
   *   - the loop INPUTS — the distinct edge list, out-degrees, the
   *     degree-annotated edges, the node set — are `persist`ed before
   *     the first round and released after the last: `distinct()` and
-  *     `groupBy` are shuffles, and each round issues fresh actions
-  *     (the dangling scalar, the lineage cut) that would otherwise
+  *     `groupBy` are shuffles, and each round issues a fresh action
+  *     (the lineage cut, whose plan consumes them twice — dangling
+  *     branch and contribution branch) that would otherwise
   *     re-execute them from the source every iteration;
   *   - ranks are lineage-cut each round via `checkpointer`
   *     ([[Checkpoint.local]] by default; pass [[Checkpoint.reliable]]
@@ -76,18 +80,25 @@ object Graph {
       var ranks = nodes.withColumn("pr", lit(scale))
       if (n == 0) return ranks
       for (_ <- 0 until iters) {
-        val dangling = ranks
+        // dangling mass folded INTO the round's plan as a broadcast
+        // single-row crossJoin (the HITS normalizer treatment): a round
+        // is ONE driver action (the lineage cut), not a collect + a cut
+        // — on a real cluster the driver round-trip between them
+        // serializes the iteration. `div` here equals the former
+        // driver-side Scala `/` (both operands non-negative).
+        val danglingDivN = ranks
           .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
-          .agg(coalesce(sum(col("pr")), lit(0L))).collect()(0).getLong(0)
+          .agg(expr(s"coalesce(sum(pr), 0L) div ${n}L").as("__dpn"))
         val contribs = ew.join(ranks, ew("src") === ranks("node"))
           .select(col("dst"), expr("pr div odeg").as("__c"))
           .groupBy(col("dst")).agg(sum(col("__c")).as("__c"))
         ranks = checkpointer.cut(
           nodes
             .join(contribs, nodes("node") === contribs("dst"), "left")
+            .crossJoin(broadcast(danglingDivN))
             .select(col("node"),
               (lit(teleport) +
-                expr(s"$dampNum * (coalesce(__c, 0L) + ${dangling / n}L) div $dampDen")
+                expr(s"$dampNum * (coalesce(__c, 0L) + __dpn) div $dampDen")
               ).as("pr")),
           eager = true)
       }
@@ -202,7 +213,7 @@ object Graph {
     * loop inputs (seed-flagged nodes, out-degrees, annotated edges)
     * and the per-round `checkpointer` cut: one node-keyed join and one
     * dst-keyed long aggregation per iteration, the seed flag rides the
-    * node relation, dangling mass is one bounded driver scalar. */
+    * node relation, dangling mass is a plan-folded broadcast scalar. */
   def personalizedPagerankQuantized(
       edges: DataFrame,
       srcCol: String,
@@ -237,18 +248,22 @@ object Graph {
 
       var ranks = nodes.select(col("node"), (col("__s") * scale).as("pr"))
       for (_ <- 0 until iters) {
-        val dangling = ranks
+        // dangling mass plan-folded as in [[pagerankQuantized]]: one
+        // driver action per round, `div` = the former Scala `/` on the
+        // non-negative operands
+        val danglingDivS = ranks
           .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
-          .agg(coalesce(sum(col("pr")), lit(0L))).collect()(0).getLong(0)
+          .agg(expr(s"coalesce(sum(pr), 0L) div ${nSeeds}L").as("__dps"))
         val contribs = ew.join(ranks, ew("src") === ranks("node"))
           .select(col("dst"), expr("pr div odeg").as("__c"))
           .groupBy(col("dst")).agg(sum(col("__c")).as("__c"))
         ranks = checkpointer.cut(
           nodes
             .join(contribs, nodes("node") === contribs("dst"), "left")
+            .crossJoin(broadcast(danglingDivS))
             .select(col("node"),
               (col("__s") * teleport +
-                expr(s"$dampNum * (coalesce(__c, 0L) + __s * ${dangling / nSeeds}L) div $dampDen")
+                expr(s"$dampNum * (coalesce(__c, 0L) + __s * __dps) div $dampDen")
               ).as("pr")),
           eager = true)
       }
@@ -1034,18 +1049,20 @@ object Graph {
       var ranks = nodes.withColumn("pr", lit(scale))
       if (n == 0) return ranks
       for (_ <- 0 until iters) {
-        val dangling = ranks
+        // dangling mass plan-folded as in [[pagerankQuantized]]
+        val danglingDivN = ranks
           .join(outw, ranks("node") === outw("src"), "left_anti")
-          .agg(coalesce(sum(col("pr")), lit(0L))).collect()(0).getLong(0)
+          .agg(expr(s"coalesce(sum(pr), 0L) div ${n}L").as("__dpn"))
         val contribs = ew.join(ranks, ew("src") === ranks("node"))
           .select(col("dst"), expr("pr * w div sw").as("__c"))
           .groupBy(col("dst")).agg(sum(col("__c")).as("__c"))
         ranks = checkpointer.cut(
           nodes
             .join(contribs, nodes("node") === contribs("dst"), "left")
+            .crossJoin(broadcast(danglingDivN))
             .select(col("node"),
               (lit(teleport) +
-                expr(s"$dampNum * (coalesce(__c, 0L) + ${dangling / n}L) div $dampDen")
+                expr(s"$dampNum * (coalesce(__c, 0L) + __dpn) div $dampDen")
               ).as("pr")),
           eager = true)
       }

@@ -239,7 +239,7 @@ class GraphSpec extends SparkSpec {
   // loop-hygiene pins extend to Bradley–Terry, connectedComponents,
   // and unigram EM in their own suites)
 
-  test("pagerank per-round work is flat: persisted loop inputs, 2 driver actions per round") {
+  test("pagerank per-round work is flat: persisted loop inputs, 1 driver action per round") {
     // AQE off for deterministic stage accounting (AQE re-plans stages);
     // the DELTA between iteration counts isolates per-round cost from
     // setup (node count, persist materialization, result collect).
@@ -250,8 +250,10 @@ class GraphSpec extends SparkSpec {
       run(1) // warm (fills no cross-call cache, but settles codegen/JIT)
       val (j1, s1) = run(1)
       val (j4, s4) = run(4)
-      // per round: the dangling-mass collect + the eager lineage cut
-      assert(j4 - j1 == 6, s"driver jobs per round: j1=$j1 j4=$j4 (want 2/round)")
+      // per round: ONLY the eager lineage cut — the dangling mass rides
+      // the cut's plan as a broadcast single-row crossJoin (round 10;
+      // previously a separate collect made it 2 actions/round)
+      assert(j4 - j1 == 3, s"driver jobs per round: j1=$j1 j4=$j4 (want 1/round)")
       // Un-persisted loop inputs re-execute the edge distinct() + the
       // out-degree groupBy + the ew join from source EVERY round — at
       // least 3 extra completed stages per round. Persisted, a round
