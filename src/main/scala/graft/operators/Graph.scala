@@ -63,9 +63,14 @@ object Graph {
       checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampDen > 0 && scale > 0,
       s"bad pagerank params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
+    // e persists too (the HITS discipline): nodes consumes it twice and
+    // outdeg/ew once each, so an un-persisted e re-executes the caller's
+    // whole edge-derivation pipeline (often a join/window cascade — g16's
+    // is a session wedge join) up to five times during setup
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -109,6 +114,7 @@ object Graph {
       ew.unpersist(blocking = false)
       outdeg.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
+      e.unpersist(blocking = false)
       ()
     }
   }
@@ -272,6 +278,7 @@ object Graph {
       ew.unpersist(blocking = false)
       outdeg.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
+      e.unpersist(blocking = false)
       ()
     }
   }
@@ -1071,6 +1078,7 @@ object Graph {
       ew.unpersist(blocking = false)
       outw.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
+      e.unpersist(blocking = false)
       ()
     }
   }
