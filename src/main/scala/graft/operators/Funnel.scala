@@ -159,6 +159,124 @@ object Funnel {
         round(expr("percentile(__lag, 0.9)") / 1000000.0, 6).as("p90_lag_s"))
   }
 
+  /** Session-scoped Markov transition matrix — the flow-analysis
+    * readout next to [[funnel]] (fixed ordered steps) and
+    * [[linearAttribution]] (credit assignment): for every ordered pair
+    * of event types, how often one follows the other within a session,
+    * with virtual `__start`/`__end` states so session entry and exit
+    * distributions fall out of the same table (rows with from=`__start`
+    * are the landing distribution; to=`__end` the drop-off points — a
+    * proper absorbing-chain row-stochastic matrix per `from`).
+    *
+    * Sessions are gap-based (an inter-event silence ≥ `gapHours`
+    * cuts); within a session events order by (time, `idCol`) so
+    * same-timestamp events sequence deterministically. Probabilities
+    * are quantized: p_q = count×scale div row_total — exact integer
+    * division, bit-replayable by the oracle.
+    *
+    * Scale shape: ONE user-partitioned window pass (the lag-gap flag +
+    * running session id + the within-session lead — all partitioned by
+    * user, PlanAudit-safe), one (from, to) keyed long aggregation
+    * (map-side partials), and the row totals join back over ≤|types|+1
+    * keys — a broadcast join against a types-bounded relation, never a
+    * second pass over events. */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      gapHours: Long,
+      scale: Long = 1000000L): DataFrame = {
+    require(gapHours >= 1 && scale > 0,
+      s"bad transition params: gapHours=$gapHours scale=$scale")
+    val gapUs = gapHours * 3600L * 1000000L
+    val base = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__e"),
+        unix_micros(col(tsCol)).as("__t"), col(idCol).as("__id"))
+    val w = Window.partitionBy(col("__u")).orderBy(col("__t"), col("__id"))
+    val sessioned = base
+      .withColumn("__new",
+        when(lag(col("__t"), 1).over(w).isNull ||
+          col("__t") - lag(col("__t"), 1).over(w) >= gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("__u"), col("__sid"))
+      .orderBy(col("__t"), col("__id"))
+    val steps = sessioned
+      .withColumn("__next", lead(col("__e"), 1).over(ws))
+      .withColumn("__first", row_number().over(ws) === 1)
+    // each event row yields its (e -> next|__end) transition; session
+    // heads additionally yield the (__start -> e) entry transition
+    val trans = steps
+      .select(col("__e").as("from_state"),
+        coalesce(col("__next"), lit("__end")).as("to_state"))
+      .unionByName(steps.filter(col("__first"))
+        .select(lit("__start").as("from_state"), col("__e").as("to_state")))
+    val counts = trans
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts
+      .groupBy(col("from_state"))
+      .agg(sum(col("n")).as("__tot"))
+    counts
+      .join(broadcast(totals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr(s"n * ${scale}L div __tot").as("p_q"))
+  }
+
+  /** Top session paths — the "most common user journeys" readout over
+    * the same gap sessions as [[transitionMatrix]]: each session
+    * renders its first `maxLen` event types as one `a>b>c` string
+    * (longer sessions truncate with `>…` so the path alphabet stays
+    * bounded), and the most frequent paths win. Count-desc, path-asc
+    * deterministic ordering.
+    *
+    * Scale shape: the same single user-partitioned window pass, one
+    * (user, session)-keyed aggregation collecting at most the session's
+    * own events (sort_array of (t, id, type) structs — map-side
+    * partials), a scan-local render, and a path-keyed count; the top-k
+    * is a TakeOrderedAndProject, never a global sort. */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      gapHours: Long,
+      maxLen: Int,
+      k: Int): DataFrame = {
+    require(gapHours >= 1 && maxLen >= 1 && k >= 1,
+      s"bad path params: gapHours=$gapHours maxLen=$maxLen k=$k")
+    val gapUs = gapHours * 3600L * 1000000L
+    val base = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__e"),
+        unix_micros(col(tsCol)).as("__t"), col(idCol).as("__id"))
+    val w = Window.partitionBy(col("__u")).orderBy(col("__t"), col("__id"))
+    val sessioned = base
+      .withColumn("__new",
+        when(lag(col("__t"), 1).over(w).isNull ||
+          col("__t") - lag(col("__t"), 1).over(w) >= gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val rendered = sessioned
+      .groupBy(col("__u"), col("__sid"))
+      .agg(sort_array(collect_list(
+        struct(col("__t"), col("__id"), col("__e")))).as("__evs"))
+      .select(
+        concat(
+          array_join(slice(col("__evs.__e"), 1, maxLen), ">"),
+          when(size(col("__evs")) > maxLen, lit(">…")).otherwise(lit("")))
+          .as("path"))
+    rendered
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("sessions"))
+      .orderBy(col("sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Linear multi-touch attribution: each conversion's value splits
     * EQUALLY across the same user's touch events inside the lookback
     * window (strictly before the conversion, within `lookback`);

@@ -2352,6 +2352,97 @@ object Relational {
       ORDER BY lift DESC, item_a, item_b LIMIT 40"""),
     bench = true)
 
+  /** Session-scoped Markov transition matrix ([[graft.operators.Funnel
+    * .transitionMatrix]]): the flow-analysis readout between q79's
+    * fixed-steps funnel and q82's credit assignment — every ordered
+    * (event_type → event_type) pair's within-session frequency, with
+    * virtual `__start`/`__end` states so session entry and drop-off
+    * distributions sit in the same row-stochastic table. Probabilities
+    * quantize as count×10⁶ div row_total — exact integer division the
+    * oracle replays bit-for-bit. One user-partitioned window pass +
+    * one (from, to) keyed aggregation; row totals broadcast back over
+    * a types-bounded relation. */
+  val q87_markov_transitions = QueryDef(
+    "q87_markov_transitions",
+    (s, dir) =>
+      graft.operators.Funnel
+        .transitionMatrix(Tables(s, dir).events,
+          "user_id", "event_type", "ts", "event_id", gapHours = 6L)
+        .orderBy(col("from_state"), col("to_state")),
+    Some("""
+      WITH q87_e AS (
+        SELECT user_id AS u, event_type AS e, epoch_us(ts) AS t,
+               event_id AS id
+        FROM events WHERE user_id IS NOT NULL),
+      q87_m AS (
+        SELECT u, e, t, id,
+               CASE WHEN lag(t) OVER w IS NULL
+                      OR t - lag(t) OVER w >= 21600000000 THEN 1 ELSE 0 END AS ns
+        FROM q87_e WINDOW w AS (PARTITION BY u ORDER BY t, id)),
+      q87_s AS (
+        SELECT u, e, t, id,
+               sum(ns) OVER (PARTITION BY u ORDER BY t, id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM q87_m),
+      q87_n AS (
+        SELECT u, sid, e,
+               lead(e) OVER ws AS nxt,
+               row_number() OVER ws = 1 AS fst
+        FROM q87_s WINDOW ws AS (PARTITION BY u, sid ORDER BY t, id)),
+      q87_tr AS (
+        SELECT e AS from_state, coalesce(nxt, '__end') AS to_state FROM q87_n
+        UNION ALL
+        SELECT '__start', e FROM q87_n WHERE fst),
+      q87_c AS (
+        SELECT from_state, to_state, cast(count(*) AS BIGINT) AS n
+        FROM q87_tr GROUP BY 1, 2),
+      q87_t AS (
+        SELECT from_state, cast(sum(n) AS BIGINT) AS tot FROM q87_c GROUP BY 1)
+      SELECT from_state, to_state, n,
+             cast(n * 1000000 // tot AS BIGINT) AS p_q
+      FROM q87_c JOIN q87_t USING (from_state)
+      ORDER BY from_state, to_state"""))
+
+  /** Top session paths ([[graft.operators.Funnel.topPaths]]): the
+    * most frequent user journeys — each gap session rendered as its
+    * first 5 event types `a>b>c`, longer sessions truncating with
+    * `>…` so the path alphabet stays bounded; top 30 by session
+    * count. Same single window pass as q87; the per-session render is
+    * a sorted-struct collect (map-side partials, bounded by the
+    * session's own events) and the top-k is TakeOrderedAndProject. */
+  val q88_top_paths = QueryDef(
+    "q88_top_paths",
+    (s, dir) =>
+      graft.operators.Funnel
+        .topPaths(Tables(s, dir).events,
+          "user_id", "event_type", "ts", "event_id",
+          gapHours = 6L, maxLen = 5, k = 30),
+    Some("""
+      WITH q88_e AS (
+        SELECT user_id AS u, event_type AS e, epoch_us(ts) AS t,
+               event_id AS id
+        FROM events WHERE user_id IS NOT NULL),
+      q88_m AS (
+        SELECT u, e, t, id,
+               CASE WHEN lag(t) OVER w IS NULL
+                      OR t - lag(t) OVER w >= 21600000000 THEN 1 ELSE 0 END AS ns
+        FROM q88_e WINDOW w AS (PARTITION BY u ORDER BY t, id)),
+      q88_s AS (
+        SELECT u, e, t, id,
+               sum(ns) OVER (PARTITION BY u ORDER BY t, id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM q88_m),
+      q88_p AS (
+        SELECT u, sid, list(e ORDER BY t, id) AS evs
+        FROM q88_s GROUP BY 1, 2),
+      q88_r AS (
+        SELECT array_to_string(evs[1:5], '>') ||
+               CASE WHEN len(evs) > 5 THEN '>…' ELSE '' END AS path
+        FROM q88_p)
+      SELECT path, cast(count(*) AS BIGINT) AS sessions
+      FROM q88_r GROUP BY 1
+      ORDER BY sessions DESC, path ASC LIMIT 30"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -2371,5 +2462,6 @@ object Relational {
     q70_asof_nearest, q74_retention_cohorts, q75_mad_anomaly,
     q76_heavy_hitters, q77_ab_welch, q78_cuped, q79_funnel_steps,
     q80_pareto, q81_ewma_spikes, q82_attribution, q83_ks_test,
-    q84_funnel_lags, q85_daily_trend, q86_basket_rules)
+    q84_funnel_lags, q85_daily_trend, q86_basket_rules,
+    q87_markov_transitions, q88_top_paths)
 }

@@ -176,6 +176,71 @@ class FunnelSpec extends SparkSpec {
         .orderBy(col("user_id")).collect().map(_.toSeq).toSeq)
   }
 
+  test("transitionMatrix: session cuts, start/end states, quantized rows sum to ~1") {
+    val df = Seq(
+      // user 1, session A: a -> b -> a; session B (7h later): b
+      (1L, 10L, "a", "2024-01-01 00:00:00"),
+      (1L, 11L, "b", "2024-01-01 01:00:00"),
+      (1L, 12L, "a", "2024-01-01 02:00:00"),
+      (1L, 13L, "b", "2024-01-01 09:30:00"),
+      // user 2, one session: a -> b
+      (2L, 14L, "a", "2024-01-01 00:00:00"),
+      (2L, 15L, "b", "2024-01-01 00:30:00"))
+      .toDF("user_id", "event_id", "event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Funnel.transitionMatrix(d, "user_id", "event_type", "ts", "event_id", 6L)
+        .orderBy(col("from_state"), col("to_state"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    // u1 session A = a,b,a -> (a>b, b>a, a>__end); u1 session B (7.5 h
+    // silence) = b -> (b>__end); u2 = a,b -> (a>b, b>__end); starts:
+    // a (sA), b (sB), a (u2). From 'a': b x2, __end x1; from 'b':
+    // __end x2, a x1.
+    assert(run(df) == Seq(
+      ("__start", "a", 2L, 666666L),
+      ("__start", "b", 1L, 333333L),
+      ("a", "__end", 1L, 333333L),
+      ("a", "b", 2L, 666666L),
+      ("b", "__end", 2L, 666666L),
+      ("b", "a", 1L, 333333L)))
+    assert(run(df.repartition(5)) == run(df))
+    // each from-row's probabilities sum to scale within truncation slack
+    run(df).groupBy(_._1).foreach { case (_, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rows.size)
+    }
+  }
+
+  test("topPaths: render, truncation marker, deterministic top-k boundary") {
+    val mk = (u: Long, id: Long, e: String, ts: String) => (u, id, e, ts)
+    val rows = Seq(
+      mk(1L, 1L, "a", "2024-01-01 00:00:00"),
+      mk(1L, 2L, "b", "2024-01-01 00:10:00"),
+      mk(2L, 3L, "a", "2024-01-01 00:00:00"),
+      mk(2L, 4L, "b", "2024-01-01 00:10:00"),
+      // user 3: six events -> truncates at 5 with the marker
+      mk(3L, 5L, "a", "2024-01-01 00:00:00"),
+      mk(3L, 6L, "b", "2024-01-01 00:01:00"),
+      mk(3L, 7L, "c", "2024-01-01 00:02:00"),
+      mk(3L, 8L, "d", "2024-01-01 00:03:00"),
+      mk(3L, 9L, "e", "2024-01-01 00:04:00"),
+      mk(3L, 10L, "f", "2024-01-01 00:05:00"),
+      // user 4: single event
+      mk(4L, 11L, "c", "2024-01-01 00:00:00"))
+    val df = rows.toDF("user_id", "event_id", "event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+    def run(d: org.apache.spark.sql.DataFrame, k: Int) =
+      Funnel.topPaths(d, "user_id", "event_type", "ts", "event_id", 6L, 5, k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(run(df, 10) == Seq(
+      ("a>b", 2L), ("a>b>c>d>e>…", 1L), ("c", 1L)))
+    // ties at the k boundary break path-asc
+    assert(run(df, 2) == Seq(("a>b", 2L), ("a>b>c>d>e>…", 1L)))
+    assert(run(df.repartition(7), 10) == run(df, 10))
+  }
+
   test("bad params rejected") {
     val df = ev((1L, "signup", "2024-01-01 00:00:00"))
     intercept[IllegalArgumentException](
