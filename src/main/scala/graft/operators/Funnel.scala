@@ -208,12 +208,20 @@ object Funnel {
       .withColumn("__next", lead(col("__e"), 1).over(ws))
       .withColumn("__first", row_number().over(ws) === 1)
     // each event row yields its (e -> next|__end) transition; session
-    // heads additionally yield the (__start -> e) entry transition
+    // heads additionally yield the (__start -> e) entry transition.
+    // Emitted as ONE scan-local explode, NOT a union of two selects
+    // over `steps` — sibling union branches do not share the
+    // pre-exchange window pass, so the union shape sessionizes the
+    // stream twice (the g14/q79 lesson).
+    val fwd = struct(col("__e").as("from_state"),
+      coalesce(col("__next"), lit("__end")).as("to_state"))
+    val entry = struct(lit("__start").as("from_state"),
+      col("__e").as("to_state"))
     val trans = steps
-      .select(col("__e").as("from_state"),
-        coalesce(col("__next"), lit("__end")).as("to_state"))
-      .unionByName(steps.filter(col("__first"))
-        .select(lit("__start").as("from_state"), col("__e").as("to_state")))
+      .select(explode(
+        when(col("__first"), array(fwd, entry)).otherwise(array(fwd)))
+        .as("__tr"))
+      .select(col("__tr.from_state"), col("__tr.to_state"))
     val counts = trans
       .groupBy(col("from_state"), col("to_state"))
       .agg(count(lit(1)).as("n"))
