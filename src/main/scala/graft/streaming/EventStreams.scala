@@ -1146,6 +1146,61 @@ object EventStreams {
     graft.operators.Funnel.funnel(
       committedBatches(spark, targetPath), "user", "step", "ts", steps)
 
+  /** Append-only session-event log — the streaming ingest face of the
+    * session FLOW analytics ([[graft.operators.Funnel.transitionMatrix]]
+    * / [[graft.operators.Funnel.topPaths]]). Unlike the EWMA tallies,
+    * session structure is NOT incrementally maintainable: a late event
+    * can re-cut its session and rewrite the adjacency around it, so
+    * per-(from, to) counts are not an additive log. The per-user EVENT
+    * multiset, however, is a commutative monoid — so the sink logs the
+    * four columns the operators need, idempotently per micro-batch
+    * (`b_<batchId>` + `_SUCCESS` fencing via [[committedBatches]]), and
+    * the readouts re-derive sessions from the union: stream-then-read ≡
+    * one batch call under ARBITRARY late arrival, bit for bit (pinned
+    * in StreamingSpec). Storage is event-proportional, the readout one
+    * user-partitioned window pass over the log. */
+  def sessionLogSink(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      targetPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .filter(col(userCol).isNotNull)
+          .select(col(userCol).as("user"), col(typeCol).as("event_type"),
+            col(tsCol).as("ts"), col(idCol).as("event_id"))
+          .write.mode("overwrite")
+          .parquet(f"$targetPath/b_$batchId%012d")
+      }
+      .start()
+
+  /** Live Markov transition readout over a [[sessionLogSink]] target:
+    * the batch operator, verbatim, over every committed micro-batch. */
+  def transitionProgress(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      gapHours: Long,
+      scale: Long = 1000000L): DataFrame =
+    graft.operators.Funnel.transitionMatrix(
+      committedBatches(spark, targetPath),
+      "user", "event_type", "ts", "event_id", gapHours, scale)
+
+  /** Live top-journeys readout over a [[sessionLogSink]] target. */
+  def topPathsProgress(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      gapHours: Long,
+      maxLen: Int,
+      k: Int): DataFrame =
+    graft.operators.Funnel.topPaths(
+      committedBatches(spark, targetPath),
+      "user", "event_type", "ts", "event_id", gapHours, maxLen, k)
+
   /** Streaming ingest face of the EWMA spike detector
     * ([[graft.operators.TimeSeries.ewmaSpikes]]): each micro-batch
     * appends its (key, epoch-hour, count) PARTIAL tallies as an

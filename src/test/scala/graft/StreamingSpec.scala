@@ -1269,6 +1269,46 @@ class StreamingSpec extends SparkSpec {
     val users = streamed.map(r => (r(0), r(2))).toMap
     assert(users == Map(1 -> 2L, 2 -> 2L, 3 -> 1L, 4 -> 1L))
   }
+
+  test("sessionLogSink: late arrival re-cuts a session; transition/path readouts equal one batch call") {
+    import spark.implicits._
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // batch 1: user 1 at 00:00 and 08:00 — a 8 h silence, TWO sessions
+    val b1 = Seq(
+      (java.lang.Long.valueOf(1L), 10L, "a", t(0, 0)),
+      (java.lang.Long.valueOf(1L), 11L, "b", t(8, 0)),
+      (null.asInstanceOf[java.lang.Long], 12L, "a", t(0, 0)))
+    // batch 2: a LATE event at 04:00 bridges the gap — both halves are
+    // now < 6 h apart, the two sessions MERGE into one: the previously
+    // final 'a' gains a forward transition and 'b' loses its __start.
+    // No tally-based log can apply that as a delta.
+    val b2 = Seq((java.lang.Long.valueOf(1L), 13L, "c", t(4, 0)))
+    val input = MemoryStream[(java.lang.Long, Long, String, Timestamp)](spark)
+    val target = Files.createTempDirectory("graft-sesslog-out").toString
+    val q = EventStreams.sessionLogSink(
+      input.toDF.toDF("user_id", "event_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", "event_id", target, checkpoint())
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def canonT(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("from_state", "to_state").collect().map(_.toSeq).toSeq
+    val all = (b1 ++ b2).toDF("user_id", "event_id", "event_type", "ts")
+      .filter(col("user_id").isNotNull)
+    assert(canonT(EventStreams.transitionProgress(spark, target, 6L)) ==
+      canonT(graft.operators.Funnel.transitionMatrix(
+        all, "user_id", "event_type", "ts", "event_id", 6L)))
+    // the merged session reads a>c>b — one journey, no b-entry
+    val paths = EventStreams.topPathsProgress(spark, target, 6L, 5, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(paths == Seq(("a>c>b", 1L)))
+    val trans = canonT(EventStreams.transitionProgress(spark, target, 6L))
+      .map(r => (r(0), r(1))).toSet
+    assert(trans.contains(("a", "c")) && trans.contains(("c", "b")) &&
+      !trans.contains(("__start", "b")),
+      s"late bridge event did not re-cut the session: $trans")
+  }
 }
 
 object StreamingSpec {
