@@ -530,15 +530,96 @@ object EventStreams {
       targetPath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(targetPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val upTo = compactionUpTo(fs, root)
     val committed =
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("b_") &&
+          batchId(s.getPath.getName) > upTo.getOrElse(-1L) &&
           fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
         .map(_.getPath.toString)
         .sorted
-    require(committed.nonEmpty, s"no committed batches under $targetPath")
-    spark.read.parquet(committed: _*)
+    val compacted = upTo.map(k => f"$targetPath/c_$k%012d")
+    val all = compacted.toSeq ++ committed
+    require(all.nonEmpty, s"no committed batches under $targetPath")
+    spark.read.parquet(all: _*)
+  }
+
+  private def batchId(name: String): Long =
+    try name.dropWhile(_ != '_').drop(1).toLong catch { case _: Throwable => -1L }
+
+  /** Highest committed compaction horizon: the max `m_<upTo>` marker.
+    * Marker files are empty — the NAME is the whole payload, so commit
+    * is a single atomic file creation (no content to torn-write). */
+  private def compactionUpTo(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(s => !s.isDirectory && s.getPath.getName.startsWith("m_"))
+      .map(s => batchId(s.getPath.getName))
+      .filter(_ >= 0)
+      .maxOption
+
+  /** Compact an append-only `b_<batchId>` micro-batch log (every
+    * `foreachBatch` ingest face writes one — funnel, EWMA, experiment,
+    * session, span, dedup probes) into one `c_<upTo>` directory: the
+    * operational answer to the small-files problem a months-old 100 TB
+    * stream accumulates (one tiny parquet dir per trigger makes the
+    * readout's planning/listing cost grow without bound).
+    *
+    * Crash-safe by ordering, not locking:
+    *   1. union [previous `c_` +] every committed `b_` with id ≤ upTo
+    *      into `c_<upTo>` (overwrite — a half-written `c_` from a crash
+    *      is invisible until step 2 and simply rewritten on retry);
+    *   2. create the empty marker `m_<upTo>` — the atomic commit point:
+    *      readers resolve max(m_*) and see EITHER the old view (stale
+    *      b_/c_ still present, new c_ ignored) OR the new one (old
+    *      dirs ignored by the id ≤ upTo rule even before deletion);
+    *   3. lazily delete superseded `b_`/`c_`/`m_` entries — a crash
+    *      mid-delete leaves garbage that readers already ignore and
+    *      the next compaction removes.
+    *
+    * `upTo` always excludes the HIGHEST committed batch id: the
+    * streaming engine may replay exactly that micro-batch after a
+    * checkpoint-commit crash (foreachBatch's overwrite-by-id makes the
+    * replay absorb into `b_<id>` — but only if that directory is still
+    * the live copy, which excluding it guarantees). Readout equality
+    * before/after compaction and across every crash window is pinned
+    * in StreamingSpec. */
+  def compactBatches(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val prevUpTo = compactionUpTo(fs, root)
+    val live = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b_") &&
+        batchId(s.getPath.getName) > prevUpTo.getOrElse(-1L) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(s => batchId(s.getPath.getName) -> s.getPath.toString)
+      .sortBy(_._1)
+    if (live.size < 2) return prevUpTo // nothing to fold below the live head
+    val upTo = live.init.last._1 // fold everything strictly below the head
+    val folded = prevUpTo.map(k => f"$targetPath/c_$k%012d").toSeq ++
+      live.init.map(_._2)
+    spark.read.parquet(folded: _*)
+      .write.mode("overwrite").parquet(f"$targetPath/c_$upTo%012d")
+    // the commit point: readers switch on the marker's existence
+    fs.create(new org.apache.hadoop.fs.Path(root, f"m_$upTo%012d"), true)
+      .close()
+    // lazy cleanup of everything the new marker supersedes
+    fs.listStatus(root).toSeq.foreach { s =>
+      val n = s.getPath.getName
+      val id = batchId(n)
+      val stale =
+        (n.startsWith("b_") && id >= 0 && id <= upTo) ||
+        (n.startsWith("c_") && id >= 0 && id < upTo) ||
+        (n.startsWith("m_") && id >= 0 && id < upTo)
+      if (stale) fs.delete(s.getPath, true): Unit
+    }
+    Some(upTo)
   }
 
   /** Streaming ingest face of the experimentation readout

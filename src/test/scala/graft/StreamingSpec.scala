@@ -1309,6 +1309,78 @@ class StreamingSpec extends SparkSpec {
       !trans.contains(("__start", "b")),
       s"late bridge event did not re-cut the session: $trans")
   }
+
+  test("compactBatches: readout-invariant, marker-fenced across every crash window, head stays live") {
+    import spark.implicits._
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val target = Files.createTempDirectory("graft-compact-out").toString
+    val input = MemoryStream[(java.lang.Long, Long, String, Timestamp)](spark)
+    val q = EventStreams.sessionLogSink(
+      input.toDF.toDF("user_id", "event_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", "event_id", target, checkpoint())
+    def push(rows: (java.lang.Long, Long, String, Timestamp)*): Unit = {
+      input.addData(rows.toSeq); q.processAllAvailable()
+    }
+    def dirs(prefix: String) = new java.io.File(target).list()
+      .filter(_.startsWith(prefix)).sorted.toSeq
+    def readout() = EventStreams.transitionProgress(spark, target, 6L)
+      .orderBy("from_state", "to_state").collect().map(_.toSeq).toSeq
+    try {
+      push((1L, 1L, "a", t(0)), (2L, 2L, "a", t(0)))
+      push((1L, 3L, "b", t(1)))
+      push((2L, 4L, "b", t(2)))
+      val before = readout()
+
+      // crash window 1: a half-written c_ dir with NO marker is invisible
+      val orphan = new java.io.File(s"$target/c_000000000001")
+      assert(orphan.mkdirs())
+      Files.writeString(orphan.toPath.resolve("part-0.parquet"), "junk")
+      assert(readout() == before, "unmarked c_ dir must be ignored")
+      assert(orphan.delete() || true)
+      orphan.listFiles().foreach(_.delete()); orphan.delete()
+
+      // compact: folds b_0, b_1 into c_1; b_2 (the head) stays live
+      assert(EventStreams.compactBatches(spark, target) == Some(1L))
+      assert(dirs("c_") == Seq("c_000000000001"))
+      assert(dirs("m_") == Seq("m_000000000001"))
+      assert(dirs("b_") == Seq("b_000000000002"), "head batch must stay live")
+      assert(readout() == before, "compaction changed the readout")
+
+      // crash window 2: stale superseded dirs resurrected AFTER the
+      // marker landed (a crashed cleanup) are ignored by the id rule
+      val stale = new java.io.File(s"$target/b_000000000000")
+      assert(stale.mkdirs())
+      Files.writeString(stale.toPath.resolve("part-0.parquet"), "junk")
+      Files.writeString(stale.toPath.resolve("_SUCCESS"), "")
+      assert(readout() == before, "superseded b_ dir must be ignored")
+
+      // appends after compaction keep composing
+      push((1L, 5L, "c", t(3)))
+      val all = Seq(
+        (java.lang.Long.valueOf(1L), 1L, "a", t(0)),
+        (java.lang.Long.valueOf(2L), 2L, "a", t(0)),
+        (java.lang.Long.valueOf(1L), 3L, "b", t(1)),
+        (java.lang.Long.valueOf(2L), 4L, "b", t(2)),
+        (java.lang.Long.valueOf(1L), 5L, "c", t(3)))
+        .toDF("user_id", "event_id", "event_type", "ts")
+      val batchRun = graft.operators.Funnel
+        .transitionMatrix(all, "user_id", "event_type", "ts", "event_id", 6L)
+        .orderBy("from_state", "to_state").collect().map(_.toSeq).toSeq
+      assert(readout() == batchRun)
+
+      // second-generation compaction folds c_1 + b_2 into c_2 and
+      // retires the old marker; the new head (b_3) stays live
+      assert(EventStreams.compactBatches(spark, target) == Some(2L))
+      assert(dirs("c_") == Seq("c_000000000002"))
+      assert(dirs("m_") == Seq("m_000000000002"))
+      assert(dirs("b_") == Seq("b_000000000003"))
+      assert(readout() == batchRun)
+
+      // nothing foldable below the head -> no-op, horizon reported
+      assert(EventStreams.compactBatches(spark, target) == Some(2L))
+      assert(readout() == batchRun)
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
