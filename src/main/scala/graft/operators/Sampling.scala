@@ -27,6 +27,54 @@ object Sampling {
   def weightedKeep(idCol: Column, acceptProb: Column, buckets: Long = 1000000L): Column =
     pmod(xxhash64(idCol), lit(buckets)).cast("double") < acceptProb * lit(buckets.toDouble)
 
+  /** Exact-k weighted sample WITHOUT replacement per group — the
+    * Efraimidis–Spirtakis (2006) one-pass rule made deterministic:
+    * each row draws u ∈ (0,1] from its id hash
+    * (u = (pmod(xxhash64(id), buckets)+1)/(buckets+1)) and the k rows
+    * with the smallest −ln(u)/w win — distributionally identical to
+    * drawing k items with probability proportional to weight, without
+    * replacement, but with no RNG state, reproducible across reruns,
+    * partitionings and cluster sizes. Complements [[weightedKeep]]
+    * (rate-based, size varies) when the contract is EXACTLY k per
+    * group (k best-of-weighted examples per source, per language...).
+    *
+    * Quantization discipline (t37/g07's quantize-the-ln): −ln(u)
+    * rounds to a 1e-6-grid long FIRST, then the key is exact integer
+    * arithmetic (lnq × 10⁹ div w) — ranking replays bit-for-bit in the
+    * DuckDB oracle and is partitioning-independent; ties break on id.
+    * Rows with w ≤ 0 are never sampled (excluded, as E–S prescribes).
+    * Overflow headroom: lnq ≤ ln(buckets+1)×10⁶ ≈ 1.4×10⁷, ×10⁹ well
+    * inside a long.
+    *
+    * Scale shape: the draw is one hash + ln fused into the scan;
+    * selection is a per-group WindowGroupLimit (per-partition top-k
+    * heaps before the single keyed exchange) — no global sort, no
+    * sampling pass. */
+  def weightedSampleK(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weightCol: String,
+      k: Int,
+      buckets: Long = 1048576L): DataFrame = {
+    require(k >= 1 && buckets >= 2,
+      s"bad weightedSampleK params: k=$k buckets=$buckets")
+    val h = pmod(xxhash64(col(idCol)), lit(buckets))
+    val u = (h + lit(1L)).cast("double") / lit((buckets + 1).toDouble)
+    val lnq = round(-log(u) * lit(1000000.0), 0).cast("long")
+    val keyed = df
+      .filter(col(weightCol) > 0)
+      .withColumn("__lnq", lnq)
+      .withColumn("__es_key", expr(s"__lnq * 1000000000L div $weightCol"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__es_key").asc, col(idCol).asc)
+    keyed
+      .withColumn("es_rank", row_number().over(w))
+      .filter(col("es_rank") <= k)
+      .drop("__lnq", "__es_key")
+  }
+
   /** Deterministic global shuffle into training shards — the epoch-
     * shuffle every training run needs, with none of the usual RNG
     * nondeterminism: each row's shard is `pmod(xxhash64(id, seed),

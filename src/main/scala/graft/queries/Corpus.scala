@@ -1288,6 +1288,46 @@ $langScoreCols
       ORDER BY section, n_a, key"""),
     bench = true)
 
+  /** Exact-k weighted sample without replacement
+    * ([[graft.operators.Sampling.weightedSampleK]]): 20 documents per
+    * language drawn proportional to token count — the Efraimidis–
+    * Spirtakis key (−ln(u)/w, u from the id hash) with the quantized-ln
+    * discipline, so the oracle replays the draw bit-for-bit. The
+    * exact-size counterpart of p05's rate-based thinning. */
+  val p37_weighted_reservoir = QueryDef(
+    "p37_weighted_reservoir",
+    (s, dir) =>
+      graft.operators.Sampling
+        .weightedSampleK(
+          Tables(s, dir).documents
+            .select(col("doc_id"), col("lang"),
+              tokenCount(col("text")).cast("long").as("n_tokens")),
+          "doc_id", "lang", "n_tokens", k = 20)
+        .orderBy(col("lang"), col("es_rank")),
+    Some(s"""
+      WITH p37_d AS (
+        SELECT doc_id, lang,
+               (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT
+                 AS n_tokens
+        FROM documents),
+      p37_q AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(round(-ln(((((${OracleSql.u2s(OracleSql.xxh64Long(OracleSql.s2u("doc_id")))}
+                     % 1048576) + 1048576) % 1048576 + 1) / 1048577.0))
+                 * 1000000.0, 0) AS BIGINT) AS lnq
+        FROM p37_d WHERE n_tokens > 0),
+      p37_r AS (
+        SELECT doc_id, lang, n_tokens,
+               lnq * 1000000000 // n_tokens AS es_key
+        FROM p37_q)
+      SELECT doc_id, lang, n_tokens,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY es_key, doc_id) AS INT) AS es_rank
+      FROM p37_r
+      QUALIFY row_number() OVER (PARTITION BY lang
+        ORDER BY es_key, doc_id) <= 20
+      ORDER BY lang, es_rank"""))
+
   val p28_mixture_resample = QueryDef(
     "p28_mixture_resample",
     (s, dir) =>
@@ -7707,7 +7747,7 @@ $langScoreCols
     p26_pipeline_demo, p27_sft_turns, p28_mixture_resample,
     p29_preference_pairs, p30_temperature_resample, p31_balanced_shards,
     p32_water_fill, p33_length_batches, p34_curriculum, p35_epoch_recipe,
-    p36_analytics_demo,
+    p36_analytics_demo, p37_weighted_reservoir,
     g01_pagerank, g02_ppr, g03_hits, g04_label_propagation,
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf,

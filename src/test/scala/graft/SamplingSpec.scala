@@ -508,4 +508,49 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.epochRecipe(rows, "id", "grp", Seq("a" -> -0.1)))
   }
+
+  // ---------------- weightedSampleK ----------------
+
+  test("weightedSampleK: exactly k per group, dense ranks, w<=0 excluded, repartition-stable") {
+    val rows = (1L to 400L).map { i =>
+      val grp = s"g${i % 4}"
+      // group g3 carries some zero/negative weights — never sampled
+      val w = if (i % 4 == 3 && i % 3 == 0) -(i % 5) else 1L + i % 7
+      (i, grp, w)
+    }
+    val df = rows.toDF("id", "grp", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSampleK(d, "id", "grp", "w", k = 10)
+        .orderBy(col("grp"), col("es_rank"))
+        .collect()
+        .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getInt(3)))
+        .toSeq
+    val got = run(df)
+    val byGrp = got.groupBy(_._1)
+    assert(byGrp.keySet == Set("g0", "g1", "g2", "g3"))
+    byGrp.foreach { case (g, s) =>
+      assert(s.size == 10, s"group $g: ${s.size} rows")
+      assert(s.map(_._4).sorted == (1 to 10), s"group $g ranks not dense")
+      assert(s.forall(_._3 > 0), s"group $g sampled a non-positive weight")
+    }
+    assert(run(df.repartition(7)) == got)
+    intercept[IllegalArgumentException](
+      Sampling.weightedSampleK(df, "id", "grp", "w", k = 0))
+  }
+
+  test("weightedSampleK: inclusion probability grows with weight (statistical)") {
+    // 200 independent groups, each with one heavy (w=9) and nine light
+    // (w=1) candidates; k=1. P(heavy wins) = 9/18 = 1/2 vs 1/18 per
+    // light. Over 200 deterministic draws the heavy count concentrates
+    // near 100 — far from the ~20 a uniform draw would give.
+    val rows = for (g <- 1 to 200; j <- 0 until 10) yield
+      (g * 1000L + j, s"grp$g", if (j == 0) 9L else 1L)
+    val winners = Sampling
+      .weightedSampleK(rows.toDF("id", "grp", "w"), "id", "grp", "w", k = 1)
+      .collect()
+    val heavyWins = winners.count(_.getLong(2) == 9L)
+    assert(winners.length == 200)
+    assert(heavyWins > 65 && heavyWins < 135,
+      s"heavy-weight inclusion off: $heavyWins/200 (expect ~100, uniform ~20)")
+  }
 }
