@@ -2401,7 +2401,8 @@ object Relational {
       SELECT from_state, to_state, n,
              cast(n * 1000000 // tot AS BIGINT) AS p_q
       FROM q87_c JOIN q87_t USING (from_state)
-      ORDER BY from_state, to_state"""))
+      ORDER BY from_state, to_state"""),
+    bench = true)
 
   /** Top session paths ([[graft.operators.Funnel.topPaths]]): the
     * most frequent user journeys — each gap session rendered as its
