@@ -83,27 +83,57 @@ object ChaosCheck {
 
       val base = collectRanks(graft.operators.Checkpoint.local)
 
-      // chaos checkpointer: durable cut every round; right after round
-      // 2's cut, halt whichever executor runs partition 0 (first attempt
-      // only — the retried task must not cascade)
-      var rounds = 0
-      var killed = false
-      val chaos = graft.operators.Checkpoint { (df, eager) =>
-        val cut = df.checkpoint(eager)
-        rounds += 1
-        if (rounds == 2 && !killed) {
-          killed = true
-          try sc.parallelize(0 until 2, 2).foreach { i =>
-            if (i == 0 && org.apache.spark.TaskContext.get().attemptNumber() == 0)
-              Runtime.getRuntime.halt(99)
-          } catch { case _: org.apache.spark.SparkException => () }
-        }
-        cut
-      }
-      val got = collectRanks(chaos)
+      // halt whichever executor runs partition 0 (first attempt only —
+      // the retried task must not cascade)
+      def killOneExecutor(): Unit =
+        try sc.parallelize(0 until 2, 2).foreach { i =>
+          if (i == 0 && org.apache.spark.TaskContext.get().attemptNumber() == 0)
+            Runtime.getRuntime.halt(99)
+        } catch { case _: org.apache.spark.SparkException => () }
 
-      val pass = got == base && killed && rounds == 4
-      println(s"""{"pass":$pass,"rounds":$rounds,"killed":$killed,"nodes":${base.size}}""")
+      // chaos checkpointer: durable cut every invocation; right after
+      // the `killAt`-th cut, hard-halt one executor JVM
+      def chaosCheckpoint(killAt: Int): (graft.operators.Checkpoint, () => (Int, Boolean)) = {
+        var rounds = 0
+        var killed = false
+        val ckp = graft.operators.Checkpoint { (df, eager) =>
+          val cut = df.checkpoint(eager)
+          rounds += 1
+          if (rounds == killAt && !killed) { killed = true; killOneExecutor() }
+          cut
+        }
+        (ckp, () => (rounds, killed))
+      }
+
+      val (prCkp, prState) = chaosCheckpoint(killAt = 2)
+      val got = collectRanks(prCkp)
+      val (prRounds, prKilled) = prState()
+      val prPass = got == base && prKilled && prRounds == 4
+
+      // drill 2: connectedComponents — lazy cuts every 5th HashMin
+      // round; the kill fires at the FIRST cut (round 5 of ~17 on the
+      // 18-chain), so most of the fixpoint runs on the recovered
+      // cluster. Exactness bar: bit-identical (id, comp) labels.
+      val chain = spark.range(0L, 17L).toDF("id_a")
+        .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+        .union(spark.range(100L, 104L).toDF("id_a")
+          .select(col("id_a"), (col("id_a") + 100).as("id_b")))
+      def collectComps(ckp: graft.operators.Checkpoint) =
+        graft.operators.Dedup
+          .connectedComponents(chain, "id_a", "id_b", maxIter = 25,
+            checkpointer = ckp)
+          .orderBy(col("id"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSeq
+      val ccBase = collectComps(graft.operators.Checkpoint.local)
+      val (ccCkp, ccState) = chaosCheckpoint(killAt = 1)
+      val ccGot = collectComps(ccCkp)
+      val (ccRounds, ccKilled) = ccState()
+      val ccPass = ccGot == ccBase && ccKilled && ccRounds >= 2
+
+      val pass = prPass && ccPass
+      println(s"""{"pass":$pass,"pagerank":{"pass":$prPass,"rounds":$prRounds,"killed":$prKilled,"nodes":${base.size}},"cc":{"pass":$ccPass,"cuts":$ccRounds,"killed":$ccKilled,"nodes":${ccBase.size}}}""")
       if (!pass) sys.exit(1)
     } finally {
       spark.stop()
