@@ -254,6 +254,70 @@ object Aggregates {
     * count and weight total are one bounded collect (a single row)
     * feeding the tier cut as literals; the tier rollup is a ≤`buckets`
     * aggregation. Ties break on the key for a total order. */
+  /** RFM segmentation (Hughes 1994) — the customer-value companion of
+    * [[paretoConcentration]]: every user scored 1–5 on Recency (days
+    * since last event, fewer = better), Frequency (event count) and
+    * Monetary (summed quantized cents), each score an exact RANK
+    * quintile (score 5 = the best ~20%), plus the concatenated `rfm`
+    * segment label ("555" = best-everything) marketing pipelines key
+    * campaigns on.
+    *
+    * Determinism: quintiles are global ranks with an id tiebreak — a
+    * pure function of the data, bit-replayable by the oracle
+    * (`5 − rank×5 div n`, truncating division on non-negatives) — and
+    * recency measures against the corpus max timestamp (plan-folded as
+    * a broadcast single-row crossJoin), not wall clock, so reruns
+    * agree. Input events are pre-filtered/quantized by the caller (the
+    * [[Experiments.welchAbTest]] contract).
+    *
+    * Scale shape: one user-keyed aggregation collapses events, then the
+    * THREE global ranks ride chained [[graft.Frame.withPrefixSum]]
+    * range sorts over the user relation (parallel range partitioning —
+    * never a single-task unpartitioned window); the user count lands on
+    * the driver once (one long, the pareto precedent). */
+  def rfmSegments(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      centsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perUser = events
+      .groupBy(col(userCol).as("__u"))
+      .agg(
+        max(unix_micros(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(centsCol).cast("long")).as("monetary_cents"))
+    val n = perUser.count()
+    if (n == 0L)
+      return Seq.empty[(Long, Long, Long, Long, Int, Int, Int, String)]
+        .toDF(userCol, "r_days", "frequency", "monetary_cents",
+          "r_score", "f_score", "m_score", "segment")
+    val base = perUser
+      .crossJoin(broadcast(perUser.agg(max(col("__last")).as("__gmax"))))
+      .select(col("__u"),
+        expr("(__gmax - __last) div 86400000000L").as("r_days"),
+        col("frequency"), col("monetary_cents"))
+    val r1 = graft.Frame.withPrefixSum(base,
+      Seq(col("r_days").asc, col("__u").asc), lit(1L), "__ri", "__rs")
+    val r2 = graft.Frame.withPrefixSum(r1,
+      Seq(col("frequency").desc, col("__u").asc), lit(1L), "__fi", "__fs")
+    val r3 = graft.Frame.withPrefixSum(r2,
+      Seq(col("monetary_cents").desc, col("__u").asc), lit(1L), "__mi", "__ms")
+    def score(idx: String) =
+      (lit(5L) - expr(s"$idx * 5 div ${n}L")).cast("int")
+    r3.select(
+        col("__u").as(userCol), col("r_days"),
+        col("frequency"), col("monetary_cents"),
+        score("__ri").as("r_score"),
+        score("__fi").as("f_score"),
+        score("__mi").as("m_score"))
+      .withColumn("segment", concat(
+        col("r_score").cast("string"),
+        col("f_score").cast("string"),
+        col("m_score").cast("string")))
+  }
+
   def paretoConcentration(
       df: DataFrame,
       keyCol: String,

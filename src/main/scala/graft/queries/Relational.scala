@@ -2444,6 +2444,54 @@ object Relational {
       FROM q88_r GROUP BY 1
       ORDER BY sessions DESC, path ASC LIMIT 30"""))
 
+  /** RFM segmentation ([[graft.operators.Aggregates.rfmSegments]]):
+    * every purchasing user's recency/frequency/monetary quintile
+    * scores and `rfm` segment label over the purchase stream — exact
+    * rank quintiles (id tiebreak) against the corpus max timestamp,
+    * so the oracle replays every score and the three global ranks run
+    * as parallel range sorts (PrefixSumExec), never an unpartitioned
+    * window. */
+  val q89_rfm_segments = QueryDef(
+    "q89_rfm_segments",
+    (s, dir) =>
+      graft.operators.Aggregates
+        .rfmSegments(
+          Tables(s, dir).events
+            .filter(col("user_id").isNotNull &&
+              col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"),
+              round(col("value") * 100.0, 0).cast("long").as("cents")),
+          "user_id", "ts", "cents")
+        .orderBy(col("user_id")),
+    Some("""
+      WITH q89_e AS (
+        SELECT user_id AS u, epoch_us(ts) AS t,
+               CAST(round(value * 100.0) AS BIGINT) AS cents
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+      q89_u AS (
+        SELECT u, cast(max(t) AS BIGINT) AS last_t,
+               cast(count(*) AS BIGINT) AS f,
+               cast(sum(cents) AS BIGINT) AS m
+        FROM q89_e GROUP BY u),
+      q89_g AS (SELECT max(last_t) AS gmax, cast(count(*) AS BIGINT) AS n
+                FROM q89_u),
+      q89_s AS (
+        SELECT u, (gmax - last_t) // 86400000000 AS r_days, f, m,
+               CAST(5 - (row_number() OVER (ORDER BY (gmax - last_t) // 86400000000 ASC, u ASC) - 1)
+                 * 5 // n AS INT) AS r_score,
+               CAST(5 - (row_number() OVER (ORDER BY f DESC, u ASC) - 1)
+                 * 5 // n AS INT) AS f_score,
+               CAST(5 - (row_number() OVER (ORDER BY m DESC, u ASC) - 1)
+                 * 5 // n AS INT) AS m_score
+        FROM q89_u CROSS JOIN q89_g)
+      SELECT u AS user_id, cast(r_days AS BIGINT) AS r_days,
+             f AS frequency, m AS monetary_cents,
+             r_score, f_score, m_score,
+             r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+               AS segment
+      FROM q89_s ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01_agg_pricing, q02_filter_project, q03_join_inner, q04_join_left,
     q05_join_right, q06_join_full, q07_union, q08_melt, q09_topk,
@@ -2464,5 +2512,5 @@ object Relational {
     q76_heavy_hitters, q77_ab_welch, q78_cuped, q79_funnel_steps,
     q80_pareto, q81_ewma_spikes, q82_attribution, q83_ks_test,
     q84_funnel_lags, q85_daily_trend, q86_basket_rules,
-    q87_markov_transitions, q88_top_paths)
+    q87_markov_transitions, q88_top_paths, q89_rfm_segments)
 }

@@ -111,4 +111,43 @@ class HeavyHittersSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Aggregates.paretoConcentration(rows, "key", "w", 0))
   }
+
+  test("rfmSegments: hand-computed scores, recency inversion, quintile balance, repartition-stable, empty input") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // 10 users: user i's last purchase on day i, i purchases of 100*i
+    // cents total — recency WORSENS with i while f/m IMPROVE, so
+    // r_score and f/m scores must run in opposite directions
+    val rows = for (i <- 1 to 10; j <- 1 to i)
+      yield (i.toLong, ts(i), 100L * i / i) // i events of 100*i/i cents
+    val df = rows.toDF("user_id", "ts", "cents")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Aggregates.rfmSegments(d, "user_id", "ts", "cents")
+        .orderBy(col("user_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))
+        .toSeq
+    val got = run(df)
+    assert(got.size == 10)
+    // recency: user 10 bought last (r_days 0, score 5); user 1 first
+    val byUser = got.map(r => r._1 -> r).toMap
+    assert(byUser(10L)._2 == 0L && byUser(10L)._5 == 5)
+    assert(byUser(1L)._2 == 9L && byUser(1L)._5 == 1)
+    // frequency/monetary: user 10 has the most events and cents
+    assert(byUser(10L)._6 == 5 && byUser(10L)._7 == 5)
+    assert(byUser(1L)._6 == 1 && byUser(1L)._7 == 1)
+    // exact rank quintiles over 10 users: every score twice per metric
+    Seq(got.map(_._5), got.map(_._6), got.map(_._7)).foreach { ss =>
+      assert(ss.groupBy(identity).view.mapValues(_.size).toMap ==
+        Map(1 -> 2, 2 -> 2, 3 -> 2, 4 -> 2, 5 -> 2), s"quintiles: $ss")
+    }
+    // segment concatenates the three scores
+    assert(byUser(10L)._8 == "555" && byUser(1L)._8 == "111")
+    assert(run(df.repartition(7)) == got)
+    // empty input keeps the schema
+    assert(Aggregates.rfmSegments(df.filter(lit(false)),
+      "user_id", "ts", "cents").collect().isEmpty)
+  }
 }
