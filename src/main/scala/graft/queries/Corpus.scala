@@ -1086,10 +1086,12 @@ $langScoreCols
     * left-semi hash joins on user_id; attribution's touch count is a
     * conversion-keyed window on the attribution pairs themselves; the
     * Welch moments are two keyed partial aggregations. The funnel tally
-    * collects ≤4 step counts; nothing else touches the driver. */
+    * derives in-plan from the chain aggregation (steps-bounded
+    * broadcast joins) — NOTHING in the demo touches the driver. */
   val p36_analytics_demo = QueryDef(
     "p36_analytics_demo",
     (s, dir) => {
+      import s.implicits._
       import graft.operators.{Experiments, Funnel}
       val steps = Seq("signup", "view", "click", "purchase")
       val ev = Tables(s, dir).events.filter(col("user_id").isNotNull)
@@ -1106,20 +1108,48 @@ $langScoreCols
         .filter(col("__mx") >= 2)
         .select(col("user_id"), col("n_sessions"), col("sess_cents"))
       val engEv = ev.join(engaged.select("user_id"), Seq("user_id"), "left_semi")
-      // stage 2: funnel readout + per-user qualification (q79's chain)
-      val funnelRows = Funnel
-        .funnel(engEv, "user_id", "event_type", "ts", steps)
+      // stage 2: funnel readout + per-user qualification from ONE chain
+      // pass (Funnel.userDepth) — the q79 face collects its ≤4-step
+      // tally on the driver at construction time, which is a SEPARATE
+      // action re-executing the whole sessionize→gate→chain upstream
+      // before the main action runs it again; deriving the tally
+      // in-plan keeps the demo zero-collect and lets ReuseExchange
+      // serve both consumers from one chain aggregation. Same values:
+      // users(step k) = #users with depth ≥ k, conv columns the exact
+      // division shapes of the q79 readout.
+      val depth = Funnel
+        .userDepth(engEv, "user_id", "event_type", "ts", steps)
+      val stepDim = steps.zipWithIndex
+        .map { case (st, i) => ((i + 1).toLong, st) }
+        .toDF("n_a", "key")
+      val tally = depth
+        .filter(col("depth") >= 1)
+        .select(explode(sequence(lit(1), col("depth"))).as("__step"))
+        .groupBy(col("__step"))
+        .agg(count(lit(1)).as("__users"))
+      val counts = stepDim
+        .join(tally, stepDim("n_a") === tally("__step"), "left")
+        .select(col("n_a"), col("key"),
+          coalesce(col("__users"), lit(0L)).as("n_b"))
+      val prevC = counts
+        .select((col("n_a") + 1).as("__pn"), col("n_b").as("__prev"))
+      val firstC = counts.filter(col("n_a") === 1)
+        .select(col("n_b").as("__first"))
+      val funnelRows = counts
+        .join(broadcast(prevC), col("n_a") === col("__pn"), "left")
+        .crossJoin(broadcast(firstC))
         .select(
           lit("funnel").as("section"),
-          col("event_type").as("key"),
-          col("step").cast("long").as("n_a"),
-          col("users").as("n_b"),
-          col("conv_prev").as("v1"),
-          col("conv_first").as("v2"),
+          col("key"),
+          col("n_a"),
+          col("n_b"),
+          round(col("n_b").cast("double") /
+            nullif(col("__prev").cast("double"), lit(0.0)), 6).as("v1"),
+          round(col("n_b").cast("double") /
+            nullif(col("__first").cast("double"), lit(0.0)), 6).as("v2"),
           lit(null).cast("double").as("v3"),
           lit(null).cast("double").as("v4"))
-      val qualified = Funnel
-        .userDepth(engEv, "user_id", "event_type", "ts", steps)
+      val qualified = depth
         .filter(col("depth") >= 3)
         .select("user_id")
       val quEv = ev.join(qualified, Seq("user_id"), "left_semi")
