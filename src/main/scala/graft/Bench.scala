@@ -137,6 +137,58 @@ object Bench {
       .filter(r => minOf(r._2) > 0)
       .map(r => 100.0 * (r._2.max - minOf(r._2)) / minOf(r._2))
     val spreadPct = if (spreads.isEmpty) 0.0 else medianOf(spreads)
+
+    // ISOLATED MODE (round 11): in-suite per-query deltas on this host
+    // spread ±50% — g04 read +49% in-suite while an isolated quiet
+    // min-of-5 read dead level; the cross-talk is the 74-query suite
+    // itself (page-cache churn, JIT/GC debt from neighbors). Re-measure
+    // the N heaviest queries AFTER the suite, each in its own quiet
+    // pocket: randomized order (so a slow neighbor can't systematically
+    // tax the same victim), a short cooldown + GC before each query,
+    // min-of-ISOLATED_REPS. This block is the per-query number of
+    // record; the in-suite map remains the total-throughput number.
+    // a filtered `runMain graft.Bench q56` is already an isolation run —
+    // skip the block unless explicitly requested
+    val isolatedN =
+      sys.env.get("SPARK_GRAFT_ISOLATED_N").map(_.toInt)
+        .getOrElse(if (wanted.isEmpty) 10 else 0)
+    val isolatedReps = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_REPS", "5").toInt
+    val isolatedCooldownSec =
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATED_COOLDOWN", "8").toInt
+    val heavy = results
+      .filter(r => minOf(r._2) > 0)
+      .sortBy(r => -minOf(r._2))
+      .take(isolatedN)
+      .map(_._1)
+    val isoOrder = new scala.util.Random(System.nanoTime())
+      .shuffle(heavy)
+    val byName = selected.map(q => q.name -> q).toMap
+    val isolated = isoOrder.map { name =>
+      Thread.sleep(isolatedCooldownSec * 1000L)
+      System.gc()
+      val ts = (0 until isolatedReps).map(_ => timeOne(name, byName(name).run))
+      name -> ts
+    }.sortBy(_._1)
+    val isoSpreads = isolated
+      .filter(r => minOf(r._2) > 0)
+      .map(r => 100.0 * (r._2.max - minOf(r._2)) / minOf(r._2))
+    val isoSpreadPct = if (isoSpreads.isEmpty) 0.0 else medianOf(isoSpreads)
+    def isoJson(key: String => String): String =
+      if (isolated.isEmpty) ""
+      else {
+        val entries = isolated.map { case (n, ts) =>
+          val sp =
+            if (minOf(ts) <= 0) -1.0
+            else 100.0 * (ts.max - minOf(ts)) / minOf(ts)
+          "\"" + key(n) + "\":{\"min\":" + f3(minOf(ts)) +
+            ",\"median\":" + f3(medianOf(ts)) + ",\"max\":" + f3(ts.max) +
+            ",\"spread_pct\":" + f3(sp) + "}"
+        }.mkString("{", ",", "}")
+        s""","isolated":$entries,"isolated_reps":$isolatedReps,"isolated_cooldown_sec":$isolatedCooldownSec"""
+      }
+    val isoSummary =
+      if (isolated.isEmpty) ""
+      else s""","isolated_n":${isolated.size},"isolated_spread_med_pct":${f3(isoSpreadPct)}"""
     def line(key: String => String, full: Boolean): String = {
       val qs = jmap(results.map(r => r._1 -> minOf(r._2)), key)
       val cold = jmap(results.map(r => r._1 -> coldTimes(r._1)), key)
@@ -145,10 +197,18 @@ object Bench {
         else {
           val med = jmap(results.map(r => r._1 -> medianOf(r._2)), key)
           val max = jmap(results.map(r => r._1 -> r._2.max), key)
-          s""","median":$med,"max":$max"""
+          s""","median":$med,"max":$max${isoJson(key)}"""
         }
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"spread_med_pct":${f3(spreadPct)},"load_start":${f3(loadStart)},"load_bench":${f3(loadBench)},"cooldown_sec":$cooldownSec,"cooldown_timeout":$cooldownTimedOut$quietRef,"queries":$qs,"cold":$cold$stats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"spread_med_pct":${f3(spreadPct)}$isoSummary,"load_start":${f3(loadStart)},"load_bench":${f3(loadBench)},"cooldown_sec":$cooldownSec,"cooldown_timeout":$cooldownTimedOut$quietRef,"queries":$qs,"cold":$cold$stats,"sf":"$sfDir"}"""
     }
+    // MINIMAL summary line — totals + load fields only, NO per-query
+    // maps, guaranteed to fit the caller's ~2 KB tail-capture window
+    // intact (BENCH_r10's `parsed: null`: the 2.4 KB per-query line got
+    // front-truncated and nothing downstream could parse it). Printed
+    // LAST; per-query detail lives in the full-map line above it and in
+    // the durable bench_out.json this line names.
+    def minimalLine: String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","nqueries":${results.size},"reps":$reps,"spread_med_pct":${f3(spreadPct)}$isoSummary,"load_start":${f3(loadStart)},"load_bench":${f3(loadBench)},"cooldown_sec":$cooldownSec,"cooldown_timeout":$cooldownTimedOut$quietRef,"detail_file":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")}","sf":"$sfDir"}"""
     // Full-name record (with per-query median/max spread) → bench_out
     // .json (the durable artifact). The line printed to stdout uses the
     // short prefix of each query name ("q56_zorder_key" → "q56") because
@@ -170,8 +230,11 @@ object Bench {
     val shorts = results.map(_._1.takeWhile(_ != '_'))
     val shortKey: String => String =
       if (shorts.distinct.size == shorts.size) _.takeWhile(_ != '_') else identity
-    // printed LAST, after Spark shutdown, so nothing else can follow it
-    // in the tail window.
+    // printed after Spark shutdown so no log chatter can follow; the
+    // per-query compact line first (best-effort — survives when the
+    // tail window is generous), the minimal summary line LAST (always
+    // survives; this is the line of record for the caller's parser).
     println(line(shortKey, full = false))
+    println(minimalLine)
   }
 }

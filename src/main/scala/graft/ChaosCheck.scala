@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   *      (pagerankQuantized is exact integer arithmetic — any divergence
   *      means recovery replayed state wrong).
   *
+  * Drill 3 extends the same discipline to the STREAMING INGEST path: an
+  * executor JVM halts during a `dedupIngestStep`'s classification write
+  * and the recovered step must leave classifications + persisted index
+  * bit-identical to a no-failure run (round 11 — previously only proven
+  * by spec-level replay simulation).
+  *
   * Prints ONE JSON line {"pass":…} and exits 0 (pass), 1 (mismatch), or
   * 2 (cluster never came up — environment, not code). Driven by
   * ExecutorLossSpec via a forked JVM.
@@ -33,6 +39,8 @@ import org.apache.spark.sql.functions._
 object ChaosCheck {
   def main(args: Array[String]): Unit = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-chaos-ckpt")
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft-chaos-wh")
     // executor JVMs need the same JDK17 module opens the driver gets from
     // build.sbt; they inherit this JVM's classpath via the worker's
     // command builder, but javaOptions do NOT propagate
@@ -50,6 +58,12 @@ object ChaosCheck {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.executor.extraJavaOptions", addOpens)
+      // drills 1/2 are pure-DataFrame plans (no user class ever reaches
+      // an executor), but drill 3 ships a typed .map lambda + graft
+      // expression kernels — the executor JVMs need the app classpath
+      // or lambda deserialization dies with SerializedLambda CCE
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.sql.warehouse.dir", warehouse.toString)
       .getOrCreate()
     try {
       val sc = spark.sparkContext
@@ -132,8 +146,80 @@ object ChaosCheck {
       val (ccRounds, ccKilled) = ccState()
       val ccPass = ccGot == ccBase && ccKilled && ccRounds >= 2
 
-      val pass = prPass && ccPass
-      println(s"""{"pass":$pass,"pagerank":{"pass":$prPass,"rounds":$prRounds,"killed":$prKilled,"nodes":${base.size}},"cc":{"pass":$ccPass,"cuts":$ccRounds,"killed":$ccKilled,"nodes":${ccBase.size}}}""")
+      // drill 3: STREAMING INGEST — an executor JVM dies DURING a
+      // dedupIngestStep (the classification write is the first action
+      // that touches the batch, so the halt lands inside that job) and
+      // the retried tasks + marker-fenced step must leave BOTH the
+      // classifications and the persisted index identical to a
+      // no-failure run over the same data. This is the recovery the
+      // spec-level replay simulation (StreamingSpec) models; here the
+      // loss is a real JVM halt on a real two-executor cluster.
+      import spark.implicits._
+      val killFile = java.nio.file.Files
+        .createTempDirectory("graft-chaos-ingest").resolve("killed").toString
+      // one halt total, wherever the first task to see no marker runs:
+      // createFile is the atomic claim; the loser of the race (or any
+      // retry) sees the file and passes through
+      def chaosBatch(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame =
+        spark.createDataset(rows).repartition(2)
+          .map { case (id, text) =>
+            val p = java.nio.file.Paths.get(killFile)
+            if (!java.nio.file.Files.exists(p)) {
+              try {
+                java.nio.file.Files.createFile(p)
+                Runtime.getRuntime.halt(99)
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException => ()
+              }
+            }
+            (id, text)
+          }.toDF("doc_id", "text")
+      val seedDocs = Seq(
+        (1L, "seed document about rivers and stone bridges"),
+        (2L, "seed document describing mountain weather patterns"))
+      val batch0 = Seq(
+        (100L, "brand new content alpha beta gamma"),
+        (101L, "seed document about rivers and stone bridges"))
+      val batch1 = Seq(
+        (200L, "brand new content alpha beta gamma"), // copy of NOVEL 100
+        (201L, "entirely different follow-up material"))
+      def runIngest(table: String, target: String,
+          mkBatch1: Seq[(Long, String)] => org.apache.spark.sql.DataFrame)
+          : (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+        graft.operators.Dedup.writeDedupIndex(
+          seedDocs.toDF("doc_id", "text"), "doc_id", "text", table,
+          numBuckets = 2)
+        graft.streaming.EventStreams.dedupIngestStep(
+          table, batch0.toDF("doc_id", "text"), 0L, "doc_id", "text",
+          target, numBuckets = 2, shingleSize = 3, numHashes = 64,
+          bands = 16, seed = 42L, tau = 0.4)
+        graft.streaming.EventStreams.dedupIngestStep(
+          table, mkBatch1(batch1), 1L, "doc_id", "text",
+          target, numBuckets = 2, shingleSize = 3, numHashes = 64,
+          bands = 16, seed = 42L, tau = 0.4)
+        val classed = graft.streaming.EventStreams
+          .committedBatches(spark, target)
+          .collect().map(_.toSeq.map(v => v: Any)).toSeq
+          .sortBy(_.mkString("|"))
+        val index = spark.table(s"${table}_exact")
+          .collect().map(_.toSeq.map(v => v: Any)).toSeq
+          .sortBy(_.mkString("|"))
+        (classed, index)
+      }
+      val chaosTgt = java.nio.file.Files
+        .createTempDirectory("graft-chaos-ded").toString
+      val refTgt = java.nio.file.Files
+        .createTempDirectory("graft-chaos-dedref").toString
+      val (chaosClass, chaosIdx) = runIngest("chaos_ded", chaosTgt, chaosBatch)
+      val ingKilled = java.nio.file.Files
+        .exists(java.nio.file.Paths.get(killFile))
+      val (refClass, refIdx) =
+        runIngest("chaos_ref", refTgt, rows => rows.toDF("doc_id", "text"))
+      val ingPass = ingKilled && chaosClass == refClass &&
+        chaosIdx == refIdx && chaosClass.nonEmpty && chaosIdx.nonEmpty
+
+      val pass = prPass && ccPass && ingPass
+      println(s"""{"pass":$pass,"pagerank":{"pass":$prPass,"rounds":$prRounds,"killed":$prKilled,"nodes":${base.size}},"cc":{"pass":$ccPass,"cuts":$ccRounds,"killed":$ccKilled,"nodes":${ccBase.size}},"ingest":{"pass":$ingPass,"killed":$ingKilled,"classified":${chaosClass.size},"index_rows":${chaosIdx.size}}}""")
       if (!pass) sys.exit(1)
     } finally {
       spark.stop()
@@ -142,6 +228,7 @@ object ChaosCheck {
         f.delete(): Unit
       }
       rm(ckpt.toFile)
+      rm(warehouse.toFile)
     }
   }
 }

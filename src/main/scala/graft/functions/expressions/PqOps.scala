@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -78,8 +78,17 @@ case class PqEncode(
           i += 1
         }
         if (d <= skip) {
-          d = java.math.BigDecimal.valueOf(d)
-            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+          // non-finite guard: BigDecimal.valueOf(NaN/Inf) throws, and
+          // Spark's `round` (the HOF path this replaced) passes
+          // non-finite through unchanged — do the same. NaN compares
+          // false against everything and +Inf never beats a finite (or
+          // initial-Inf) incumbent under strict `<`, so a non-finite
+          // distance is a non-winner, exactly as in the HOF version.
+          // (NaN additionally fails `d <= skip` and never reaches here.)
+          if (java.lang.Double.isFinite(d)) {
+            d = java.math.BigDecimal.valueOf(d)
+              .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+          }
           if (d < bestD) { bestD = d; bestC = k; skip = d + 2e-9 }
         }
         k += 1
@@ -122,8 +131,10 @@ case class PqEncode(
          |      $d += $t * $t;
          |    }
          |    if ($d <= $skip) {
-         |      $d = java.math.BigDecimal.valueOf($d)
-         |        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue();
+         |      if (java.lang.Double.isFinite($d)) {
+         |        $d = java.math.BigDecimal.valueOf($d)
+         |          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue();
+         |      }
          |      if ($d < $bestD) { $bestD = $d; $bestC = $k; $skip = $d + 2e-9; }
          |    }
          |  }
@@ -138,6 +149,80 @@ case class PqEncode(
     copy(child = newChild)
 
   override def prettyName: String = "pq_encode"
+}
+
+/** ADC (asymmetric distance computation) total: the per-candidate-pair
+  * kernel of the PQ probe — `Σ_m lut[m·numCodes + codes[m]]`, the
+  * query's lookup table indexed by the corpus row's codes, folded in
+  * block order (the left fold `((0 + t₀) + t₁) + …`, bit-identical to
+  * the `aggregate`/`element_at` HOF composition it replaces — pinned by
+  * a native≡HOF property spec in PqSpec).
+  *
+  * Why native (round-11 stretch — the PqEncode rationale applied to the
+  * probe side): the HOF fold paid an interpreted lambda dispatch per
+  * block PER CANDIDATE PAIR, and the candidate join emits
+  * ~|corpus|·nProbe/nCells pairs per query — at 100 TB the ADC walk is
+  * the probe's hot loop exactly as encoding is the build's. Here it is
+  * one codegen loop per pair: numSub adds, two array reads per add.
+  *
+  * Out-of-range codes are impossible by construction (the codes column
+  * is [[PqEncode]] output, always in [0, numCodes)); a violation throws
+  * rather than silently misindexing. */
+case class AdcDist(
+    left: Expression,
+    right: Expression,
+    numSub: Int,
+    numCodes: Int) extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lut = l.asInstanceOf[ArrayData]
+    val codes = r.asInstanceOf[ArrayData]
+    var s = 0.0
+    var m = 0
+    while (m < numSub) {
+      val c = codes.getInt(m)
+      if (c < 0 || c >= numCodes)
+        throw new IllegalStateException(s"ADC code $c out of [0, $numCodes)")
+      s += lut.getDouble(m * numCodes + c)
+      m += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val s = ctx.freshName("adc")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      s"""
+         |double $s = 0.0;
+         |for (int $m = 0; $m < $numSub; $m++) {
+         |  int $c = $r.getInt($m);
+         |  if ($c < 0 || $c >= $numCodes)
+         |    throw new IllegalStateException("ADC code out of range: " + $c);
+         |  $s += $l.getDouble($m * $numCodes + $c);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDist =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "adc_dist"
+}
+
+object AdcDist {
+  /** Column entry point: `lut` is the query's m-major, code-minor ADC
+    * table (numSub·numCodes doubles), `codes` the corpus row's PQ codes. */
+  def dist(lut: Column, codes: Column, numSub: Int, numCodes: Int): Column =
+    ColumnBridge.column(AdcDist(
+      ColumnBridge.expression(lut), ColumnBridge.expression(codes),
+      numSub, numCodes))
 }
 
 object PqEncode {

@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
   * map-side partial merge; state per user is that user's own matching
   * events, never the stream). The greedy chain is a scan-local HOF
   * cascade over those arrays; per-user depth explodes into at most
-  * |steps| rows, and the step tally (≤|steps| rows — collected, so the
-  * conversion columns can't re-trigger the stream pass) finishes the
-  * readout. No window over raw events; driver state is |steps| longs.
-  */
+  * |steps| rows, and the step tally derives IN-PLAN via steps-bounded
+  * broadcast joins against a |steps|-row dimension — the whole readout
+  * is one action, zero-collect. No window over raw events; no driver
+  * state at all. */
 object Funnel {
 
   /** (step, event_type, users, conv_prev, conv_first) — one row per
@@ -95,29 +95,40 @@ object Funnel {
     import spark.implicits._
     val chained = chainTimes(events, userCol, typeCol, tsCol, steps)
     val depth = depthExpr(steps)
-    // the tally is <=|steps| rows — collect it (bounded by the step
-    // list, never by the data) so the conversion arithmetic can't
-    // re-trigger the stream aggregation once per derived column
-    val counts = chained
-      .select(depth.as("__depth"))
+    // the step tally derives IN-PLAN (the p36 pattern): the former
+    // construction-time collect — bounded at ≤|steps| rows but a
+    // SEPARATE driver action — re-executed the whole upstream before
+    // the main action ran it again. Here the tally aggregation joins a
+    // |steps|-row step dimension (left, so zero-reach steps survive),
+    // and the prev/first conversion denominators are steps-bounded
+    // broadcast self-joins over that tiny relation — ReuseExchange
+    // serves all three consumers from ONE chain aggregation, and the
+    // whole readout is one action, zero-collect.
+    val tally = chained
+      .select(depth.cast("int").as("__depth"))
       .filter(col("__depth") >= 1)
-      .select(explode(sequence(lit(1), col("__depth"))).as("step"))
-      .groupBy(col("step")).agg(count(lit(1)).as("__users"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-    val readout = steps.zipWithIndex.map { case (st, i) =>
-      val step = i + 1
-      (step, st, counts.getOrElse(step, 0L),
-        if (i == 0) None else Some(counts.getOrElse(i, 0L)),
-        counts.getOrElse(1, 0L))
-    }.toDF("step", "event_type", "users", "__p", "__f")
-    readout.select(
-      col("step"), col("event_type"), col("users"),
-      round(col("users").cast("double") /
-        nullif(col("__p").cast("double"), lit(0.0)), 6).as("conv_prev"),
-      round(col("users").cast("double") /
-        nullif(col("__f").cast("double"), lit(0.0)), 6).as("conv_first"))
+      .select(explode(sequence(lit(1), col("__depth"))).as("__step"))
+      .groupBy(col("__step")).agg(count(lit(1)).as("__users"))
+    val stepDim = steps.zipWithIndex
+      .map { case (st, i) => (i + 1, st) }
+      .toDF("step", "event_type")
+    val counts = stepDim
+      .join(tally, stepDim("step") === tally("__step"), "left")
+      .select(col("step"), col("event_type"),
+        coalesce(col("__users"), lit(0L)).as("users"))
+    val prevC = counts
+      .select((col("step") + 1).as("__pn"), col("users").as("__p"))
+    val firstC = counts.filter(col("step") === 1)
+      .select(col("users").as("__f"))
+    counts
+      .join(broadcast(prevC), col("step") === col("__pn"), "left")
+      .crossJoin(broadcast(firstC))
+      .select(
+        col("step"), col("event_type"), col("users"),
+        round(col("users").cast("double") /
+          nullif(col("__p").cast("double"), lit(0.0)), 6).as("conv_prev"),
+        round(col("users").cast("double") /
+          nullif(col("__f").cast("double"), lit(0.0)), 6).as("conv_first"))
   }
 
   /** Time-to-convert per funnel transition: for each adjacent step
@@ -298,13 +309,24 @@ object Funnel {
     * at any partitioning. Output per channel: conversions touched,
     * raw touch count, and the attributed micro-cent total.
     *
+    * Each conversion credits at most `maxTouches` touches — the k
+    * NEAREST-in-time (most recent first; ties break channel-ascending,
+    * and same-(time, channel) touches are interchangeable, so the
+    * readout is deterministic). The cap is the `sessionCooccurrenceEdges
+    * maxPerSession` skew discipline: without it one bot user with 10⁴
+    * in-window touches and 10³ conversions makes a single user key a
+    * ~10⁷-row straggler at scale, and attributing a conversion across
+    * thousands of micro-shares is analytically meaningless anyway. The
+    * default is generous — organic users never hit it.
+    *
     * Scale shape: ONE user-keyed join of conversions onto touches —
-    * the output rows ARE the attribution pairs (every pair carries
-    * credit, nothing is wasted), bounded per user by that user's own
-    * conversions × touches, never by the corpus; the per-conversion
-    * touch count is a conversion-partitioned window on the SAME pass
-    * (no second join), and the channel rollup is a ≤|channels|+1
-    * aggregation. */
+    * bounded per user by that user's own conversions × touches inside
+    * the lookback; the nearest-k rank-filter plans as a
+    * WindowGroupLimit (a partial per-conversion top-k cap runs in the
+    * join's own task, so at most k rows per conversion reach the
+    * window exchange); the per-conversion touch count is a
+    * conversion-partitioned window on the capped pairs (no second
+    * join), and the channel rollup is a ≤|channels|+1 aggregation. */
   def linearAttribution(
       events: DataFrame,
       userCol: String,
@@ -314,10 +336,12 @@ object Funnel {
       valueCol: String,
       touchTypes: Seq[String],
       conversionType: String,
-      lookbackHours: Long): DataFrame = {
+      lookbackHours: Long,
+      maxTouches: Int = 100): DataFrame = {
     require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
       s"touch types $touchTypes must be non-empty and exclude $conversionType")
     require(lookbackHours >= 1, s"lookbackHours must be >= 1, got $lookbackHours")
+    require(maxTouches >= 1, s"maxTouches must be >= 1, got $maxTouches")
     val lookUs = lookbackHours * 3600L * 1000000L
     val conv = events
       .filter(col(typeCol) === conversionType && col(userCol).isNotNull)
@@ -329,12 +353,22 @@ object Funnel {
       .select(col(userCol).as("__u2"), col(typeCol).as("__ch"),
         unix_micros(col(tsCol)).as("__tt"))
     val w = Window.partitionBy(col("__pid"))
+    // nearest-k per conversion: most recent touch first, channel breaks
+    // time ties. A bare `row_number <= k` filter (no disjunction) is the
+    // shape Catalyst's InferWindowGroupLimit rewrites into a partial
+    // WindowGroupLimit ahead of the __pid exchange; a touchless
+    // conversion is a singleton (null-channel) partition with rn = 1,
+    // so it passes the filter and still credits `direct`.
+    val wNear = Window.partitionBy(col("__pid"))
+      .orderBy(col("__tt").desc, col("__ch").asc)
     conv
       .join(touch,
         col("__u") === col("__u2") &&
           col("__tt") < col("__pt") &&
           col("__tt") >= col("__pt") - lookUs,
         "left")
+      .withColumn("__rn", row_number().over(wNear))
+      .filter(col("__rn") <= maxTouches)
       .withColumn("__tc", count(col("__ch")).over(w))
       .select(
         coalesce(col("__ch"), lit("direct")).as("channel"),

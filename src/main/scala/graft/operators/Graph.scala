@@ -233,9 +233,13 @@ object Graph {
       checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampDen > 0 && scale > 0,
       s"bad ppr params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
+    // e persists (the pagerankQuantized discipline): nodes consumes it
+    // twice and outdeg/ew once each, so an un-persisted e re-executes
+    // the caller's edge pipeline for each consumer in the setup phase
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val seedSet = seeds.select(col(seedCol).cast("long").as("node")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -1043,6 +1047,10 @@ object Graph {
         col(weightCol).cast("long").as("w"))
       .filter(col("w") > 0L)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      // persisted like pagerankQuantized's e: nodes reads it twice and
+      // outw/ew once each — without this the caller's edge pipeline
+      // (often a join-heavy co-occurrence derivation) re-executes 4x
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -57,6 +57,7 @@ object Multimodal {
     when(substring(blob, 1, 8) === magic(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "png")
       .when(substring(blob, 1, 3) === magic(0xff, 0xd8, 0xff), "jpeg")
       .when(substring(blob, 1, 4) === magic(0x47, 0x49, 0x46, 0x38), "gif")
+      .when(substring(blob, 1, 2) === magic(0x42, 0x4d), "bmp")
       .when(substring(blob, 1, 4) === magic(0x52, 0x49, 0x46, 0x46), "riff") // wav/avi container
       .when(substring(blob, 1, 3) === magic(0x49, 0x44, 0x33), "mp3")
       .when(substring(blob, 5, 4) === magic(0x66, 0x74, 0x79, 0x70), "mp4")
@@ -273,7 +274,7 @@ object Multimodal {
   def imageCodec(blob: Array[Byte]): Option[(Int, Int, Int, Long)] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-      if (img == null) None
+      if (img == null) None // unrecognized format: ImageIO's null contract
       else {
         val raster = img.getRaster
         val bands = raster.getNumBands
@@ -292,7 +293,13 @@ object Multimodal {
         }
         Some((w, h, bands, s))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // a TRUNCATED file with a valid magic throws (IIOException from the
+      // PNG/JPEG readers; some decoders escalate runtime exceptions on
+      // malformed chunk tables) — every decode failure is the same
+      // curation fact, so the contract is None, never an exception
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Batched REAL image decode through the same iterator-to-iterator
     * `mapPartitions` slot as [[decodeBatch]] — per-partition init turns
@@ -330,7 +337,16 @@ object Multimodal {
     * decode recovers (dimensions, 3 bands, exact sample sum) is pure
     * arithmetic in `id`, so DuckDB can verify a genuine ImageIO decode
     * without being able to parse PNG itself. */
-  def syntheticPng(id: Long): Array[Byte] = {
+  def syntheticPng(id: Long): Array[Byte] = syntheticImage(id, "png")
+
+  /** [[syntheticPng]]'s gradient encoded by any JDK `ImageIO` writer —
+    * the multi-codec fixture (m08): `png`/`bmp` round-trip every sample
+    * exactly (both lossless truecolor, so dims AND the raster sum stay
+    * arithmetic in `id`); `jpg` is lossy, so only the METADATA
+    * (dimensions, 3 bands) survives as oracle-checkable; `gif`
+    * palette-quantizes and decodes to an indexed raster, so only the
+    * dimensions survive. */
+  def syntheticImage(id: Long, format: String): Array[Byte] = {
     require(id >= 0, s"synthetic image id must be >= 0, got $id")
     val w = (1L + id % 13).toInt
     val h = (1L + (id / 13) % 11).toInt
@@ -348,7 +364,8 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.setUseCache(false)
-    javax.imageio.ImageIO.write(img, "png", bos)
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for format $format")
     bos.toByteArray
   }
 

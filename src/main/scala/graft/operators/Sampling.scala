@@ -62,17 +62,25 @@ object Sampling {
     val h = pmod(xxhash64(col(idCol)), lit(buckets))
     val u = (h + lit(1L)).cast("double") / lit((buckets + 1).toDouble)
     val lnq = round(-log(u) * lit(1000000.0), 0).cast("long")
+    // the weight rides a pre-aliased cast column, NOT a raw `$weightCol`
+    // splice into the SQL string — a name needing backticks would break
+    // analysis and a name like `a-b` would silently parse as subtraction.
+    // `div` is integral: the effective weight is floor(w) (bit-identical
+    // for the integral weights the contract assumes; a fractional weight
+    // < 1 truncates to 0 and is excluded like any non-positive weight,
+    // where the raw splice failed analysis outright).
     val keyed = df
-      .filter(col(weightCol) > 0)
       .withColumn("__lnq", lnq)
-      .withColumn("__es_key", expr(s"__lnq * 1000000000L div $weightCol"))
+      .withColumn("__es_w", col(weightCol).cast("long"))
+      .filter(col("__es_w") > 0L)
+      .withColumn("__es_key", expr("__lnq * 1000000000L div __es_w"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("__es_key").asc, col(idCol).asc)
     keyed
       .withColumn("es_rank", row_number().over(w))
       .filter(col("es_rank") <= k)
-      .drop("__lnq", "__es_key")
+      .drop("__lnq", "__es_w", "__es_key")
   }
 
   /** Deterministic global shuffle into training shards — the epoch-

@@ -891,14 +891,17 @@ object Similarity {
       transform(sequence(lit(0), lit(numCodes - 1)), k =>
         subDist(vec, m, sub, codewordAt(cbLit, m, k)))))
 
-  /** ADC total: LUT entries folded in block order. */
+  /** ADC total: LUT entries folded in block order — the native
+    * [[graft.functions.expressions.AdcDist]] kernel (round 11; formerly
+    * an `aggregate`/`element_at` HOF fold that paid an interpreted
+    * lambda dispatch per block PER CANDIDATE PAIR — the probe-side twin
+    * of the PqEncode promotion; native≡HOF pinned in PqSpec). */
   private def pqAdistExpr(
       lut: org.apache.spark.sql.Column,
       codes: org.apache.spark.sql.Column,
       numSub: Int,
       numCodes: Int): org.apache.spark.sql.Column =
-    aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0), (acc, m) =>
-      acc + element_at(lut, m * lit(numCodes) + lit(1) + element_at(codes, m + 1)))
+    graft.functions.expressions.AdcDist.dist(lut, codes, numSub, numCodes)
 
   /** IVF-PQ: the canonical big-vector-corpus index (Jégou et al. 2011
     * §IV; FAISS IndexIVFPQ with by_residual=false) — coarse cells

@@ -1109,14 +1109,14 @@ $langScoreCols
         .select(col("user_id"), col("n_sessions"), col("sess_cents"))
       val engEv = ev.join(engaged.select("user_id"), Seq("user_id"), "left_semi")
       // stage 2: funnel readout + per-user qualification from ONE chain
-      // pass (Funnel.userDepth) — the q79 face collects its ≤4-step
-      // tally on the driver at construction time, which is a SEPARATE
-      // action re-executing the whole sessionize→gate→chain upstream
-      // before the main action runs it again; deriving the tally
-      // in-plan keeps the demo zero-collect and lets ReuseExchange
-      // serve both consumers from one chain aggregation. Same values:
-      // users(step k) = #users with depth ≥ k, conv columns the exact
-      // division shapes of the q79 readout.
+      // pass (Funnel.userDepth). The tally derives in-plan (this was
+      // the round-10 prototype of the pattern; Funnel.funnel itself
+      // adopted it in round 11, so the q79 face is now zero-collect
+      // too) — here the explicit userDepth form stays because the
+      // SAME depth relation also gates attribution + the experiment
+      // readout, and ReuseExchange serves all consumers from one
+      // chain aggregation. Same values: users(step k) = #users with
+      // depth ≥ k, conv columns the exact division shapes of q79.
       val depth = Funnel
         .userDepth(engEv, "user_id", "event_type", "ts", steps)
       val stepDim = steps.zipWithIndex
@@ -1237,12 +1237,17 @@ $langScoreCols
       p36_t AS (SELECT u, et AS ch, t AS tt
                 FROM p36_qe WHERE et IN ('view', 'click')),
       p36_j AS (
-        SELECT c.pid, c.cents, t.ch
+        SELECT c.pid, c.cents, t.ch, t.tt
         FROM p36_c c LEFT JOIN p36_t t
           ON t.u = c.u AND t.tt < c.pt AND t.tt >= c.pt - 172800000000),
+      p36_k AS (
+        SELECT pid, cents, ch,
+               row_number() OVER (PARTITION BY pid
+                 ORDER BY tt DESC NULLS LAST, ch ASC NULLS LAST) AS rn
+        FROM p36_j),
       p36_w AS (
         SELECT pid, cents, ch, count(ch) OVER (PARTITION BY pid) AS tc
-        FROM p36_j),
+        FROM p36_k WHERE rn <= 100),
       p36_at AS (
         SELECT coalesce(ch, 'direct') AS channel,
                cast(count(DISTINCT pid) AS BIGINT) AS conversions,

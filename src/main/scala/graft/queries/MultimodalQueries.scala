@@ -358,7 +358,83 @@ object MultimodalQueries {
     Some(m07Oracle),
     bench = true)
 
+  /** Multi-codec decode matrix + the corrupt-blob contract (round 11 —
+    * m04 exercised only JDK-synthesized PNGs): each doc_id becomes one
+    * of FIVE fixture kinds by `doc_id % 5` — PNG, BMP, JPEG, GIF, or a
+    * corrupt blob (alternating between a truncated PNG, which makes the
+    * decoder THROW, and bytes no ImageIO reader claims, which makes
+    * `ImageIO.read` return null). What the oracle can verify depends on
+    * the codec: PNG/BMP are lossless truecolor, so dims + band count +
+    * the exact raster sample sum all replay arithmetically; JPEG is
+    * lossy, so dims + 3 bands survive but the sample sum is
+    * decoder-private; GIF decodes to an indexed raster, so only dims
+    * survive. Corrupt rows must surface as the documented None/null
+    * contract — they exit [[Multimodal.decodeImages]] silently and
+    * re-enter here as NULL columns through a left join, never as an
+    * exception. */
+  private val m08Oracle: String =
+    """
+      WITH m08_d AS (
+        SELECT doc_id,
+               (1 + (doc_id % 13))::INT AS w,
+               (1 + ((doc_id // 13) % 11))::INT AS h,
+               doc_id % 5 AS fm
+        FROM documents),
+      m08_px AS (
+        SELECT doc_id, w, h, unnest(range(w * h)) AS i
+        FROM m08_d WHERE fm IN (0, 1)),
+      m08_s AS (
+        SELECT doc_id,
+               3 * sum((doc_id + 7 * (i % w) + 13 * (i // w)) % 256) AS ps
+        FROM m08_px GROUP BY 1)
+      SELECT d.doc_id,
+             CASE fm WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                     WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif' END AS format,
+             CASE WHEN fm <= 3 THEN w END AS width,
+             CASE WHEN fm <= 3 THEN h END AS height,
+             CASE WHEN fm <= 2 THEN 3 END AS channels,
+             CASE WHEN fm <= 1 THEN s.ps::BIGINT END AS px_sum
+      FROM m08_d d LEFT JOIN m08_s s ON d.doc_id = s.doc_id
+      ORDER BY d.doc_id"""
+
+  val m08_decode_codecs = QueryDef(
+    "m08_decode_codecs",
+    (s, dir) => {
+      import s.implicits._
+      val fixtures = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val blob = (id % 5) match {
+            case 0 => Multimodal.syntheticImage(id, "png")
+            case 1 => Multimodal.syntheticImage(id, "bmp")
+            case 2 => Multimodal.syntheticImage(id, "jpg")
+            case 3 => Multimodal.syntheticImage(id, "gif")
+            case _ =>
+              if (id % 2 == 0) Multimodal.syntheticImage(id, "png").take(16)
+              else s"NOT_AN_IMAGE:$id".getBytes("UTF-8")
+          }
+          (id, blob)
+        })
+        .toDF("doc_id", "blob")
+      val decoded = Multimodal.decodeImages(fixtures, "doc_id", "blob")
+        .toDF()
+        .withColumnRenamed("id", "doc_id")
+      Tables(s, dir).documents
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .join(decoded, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("format"),
+          col("width"), col("height"),
+          when(col("format").isin("png", "bmp", "jpeg"), col("channels"))
+            .as("channels"),
+          when(col("format").isin("png", "bmp"), col("px_sum")).as("px_sum"))
+        .orderBy(col("doc_id"))
+    },
+    Some(m08Oracle))
+
   val all: Seq[QueryDef] = Seq(
     m01_blob_meta, m02_blob_features, m03_frame_sample, m04_decode_resize,
-    m05_blob_neardup, m06_blob_probe_indexed, m07_cdc_dedup)
+    m05_blob_neardup, m06_blob_probe_indexed, m07_cdc_dedup,
+    m08_decode_codecs)
 }

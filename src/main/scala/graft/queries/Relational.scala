@@ -2117,8 +2117,10 @@ object Relational {
 
   /** Linear multi-touch attribution ([[graft.operators.Funnel
     * .linearAttribution]]): every purchase's cents split equally over
-    * the user's view/click touches inside a 48 h lookback, untouched
-    * purchases crediting `direct` — micro-cent integer shares, so the
+    * the user's view/click touches inside a 48 h lookback — capped at
+    * the 100 nearest-in-time touches per conversion (the bot-user skew
+    * discipline; the oracle replays the same rank filter) — untouched
+    * purchases crediting `direct`; micro-cent integer shares, so the
     * DuckDB replay is bit-exact. */
   val q82_attribution = QueryDef(
     "q82_attribution",
@@ -2142,14 +2144,19 @@ object Relational {
         FROM events
         WHERE event_type IN ('view', 'click') AND user_id IS NOT NULL),
       q82_j AS (
-        SELECT c.pid, c.cents, t.ch
+        SELECT c.pid, c.cents, t.ch, t.tt
         FROM q82_c c LEFT JOIN q82_t t
           ON t.u = c.u AND t.tt < c.pt
          AND t.tt >= c.pt - 172800000000),
+      q82_k AS (
+        SELECT pid, cents, ch,
+               row_number() OVER (PARTITION BY pid
+                 ORDER BY tt DESC NULLS LAST, ch ASC NULLS LAST) AS rn
+        FROM q82_j),
       q82_w AS (
         SELECT pid, cents, ch,
                count(ch) OVER (PARTITION BY pid) AS tc
-        FROM q82_j)
+        FROM q82_k WHERE rn <= 100)
       SELECT coalesce(ch, 'direct') AS channel,
              cast(count(DISTINCT pid) AS BIGINT) AS conversions,
              cast(sum(CASE WHEN ch IS NOT NULL THEN 1 ELSE 0 END)

@@ -530,19 +530,52 @@ object EventStreams {
       targetPath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(targetPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val upTo = compactionUpTo(fs, root)
-    val committed =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq
+    // ONE directory snapshot feeds BOTH the marker horizon and the b_
+    // set. Two separate listings raced a concurrent [[compactBatches]]:
+    // a new m_ marker committed (and superseded b_/c_ dirs deleted)
+    // between the listings made the reader pair an OLD horizon with a
+    // POST-DELETE b_ set — silently dropping the folded batches' data.
+    // A snapshot can still be superseded between the listing and the
+    // path resolve (compaction deletes what the snapshot references),
+    // so the resolve validates every referenced path and retries on a
+    // fresh snapshot if one vanished. Residual window: a compaction
+    // that deletes while a resolved readout's ACTION is still running
+    // can yank files mid-scan (Spark then fails the job, never returns
+    // a partial view) — schedule compaction between long readouts, or
+    // persist the readout first.
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val listing =
+        if (!fs.exists(root)) Seq.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(root).toSeq
+      val upTo = listing
+        .filter(s => !s.isDirectory && s.getPath.getName.startsWith("m_"))
+        .map(s => batchId(s.getPath.getName))
+        .filter(_ >= 0)
+        .maxOption
+      val liveDirs = listing
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("b_") &&
-          batchId(s.getPath.getName) > upTo.getOrElse(-1L) &&
+          batchId(s.getPath.getName) > upTo.getOrElse(-1L))
+      // a dir in the snapshot that VANISHED is a superseded-snapshot
+      // signal (retry); a dir still present without _SUCCESS is a
+      // genuinely uncommitted batch (exclude, no retry)
+      val vanished = liveDirs.exists(s => !fs.exists(s.getPath))
+      val committed = liveDirs
+        .filter(s =>
           fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
         .map(_.getPath.toString)
         .sorted
-    val compacted = upTo.map(k => f"$targetPath/c_$k%012d")
-    val all = compacted.toSeq ++ committed
-    require(all.nonEmpty, s"no committed batches under $targetPath")
-    spark.read.parquet(all: _*)
+      val compacted = upTo.map(k => f"$targetPath/c_$k%012d")
+      val all = compacted.toSeq ++ committed
+      val stale = vanished ||
+        !all.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      if (!stale || attempt >= 5) {
+        require(all.nonEmpty, s"no committed batches under $targetPath")
+        return spark.read.parquet(all: _*)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def batchId(name: String): Long =

@@ -50,5 +50,9 @@ class ExecutorLossSpec extends AnyFunSuite {
     val line = out.linesIterator.find(_.startsWith("""{"pass"""")).getOrElse("")
     assert(line.contains(""""pass":true""") && line.contains(""""killed":true"""),
       s"unexpected drill record: $line\n${out.takeRight(1000)}")
+    // third family (round 11): the streaming-ingest kill drill must have
+    // actually fired its kill AND matched the no-failure rebuild
+    assert(line.contains(""""ingest":{"pass":true,"killed":true"""),
+      s"ingest drill verdict missing/failed: $line")
   }
 }

@@ -150,6 +150,58 @@ class FunnelSpec extends SparkSpec {
         "event_id", "value", Seq("purchase"), "purchase", 48L))
   }
 
+  test("linearAttribution: maxTouches keeps the k nearest-in-time touches per conversion") {
+    // planted bot user: 12 views + 3 clicks inside the 48 h window, one
+    // 1.00 purchase. With maxTouches = 5 the nearest-in-time survivors
+    // are the 3 clicks (00:20-00:22) and the 2 latest views (00:10,
+    // 00:11); shares split over the CAPPED count (5), so all value is
+    // still attributed.
+    val bot =
+      (0 until 12).map(m => (9L, 100L + m, "view", f"2024-01-01 00:$m%02d:00", 0.0)) ++
+      (0 until 3).map(m => (9L, 200L + m, "click", f"2024-01-01 00:2$m:00", 0.0)) :+
+      ((9L, 300L, "purchase", "2024-01-01 01:00:00", 1.0))
+    val df = bot.toDF("user_id", "event_id", "event_type", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    def run(d: org.apache.spark.sql.DataFrame, cap: Int) =
+      Funnel.linearAttribution(d, "user_id", "event_type", "ts",
+        "event_id", "value", Seq("view", "click"), "purchase", 48L,
+        maxTouches = cap)
+        .orderBy(col("channel"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val share = 100L * 1000000L / 5L
+    assert(run(df, 5) == Seq(
+      ("click", 1L, 3L, 3L * share),
+      ("view", 1L, 2L, 2L * share)))
+    // pair count is bounded by conversions x cap: total touches 5, not 15
+    assert(run(df, 5).map(_._3).sum == 5L)
+    // a generous cap keeps every touch (the uncapped readout)
+    val unc = run(df, 100)
+    assert(unc.map(_._3).sum == 15L)
+    assert(unc.find(_._1 == "view").get._3 == 12L)
+    // cap-stable under repartitioning
+    assert(run(df.repartition(7), 5) == run(df, 5))
+    intercept[IllegalArgumentException](run(df, 0))
+  }
+
+  test("funnel: zero-collect construction, one action end-to-end") {
+    val df = ev(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 01:00:00"),
+      (2L, "signup", "2024-01-01 00:30:00"))
+    var plan: org.apache.spark.sql.DataFrame = null
+    // construction must trigger NO driver action and NO stage: the step
+    // tally derives in-plan (the former collect re-executed the whole
+    // upstream once at construction and again at the main action)
+    val (a0, s0) = countWork {
+      plan = Funnel.funnel(df, "user_id", "event_type", "ts", steps)
+    }
+    assert(a0 == 0 && s0 == 0, s"construction ran work: actions=$a0 stages=$s0")
+    val (a1, _) = countWork { plan.collect(): Unit }
+    assert(a1 == 1, s"readout should be ONE action, saw $a1")
+  }
+
   test("userDepth: per-user reach agrees with the funnel tally") {
     val df = ev(
       (1L, "signup", "2024-01-01 00:00:00"),

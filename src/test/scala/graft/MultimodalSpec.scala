@@ -132,6 +132,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multi-codec decode: BMP exact, JPEG/GIF dims, both corrupt paths -> None") {
+    import spark.implicits._
+    val id = 29L // w = 1 + 29%13 = 4, h = 1 + (29/13)%11 = 3
+    val (w, h) = (4, 3)
+    val expectSum = 3L * (for { y <- 0 until h; x <- 0 until w }
+      yield (id + 7L * x + 13L * y) % 256).sum
+    // BMP: lossless truecolor — dims, bands AND the exact sample sum
+    assert(Multimodal.imageCodec(Multimodal.syntheticImage(id, "bmp"))
+      .contains((w, h, 3, expectSum)))
+    // JPEG: lossy — metadata (dims, 3 bands) survives; sum is decoder's
+    val jpg = Multimodal.imageCodec(Multimodal.syntheticImage(id, "jpg"))
+    assert(jpg.exists { case (jw, jh, jc, _) => jw == w && jh == h && jc == 3 })
+    // GIF: indexed raster — dims survive
+    val gif = Multimodal.imageCodec(Multimodal.syntheticImage(id, "gif"))
+    assert(gif.exists { case (gw, gh, _, _) => gw == w && gh == h })
+    // corrupt path 1: valid PNG magic, truncated body — decoder throws,
+    // contract is None (never an exception)
+    assert(Multimodal.imageCodec(
+      Multimodal.syntheticImage(id, "png").take(16)).isEmpty)
+    // corrupt path 2: no reader claims the bytes — ImageIO returns null
+    assert(Multimodal.imageCodec("NOT_AN_IMAGE:29".getBytes("UTF-8")).isEmpty)
+    // sniffFormat classifies the new magics
+    val fm = Seq(
+      (1L, Multimodal.syntheticImage(id, "bmp")),
+      (2L, Multimodal.syntheticImage(id, "jpg")),
+      (3L, Multimodal.syntheticImage(id, "gif")))
+      .toDF("i", "blob")
+      .select(col("i"), Multimodal.sniffFormat(col("blob")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fm == Map(1L -> "bmp", 2L -> "jpeg", 3L -> "gif"))
+    // end-to-end: corrupt rows EXIT decodeImages silently
+    val mixed = Seq(
+      (0L, Multimodal.syntheticImage(0L, "png")),
+      (4L, Multimodal.syntheticImage(4L, "png").take(16)),
+      (9L, "NOT_AN_IMAGE:9".getBytes("UTF-8")))
+      .toDF("doc_id", "blob")
+    assert(Multimodal.decodeImages(mixed, "doc_id", "blob")
+      .collect().map(_.id).toSeq == Seq(0L))
+  }
+
   test("resizeStub scales decode dims, clamps at 1") {
     val d = docs.limit(5)
       .withColumn("decoded", Multimodal.decodeImageStub(col("blob")))

@@ -86,6 +86,50 @@ class PqSpec extends SparkSpec {
     assert(got == Seq(1, 1, 2))
   }
 
+  test("AdcDist native kernel == HOF fold reference (bit-identical left fold)") {
+    // the pre-round-11 HOF ADC walk, verbatim (Similarity.pqAdistExpr
+    // history): reference semantics for the native kernel
+    def hofAdist(lut: org.apache.spark.sql.Column,
+        codes: org.apache.spark.sql.Column, numSub: Int, numCodes: Int) =
+      aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0), (acc, m) =>
+        acc + element_at(lut, m * lit(numCodes) + lit(1) + element_at(codes, m + 1)))
+    var s = 0x243f6a8885a308d3L
+    def nextD(): Double = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (s % 10000L).toDouble / 100.0
+    }
+    for ((numSub, numCodes) <- Seq((2, 4), (8, 16), (8, 256))) {
+      def nextCode(): Int = {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        math.floorMod(s, numCodes.toLong).toInt
+      }
+      val rows = (0 until 30).map { i =>
+        val lut = Seq.fill(numSub * numCodes)(nextD())
+        val codes = Seq.fill(numSub)(nextCode())
+        (i.toLong, lut, codes)
+      }
+      val got = rows.toDF("id", "lut", "codes")
+        .select(
+          graft.functions.expressions.AdcDist
+            .dist(col("lut"), col("codes"), numSub, numCodes).as("native"),
+          hofAdist(col("lut"), col("codes"), numSub, numCodes).as("hof"))
+        .collect()
+      got.foreach { r =>
+        // bit-identical, not approximately equal: same fold order
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+      }
+      // null inputs propagate like the HOF
+      val nulls = Seq((1L, null: Seq[Double], Seq.fill(numSub)(0)))
+        .toDF("id", "lut", "codes")
+        .select(graft.functions.expressions.AdcDist
+          .dist(col("lut"), col("codes"), numSub, numCodes).as("n"))
+        .collect()
+      assert(nulls.head.isNullAt(0))
+    }
+  }
+
   test("near-boundary distances around the 5e-10 rounding edge agree") {
     // engineered so two codewords differ in raw distance by ~1e-10 —
     // inside the skip window, decided by the rounded compare on both paths
