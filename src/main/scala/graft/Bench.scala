@@ -169,9 +169,21 @@ object Bench {
       val ts = (0 until isolatedReps).map(_ => timeOne(name, byName(name).run))
       name -> ts
     }.sortBy(_._1)
+    // The isolated headline is the MEDIAN-based dispersion
+    // (median−min)/min, not (max−min)/min: the reported number per
+    // query is min-of-N, and on this virtualized host a single
+    // CPU-steal straggler rep inflates the max without degrading the
+    // min estimator at all (observed: one 3.1 s rep over a 1.97 s min
+    // while the other four reps sat within 10%). (median−min)/min says
+    // how far a TYPICAL rep sits above the floor — the actual
+    // stability of the number of record. The max-based spread stays in
+    // the per-query detail for honesty about worst-case reps.
+    def dispOf(ts: Seq[Double]): Double =
+      if (minOf(ts) <= 0) -1.0
+      else 100.0 * (medianOf(ts) - minOf(ts)) / minOf(ts)
     val isoSpreads = isolated
       .filter(r => minOf(r._2) > 0)
-      .map(r => 100.0 * (r._2.max - minOf(r._2)) / minOf(r._2))
+      .map(r => dispOf(r._2))
     val isoSpreadPct = if (isoSpreads.isEmpty) 0.0 else medianOf(isoSpreads)
     def isoJson(key: String => String): String =
       if (isolated.isEmpty) ""
@@ -182,6 +194,7 @@ object Bench {
             else 100.0 * (ts.max - minOf(ts)) / minOf(ts)
           "\"" + key(n) + "\":{\"min\":" + f3(minOf(ts)) +
             ",\"median\":" + f3(medianOf(ts)) + ",\"max\":" + f3(ts.max) +
+            ",\"disp_pct\":" + f3(dispOf(ts)) +
             ",\"spread_pct\":" + f3(sp) + "}"
         }.mkString("{", ",", "}")
         s""","isolated":$entries,"isolated_reps":$isolatedReps,"isolated_cooldown_sec":$isolatedCooldownSec"""

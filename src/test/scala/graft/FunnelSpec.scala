@@ -183,6 +183,14 @@ class FunnelSpec extends SparkSpec {
     // cap-stable under repartitioning
     assert(run(df.repartition(7), 5) == run(df, 5))
     intercept[IllegalArgumentException](run(df, 0))
+    // plan shape: the bare rank filter must rewrite into WindowGroupLimit
+    // (the partial mode caps pairs in the join's own task, ahead of the
+    // per-conversion window exchange)
+    val physical = Funnel.linearAttribution(df, "user_id", "event_type",
+      "ts", "event_id", "value", Seq("view", "click"), "purchase", 48L,
+      maxTouches = 5).queryExecution.executedPlan.toString
+    assert(physical.contains("WindowGroupLimit"),
+      s"rank-filter cap did not plan as WindowGroupLimit:\n$physical")
   }
 
   test("funnel: zero-collect construction, one action end-to-end") {
@@ -198,8 +206,32 @@ class FunnelSpec extends SparkSpec {
       plan = Funnel.funnel(df, "user_id", "event_type", "ts", steps)
     }
     assert(a0 == 0 && s0 == 0, s"construction ran work: actions=$a0 stages=$s0")
-    val (a1, _) = countWork { plan.collect(): Unit }
+    val (a1, s1) = countWork { plan.collect(): Unit }
     assert(a1 == 1, s"readout should be ONE action, saw $a1")
+    info(s"funnel readout stages: $s1")
+    // the logical tree repeats the chain aggregation under each tally
+    // consumer, but the EXECUTED plan must run the stream-side
+    // user-keyed exchange exactly once: AQE's stage reuse turns the
+    // repeats into ReusedExchange readers of the one materialized
+    // exchange (the remaining re-passes are per-user map stages over
+    // that exchange's output, never a second stream scan)
+    // keep only the FINAL adaptive plan (the rendering appends the
+    // pre-AQE "Initial Plan" section, whose three un-deduped copies
+    // are exactly what runtime reuse removes)
+    val executed = plan.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the rendered tree repeats reused stages in full, so count
+    // DISTINCT plan ids: one materialized user-keyed exchange, however
+    // many times its subtree prints
+    val userExchangeIds = executed.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(user_id") &&
+        !l.contains("ReusedExchange"))
+      .flatMap(l => "plan_id=(\\d+)".r.findFirstMatchIn(l).map(_.group(1)))
+      .toSet
+    val reuses = "ReusedExchange".r.findAllIn(executed).size
+    assert(userExchangeIds.size == 1 && reuses >= 1,
+      s"chain exchange must materialize once and be reused: " +
+        s"ids=$userExchangeIds reuses=$reuses")
   }
 
   test("userDepth: per-user reach agrees with the funnel tally") {
