@@ -19,9 +19,14 @@ object VectorFunctions {
     aggregate(a, lit(0.0), (acc, x) => acc + x)
 
   /** Dot product of two equal-length vectors, accumulated in double in
-    * element order (deterministic). */
+    * element order (deterministic). Native
+    * [[graft.functions.expressions.DotDoubleExpr]] — one fused loop per
+    * pair (the HOF zip_with allocated an intermediate array per pair on
+    * the brute-force MIPS join's hot path), numerically identical (same
+    * in-order accumulation; native ≡ HOF pinned in SimilaritySpec). */
   def dot(a: Column, b: Column): Column =
-    arraySum(zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y))
+    graft.functions.expressions.Sketches.dotDouble(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 

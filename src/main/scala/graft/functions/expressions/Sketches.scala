@@ -193,6 +193,16 @@ object SketchUtil {
     d
   }
 
+  /** Double dot product with in-order accumulation — bit-identical to
+    * the `aggregate(zip_with(a, b, *), 0.0, +)` HOF composition. */
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += a.getDouble(i) * b.getDouble(i); i += 1 }
+    d
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var d = 0.0
@@ -233,6 +243,31 @@ case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpres
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "dot_long"
+}
+
+/** `dot_double(array<double>, array<double>) -> double`: the double
+  * twin of [[DotLongExpr]] — one fused loop, in-order accumulation
+  * (bit-identical to the HOF composition, hence to every existing
+  * oracle match), no intermediate zip_with array per pair. Backs
+  * `VectorFunctions.dot`, whose per-PAIR hot site is the brute-force
+  * MIPS join (round-11 HOF audit: the last per-pair vector HOF after
+  * CosineSim and AdcDist went native). */
+case class DotDoubleExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchUtil.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.SketchUtil.dotDouble($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotDoubleExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_double"
 }
 
 /** `word_shingles(array<string>, k) -> array<string>`. */
@@ -403,6 +438,11 @@ object Sketches {
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotLongExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** array<double> inputs only. */
+  def dotDouble(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotDoubleExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def wordShingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))

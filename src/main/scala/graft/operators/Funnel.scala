@@ -98,12 +98,14 @@ object Funnel {
     // the step tally derives IN-PLAN (the p36 pattern): the former
     // construction-time collect — bounded at ≤|steps| rows but a
     // SEPARATE driver action — re-executed the whole upstream before
-    // the main action ran it again. Here the tally aggregation joins a
+    // the main action ran it again. The tally aggregation joins a
     // |steps|-row step dimension (left, so zero-reach steps survive),
-    // and the prev/first conversion denominators are steps-bounded
-    // broadcast self-joins over that tiny relation — ReuseExchange
-    // serves all three consumers from ONE chain aggregation, and the
-    // whole readout is one action, zero-collect.
+    // then the whole ≤|steps|-row readout PACKS into one sorted struct
+    // array (a single-row aggregate of a steps-bounded relation) so the
+    // prev/first conversion denominators are scan-local array lookups —
+    // the per-user chain relation is consumed exactly ONCE, with no
+    // self-joins that would re-read the chain exchange per denominator.
+    // One action, zero-collect.
     val tally = chained
       .select(depth.cast("int").as("__depth"))
       .filter(col("__depth") >= 1)
@@ -116,19 +118,25 @@ object Funnel {
       .join(tally, stepDim("step") === tally("__step"), "left")
       .select(col("step"), col("event_type"),
         coalesce(col("__users"), lit(0L)).as("users"))
-    val prevC = counts
-      .select((col("step") + 1).as("__pn"), col("users").as("__p"))
-    val firstC = counts.filter(col("step") === 1)
-      .select(col("users").as("__f"))
-    counts
-      .join(broadcast(prevC), col("step") === col("__pn"), "left")
-      .crossJoin(broadcast(firstC))
+    // steps are dense 1..n (stepDim guarantees every step one row), so
+    // after the sort element i of the packed array IS step i (1-based)
+    val packed = counts.agg(sort_array(collect_list(
+      struct(col("step"), col("event_type"), col("users")))).as("__all"))
+    packed
+      .select(explode(col("__all")).as("__s"), col("__all"))
       .select(
-        col("step"), col("event_type"), col("users"),
-        round(col("users").cast("double") /
-          nullif(col("__p").cast("double"), lit(0.0)), 6).as("conv_prev"),
-        round(col("users").cast("double") /
-          nullif(col("__f").cast("double"), lit(0.0)), 6).as("conv_first"))
+        col("__s.step").as("step"),
+        col("__s.event_type").as("event_type"),
+        col("__s.users").as("users"),
+        round(col("__s.users").cast("double") /
+          nullif(
+            when(col("__s.step") > 1,
+              element_at(col("__all"), col("__s.step") - 1)
+                .getField("users")).cast("double"),
+            lit(0.0)), 6).as("conv_prev"),
+        round(col("__s.users").cast("double") /
+          nullif(element_at(col("__all"), lit(1))
+            .getField("users").cast("double"), lit(0.0)), 6).as("conv_first"))
   }
 
   /** Time-to-convert per funnel transition: for each adjacent step

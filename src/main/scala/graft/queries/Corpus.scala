@@ -1131,22 +1131,28 @@ $langScoreCols
         .join(tally, stepDim("n_a") === tally("__step"), "left")
         .select(col("n_a"), col("key"),
           coalesce(col("__users"), lit(0L)).as("n_b"))
-      val prevC = counts
-        .select((col("n_a") + 1).as("__pn"), col("n_b").as("__prev"))
-      val firstC = counts.filter(col("n_a") === 1)
-        .select(col("n_b").as("__first"))
+      // packed-tally readout (the round-11 Funnel.funnel shape): the
+      // ≤|steps|-row tally collapses to ONE sorted struct array so the
+      // prev/first denominators are scan-local lookups — no broadcast
+      // self-joins re-reading the depth relation per denominator
       val funnelRows = counts
-        .join(broadcast(prevC), col("n_a") === col("__pn"), "left")
-        .crossJoin(broadcast(firstC))
+        .agg(sort_array(collect_list(
+          struct(col("n_a"), col("key"), col("n_b")))).as("__all"))
+        .select(explode(col("__all")).as("__s"), col("__all"))
         .select(
           lit("funnel").as("section"),
-          col("key"),
-          col("n_a"),
-          col("n_b"),
-          round(col("n_b").cast("double") /
-            nullif(col("__prev").cast("double"), lit(0.0)), 6).as("v1"),
-          round(col("n_b").cast("double") /
-            nullif(col("__first").cast("double"), lit(0.0)), 6).as("v2"),
+          col("__s.key").as("key"),
+          col("__s.n_a").as("n_a"),
+          col("__s.n_b").as("n_b"),
+          round(col("__s.n_b").cast("double") /
+            nullif(
+              when(col("__s.n_a") > 1,
+                element_at(col("__all"), (col("__s.n_a") - 1).cast("int"))
+                  .getField("n_b")).cast("double"),
+              lit(0.0)), 6).as("v1"),
+          round(col("__s.n_b").cast("double") /
+            nullif(element_at(col("__all"), lit(1))
+              .getField("n_b").cast("double"), lit(0.0)), 6).as("v2"),
           lit(null).cast("double").as("v3"),
           lit(null).cast("double").as("v4"))
       val qualified = depth

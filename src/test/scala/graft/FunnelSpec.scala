@@ -209,29 +209,25 @@ class FunnelSpec extends SparkSpec {
     val (a1, s1) = countWork { plan.collect(): Unit }
     assert(a1 == 1, s"readout should be ONE action, saw $a1")
     info(s"funnel readout stages: $s1")
-    // the logical tree repeats the chain aggregation under each tally
-    // consumer, but the EXECUTED plan must run the stream-side
-    // user-keyed exchange exactly once: AQE's stage reuse turns the
-    // repeats into ReusedExchange readers of the one materialized
-    // exchange (the remaining re-passes are per-user map stages over
-    // that exchange's output, never a second stream scan)
-    // keep only the FINAL adaptive plan (the rendering appends the
-    // pre-AQE "Initial Plan" section, whose three un-deduped copies
-    // are exactly what runtime reuse removes)
+    // the packed-tally readout consumes the per-user chain relation
+    // exactly ONCE: the executed plan must contain a single user-keyed
+    // exchange and no duplicate chain subtree (the pre-packed shape
+    // had three logical copies that AQE had to dedupe at runtime;
+    // this shape never creates them). Keep only the FINAL adaptive
+    // plan (the rendering appends the pre-AQE "Initial Plan" section)
+    // and count DISTINCT plan ids (reused stages print in full).
     val executed = plan.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // the rendered tree repeats reused stages in full, so count
-    // DISTINCT plan ids: one materialized user-keyed exchange, however
-    // many times its subtree prints
-    val userExchangeIds = executed.linesIterator
-      .filter(l => l.contains("Exchange hashpartitioning(user_id") &&
+    def exchangeIds(keyFragment: String): Set[String] = executed.linesIterator
+      .filter(l => l.contains(s"Exchange hashpartitioning($keyFragment") &&
         !l.contains("ReusedExchange"))
       .flatMap(l => "plan_id=(\\d+)".r.findFirstMatchIn(l).map(_.group(1)))
       .toSet
-    val reuses = "ReusedExchange".r.findAllIn(executed).size
-    assert(userExchangeIds.size == 1 && reuses >= 1,
-      s"chain exchange must materialize once and be reused: " +
-        s"ids=$userExchangeIds reuses=$reuses")
+    val userIds = exchangeIds("user_id")
+    val stepIds = exchangeIds("__step")
+    assert(userIds.size == 1 && stepIds.size == 1,
+      s"chain must be consumed once: user exchanges=$userIds " +
+        s"step exchanges=$stepIds")
   }
 
   test("userDepth: per-user reach agrees with the funnel tally") {

@@ -477,6 +477,42 @@ class SimilaritySpec extends SparkSpec {
         poolSize = 5, lambdaNum = 101))
   }
 
+  test("native dot kernel == HOF zip_with/aggregate fold, bit-identical") {
+    import spark.implicits._
+    // the pre-round-11 HOF composition, verbatim (VectorFunctions.dot
+    // history): reference semantics for DotDoubleExpr
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a.cast("array<double>"), b.cast("array<double>"),
+          (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    var s = 0x2545f4914f6cdd1dL
+    def nextD(): Double = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (s % 100000L).toDouble / 1000.0
+    }
+    val rows = (0 until 50).map { i =>
+      val d = 1 + (i % 17)
+      (i.toLong, Seq.fill(d)(nextD()), Seq.fill(d)(nextD()))
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select(
+        graft.functions.VectorFunctions.dot(col("a"), col("b")).as("native"),
+        hofDot(col("a"), col("b")).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+    // null propagation matches the HOF
+    val n = Seq((1L, null: Seq[Double], Seq(1.0)))
+      .toDF("id", "a", "b")
+      .select(graft.functions.VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("MIPS: norm augmentation reduces dot-product retrieval to the cosine IVF face") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity
