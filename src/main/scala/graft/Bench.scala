@@ -155,11 +155,23 @@ object Bench {
     val isolatedReps = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_REPS", "5").toInt
     val isolatedCooldownSec =
       sys.env.getOrElse("SPARK_GRAFT_ISOLATED_COOLDOWN", "8").toInt
-    val heavy = results
-      .filter(r => minOf(r._2) > 0)
-      .sortBy(r => -minOf(r._2))
-      .take(isolatedN)
-      .map(_._1)
+    // SPARK_GRAFT_ISOLATED_SET pins an explicit comma-separated name
+    // list (prefix match) — for round-over-round comparison a FIXED set
+    // beats per-run top-N selection, whose membership churns with suite
+    // noise; default stays the top-N heaviest of THIS run.
+    val pinnedSet = sys.env.get("SPARK_GRAFT_ISOLATED_SET")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val heavy = pinnedSet match {
+      case Some(names) =>
+        results.map(_._1)
+          .filter(n => names.exists(n.startsWith))
+      case None =>
+        results
+          .filter(r => minOf(r._2) > 0)
+          .sortBy(r => -minOf(r._2))
+          .take(isolatedN)
+          .map(_._1)
+    }
     val isoOrder = new scala.util.Random(System.nanoTime())
       .shuffle(heavy)
     val byName = selected.map(q => q.name -> q).toMap
