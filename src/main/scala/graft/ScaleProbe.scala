@@ -99,7 +99,7 @@ object ScaleProbe {
     val copies = spark.range(0L, 10L).toDF("cp")
     def src(t: String) = spark.read.parquet(s"$base/$t.parquet")
     def keyStride(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head.getLong(0) + 1L
+      df.agg(max(col(c))).head().getLong(0) + 1L
 
     val orders = src("orders")
     val okStride = keyStride(orders, "o_orderkey")
