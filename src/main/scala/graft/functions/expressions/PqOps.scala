@@ -180,6 +180,16 @@ case class AdcDist(
   override def nullSafeEval(l: Any, r: Any): Any = {
     val lut = l.asInstanceOf[ArrayData]
     val codes = r.asInstanceOf[ArrayData]
+    // shape checks mirror the code-range check: on UnsafeArrayData a
+    // read past numElements() returns garbage silently, so a mismatched
+    // lut/codes column would yield wrong distances instead of an error
+    // (the HOF element_at path this replaced was bounds-checked)
+    if (lut.numElements() != numSub * numCodes)
+      throw new IllegalStateException(
+        s"ADC lut has ${lut.numElements()} entries, expected ${numSub * numCodes}")
+    if (codes.numElements() != numSub)
+      throw new IllegalStateException(
+        s"ADC codes has ${codes.numElements()} entries, expected $numSub")
     var s = 0.0
     var m = 0
     while (m < numSub) {
@@ -198,6 +208,12 @@ case class AdcDist(
       val m = ctx.freshName("m")
       val c = ctx.freshName("c")
       s"""
+         |if ($l.numElements() != ${numSub * numCodes})
+         |  throw new IllegalStateException("ADC lut has " + $l.numElements()
+         |    + " entries, expected " + ${numSub * numCodes});
+         |if ($r.numElements() != $numSub)
+         |  throw new IllegalStateException("ADC codes has " + $r.numElements()
+         |    + " entries, expected " + $numSub);
          |double $s = 0.0;
          |for (int $m = 0; $m < $numSub; $m++) {
          |  int $c = $r.getInt($m);

@@ -16,15 +16,17 @@ import org.apache.spark.sql.functions._
   * after the step-(k−1) match (the standard strict-order funnel;
   * same-timestamp events do NOT chain).
   *
-  * Scale shape: ONE user-keyed aggregation collapses the stream to a
-  * per-user row of per-step sorted timestamp arrays (collect_list has
-  * map-side partial merge; state per user is that user's own matching
-  * events, never the stream). The greedy chain is a scan-local HOF
-  * cascade over those arrays; per-user depth explodes into at most
-  * |steps| rows, and the step tally derives IN-PLAN via steps-bounded
+  * Scale shape: ONE user-partitioned window cascade derives the chain
+  * with O(|steps|) state per ROW and zero per-user arrays (round 12 —
+  * the previous collect_list shape buffered every matching event per
+  * (user, step), so one bot user with 10⁷ step events made a multi-GB
+  * aggregation row; the window sort is spillable and its running-min
+  * frames carry constant state). Only step-typed events reach the
+  * exchange; the per-user collapse after the cascade is a |steps|-min
+  * aggregation that reuses the window's partitioning (no second
+  * shuffle). The step tally then derives IN-PLAN via steps-bounded
   * broadcast joins against a |steps|-row dimension — the whole readout
-  * is one action, zero-collect. No window over raw events; no driver
-  * state at all. */
+  * is one action, zero-collect, no driver state at all. */
 object Funnel {
 
   /** (step, event_type, users, conv_prev, conv_first) — one row per
@@ -33,7 +35,18 @@ object Funnel {
     * steps whose predecessor had zero users. */
   /** Per-user greedy chain times: one row per user with `__t0..__tn`
     * match timestamps (micros; null from the first unreached step on).
-    * Shared by [[funnel]] and [[funnelLags]]. */
+    * Shared by [[funnel]] and [[funnelLags]].
+    *
+    * Derivation (round 12 — O(1) state per row, no per-key arrays):
+    * per event row at time t, step k is a CANDIDATE when the running
+    * min of step-(k−1) candidates over STRICTLY-EARLIER rows is < t —
+    * equivalent to the greedy `__t(k−1) < t` because candidate values
+    * are their own row times (the minimal step-(k−1) candidate, if
+    * < t, lies inside the strictly-before range frame). `__tk` is then
+    * the per-user min of step-k candidates. The range frame (not rows)
+    * keeps same-timestamp events from chaining, and the |steps|
+    * cascaded window columns share one (user)-partitioned sort —
+    * exactly one exchange, which the final min-aggregation reuses. */
   private def chainTimes(
       events: DataFrame,
       userCol: String,
@@ -42,22 +55,25 @@ object Funnel {
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
-    val perStep = steps.zipWithIndex.map { case (st, i) =>
-      sort_array(collect_list(
-        when(col(typeCol) === st, unix_micros(col(tsCol))))).as(s"__a$i")
+    // only step-typed events reach the exchange — a user whose events
+    // are all non-step types contributes no chain either way (funnel /
+    // userDepth consumers gate on depth >= 1)
+    val typed = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol), col(typeCol).as("__e"),
+        unix_micros(col(tsCol)).as("__t"))
+    val wPrev = Window.partitionBy(col(userCol)).orderBy(col("__t"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val cascaded = steps.indices.foldLeft(typed) { (df, i) =>
+      val cand =
+        if (i == 0) when(col("__e") === steps(0), col("__t"))
+        else when(col("__e") === steps(i) &&
+          min(col(s"__c${i - 1}")).over(wPrev) < col("__t"), col("__t"))
+      df.withColumn(s"__c$i", cand)
     }
-    val perUser = events
-      .groupBy(col(userCol).as("__u"))
-      .agg(perStep.head, perStep.tail: _*)
-    // greedy chain: __t0 = first step-0 event; __tk = min step-k event
-    // strictly after __t(k-1) (null propagates: an unreached step keeps
-    // every later step null because x > NULL filters everything out)
-    steps.indices.foldLeft(perUser) { (df, i) =>
-      val t =
-        if (i == 0) try_element_at(col("__a0"), lit(1))
-        else array_min(filter(col(s"__a$i"), x => x > col(s"__t${i - 1}")))
-      df.withColumn(s"__t$i", t)
-    }
+    val mins = steps.indices.map(i => min(col(s"__c$i")).as(s"__t$i"))
+    // grouping by the window's own partition key — the exchange is reused
+    cascaded.groupBy(col(userCol).as("__u")).agg(mins.head, mins.tail: _*)
   }
 
   /** reach is monotone (__tk nonnull implies __t(k-1) nonnull), so the
@@ -74,8 +90,11 @@ object Funnel {
     * collapsed to step tallies, and a pipeline that needs to GATE on
     * funnel progress (p36: attribution and experiment readout over
     * users who reached "click") joins against this instead of
-    * re-deriving the chain. Same scale shape: one user-keyed
-    * aggregation, no window over raw events. */
+    * re-deriving the chain. Same scale shape as [[funnel]]: one
+    * user-partitioned exchange, O(1) state per row. Users with no event
+    * of ANY step type are absent (they would read depth 0; every
+    * consumer gates on depth >= 1, and excluding them keeps the shuffle
+    * proportional to step-typed events, not the stream). */
   def userDepth(
       events: DataFrame,
       userCol: String,
@@ -260,11 +279,16 @@ object Funnel {
     * bounded), and the most frequent paths win. Count-desc, path-asc
     * deterministic ordering.
     *
-    * Scale shape: the same single user-partitioned window pass, one
-    * (user, session)-keyed aggregation collecting at most the session's
-    * own events (sort_array of (t, id, type) structs — map-side
-    * partials), a scan-local render, and a path-keyed count; the top-k
-    * is a TakeOrderedAndProject, never a global sort. */
+    * Scale shape: the same single user-partitioned window pass; each
+    * session is rank-filtered to its first `maxLen`+1 events INSIDE
+    * that pass (round 12 — the rank runs in the window's own stage and
+    * only the retained rows reach the aggregation, so the collected
+    * array is ≤ maxLen+1 structs per session — a never-idle bot
+    * session can no longer grow an unbounded aggregation row; the +1
+    * event carries the truncation evidence), then one (user, session)-
+    * keyed aggregation (reusing the window's user partitioning — no
+    * second exchange), a scan-local render, and a path-keyed count;
+    * the top-k is a TakeOrderedAndProject, never a global sort. */
   def topPaths(
       events: DataFrame,
       userCol: String,
@@ -288,7 +312,16 @@ object Funnel {
           col("__t") - lag(col("__t"), 1).over(w) >= gapUs, 1L).otherwise(0L))
       .withColumn("__sid", sum(col("__new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // cap BEFORE the collect: rank within the session (same ordering as
+    // the render sort) and keep maxLen+1 rows — enough to render the
+    // first maxLen events plus detect truncation. Bare rank filter =
+    // the WindowGroupLimit shape; the (u, sid) window reuses the u
+    // exchange (hash(u) clusters (u, sid)).
+    val wSess = Window.partitionBy(col("__u"), col("__sid"))
+      .orderBy(col("__t"), col("__id"))
     val rendered = sessioned
+      .withColumn("__rn", row_number().over(wSess))
+      .filter(col("__rn") <= maxLen + 1)
       .groupBy(col("__u"), col("__sid"))
       .agg(sort_array(collect_list(
         struct(col("__t"), col("__id"), col("__e")))).as("__evs"))

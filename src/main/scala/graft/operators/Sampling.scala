@@ -43,6 +43,12 @@ object Sampling {
     * arithmetic (lnq × 10⁹ div w) — ranking replays bit-for-bit in the
     * DuckDB oracle and is partitioning-independent; ties break on id.
     * Rows with w ≤ 0 are never sampled (excluded, as E–S prescribes).
+    * Weights MUST be integral (the exact-integer key demands it): a
+    * fractional weight RAISES in-plan rather than silently flooring —
+    * a weight in (0,1) would otherwise vanish and 2.7 would sample as
+    * 2, changing inclusion probabilities without a trace. Callers with
+    * genuinely fractional weights scale them into an integer domain
+    * first (e.g. `round(w * 1e6)`), which preserves proportionality.
     * Overflow headroom: lnq ≤ ln(buckets+1)×10⁶ ≈ 1.4×10⁷, ×10⁹ well
     * inside a long.
     *
@@ -65,13 +71,20 @@ object Sampling {
     // the weight rides a pre-aliased cast column, NOT a raw `$weightCol`
     // splice into the SQL string — a name needing backticks would break
     // analysis and a name like `a-b` would silently parse as subtraction.
-    // `div` is integral: the effective weight is floor(w) (bit-identical
-    // for the integral weights the contract assumes; a fractional weight
-    // < 1 truncates to 0 and is excluded like any non-positive weight,
-    // where the raw splice failed analysis outright).
+    // Integral-weight guard: `div` is integer division, so a fractional
+    // weight would silently floor (0.7 → excluded entirely, 2.7 → 2),
+    // changing inclusion probabilities with no error — raise in-plan
+    // instead. Nulls stay null (and are excluded by the w > 0 filter,
+    // as before); integral doubles (2.0) pass.
+    val wc = col(weightCol)
+    val wGuarded = when(wc.isNull, lit(null).cast("long"))
+      .when(wc === floor(wc), wc.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("weightedSampleK: weights must be integral, got "),
+        wc.cast("string"))).cast("long"))
     val keyed = df
       .withColumn("__lnq", lnq)
-      .withColumn("__es_w", col(weightCol).cast("long"))
+      .withColumn("__es_w", wGuarded)
       .filter(col("__es_w") > 0L)
       .withColumn("__es_key", expr("__lnq * 1000000000L div __es_w"))
     val w = org.apache.spark.sql.expressions.Window

@@ -570,10 +570,20 @@ object EventStreams {
       val all = compacted.toSeq ++ committed
       val stale = vanished ||
         !all.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-      if (!stale || attempt >= 5) {
+      if (!stale) {
         require(all.nonEmpty, s"no committed batches under $targetPath")
         return spark.read.parquet(all: _*)
       }
+      // exhaustion is a CLEAR contention error, never a proceed-anyway:
+      // returning paths just verified missing would fail deep inside
+      // spark.read.parquet with PATH_NOT_FOUND instead of naming the
+      // cause. Linear backoff gives a racing compaction's marker+delete
+      // window time to close between snapshots.
+      if (attempt >= 5)
+        throw new IllegalStateException(
+          s"compaction raced the reader $attempt times under $targetPath; " +
+            "schedule compaction between readouts or retry the read")
+      Thread.sleep(50L * attempt)
     }
     throw new IllegalStateException("unreachable")
   }

@@ -230,6 +230,64 @@ class FunnelSpec extends SparkSpec {
         s"step exchanges=$stepIds")
   }
 
+  test("chain state is row-bounded: no collect_list on the chain path; planted bot exact") {
+    // ROUND 12: the chain derives via a window cascade with O(1) state
+    // per row — the previous shape collect_list'ed EVERY matching event
+    // per (user, step), so one bot user with 10^7 step events made a
+    // multi-GB aggregation buffer row. Structural pin: the only
+    // collect_list in funnel's plan is the steps-bounded packed tally;
+    // userDepth/funnelLags plans carry NONE at all.
+    val df = ev(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 01:00:00"))
+    def collects(plan: org.apache.spark.sql.DataFrame): Int =
+      "collect_list".r
+        .findAllIn(plan.queryExecution.optimizedPlan.toString).size
+    assert(collects(Funnel.userDepth(df, "user_id", "event_type", "ts", steps)) == 0)
+    assert(collects(Funnel.funnelLags(df, "user_id", "event_type", "ts", steps)) == 0)
+    // funnel: exactly the tally pack (over a <=|steps|-row relation)
+    assert(collects(Funnel.funnel(df, "user_id", "event_type", "ts", steps)) == 1)
+    // planted bot: 20k step events on ONE user, interleaved so the
+    // greedy chain is non-trivial — exact depth, same answer under
+    // repartitioning (the bound is structural, this pins correctness
+    // at adversarial per-key cardinality)
+    val botRows = (0 until 20000).map { i =>
+      val st = steps(i % 4)
+      (7L, st, f"2024-01-${1 + i / 1440}%02d ${(i / 60) % 24}%02d:${i % 60}%02d:00")
+    } :+ ((8L, "signup", "2024-01-01 00:00:00"))
+    val bot = ev(botRows: _*)
+    val got = Funnel.userDepth(bot, "user_id", "event_type", "ts", steps)
+      .orderBy(col("user_id")).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // user 7 cycles signup->view->click->purchase from the very first
+    // events: full depth. user 8 stops at signup.
+    assert(got == Seq((7L, 4), (8L, 1)))
+    assert(Funnel.userDepth(bot.repartition(13), "user_id", "event_type", "ts", steps)
+      .orderBy(col("user_id")).collect().map(_.toSeq).toSeq ==
+      Funnel.userDepth(bot, "user_id", "event_type", "ts", steps)
+        .orderBy(col("user_id")).collect().map(_.toSeq).toSeq)
+  }
+
+  test("topPaths: sessions rank-cap to maxLen+1 before the collect; bot session exact") {
+    // a never-idle bot session (5000 events, 1 min apart) must not grow
+    // an unbounded aggregation row: the rank filter keeps maxLen+1 rows
+    // per session ahead of the collect (WindowGroupLimit shape), and the
+    // render still sees the right prefix + truncation marker
+    val bot = (0 until 5000).map { i =>
+      (1L, i.toLong, s"e${i % 3}",
+        f"2024-01-${1 + i / 1440}%02d ${(i / 60) % 24}%02d:${i % 60}%02d:00")
+    }
+    val df = bot.toDF("user_id", "event_id", "event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Funnel.topPaths(df, "user_id", "event_type", "ts", "event_id", 6L, 3, 5)
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("e0>e1>e2>…", 1L)))
+    // plan pin: the bare rank filter rewrites into WindowGroupLimit, so
+    // at most maxLen+1 rows per session survive to the aggregation
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("WindowGroupLimit"),
+      s"session cap did not plan as WindowGroupLimit:\n$physical")
+  }
+
   test("userDepth: per-user reach agrees with the funnel tally") {
     val df = ev(
       (1L, "signup", "2024-01-01 00:00:00"),

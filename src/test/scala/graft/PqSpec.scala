@@ -128,6 +128,25 @@ class PqSpec extends SparkSpec {
         .collect()
       assert(nulls.head.isNullAt(0))
     }
+    // shape mismatches ERROR instead of reading past UnsafeArrayData's
+    // end (silent garbage distances — round-11 advice): short lut,
+    // short codes, and long codes all throw with the ADC shape message
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    def assertShapeError(lut: Seq[Double], codes: Seq[Int]): Unit = {
+      val e = intercept[Exception](
+        Seq((1L, lut, codes)).toDF("id", "lut", "codes")
+          .select(graft.functions.expressions.AdcDist
+            .dist(col("lut"), col("codes"), 4, 8).as("d"))
+          .collect())
+      assert(messages(e).exists(m =>
+        m.contains("ADC lut has") || m.contains("ADC codes has")),
+        s"expected an ADC shape error, got: $e")
+    }
+    assertShapeError(Seq.fill(31)(0.0), Seq.fill(4)(0))  // lut one short
+    assertShapeError(Seq.fill(32)(0.0), Seq.fill(3)(0))  // codes one short
+    assertShapeError(Seq.fill(32)(0.0), Seq.fill(5)(0))  // codes one long
   }
 
   test("near-boundary distances around the 5e-10 rounding edge agree") {

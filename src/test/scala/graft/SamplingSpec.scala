@@ -538,6 +538,38 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedSampleK(df, "id", "grp", "w", k = 0))
   }
 
+  test("weightedSampleK: fractional weights raise in-plan; integral doubles rank like longs") {
+    val longs = (1L to 40L).map(i => (i, "g", 1L + i % 7))
+    // the same weights as doubles must produce the SAME sample (cast is
+    // exact for integral values), not a silently different one
+    val asLong = Sampling
+      .weightedSampleK(longs.toDF("id", "grp", "w"), "id", "grp", "w", k = 5)
+      .orderBy(col("es_rank")).collect().map(_.getLong(0)).toSeq
+    val asDouble = Sampling
+      .weightedSampleK(
+        longs.map { case (i, g, w) => (i, g, w.toDouble) }.toDF("id", "grp", "w"),
+        "id", "grp", "w", k = 5)
+      .orderBy(col("es_rank")).collect().map(_.getLong(0)).toSeq
+    assert(asDouble == asLong)
+    // a fractional weight is an ERROR, not a silent floor: 0.7 would
+    // vanish and 2.7 would sample as 2 — inclusion probabilities changed
+    // with no trace (round-11 advice)
+    val frac = Seq((1L, "g", 2.7), (2L, "g", 1.0)).toDF("id", "grp", "w")
+    val e = intercept[Exception](
+      Sampling.weightedSampleK(frac, "id", "grp", "w", k = 1).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("weights must be integral")),
+      s"expected the integral-weights error, got: $e")
+    // null weights stay excluded, never raise
+    val withNull = Seq((1L, "g", java.lang.Double.valueOf(2.0)),
+      (2L, "g", null: java.lang.Double)).toDF("id", "grp", "w")
+    val kept = Sampling.weightedSampleK(withNull, "id", "grp", "w", k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("weightedSampleK: inclusion probability grows with weight (statistical)") {
     // 200 independent groups, each with one heavy (w=9) and nine light
     // (w=1) candidates; k=1. P(heavy wins) = 9/18 = 1/2 vs 1/18 per

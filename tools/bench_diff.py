@@ -32,13 +32,25 @@ def load(path):
             tail = d["tail"]
             lines = [ln for ln in tail.splitlines()
                      if ln.startswith('{"metric"')]
+            # Bench prints the query-less MINIMAL summary line LAST; the
+            # per-query line sits above it. Prefer the last parseable line
+            # that actually carries a "queries"/"isolated" map — falling
+            # back to the minimal line only when no richer line survived
+            # (totals-only: the diff then reports no shared queries).
             recovered = None
+            fallback = None
             for ln in reversed(lines):
                 try:
-                    recovered = json.loads(ln)
-                    break
+                    cand = json.loads(ln)
                 except json.JSONDecodeError:
                     continue
+                if "queries" in cand or "isolated" in cand:
+                    recovered = cand
+                    break
+                if fallback is None:
+                    fallback = cand
+            if recovered is None:
+                recovered = fallback
             if recovered is None:
                 # front-truncated single line (the BENCH_r10 failure
                 # mode): salvage the per-query map by regex
@@ -51,6 +63,22 @@ def load(path):
                         recovered["spread_med_pct"] = float(s.group(1))
             if recovered is not None:
                 d = recovered
+    if "queries" not in d and "isolated" not in d and d.get("detail_file"):
+        # the minimal summary line carries no per-query map by design —
+        # it NAMES the durable full-map artifact instead. Follow it
+        # (relative to the BENCH file) when its total matches exactly,
+        # so a detail file from a DIFFERENT run can't masquerade.
+        import os
+        detail = os.path.join(os.path.dirname(os.path.abspath(path)),
+                              d["detail_file"])
+        if os.path.exists(detail):
+            try:
+                with open(detail) as f:
+                    dd = json.loads(f.read().strip())
+                if dd.get("value") == d.get("value"):
+                    d = dd
+            except (json.JSONDecodeError, OSError):
+                pass
     return d
 
 
@@ -104,9 +132,28 @@ def main(old_path, new_path, threshold_pct=15.0):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accept both `--threshold-pct=15` and `--threshold-pct 15`; anything
+    # else non-flag beyond the two paths is an error, not a silent ignore
+    argv = sys.argv[1:]
+    paths = []
     thr = 15.0
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold-pct"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else thr
-    sys.exit(main(args[0], args[1], thr))
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                if i >= len(argv):
+                    sys.exit("--threshold-pct needs a value")
+                thr = float(argv[i])
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag: {a}")
+        else:
+            paths.append(a)
+        i += 1
+    if len(paths) != 2:
+        sys.exit("usage: bench_diff.py <old.json> <new.json> "
+                 "[--threshold-pct 15]")
+    sys.exit(main(paths[0], paths[1], thr))
