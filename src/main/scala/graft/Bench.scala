@@ -155,12 +155,22 @@ object Bench {
     val isolatedReps = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_REPS", "5").toInt
     val isolatedCooldownSec =
       sys.env.getOrElse("SPARK_GRAFT_ISOLATED_COOLDOWN", "8").toInt
-    // SPARK_GRAFT_ISOLATED_SET pins an explicit comma-separated name
-    // list (prefix match) — for round-over-round comparison a FIXED set
-    // beats per-run top-N selection, whose membership churns with suite
-    // noise; default stays the top-N heaviest of THIS run.
+    // The isolated set of record (round 12): pinned to BENCH_r11's
+    // block so cross-round bench_diff compares identical key sets — a
+    // per-run top-N churns membership with suite noise. Full runs use
+    // this set by default; SPARK_GRAFT_ISOLATED_SET overrides with an
+    // explicit comma-separated prefix list, and the special value
+    // "auto" restores the dynamic top-N-heaviest-of-this-run selection
+    // (for scouting which queries BELONG in the next pinned set).
+    val pinnedDefault = Seq(
+      "d15_lsh_recall", "g01_pagerank", "g12_anf",
+      "g16_pagerank_weighted", "g17_effective_diameter",
+      "p12_pack_tokens", "p26_pipeline_demo", "p36_analytics_demo",
+      "q86_basket_rules", "t19_bpe_learned_corpus")
     val pinnedSet = sys.env.get("SPARK_GRAFT_ISOLATED_SET")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(if (wanted.isEmpty && isolatedN > 0) Some(pinnedDefault) else None)
+      .filterNot(_ == Seq("auto")) // SPARK_GRAFT_ISOLATED_N=0 still skips
     val heavy = pinnedSet match {
       case Some(names) =>
         results.map(_._1)

@@ -26,11 +26,14 @@ import org.apache.spark.sql.functions._
   *      (pagerankQuantized is exact integer arithmetic — any divergence
   *      means recovery replayed state wrong).
   *
-  * Drill 3 extends the same discipline to the STREAMING INGEST path: an
-  * executor JVM halts during a `dedupIngestStep`'s classification write
-  * and the recovered step must leave classifications + persisted index
-  * bit-identical to a no-failure run (round 11 — previously only proven
-  * by spec-level replay simulation).
+  * Drills 3–5 extend the same discipline to the STREAMING INGEST paths,
+  * one per persisted-index family: an executor JVM halts during the
+  * step's classification write and the recovered step must leave
+  * classifications + persisted index bit-identical to a no-failure run.
+  * Drill 3 (round 11) covers `dedupIngestStep` (MinHash document index);
+  * drills 4 and 5 (round 12) cover `ivfIngestStep` (embedding index)
+  * and `spanIngestStep` (substring window index) — previously proven
+  * only by spec-level replay simulation.
   *
   * Prints ONE JSON line {"pass":…} and exits 0 (pass), 1 (mismatch), or
   * 2 (cluster never came up — environment, not code). Driven by
@@ -155,15 +158,17 @@ object ChaosCheck {
       // spec-level replay simulation (StreamingSpec) models; here the
       // loss is a real JVM halt on a real two-executor cluster.
       import spark.implicits._
-      val killFile = java.nio.file.Files
+      def newKillFile(): String = java.nio.file.Files
         .createTempDirectory("graft-chaos-ingest").resolve("killed").toString
-      // one halt total, wherever the first task to see no marker runs:
-      // createFile is the atomic claim; the loser of the race (or any
-      // retry) sees the file and passes through
-      def chaosBatch(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame =
+      val killFile = newKillFile()
+      // one halt total PER DRILL, wherever the first task to see no
+      // marker runs: createFile is the atomic claim; the loser of the
+      // race (or any retry) sees the file and passes through
+      def chaosTextBatch(kf: String, rows: Seq[(Long, String)])
+          : org.apache.spark.sql.DataFrame =
         spark.createDataset(rows).repartition(2)
           .map { case (id, text) =>
-            val p = java.nio.file.Paths.get(killFile)
+            val p = java.nio.file.Paths.get(kf)
             if (!java.nio.file.Files.exists(p)) {
               try {
                 java.nio.file.Files.createFile(p)
@@ -174,6 +179,8 @@ object ChaosCheck {
             }
             (id, text)
           }.toDF("doc_id", "text")
+      def chaosBatch(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame =
+        chaosTextBatch(killFile, rows)
       val seedDocs = Seq(
         (1L, "seed document about rivers and stone bridges"),
         (2L, "seed document describing mountain weather patterns"))
@@ -218,8 +225,107 @@ object ChaosCheck {
       val ingPass = ingKilled && chaosClass == refClass &&
         chaosIdx == refIdx && chaosClass.nonEmpty && chaosIdx.nonEmpty
 
-      val pass = prPass && ccPass && ingPass
-      println(s"""{"pass":$pass,"pagerank":{"pass":$prPass,"rounds":$prRounds,"killed":$prKilled,"nodes":${base.size}},"cc":{"pass":$ccPass,"cuts":$ccRounds,"killed":$ccKilled,"nodes":${ccBase.size}},"ingest":{"pass":$ingPass,"killed":$ingKilled,"classified":${chaosClass.size},"index_rows":${chaosIdx.size}}}""")
+      // drill 4: IVF INGEST — the embedding-index family under the same
+      // kill-during-classification protocol. Two fixed centroids split
+      // the plane; batch 0 carries one near-dup of a seed vector and one
+      // novel direction, batch 1 a near-copy of batch 0's NOVEL vector
+      // (so a lost append would misclassify it) plus a fresh direction.
+      // nProbe = 2 probes every cell — classification differences can
+      // only come from recovery, never probe pruning.
+      def collectAll(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        df.collect().map(_.toSeq.map(v => v: Any)).toSeq.sortBy(_.mkString("|"))
+      val ivfKillFile = newKillFile()
+      def chaosVecBatch(rows: Seq[(Long, Seq[Double])])
+          : org.apache.spark.sql.DataFrame =
+        spark.createDataset(rows).repartition(2)
+          .map { case (id, v) =>
+            val p = java.nio.file.Paths.get(ivfKillFile)
+            if (!java.nio.file.Files.exists(p)) {
+              try {
+                java.nio.file.Files.createFile(p)
+                Runtime.getRuntime.halt(99)
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException => ()
+              }
+            }
+            (id, v)
+          }.toDF("vec_id", "vec")
+      val centroids = Array((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      val vecSeed = Seq((1L, Seq(1.0, 0.05)), (2L, Seq(0.05, 1.0)))
+      val vecBatch0 = Seq((100L, Seq(0.9, 0.1)), (101L, Seq(0.5, 0.5)))
+      val vecBatch1 = Seq((200L, Seq(0.51, 0.52)), (201L, Seq(-1.0, 0.3)))
+      def runIvfIngest(table: String, target: String,
+          mkBatch1: Seq[(Long, Seq[Double])] => org.apache.spark.sql.DataFrame)
+          : (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+        graft.operators.Similarity.writeIvfIndex(
+          vecSeed.toDF("vec_id", "vec"), "vec_id", "vec", centroids, table,
+          numBuckets = 2)
+        graft.streaming.EventStreams.ivfIngestStep(
+          table, vecBatch0.toDF("vec_id", "vec"), 0L, "vec_id", "vec",
+          centroids, nProbe = 2, tau = 0.9, target, numBuckets = 2)
+        graft.streaming.EventStreams.ivfIngestStep(
+          table, mkBatch1(vecBatch1), 1L, "vec_id", "vec",
+          centroids, nProbe = 2, tau = 0.9, target, numBuckets = 2)
+        (collectAll(graft.streaming.EventStreams.committedBatches(spark, target)),
+          collectAll(spark.table(table)))
+      }
+      val ivfChaosTgt = java.nio.file.Files
+        .createTempDirectory("graft-chaos-ivf").toString
+      val ivfRefTgt = java.nio.file.Files
+        .createTempDirectory("graft-chaos-ivfref").toString
+      val (ivfChaosClass, ivfChaosIdx) =
+        runIvfIngest("chaos_ivf", ivfChaosTgt, chaosVecBatch)
+      val ivfKilled = java.nio.file.Files
+        .exists(java.nio.file.Paths.get(ivfKillFile))
+      val (ivfRefClass, ivfRefIdx) =
+        runIvfIngest("chaos_ivfref", ivfRefTgt, rows => rows.toDF("vec_id", "vec"))
+      val ivfPass = ivfKilled && ivfChaosClass == ivfRefClass &&
+        ivfChaosIdx == ivfRefIdx && ivfChaosClass.nonEmpty && ivfChaosIdx.nonEmpty
+
+      // drill 5: SPAN INGEST — the substring window index under the same
+      // protocol. Batch 0 carries one doc quoting a seed passage and one
+      // with novel text; batch 1 re-quotes batch 0's NOVEL passage (a
+      // lost append would report it fresh) plus new closing material.
+      val spanKillFile = newKillFile()
+      val spanSeed = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six seven"))
+      val spanBatch0 = Seq(
+        (100L, "fresh novel words never seen before anywhere"),
+        (101L, "prefix alpha beta gamma delta suffix"))
+      val spanBatch1 = Seq(
+        (200L, "fresh novel words never seen before today"),
+        (201L, "totally different closing material here now"))
+      def runSpanIngest(table: String, target: String,
+          mkBatch1: Seq[(Long, String)] => org.apache.spark.sql.DataFrame)
+          : (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+        graft.operators.Dedup.writeSpanIndex(
+          spanSeed.toDF("doc_id", "text"), "doc_id", "text", table,
+          windowTokens = 3, numBuckets = 2)
+        graft.streaming.EventStreams.spanIngestStep(
+          table, spanBatch0.toDF("doc_id", "text"), 0L, "doc_id", "text",
+          target, windowTokens = 3, numBuckets = 2)
+        graft.streaming.EventStreams.spanIngestStep(
+          table, mkBatch1(spanBatch1), 1L, "doc_id", "text",
+          target, windowTokens = 3, numBuckets = 2)
+        (collectAll(graft.streaming.EventStreams.committedBatches(spark, target)),
+          collectAll(spark.table(s"${table}_spans")))
+      }
+      val spanChaosTgt = java.nio.file.Files
+        .createTempDirectory("graft-chaos-span").toString
+      val spanRefTgt = java.nio.file.Files
+        .createTempDirectory("graft-chaos-spanref").toString
+      val (spanChaosClass, spanChaosIdx) = runSpanIngest(
+        "chaos_span", spanChaosTgt, rows => chaosTextBatch(spanKillFile, rows))
+      val spanKilled = java.nio.file.Files
+        .exists(java.nio.file.Paths.get(spanKillFile))
+      val (spanRefClass, spanRefIdx) =
+        runSpanIngest("chaos_spanref", spanRefTgt, rows => rows.toDF("doc_id", "text"))
+      val spanPass = spanKilled && spanChaosClass == spanRefClass &&
+        spanChaosIdx == spanRefIdx && spanChaosClass.nonEmpty && spanChaosIdx.nonEmpty
+
+      val pass = prPass && ccPass && ingPass && ivfPass && spanPass
+      println(s"""{"pass":$pass,"pagerank":{"pass":$prPass,"rounds":$prRounds,"killed":$prKilled,"nodes":${base.size}},"cc":{"pass":$ccPass,"cuts":$ccRounds,"killed":$ccKilled,"nodes":${ccBase.size}},"ingest":{"pass":$ingPass,"killed":$ingKilled,"classified":${chaosClass.size},"index_rows":${chaosIdx.size}},"ivf_ingest":{"pass":$ivfPass,"killed":$ivfKilled,"classified":${ivfChaosClass.size},"index_rows":${ivfChaosIdx.size}},"span_ingest":{"pass":$spanPass,"killed":$spanKilled,"classified":${spanChaosClass.size},"index_rows":${spanChaosIdx.size}}}""")
       if (!pass) sys.exit(1)
     } finally {
       spark.stop()

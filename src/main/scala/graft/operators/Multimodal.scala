@@ -369,6 +369,82 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Canonical 44-byte-header PCM WAV, deterministic in `id` — the audio
+    * counterpart of [[syntheticPng]] (round 12): sample rate, channel
+    * count, frame count, and every payload byte are arithmetic in `id`,
+    * so DuckDB can verify a genuine header PARSE ([[wavMeta]]) without
+    * being able to read RIFF itself. 16-bit PCM; payload byte i is
+    * (id + 3·i) mod 256. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    require(id >= 0, s"synthetic wav id must be >= 0, got $id")
+    val sr = 8000 + (id % 5).toInt * 8000
+    val ch = 1 + (id % 2).toInt
+    val bits = 16
+    val nFrames = 100 + (id % 900).toInt
+    val blockAlign = ch * bits / 8
+    val dataSize = nFrames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1.toShort); bb.putShort(ch.toShort)
+    bb.putInt(sr); bb.putInt(sr * blockAlign)
+    bb.putShort(blockAlign.toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+    var i = 0
+    while (i < dataSize) {
+      bb.put(((id + 3L * i) % 256).toByte); i += 1
+    }
+    bb.array()
+  }
+
+  /** Little-endian unsigned integer over `width` bytes at 1-based `pos`
+    * — pure built-ins (substring → hex → conv), codegen'd, no UDF. The
+    * byte-order reversal is why a plain conv(hex(substring(…))) over the
+    * whole field would be wrong: RIFF scalars are little-endian. */
+  def leUInt(blob: Column, pos: Int, width: Int): Column =
+    (0 until width).map { i =>
+      conv(hex(substring(blob, pos + i, 1)), 16, 10).cast("long") *
+        lit(1L << (8 * i))
+    }.reduce(_ + _)
+
+  /** Header parse for CANONICAL PCM WAV blobs (the 44-byte layout
+    * [[syntheticWav]] writes: `fmt ` at offset 12, `data` at 36, PCM
+    * format tag, data chunk running to EOF) — one codegen'd expression
+    * over the leading bytes plus an exact payload checksum, no UDF and
+    * no decode library. Anything non-canonical — truncated header,
+    * extra chunks, non-PCM, alien bytes — yields a NULL struct: the
+    * same documented null contract as the image decode path (m08). A
+    * production variant walking arbitrary chunk lists belongs in a
+    * [[decodeBatch]]-style codec slot; header-level triage of a crawl
+    * deliberately stays expression-only so it fuses into the scan. */
+  def wavMeta(blob: Column): Column = {
+    def tag(pos: Int, s: String): Column =
+      substring(blob, pos, 4) === lit(s.getBytes("US-ASCII"))
+    val dataSize = leUInt(blob, 41, 4)
+    val blockAlign = leUInt(blob, 33, 2)
+    val byteRate = leUInt(blob, 29, 4)
+    val canonical = tag(1, "RIFF") && tag(9, "WAVE") && tag(13, "fmt ") &&
+      tag(37, "data") && length(blob) >= 44 &&
+      leUInt(blob, 21, 2) === 1 && // PCM
+      length(blob).cast("long") === lit(44L) + dataSize &&
+      blockAlign > 0 && byteRate > 0
+    // magnitudes stay far under 2^53, so the floor-divisions are exact
+    val payload = blob.substr(lit(45), length(blob) - 44)
+    when(canonical, struct(
+      leUInt(blob, 23, 2).as("channels"),
+      leUInt(blob, 25, 4).as("sample_rate"),
+      leUInt(blob, 35, 2).as("bits_per_sample"),
+      blockAlign.as("block_align"),
+      byteRate.as("byte_rate"),
+      floor(dataSize / blockAlign).cast("long").as("n_frames"),
+      floor(dataSize * lit(1000000L) / byteRate).cast("long")
+        .as("duration_us"),
+      graft.functions.expressions.BlobStats(payload)
+        .getField("byte_sum").as("payload_byte_sum")))
+  }
+
   /** Deterministic stand-in codec: dimensions derived from blob length and
     * a simple content checksum — stable, partition-order-independent. */
   def stubCodec(blob: Array[Byte]): (Int, Int, Int) = {

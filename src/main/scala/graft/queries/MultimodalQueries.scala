@@ -433,8 +433,85 @@ object MultimodalQueries {
     },
     Some(m08Oracle))
 
+  /** Audio-container metadata (round 12 — closes the sniff/decode gap:
+    * `sniffFormat` knew `riff` but nothing decoded container metadata):
+    * each doc_id becomes a genuine canonical PCM WAV
+    * ([[Multimodal.syntheticWav]] — real RIFF bytes, little-endian
+    * scalars, arithmetic payload), except `% 7 = 3` keeps only the first
+    * 20 header bytes (sniffs `riff`, parses NULL) and `% 7 = 5` is alien
+    * bytes (sniffs `raw`, parses NULL) — the m08 two-failure-path
+    * contract. [[Multimodal.wavMeta]] recovers channels / sample rate /
+    * bit depth / frame count / exact duration / payload checksum from
+    * the BYTES with pure codegen'd expressions; the oracle recomputes
+    * them from the generating arithmetic — one flipped header byte or a
+    * mis-offset data region and the hash compare fails. */
+  private val m09Oracle: String =
+    """
+      WITH m09_d AS (
+        SELECT doc_id,
+               8000 + (doc_id % 5) * 8000 AS sr,
+               1 + (doc_id % 2) AS ch,
+               100 + (doc_id % 900) AS nf,
+               doc_id % 7 AS k
+        FROM documents),
+      m09_c AS (
+        SELECT doc_id, sr, ch, nf, k,
+               ch * 2 AS ba,
+               sr * ch * 2 AS br,
+               nf * ch * 2 AS ds
+        FROM m09_d),
+      m09_p AS (
+        SELECT doc_id, sum((doc_id + 3 * i) % 256) AS psum
+        FROM (SELECT doc_id, unnest(range(ds)) AS i
+              FROM m09_c WHERE k NOT IN (3, 5))
+        GROUP BY 1)
+      SELECT c.doc_id,
+             CASE WHEN k = 5 THEN 'raw' ELSE 'riff' END AS format,
+             CASE WHEN k NOT IN (3, 5) THEN ch END::BIGINT AS channels,
+             CASE WHEN k NOT IN (3, 5) THEN sr END::BIGINT AS sample_rate,
+             CASE WHEN k NOT IN (3, 5) THEN 16 END::BIGINT AS bits_per_sample,
+             CASE WHEN k NOT IN (3, 5) THEN ba END::BIGINT AS block_align,
+             CASE WHEN k NOT IN (3, 5) THEN nf END::BIGINT AS n_frames,
+             CASE WHEN k NOT IN (3, 5) THEN (ds * 1000000) // br END::BIGINT
+               AS duration_us,
+             CASE WHEN k NOT IN (3, 5) THEN p.psum END::BIGINT
+               AS payload_byte_sum
+      FROM m09_c c LEFT JOIN m09_p p ON c.doc_id = p.doc_id
+      ORDER BY c.doc_id"""
+
+  val m09_wav_meta = QueryDef(
+    "m09_wav_meta",
+    (s, dir) => {
+      import s.implicits._
+      val fixtures = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val blob = (id % 7) match {
+            case 3 => Multimodal.syntheticWav(id).take(20)
+            case 5 => s"NOT_A_WAVE:$id".getBytes("UTF-8")
+            case _ => Multimodal.syntheticWav(id)
+          }
+          (id, blob)
+        })
+        .toDF("doc_id", "blob")
+      val meta = Multimodal.wavMeta(col("blob"))
+      fixtures
+        .select(
+          col("doc_id"),
+          Multimodal.sniffFormat(col("blob")).as("format"),
+          meta.getField("channels").as("channels"),
+          meta.getField("sample_rate").as("sample_rate"),
+          meta.getField("bits_per_sample").as("bits_per_sample"),
+          meta.getField("block_align").as("block_align"),
+          meta.getField("n_frames").as("n_frames"),
+          meta.getField("duration_us").as("duration_us"),
+          meta.getField("payload_byte_sum").as("payload_byte_sum"))
+        .orderBy(col("doc_id"))
+    },
+    Some(m09Oracle))
+
   val all: Seq[QueryDef] = Seq(
     m01_blob_meta, m02_blob_features, m03_frame_sample, m04_decode_resize,
     m05_blob_neardup, m06_blob_probe_indexed, m07_cdc_dedup,
-    m08_decode_codecs)
+    m08_decode_codecs, m09_wav_meta)
 }

@@ -41,7 +41,7 @@ class ExecutorLossSpec extends AnyFunSuite {
     pb.redirectErrorStream(true)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val finished = proc.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)
+    val finished = proc.waitFor(12, java.util.concurrent.TimeUnit.MINUTES)
     if (!finished) { proc.destroyForcibly(); fail(s"ChaosCheck timed out:\n${out.takeRight(2000)}") }
     val code = proc.exitValue()
     if (code == 2)
@@ -50,9 +50,11 @@ class ExecutorLossSpec extends AnyFunSuite {
     val line = out.linesIterator.find(_.startsWith("""{"pass"""")).getOrElse("")
     assert(line.contains(""""pass":true""") && line.contains(""""killed":true"""),
       s"unexpected drill record: $line\n${out.takeRight(1000)}")
-    // third family (round 11): the streaming-ingest kill drill must have
-    // actually fired its kill AND matched the no-failure rebuild
-    assert(line.contains(""""ingest":{"pass":true,"killed":true"""),
-      s"ingest drill verdict missing/failed: $line")
+    // ingest families (round 11 dedup, round 12 ivf + span): every
+    // kill drill must have actually fired its kill AND matched the
+    // no-failure rebuild, per persisted-index family
+    for (fam <- Seq("ingest", "ivf_ingest", "span_ingest"))
+      assert(line.contains(s""""$fam":{"pass":true,"killed":true"""),
+        s"$fam drill verdict missing/failed: $line")
   }
 }

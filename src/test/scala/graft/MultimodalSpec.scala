@@ -86,6 +86,61 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "mp4", 4L -> "raw"))
   }
 
+  test("wavMeta parses canonical PCM headers byte-exactly; non-canonical -> null struct") {
+    // JVM-side reference: re-read syntheticWav's own header fields with
+    // an independent little-endian decode, then demand the expression
+    // parse agrees on every field (round 12 — the m09 kernel)
+    def ref(id: Long): (Long, Long, Long, Long, Long, Long, Long) = {
+      val b = Multimodal.syntheticWav(id)
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ch = bb.getShort(22).toLong
+      val sr = bb.getInt(24).toLong
+      val br = bb.getInt(28).toLong
+      val ba = bb.getShort(32).toLong
+      val bits = bb.getShort(34).toLong
+      val ds = bb.getInt(40).toLong
+      val psum = b.drop(44).map(x => (x & 0xff).toLong).sum
+      (ch, sr, bits, ba, ds / ba, ds * 1000000L / br, psum)
+    }
+    val ids = Seq(0L, 1L, 7L, 123L, 899L, 4502L)
+    val got = ids.map(id => (id, Multimodal.syntheticWav(id)))
+      .toDF("id", "blob")
+      .select(col("id"), Multimodal.wavMeta(col("blob")).as("m"))
+      .select(col("id"), col("m.channels"), col("m.sample_rate"),
+        col("m.bits_per_sample"), col("m.block_align"), col("m.n_frames"),
+        col("m.duration_us"), col("m.payload_byte_sum"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    ids.foreach(id => assert(got(id) == ref(id), s"id=$id"))
+    // a flipped header byte must CHANGE the parse, not be absorbed:
+    // bump the low sample-rate byte and the canonical length check
+    // still holds, so sample_rate reads exactly +1
+    val bumped = Multimodal.syntheticWav(10L)
+    bumped(24) = (bumped(24) + 1).toByte
+    val sr = Seq((1L, bumped)).toDF("id", "blob")
+      .select(Multimodal.wavMeta(col("blob")).getField("sample_rate"))
+      .head.getLong(0)
+    assert(sr == 8000 + 1)
+    // non-canonical inputs -> NULL struct, never a throw: truncated
+    // header, alien bytes, non-PCM format tag, trailing junk byte
+    val nonPcm = Multimodal.syntheticWav(3L)
+    nonPcm(20) = 2 // format tag 2 = ADPCM
+    val trailing = Multimodal.syntheticWav(4L) :+ 0x00.toByte
+    val nulls = Seq(
+      (1L, Multimodal.syntheticWav(2L).take(20)),
+      (2L, "definitely not audio".getBytes("UTF-8")),
+      (3L, nonPcm),
+      (4L, trailing))
+      .toDF("id", "blob")
+      .select(Multimodal.wavMeta(col("blob")).as("m"))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)), "non-canonical blob parsed non-null")
+  }
+
   test("decodeBatch streams through mapPartitions with the stub codec") {
     val decoded = Multimodal.decodeBatch(docs.limit(30), "doc_id", "blob")
     val rows = decoded.collect()

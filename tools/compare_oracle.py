@@ -5,7 +5,7 @@ outDir/<name>/ (columns sorted by name, rows sorted, values hashed).
 
 Usage: python3 tools/compare_oracle.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -35,7 +35,12 @@ def canon(rel):
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata is one file per table; ScaleProbe's sf1 corpus
+        # is Spark-written (a directory of part files) — glob those
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
