@@ -6160,11 +6160,20 @@ $langScoreCols
       ORDER BY node""")
   }
 
-  /** Shared CTE machinery for g12/g13: exact distance-≤r balls by
-    * unrolled relational composition, then the HLL registers + raw
-    * estimator derived from the exact member sets (ending at relations
-    * `g12_fin` (x, r, raw, zeros) and `g12_deg`); `finalSelect` closes
-    * over them. */
+  /** Shared CTE machinery for g12/g13: per-(node, radius) HLL registers
+    * by PROPAGATION — regs_r(x, idx) = max(regs_{r-1}(y, idx)) over the
+    * self-loop adjacency, exactly HyperBall's update — then the raw
+    * estimator (ending at relations `g12_fin` (x, r, raw, zeros) and
+    * `g12_deg`); `finalSelect` closes over them.
+    *
+    * Round 12: this replaced an exact-ball-materialization form (unroll
+    * distance-≤r member sets, hash every member per (x, r)). The two
+    * are BIT-IDENTICAL — a register is a per-index max of member rho
+    * values, and max distributes over the ball union ball_r(x) =
+    * ∪_{y∈b1(x)} ball_{r-1}(y) — but member-set row count is quadratic
+    * in component size (the sf1 replay spilled >80 GB and died on
+    * distance-3 balls of a densifying bipartite graph), while the
+    * propagated form is O(radius · |edges| · M) like the Spark side. */
   private def anfOracle(radius: Int, finalSelect: String): String = {
     import graft.functions.expressions.HllDistinct
     import graft.functions.expressions.HllDistinct.{AlphaMM, M, RhoCap}
@@ -6174,12 +6183,13 @@ $langScoreCols
       .map(k => s"WHEN w >= ${(BigInt(1) << k).toString} THEN ${64 - HllDistinct.P - k}")
       .mkString("CASE ", " ", s" ELSE $RhoCap END")
     val pow2Cap = s"${(BigInt(1) << RhoCap).toString}"
-    val balls = (2 to radius).map(r =>
-      s"""g12_b$r AS (
-        SELECT DISTINCT l.x, rr.y FROM g12_b${r - 1} l
-        JOIN g12_b1 rr ON l.y = rr.x),""").mkString("\n")
-    val members = (1 to radius).map(r =>
-      s"SELECT $r AS r, x, y FROM g12_b$r").mkString(" UNION ALL ")
+    val props = (2 to radius).map(r =>
+      s"""g12_p$r AS MATERIALIZED (
+        SELECT b.x, p.idx, max(p.reg) AS reg
+        FROM g12_b1 b JOIN g12_p${r - 1} p ON b.y = p.x
+        GROUP BY 1, 2),""").mkString("\n")
+    val regsUnion = (1 to radius).map(r =>
+      s"SELECT $r AS r, x, idx, reg FROM g12_p$r").mkString(" UNION ALL ")
     s"""
       WITH g12_e AS (
         SELECT user_id AS src,
@@ -6195,20 +6205,20 @@ $langScoreCols
         UNION ALL SELECT b, a FROM g12_u),
       g12_deg AS (
         SELECT x, cast(count(*) AS BIGINT) AS degree FROM g12_adj GROUP BY 1),
-      g12_b1 AS (
+      g12_b1 AS MATERIALIZED (
         SELECT DISTINCT x, y FROM (
           SELECT x, x AS y FROM g12_adj UNION ALL SELECT x, y FROM g12_adj)),
-      $balls
-      g12_m AS ($members),
-      g12_hh AS (
-        SELECT r, x, ${OracleSql.xxh64Long(OracleSql.s2u("y"))} AS hu
-        FROM g12_m),
-      g12_rr0 AS (
-        SELECT r, x, (hu % $M)::INT AS idx, (hu // $M) AS w FROM g12_hh),
-      g12_rr AS (
-        SELECT r, x, idx, $rhoCase AS rho FROM g12_rr0),
-      g12_regs AS (
-        SELECT r, x, idx, max(rho) AS reg FROM g12_rr GROUP BY 1, 2, 3),
+      g12_ny0 AS (
+        SELECT y, (hu % $M)::INT AS idx, (hu // $M) AS w
+        FROM (SELECT y, ${OracleSql.xxh64Long(OracleSql.s2u("y"))} AS hu
+              FROM (SELECT DISTINCT y FROM g12_b1) t0) t1),
+      g12_ny AS MATERIALIZED (
+        SELECT y, idx, $rhoCase AS rho FROM g12_ny0),
+      g12_p1 AS MATERIALIZED (
+        SELECT b.x, n.idx, max(n.rho) AS reg
+        FROM g12_b1 b JOIN g12_ny n USING (y) GROUP BY 1, 2),
+      $props
+      g12_regs AS ($regsUnion),
       g12_est AS (
         SELECT r, x,
                (sum(($pw)[${RhoCap + 1} - reg]) + ($M - count(*)) * $pow2Cap::HUGEINT) AS num,
