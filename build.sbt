@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin GC parallelism: an unpinned G1 sizes its thread pool from the
+  // 32 visible CPUs and contends with Spark's own task threads inside
+  // the bench's timing pockets — pinning halved isolated-mode
+  // within-run dispersion (bench_iso_r12_{a,b}.json: spread_med 10.8
+  // -> 6-7%). Identical flag for every forked run keeps bench
+  // conditions comparable across rounds.
+  "-XX:ParallelGCThreads=8",
 )

@@ -445,6 +445,82 @@ object Multimodal {
         .getField("byte_sum").as("payload_byte_sum")))
   }
 
+  /** Canonical two-box MP4 (`ftyp` + `moov`/`mvhd` version 0),
+    * deterministic in `id` — the ISO-BMFF counterpart of
+    * [[syntheticWav]]: brand list, timescale, and duration are
+    * arithmetic in `id`, so DuckDB can verify a genuine box-structure
+    * parse ([[mp4Meta]]) without reading ISO BMFF itself. Big-endian
+    * scalars throughout (the byte-order mirror of WAV's little-endian —
+    * the pair exercises both ends of [[leUInt]]/[[beUIntAt]]). */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    require(id >= 0, s"synthetic mp4 id must be >= 0, got $id")
+    val brands = Seq("isom", "mp42", "avc1")
+    val nCompat = 1 + (id % 3).toInt
+    val ftypSize = 16 + 4 * nCompat
+    val timescale = 600 + (id % 4).toInt * 300
+    val durUnits = timescale * (1 + (id % 60).toInt) + (id % 37).toInt
+    val bb = java.nio.ByteBuffer.allocate(ftypSize + 116) // BE default
+    bb.putInt(ftypSize); bb.put("ftyp".getBytes("US-ASCII"))
+    bb.put(brands((id % 3).toInt).getBytes("US-ASCII"))
+    bb.putInt((id % 512).toInt) // minor_version
+    (0 until nCompat).foreach(i =>
+      bb.put(brands(((id + i) % 3).toInt).getBytes("US-ASCII")))
+    bb.putInt(116); bb.put("moov".getBytes("US-ASCII"))
+    bb.putInt(108); bb.put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0) // version 0 + flags
+    bb.putInt((id % 100000).toInt); bb.putInt((id % 99991).toInt)
+    bb.putInt(timescale); bb.putInt(durUnits)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort) // rate, volume
+    bb.put(new Array[Byte](10)) // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(bb.putInt) // unity matrix
+    (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+    bb.putInt((id % 7 + 2).toInt) // next_track_id
+    bb.array()
+  }
+
+  /** [[leUInt]] with a dynamic (Column) position and BIG-endian byte
+    * order — ISO-BMFF box sizes/scalars. Same pure-built-ins contract:
+    * substring → hex → conv, codegen'd, no UDF. */
+  def beUIntAt(blob: Column, pos: Column, width: Int): Column =
+    (0 until width).map { i =>
+      conv(hex(blob.substr(pos + i, lit(1))), 16, 10).cast("long") *
+        lit(1L << (8 * (width - 1 - i)))
+    }.reduce(_ + _)
+
+  /** Box-structure parse for CANONICAL two-box MP4 blobs (the layout
+    * [[syntheticMp4]] writes: `ftyp`, then a `moov` holding exactly a
+    * version-0 `mvhd`) — expression-only, like [[wavMeta]]: the `ftyp`
+    * size field steers where the `moov`/`mvhd` reads land, so the
+    * parse follows the container's own indirection, not fixed offsets.
+    * Anything non-canonical (truncated, version-1 mvhd, extra boxes,
+    * alien bytes) yields a NULL struct — the m08/m09 null contract. */
+  def mp4Meta(blob: Column): Column = {
+    def tagAt(pos: Column, s: String): Column =
+      blob.substr(pos, lit(4)) === lit(s.getBytes("US-ASCII"))
+    val s1 = beUIntAt(blob, lit(1), 4)
+    val p = (s1 + 1).cast("int") // moov box start, 1-based
+    val q = p + 8 // mvhd box start
+    val s2 = beUIntAt(blob, p, 4)
+    val mvhdSize = beUIntAt(blob, q, 4)
+    val version = conv(hex(blob.substr(q + 8, lit(1))), 16, 10).cast("long")
+    val timescale = beUIntAt(blob, q + 20, 4)
+    val duration = beUIntAt(blob, q + 24, 4)
+    val canonical = tagAt(lit(5), "ftyp") && s1 >= 16 &&
+      pmod(s1 - 16, lit(4L)) === 0 &&
+      tagAt(p + 4, "moov") && tagAt(q + 4, "mvhd") &&
+      version === 0 && mvhdSize === 108 && s2 === 116 &&
+      length(blob).cast("long") === s1 + s2 && timescale > 0
+    // magnitudes stay far under 2^53, so the floor-division is exact
+    when(canonical, struct(
+      blob.substr(lit(9), lit(4)).cast("string").as("major_brand"),
+      floor((s1 - 16) / lit(4L)).cast("long").as("n_brands"),
+      timescale.as("timescale"),
+      duration.as("duration_units"),
+      floor(duration * lit(1000L) / timescale).cast("long")
+        .as("duration_ms")))
+  }
+
   /** Deterministic stand-in codec: dimensions derived from blob length and
     * a simple content checksum — stable, partition-order-independent. */
   def stubCodec(blob: Array[Byte]): (Int, Int, Int) = {

@@ -510,8 +510,69 @@ object MultimodalQueries {
     },
     Some(m09Oracle))
 
+  /** ISO-BMFF (MP4) container metadata — m09's big-endian sibling:
+    * canonical two-box fixtures ([[Multimodal.syntheticMp4]]), parsed
+    * by [[Multimodal.mp4Meta]]'s expression chain where the `ftyp` size
+    * field STEERS the `moov`/`mvhd` reads (box indirection, not fixed
+    * offsets — a wrong size lands every downstream read off-target and
+    * the hash compare fails). Same `% 7` failure paths: 3 → first 12
+    * bytes (sniffs `mp4`, parses NULL), 5 → alien bytes (`raw`, NULL). */
+  private val m10Oracle: String =
+    """
+      WITH m10_d AS (
+        SELECT doc_id,
+               doc_id % 3 AS bi,
+               1 + (doc_id % 3) AS nb,
+               600 + (doc_id % 4) * 300 AS tsc,
+               doc_id % 7 AS k
+        FROM documents),
+      m10_c AS (
+        SELECT doc_id, nb, tsc, k,
+               CASE bi WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                       ELSE 'avc1' END AS mb,
+               tsc * (1 + (doc_id % 60)) + (doc_id % 37) AS du
+        FROM m10_d)
+      SELECT doc_id,
+             CASE WHEN k = 5 THEN 'raw' ELSE 'mp4' END AS format,
+             CASE WHEN k NOT IN (3, 5) THEN mb END AS major_brand,
+             CASE WHEN k NOT IN (3, 5) THEN nb END::BIGINT AS n_brands,
+             CASE WHEN k NOT IN (3, 5) THEN tsc END::BIGINT AS timescale,
+             CASE WHEN k NOT IN (3, 5) THEN du END::BIGINT AS duration_units,
+             CASE WHEN k NOT IN (3, 5) THEN (du * 1000) // tsc END::BIGINT
+               AS duration_ms
+      FROM m10_c ORDER BY doc_id"""
+
+  val m10_mp4_meta = QueryDef(
+    "m10_mp4_meta",
+    (s, dir) => {
+      import s.implicits._
+      val fixtures = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val blob = (id % 7) match {
+            case 3 => Multimodal.syntheticMp4(id).take(12)
+            case 5 => s"NOT_AN_MP4:$id".getBytes("UTF-8")
+            case _ => Multimodal.syntheticMp4(id)
+          }
+          (id, blob)
+        })
+        .toDF("doc_id", "blob")
+      val meta = Multimodal.mp4Meta(col("blob"))
+      fixtures
+        .select(
+          col("doc_id"),
+          Multimodal.sniffFormat(col("blob")).as("format"),
+          meta.getField("major_brand").as("major_brand"),
+          meta.getField("n_brands").as("n_brands"),
+          meta.getField("timescale").as("timescale"),
+          meta.getField("duration_units").as("duration_units"),
+          meta.getField("duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    },
+    Some(m10Oracle))
+
   val all: Seq[QueryDef] = Seq(
     m01_blob_meta, m02_blob_features, m03_frame_sample, m04_decode_resize,
     m05_blob_neardup, m06_blob_probe_indexed, m07_cdc_dedup,
-    m08_decode_codecs, m09_wav_meta)
+    m08_decode_codecs, m09_wav_meta, m10_mp4_meta)
 }

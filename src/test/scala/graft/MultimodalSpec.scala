@@ -141,6 +141,55 @@ class MultimodalSpec extends SparkSpec {
     assert(nulls.forall(_.isNullAt(0)), "non-canonical blob parsed non-null")
   }
 
+  test("mp4Meta parses canonical two-box MP4 byte-exactly; box indirection steers reads; non-canonical -> null") {
+    // JVM-side reference via an independent big-endian decode of the
+    // fixture's own bytes (round 12 — the m10 kernel)
+    def ref(id: Long): (String, Long, Long, Long, Long) = {
+      val b = Multimodal.syntheticMp4(id)
+      val bb = java.nio.ByteBuffer.wrap(b)
+      val s1 = bb.getInt(0).toLong
+      val brand = new String(b, 8, 4, "US-ASCII")
+      val q0 = s1.toInt + 8 // mvhd start, 0-based
+      val tsc = bb.getInt(q0 + 20).toLong
+      val du = bb.getInt(q0 + 24).toLong
+      (brand, (s1 - 16) / 4, tsc, du, du * 1000L / tsc)
+    }
+    val ids = Seq(0L, 1L, 2L, 59L, 123L, 4502L)
+    val got = ids.map(id => (id, Multimodal.syntheticMp4(id)))
+      .toDF("id", "blob")
+      .select(col("id"), Multimodal.mp4Meta(col("blob")).as("m"))
+      .select(col("id"), col("m.major_brand"), col("m.n_brands"),
+        col("m.timescale"), col("m.duration_units"), col("m.duration_ms"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))
+      .toMap
+    ids.foreach(id => assert(got(id) == ref(id), s"id=$id"))
+    // indirection probe: the ftyp SIZE field steers the moov/mvhd
+    // reads — growing it by 4 without moving the boxes must land the
+    // moov tag check off-target and null the whole parse, never
+    // produce shifted garbage values
+    val steered = Multimodal.syntheticMp4(5L)
+    steered(3) = (steered(3) + 4).toByte
+    // a flipped timescale byte must CHANGE the parse (+1), not be absorbed
+    val bumped = Multimodal.syntheticMp4(6L)
+    val q0 = java.nio.ByteBuffer.wrap(bumped).getInt(0) + 8
+    bumped(q0 + 23) = (bumped(q0 + 23) + 1).toByte
+    val rows = Seq(
+      (1L, steered),
+      (2L, bumped),
+      (3L, Multimodal.syntheticMp4(7L).take(12)),
+      (4L, "container? never heard of it".getBytes("UTF-8")))
+      .toDF("id", "blob")
+      .select(col("id"), Multimodal.mp4Meta(col("blob")).as("m"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).isNullAt(1), "steered size must null the parse")
+    assert(rows(2L).getStruct(1).getLong(2) ==
+      ref(6L)._3 + 1, "timescale byte flip must read +1")
+    assert(rows(3L).isNullAt(1) && rows(4L).isNullAt(1))
+  }
+
   test("decodeBatch streams through mapPartitions with the stub codec") {
     val decoded = Multimodal.decodeBatch(docs.limit(30), "doc_id", "blob")
     val rows = decoded.collect()

@@ -51,15 +51,26 @@ def load(path):
                     fallback = cand
             if recovered is None:
                 recovered = fallback
-            if recovered is None:
-                # front-truncated single line (the BENCH_r10 failure
-                # mode): salvage the per-query map by regex
+            if recovered is None or "queries" not in recovered:
+                # the per-query line was front-truncated (the BENCH_r10
+                # failure mode — and with the minimal-line format the
+                # salvaged fallback is query-less too): regex the maps
+                # out of the raw tail and graft them onto whatever
+                # summary line survived
                 import re
                 m = re.search(r'"queries":(\{[^{}]*\})', tail)
+                iso = re.search(r'"isolated":(\{.*?\}\})', tail)
                 s = re.search(r'"spread_med_pct":([0-9.]+)', tail)
-                if m:
-                    recovered = {"queries": json.loads(m.group(1))}
-                    if s:
+                if m or iso:
+                    recovered = dict(recovered or {})
+                    if m:
+                        recovered["queries"] = json.loads(m.group(1))
+                    if iso:
+                        try:
+                            recovered["isolated"] = json.loads(iso.group(1))
+                        except json.JSONDecodeError:
+                            pass
+                    if s and "spread_med_pct" not in recovered:
                         recovered["spread_med_pct"] = float(s.group(1))
             if recovered is not None:
                 d = recovered
