@@ -106,16 +106,22 @@ object ScaleProbe {
     * tables — no RNG), written once and marker-gated. */
   private def generateIfMissing(
       spark: SparkSession, base: String, out: String): Unit = {
-    val ready = java.nio.file.Paths.get(out, "_READY")
+    // _READY_v2: round 13 made the corpus referentially intact —
+    // customer now replicates with the SAME stride as o_custkey (the
+    // v1 shape copied customer verbatim while striding o_custkey, so
+    // ~90% of replicated orders dangled and any orders⋈customer join
+    // silently shrank at sf1, understating scale exponents). A v1
+    // cache is regenerated in place (overwrite-mode writes).
+    val ready = java.nio.file.Paths.get(out, "_READY_v2")
     if (!java.nio.file.Files.exists(ready))
       replicate(spark, base, out, ready)
     // the dimension tables the probe queries join/read but whose keys
-    // are NOT part of the growth shape travel verbatim (round 12 — the
-    // oracle sweep needs every view resolvable at sf1Dir; "more users,
-    // same catalog" keeps part/supplier/customer shared by design).
-    // Idempotent per table, so an r11-era cache gains them in place.
+    // are NOT part of the growth shape travel verbatim ("more users,
+    // same catalog" keeps part/supplier shared by design; customer
+    // moved to the replicated set in v2 because orders keys into it).
+    // Idempotent per table, so an older cache gains them in place.
     val extras =
-      Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+      Seq("region", "nation", "supplier", "part", "embeddings")
     extras.foreach { t =>
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(out, s"$t.parquet")))
@@ -134,8 +140,20 @@ object ScaleProbe {
       df.agg(max(col(c))).head().getLong(0) + 1L
 
     val orders = src("orders")
+    val customer = src("customer")
     val okStride = keyStride(orders, "o_orderkey")
-    val ckStride = keyStride(orders, "o_custkey")
+    // one stride covers BOTH key spaces so replicated customers and the
+    // orders that reference them stay aligned copy-by-copy (TPC-H has
+    // customers with no orders, so max(c_custkey) can exceed
+    // max(o_custkey) — take the larger)
+    val ckStride = math.max(
+      keyStride(orders, "o_custkey"), keyStride(customer, "c_custkey"))
+    copies.crossJoin(customer)
+      .select((Seq(
+        (col("c_custkey") + col("cp") * ckStride).as("c_custkey")) ++
+        customer.columns.filterNot(_ == "c_custkey")
+          .map(col).toIndexedSeq): _*)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
     copies.crossJoin(orders)
       .select((Seq(
         (col("o_orderkey") + col("cp") * okStride).as("o_orderkey"),

@@ -104,6 +104,25 @@ object Funnel {
     chainTimes(events, userCol, typeCol, tsCol, steps)
       .select(col("__u").as(userCol), depthExpr(steps).cast("int").as("depth"))
 
+  /** [[userDepth]] for callers that counted depth-0 users: the round-12
+    * chain rewrite pre-filters to step-typed events, so users whose
+    * events are ALL non-step types dropped out of [[userDepth]]'s
+    * row-set (they used to appear with depth 0). This variant restores
+    * them by left-joining the distinct user universe back in — an extra
+    * user-keyed distinct + join, so it only pays when the zero-depth
+    * rows are actually consumed. */
+  def userDepthWithZeros(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    val reached = userDepth(events, userCol, typeCol, tsCol, steps)
+    events.filter(col(userCol).isNotNull).select(col(userCol)).distinct()
+      .join(reached, Seq(userCol), "left")
+      .select(col(userCol), coalesce(col("depth"), lit(0)).as("depth"))
+  }
+
   def funnel(
       events: DataFrame,
       userCol: String,

@@ -499,7 +499,14 @@ object Multimodal {
     def tagAt(pos: Column, s: String): Column =
       blob.substr(pos, lit(4)) === lit(s.getBytes("US-ASCII"))
     val s1 = beUIntAt(blob, lit(1), 4)
-    val p = (s1 + 1).cast("int") // moov box start, 1-based
+    // Clamp before the int cast: under ANSI mode an adversarial size
+    // field >= 2^31 (with 'ftyp' in place and (s1-16)%4 == 0) would
+    // otherwise throw CAST_OVERFLOW while the canonical condition is
+    // still being evaluated, failing the whole scan on one bad blob.
+    // The clamp keeps p + 8 inside int range too; any blob large
+    // enough for the clamp to matter fails the moov/length checks and
+    // nulls out, which is the documented non-canonical contract.
+    val p = least(s1 + 1, lit(Int.MaxValue.toLong - 16L)).cast("int") // moov box start, 1-based
     val q = p + 8 // mvhd box start
     val s2 = beUIntAt(blob, p, 4)
     val mvhdSize = beUIntAt(blob, q, 4)

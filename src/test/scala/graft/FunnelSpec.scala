@@ -314,6 +314,26 @@ class FunnelSpec extends SparkSpec {
         .orderBy(col("user_id")).collect().map(_.toSeq).toSeq)
   }
 
+  test("userDepthWithZeros: users with only non-step events reappear at depth 0") {
+    // user 4's events are ALL non-step types: absent from userDepth
+    // (the round-12 chain rewrite pre-filters to step-typed events),
+    // restored at depth 0 by the withZeros variant (round 13, ADVICE)
+    val df = ev(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 01:00:00"),
+      (2L, "view", "2024-01-01 00:00:00"),
+      (4L, "scroll", "2024-01-01 00:00:00"),
+      (4L, "hover", "2024-01-01 01:00:00"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy(col("user_id")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val bare = rows(Funnel.userDepth(df, "user_id", "event_type", "ts", steps))
+    val withZeros =
+      rows(Funnel.userDepthWithZeros(df, "user_id", "event_type", "ts", steps))
+    assert(bare == Seq((1L, 2), (2L, 0)))
+    assert(withZeros == Seq((1L, 2), (2L, 0), (4L, 0)))
+  }
+
   test("transitionMatrix: session cuts, start/end states, quantized rows sum to ~1") {
     val df = Seq(
       // user 1, session A: a -> b -> a; session B (7h later): b

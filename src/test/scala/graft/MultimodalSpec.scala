@@ -176,11 +176,18 @@ class MultimodalSpec extends SparkSpec {
     val bumped = Multimodal.syntheticMp4(6L)
     val q0 = java.nio.ByteBuffer.wrap(bumped).getInt(0) + 8
     bumped(q0 + 23) = (bumped(q0 + 23) + 1).toByte
+    // adversarial oversized size field: 'ftyp' in place, s1 >= 2^31,
+    // (s1-16)%4 == 0 — under ANSI mode an unclamped (s1+1).cast("int")
+    // would throw CAST_OVERFLOW mid-condition and fail the whole scan;
+    // the contract is a NULL struct (round 13)
+    val oversized = Multimodal.syntheticMp4(8L)
+    java.nio.ByteBuffer.wrap(oversized).putInt(0, 0x80000010)
     val rows = Seq(
       (1L, steered),
       (2L, bumped),
       (3L, Multimodal.syntheticMp4(7L).take(12)),
-      (4L, "container? never heard of it".getBytes("UTF-8")))
+      (4L, "container? never heard of it".getBytes("UTF-8")),
+      (5L, oversized))
       .toDF("id", "blob")
       .select(col("id"), Multimodal.mp4Meta(col("blob")).as("m"))
       .collect().map(r => r.getLong(0) -> r).toMap
@@ -188,6 +195,8 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L).getStruct(1).getLong(2) ==
       ref(6L)._3 + 1, "timescale byte flip must read +1")
     assert(rows(3L).isNullAt(1) && rows(4L).isNullAt(1))
+    assert(rows(5L).isNullAt(1),
+      "size field >= 2^31 must null the parse, not CAST_OVERFLOW")
   }
 
   test("decodeBatch streams through mapPartitions with the stub codec") {
