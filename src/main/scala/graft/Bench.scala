@@ -182,13 +182,39 @@ object Bench {
           .take(isolatedN)
           .map(_._1)
     }
+    // TIERED FULL COVERAGE (round 13): the in-suite per-query numbers
+    // spread ~47% median on this host, so cross-round deltas were
+    // attributable for only the 10 isolated queries (r12's t25 "+73%"
+    // phantom had no code change on its path). Every OTHER query now
+    // also gets its own quiet pocket — a cheaper one (shorter cooldown,
+    // min-of-3): the light queries run 0.1–1.5 s each, so 3 isolated
+    // reps already sit far below the suite's cross-talk floor. The
+    // heavy tier keeps the full budget so its numbers stay comparable
+    // to the r11/r12 blocks. One randomized order over the union so a
+    // slow neighbor can't systematically tax the same victim.
+    val lightReps =
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATED_LIGHT_REPS", "3").toInt
+    val lightCooldownSec =
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATED_LIGHT_COOLDOWN", "2").toInt
+    val lightTier =
+      if (sys.env.getOrElse("SPARK_GRAFT_ISOLATED_LIGHT", "1") == "0" ||
+          wanted.nonEmpty || isolatedN <= 0) Seq.empty[String]
+      else {
+        val heavySet = heavy.toSet
+        results.filter(r => minOf(r._2) > 0).map(_._1)
+          .filterNot(heavySet)
+      }
+    val heavySet = heavy.toSet
     val isoOrder = new scala.util.Random(System.nanoTime())
-      .shuffle(heavy)
+      .shuffle(heavy ++ lightTier)
     val byName = selected.map(q => q.name -> q).toMap
     val isolated = isoOrder.map { name =>
-      Thread.sleep(isolatedCooldownSec * 1000L)
+      val (nReps, cdSec) =
+        if (heavySet(name)) (isolatedReps, isolatedCooldownSec)
+        else (lightReps, lightCooldownSec)
+      Thread.sleep(cdSec * 1000L)
       System.gc()
-      val ts = (0 until isolatedReps).map(_ => timeOne(name, byName(name).run))
+      val ts = (0 until nReps).map(_ => timeOne(name, byName(name).run))
       name -> ts
     }.sortBy(_._1)
     // The isolated headline is the MEDIAN-based dispersion
@@ -207,6 +233,14 @@ object Bench {
       .filter(r => minOf(r._2) > 0)
       .map(r => dispOf(r._2))
     val isoSpreadPct = if (isoSpreads.isEmpty) 0.0 else medianOf(isoSpreads)
+    // The heavy tier's dispersion stat is kept SEPARATE so it stays
+    // comparable to the r11/r12 isolated blocks (same 10 keys, same
+    // budget); the all-query stat is the round-13 full-coverage number.
+    val isoHeavySpreads = isolated
+      .filter(r => heavySet(r._1) && minOf(r._2) > 0)
+      .map(r => dispOf(r._2))
+    val isoHeavySpreadPct =
+      if (isoHeavySpreads.isEmpty) 0.0 else medianOf(isoHeavySpreads)
     def isoJson(key: String => String): String =
       if (isolated.isEmpty) ""
       else {
@@ -217,13 +251,14 @@ object Bench {
           "\"" + key(n) + "\":{\"min\":" + f3(minOf(ts)) +
             ",\"median\":" + f3(medianOf(ts)) + ",\"max\":" + f3(ts.max) +
             ",\"disp_pct\":" + f3(dispOf(ts)) +
-            ",\"spread_pct\":" + f3(sp) + "}"
+            ",\"spread_pct\":" + f3(sp) +
+            ",\"tier\":\"" + (if (heavySet(n)) "heavy" else "light") + "\"}"
         }.mkString("{", ",", "}")
-        s""","isolated":$entries,"isolated_reps":$isolatedReps,"isolated_cooldown_sec":$isolatedCooldownSec"""
+        s""","isolated":$entries,"isolated_reps":$isolatedReps,"isolated_cooldown_sec":$isolatedCooldownSec,"isolated_light_reps":$lightReps,"isolated_light_cooldown_sec":$lightCooldownSec"""
       }
     val isoSummary =
       if (isolated.isEmpty) ""
-      else s""","isolated_n":${isolated.size},"isolated_spread_med_pct":${f3(isoSpreadPct)}"""
+      else s""","isolated_n":${isolated.size},"isolated_spread_med_pct":${f3(isoSpreadPct)},"isolated_heavy_n":${isoHeavySpreads.size},"isolated_heavy_spread_med_pct":${f3(isoHeavySpreadPct)}"""
     def line(key: String => String, full: Boolean): String = {
       val qs = jmap(results.map(r => r._1 -> minOf(r._2)), key)
       val cold = jmap(results.map(r => r._1 -> coldTimes(r._1)), key)

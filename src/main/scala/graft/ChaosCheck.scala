@@ -324,8 +324,153 @@ object ChaosCheck {
       val spanPass = spanKilled && spanChaosClass == spanRefClass &&
         spanChaosIdx == spanRefIdx && spanChaosClass.nonEmpty && spanChaosIdx.nonEmpty
 
-      val pass = prPass && ccPass && ingPass && ivfPass && spanPass
-      println(s"""{"pass":$pass,"pagerank":{"pass":$prPass,"rounds":$prRounds,"killed":$prKilled,"nodes":${base.size}},"cc":{"pass":$ccPass,"cuts":$ccRounds,"killed":$ccKilled,"nodes":${ccBase.size}},"ingest":{"pass":$ingPass,"killed":$ingKilled,"classified":${chaosClass.size},"index_rows":${chaosIdx.size}},"ivf_ingest":{"pass":$ivfPass,"killed":$ivfKilled,"classified":${ivfChaosClass.size},"index_rows":${ivfChaosIdx.size}},"span_ingest":{"pass":$spanPass,"killed":$spanKilled,"classified":${spanChaosClass.size},"index_rows":${spanChaosIdx.size}}}""")
+      // drill 6: CDC UPSERT/COMPACTION STORE — the exactly-once snapshot
+      // store under BOTH of its crash windows. (a) an executor JVM
+      // halts mid-`upsertStep` while batch 1's merged version is being
+      // written: the retried tasks must commit v_1, and the
+      // checkpoint-style REPLAY of the same batch must rewrite it
+      // idempotently. (b) the driver "dies" between a compaction's
+      // commit point and its cleanup deletes (the onBeforeCleanup hook
+      // throws): `currentSnapshot`/`snapshotAsOf` must read a
+      // consistent view from the half-compacted store, and a re-run
+      // must converge to the no-failure state. The same marker-write/
+      // delete window is then drilled on the append-only b_ log, with
+      // `committedBatches` (this round's contention-hardened reader) as
+      // the consistency witness.
+      import org.apache.spark.sql.DataFrame
+      val upsKillFile = newKillFile()
+      def chaosCdcBatch(rows: Seq[(Long, Long, String, String)]): DataFrame =
+        spark.createDataset(rows).repartition(2)
+          .map { case r @ (_, _, _, _) =>
+            val p = java.nio.file.Paths.get(upsKillFile)
+            if (!java.nio.file.Files.exists(p)) {
+              try {
+                java.nio.file.Files.createFile(p)
+                Runtime.getRuntime.halt(99)
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException => ()
+              }
+            }
+            r
+          }.toDF("id", "seq", "value", "op")
+      def cdcDf(rows: Seq[(Long, Long, String, String)]): DataFrame =
+        rows.toDF("id", "seq", "value", "op")
+      val cdc0 = Seq((1L, 0L, "a", "u"), (2L, 0L, "b", "u"), (3L, 0L, "c", "u"))
+      val cdc1 = Seq((2L, 1L, "b2", "u"), (3L, 1L, "", "d"), (4L, 1L, "d", "u"))
+      val cdc2 = Seq((4L, 2L, "d2", "u"), (5L, 2L, "e", "u"))
+      val isDel = col("op") === "d"
+      def liveOf(df: DataFrame): Seq[Seq[Any]] = collectAll(df.filter(!isDel))
+      def runUpsertStore(target: String,
+          mkBatch1: Seq[(Long, Long, String, String)] => DataFrame)
+          : (Seq[Seq[Any]], Option[Seq[Seq[Any]]]) = {
+        def step(b: DataFrame, id: Long) = graft.streaming.EventStreams
+          .upsertStep(b, id, target, Seq("id"), Seq("seq"), isDel)
+        step(cdcDf(cdc0), 0L)
+        step(mkBatch1(cdc1), 1L)
+        step(cdcDf(cdc1), 1L) // checkpoint replay of the same batch
+        step(cdcDf(cdc2), 2L)
+        val live = liveOf(spark.read.parquet(
+          graft.streaming.EventStreams.currentSnapshot(spark, target).get))
+        val asOf1 = graft.streaming.EventStreams
+          .snapshotAsOf(spark, target, 1L).map(liveOf)
+        (live, asOf1)
+      }
+      val upsChaosTgt = java.nio.file.Files
+        .createTempDirectory("graft-chaos-ups").toString
+      val upsRefTgt = java.nio.file.Files
+        .createTempDirectory("graft-chaos-upsref").toString
+      val (upsChaosLive, upsChaosAsOf1) = runUpsertStore(upsChaosTgt, chaosCdcBatch)
+      val upsKilled = java.nio.file.Files
+        .exists(java.nio.file.Paths.get(upsKillFile))
+      val (upsRefLive, upsRefAsOf1) = runUpsertStore(upsRefTgt, cdcDf)
+      // (b) compaction crash window on the chaos store, clean run on ref
+      val tombHorizon = col("seq") >= 2L
+      var snapHookFired = false
+      val snapCrash = new RuntimeException("simulated driver death mid-compaction")
+      try graft.streaming.EventStreams.compactSnapshots(
+        spark, upsChaosTgt, isDel, tombHorizon,
+        () => { snapHookFired = true; throw snapCrash })
+      catch { case e: RuntimeException if e eq snapCrash => () }
+      // half-compacted: the compacted rewrite is committed, superseded
+      // versions still present — readers must stay consistent
+      val midLive = liveOf(spark.read.parquet(
+        graft.streaming.EventStreams.currentSnapshot(spark, upsChaosTgt).get))
+      val midAsOf1 = graft.streaming.EventStreams
+        .snapshotAsOf(spark, upsChaosTgt, 1L).map(liveOf)
+      // restarted compaction converges; reference compacts once cleanly
+      graft.streaming.EventStreams.compactSnapshots(
+        spark, upsChaosTgt, isDel, tombHorizon)
+      graft.streaming.EventStreams.compactSnapshots(
+        spark, upsRefTgt, isDel, tombHorizon)
+      def storeState(target: String): (Seq[Seq[Any]], Seq[String], Option[Seq[Seq[Any]]]) = {
+        val vs = graft.streaming.EventStreams.snapshotVersions(spark, target)
+        (collectAll(spark.read.parquet(
+          graft.streaming.EventStreams.currentSnapshot(spark, target).get)),
+          vs.map(p => new org.apache.hadoop.fs.Path(p).getName
+            .split("_c").head), // base version; compaction generation differs by design after a crash re-run
+          graft.streaming.EventStreams.snapshotAsOf(spark, target, 1L).map(liveOf))
+      }
+      val (chaosAll, chaosBases, chaosAsOf1Post) = storeState(upsChaosTgt)
+      val (refAll, refBases, refAsOf1Post) = storeState(upsRefTgt)
+      val upsPass = upsKilled && snapHookFired &&
+        upsChaosLive == upsRefLive && upsChaosAsOf1 == upsRefAsOf1 &&
+        midLive == upsRefLive && midAsOf1 == upsRefAsOf1 &&
+        chaosAll == refAll && chaosBases == refBases &&
+        chaosAsOf1Post == refAsOf1Post && chaosAsOf1Post.isEmpty &&
+        upsChaosLive.nonEmpty && chaosAll.nonEmpty
+      // (c) the append-only b_ log's marker/delete crash window
+      def runBatchLog(target: String, crashFirst: Boolean): (Boolean, Seq[Seq[Any]], Seq[Seq[Any]], Seq[Seq[Any]], Seq[String]) = {
+        def writeB(id: Long, rows: Seq[(Long, String)]): Unit =
+          rows.toDF("k", "v").write.mode("overwrite")
+            .parquet(f"$target/b_$id%012d")
+        writeB(0L, Seq((1L, "a"), (2L, "b")))
+        writeB(1L, Seq((3L, "c")))
+        writeB(2L, Seq((4L, "d"), (5L, "e")))
+        writeB(3L, Seq((6L, "f")))
+        val before = collectAll(
+          graft.streaming.EventStreams.committedBatches(spark, target))
+        var hookFired = false
+        val crash = new RuntimeException("simulated driver death mid-compactBatches")
+        if (crashFirst) {
+          try graft.streaming.EventStreams.compactBatches(spark, target,
+            () => { hookFired = true; throw crash })
+          catch { case e: RuntimeException if e eq crash => () }
+        } else {
+          graft.streaming.EventStreams.compactBatches(spark, target): Unit
+          hookFired = true
+        }
+        // crash window (or post-compaction) read: the reader must serve
+        // the SAME relation it served before the compaction
+        val mid = collectAll(
+          graft.streaming.EventStreams.committedBatches(spark, target))
+        // next cycle: one more batch, then a clean compaction sweeps
+        // whatever the crash left behind
+        writeB(4L, Seq((7L, "g")))
+        graft.streaming.EventStreams.compactBatches(spark, target): Unit
+        val after = collectAll(
+          graft.streaming.EventStreams.committedBatches(spark, target))
+        val root = new org.apache.hadoop.fs.Path(target)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith("b_") || n.startsWith("c_") || n.startsWith("m_"))
+          .sorted
+        (hookFired, before, mid, after, names)
+      }
+      val logChaosTgt = java.nio.file.Files
+        .createTempDirectory("graft-chaos-blog").toString
+      val logRefTgt = java.nio.file.Files
+        .createTempDirectory("graft-chaos-blogref").toString
+      val (logHook, logBefore, logMid, logAfter, logNames) =
+        runBatchLog(logChaosTgt, crashFirst = true)
+      val (_, refBefore, refMid, refAfter, refNames) =
+        runBatchLog(logRefTgt, crashFirst = false)
+      val logPass = logHook && logMid == logBefore &&
+        logBefore == refBefore && logMid == refMid && logAfter == refAfter &&
+        logNames == refNames && logAfter.nonEmpty
+
+      val cdcPass = upsPass && logPass
+      val pass = prPass && ccPass && ingPass && ivfPass && spanPass && cdcPass
+      println(s"""{"pass":$pass,"pagerank":{"pass":$prPass,"rounds":$prRounds,"killed":$prKilled,"nodes":${base.size}},"cc":{"pass":$ccPass,"cuts":$ccRounds,"killed":$ccKilled,"nodes":${ccBase.size}},"ingest":{"pass":$ingPass,"killed":$ingKilled,"classified":${chaosClass.size},"index_rows":${chaosIdx.size}},"ivf_ingest":{"pass":$ivfPass,"killed":$ivfKilled,"classified":${ivfChaosClass.size},"index_rows":${ivfChaosIdx.size}},"span_ingest":{"pass":$spanPass,"killed":$spanKilled,"classified":${spanChaosClass.size},"index_rows":${spanChaosIdx.size}},"cdc_store":{"pass":$cdcPass,"killed":$upsKilled,"snap_hook":$snapHookFired,"log_hook":$logHook,"upsert_pass":$upsPass,"batchlog_pass":$logPass,"live_rows":${upsChaosLive.size},"log_rows":${logAfter.size}}}""")
       if (!pass) sys.exit(1)
     } finally {
       spark.stop()

@@ -120,8 +120,11 @@ object ScaleProbe {
     // same catalog" keeps part/supplier shared by design; customer
     // moved to the replicated set in v2 because orders keys into it).
     // Idempotent per table, so an older cache gains them in place.
+    // embeddings moved to the replicated set in v2: the ANN-family sf1
+    // sweep needs the vector corpus to actually grow 10x (the r12
+    // sweep's d06 entry was a 1x cross-engine check for this reason).
     val extras =
-      Seq("region", "nation", "supplier", "part", "embeddings")
+      Seq("region", "nation", "supplier", "part")
     extras.foreach { t =>
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(out, s"$t.parquet")))
@@ -186,6 +189,25 @@ object ScaleProbe {
             col("cp") * 1000000L).cast("string"),
           lit("}")).as("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val emb = src("embeddings")
+    val vStride = keyStride(emb, "vec_id")
+    copies.crossJoin(emb)
+      .select(
+        (col("vec_id") + col("cp") * vStride).as("vec_id"),
+        // per-copy, component-dependent perturbation — deliberately NOT
+        // a pure scale (cosine is scale-invariant, so scaling would
+        // leave every copy an exact-tie clone of the source): each copy
+        // acquires genuinely distinct similarity structure, while copy
+        // 0 stays bit-identical to the source table. Both engines read
+        // the same parquet, so oracle exactness never depends on the
+        // perturbation arithmetic itself.
+        transform(col("embedding"), (x, i) =>
+          (x + col("cp").cast("float") * lit(0.0005f) *
+            (pmod(i, lit(5)).cast("float") - lit(2.0f))).cast("float"))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val docs = src("documents")
     val dStride = keyStride(docs, "doc_id")

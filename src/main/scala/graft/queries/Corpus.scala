@@ -1505,16 +1505,45 @@ $langScoreCols
         .orderBy(col("id_a"), col("id_b")),
     // token sets built once per document, intersection computed once per
     // pair (the inlined original recomputed the split 6x per pair — 80x
-    // slower in DuckDB at sf0.01)
+    // slower in DuckDB at sf0.01). Candidate generation is PREFIX-
+    // FILTERED (round 13): the r12 all-pairs form (`s a JOIN s b ON
+    // a.doc_id < b.doc_id`) was quadratic in the corpus and exceeded the
+    // DuckDB replay budget at sf1 — the one scoped exclusion in the r12
+    // sf1 sweep. This restates the replay in the candidate-bounded form
+    // the ANF oracles adopted (commit 6bbf362): rank each document's
+    // tokens by ascending global df, keep the `n - ceil(t*n) + 1` rarest
+    // as its prefix, and pair only documents sharing a prefix token —
+    // the AllPairs/PPJoin guarantee (Bayardo et al. 2007; Xiao et al.
+    // 2008): a pair with J >= t shares a token inside both prefixes
+    // under ANY shared total order, so recall is exact and the verify
+    // arithmetic below is unchanged. The tie order (df, tok) need not
+    // match Spark's — each engine's prefix scheme independently
+    // guarantees full recall, and only the verified pairs are compared.
     Some("""
-      WITH s AS (
+      WITH s AS MATERIALIZED (
         SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
         FROM documents),
+      d05_toks AS MATERIALIZED (SELECT doc_id, unnest(ts) AS tok FROM s),
+      d05_df AS (SELECT tok, count(*) AS df FROM d05_toks GROUP BY 1),
+      d05_pref AS MATERIALIZED (
+        SELECT doc_id, tok FROM (
+          SELECT t.doc_id, t.tok,
+                 row_number() OVER (PARTITION BY t.doc_id
+                                    ORDER BY d.df, t.tok) AS rn,
+                 count(*) OVER (PARTITION BY t.doc_id) AS sz
+          FROM d05_toks t JOIN d05_df d ON t.tok = d.tok)
+        WHERE rn <= sz - ceil(sz * 0.5) + 1),
+      d05_cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d05_pref a JOIN d05_pref b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id),
       p AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        SELECT id_a, id_b,
                length(list_intersect(a.ts, b.ts)) AS i,
                length(a.ts) AS na, length(b.ts) AS nb
-        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        FROM d05_cand c
+        JOIN s a ON c.id_a = a.doc_id
+        JOIN s b ON c.id_b = b.doc_id)
       SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
       FROM p
       WHERE round(i * 1.0 / (na + nb - i), 6) >= 0.5

@@ -422,7 +422,14 @@ object EventStreams {
       spark: org.apache.spark.sql.SparkSession,
       targetPath: String,
       isDelete: org.apache.spark.sql.Column,
-      tombstoneHorizon: org.apache.spark.sql.Column): Unit = {
+      tombstoneHorizon: org.apache.spark.sql.Column,
+      // CRASH-WINDOW test hook (ChaosCheck drill 6): invoked at the
+      // point where the compacted rewrite is COMMITTED (its _SUCCESS
+      // exists) but the superseded versions have not been deleted yet —
+      // a driver death here must leave readers on a consistent snapshot
+      // and a re-run must converge. Production callers leave the
+      // default no-op.
+      onBeforeCleanup: () => Unit = () => ()): Unit = {
     val current = currentSnapshot(spark, targetPath).getOrElse(
       throw new IllegalStateException(s"no snapshot under $targetPath"))
     val compacted = spark.read.parquet(current)
@@ -433,6 +440,7 @@ object EventStreams {
     val (base, gen) = versionKey(name)
     val dest = f"$targetPath/${base}_c${gen + 1}%04d"
     compacted.write.mode("overwrite").parquet(dest)
+    onBeforeCleanup()
     // drop every strictly-older COMMITTED version now that dest is
     // current (an uncommitted partial dir is left for manual cleanup —
     // deleting it here could race a writer mid-recovery)
@@ -447,6 +455,29 @@ object EventStreams {
       .foreach(s => fs.delete(s.getPath, true))
   }
 
+  /** One [[upsertSink]] trigger, named so recovery is testable
+    * (ChaosCheck drill 6 replays it under a real executor halt): read
+    * the previous committed snapshot, merge the batch, write the new
+    * version directory. Idempotent per batch id — a replay after a
+    * checkpoint-commit crash rewrites `v_<batchId>` with the same
+    * content. */
+  private[graft] def upsertStep(
+      batch: DataFrame,
+      batchId: Long,
+      targetPath: String,
+      keys: Seq[String],
+      seqCols: Seq[String],
+      isDelete: org.apache.spark.sql.Column): Unit = {
+    val spark = batch.sparkSession
+    val prev = currentSnapshot(spark, targetPath)
+      .map(spark.read.parquet(_))
+    val all = prev.fold(batch)(p => p.unionByName(batch))
+    graft.operators.Incremental
+      .mergeLatest(all, keys, seqCols.map(col), isDelete, keepTombstones = true)
+      .write.mode("overwrite")
+      .parquet(f"$targetPath/v_$batchId%012d")
+  }
+
   def upsertSink(
       changes: DataFrame,
       targetPath: String,
@@ -458,14 +489,7 @@ object EventStreams {
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val prev = currentSnapshot(spark, targetPath)
-          .map(spark.read.parquet(_))
-        val all = prev.fold(batch)(p => p.unionByName(batch))
-        graft.operators.Incremental
-          .mergeLatest(all, keys, seqCols.map(col), isDelete, keepTombstones = true)
-          .write.mode("overwrite")
-          .parquet(f"$targetPath/v_$batchId%012d")
+        upsertStep(batch, batchId, targetPath, keys, seqCols, isDelete)
       }
       .start()
 
@@ -632,7 +656,13 @@ object EventStreams {
     * in StreamingSpec. */
   def compactBatches(
       spark: org.apache.spark.sql.SparkSession,
-      targetPath: String): Option[Long] = {
+      targetPath: String,
+      // CRASH-WINDOW test hook (ChaosCheck drill 6): invoked between
+      // step 2 (the atomic m_ marker creation) and step 3 (the lazy
+      // deletes) — a driver death here must leave [[committedBatches]]
+      // readers on the NEW view and the next compaction must sweep the
+      // garbage. Production callers leave the default no-op.
+      onBeforeCleanup: () => Unit = () => ()): Option[Long] = {
     val root = new org.apache.hadoop.fs.Path(targetPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return None
@@ -652,6 +682,7 @@ object EventStreams {
     // the commit point: readers switch on the marker's existence
     fs.create(new org.apache.hadoop.fs.Path(root, f"m_$upTo%012d"), true)
       .close()
+    onBeforeCleanup()
     // lazy cleanup of everything the new marker supersedes
     fs.listStatus(root).toSeq.foreach { s =>
       val n = s.getPath.getName

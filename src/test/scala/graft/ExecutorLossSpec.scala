@@ -56,5 +56,10 @@ class ExecutorLossSpec extends AnyFunSuite {
     for (fam <- Seq("ingest", "ivf_ingest", "span_ingest"))
       assert(line.contains(s""""$fam":{"pass":true,"killed":true"""),
         s"$fam drill verdict missing/failed: $line")
+    // drill 6 (round 13): the CDC upsert/compaction store — executor
+    // halt mid-upsertStep AND the driver-death window between each
+    // compactor's commit point and its deletes must both have fired
+    assert(line.contains(""""cdc_store":{"pass":true,"killed":true,"snap_hook":true,"log_hook":true"""),
+      s"cdc_store drill verdict missing/failed: $line")
   }
 }
