@@ -249,3 +249,83 @@ object CdcChunks {
   def apply(c: Column, window: Int, maskBits: Int): Column =
     ColumnBridge.column(CdcChunks(ColumnBridge.expression(c), window, maskBits))
 }
+
+/** `pcm_windows(binary, windowSamples, silenceThreshold) ->
+  * array<struct<win,n_samples,sum_sq,peak_abs,silent>>` — sample-LEVEL
+  * audio curation over raw little-endian PCM16: fixed windows of
+  * `windowSamples` samples, each reduced to its exact integer energy
+  * (Σ s², the un-rooted RMS — integer so the DuckDB oracle replays it
+  * bit-for-bit; callers take sqrt(sum_sq/n) when they want dB), its
+  * peak magnitude, and a silence flag (`peak_abs < silenceThreshold`) —
+  * the audio analogue of d16's substring span windows: silence-run
+  * trimming, clipping triage, and energy profiling all read this one
+  * relation instead of the waveform. One codegen'd pass inside the blob
+  * scan; windows never allocate sample arrays (two running integers per
+  * window) and blob bytes never shuffle — downstream consumers join on
+  * (id, win) scalars. A trailing window is PARTIAL (`n_samples <
+  * windowSamples`); a trailing odd byte (torn 16-bit frame) is ignored;
+  * empty payloads yield an empty array. */
+object PcmUtil {
+  def pcmWindows(
+      bytes: Array[Byte], windowSamples: Int, silenceThreshold: Int)
+      : GenericArrayData = {
+    val nSamples = bytes.length / 2
+    if (nSamples == 0) return new GenericArrayData(new Array[Any](0))
+    val nWin = (nSamples + windowSamples - 1) / windowSamples
+    val out = new Array[Any](nWin)
+    var w = 0
+    while (w < nWin) {
+      val start = w * windowSamples
+      val end = math.min(start + windowSamples, nSamples)
+      var sumSq = 0L
+      var peak = 0
+      var j = start
+      while (j < end) {
+        // little-endian int16: unsigned low byte, sign-extended high
+        val s = (bytes(2 * j + 1).toInt << 8) | (bytes(2 * j) & 0xff)
+        sumSq += s.toLong * s
+        val a = if (s < 0) -s else s // -32768 negates exactly within Int
+        if (a > peak) peak = a
+        j += 1
+      }
+      out(w) = new GenericInternalRow(Array[Any](
+        w, end - start, sumSq, peak, peak < silenceThreshold))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class PcmWindows(
+    child: Expression, windowSamples: Int, silenceThreshold: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(windowSamples >= 1, "windowSamples must be >= 1")
+  require(silenceThreshold >= 0, "silenceThreshold must be >= 0")
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("win", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("peak_abs", IntegerType, nullable = false),
+    StructField("silent", BooleanType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    PcmUtil.pcmWindows(
+      input.asInstanceOf[Array[Byte]], windowSamples, silenceThreshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.PcmUtil.pcmWindows($c, $windowSamples, $silenceThreshold);")
+
+  override protected def withNewChildInternal(newChild: Expression): PcmWindows =
+    copy(child = newChild)
+
+  override def prettyName: String = "pcm_windows"
+}
+
+object PcmWindows {
+  def apply(c: Column, windowSamples: Int, silenceThreshold: Int): Column =
+    ColumnBridge.column(PcmWindows(
+      ColumnBridge.expression(c), windowSamples, silenceThreshold))
+}

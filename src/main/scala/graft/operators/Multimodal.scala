@@ -399,6 +399,29 @@ object Multimodal {
     bb.array()
   }
 
+  /** Deterministic raw PCM16 payload (little-endian, mono), arithmetic
+    * in `id` — the m11 fixture: every 4th 64-sample block is QUIET
+    * (|s| <= 6, inside any sane silence threshold), the rest loud
+    * (|s| <= 2000, far outside it), and the sample count varies per id
+    * so trailing windows are partial. Both engines can therefore derive
+    * every window's exact energy/peak from (id, j) alone — DuckDB
+    * replays the kernel without reading bytes. */
+  def syntheticPcm(id: Long): Array[Byte] = {
+    require(id >= 0, s"synthetic pcm id must be >= 0, got $id")
+    val n = (200 + id % 300).toInt
+    val bb = java.nio.ByteBuffer.allocate(2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var j = 0
+    while (j < n) {
+      val s =
+        if ((j / 64) % 4 == 0) (id + 5L * j) % 13L - 6L
+        else (id * 31L + 7L * j) % 4001L - 2000L
+      bb.putShort(s.toShort)
+      j += 1
+    }
+    bb.array()
+  }
+
   /** Little-endian unsigned integer over `width` bytes at 1-based `pos`
     * — pure built-ins (substring → hex → conv), codegen'd, no UDF. The
     * byte-order reversal is why a plain conv(hex(substring(…))) over the
@@ -554,6 +577,27 @@ object Multimodal {
     val n = math.max(1, math.ceil(total.toDouble / targetPartitionBytes).toInt)
     df.repartition(n)
   }
+
+  /** Per-blob PCM16 window energies
+    * ([[graft.functions.expressions.PcmWindows]], exploded):
+    * (id, win, n_samples, sum_sq, peak_abs, silent) — sample-level
+    * audio curation (silence-run trimming, clipping triage, energy
+    * profiles) as one scan-fused kernel pass; see the expression's
+    * scaladoc for the exact integer contract. */
+  def pcmWindows(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      windowSamples: Int = 1024,
+      silenceThreshold: Int = 512): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.expressions.PcmWindows(
+        col(blobCol), windowSamples, silenceThreshold)).as("__w"))
+      .select(col(idCol), col("__w.win").as("win"),
+        col("__w.n_samples").as("n_samples"),
+        col("__w.sum_sq").as("sum_sq"),
+        col("__w.peak_abs").as("peak_abs"),
+        col("__w.silent").as("silent"))
 
   /** Per-blob content-defined chunks
     * ([[graft.functions.expressions.CdcChunks]], exploded):

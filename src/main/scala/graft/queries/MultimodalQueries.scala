@@ -571,8 +571,56 @@ object MultimodalQueries {
     },
     Some(m10Oracle))
 
+  /** Arithmetic replay of the m11 kernel: regenerate every sample from
+    * (doc_id, j) — the same formulas [[Multimodal.syntheticPcm]] wrote
+    * into the bytes — then aggregate per 64-sample window. The engine
+    * side derives the SAME numbers from the binary payload alone
+    * (little-endian int16 decode inside the kernel), so a single
+    * mis-decoded byte anywhere in the corpus breaks the hash. */
+  private val m11Oracle: String =
+    """
+      WITH m11_docs AS (
+        SELECT doc_id, 200 + doc_id % 300 AS ns FROM documents),
+      m11_j AS (SELECT doc_id, unnest(range(ns)) AS j FROM m11_docs),
+      m11_s AS (
+        SELECT doc_id, CAST(j // 64 AS INT) AS win,
+               CASE WHEN (j // 64) % 4 = 0
+                    THEN (doc_id + 5 * j) % 13 - 6
+                    ELSE (doc_id * 31 + 7 * j) % 4001 - 2000 END AS s
+        FROM m11_j)
+      SELECT doc_id, win, CAST(count(*) AS INT) AS n_samples,
+             CAST(sum(s * s) AS BIGINT) AS sum_sq,
+             CAST(max(abs(s)) AS INT) AS peak_abs,
+             max(abs(s)) < 32 AS silent
+      FROM m11_s GROUP BY doc_id, win
+      ORDER BY doc_id, win"""
+
+  /** Sample-level audio curation ([[Multimodal.pcmWindows]] /
+    * [[graft.functions.expressions.PcmWindows]]): every document's raw
+    * PCM16 payload reduced to per-window exact integer energy, peak,
+    * and a silence flag — the m09 header triage's payload-level
+    * complement (silence-run trimming and clipping triage read this
+    * relation, never the waveform). The fixture plants real quiet
+    * blocks (every 4th 64-sample block) and varying lengths so partial
+    * trailing windows and both flag polarities are exercised at every
+    * SF. */
+  val m11_pcm_windows = QueryDef(
+    "m11_pcm_windows",
+    (s, dir) => {
+      import s.implicits._
+      val fixtures = Tables(s, dir).documents
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticPcm(id))))
+        .toDF("doc_id", "blob")
+      Multimodal.pcmWindows(fixtures, "doc_id", "blob",
+        windowSamples = 64, silenceThreshold = 32)
+        .orderBy(col("doc_id"), col("win"))
+    },
+    Some(m11Oracle),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     m01_blob_meta, m02_blob_features, m03_frame_sample, m04_decode_resize,
     m05_blob_neardup, m06_blob_probe_indexed, m07_cdc_dedup,
-    m08_decode_codecs, m09_wav_meta, m10_mp4_meta)
+    m08_decode_codecs, m09_wav_meta, m10_mp4_meta, m11_pcm_windows)
 }

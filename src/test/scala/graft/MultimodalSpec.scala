@@ -199,6 +199,45 @@ class MultimodalSpec extends SparkSpec {
       "size field >= 2^31 must null the parse, not CAST_OVERFLOW")
   }
 
+  test("pcmWindows: exact integer energies from LE PCM16; silent/loud both occur; odd byte ignored; empty -> none") {
+    import graft.functions.expressions.PcmWindows
+    // independent JVM reference decode of the fixture's own bytes
+    def ref(id: Long, win: Int, thr: Int): Seq[(Int, Int, Long, Int, Boolean)] = {
+      val b = Multimodal.syntheticPcm(id)
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until b.length / 2).map(j => bb.getShort(2 * j).toInt)
+        .grouped(win).zipWithIndex.map { case (ss, w) =>
+          val sq = ss.map(s => s.toLong * s).sum
+          val pk = ss.map(math.abs).max
+          (w, ss.size, sq, pk, pk < thr)
+        }.toSeq
+    }
+    def run(rows: Seq[(Long, Array[Byte])]): Map[Long, Seq[(Int, Int, Long, Int, Boolean)]] =
+      rows.toDF("id", "blob")
+        .select(col("id"), explode(PcmWindows(col("blob"), 64, 32)).as("w"))
+        .select(col("id"), col("w.win"), col("w.n_samples"), col("w.sum_sq"),
+          col("w.peak_abs"), col("w.silent"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getInt(4), r.getBoolean(5))).sortBy(_._1).toSeq).toMap
+    val ids = Seq(0L, 1L, 63L, 299L, 4502L)
+    val got = run(ids.map(id => (id, Multimodal.syntheticPcm(id))))
+    ids.foreach(id => assert(got(id) == ref(id, 64, 32), s"id=$id"))
+    // the fixture plants both flag polarities in every doc
+    assert(got(1L).exists(_._5) && got(1L).exists(!_._5))
+    // a trailing odd byte (torn frame) is ignored, not mis-decoded
+    val withOdd = run(Seq((7L, Multimodal.syntheticPcm(7L) :+ 0x7f.toByte)))
+    assert(withOdd(7L) == ref(7L, 64, 32))
+    // empty payload -> no windows; int16 min decodes exactly
+    val edge = run(Seq(
+      (8L, Array.empty[Byte]),
+      (9L, Array[Byte](0x00, 0x80.toByte)))) // one sample: -32768
+    assert(!edge.contains(8L))
+    assert(edge(9L) == Seq((0, 1, 1073741824L, 32768, false)))
+  }
+
   test("decodeBatch streams through mapPartitions with the stub codec") {
     val decoded = Multimodal.decodeBatch(docs.limit(30), "doc_id", "blob")
     val rows = decoded.collect()
