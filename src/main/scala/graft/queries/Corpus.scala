@@ -5700,6 +5700,56 @@ $langScoreCols
     * vector (k=10), weights quantized from the 6-rounded cosine, then
     * the synchronous vote rounds unrolled as (b_i, l_i) CTE pairs —
     * all vote tallies exact long sums, so the replay is bit-for-bit. */
+  /** The exact-cosine k=10 kNN CTEs shared by the g04/g05 oracles,
+    * restated as EXACT two-phase top-k so DuckDB never window-sorts the
+    * all-pairs relation (its full sort of |v|² rows spilled >79 GB and
+    * filled the disk at sf1 — the same oracle-budget failure class the
+    * ANF register oracles (r12) and d05's prefix candidates (r13) hit,
+    * and the same cure: restate, don't weaken). Phase 1 ranks each
+    * query against only its own vec_id%16 residue class (1/16 of the
+    * corpus) — a window over |v|²/16 rows — and takes tau = that
+    * subset's 10th-best cosine. Because adding candidates can only
+    * RAISE a k-th best, the overall 10th-best >= tau whenever the
+    * subset held >= 10 candidates, so filtering the full all-pairs
+    * scan to cosine >= tau provably retains every true top-10 member;
+    * queries whose residue class is thinner than 10 (tiny SFs) fall
+    * back to tau = -2 (< any cosine), i.e. the unfiltered exact scan.
+    * The 400M-cosine probe then STREAMS through the filter — only the
+    * ~k/subset fraction materializes into the final exact ranking
+    * window. The Spark side needs no such cap: WindowGroupLimit prunes
+    * rank<=k per partition incrementally, which is exactly the
+    * bounded-memory shape DuckDB's full window sort lacks. */
+  private val knnChunkedCte: String = s"""
+      knn_tau AS MATERIALIZED (
+        SELECT query_id,
+               CASE WHEN count(*) >= 10 THEN min(cosine)
+                    ELSE CAST(-2.0 AS DOUBLE) END AS tau
+        FROM (
+          SELECT q.vec_id AS query_id,
+                 round(list_cosine_similarity(q.e, n.e), 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.e, n.e), 6) DESC,
+                            n.vec_id ASC) AS rn
+          FROM v q JOIN v n
+            ON n.vec_id <> q.vec_id AND n.vec_id % 16 = q.vec_id % 16)
+        WHERE rn <= 10 GROUP BY query_id),
+      knn AS MATERIALIZED (
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.e, n.e), 6) AS cosine
+            FROM v q
+            JOIN v n ON n.vec_id <> q.vec_id
+            LEFT JOIN knn_tau t ON t.query_id = q.vec_id
+            WHERE round(list_cosine_similarity(q.e, n.e), 6)
+                    >= coalesce(t.tau, CAST(-2.0 AS DOUBLE))))
+        WHERE rank <= 10)"""
+
   private def labelPropOracle(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""
@@ -5719,16 +5769,7 @@ $langScoreCols
     }.mkString(",")
     s"""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      knn AS MATERIALIZED (
-        SELECT query_id, neighbor_id, cosine FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 round(list_cosine_similarity(q.e, c.e), 6) AS cosine,
-                 row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
-                            c.vec_id ASC) AS rank
-          FROM v q JOIN v c ON q.vec_id <> c.vec_id)
-        WHERE rank <= 10),
+      $knnChunkedCte,
       e AS MATERIALIZED (
         SELECT query_id AS src, neighbor_id AS dst,
                greatest(0, CAST(round(cosine * 1000000.0, 0) AS BIGINT)) AS w
@@ -5771,16 +5812,7 @@ $langScoreCols
     }.mkString(",")
     s"""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      knn AS MATERIALIZED (
-        SELECT query_id, neighbor_id, cosine FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 round(list_cosine_similarity(q.e, c.e), 6) AS cosine,
-                 row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
-                            c.vec_id ASC) AS rank
-          FROM v q JOIN v c ON q.vec_id <> c.vec_id)
-        WHERE rank <= 10),
+      $knnChunkedCte,
       e AS MATERIALIZED (
         SELECT query_id AS src, neighbor_id AS dst,
                greatest(0, CAST(round(cosine * 1000000.0, 0) AS BIGINT)) AS w
