@@ -204,18 +204,76 @@ object Bench {
         results.filter(r => minOf(r._2) > 0).map(_._1)
           .filterNot(heavySet)
       }
+    // No silent caps (r13 ADVICE): a query whose in-suite reps all
+    // errored (minOf <= 0) gets no isolated pocket — name it, in the
+    // log AND the artifact, so a partially failed suite is visible
+    // instead of reading as "every query re-measured isolated".
+    val isolatedExcluded =
+      if (wanted.nonEmpty || isolatedN <= 0) Seq.empty[String]
+      else results.filter(r => minOf(r._2) <= 0).map(_._1)
+    if (isolatedExcluded.nonEmpty)
+      System.err.println(
+        s"[bench] EXCLUDED from isolated pass (all in-suite reps failed): " +
+          isolatedExcluded.mkString(", "))
     val heavySet = heavy.toSet
     val isoOrder = new scala.util.Random(System.nanoTime())
       .shuffle(heavy ++ lightTier)
     val byName = selected.map(q => q.name -> q).toMap
+    // STEAL-AWARE POCKETS (round 14): run B of the r13 paired experiment
+    // read the whole suite uniformly +22.5% with nonzero /proc/stat
+    // steal — cross-run comparability depended on a quiet window the
+    // artifact could not certify per query. Sample the host-wide steal
+    // counter around each pocket; if the pocket's steal FRACTION
+    // (steal jiffies / (elapsed * HZ * cpus)) exceeds the threshold,
+    // re-run the pocket ONCE and keep the calmer attempt. Every pocket
+    // records its steal fraction and any retry, so a contaminated run's
+    // outliers self-identify instead of poisoning cross-round diffs.
+    val stealFracMax =
+      sys.env.getOrElse("SPARK_GRAFT_STEAL_FRAC", "0.005").toDouble
+    val hostCpus = Runtime.getRuntime.availableProcessors.toDouble
+    def stealTicks(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+")
+          if (f.length > 8) f(8).toLong else -1L
+        } finally src.close()
+      } catch { case _: Throwable => -1L }
+    final case class Pocket(
+      ts: Seq[Double], stealFrac: Double, retried: Boolean,
+      stealFracRetry: Double, kept: String)
+    def runPocket(name: String, nReps: Int): (Seq[Double], Double) = {
+      val s0 = stealTicks()
+      val t0 = System.nanoTime()
+      val ts = (0 until nReps).map(_ => timeOne(name, byName(name).run))
+      val s1 = stealTicks()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val frac =
+        if (s0 < 0 || s1 < 0 || elapsed <= 0) -1.0
+        // USER_HZ is 100 on every Linux this runs on (sysconf(_SC_CLK_TCK))
+        else (s1 - s0) / (elapsed * 100.0 * hostCpus)
+      (ts, frac)
+    }
     val isolated = isoOrder.map { name =>
       val (nReps, cdSec) =
         if (heavySet(name)) (isolatedReps, isolatedCooldownSec)
         else (lightReps, lightCooldownSec)
       Thread.sleep(cdSec * 1000L)
       System.gc()
-      val ts = (0 until nReps).map(_ => timeOne(name, byName(name).run))
-      name -> ts
+      val (ts1, frac1) = runPocket(name, nReps)
+      val pocket =
+        if (frac1 <= stealFracMax || minOf(ts1) <= 0)
+          Pocket(ts1, frac1, retried = false, -1.0, "first")
+        else {
+          System.err.println(f"[bench] $name pocket saw steal frac $frac1%.4f > $stealFracMax%.4f — retrying once")
+          Thread.sleep(cdSec * 1000L)
+          System.gc()
+          val (ts2, frac2) = runPocket(name, nReps)
+          if (frac2 >= 0 && frac2 < frac1 && minOf(ts2) > 0)
+            Pocket(ts2, frac1, retried = true, frac2, "retry")
+          else Pocket(ts1, frac1, retried = true, frac2, "first")
+        }
+      name -> pocket
     }.sortBy(_._1)
     // The isolated headline is the MEDIAN-based dispersion
     // (median−min)/min, not (max−min)/min: the reported number per
@@ -230,21 +288,23 @@ object Bench {
       if (minOf(ts) <= 0) -1.0
       else 100.0 * (medianOf(ts) - minOf(ts)) / minOf(ts)
     val isoSpreads = isolated
-      .filter(r => minOf(r._2) > 0)
-      .map(r => dispOf(r._2))
+      .filter(r => minOf(r._2.ts) > 0)
+      .map(r => dispOf(r._2.ts))
     val isoSpreadPct = if (isoSpreads.isEmpty) 0.0 else medianOf(isoSpreads)
     // The heavy tier's dispersion stat is kept SEPARATE so it stays
     // comparable to the r11/r12 isolated blocks (same 10 keys, same
     // budget); the all-query stat is the round-13 full-coverage number.
     val isoHeavySpreads = isolated
-      .filter(r => heavySet(r._1) && minOf(r._2) > 0)
-      .map(r => dispOf(r._2))
+      .filter(r => heavySet(r._1) && minOf(r._2.ts) > 0)
+      .map(r => dispOf(r._2.ts))
     val isoHeavySpreadPct =
       if (isoHeavySpreads.isEmpty) 0.0 else medianOf(isoHeavySpreads)
+    val isoRetries = isolated.count(_._2.retried)
     def isoJson(key: String => String): String =
       if (isolated.isEmpty) ""
       else {
-        val entries = isolated.map { case (n, ts) =>
+        val entries = isolated.map { case (n, p) =>
+          val ts = p.ts
           val sp =
             if (minOf(ts) <= 0) -1.0
             else 100.0 * (ts.max - minOf(ts)) / minOf(ts)
@@ -252,13 +312,20 @@ object Bench {
             ",\"median\":" + f3(medianOf(ts)) + ",\"max\":" + f3(ts.max) +
             ",\"disp_pct\":" + f3(dispOf(ts)) +
             ",\"spread_pct\":" + f3(sp) +
+            ",\"steal_frac\":" + String.format(java.util.Locale.ROOT, "%.5f", p.stealFrac) +
+            ",\"steal_retried\":" + p.retried +
+            (if (p.retried)
+              ",\"steal_frac_retry\":" + String.format(java.util.Locale.ROOT, "%.5f", p.stealFracRetry) +
+                ",\"kept\":\"" + p.kept + "\""
+             else "") +
             ",\"tier\":\"" + (if (heavySet(n)) "heavy" else "light") + "\"}"
         }.mkString("{", ",", "}")
-        s""","isolated":$entries,"isolated_reps":$isolatedReps,"isolated_cooldown_sec":$isolatedCooldownSec,"isolated_light_reps":$lightReps,"isolated_light_cooldown_sec":$lightCooldownSec"""
+        val excl = isolatedExcluded.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","isolated":$entries,"isolated_excluded":$excl,"isolated_reps":$isolatedReps,"isolated_cooldown_sec":$isolatedCooldownSec,"isolated_light_reps":$lightReps,"isolated_light_cooldown_sec":$lightCooldownSec,"steal_frac_max":$stealFracMax"""
       }
     val isoSummary =
       if (isolated.isEmpty) ""
-      else s""","isolated_n":${isolated.size},"isolated_spread_med_pct":${f3(isoSpreadPct)},"isolated_heavy_n":${isoHeavySpreads.size},"isolated_heavy_spread_med_pct":${f3(isoHeavySpreadPct)}"""
+      else s""","isolated_n":${isolated.size},"isolated_excluded_n":${isolatedExcluded.size},"isolated_steal_retries":$isoRetries,"isolated_spread_med_pct":${f3(isoSpreadPct)},"isolated_heavy_n":${isoHeavySpreads.size},"isolated_heavy_spread_med_pct":${f3(isoHeavySpreadPct)}"""
     def line(key: String => String, full: Boolean): String = {
       val qs = jmap(results.map(r => r._1 -> minOf(r._2)), key)
       val cold = jmap(results.map(r => r._1 -> coldTimes(r._1)), key)

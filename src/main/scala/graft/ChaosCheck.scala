@@ -412,7 +412,22 @@ object ChaosCheck {
       }
       val (chaosAll, chaosBases, chaosAsOf1Post) = storeState(upsChaosTgt)
       val (refAll, refBases, refAsOf1Post) = storeState(upsRefTgt)
-      val upsPass = upsKilled && snapHookFired &&
+      // GROUND-TRUTH PIN (r13 ADVICE): the chaos==ref equalities alone
+      // would also pass if a deterministic replay/merge bug corrupted
+      // BOTH stores identically — pin the literal expected live sets,
+      // computed by hand from cdc0/1/2 under newest-wins-by-seq:
+      // id 1 keeps "a" (seq 0), id 2 upgraded to "b2" (seq 1), id 3
+      // TOMBSTONED (absent from every live view), id 4 "d"@1 then
+      // "d2"@2, id 5 "e"@2. collectAll sorts rows by mkString("|").
+      val expectedLive = Seq(
+        Seq[Any](1L, 0L, "a", "u"), Seq[Any](2L, 1L, "b2", "u"),
+        Seq[Any](4L, 2L, "d2", "u"), Seq[Any](5L, 2L, "e", "u"))
+      val expectedAsOf1 = Seq(
+        Seq[Any](1L, 0L, "a", "u"), Seq[Any](2L, 1L, "b2", "u"),
+        Seq[Any](4L, 1L, "d", "u"))
+      val livePinned = upsChaosLive == expectedLive &&
+        upsChaosAsOf1.contains(expectedAsOf1)
+      val upsPass = upsKilled && snapHookFired && livePinned &&
         upsChaosLive == upsRefLive && upsChaosAsOf1 == upsRefAsOf1 &&
         midLive == upsRefLive && midAsOf1 == upsRefAsOf1 &&
         chaosAll == refAll && chaosBases == refBases &&
@@ -469,8 +484,105 @@ object ChaosCheck {
         logNames == refNames && logAfter.nonEmpty
 
       val cdcPass = upsPass && logPass
-      val pass = prPass && ccPass && ingPass && ivfPass && spanPass && cdcPass
-      println(s"""{"pass":$pass,"pagerank":{"pass":$prPass,"rounds":$prRounds,"killed":$prKilled,"nodes":${base.size}},"cc":{"pass":$ccPass,"cuts":$ccRounds,"killed":$ccKilled,"nodes":${ccBase.size}},"ingest":{"pass":$ingPass,"killed":$ingKilled,"classified":${chaosClass.size},"index_rows":${chaosIdx.size}},"ivf_ingest":{"pass":$ivfPass,"killed":$ivfKilled,"classified":${ivfChaosClass.size},"index_rows":${ivfChaosIdx.size}},"span_ingest":{"pass":$spanPass,"killed":$spanKilled,"classified":${spanChaosClass.size},"index_rows":${spanChaosIdx.size}},"cdc_store":{"pass":$cdcPass,"killed":$upsKilled,"snap_hook":$snapHookFired,"log_hook":$logHook,"upsert_pass":$upsPass,"batchlog_pass":$logPass,"live_rows":${upsChaosLive.size},"log_rows":${logAfter.size}}}""")
+
+      // drill 7 (round 14): TIME TRAVEL UNDER VACUUM + the
+      // rewrite-vs-marker crash window — the two snapshot-store races
+      // drill 6 left untested. (a) a reader HOLDING a lazy
+      // `snapshotAsOf(0)` plan while `retainSnapshots` vacuums v_0
+      // away: a reader that materialized BEFORE the vacuum keeps its
+      // rows; the still-lazy plan must FAIL (file listing resolved at
+      // read time, files gone) rather than silently serve partial or
+      // wrong data; post-vacuum `snapshotAsOf(0)` must be None
+      // (history destroyed below the horizon — the documented vacuum
+      // contract) while the current view is untouched. (b) a "crash"
+      // BETWEEN a compactor's rewrite and the marker that makes it
+      // current: fabricated exactly by deleting the fresh `_c` dir's
+      // `_SUCCESS` inside onBeforeCleanup and then aborting — readers
+      // must keep serving the base version (the marker IS the commit),
+      // and a re-run must overwrite the partial dir and converge to
+      // the clean-run state.
+      def buildVacStore(): String = {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft-chaos-vac").toString
+        def step(b: DataFrame, id: Long) = graft.streaming.EventStreams
+          .upsertStep(b, id, t, Seq("id"), Seq("seq"), isDel)
+        step(cdcDf(cdc0), 0L); step(cdcDf(cdc1), 1L); step(cdcDf(cdc2), 2L)
+        t
+      }
+      val vacTgt = buildVacStore()
+      val expectedAsOf0 = Seq(
+        Seq[Any](1L, 0L, "a", "u"), Seq[Any](2L, 0L, "b", "u"),
+        Seq[Any](3L, 0L, "c", "u"))
+      // materialized before the vacuum: rows survive the delete
+      val pinnedRows = graft.streaming.EventStreams
+        .snapshotAsOf(spark, vacTgt, 0L).map(liveOf)
+      // still-lazy plan held ACROSS the vacuum (file index already
+      // resolved, data about to vanish under it)
+      val heldLazy = graft.streaming.EventStreams
+        .snapshotAsOf(spark, vacTgt, 0L).get.filter(!isDel)
+      graft.streaming.EventStreams.retainSnapshots(spark, vacTgt, keepLast = 1)
+      val heldLazyFailed =
+        try { heldLazy.collect(); false }
+        catch { case _: Throwable => true }
+      val asOf0Vacuumed = graft.streaming.EventStreams
+        .snapshotAsOf(spark, vacTgt, 0L)
+      val asOf2Post = graft.streaming.EventStreams
+        .snapshotAsOf(spark, vacTgt, 2L).map(liveOf)
+      val curPostVac = liveOf(spark.read.parquet(
+        graft.streaming.EventStreams.currentSnapshot(spark, vacTgt).get))
+      // (b) rewrite committed, marker lost, cleanup never ran
+      val hadoopFs = new org.apache.hadoop.fs.Path(vacTgt)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      var markerHookFired = false
+      val markerCrash = new RuntimeException(
+        "simulated crash between compactor rewrite and its marker")
+      try graft.streaming.EventStreams.compactSnapshots(
+        spark, vacTgt, isDel, tombHorizon,
+        () => {
+          markerHookFired = true
+          // the ONLY _c dir at this point is the rewrite that just
+          // committed (the vacuum left a single base version);
+          // removing its _SUCCESS recreates the mid-commit crash state
+          val cDirs = hadoopFs.listStatus(
+              new org.apache.hadoop.fs.Path(vacTgt)).toSeq
+            .map(_.getPath).filter(_.getName.contains("_c"))
+          require(cDirs.size == 1, s"expected one rewrite dir, got $cDirs")
+          hadoopFs.delete(
+            new org.apache.hadoop.fs.Path(cDirs.head, "_SUCCESS"), false)
+          throw markerCrash
+        })
+      catch { case e: RuntimeException if e eq markerCrash => () }
+      // uncommitted rewrite must be invisible: base version still serves
+      val curMidMarker = graft.streaming.EventStreams
+        .currentSnapshot(spark, vacTgt).get
+      val midMarkerIsBase =
+        new org.apache.hadoop.fs.Path(curMidMarker).getName == "v_%012d".format(2L)
+      val midMarkerLive = liveOf(spark.read.parquet(curMidMarker))
+      // re-run converges: overwrites the partial dir, then cleans up
+      graft.streaming.EventStreams.compactSnapshots(
+        spark, vacTgt, isDel, tombHorizon)
+      // reference: same batches, clean vacuum + clean compaction
+      val vacRefTgt = buildVacStore()
+      graft.streaming.EventStreams.retainSnapshots(spark, vacRefTgt, keepLast = 1)
+      graft.streaming.EventStreams.compactSnapshots(
+        spark, vacRefTgt, isDel, tombHorizon)
+      def vacState(t: String): (Seq[Seq[Any]], Seq[String]) = {
+        val vs = graft.streaming.EventStreams.snapshotVersions(spark, t)
+        (collectAll(spark.read.parquet(
+          graft.streaming.EventStreams.currentSnapshot(spark, t).get)),
+          vs.map(p => new org.apache.hadoop.fs.Path(p).getName))
+      }
+      val (vacChaosAll, vacChaosNames) = vacState(vacTgt)
+      val (vacRefAll, vacRefNames) = vacState(vacRefTgt)
+      val vacPass = pinnedRows.contains(expectedAsOf0) && heldLazyFailed &&
+        asOf0Vacuumed.isEmpty && asOf2Post.contains(expectedLive) &&
+        curPostVac == expectedLive && markerHookFired && midMarkerIsBase &&
+        midMarkerLive == expectedLive && vacChaosAll == vacRefAll &&
+        vacChaosNames == vacRefNames && vacChaosAll.nonEmpty
+
+      val pass =
+        prPass && ccPass && ingPass && ivfPass && spanPass && cdcPass && vacPass
+      println(s"""{"pass":$pass,"pagerank":{"pass":$prPass,"rounds":$prRounds,"killed":$prKilled,"nodes":${base.size}},"cc":{"pass":$ccPass,"cuts":$ccRounds,"killed":$ccKilled,"nodes":${ccBase.size}},"ingest":{"pass":$ingPass,"killed":$ingKilled,"classified":${chaosClass.size},"index_rows":${chaosIdx.size}},"ivf_ingest":{"pass":$ivfPass,"killed":$ivfKilled,"classified":${ivfChaosClass.size},"index_rows":${ivfChaosIdx.size}},"span_ingest":{"pass":$spanPass,"killed":$spanKilled,"classified":${spanChaosClass.size},"index_rows":${spanChaosIdx.size}},"cdc_store":{"pass":$cdcPass,"killed":$upsKilled,"snap_hook":$snapHookFired,"log_hook":$logHook,"live_pinned":$livePinned,"upsert_pass":$upsPass,"batchlog_pass":$logPass,"live_rows":${upsChaosLive.size},"log_rows":${logAfter.size}},"vacuum":{"pass":$vacPass,"held_lazy_failed":$heldLazyFailed,"asof_pruned":${asOf0Vacuumed.isEmpty},"marker_hook":$markerHookFired,"marker_served_base":$midMarkerIsBase}}""")
       if (!pass) sys.exit(1)
     } finally {
       spark.stop()

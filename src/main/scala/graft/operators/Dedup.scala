@@ -1397,6 +1397,35 @@ object Dedup {
           lit(thresholdMicros) * col("n_shingles")).as("contaminated"))
   }
 
+  /** Self-scaling LSH signature width: the smallest p in [minP, maxP]
+    * whose 2^p buckets per table keep the EXPECTED bucket occupancy at
+    * or under `targetBucket` rows (`targetBucket * 2^p >= n`). A fixed
+    * signature width is the hidden quadratic in banded hyperplane LSH:
+    * 10x rows into the same 2^p buckets is 10x occupancy and ~100x
+    * in-bucket candidate pairs (the r13 sf1 envelope measured exactly
+    * that on d06: exponent 1.43). With p growing as log2(n), occupancy
+    * — and therefore candidate pairs PER ROW — stays constant, so the
+    * candidate stage is O(n * targetBucket) at every corpus size.
+    * Pure integer arithmetic (no float log2) so a DuckDB oracle can
+    * recompute the identical width from count(*): p = the smallest k
+    * with targetBucket * 2^k >= n, clamped to [minP, maxP].
+    *
+    * Widening p changes RECALL, not correctness: each table's collision
+    * probability is (1 - angle/pi)^p, so auto-width trades recall for
+    * the constant-occupancy guarantee exactly the way published banded
+    * LSH does (Broder 1997's band tuning) — callers wanting a fixed
+    * operating point pass `planesPerTable` explicitly. */
+  def autoPlanes(
+      n: Long,
+      targetBucket: Long = 64L,
+      minP: Int = 6,
+      maxP: Int = 16): Int = {
+    require(n >= 0 && targetBucket >= 1 && minP >= 1 && maxP >= minP &&
+      maxP <= 62, s"bad autoPlanes params: n=$n bucket=$targetBucket")
+    (0 to maxP).find(k => targetBucket * (1L << k) >= n)
+      .getOrElse(maxP).max(minP).min(maxP)
+  }
+
   /** Embedding near-dup via random-hyperplane LSH with OR-amplification:
     * `nTables` independent hash tables of `planesPerTable` sign bits each.
     * A pair is a candidate if it collides in ANY table (recall
@@ -1405,7 +1434,9 @@ object Dedup {
     * the vectors move exactly twice, in the two id-keyed verify joins —
     * so shuffle bytes stay O(rows x tables x 24B) + 2x vector payload
     * instead of (tables x vector) payload. One shuffle keyed by
-    * (table, signature); candidates never approach n^2. */
+    * (table, signature); candidates never approach n^2 — provided
+    * `planesPerTable` grows with the corpus ([[autoPlanes]]): a fixed
+    * width re-densifies buckets linearly with n. */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -1519,6 +1520,17 @@ $langScoreCols
     // arithmetic below is unchanged. The tie order (df, tok) need not
     // match Spark's — each engine's prefix scheme independently
     // guarantees full recall, and only the verified pairs are compared.
+    // Rounding-boundary assumption (r13 ADVICE): the final predicate is
+    // round(J, 6) >= 0.5, which also admits raw J in [0.4999995, 0.5) —
+    // a zone the prefix bound (stated for raw J >= 0.5) does not
+    // guarantee recall for. Such a pair needs |union| >= 2 * 10^6
+    // tokens for the raw and rounded predicates to diverge at all
+    // (J = i/u changes in steps of ~1/u, so the gap below 0.5 is only
+    // reachable when 1/u < 5e-7); every corpus here tops out around
+    // 10^3 tokens per document, six orders of magnitude away, and the
+    // Spark side applies the identical rounded predicate — so the gate
+    // compares identical sets. Revisit only if documents ever approach
+    // million-token unions.
     Some("""
       WITH s AS MATERIALIZED (
         SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
@@ -1706,12 +1718,27 @@ $langScoreCols
     * ([[graft.operators.Linkage.fellegiSunter]]): customer linked to a
     * deterministically-perturbed twin (name mangled for custkey%3,
     * balance jittered ±3 cents, segment blanked for custkey%11) —
-    * blocked on nation, scored by three fields' log-likelihood
-    * weights, three-way match/possible decision. The weights are
-    * driver-quantized log2 literals, so the oracle's identically-shaped
-    * CASE sum replays the score bit-for-bit. Balance cents are
-    * computed on the +1000-shifted value so the half-up rounding
-    * never sees a negative tie. */
+    * scored by three fields' log-likelihood weights, three-way
+    * match/possible decision. The weights are driver-quantized log2
+    * literals, so the oracle's identically-shaped CASE sum replays the
+    * score bit-for-bit. Balance cents are computed on the
+    * +1000-shifted value so the half-up rounding never sees a
+    * negative tie.
+    *
+    * Blocking (round 14, closing the r13 scale flag): COMPOSITE key
+    * (nation, name-prefix) instead of nation alone. Nation is 25 fixed
+    * blocks forever, so 10x customers was ~100x within-block pairs
+    * (measured exponent 1.35/1.57 at sf1); the 16-char name prefix
+    * ('customer#' + the first 7 of 9 key digits) bounds every block at
+    * ~100 ids regardless of corpus size — block CARDINALITY grows with
+    * n, block SIZE doesn't, the production blocking contract (Splink's
+    * blocking rules). The prefix survives the suffix mangle, so every
+    * name-agreeing pair — the whole 'match' tier and the name-backed
+    * 'possible' tier — is still generated; what the finer key gives up
+    * is the weak-evidence cross-name tier (cents+segment agreement
+    * only, score 2.15), the standard recall/cost blocking trade. The
+    * oracle replays the same composite key, so the gate pins the
+    * traded set exactly. */
   val d24_record_linkage = QueryDef(
     "d24_record_linkage",
     (s, dir) => {
@@ -1721,10 +1748,12 @@ $langScoreCols
         round((col("c_acctbal") + 1000.0) * 100.0, 0).cast("long")
       val aSide = c.select(
         col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+        substring(lower(col("c_name")), 1, 16).as("np"),
         lower(col("c_name")).as("name"), cents.as("cents"),
         col("c_mktsegment").as("seg"))
       val bSide = c.select(
         (col("c_custkey") + 1000000L).as("id"), col("c_nationkey").as("nat"),
+        substring(lower(col("c_name")), 1, 16).as("np"),
         when(col("c_custkey") % 3 === 0,
           concat(lower(col("c_name")), lit("x")))
           .otherwise(lower(col("c_name"))).as("name"),
@@ -1732,7 +1761,7 @@ $langScoreCols
         when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
           .otherwise(col("c_mktsegment")).as("seg"))
       Linkage.fellegiSunter(
-          aSide, bSide, idCol = "id", blockCols = Seq("nat"),
+          aSide, bSide, idCol = "id", blockCols = Seq("nat", "np"),
           fields = Seq(
             Linkage.FieldSpec("name", (x, y) => x === y, m = 0.95, u = 0.005),
             Linkage.FieldSpec("cents",
@@ -1753,12 +1782,14 @@ $langScoreCols
       val (wsa, wsd) = (weight(0.98, 0.2), weight(0.02, 0.8))
       s"""
       WITH d24_a AS (
-        SELECT c_custkey AS id, c_nationkey AS nat, lower(c_name) AS name,
+        SELECT c_custkey AS id, c_nationkey AS nat,
+               substr(lower(c_name), 1, 16) AS np, lower(c_name) AS name,
                CAST(round((c_acctbal + 1000.0) * 100.0) AS BIGINT) AS cents,
                c_mktsegment AS seg
         FROM customer),
       d24_b AS (
         SELECT c_custkey + 1000000 AS id, c_nationkey AS nat,
+               substr(lower(c_name), 1, 16) AS np,
                CASE WHEN c_custkey % 3 = 0 THEN lower(c_name) || 'x'
                     ELSE lower(c_name) END AS name,
                CAST(round((c_acctbal + 1000.0) * 100.0) AS BIGINT)
@@ -1771,7 +1802,7 @@ $langScoreCols
                (CASE WHEN a.name = b.name THEN $wna ELSE $wnd END)
                + (CASE WHEN abs(a.cents - b.cents) <= 2 THEN $wca ELSE $wcd END)
                + (CASE WHEN a.seg = b.seg THEN $wsa ELSE $wsd END) AS score
-        FROM d24_a a JOIN d24_b b USING (nat))
+        FROM d24_a a JOIN d24_b b USING (nat, np))
       SELECT a_id, b_id, score,
              CASE WHEN score >= 5.0 THEN 'match' ELSE 'possible' END
                AS decision
@@ -1784,7 +1815,10 @@ $langScoreCols
     * records, [[graft.operators.Linkage.appendReference]] of the rest,
     * then the bucket-layout probe): the entity-resolution-service face
     * of d24 — the oracle is d24's one-shot SQL verbatim, so the
-    * split-built index must serve the identical match set. */
+    * split-built index must serve the identical match set. Uses d24's
+    * composite (nation, name-prefix) blocking key (round 14 — see
+    * [[d24_record_linkage]]): the index is bucketed BY that key, so
+    * finer blocking also means finer bucket pruning at probe time. */
   val d26_linkage_indexed = QueryDef(
     "d26_linkage_indexed",
     (s, dir) => {
@@ -1794,11 +1828,13 @@ $langScoreCols
         round((col("c_acctbal") + 1000.0) * 100.0, 0).cast("long")
       val aSide = c.select(
         col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+        substring(lower(col("c_name")), 1, 16).as("np"),
         lower(col("c_name")).as("name"), cents.as("cents"),
         col("c_mktsegment").as("seg"))
       val bSide = c.select(
         col("c_custkey").as("ck"),
         (col("c_custkey") + 1000000L).as("id"), col("c_nationkey").as("nat"),
+        substring(lower(col("c_name")), 1, 16).as("np"),
         when(col("c_custkey") % 3 === 0,
           concat(lower(col("c_name")), lit("x")))
           .otherwise(lower(col("c_name"))).as("name"),
@@ -1813,11 +1849,11 @@ $langScoreCols
       val table = s"graft_linkref_${Integer.toHexString(dir.hashCode)}" +
         s"_p${ProcessHandle.current().pid()}"
       Linkage.writeReferenceIndex(
-        s, table, bSide.filter(col("ck") % 2 === 0), "id", Seq("nat"), fields)
+        s, table, bSide.filter(col("ck") % 2 === 0), "id", Seq("nat", "np"), fields)
       Linkage.appendReference(
-        s, table, bSide.filter(col("ck") % 2 =!= 0), "id", Seq("nat"), fields)
+        s, table, bSide.filter(col("ck") % 2 =!= 0), "id", Seq("nat", "np"), fields)
       Linkage.probeReferenceIndex(
-          s, table, aSide, "id", Seq("nat"), fields,
+          s, table, aSide, "id", Seq("nat", "np"), fields,
           lower = 0.0, upper = 5.0)
         .orderBy(col("a_id"), col("b_id"))
     },
@@ -1856,54 +1892,82 @@ $langScoreCols
       SELECT doc_id, source, quality, src_rank, src_rank <= 12 AS kept
       FROM r ORDER BY doc_id"""))
 
-  /** Exact DuckDB oracle for d06: the hyperplanes are deterministic
-    * (splitmix64 from the seed), so they are computed HERE at oracle-build
-    * time and inlined as double literals (shortest-round-trip formatting
-    * parses to identical bits). Signatures use the same left-fold dot
-    * order as the Spark kernel; candidate pairing and the cosine verify
-    * mirror the operator. */
-  private val d06Oracle: String = {
-    val nTables = 6; val planesPerTable = 6; val dim = 64
+  /** Shared CTE block for the AUTO-WIDTH hyperplane LSH replay (d06 and
+    * g18): `prm` recomputes [[Dedup.autoPlanes]]' signature width p from
+    * count(embeddings) with the identical integer formula (smallest k in
+    * 0..16 with 64*2^k >= n, clamped to [6,16] — no float log2 on either
+    * engine); the hyperplanes are deterministic (splitmix64 from the
+    * seed, prefix-stable in the plane index), so all 16 planes per table
+    * are computed HERE at oracle-build time and inlined as double
+    * literals (shortest-round-trip formatting parses to identical bits),
+    * with each signature bit gated on its plane index < p. Signatures
+    * use the same left-fold dot order as the Spark kernel; candidate
+    * pairing mirrors the operator. Yields CTEs v (vectors), prm (p),
+    * sigs, b (exploded buckets), cand (id_a < id_b candidate pairs). */
+  private val lshAutoCtes: String = {
+    val nTables = 6; val maxP = 16; val dim = 64
     def dot(t: Int, p: Int): String = {
       val plane = graft.functions.VectorFunctions
-        .seededPlanes(planesPerTable, dim, 42L + 7919L * t)(p)
+        .seededPlanes(maxP, dim, 42L + 7919L * t)(p)
       val lit = plane.map(_.toString).mkString("[", ",", "]::DOUBLE[]")
       s"list_reduce(list_transform(range($dim), __i -> e[__i+1] * ($lit)[__i+1]), (__a, __b) -> __a + __b)"
     }
     def sig(t: Int): String =
-      (0 until planesPerTable)
-        .map(p => s"(CASE WHEN ${dot(t, p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      (0 until maxP)
+        .map(p =>
+          s"(CASE WHEN $p < prm.p AND ${dot(t, p)} >= 0 THEN ${1L << p} ELSE 0 END)")
         .mkString("(", " + ", ")")
     val sigCols = (0 until nTables).map(t => s"${sig(t)} AS s$t").mkString(",\n        ")
     val sigArr = (0 until nTables).map(t => s"s$t").mkString("[", ",", "]")
-    s"""
-      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      prm AS (
+        SELECT coalesce(greatest(6, least(16, (
+          SELECT min(kk.k) FROM (SELECT unnest(range(0, 17)) AS k) kk
+          WHERE 64 * (CAST(1 AS BIGINT) << kk.k)
+                  >= (SELECT count(*) FROM embeddings)))), 16) AS p),
       sigs AS (
         SELECT vec_id,
         $sigCols
-        FROM v),
+        FROM v CROSS JOIN prm),
       b AS (
         SELECT vec_id, tt.t AS tbl, $sigArr[tt.t + 1] AS sig
         FROM sigs CROSS JOIN (SELECT unnest(range($nTables)) AS t) tt),
       cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-        FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.sig = b2.sig AND a.vec_id < b2.vec_id)
+        FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.sig = b2.sig AND a.vec_id < b2.vec_id)"""
+  }
+
+  private val d06Oracle: String = s"""
+      WITH $lshAutoCtes
       SELECT id_a, id_b,
              round(list_cosine_similarity(va.e, vb.e), 6) AS cosine
       FROM cand JOIN v va ON cand.id_a = va.vec_id
                 JOIN v vb ON cand.id_b = vb.vec_id
       WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.35
       ORDER BY id_a, id_b"""
-  }
 
+  /** Embedding near-dup pairs ([[graft.operators.Dedup
+    * .embeddingNearDupPairs]]) with the SELF-SCALING signature width of
+    * [[graft.operators.Dedup.autoPlanes]]: 6 hyperplane tables whose
+    * per-table bit width grows as log2(corpus/64), so expected bucket
+    * occupancy — and candidate pairs per row — stays constant at every
+    * corpus size. This closes the r13 scale flag (fixed 6-bit
+    * signatures measured exponent 1.43 at sf1: 10x rows in the same 64
+    * buckets is ~100x in-bucket pairs); at the gate SFs (<= 4096
+    * vectors) the auto width IS 6, so small-scale results are unchanged,
+    * while sf1's 20k vectors get p=9 (512 buckets/table). The count()
+    * that sizes the width is parquet-metadata cheap. */
   val d06_embed_neardup = QueryDef(
     "d06_embed_neardup",
-    (s, dir) =>
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
       Dedup
         .embeddingNearDupPairs(
-          Tables(s, dir).embeddings, "vec_id", "embedding",
-          dim = 64, threshold = 0.35)
-        .orderBy(col("id_a"), col("id_b")),
+          emb, "vec_id", "embedding",
+          dim = 64, threshold = 0.35,
+          planesPerTable = Dedup.autoPlanes(emb.count()))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     Some(d06Oracle),
     bench = true)
 
@@ -5750,8 +5814,11 @@ $langScoreCols
                     >= coalesce(t.tau, CAST(-2.0 AS DOUBLE))))
         WHERE rank <= 10)"""
 
-  private def labelPropOracle(iters: Int): String = {
-    val rounds = (1 to iters).map { i =>
+  /** The seeded synchronous vote rounds shared by the g04 and g18
+    * oracles — expects CTEs `e` (src, dst, w) and `l0` (node, sd, lab)
+    * in scope; yields b_i/l_i pairs up to l`iters`. */
+  private def lpSeededRounds(iters: Int): String =
+    (1 to iters).map { i =>
       s"""
       b$i AS (
         SELECT node, lab FROM (
@@ -5767,6 +5834,9 @@ $langScoreCols
                CASE WHEN p.sd THEN p.lab ELSE coalesce(b.lab, p.lab) END AS lab
         FROM l${i - 1} p LEFT JOIN b$i b USING (node))"""
     }.mkString(",")
+
+  private def labelPropOracle(iters: Int): String = {
+    val rounds = lpSeededRounds(iters)
     s"""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       $knnChunkedCte,
@@ -6558,6 +6628,14 @@ $langScoreCols
     Some(g16Oracle(iters = 3, scale = 1000000L, num = 85, den = 100)),
     bench = true)
 
+  /** ORACLE-TRUTH-ONLY face (bench = false since round 14): the edge
+    * list is [[Similarity.bruteForceKnn]] — all-pairs, O(n^2) by
+    * construction (the r13 sf1 envelope measured exponent 1.62). Kept
+    * registered because the EXACT kNN graph is the ground truth the
+    * approximate faces are judged against; the benched, scale-safe
+    * face of the same [[graft.operators.Graph
+    * .labelPropagationQuantized]] operator is [[g18_label_prop_lsh]],
+    * whose edges come from constant-occupancy banded LSH. */
   val g04_label_propagation = QueryDef(
     "g04_label_propagation",
     (s, dir) => {
@@ -6582,6 +6660,82 @@ $langScoreCols
         .orderBy(col("vec_id"))
     },
     Some(labelPropOracle(iters = 3)),
+    bench = false)
+
+  /** Exact oracle for g18: the auto-width LSH replay (d06's CTEs), the
+    * verified pairs symmetrized into a weighted edge list, the node
+    * universe = edge endpoints UNION seeds (exactly [[graft.operators
+    * .Graph.labelPropagationQuantized]]'s contract — LSH-isolated
+    * non-seed vectors are absent from the state), then the g04 vote
+    * rounds unrolled. */
+  private def g18Oracle(iters: Int): String = {
+    val rounds = lpSeededRounds(iters)
+    s"""
+      WITH $lshAutoCtes,
+      pr AS (
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+        FROM cand JOIN v va ON cand.id_a = va.vec_id
+                  JOIN v vb ON cand.id_b = vb.vec_id
+        WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= 0.35),
+      e AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst,
+               greatest(0, CAST(round(cosine * 1000000.0, 0) AS BIGINT)) AS w
+        FROM pr
+        UNION ALL
+        SELECT id_b, id_a,
+               greatest(0, CAST(round(cosine * 1000000.0, 0) AS BIGINT))
+        FROM pr),
+      nn AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e
+          UNION ALL SELECT dst FROM e
+          UNION ALL SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0)),
+      l0 AS (
+        SELECT nn.node, emb.vec_id % 4 = 0 AS sd,
+               CASE WHEN emb.vec_id % 4 = 0
+                    THEN CAST(emb.label AS BIGINT) END AS lab
+        FROM nn JOIN embeddings emb ON nn.node = emb.vec_id),
+      $rounds
+      SELECT node AS vec_id, lab AS label FROM l$iters ORDER BY vec_id"""
+  }
+
+  /** The BENCHED, scale-safe face of auto-labeling (round 14, closing
+    * the r13 g04 scale flag): [[graft.operators.Graph
+    * .labelPropagationQuantized]] over a similarity graph built by
+    * constant-occupancy banded LSH ([[Dedup.embeddingNearDupPairs]]
+    * with [[Dedup.autoPlanes]]) instead of g04's O(n^2) exact kNN —
+    * candidate pairs per row stay constant at every corpus size, so
+    * the whole pipeline (signatures, bucket join, cosine verify, three
+    * vote rounds) is linear in the corpus. Edges are the verified
+    * pairs >= 0.35 cosine, symmetrized, weights 1e6-quantized; seeds =
+    * every 4th vector's true label; the state universe is edge
+    * endpoints + seeds (vectors the LSH isolates stay out — at 100 TB
+    * you'd widen nTables, not densify buckets). Same operator,
+    * different edge supplier — the composition contract g04's scaladoc
+    * promises. */
+  val g18_label_prop_lsh = QueryDef(
+    "g18_label_prop_lsh",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val pairs = Dedup.embeddingNearDupPairs(
+        emb, "vec_id", "embedding", dim = 64, threshold = 0.35,
+        planesPerTable = Dedup.autoPlanes(emb.count()))
+      def w(c: Column): Column =
+        greatest(lit(0L), round(c * 1000000.0, 0).cast("long")).as("w")
+      val edges = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"), w(col("cosine")))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
+          w(col("cosine"))))
+      graft.operators.Graph
+        .labelPropagationQuantized(
+          edges, "src", "dst", "w",
+          seeds = emb.filter(col("vec_id") % 4 === 0),
+          nodeCol = "vec_id", labelCol = "label", iters = 3)
+        .withColumnRenamed("node", "vec_id")
+        .orderBy(col("vec_id"))
+    },
+    Some(g18Oracle(iters = 3)),
     bench = true)
 
   /** Exact oracle for d10: DuckDB replays quantized k-means verbatim —
@@ -7864,5 +8018,5 @@ $langScoreCols
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf,
     g13_harmonic, g14_assortativity, g15_session_coocc,
-    g16_pagerank_weighted, g17_effective_diameter)
+    g16_pagerank_weighted, g17_effective_diameter, g18_label_prop_lsh)
 }

@@ -390,17 +390,29 @@ object EventStreams {
     * (newest row per key wins by `seqCols`; deletes survive as
     * TOMBSTONES so an out-of-order older upsert cannot resurrect a
     * deleted key — read the live view with `filter(!isDelete)`), and
-    * writes the result as a NEW
-    * versioned directory `v_<batchId>` — never overwriting the
-    * directory it just read (Spark forbids that, and a mid-write crash
-    * must not corrupt the current version). Because the version name is
-    * the batch id and writes are mode("overwrite"), a batch REPLAYED
-    * after recovery rewrites the same directory with the same content —
-    * idempotent, which together with the checkpoint gives end-to-end
-    * exactly-once. Readers pick the snapshot via [[currentSnapshot]]
-    * (the delta-log pattern, one directory deep). The checkpoint must
-    * live and die with the target: version names inherit the batch id,
-    * so discarding the checkpoint (restarting ids at 0) would write
+    * writes the result as a NEW versioned directory `v_<batchId>`. On
+    * the ORDINARY path the directory written is never the one just
+    * read (batch N reads v_{N-1}, writes v_N), so a mid-write crash
+    * cannot corrupt the current version. The one exception is REPLAY
+    * (exercised by ChaosCheck drill 6): after v_N committed, a
+    * replayed batch N reads currentSnapshot() = v_N and overwrites
+    * v_N itself. That self-overwrite is safe for the same reason the
+    * ordinary path is: the committer stages into `_temporary` and the
+    * version only counts as current once `_SUCCESS` lands
+    * ([[currentSnapshot]] gates on it), so a crash mid-replay degrades
+    * v_N to an uncommitted directory and recovery falls back to
+    * v_{N-1} — then the next replay rebuilds v_N from v_{N-1} plus the
+    * same batch rows. Replay convergence (same content either way)
+    * holds because merging a batch into a snapshot that already
+    * absorbed it is a no-op under mergeLatest's newest-wins-by-seqCols
+    * rule with the deterministic tie-break — which is exactly what the
+    * drill asserts. Because the version name is the batch id and
+    * writes are mode("overwrite"), the replay is idempotent, which
+    * together with the checkpoint gives end-to-end exactly-once.
+    * Readers pick the snapshot via [[currentSnapshot]] (the delta-log
+    * pattern, one directory deep). The checkpoint must live and die
+    * with the target: version names inherit the batch id, so
+    * discarding the checkpoint (restarting ids at 0) would write
     * versions that sort below the current snapshot.
     *
     * Scale shape: the merge is [[Incremental.mergeLatest]]'s keyed

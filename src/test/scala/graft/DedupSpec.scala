@@ -218,6 +218,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("autoPlanes: clamped integer log2 of corpus/bucket, monotone") {
+    import Dedup.autoPlanes
+    // the gate SFs sit at the minP floor (sf0.01=500, sf0.1=2000)
+    assert(autoPlanes(0L) == 6 && autoPlanes(500L) == 6 &&
+      autoPlanes(2000L) == 6)
+    // exact boundary: 64 * 2^6 = 4096 still 6; one more row widens
+    assert(autoPlanes(4096L) == 6 && autoPlanes(4097L) == 7)
+    // the sf1 corpus (20k vectors): 64 * 2^9 = 32768 >= 20000
+    assert(autoPlanes(20000L) == 9)
+    // cap: a corpus past 64 * 2^16 saturates at maxP, never overflows
+    assert(autoPlanes(10_000_000L) == 16 && autoPlanes(Long.MaxValue / 2) == 16)
+    // monotone non-decreasing in n (bucket occupancy never regrows)
+    val ps = Seq(1L, 100L, 5000L, 50000L, 500000L, 5000000L).map(autoPlanes(_))
+    assert(ps == ps.sorted)
+    // custom operating points honor their own clamp
+    assert(autoPlanes(1L << 40, targetBucket = 1024L, minP = 4, maxP = 30) == 30)
+  }
+
   test("embedding decontamination recalls planted cross-corpus leakage only") {
     val dim = 16
     val v = (0 until dim).map(i => math.sin(i + 1).toFloat)

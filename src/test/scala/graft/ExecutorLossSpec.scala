@@ -59,7 +59,12 @@ class ExecutorLossSpec extends AnyFunSuite {
     // drill 6 (round 13): the CDC upsert/compaction store — executor
     // halt mid-upsertStep AND the driver-death window between each
     // compactor's commit point and its deletes must both have fired
-    assert(line.contains(""""cdc_store":{"pass":true,"killed":true,"snap_hook":true,"log_hook":true"""),
+    assert(line.contains(""""cdc_store":{"pass":true,"killed":true,"snap_hook":true,"log_hook":true,"live_pinned":true"""),
       s"cdc_store drill verdict missing/failed: $line")
+    // drill 7 (round 14): time travel under vacuum + the
+    // rewrite-vs-marker crash window — both sub-drills must have fired
+    // and held their contracts
+    assert(line.contains(""""vacuum":{"pass":true,"held_lazy_failed":true,"asof_pruned":true,"marker_hook":true,"marker_served_base":true"""),
+      s"vacuum drill verdict missing/failed: $line")
   }
 }
