@@ -112,7 +112,10 @@ object ScaleProbe {
     // ~90% of replicated orders dangled and any orders⋈customer join
     // silently shrank at sf1, understating scale exponents). A v1
     // cache is regenerated in place (overwrite-mode writes).
-    val ready = java.nio.file.Paths.get(out, "_READY_v2")
+    // _READY_v3: round 14 rebuilds c_name from the strided key (see
+    // the customer block below) so name-keyed blocking grows its key
+    // space 10x instead of densifying fixed blocks.
+    val ready = java.nio.file.Paths.get(out, "_READY_v3")
     if (!java.nio.file.Files.exists(ready))
       replicate(spark, base, out, ready)
     // the dimension tables the probe queries join/read but whose keys
@@ -153,8 +156,19 @@ object ScaleProbe {
       keyStride(orders, "o_custkey"), keyStride(customer, "c_custkey"))
     copies.crossJoin(customer)
       .select((Seq(
-        (col("c_custkey") + col("cp") * ckStride).as("c_custkey")) ++
-        customer.columns.filterNot(_ == "c_custkey")
+        (col("c_custkey") + col("cp") * ckStride).as("c_custkey"),
+        // v3: rebuild c_name from the STRIDED key (copy 0 verbatim —
+        // 'Customer#%09d' is the generator's own format). v2 copied
+        // names verbatim, so 10 copies shared every name: name-keyed
+        // blocking saw fixed block cardinality with 10x occupancy
+        // (quadratic pairs) and name-equality matched across copies
+        // (100x output) — the corpus densifying, not the operator.
+        // With names keyed like custkeys, the name space grows 10x,
+        // the "more users" growth shape the rest of the corpus uses.
+        concat(lit("Customer#"),
+          lpad((col("c_custkey") + col("cp") * ckStride).cast("string"),
+            9, "0")).as("c_name")) ++
+        customer.columns.filterNot(Set("c_custkey", "c_name"))
           .map(col).toIndexedSeq): _*)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
     copies.crossJoin(orders)

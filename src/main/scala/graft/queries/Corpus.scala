@@ -5764,7 +5764,9 @@ $langScoreCols
     * vector (k=10), weights quantized from the 6-rounded cosine, then
     * the synchronous vote rounds unrolled as (b_i, l_i) CTE pairs —
     * all vote tallies exact long sums, so the replay is bit-for-bit. */
-  /** The exact-cosine k=10 kNN CTEs shared by the g04/g05 oracles,
+  /** The exact-cosine k=10 kNN CTEs shared by the g04/g05 oracles (and
+    * g06/g07/g08 since round 14 — their naive all-pairs windows hit the
+    * same disk wall the moment the sf1 sweep reached them),
     * restated as EXACT two-phase top-k so DuckDB never window-sorts the
     * all-pairs relation (its full sort of |v|² rows spilled >79 GB and
     * filled the disk at sf1 — the same oracle-budget failure class the
@@ -5945,17 +5947,10 @@ $langScoreCols
           col("triangles"), col("lcc"))
         .orderBy(col("vec_id"))
     },
-    Some("""
+    Some(s"""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      g06_knn AS MATERIALIZED (
-        SELECT query_id, neighbor_id FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
-                            c.vec_id ASC) AS rank
-          FROM v q JOIN v c ON q.vec_id <> c.vec_id)
-        WHERE rank <= 10),
+      $knnChunkedCte,
+      g06_knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM knn),
       g06_und AS (
         SELECT DISTINCT least(query_id, neighbor_id) AS a,
                         greatest(query_id, neighbor_id) AS b
@@ -6009,17 +6004,10 @@ $langScoreCols
         .linkPrediction(knn, "query_id", "neighbor_id", k = 5)
         .orderBy(col("src_id"), col("rank"))
     },
-    Some("""
+    Some(s"""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      g07_knn AS MATERIALIZED (
-        SELECT query_id, neighbor_id FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
-                            c.vec_id ASC) AS rank
-          FROM v q JOIN v c ON q.vec_id <> c.vec_id)
-        WHERE rank <= 10),
+      $knnChunkedCte,
+      g07_knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM knn),
       g07_und AS (
         SELECT DISTINCT least(query_id, neighbor_id) AS a,
                         greatest(query_id, neighbor_id) AS b
@@ -6079,15 +6067,8 @@ $langScoreCols
     }.mkString(",")
     s"""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      g08_knn AS MATERIALIZED (
-        SELECT query_id, neighbor_id FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
-                            c.vec_id ASC) AS rank
-          FROM v q JOIN v c ON q.vec_id <> c.vec_id)
-        WHERE rank <= 10),
+      $knnChunkedCte,
+      g08_knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM knn),
       g08_e0 AS MATERIALIZED (
         SELECT DISTINCT least(query_id, neighbor_id) AS a,
                         greatest(query_id, neighbor_id) AS b
