@@ -42,9 +42,16 @@ object Bench {
     val warehouse = java.nio.file.Files
       .createTempDirectory("graft-bench-wh").toFile
     warehouse.deleteOnExit()
+    // Partition-count sensitivity knob (round 14): at 100 TB the one
+    // config that changes is spark.sql.shuffle.partitions (SCALE.md);
+    // override it here WITHOUT changing the executor thread count to
+    // verify no plan degenerates when the knob moves toward cluster
+    // values (hidden single-partition window, broadcast flip).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", warehouse.getAbsolutePath)

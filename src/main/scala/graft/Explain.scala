@@ -10,9 +10,12 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    // plan-shape sensitivity: override to print the plan a cluster-sized
+    // partition count would produce (round-14 partition-knob audit)
+    val sp = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4")
     val spark = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", sp)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
