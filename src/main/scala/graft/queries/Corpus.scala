@@ -1860,6 +1860,106 @@ $langScoreCols
     Some(d24OracleSql),
     bench = true)
 
+  /** The EXHAUSTIVE within-nation replay (the pre-round-14 d24 oracle):
+    * every same-nation pair scored, score >= 0 kept. d27's oracle — the
+    * blocking-rule union must serve this relation IDENTICALLY. */
+  private lazy val d27OracleSql: String = {
+    import graft.operators.Linkage.weight
+    val (wna, wnd) = (weight(0.95, 0.005), weight(0.05, 0.995))
+    val (wca, wcd) = (weight(0.9, 0.05), weight(0.1, 0.95))
+    val (wsa, wsd) = (weight(0.98, 0.2), weight(0.02, 0.8))
+    s"""
+      WITH d27_a AS (
+        SELECT c_custkey AS id, c_nationkey AS nat, lower(c_name) AS name,
+               CAST(round((c_acctbal + 1000.0) * 100.0) AS BIGINT) AS cents,
+               c_mktsegment AS seg
+        FROM customer),
+      d27_b AS (
+        SELECT c_custkey + 1000000 AS id, c_nationkey AS nat,
+               CASE WHEN c_custkey % 3 = 0 THEN lower(c_name) || 'x'
+                    ELSE lower(c_name) END AS name,
+               CAST(round((c_acctbal + 1000.0) * 100.0) AS BIGINT)
+                 + c_custkey % 7 - 3 AS cents,
+               CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+                    ELSE c_mktsegment END AS seg
+        FROM customer),
+      d27_p AS (
+        SELECT a.id AS a_id, b.id AS b_id,
+               (CASE WHEN a.name = b.name THEN $wna ELSE $wnd END)
+               + (CASE WHEN abs(a.cents - b.cents) <= 2 THEN $wca ELSE $wcd END)
+               + (CASE WHEN a.seg = b.seg THEN $wsa ELSE $wsd END) AS score
+        FROM d27_a a JOIN d27_b b USING (nat))
+      SELECT a_id, b_id, score,
+             CASE WHEN score >= 5.0 THEN 'match' ELSE 'possible' END
+               AS decision
+      FROM d27_p WHERE score >= 0.0
+      ORDER BY a_id, b_id"""
+  }
+
+  /** BLOCKING-RULE UNION with exact recall (the multi-pass production
+    * pattern — Splink's blocking rules, Fellegi–Sunter's own
+    * "independent blocking passes"): d24's single composite key trades
+    * the weak-evidence cross-name tier for scale; d27 shows the union
+    * answer that gives it back WITHOUT the exhaustive join. With these
+    * weights a pair scores >= 0 only in combos AAA/AAD/ADA/DAA
+    * (γ_name, γ_cents, γ_seg) — every A** pair agrees on name, every
+    * DAA pair agrees on cents — so two rules cover the output exactly:
+    * R1 blocks on (nation, full name) — catches every name-agreeing
+    * pair (block size = copies of one name, ~2); R2 blocks on (nation,
+    * floor(cents/5) + k), k in {-1,0,1} — |Δcents| <= 2 < 5 means the
+    * bands differ by at most 1, so three offset passes catch every
+    * cents-agreeing pair (band occupancy is n / (nations × ~220k
+    * distinct cents/5), << 1 until n approaches the value range).
+    * Union the four passes, dedupe (identical rows — the score is the
+    * same fixed-shape literal sum), and the result provably equals the
+    * exhaustive within-nation scoring — which the oracle hash-pins.
+    * Oracle-truth face (bench = false): R2's candidate count is
+    * value-range-bound (Ω(n²/range)) — free while n << range, but the
+    * honest contract is "exact recall costs a rule per agreeing field",
+    * while the benched d24 pays one composite key and documents its
+    * traded tier. */
+  val d27_linkage_rules = QueryDef(
+    "d27_linkage_rules",
+    (s, dir) => {
+      import graft.operators.Linkage
+      val c = Tables(s, dir).customer
+      val cents =
+        round((col("c_acctbal") + 1000.0) * 100.0, 0).cast("long")
+      val aBase = c.select(
+        col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+        lower(col("c_name")).as("name"), cents.as("cents"),
+        col("c_mktsegment").as("seg"))
+      val bBase = c.select(
+        (col("c_custkey") + 1000000L).as("id"), col("c_nationkey").as("nat"),
+        when(col("c_custkey") % 3 === 0,
+          concat(lower(col("c_name")), lit("x")))
+          .otherwise(lower(col("c_name"))).as("name"),
+        (cents + col("c_custkey") % 7 - 3).as("cents"),
+        when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      val fields = Seq(
+        Linkage.FieldSpec("name", (x, y) => x === y, m = 0.95, u = 0.005),
+        Linkage.FieldSpec("cents",
+          (x, y) => abs(x - y) <= lit(2L), m = 0.9, u = 0.05),
+        Linkage.FieldSpec("seg", (x, y) => x === y, m = 0.98, u = 0.2))
+      val r1 = Linkage.fellegiSunter(
+        aBase.withColumn("nm", col("name")),
+        bBase.withColumn("nm", col("name")),
+        idCol = "id", blockCols = Seq("nat", "nm"), fields = fields,
+        lower = 0.0, upper = 5.0)
+      val r2 = (-1 to 1).map { k =>
+        Linkage.fellegiSunter(
+          aBase.withColumn("band", floor(col("cents") / 5)),
+          bBase.withColumn("band", floor(col("cents") / 5) + k),
+          idCol = "id", blockCols = Seq("nat", "band"), fields = fields,
+          lower = 0.0, upper = 5.0)
+      }
+      (r1 +: r2).reduce(_.unionByName(_))
+        .dropDuplicates("a_id", "b_id")
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(d27OracleSql))
+
   val d22_domain_cap = QueryDef(
     "d22_domain_cap",
     (s, dir) =>
@@ -7976,7 +8076,7 @@ $langScoreCols
     d14_contamination, d15_lsh_recall, d16_dup_spans, d17_dedup_span_removal,
     d18_span_probe_indexed, d19_decontaminate_spans, d20_edit_verify,
     d21_containment, d22_domain_cap, d23_url_dedup, d24_record_linkage,
-    d25_dup_weights, d26_linkage_indexed,
+    d25_dup_weights, d26_linkage_indexed, d27_linkage_rules,
     s01_knn_brute, s02_knn_ivf, s03_knn_quantized, s04_random_projection,
     s05_knn_ivf_indexed, s06_knn_ivf_append, s07_ann_recall, s08_knn_ivf_purge,
     s09_pca, s10_knn_pq, s11_knn_ivfpq, s12_knn_ivfpq_indexed,
