@@ -6252,6 +6252,15 @@ $langScoreCols
     * Fixture: the user–item bipartite graph from events (items
     * offset past the user id range), where distance-2 IS
     * co-engagement. */
+  /** Neighborhood profile (degree, distinct 2-reach, expansion) over a
+    * user–item graph. SCALE NOTE (r14): this FIXTURE maps item ids
+    * `% 50`, so the graph has 50 item hubs and every user's 2-hop
+    * neighborhood is essentially the whole user set — the distinct
+    * 2-reach relation is ~n² by fixture construction at sf1 (corpus
+    * densification, not operator shape: the operator is one keyed
+    * self-join + a distinct count). It is therefore gate-SF-verified
+    * but deliberately not swept at sf1; on a real sparse graph the
+    * 2-reach is Σ deg², the standard cost of the profile. */
   val g10_neighborhood = QueryDef(
     "g10_neighborhood",
     (s, dir) =>
