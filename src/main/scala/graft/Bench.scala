@@ -237,7 +237,23 @@ object Bench {
     // outliers self-identify instead of poisoning cross-round diffs.
     val stealFracMax =
       sys.env.getOrElse("SPARK_GRAFT_STEAL_FRAC", "0.005").toDouble
-    val hostCpus = Runtime.getRuntime.availableProcessors.toDouble
+    // The aggregate `cpu` line in /proc/stat covers the HOST's CPUs;
+    // in a cgroup-limited container availableProcessors undercounts
+    // them, inflating the recorded fraction and triggering spurious
+    // retries. Count the per-cpu lines instead (fall back to
+    // availableProcessors when /proc/stat is unreadable).
+    val hostCpus: Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val n = src.getLines().count(l =>
+            l.startsWith("cpu") && l.length > 3 && l.charAt(3).isDigit)
+          if (n > 0) n.toDouble
+          else Runtime.getRuntime.availableProcessors.toDouble
+        } finally src.close()
+      } catch {
+        case _: Throwable => Runtime.getRuntime.availableProcessors.toDouble
+      }
     def stealTicks(): Long =
       try {
         val src = scala.io.Source.fromFile("/proc/stat")

@@ -1422,7 +1422,11 @@ object Dedup {
       maxP: Int = 16): Int = {
     require(n >= 0 && targetBucket >= 1 && minP >= 1 && maxP >= minP &&
       maxP <= 62, s"bad autoPlanes params: n=$n bucket=$targetBucket")
-    (0 to maxP).find(k => targetBucket * (1L << k) >= n)
+    // ceil(n / targetBucket) via division — `targetBucket * (1L << k)`
+    // can wrap negative for permitted maxP (up to 62), which would read
+    // the predicate false and silently widen p to maxP
+    val buckets = n / targetBucket + (if (n % targetBucket == 0L) 0L else 1L)
+    (0 to maxP).find(k => (1L << k) >= buckets)
       .getOrElse(maxP).max(minP).min(maxP)
   }
 

@@ -59,7 +59,11 @@ object Linkage {
     * payloads stay in the scans. The score is a fixed-shape
     * left-associated sum of driver-quantized literal weights, so an
     * oracle replaying the same blocking and γ computes it
-    * bit-for-bit (d24's gate). */
+    * bit-for-bit (d24's gate). The cap is PART OF that contract: an
+    * oracle that replays the blocking join uncapped matches only while
+    * no block on either side exceeds `maxBlock` — verify with
+    * [[cappedBlocks]] (empty on both sides ⇒ the cap never bound), as
+    * `LinkageSpec` does for the registered d24/d26/d27 fixtures. */
   def fellegiSunter(
       a: DataFrame,
       b: DataFrame,
@@ -160,4 +164,28 @@ object Linkage {
       fields: Seq[FieldSpec]): DataFrame =
     df.select((idCol +: blockCols ++: fields.map(_.col)).map(col): _*)
       .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+
+  /** Diagnostic: the blocks of `df` whose row count EXCEEDS `maxBlock` —
+    * i.e. the blocks where [[fellegiSunter]]'s per-side cap would
+    * actually drop rows. Output: (blockCols..., block_rows, dropped).
+    *
+    * The cap is part of fellegiSunter's RESULT contract, not just a
+    * safety valve: an oracle that replays the blocking join without it
+    * (the d24/d26/d27 DuckDB oracles do) is only equivalent when this
+    * relation is EMPTY on both sides. Run it per side before trusting
+    * an uncapped replay — or in production, before trusting recall on a
+    * corpus with degenerate blocks (null city, 'UNKNOWN' everything).
+    * One aggregation over the pruned (blockCols) projection; no join. */
+  def cappedBlocks(
+      df: DataFrame,
+      blockCols: Seq[String],
+      maxBlock: Int = 10000): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    require(maxBlock >= 1, "maxBlock must be positive")
+    df.filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("block_rows"))
+      .filter(col("block_rows") > maxBlock)
+      .withColumn("dropped", col("block_rows") - maxBlock)
+  }
 }

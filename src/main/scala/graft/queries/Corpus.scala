@@ -1767,7 +1767,10 @@ $langScoreCols
             Linkage.FieldSpec("cents",
               (x, y) => abs(x - y) <= lit(2L), m = 0.9, u = 0.05),
             Linkage.FieldSpec("seg", (x, y) => x === y, m = 0.98, u = 0.2)),
-          lower = 0.0, upper = 5.0)
+          lower = 0.0, upper = 5.0,
+          // explicit: the uncapped DuckDB oracle replay assumes the cap
+          // never binds — LinkageSpec pins cappedBlocks empty here
+          maxBlock = 10000)
         .orderBy(col("a_id"), col("b_id"))
     },
     Some(d24OracleSql),
@@ -1854,7 +1857,7 @@ $langScoreCols
         s, table, bSide.filter(col("ck") % 2 =!= 0), "id", Seq("nat", "np"), fields)
       Linkage.probeReferenceIndex(
           s, table, aSide, "id", Seq("nat", "np"), fields,
-          lower = 0.0, upper = 5.0)
+          lower = 0.0, upper = 5.0, maxBlock = 10000)
         .orderBy(col("a_id"), col("b_id"))
     },
     Some(d24OracleSql),
@@ -1946,13 +1949,13 @@ $langScoreCols
         aBase.withColumn("nm", col("name")),
         bBase.withColumn("nm", col("name")),
         idCol = "id", blockCols = Seq("nat", "nm"), fields = fields,
-        lower = 0.0, upper = 5.0)
+        lower = 0.0, upper = 5.0, maxBlock = 10000)
       val r2 = (-1 to 1).map { k =>
         Linkage.fellegiSunter(
           aBase.withColumn("band", floor(col("cents") / 5)),
           bBase.withColumn("band", floor(col("cents") / 5) + k),
           idCol = "id", blockCols = Seq("nat", "band"), fields = fields,
-          lower = 0.0, upper = 5.0)
+          lower = 0.0, upper = 5.0, maxBlock = 10000)
       }
       (r1 +: r2).reduce(_.unionByName(_))
         .dropDuplicates("a_id", "b_id")

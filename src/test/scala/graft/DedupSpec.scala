@@ -234,6 +234,13 @@ class DedupSpec extends SparkSpec {
     assert(ps == ps.sorted)
     // custom operating points honor their own clamp
     assert(autoPlanes(1L << 40, targetBucket = 1024L, minP = 4, maxP = 30) == 30)
+    // overflow regression: targetBucket * 2^k used to wrap negative for
+    // permitted params (maxP up to 62), falling through to maxP even
+    // though k=1 suffices — ceil-division must find the true smallest k
+    assert(autoPlanes(
+      (1L << 62) + 1L, targetBucket = 1L << 62, minP = 1, maxP = 62) == 1)
+    assert(autoPlanes(
+      Long.MaxValue, targetBucket = 1L << 40, minP = 1, maxP = 62) == 23)
   }
 
   test("embedding decontamination recalls planted cross-corpus leakage only") {

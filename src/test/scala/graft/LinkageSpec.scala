@@ -65,6 +65,47 @@ class LinkageSpec extends SparkSpec {
     assert(thresh == Set((1L, 100L)))
   }
 
+  test("cappedBlocks: detects a binding cap; empty on the d24/d26/d27 block keys") {
+    import spark.implicits._
+    // mechanism: a 6-row block against maxBlock=3 reports exactly the
+    // overflow the fellegiSunter cap would drop
+    val a = (1L to 6L).map(i => (i, Some(1), s"n$i", "c"))
+      .toDF("id", "blk", "name", "city")
+      .union(Seq((7L, Option.empty[Int], "n7", "c"))
+        .toDF("id", "blk", "name", "city")) // null block never counts
+    val hot = Linkage.cappedBlocks(a, Seq("blk"), maxBlock = 3).collect()
+    assert(hot.length == 1)
+    assert(hot.head.getAs[Int]("blk") == 1)
+    assert(hot.head.getAs[Long]("block_rows") == 6L &&
+      hot.head.getAs[Long]("dropped") == 3L)
+    // and when the cap binds, the result really is a strict subset
+    val uncapped = Linkage.fellegiSunter(
+        a, a, "id", Seq("blk"), fields, lower = -100.0, upper = 100.0)
+      .count()
+    val capped = Linkage.fellegiSunter(
+        a, a, "id", Seq("blk"), fields, lower = -100.0, upper = 100.0,
+        maxBlock = 3)
+      .count()
+    assert(uncapped == 36L && capped == 9L)
+    assert(Linkage.cappedBlocks(a, Seq("blk"), maxBlock = 6).isEmpty)
+    // contract guard: the registered d24/d26/d27 oracles replay the
+    // blocking join UNCAPPED, which is only equivalent while no block
+    // on either side reaches maxBlock=10000. Pin that for every block
+    // key the three queries use — (nat, np), (nat, name), (nat, band)
+    // — on the driver corpus (block sizes grow ~linearly in SF; the
+    // sf1 check lives in the scale sweep).
+    val c = Tables(spark, sf0001).customer
+    val cents = round((col("c_acctbal") + 1000.0) * 100.0, 0).cast("long")
+    val keyed = c.select(
+      col("c_nationkey").as("nat"),
+      substring(lower(col("c_name")), 1, 16).as("np"),
+      lower(col("c_name")).as("name"),
+      floor(cents / 5).as("band"))
+    for (key <- Seq(Seq("nat", "np"), Seq("nat", "name"), Seq("nat", "band")))
+      assert(Linkage.cappedBlocks(keyed, key).isEmpty,
+        s"block key $key would overflow fellegiSunter's cap")
+  }
+
   test("fellegiSunter: weight quantization is driver-side and 6dp") {
     val w = Linkage.weight(0.9, 0.01)
     assert(w == math.rint(math.log(90.0) / math.log(2.0) * 1e6) / 1e6)
