@@ -6305,6 +6305,71 @@ $langScoreCols
       FROM g10_deg d JOIN g10_w2 w ON d.x = w.x
       ORDER BY node"""))
 
+  /** [[g10_neighborhood]]'s SCALE face (round 15): the same
+    * [[graft.operators.Graph.neighborhoodProfile]] operator over the
+    * same user–item bipartite events graph, but with the raw `props.k`
+    * item id — NO fold — so the item space inherits the corpus's own
+    * growth. g10's fixed `% 50` makes every item a hub whose 2-hop
+    * neighborhood is essentially the whole user set — the distinct
+    * 2-reach relation is ~n² BY FIXTURE CONSTRUCTION, which is why g10
+    * stays the documented hub-stress face and is not swept at sf1.
+    * A count-derived modulus (the autoPlanes pattern, m = max(50,
+    * n/200)) was tried first and REJECTED, measured not guessed: the
+    * scale corpus grows the item space by striding k per copy with
+    * cp·10^6, and 10^6 ≡ 0 (mod 5000 = m at sf1), so `% m` folded all
+    * ten copies back onto the base 100 items — 100 hubs of ~7000
+    * distinct users each, a ~5·10^9-row 2-path join, the exact disease
+    * the variant exists to avoid. Any fold must stay coprime to an
+    * offset it cannot know; the raw id needs no such luck — the
+    * replication contract ("item space grows with the data instead of
+    * saturating", the events block in ScaleProbe) is exactly the
+    * growth shape the sweep should measure, and on this graph the
+    * 2-path input Σ deg² and the distinct 2-reach grow linearly.
+    * Item node ids offset by 10^7 — clear of every corpus' user-id
+    * range (g10's +1000 overlaps user ids at sf0.1+, harmless there
+    * but wrong to replicate in the face whose point is clean growth).
+    * Oracle replays the same projection verbatim. */
+  val g19_neighborhood_scaled = QueryDef(
+    "g19_neighborhood_scaled",
+    (s, dir) =>
+      graft.operators.Graph
+        .neighborhoodProfile(
+          Tables(s, dir).events.select(
+            col("user_id").as("src"),
+            (get_json_object(col("props"), "$.k").cast("long")
+              + 10000000L).as("dst")),
+          "src", "dst")
+        .orderBy(col("node")),
+    Some("""
+      WITH g19_e AS (
+        SELECT user_id AS src,
+               cast(json_extract_string(props, '$.k') AS BIGINT)
+                 + 10000000 AS dst
+        FROM events),
+      g19_u AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM g19_e
+        WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+      g19_adj AS (
+        SELECT a AS x, b AS y FROM g19_u
+        UNION ALL SELECT b, a FROM g19_u),
+      g19_deg AS (
+        SELECT x, cast(count(*) AS BIGINT) AS degree FROM g19_adj GROUP BY 1),
+      g19_p2 AS (
+        SELECT l.x, r.y
+        FROM g19_adj l JOIN g19_adj r ON l.y = r.x),
+      g19_w2 AS (
+        SELECT x, cast(count(*) AS BIGINT) AS reach2 FROM (
+          SELECT DISTINCT x, y FROM (
+            SELECT x, y FROM g19_adj UNION ALL SELECT x, y FROM g19_p2)
+          WHERE x <> y)
+        GROUP BY 1)
+      SELECT d.x AS node, d.degree, w.reach2,
+             round(CAST(w.reach2 AS DOUBLE) / CAST(d.degree AS DOUBLE), 6)
+               AS expansion
+      FROM g19_deg d JOIN g19_w2 w ON d.x = w.x
+      ORDER BY node"""))
+
   /** Persisted co-occurrence index with an APPEND in its history
     * ([[graft.operators.Graph.writeCooccurrenceIndex]] on the first
     * event half, [[graft.operators.Graph.appendCooccurrence]] of the
@@ -8111,5 +8176,6 @@ $langScoreCols
     g05_communities, g06_triangles, g07_link_prediction, g08_kcore,
     g09_cooccurrence, g10_neighborhood, g11_coocc_indexed, g12_anf,
     g13_harmonic, g14_assortativity, g15_session_coocc,
-    g16_pagerank_weighted, g17_effective_diameter, g18_label_prop_lsh)
+    g16_pagerank_weighted, g17_effective_diameter, g18_label_prop_lsh,
+    g19_neighborhood_scaled)
 }
