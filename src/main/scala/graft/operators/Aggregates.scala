@@ -28,6 +28,22 @@ object Aggregates {
   def sumExact(c: Column, scale: Int = 2): Column =
     sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
 
+  /** Money-sum of an exact decimal expression: decimal-domain sum
+    * (order-independent), HALF_UP round to cents, then double. The input
+    * must already be decimal-typed (cast each 2-decimal COLUMN to decimal
+    * and multiply in the decimal domain): feeding a double product through
+    * `sumExact` instead is engine-divergent at rounding boundaries — Spark
+    * casts double->decimal via the value's shortest decimal representation
+    * while DuckDB uses the exact binary value, so at ~6M rows a handful of
+    * per-row casts round differently (found by the round-15 sf1 sweep on
+    * q01's `sum_charge`). Rounding the sum to cents keeps the double output
+    * exactly convertible in both engines (sum*100 stays under 2^53 up to
+    * ~SF 2500); a scale-6 double output already could not carry the
+    * micro-dollar digits at sf1 magnitudes (17 significant digits). */
+  def sumExactCents(c: Column, inScale: Int = 6): Column =
+    round(sum(c.cast(org.apache.spark.sql.types.DecimalType(18, inScale))), 2)
+      .cast("double")
+
   /** Order-independent average: exact decimal sum / count. */
   def avgExact(c: Column, scale: Int = 2, roundTo: Int = 6): Column =
     round(sumExact(c, scale) / count(lit(1)), roundTo)

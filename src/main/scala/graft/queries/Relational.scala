@@ -17,24 +17,38 @@ object Relational {
   private def sumExactSql(c: String, scale: Int = 2) =
     s"cast(sum(cast($c as decimal(28,$scale))) as double)"
 
+  /** decimal-domain money sum -> cents -> double; mirror of
+    * [[Aggregates.sumExactCents]]. `round` (half away from zero in DuckDB =
+    * Spark's HALF_UP for these positive sums) rather than a decimal cast,
+    * because DuckDB's decimal->decimal cast TRUNCATES. */
+  private def sumCentsSql(c: String, scale: Int = 6) =
+    s"cast(round(sum(cast($c as decimal(18,$scale))), 2) as double)"
+
+  /** Restated in round 15 after the sf1 sweep caught `sum_charge` one ulp
+    * apart between engines: the products were computed in double and then
+    * cast to decimal, and Spark casts double->decimal via the shortest
+    * decimal repr while DuckDB uses the exact binary value, so rows at a
+    * 6th-decimal rounding boundary diverge (~2 of 6M rows at sf1; invisible
+    * at sf0.1). Both sides now cast the 2-decimal COLUMNS to decimal
+    * (unambiguous — the data are exactly 2-decimal) and multiply in the
+    * decimal domain, which is exact and associative, then round to cents
+    * (see sumExactCents for why cents). */
   val q01_agg_pricing = QueryDef(
     "q01_agg_pricing",
     (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
       val li = Tables(s, dir).lineitem
         .filter(col("l_shipdate") <= expr("timestamp'2000-01-01 00:00:00'"))
+      val ep   = col("l_extendedprice").cast(DecimalType(12, 2))
+      val disc = col("l_discount").cast(DecimalType(4, 2))
+      val tax  = col("l_tax").cast(DecimalType(4, 2))
+      val one  = lit(1.0).cast(DecimalType(3, 2))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           Aggregates.sumExact(col("l_quantity")).as("sum_qty"),
           Aggregates.sumExact(col("l_extendedprice")).as("sum_base_price"),
-          Aggregates
-            .sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
-            .as("sum_disc_price"),
-          Aggregates
-            .sumExact(
-              col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-                * (lit(1.0) + col("l_tax")),
-              6)
-            .as("sum_charge"),
+          Aggregates.sumExactCents(ep * (one - disc)).as("sum_disc_price"),
+          Aggregates.sumExactCents(ep * (one - disc) * (one + tax)).as("sum_charge"),
           Aggregates.avgExact(col("l_quantity")).as("avg_qty"),
           Aggregates.avgExact(col("l_extendedprice")).as("avg_price"),
           Aggregates.avgExact(col("l_discount")).as("avg_disc"),
@@ -45,8 +59,8 @@ object Relational {
       SELECT l_returnflag, l_linestatus,
              ${sumExactSql("l_quantity")} AS sum_qty,
              ${sumExactSql("l_extendedprice")} AS sum_base_price,
-             ${sumExactSql("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
-             ${sumExactSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+             ${sumCentsSql("cast(l_extendedprice as decimal(12,2)) * (1.00 - cast(l_discount as decimal(4,2)))")} AS sum_disc_price,
+             ${sumCentsSql("cast(l_extendedprice as decimal(12,2)) * (1.00 - cast(l_discount as decimal(4,2))) * (1.00 + cast(l_tax as decimal(4,2)))")} AS sum_charge,
              round(${sumExactSql("l_quantity")} / count(*), 6) AS avg_qty,
              round(${sumExactSql("l_extendedprice")} / count(*), 6) AS avg_price,
              round(${sumExactSql("l_discount")} / count(*), 6) AS avg_disc,
