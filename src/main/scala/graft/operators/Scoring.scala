@@ -144,11 +144,22 @@ object Scoring {
       .map(scala.math.BigDecimal(_))
   }
 
-  /** Score with a fitted probe: prediction = fixed-order weighted sum
-    * of the bucket counts plus intercept, rounded to 6 dp — a pure
-    * zero-shuffle projection (the whole point of distilling), bit-
-    * replayable cross-engine because the sum is a literal left-
-    * associated chain over decimal-string weights. */
+  /** Score with a fitted probe: prediction = weighted sum of the bucket
+    * counts plus intercept, rounded to 6 dp — a pure zero-shuffle
+    * projection (the whole point of distilling). The sum is computed
+    * ENTIRELY in the decimal domain: the weights are exact scale-9
+    * decimals (see [[solveExactRational]]) and the counts are small
+    * integers, so the fold is exact and associative — bit-replayable
+    * cross-engine by construction. The previous double-domain fold was
+    * order-fixed but still engine-divergent at round-at-6dp boundaries:
+    * Spark's `round` on double goes through the value's shortest decimal
+    * repr while DuckDB rounds in float arithmetic, so a prediction
+    * whose double lands within an ulp of an x.xxxxxx5 boundary rounds
+    * differently (~1 of 200k docs at sf1; caught by the round-15 sf1
+    * sweep). Counts are cast to decimal(6,0) (loud overflow past 10^6
+    * tokens per bucket) to keep the add-chain precision under both
+    * engines' 38-digit cap — DuckDB silently promotes wider chains to
+    * double, which would reintroduce the divergence. */
   def probeScore(
       docs: DataFrame,
       idCol: String,
@@ -156,13 +167,14 @@ object Scoring {
       weights: Array[String],
       label: Column): DataFrame = {
     val dim = weights.length - 1
+    val wDec = weights.map(w => lit(new java.math.BigDecimal(w)))
     val pred = (0 until dim)
-      .foldLeft(lit(0.0)) { (acc, b) =>
-        acc + lit(weights(b).toDouble) * fx(b, dim).cast("double")
-      } + lit(weights(dim).toDouble)
+      .foldLeft(wDec(dim): Column) { (acc, b) =>
+        acc + wDec(b) * fx(b, dim).cast(org.apache.spark.sql.types.DecimalType(6, 0))
+      }
     featureCounts(docs, textCol, dim)
       .select(col(idCol), label.cast("long").as("label"),
-        round(pred, 6).as("pred"))
+        round(pred, 6).cast("double").as("pred"))
   }
 
   /** (idCol, dl, quality_prob): sigmoid of the mean hashed-bag logit.

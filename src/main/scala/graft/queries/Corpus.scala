@@ -7445,7 +7445,7 @@ $langScoreCols
     * mechanics are label-independent). The oracle cannot be static —
     * it embeds the fitted weights — so it is derived lazily: DuckDB
     * independently replays features (same xxhash64 bucket emulation),
-    * label, and the fixed-order prediction fold under the stashed
+    * label, and the exact decimal-domain prediction fold under the stashed
     * decimal weights; any training-side divergence (a wrong sum, a
     * solver defect, nondeterministic weights) breaks the hash. */
   val t22_linear_probe = QueryDef(
@@ -7470,11 +7470,13 @@ $langScoreCols
       val counts = (0 until dim)
         .map(b => s"cast(len(list_filter(bs, __x -> __x = $b)) AS BIGINT) AS c$b")
         .mkString(",\n               ")
-      // CAST each weight to DOUBLE: a bare decimal literal is DECIMAL
-      // in DuckDB (exact arithmetic) while Spark folds doubles — the
-      // 1-ulp drift lands across round-at-6dp boundaries at sf0.1
+      // Decimal-domain fold, mirroring probeScore: bare weight literals
+      // are exact DECIMAL(10,9) in DuckDB, counts narrowed to
+      // decimal(6,0) so the add chain stays under DuckDB's 38-digit cap
+      // (wider chains silently promote to DOUBLE, whose round-at-6dp is
+      // engine-divergent — the round-15 sf1 sweep finding).
       val fold = (0 until dim)
-        .map(b => s"+ cast(${w(b)} AS DOUBLE) * c$b").mkString(" ")
+        .map(b => s"+ ${w(b)} * cast(c$b as decimal(6,0))").mkString(" ")
       s"""
       WITH t22_tok AS (
         SELECT doc_id,
@@ -7490,7 +7492,7 @@ $langScoreCols
                $counts
         FROM t22_b)
       SELECT doc_id, label,
-             round(cast(0.0 AS DOUBLE) $fold + cast(${w(dim)} AS DOUBLE), 6) AS pred
+             cast(round(${w(dim)} $fold, 6) as double) AS pred
       FROM t22_c ORDER BY doc_id"""
     })
 
