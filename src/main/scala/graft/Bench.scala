@@ -49,10 +49,19 @@ object Bench {
     // values (hidden single-partition window, broadcast flip).
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // AQE coalescing floor: measured both ways in round 15 — a 64k
+    // floor (keep byte-light stages wide) made d15 2.3x SLOWER (AQE
+    // stage fan-out duplicated the expensive verify subtree across
+    // concurrent jobs); the scan fan-out in Tables fixed the observed
+    // starvation without it. Keep Spark's default, expose the knob.
+    val aqeMinPartition =
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        aqeMinPartition)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", warehouse.getAbsolutePath)
       .config("spark.ui.enabled", "false")

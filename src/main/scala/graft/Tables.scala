@@ -8,6 +8,35 @@ import org.apache.spark.sql.functions._
   * columns and pushes filters into the parquet reader per-query. */
 final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Scale-adaptive scan fan-out (optimization guide §2/§6, round 15).
+    *
+    * The compute-heavy relations (document text, event JSON, embedding
+    * vectors) pay their per-row derivation cost — tokenize / shingle /
+    * minhash / `get_json_object` / vector arithmetic — in the stage
+    * that READS them, and a parquet scan parallelizes at row-group
+    * granularity: the driver test files are one row group each, so at
+    * the bench SFs that whole stage runs on ONE core of 32 (measured:
+    * p12's tokenize 1.4 s single-task, d15's shingle+minhash 1.8 s
+    * single-task, g12/g17's edge derivation 1.2 s single-task).
+    *
+    * Fix derived from input size, not tuned to either mode: when the
+    * file layout yields fewer scan splits than the session's cores,
+    * hash-repartition on the table's key so the derivation stage runs
+    * wide; when splits >= cores (any production-sized table) this is
+    * the identity — no extra exchange at scale. Keys are chosen so the
+    * added exchange doubles as the partitioning downstream operators
+    * need most often (events by user_id: the session/window family's
+    * own exchange). Results are partitioning-independent by contract
+    * (every registered query is oracle-hash-gated; positional ops take
+    * explicit order columns).
+    */
+  private def fanOut(df: DataFrame, name: String, key: String): DataFrame = {
+    if (!Tables.fanOutEnabled) return df
+    val cores = spark.sparkContext.defaultParallelism
+    val splits = Tables.scanSplits(spark, s"$dir/$name.parquet")
+    if (splits >= cores) df else df.repartition(cores, col(key))
+  }
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
   def customer: DataFrame = t("customer")
@@ -41,7 +70,11 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val raw = t("events")
+    // fan out BEFORE the ts projection so the conversion (and every
+    // downstream JSON extraction) runs wide; user_id because the
+    // session/window family re-keys on it anyway — their exchange and
+    // this one are the same node when the plan allows reuse
+    val raw = fanOut(t("events"), "events", "user_id")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // nanos-as-long: truncate to micros (floor for post-epoch values)
@@ -52,6 +85,41 @@ final case class Tables(spark: SparkSession, dir: String) {
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
-  def documents: DataFrame = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  def documents: DataFrame = fanOut(t("documents"), "documents", "doc_id")
+  def embeddings: DataFrame = fanOut(t("embeddings"), "embeddings", "vec_id")
+}
+
+object Tables {
+  /** Kill switch for [[Tables.fanOut]] (A/B measurement + escape hatch):
+    * SPARK_GRAFT_SCAN_FANOUT=0 restores the bare scans. */
+  private[graft] def fanOutEnabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_SCAN_FANOUT", "1") != "0"
+
+  /** (dir path -> input bytes) memo — file METADATA only (the fan-out
+    * split estimate), never data or results; avoids re-stat per
+    * accessor call within a run. */
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Estimated scan-split count for `path`: input bytes over
+    * `spark.sql.files.maxPartitionBytes` — the same quantity Spark's
+    * file source uses to slice a scan, minus the open-cost refinement
+    * (irrelevant for the single-file test tables and an underestimate
+    * never flips the fan-out the wrong way: fewer estimated splits only
+    * widens a scan that was already narrow). */
+  private[graft] def scanSplits(spark: SparkSession, path: String): Long = {
+    val bytes = bytesCache.computeIfAbsent(path, p => {
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(hp).getLength
+      } catch { case _: Throwable => 0L }
+    })
+    val maxSplit =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+          .stripSuffix("b"))
+      catch { case _: Throwable => 134217728L }
+    math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+  }
 }

@@ -228,7 +228,12 @@ object Aggregates {
         Window.partitionBy(col("__b")).orderBy(col("__i").asc)))
       .filter(col("__rn") <= maxPerBasket)
       .select(col("__b"), col("__i"))
-    val nBaskets = capped.select(col("__b")).distinct().count()
+    // basket count folded INTO the plan as a broadcast single-row
+    // crossJoin (round 15 — the HITS-normalizer treatment this codebase
+    // uses everywhere): the old driver-side `.distinct().count()` was an
+    // extra action that re-executed the scan+distinct+window subtree
+    // before the real query even started
+    val nBaskets = capped.agg(countDistinct(col("__b")).as("__nb"))
     val items = capped.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
     val pairs = capped.select(col("__b"), col("__i").as("item_a"))
       .join(capped.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
@@ -239,17 +244,18 @@ object Aggregates {
     pairs
       .join(items.select(col("__i").as("item_a"), col("__n").as("__na")),
         Seq("item_a"))
-      .join(items.select(col("__i").as("item_b"), col("__n").as("__nb")),
+      .join(items.select(col("__i").as("item_b"), col("__n").as("__nbi")),
         Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("pair_baskets"),
-        round(col("pair_baskets").cast("double") / lit(nBaskets).cast("double"),
+        round(col("pair_baskets").cast("double") / col("__nb").cast("double"),
           6).as("support"),
         round(col("pair_baskets").cast("double") / col("__na").cast("double"),
           6).as("conf_a_to_b"),
-        round(col("pair_baskets").cast("double") / col("__nb").cast("double"),
+        round(col("pair_baskets").cast("double") / col("__nbi").cast("double"),
           6).as("conf_b_to_a"),
-        round(col("pair_baskets").cast("double") * lit(nBaskets).cast("double")
-          / (col("__na").cast("double") * col("__nb").cast("double")),
+        round(col("pair_baskets").cast("double") * col("__nb").cast("double")
+          / (col("__na").cast("double") * col("__nbi").cast("double")),
           6).as("lift"))
       .orderBy(col("lift").desc, col("item_a"), col("item_b"))
       .limit(topK)

@@ -41,13 +41,30 @@ object Bucketing {
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(loc)) fs.delete(loc, true): Unit
     val sorted = if (sortCols.isEmpty) bucketCols else sortCols
-    df.write
+    clusterByBucket(df, bucketCols, numBuckets).write
       .format("parquet")
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(sorted.head, sorted.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Cluster `df` by the bucket key before a bucketed write (round 15,
+    * guide §6 file sizing): a bucketed write emits one file per
+    * (input task × bucket id it holds), so a W-partition upstream
+    * yields up to W×numBuckets files — tiny files whose per-open cost
+    * every probe pays. Repartitioning into numBuckets partitions on the
+    * bucket columns uses the SAME murmur3 `pmod` placement as the
+    * bucket spec, so each task holds exactly one bucket and each
+    * write emits exactly numBuckets files regardless of upstream
+    * layout. Costs one keyed shuffle of the index rows — the shuffle
+    * bucketing conceptually implies anyway. */
+  private def clusterByBucket(
+      df: DataFrame,
+      bucketCols: Seq[String],
+      numBuckets: Int): DataFrame =
+    df.repartition(numBuckets,
+      bucketCols.map(org.apache.spark.sql.functions.col): _*)
 
   /** APPEND to an existing bucketed table with the SAME bucket spec —
     * the index-maintenance path: each append writes its own set of
@@ -62,7 +79,7 @@ object Bucketing {
       numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
     val sorted = if (sortCols.isEmpty) bucketCols else sortCols
-    df.write
+    clusterByBucket(df, bucketCols, numBuckets).write
       .format("parquet")
       .mode(SaveMode.Append)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

@@ -223,13 +223,25 @@ object Dedup {
       bandCounts: Seq[Int] = Seq(4, 8, 16),
       tau: Double = 0.4,
       seed: Long = 42L,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
     require(
       bandCounts.nonEmpty && bandCounts.forall(b => b > 0 && numHashes % b == 0),
       s"each band count must divide numHashes=$numHashes; got $bandCounts")
     val budgets = bandCounts.distinct.sorted
-    val truth = jaccardSimilarityJoin(df, idCol, textCol, tau,
-        useUnigrams = false, shingleSize = shingleSize)
+    // ONE shingle pass serves the exact-truth side AND the banded
+    // signatures (round 15): the set relation is lineage-cut inside
+    // prefixJaccardPairsFromSets and re-read for the minhash — before,
+    // the corpus was re-shingled once per truth consumer plus once for
+    // banding. Same relation either way: a non-blank text always
+    // yields >= 1 shingle, so the size>0 filter drops nothing extra.
+    val sets = df
+      .filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("__id"),
+        wordShingles(col(textCol), shingleSize).as("__set"))
+      .filter(size(col("__set")) > 0)
+    val cutSets = checkpointer.cut(sets, eager = false)
+    val truth = prefixJaccardPairsFromSets(cutSets, tau, blocked = false)
       .select(col("id_a"), col("id_b"))
     val truthCount = truth.agg(count(lit(1)).as("true_pairs"))
     // (bands, 1-based slice offset, slice length) per (budget, band)
@@ -237,12 +249,10 @@ object Dedup {
       val r = numHashes / b
       (0 until b).map(i => (b, i * r + 1, r))
     })
-    val banded = df
-      .filter(trim(col(textCol)) =!= "")
+    val banded = cutSets
       .select(
-        col(idCol),
-        minhashSignature(
-          wordShingles(col(textCol), shingleSize), numHashes, seed).as("__sig"))
+        col("__id").as(idCol),
+        minhashSignature(col("__set"), numHashes, seed).as("__sig"))
       .select(
         col(idCol),
         explode(transform(cfg, c => struct(
@@ -749,17 +759,36 @@ object Dedup {
       threshold: Double,
       useUnigrams: Boolean,
       shingleSize: Int,
-      blockCol: Option[String]): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+      blockCol: Option[String],
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
     val setExpr =
       if (useUnigrams) tokenSet(col(textCol))
       else wordShingles(col(textCol), shingleSize)
     val blkSel = blockCol.map(c => col(c).as("__blk")).toSeq
-    val sets = df
+    val rawSets = df
       .filter(trim(col(textCol)) =!= "") // blank docs: shingles would be [""]
       .select(col(idCol).as("__id") +: setExpr.as("__set") +: blkSel: _*)
       .filter(size(col("__set")) > 0)
-    val blkCols = blkSel.map(_ => col("__blk"))
+    // the set relation is consumed FOUR times below (token df, prefix
+    // ranking, both verify sides): lineage-cut once so tokenize/shingle
+    // runs a single pass instead of four (round 15, guide §1.2). The
+    // cut is lazy — materialized by the first downstream action, shared
+    // by the rest. At scale this trades three recomputed tokenize
+    // passes over the corpus for one executor-local spill of the sets.
+    prefixJaccardPairsFromSets(
+      checkpointer.cut(rawSets, eager = false), threshold, blockCol.isDefined)
+  }
+
+  /** [[prefixJaccardPairs]] over a pre-built `(__id, __set[, __blk])`
+    * relation; callers pass it already lineage-cut (it is consumed four
+    * times: token df, prefix ranking, both verify sides). */
+  private def prefixJaccardPairsFromSets(
+      sets: DataFrame,
+      threshold: Double,
+      blocked: Boolean): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val blkSel = if (blocked) Seq(col("__blk")) else Seq.empty
+    val blkCols = blkSel
     val toks = sets.select(
       col("__id") +: explode(col("__set")).as("__tok") +: blkCols: _*)
     val tokenDf = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
@@ -913,6 +942,13 @@ object Dedup {
       .select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      // pre-partition on the per-round join key (round 15, guide §2.4):
+      // the distinct leaves hash(src,dst) partitioning, which does NOT
+      // satisfy the round join's hash(src) requirement — without this,
+      // every HashMin round re-shuffles the full edge list; with it the
+      // cached layout serves all `maxIter` rounds and only the label
+      // side moves
+      .repartition(col("src"))
       .persist()
     var labels = edges
       .select(col("src").as("id"))

@@ -333,6 +333,11 @@ object Graph {
       col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
       col(weightCol).cast("long").as("w"))
+      // pre-partition on the per-round join key (round 15, guide §2.4):
+      // the caller's edge relation carries arbitrary partitioning, so
+      // every vote round would re-shuffle the full edge list by `dst`;
+      // cached on hash(dst) only the labeled state moves per round
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seedLabels = seeds.select(
       col(nodeCol).cast("long").as("node"),
@@ -470,6 +475,10 @@ object Graph {
       val deg0 = checkpointer.cut(degrees(und), eager = true)
       var e = und
       var removedLast = 0L
+      // carry the previous round's edge count forward: each relation is
+      // counted ONCE (round 15 — the old shape re-counted the previous
+      // cut every round, two actions where one suffices)
+      var eCount = und.count()
       for (_ <- 0 until iters) {
         val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
         val next = checkpointer.cut(
@@ -477,8 +486,10 @@ object Graph {
             .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
             .select(col("a"), col("b")),
           eager = true)
-        removedLast = e.count() - next.count()
+        val nextCount = next.count()
+        removedLast = eCount - nextCount
         e = next
+        eCount = nextCount
       }
       val finalDeg = degrees(e)
       val out = deg0
@@ -849,6 +860,13 @@ object Graph {
       .distinct()
     val adj = und.select(col("a").as("x"), col("b").as("y"))
       .unionByName(und.select(col("b").as("x"), col("a").as("y")))
+      // pre-partition on the per-round join key (round 15, guide §2.4):
+      // a union carries no partitioning, so every sketch round would
+      // re-shuffle the full adjacency by `y`; cached on hash(y) the
+      // layout serves all `radius` rounds — only the (node, sketch)
+      // state and the propagation groupBy move per round, the
+      // HyperBall minimum
+      .repartition(col("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("degree"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -56,11 +56,14 @@ class PlanSpec extends SparkSpec {
 
   test("t01/m01 text+blob kernels stay scan-local (no exchange before project)") {
     // whole pipeline of per-row kernels: exactly zero shuffles except the
-    // oracle-mandated output sort
+    // oracle-mandated output sort and the round-15 input scan fan-out
+    // (an explicitly requested REPARTITION_BY_NUM on the small test files)
     val p = planOf(Corpus.t01_token_stats.run(spark, sf))
     val exchanges = "Exchange".r.findAllIn(p).length
     val rangeExchanges = "rangepartitioning".r.findAllIn(p).length
-    assert(exchanges == rangeExchanges, s"non-sort exchange in t01:\n${p.take(2000)}")
+    val fanOuts = "REPARTITION_BY_NUM".r.findAllIn(p).length
+    assert(exchanges == rangeExchanges + fanOuts,
+      s"non-sort exchange in t01:\n${p.take(2000)}")
   }
 
   test("s01: corpus side is not shuffled (queries broadcast)") {
