@@ -42,8 +42,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def customer: DataFrame = t("customer")
   def supplier: DataFrame = t("supplier")
   def part: DataFrame = t("part")
-  def orders: DataFrame = t("orders")
-  def lineitem: DataFrame = t("lineitem")
+  // the two big relational tables fan out on their join key: the added
+  // exchange IS the distribution the order-keyed joins/windows need
+  // (q03/q86 reuse it outright), and the stat/melt/aggregate stages
+  // stop running on the scan's single split at test SFs. Paired A/B,
+  // round 15: q64 -57%, q08 -45%, q22 -42%, q86 -27%, q01 -24%;
+  // q03/q17/q56/d24 flat; q12 +0.2 s / p06 +0.19 s (range-sort queries
+  // that gain nothing from the pre-partitioning) accepted against the
+  // ~3 s the wins return on this 12-query set.
+  def orders: DataFrame = fanOut(t("orders"), "orders", "o_orderkey")
+  def lineitem: DataFrame = fanOut(t("lineitem"), "lineitem", "l_orderkey")
 
   /** The events parquet's `ts` physical type has varied across driver
     * testdata generations — TIMESTAMP(NANOS) (which Spark reads as a
@@ -67,14 +75,23 @@ final case class Tables(spark: SparkSession, dir: String) {
     *     LocalDateTime round-trip measured ~13% on the events bench
     *     family (4.79 s → 5.44 s over q23/q36/q38/q57/q59/q67 at
     *     sf0.1, reps=5). */
-  def events: DataFrame = {
+  def events: DataFrame = events(fan = true)
+
+  /** `fan = false` opts a consumer out of the scan fan-out: the right
+    * call for queries keyed by something other than user_id (q23/q83
+    * aggregate by hour/event_type; q57's post-union window cannot reuse
+    * the partitioning) — for them the user_id exchange is pure waste,
+    * measured +34…116% at sf0.1. User-keyed consumers (sessions,
+    * resample grids, per-user chains) keep the default. */
+  def events(fan: Boolean): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // fan out BEFORE the ts projection so the conversion (and every
     // downstream JSON extraction) runs wide; user_id because the
     // session/window family re-keys on it anyway — their exchange and
     // this one are the same node when the plan allows reuse
-    val raw = fanOut(t("events"), "events", "user_id")
+    val raw =
+      if (fan) fanOut(t("events"), "events", "user_id") else t("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // nanos-as-long: truncate to micros (floor for post-epoch values)
@@ -86,7 +103,12 @@ final case class Tables(spark: SparkSession, dir: String) {
     }
   }
   def documents: DataFrame = fanOut(t("documents"), "documents", "doc_id")
-  def embeddings: DataFrame = fanOut(t("embeddings"), "embeddings", "vec_id")
+  // embeddings deliberately NOT fanned out: measured net-negative
+  // (round 15 paired A/B, whole family: s01 +176%, s07 +153%, s05 +75%,
+  // s02 +81%, s03 +55%, s16 +49% vs d10 -11%, s11 -9%) — the kNN
+  // queries broadcast their query sample and scan the corpus once, so
+  // the extra exchange moves every embedding array for nothing
+  def embeddings: DataFrame = t("embeddings")
 }
 
 object Tables {

@@ -494,7 +494,7 @@ object Relational {
   val q23_events_window = QueryDef(
     "q23_events_window",
     (s, dir) =>
-      Tables(s, dir).events
+      Tables(s, dir).events(fan = false) // keyed by (hour, type), not user
         .groupBy(
           window(col("ts"), "1 hour").getField("start").as("hour"),
           col("event_type"))
@@ -1294,7 +1294,7 @@ object Relational {
   val q57_merge_upsert = QueryDef(
     "q57_merge_upsert",
     (s, dir) => {
-      val ev = Tables(s, dir).events
+      val ev = Tables(s, dir).events(fan = false) // post-union window
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"), col("value"))
       def snap(changes: org.apache.spark.sql.DataFrame) =
@@ -1812,7 +1812,7 @@ object Relational {
     (s, dir) =>
       graft.operators.Experiments
         .welchAbTest(
-          Tables(s, dir).events
+          Tables(s, dir).events(fan = false) // keyed by event_type
             .filter(col("user_id").isNotNull)
             .select(
               col("event_type"),
@@ -1885,7 +1885,7 @@ object Relational {
       val cut = to_timestamp(lit("2024-01-16 00:00:00"))
       graft.operators.Experiments
         .cupedAbTest(
-          Tables(s, dir).events
+          Tables(s, dir).events(fan = false) // keyed by event_type
             .filter(col("user_id").isNotNull)
             .select(
               col("event_type"),
@@ -2188,7 +2188,7 @@ object Relational {
     (s, dir) =>
       graft.operators.Experiments
         .ksTest(
-          Tables(s, dir).events
+          Tables(s, dir).events(fan = false) // keyed by event_type
             .filter(col("user_id").isNotNull)
             .select(
               col("event_type"),
