@@ -50,8 +50,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   // q03/q17/q56/d24 flat; q12 +0.2 s / p06 +0.19 s (range-sort queries
   // that gain nothing from the pre-partitioning) accepted against the
   // ~3 s the wins return on this 12-query set.
-  def orders: DataFrame = fanOut(t("orders"), "orders", "o_orderkey")
+  def orders: DataFrame = orders(fan = true)
   def lineitem: DataFrame = fanOut(t("lineitem"), "lineitem", "l_orderkey")
+
+  /** `fan = false` opts an orders consumer out of the scan fan-out —
+    * the q12 case (round 16): a query whose only structure is a
+    * RANGE-sorted window/order on a different key (o_custkey) gains
+    * nothing from the o_orderkey hash exchange and pays it whole
+    * (isolated min 0.740 s with vs 0.616 s without, quiet paired). */
+  def orders(fan: Boolean): DataFrame =
+    if (fan) fanOut(t("orders"), "orders", "o_orderkey") else t("orders")
 
   /** The events parquet's `ts` physical type has varied across driver
     * testdata generations — TIMESTAMP(NANOS) (which Spark reads as a
@@ -102,7 +110,15 @@ final case class Tables(spark: SparkSession, dir: String) {
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
-  def documents: DataFrame = fanOut(t("documents"), "documents", "doc_id")
+  def documents: DataFrame = documents(fan = true)
+
+  /** `fan = false` opts a documents consumer out of the scan fan-out —
+    * the p06 case (round 16): a global RANGE-sort prefix sum over
+    * doc_id cannot reuse the doc_id HASH exchange, and its per-row scan
+    * compute (a length subtraction) is too cheap to need widening
+    * (isolated min 0.363 s with vs 0.178 s without, quiet paired). */
+  def documents(fan: Boolean): DataFrame =
+    if (fan) fanOut(t("documents"), "documents", "doc_id") else t("documents")
   // embeddings deliberately NOT fanned out: measured net-negative
   // (round 15 paired A/B, whole family: s01 +176%, s07 +153%, s05 +75%,
   // s02 +81%, s03 +55%, s16 +49% vs d10 -11%, s11 -9%) — the kNN

@@ -1095,11 +1095,29 @@ $langScoreCols
       import s.implicits._
       import graft.operators.{Experiments, Funnel}
       val steps = Seq("signup", "view", "click", "purchase")
-      val ev = Tables(s, dir).events.filter(col("user_id").isNotNull)
+      // fan = false (round 16, quiet paired A/B: 2.827 s without vs
+      // 3.258 s with): the demo is a ~20-job chain of sub-second
+      // stages, and the user_id fan-out exchange taxes every one of
+      // the three event scans without widening anything that matters —
+      // AQE's runtime stage cache already shares the session-window
+      // subtree across the funnel/attribution/Welch consumers (plan
+      // cuts were tried and measured NO better: 3.45 s with both
+      // engaged+depth localCheckpointed, 3.17 s depth-only, 3.07 base).
+      val ev = Tables(s, dir).events(fan = false).filter(col("user_id").isNotNull)
       // stage 1: sessionize (q36), session revenue in exact cents
       val sessions = graft.streaming.EventStreams.sessionWindowAgg(
         ev, gap = "6 hours",
         totalValue = c => sum(round(c * 100.0, 0).cast("long")))
+      // engaged and depth are each consumed by SEVERAL downstream
+      // stages of ONE plan (engaged: the engEv gate + the Welch units;
+      // depth: the funnel tally + the qualification gate), and Spark
+      // cannot share an un-materialized subplan — round 15's plan
+      // computed the session-window aggregation subtree 8x (28 events
+      // scans, 84 session_window nodes in the formatted plan). Cut both
+      // relations once (lazy localCheckpoint, materialized by the first
+      // action — the round-15 Dedup treatment, guide §5): every stage
+      // then reads the few-per-user-rows relations instead of
+      // re-deriving sessionization and the chain cascade per consumer.
       val engaged = sessions
         .groupBy(col("user_id"))
         .agg(
@@ -3585,7 +3603,9 @@ $langScoreCols
     "p06_sequence_pack",
     (s, dir) => {
       import graft.functions.TextFunctions.tokenCount
-      val docs = Tables(s, dir).documents
+      // fan = false: the doc_id hash exchange cannot serve the global
+      // range-sort prefix sum, and tokenCount is cheap (round 16)
+      val docs = Tables(s, dir).documents(fan = false)
         .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.operators.Packing
         .packSequences(docs, "n_tokens", seqLen = 2048, order = Seq(col("doc_id")))

@@ -247,7 +247,9 @@ object Relational {
   val q12_window_running = QueryDef(
     "q12_window_running",
     (s, dir) => {
-      val o = Tables(s, dir).orders
+      // fan = false: the o_orderkey fan-out exchange buys nothing for a
+      // custkey-partitioned window + global range sort (round 16)
+      val o = Tables(s, dir).orders(fan = false)
       val w = Window
         .partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
