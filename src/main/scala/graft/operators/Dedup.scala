@@ -241,6 +241,19 @@ object Dedup {
         wordShingles(col(textCol), shingleSize).as("__set"))
       .filter(size(col("__set")) > 0)
     val cutSets = checkpointer.cut(sets, eager = false)
+    // the truth relation is consumed TWICE (the recall join and the
+    // single-row true_pairs aggregate), so its verify subtree executes
+    // twice. Round 16 measured both dedup variants WORSE and reverted
+    // them (paired standalone min-of-5 at sf0.1, base 4.24 s): a lazy
+    // localCheckpoint is raced by AQE's concurrent stage-
+    // materialization futures — both consumers started before either
+    // materialized the cut, so the verify ran twice ANYWAY, plus the
+    // checkpoint write (4.67 s); an eager cut dedupes but SERIALIZES
+    // the verify against the banding side that otherwise overlaps it
+    // on idle cores (5.85 s). The duplication is wall-free whenever
+    // the cluster has idle capacity (guide §2.6 — concurrent jobs
+    // back-fill); on a saturated cluster pass an eager-cutting
+    // `checkpointer` wrapper to trade latency for the duplicate pass.
     val truth = prefixJaccardPairsFromSets(cutSets, tau, blocked = false)
       .select(col("id_a"), col("id_b"))
     val truthCount = truth.agg(count(lit(1)).as("true_pairs"))
