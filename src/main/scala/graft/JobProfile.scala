@@ -40,9 +40,12 @@ object JobProfile {
       spillMem: Long, spillDisk: Long, name: String)
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
     val stages = mutable.Map.empty[Int, StageRec]
-    var enabled = false
+    // AtomicBoolean, not a captured var: the listener bus runs on its own
+    // thread, and a plain captured Boolean has no JMM visibility guarantee
+    // there (the listener could never observe the flip)
+    val enabled = new java.util.concurrent.atomic.AtomicBoolean(false)
     val listener = new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit = if (enabled) {
+      override def onJobStart(e: SparkListenerJobStart): Unit = if (enabled.get) {
         val r = JobRec(
           Option(e.properties)
             .flatMap(p => Option(p.getProperty("spark.job.description")))
@@ -53,7 +56,7 @@ object JobProfile {
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
-        if (enabled) {
+        if (enabled.get) {
           val si = e.stageInfo
           val m = si.taskMetrics
           stages.synchronized {
@@ -76,13 +79,24 @@ object JobProfile {
     selected.foreach { q =>
       // warm rep (JIT/codegen/page cache), unrecorded
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      jobs.clear(); stages.clear(); enabled = true
+      jobs.clear(); stages.clear(); enabled.set(true)
       val t0 = System.nanoTime()
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       val total = (System.nanoTime() - t0) / 1e9
-      enabled = false
-      // listener bus is async; let it drain
-      Thread.sleep(300)
+      enabled.set(false)
+      // listener bus is async; poll until the event maps go quiet
+      // (two consecutive identical samples) instead of a fixed sleep
+      // that can under-wait on a loaded bus — bounded at 2 s
+      var prevCounts = (-1, -1)
+      var quiet = false
+      var spins = 0
+      while (!quiet && spins < 40) {
+        Thread.sleep(50)
+        val now = (jobs.synchronized(jobs.size), stages.synchronized(stages.size))
+        quiet = now == prevCounts
+        prevCounts = now
+        spins += 1
+      }
       println(f"\n=== ${q.name} warm total ${total}%.3f s, ${jobs.size} jobs ===")
       println("  job    sec  tasks  inputMB shReadMB shWrtMB spillMB  top-stage")
       jobs.toSeq.sortBy(_._1).foreach { case (id, j) =>

@@ -146,13 +146,30 @@ object Tables {
     * never flips the fan-out the wrong way: fewer estimated splits only
     * widens a scan that was already narrow). */
   private[graft] def scanSplits(spark: SparkSession, path: String): Long = {
-    val bytes = bytesCache.computeIfAbsent(path, p => {
-      try {
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.getContentSummary(hp).getLength
-      } catch { case _: Throwable => 0L }
-    })
+    // stat OUTSIDE the memo and cache only successes: a transient stat
+    // failure memoized as 0 bytes would pin the fan-out ON for a
+    // production-sized table for the JVM's lifetime (a silent
+    // cluster-wide repartition of the largest relations). On failure,
+    // warn and treat the table as big (splits = Long.MaxValue → fan-out
+    // OFF), preserving the "identity at scale" guarantee.
+    val cached = bytesCache.get(path)
+    val bytes: Long =
+      if (cached != null) cached
+      else {
+        try {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val len = fs.getContentSummary(hp).getLength
+          bytesCache.put(path, len)
+          len
+        } catch {
+          case e: Throwable =>
+            org.slf4j.LoggerFactory.getLogger("graft.Tables").warn(
+              s"stat of $path failed (${e.getClass.getName}: " +
+                s"${e.getMessage}); treating as at-scale (no fan-out) this call")
+            return Long.MaxValue
+        }
+      }
     val maxSplit =
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")

@@ -206,7 +206,8 @@ object Aggregates {
     * item ids (the g09 skew discipline — a mega-basket would
     * otherwise explode quadratically); item supports join back onto
     * the SURVIVING pairs only (AQE broadcasts the item side); the
-    * basket total is one literal from a bounded collect. Exact
+    * basket total is a broadcast single-row aggregate crossJoined into
+    * the plan — no driver-side action. Exact
     * integer counts, fixed-shape ratio doubles, round(6). Heads by
     * (lift desc, pair) plan as TakeOrderedAndProject. */
   def associationRules(

@@ -142,7 +142,9 @@ object Bpe {
     * candidates ([[BpeOps.selectBatch]] — pairwise disjoint symbols and
     * outputs, so each accepted count is exact and one fold pass applies
     * the whole batch; the per-round Spark job count is amortized to
-    * ~2/m jobs per learned merge instead of ~2). A 32k-merge production
+    * ~1/m jobs per learned merge — the candidate collect is the ONLY
+    * action per round, doubling as the materializer of the previous
+    * round's merge pass). A 32k-merge production
     * vocabulary at m = 32 is ~1k rounds, not 32k sequential jobs.
     * `batchSize = 1` (the default) is EXACTLY sequential Sennrich BPE;
     * m > 1 is the standard frequency-batched variant — each accepted
@@ -177,6 +179,11 @@ object Bpe {
     val learned = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val outputs = scala.collection.mutable.HashSet[String]()
     var cached = vocab
+    // previous round's cache, released only after this round's first
+    // action has materialized the current one (one action per round:
+    // the candidate collect below doubles as the materializer, so no
+    // separate count() job runs per round)
+    var pending: Option[DataFrame] = None
     var exhausted = false
     var round = 0
     while (learned.size < numMerges && !exhausted) {
@@ -214,47 +221,61 @@ object Bpe {
         if (deepEnough) pairs = surviving.take(candidateLimit).toSeq
         else fetch *= 2
       }
+      // the collect above computed every partition of `vocab` (global
+      // top-k), so its persist/cut is materialized — the parent cache
+      // can go now
+      pending.foreach(_.unpersist())
+      pending = None
       val accepted = BpeOps.selectBatch(
         pairs, math.min(batchSize, numMerges - learned.size))
       if (accepted.isEmpty) exhausted = true
       else {
         learned ++= accepted
         accepted.foreach { case (a, b) => outputs += (a + b) }
-        // one exact left-to-right merge pass applying the WHOLE batch,
-        // in-scan: fold that appends, or fuses the last element with
-        // the current one when (last, current) is an accepted pair —
-        // at most one branch can match (outputs/symbols are pairwise
-        // disjoint by selectBatch), so a branch chain is exact
-        def fuseWith(acc: Column, a: String, b: String): Column =
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b)))
-        def hit(acc: Column, x: Column, a: String, b: String): Column =
-          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b)
-        val merged = aggregate(
-          col("__syms"),
-          array().cast("array<string>"),
-          (acc, x) => {
-            val first = accepted.head
-            val chained = accepted.tail.foldLeft(
-              when(hit(acc, x, first._1, first._2), fuseWith(acc, first._1, first._2))) {
-              case (w, (a, b)) => w.when(hit(acc, x, a, b), fuseWith(acc, a, b))
-            }
-            chained.otherwise(concat(acc, array(x)))
-          })
-        val next = vocab.select(merged.as("__syms"), col("__n"))
-        // cut lineage every few rounds: each round nests another fold
-        // expression; past ~8 the analyzed plan growth dominates. The
-        // cut is lazy — the count below materializes it; pass
-        // Checkpoint.reliable for executor-loss-safe multi-hour learns.
-        val mat =
-          if (round % 4 == 3) checkpointer.cut(next, eager = false)
-          else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        mat.count(): Unit // materialize before dropping the parent cache
-        cached.unpersist()
-        cached = mat
-        vocab = mat
+        // the merged vocabulary only feeds the NEXT round's counting —
+        // when this batch completes the table, skip deriving it at all
+        // (the old shape paid a full merge+materialize job whose output
+        // was never read)
+        if (learned.size < numMerges) {
+          // one exact left-to-right merge pass applying the WHOLE batch,
+          // in-scan: fold that appends, or fuses the last element with
+          // the current one when (last, current) is an accepted pair —
+          // at most one branch can match (outputs/symbols are pairwise
+          // disjoint by selectBatch), so a branch chain is exact
+          def fuseWith(acc: Column, a: String, b: String): Column =
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b)))
+          def hit(acc: Column, x: Column, a: String, b: String): Column =
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b)
+          val merged = aggregate(
+            col("__syms"),
+            array().cast("array<string>"),
+            (acc, x) => {
+              val first = accepted.head
+              val chained = accepted.tail.foldLeft(
+                when(hit(acc, x, first._1, first._2), fuseWith(acc, first._1, first._2))) {
+                case (w, (a, b)) => w.when(hit(acc, x, a, b), fuseWith(acc, a, b))
+              }
+              chained.otherwise(concat(acc, array(x)))
+            })
+          val next = vocab.select(merged.as("__syms"), col("__n"))
+          // cut lineage every few rounds: each round nests another fold
+          // expression; past ~8 the analyzed plan growth dominates. The
+          // cut is lazy and the persist is too — the NEXT round's
+          // candidate collect materializes it (its global top-k computes
+          // every partition), while the parent stays cached until then
+          // so nothing recomputes from the scan. Pass Checkpoint.reliable
+          // for executor-loss-safe multi-hour learns.
+          val mat =
+            if (round % 4 == 3) checkpointer.cut(next, eager = false)
+            else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pending = Some(cached)
+          cached = mat
+          vocab = mat
+        }
       }
       round += 1
     }
+    pending.foreach(_.unpersist())
     cached.unpersist()
     learned.toSeq
   }

@@ -731,9 +731,10 @@ object Dedup {
       blockCol: String,
       threshold: Double,
       useUnigrams: Boolean = true,
-      shingleSize: Int = 3): DataFrame =
+      shingleSize: Int = 3,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame =
     prefixJaccardPairs(df, idCol, textCol, threshold, useUnigrams,
-      shingleSize, blockCol = Some(blockCol))
+      shingleSize, blockCol = Some(blockCol), checkpointer = checkpointer)
 
   /** Exact Jaccard set-similarity self-join via prefix filtering (the
     * AllPairs/PPJoin principle): order all tokens by ascending global
@@ -754,9 +755,10 @@ object Dedup {
       textCol: String,
       threshold: Double,
       useUnigrams: Boolean = true,
-      shingleSize: Int = 3): DataFrame =
+      shingleSize: Int = 3,
+      checkpointer: Checkpoint = Checkpoint.local): DataFrame =
     prefixJaccardPairs(df, idCol, textCol, threshold, useUnigrams,
-      shingleSize, blockCol = None)
+      shingleSize, blockCol = None, checkpointer = checkpointer)
 
   /** Shared prefix-filtering engine for [[jaccardSimilarityJoin]] (no
     * block) and [[ngramJaccardPairs]] (same-block pairs only). When a
