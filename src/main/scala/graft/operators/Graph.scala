@@ -79,11 +79,17 @@ object Graph {
     val ew = e.join(outdeg, Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = nodes.count()
       val teleport = (dampDen - dampNum) * scale / dampDen
+      // the node count is ALSO plan-folded (round 16, guide §5): the
+      // former pre-loop nodes.count() was the last driver action in the
+      // operator — one extra barrier plus a full node-set pass before
+      // round 1. The count rides the dangling broadcast as a second
+      // single-row column; the `when` guards the empty graph (whose
+      // result relation is empty either way, so rounds over it are
+      // no-ops, not errors — the old n == 0 early-out preserved).
+      val nRel = nodes.agg(count(lit(1)).as("__nn"))
 
       var ranks = nodes.withColumn("pr", lit(scale))
-      if (n == 0) return ranks
       for (_ <- 0 until iters) {
         // dangling mass folded INTO the round's plan as a broadcast
         // single-row crossJoin (the HITS normalizer treatment): a round
@@ -93,7 +99,10 @@ object Graph {
         // driver-side Scala `/` (both operands non-negative).
         val danglingDivN = ranks
           .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
-          .agg(expr(s"coalesce(sum(pr), 0L) div ${n}L").as("__dpn"))
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("__dsum"))
+          .crossJoin(broadcast(nRel))
+          .select(when(col("__nn") === 0L, lit(0L))
+            .otherwise(expr("__dsum div __nn")).as("__dpn"))
         val contribs = ew.join(ranks, ew("src") === ranks("node"))
           .select(col("dst"), expr("pr div odeg").as("__c"))
           .groupBy(col("dst")).agg(sum(col("__c")).as("__c"))
@@ -1077,15 +1086,19 @@ object Graph {
     val ew = e.join(outw, Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = nodes.count()
       val teleport = (dampDen - dampNum) * scale / dampDen
+      // node count plan-folded as in [[pagerankQuantized]] (round 16):
+      // no pre-loop driver action
+      val nRel = nodes.agg(count(lit(1)).as("__nn"))
       var ranks = nodes.withColumn("pr", lit(scale))
-      if (n == 0) return ranks
       for (_ <- 0 until iters) {
         // dangling mass plan-folded as in [[pagerankQuantized]]
         val danglingDivN = ranks
           .join(outw, ranks("node") === outw("src"), "left_anti")
-          .agg(expr(s"coalesce(sum(pr), 0L) div ${n}L").as("__dpn"))
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("__dsum"))
+          .crossJoin(broadcast(nRel))
+          .select(when(col("__nn") === 0L, lit(0L))
+            .otherwise(expr("__dsum div __nn")).as("__dpn"))
         val contribs = ew.join(ranks, ew("src") === ranks("node"))
           .select(col("dst"), expr("pr * w div sw").as("__c"))
           .groupBy(col("dst")).agg(sum(col("__c")).as("__c"))
