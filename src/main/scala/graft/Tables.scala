@@ -119,12 +119,22 @@ final case class Tables(spark: SparkSession, dir: String) {
     * (isolated min 0.363 s with vs 0.178 s without, quiet paired). */
   def documents(fan: Boolean): DataFrame =
     if (fan) fanOut(t("documents"), "documents", "doc_id") else t("documents")
-  // embeddings deliberately NOT fanned out: measured net-negative
-  // (round 15 paired A/B, whole family: s01 +176%, s07 +153%, s05 +75%,
-  // s02 +81%, s03 +55%, s16 +49% vs d10 -11%, s11 -9%) — the kNN
+  // embeddings deliberately NOT fanned out BY DEFAULT: measured
+  // net-negative for the family (round 15 paired A/B: s01 +176%,
+  // s07 +153%, s05 +75%, s02 +81%, s03 +55%, s16 +49%) — the kNN
   // queries broadcast their query sample and scan the corpus once, so
   // the extra exchange moves every embedding array for nothing
-  def embeddings: DataFrame = t("embeddings")
+  def embeddings: DataFrame = embeddings(fan = false)
+
+  /** `fan = true` opts a consumer INTO the scan fan-out (round 16) —
+    * the inverse of the events/documents opt-out: the iterative
+    * clustering family (d10/d11) and the PQ encode pass (s11) pay
+    * multi-second scan-local vector math that the round-15 measurement
+    * showed benefits from widening (d10 −11/−24%, s11 −9/−11% paired)
+    * even though the family default stays bare. */
+  def embeddings(fan: Boolean): DataFrame =
+    if (fan) fanOut(t("embeddings"), "embeddings", "vec_id")
+    else t("embeddings")
 }
 
 object Tables {

@@ -2623,6 +2623,11 @@ $langScoreCols
   val s11_knn_ivfpq = QueryDef(
     "s11_knn_ivfpq",
     (s, dir) => {
+      // fan opt-in tried and REJECTED (round 16): r15's accessor-wide
+      // A/B read s11 −9/−11%, but the per-consumer paired re-measure on
+      // a quiet host read +3% and +13% (2.390/2.616 vs 2.316 bare) —
+      // the three driver-side collects (centroids, codebooks) each pay
+      // the exchange before the one wide encode pass earns it back
       val emb = Tables(s, dir).embeddings
       val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nCells = 16)
       val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
@@ -6999,8 +7004,10 @@ $langScoreCols
     "d10_kmeans",
     (s, dir) =>
       graft.operators.Clustering
-        .kmeansQuantized(Tables(s, dir).embeddings, "vec_id", "embedding",
-          k = 8, iters = 2)
+        // fan = true (round 16): the per-round assignment pass re-reads
+        // the vectors; widening measured −11/−24% paired in round 15
+        .kmeansQuantized(Tables(s, dir).embeddings(fan = true),
+          "vec_id", "embedding", k = 8, iters = 2)
         .orderBy(col("vec_id")),
     Some(d10Oracle(k = 8, iters = 2, dims = 64)),
     bench = true)
@@ -7014,8 +7021,12 @@ $langScoreCols
     "d11_semdedup",
     (s, dir) =>
       graft.operators.Clustering
-        .semDedup(Tables(s, dir).embeddings, "vec_id", "embedding",
-          k = 8, iters = 2, tau = 0.3)
+        // fan opt-in tried and REJECTED (round 16): flat within host
+        // drift (fan 2.08/2.44/2.28 vs bare 2.32/2.19 isolated) — the
+        // within-cluster prune self-join dominates d11, not the
+        // assignment scan d10 widens
+        .semDedup(Tables(s, dir).embeddings,
+          "vec_id", "embedding", k = 8, iters = 2, tau = 0.3)
         .orderBy(col("vec_id")),
     Some(d11Oracle(k = 8, iters = 2, dims = 64, tau = 0.3)),
     bench = true)
