@@ -138,6 +138,116 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  // ---------------- §2.4 loop pre-partition guards (round 16) ----------------
+
+  /** Executed plans of every driver action during `body` (listener bus
+    * is async — polled to quiescence before reading). */
+  private def capturedPlans(
+      body: => Unit): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { plans.add(qe.executedPlan); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qel)
+    try body finally {
+      var prev = -1
+      var spins = 0
+      while (prev != plans.size && spins < 50) {
+        prev = plans.size; Thread.sleep(100); spins += 1
+      }
+      spark.listenerManager.unregister(qel)
+    }
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
+
+  /** Shuffle exchanges that re-partition a CACHED relation directly
+    * (only narrow row-level ops between exchange and cache scan) — the
+    * §2.4 waste the round-15 loop pre-partitions removed: a static loop
+    * input cached on the wrong key re-shuffles every round. Aggregates
+    * and joins between the exchange and the cache are real work, not a
+    * re-shuffle, and don't count. */
+  private def cacheReshuffles(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def narrowToCache(q: SparkPlan): Boolean = q match {
+      case _: columnar.InMemoryTableScanExec => true
+      case x: ProjectExec => narrowToCache(x.child)
+      case x: FilterExec => narrowToCache(x.child)
+      case x: WholeStageCodegenExec => narrowToCache(x.child)
+      case x: InputAdapter => narrowToCache(x.child)
+      case x: ColumnarToRowExec => narrowToCache(x.child)
+      case _ => false
+    }
+    // the round's work hides inside InMemoryRelation BUILD plans (the
+    // action that first touches a cached round executes its build), and
+    // `collect` treats InMemoryTableScanExec as a leaf — recurse into
+    // each cached plan explicitly
+    def walk(q: SparkPlan): Seq[SparkPlan] = {
+      val here = q.collect { case n => n }
+      here ++ here.flatMap {
+        case s: columnar.InMemoryTableScanExec => walk(s.relation.cachedPlan)
+        case _ => Seq.empty
+      }
+    }
+    walk(p).collect {
+      case s: ShuffleExchangeExec if narrowToCache(s.child) =>
+        s"${s.nodeName}(${s.outputPartitioning})"
+    }
+  }
+
+  test("CC loop contract: the pre-partitioned edge cache never re-shuffles (§2.4)") {
+    import spark.implicits._
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        // force shuffle joins: at test row counts everything broadcasts
+        // and the guard would never see the exchange it pins against
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L), (7L, 8L),
+        (1L, 9L), (9L, 12L), (5L, 13L)).toDF("id_a", "id_b")
+      val offending = capturedPlans {
+        graft.operators.Dedup.connectedComponents(pairs).collect(); ()
+      }.flatMap(cacheReshuffles)
+      assert(offending.isEmpty, offending.mkString("\n"))
+    }
+  }
+
+  test("ANF loop contract: the adjacency cache never re-shuffles (§2.4)") {
+    import spark.implicits._
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 5L),
+        (5L, 6L)).toDF("src", "dst")
+      val offending = capturedPlans {
+        graft.operators.Graph.anfProfile(edges, "src", "dst", radius = 3)
+          .collect(); ()
+      }.flatMap(cacheReshuffles)
+      assert(offending.isEmpty, offending.mkString("\n"))
+    }
+  }
+
+  test("LPA loop contract: the edge cache never re-shuffles (§2.4)") {
+    import spark.implicits._
+    withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 2L),
+        (4L, 1L, 1L), (2L, 5L, 4L)).toDF("src", "dst", "w")
+      val seeds = Seq((1L, 10L), (4L, 20L)).toDF("node", "label")
+      val offending = capturedPlans {
+        graft.operators.Graph.labelPropagationQuantized(
+          edges, "src", "dst", "w", seeds, "node", "label", iters = 3)
+          .collect(); ()
+      }.flatMap(cacheReshuffles)
+      assert(offending.isEmpty, offending.mkString("\n"))
+    }
+  }
+
   test("hive-partitioned write prunes partitions at the source (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-partwrite").toString
     val events = Tables(spark, sf).events
