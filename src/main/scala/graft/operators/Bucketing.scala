@@ -41,8 +41,14 @@ object Bucketing {
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(loc)) fs.delete(loc, true): Unit
     val sorted = if (sortCols.isEmpty) bucketCols else sortCols
+    // zstd for index files (guide §6), decided by a round-16 sf1 A/B:
+    // 36% smaller than snappy on the vector-payload IVF index (4.60 vs
+    // 7.16 MB) with probe wall time flat (s05 2.097 vs 2.094 s, d26
+    // within the host's drift) — at scale the ratio is read bandwidth
+    // and storage, the probe pays nothing
     clusterByBucket(df, bucketCols, numBuckets).write
       .format("parquet")
+      .option("compression", "zstd")
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(sorted.head, sorted.tail: _*)
@@ -79,8 +85,10 @@ object Bucketing {
       numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
     val sorted = if (sortCols.isEmpty) bucketCols else sortCols
+    // zstd: same measured decision as writeBucketed
     clusterByBucket(df, bucketCols, numBuckets).write
       .format("parquet")
+      .option("compression", "zstd")
       .mode(SaveMode.Append)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(sorted.head, sorted.tail: _*)
