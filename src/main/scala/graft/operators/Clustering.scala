@@ -194,12 +194,25 @@ object Clustering {
     val assigned = kmeansAssignments(vectors, idCol, vecCol, k, iters, scale)
       .withColumn("__n2", dotLong(col("__q"), col("__q")))
       .repartition(col("cluster"))
+    // The pair join is SALTED (round 16, guide §2.5): `cluster` has only
+    // k distinct values, so an unsalted self-join puts each cluster's
+    // quadratic pair work on ONE task — at most k of the cluster's
+    // partitions ever carry work, whatever the corpus size. Salting the
+    // A side by a hash of its id and replicating the B side `prunesalts`
+    // ways keeps the pair set identical (each (a,b) meets exactly at
+    // salt(a)) while splitting every cluster's compute `prunesalts` ways;
+    // the cost is shuffling the B-side rows prunesalts times — linear
+    // bytes traded against quadratic compute concentration.
+    val pruneSalts = 16
     val a = assigned.select(
       col("cluster"), col(idCol).as("__ida"), col("__q").as("__qa"), col("__n2").as("__na"))
+      .withColumn("__salt", pmod(xxhash64(col("__ida")), lit(pruneSalts.toLong)))
     val b = assigned.select(
       col("cluster"), col(idCol).as("__idb"), col("__q").as("__qb"), col("__n2").as("__nb"))
+      .withColumn("__salt",
+        explode(typedLit((0L until pruneSalts.toLong).toSeq)))
     val dups = a
-      .join(b, Seq("cluster"))
+      .join(b, Seq("cluster", "__salt"))
       .filter(col("__idb") < col("__ida"))
       .withColumn("__dot", dotLong(col("__qa"), col("__qb")))
       .filter(

@@ -7021,11 +7021,13 @@ $langScoreCols
     "d11_semdedup",
     (s, dir) =>
       graft.operators.Clustering
-        // fan opt-in tried and REJECTED (round 16): flat within host
-        // drift (fan 2.08/2.44/2.28 vs bare 2.32/2.19 isolated) — the
-        // within-cluster prune self-join dominates d11, not the
-        // assignment scan d10 widens
-        .semDedup(Tables(s, dir).embeddings,
+        // fan = true (round 16): decided at sf1, where d11 was the
+        // suite's 2nd-heaviest query and JobProfile showed its
+        // quantize/assign and prune stages on TWO tasks. Paired sf1
+        // reps=3: bare 11.21 s, fan 9.28, fan + the semDedup prune salt
+        // 8.46 (−25%); costs ~+0.2 s at sf0.1 (extra exchanges at the
+        // latency floor) — the r15 p26 trade, accepted for scale.
+        .semDedup(Tables(s, dir).embeddings(fan = true),
           "vec_id", "embedding", k = 8, iters = 2, tau = 0.3)
         .orderBy(col("vec_id")),
     Some(d11Oracle(k = 8, iters = 2, dims = 64, tau = 0.3)),
