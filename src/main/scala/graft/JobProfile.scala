@@ -99,6 +99,7 @@ object JobProfile {
       }
       println(f"\n=== ${q.name} warm total ${total}%.3f s, ${jobs.size} jobs ===")
       println("  job    sec  tasks  inputMB shReadMB shWrtMB spillMB  top-stage")
+      val stageDetail = sys.env.getOrElse("SPARK_GRAFT_PROFILE_STAGES", "0") == "1"
       jobs.toSeq.sortBy(_._1).foreach { case (id, j) =>
         val ss = j.stages.flatMap(stages.get)
         val sec = (j.end - j.start) / 1000.0
@@ -108,6 +109,15 @@ object JobProfile {
           s"${mb(ss.map(_.shWrite).sum)} ${mb(ss.map(_.spillMem).sum)}  " +
           topStage.take(60) +
           (if (j.desc.nonEmpty) s"  [${j.desc.take(40)}]" else ""))
+        // SPARK_GRAFT_PROFILE_STAGES=1: one line per completed stage —
+        // task count and executor-run ms attribute narrow/starved stages
+        // inside multi-stage jobs (the per-job sums above hide them)
+        if (stageDetail) j.stages.sorted.foreach { sid =>
+          stages.get(sid).foreach { s =>
+            println(f"        stage $sid%4d ${s.runTimeMs / 1000.0}%8.3f ${s.tasks}%5d " +
+              s"${mb(s.input)} ${mb(s.shRead)} ${mb(s.shWrite)}  ${s.name.take(70)}")
+          }
+        }
       }
     }
     spark.stop()

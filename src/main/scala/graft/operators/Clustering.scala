@@ -193,7 +193,13 @@ object Clustering {
     // no shuffle the join would not have done anyway.
     val assigned = kmeansAssignments(vectors, idCol, vecCol, k, iters, scale)
       .withColumn("__n2", dotLong(col("__q"), col("__q")))
-      .repartition(col("cluster"))
+      // explicitly SIZED repartition (round 16): unsized repartition(col)
+      // lets AQE pick the width from shuffle BYTES (64 MB advisory) --
+      // measured 2 partitions at sf1, starving the compute-heavy pair
+      // scoring below; the session shuffle width is the intended
+      // parallelism for exactly this relation
+      .repartition(vectors.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cluster"))
     // The pair join is SALTED (round 16, guide §2.5): `cluster` has only
     // k distinct values, so an unsalted self-join puts each cluster's
     // quadratic pair work on ONE task — at most k of the cluster's

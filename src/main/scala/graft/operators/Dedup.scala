@@ -963,7 +963,11 @@ object Dedup {
       // every HashMin round re-shuffles the full edge list; with it the
       // cached layout serves all `maxIter` rounds and only the label
       // side moves
-      .repartition(col("src"))
+      // sized like the other loop pre-partitions (round 16): unsized,
+      // AQE materializes the cache at shuffle-BYTE width (2 partitions
+      // at sf1) and every HashMin round then runs that narrow
+      .repartition(pairs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("src"))
       .persist()
     var labels = edges
       .select(col("src").as("id"))

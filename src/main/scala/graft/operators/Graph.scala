@@ -346,7 +346,8 @@ object Graph {
       // the caller's edge relation carries arbitrary partitioning, so
       // every vote round would re-shuffle the full edge list by `dst`;
       // cached on hash(dst) only the labeled state moves per round
-      .repartition(col("dst"))
+      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seedLabels = seeds.select(
       col(nodeCol).cast("long").as("node"),
@@ -875,7 +876,11 @@ object Graph {
       // layout serves all `radius` rounds — only the (node, sketch)
       // state and the propagation groupBy move per round, the
       // HyperBall minimum
-      .repartition(col("y"))
+      // sized (round 16): see connectedComponents -- AQE gave the
+      // unsized form 2 partitions at sf1 and every sketch round ran
+      // its HLL unions on 2 tasks (10 s of g12's 14 s)
+      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("degree"))
       .persist(StorageLevel.MEMORY_AND_DISK)
