@@ -866,9 +866,18 @@ object Graph {
       .select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
-    val adj = und.select(col("a").as("x"), col("b").as("y"))
+    // The null/self-loop filter runs ABOVE the cache, not below the
+    // distinct (round 16): filtered below, Catalyst pushes it to the
+    // SCAN and inlines the caller's edge derivation into every conjunct
+    // (g12: the JSON extraction re-ran at scan width — 8 s on 2 tasks
+    // at sf1, 60% of the query). Exact equivalence: least/greatest
+    // ignore nulls, so a one-sided-null row collapses to a = b and the
+    // self-loop test drops it; a both-null row has null keys and
+    // x =!= y drops it too. The cache carries the few junk groups;
+    // every consumer filters them from the cache scan, where predicate
+    // pushdown stops.
+    val adjCache = und.select(col("a").as("x"), col("b").as("y"))
       .unionByName(und.select(col("b").as("x"), col("a").as("y")))
       // pre-partition on the per-round join key (round 15, guide §2.4):
       // a union carries no partitioning, so every sketch round would
@@ -882,6 +891,7 @@ object Graph {
       .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
         col("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = adjCache.filter(col("x") =!= col("y"))
     val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("degree"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -909,7 +919,7 @@ object Graph {
       // rounds are eagerly cut and so is the returned frame, so neither
       // references these caches
       deg.unpersist(blocking = false)
-      adj.unpersist(blocking = false)
+      adjCache.unpersist(blocking = false)
       ()
     }
   }

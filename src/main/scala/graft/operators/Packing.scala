@@ -148,6 +148,16 @@ object Packing {
       seqLen: Int): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val toks = docs
+      // empty-document filter on the RAW text, not on size(__toks)
+      // (round 16): a tokenize-derived predicate gets pushed below any
+      // upstream exchange and re-runs the whole regexp + BPE encode at
+      // SCAN width just to test emptiness — measured 7 s on 2 tasks at
+      // sf1, 60% of p12. Exact equivalence: the BPE pretoken regex's
+      // alternation covers letters, digits, whitespace, and
+      // everything-else, so every non-empty string yields >= 1
+      // pretoken, and bpeEncode of a non-empty pretoken yields >= 1
+      // symbol — size(__toks) > 0 <=> text non-null and non-empty.
+      .filter(col(textCol).isNotNull && col(textCol) =!= "")
       .select(
         col(idCol),
         flatten(
@@ -155,7 +165,6 @@ object Packing {
             graft.functions.TextFunctions.bpeTokens(col(textCol)),
             pt => graft.functions.expressions.BpeOps.bpeEncode(pt, merges)))
           .as("__toks"))
-      .filter(size(col("__toks")) > 0)
     graft.Frame
       .withPrefixSum(toks, Seq(col(idCol)), size(col("__toks")).cast("long"),
         "__idx", "__off")

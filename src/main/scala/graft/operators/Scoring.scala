@@ -572,12 +572,19 @@ object Scoring {
       checkpointer: Checkpoint = Checkpoint.local): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 1000L, s"scale must be >= 1000, got $scale")
-    val pairs = matches
+    // The null/self-match filter runs ABOVE the aggregation + cache, not
+    // below (round 16): a filter on the caller's derived winner/loser
+    // columns gets pushed to the SCAN and re-runs the whole derivation
+    // (t38: JSON extraction + CASE per conjunct) at scan width —
+    // measured 5 s on 2 tasks at sf1. Exact equivalence: least/greatest
+    // ignore nulls, so every dropped row (null side or w = l) lands in
+    // a group with a = b or a null key, and no kept row can — filtering
+    // a =!= b on the AGGREGATED rows (a cache scan, where pushdown
+    // stops) keeps exactly the original groups.
+    val pairsAll = matches
       .select(
         col(winnerCol).cast("long").as("__w"),
         col(loserCol).cast("long").as("__l"))
-      .filter(col("__w") =!= col("__l") &&
-        col("__w").isNotNull && col("__l").isNotNull)
       .select(
         least(col("__w"), col("__l")).as("a"),
         greatest(col("__w"), col("__l")).as("b"),
@@ -585,6 +592,7 @@ object Scoring {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n"), sum(col("__iswa")).as("wa"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = pairsAll.filter(col("a") =!= col("b"))
     try {
       val stats = checkpointer.cut(
         pairs.select(col("a").as("p"), col("wa").as("__wp"), col("n"))
@@ -627,7 +635,7 @@ object Scoring {
           col("r").as("rating_q"),
           round(col("r").cast("double") / scale.toDouble, 6).as("rating"))
     } finally {
-      pairs.unpersist(blocking = false)
+      pairsAll.unpersist(blocking = false)
       ()
     }
   }
