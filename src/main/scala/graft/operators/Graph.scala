@@ -616,17 +616,25 @@ object Graph {
       minSupport: Long = 1L): DataFrame = {
     require(maxPerUser >= 2, s"maxPerUser must be >= 2, got $maxPerUser")
     require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
+    // The null-item filter runs ABOVE the cap window, not below the
+    // distinct (round 16): below, Catalyst pushes it to the SCAN and
+    // inlines the caller's item derivation (g16: a JSON extraction) at
+    // scan width. Exact equivalence: distinct leaves at most ONE null
+    // item per user, the window orders nulls LAST so real items keep
+    // their ranks, and the isNotNull above the window drops the null
+    // row wherever it ranked. The user-side isNotNull still pushes
+    // through the window's partition key — that cast is cheap.
     val ui = interactions
       .select(
         col(userCol).cast("long").as("__u"),
         col(itemCol).cast("long").as("__i"))
-      .filter(col("__u").isNotNull && col("__i").isNotNull)
       .distinct()
     val capped = ui
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__u")).orderBy(col("__i"))))
-      .filter(col("__rn") <= maxPerUser)
+          .partitionBy(col("__u")).orderBy(col("__i").asc_nulls_last)))
+      .filter(col("__rn") <= maxPerUser &&
+        col("__u").isNotNull && col("__i").isNotNull)
       .select(col("__u"), col("__i"))
     capped
       .join(capped.select(col("__u"), col("__i").as("__j")), Seq("__u"))
