@@ -1095,15 +1095,17 @@ $langScoreCols
       import s.implicits._
       import graft.operators.{Experiments, Funnel}
       val steps = Seq("signup", "view", "click", "purchase")
-      // fan = false (round 16, quiet paired A/B: 2.827 s without vs
-      // 3.258 s with): the demo is a ~20-job chain of sub-second
-      // stages, and the user_id fan-out exchange taxes every one of
-      // the three event scans without widening anything that matters —
-      // AQE's runtime stage cache already shares the session-window
-      // subtree across the funnel/attribution/Welch consumers (plan
-      // cuts were tried and measured NO better: 3.45 s with both
-      // engaged+depth localCheckpointed, 3.17 s depth-only, 3.07 base).
-      val ev = Tables(s, dir).events(fan = false).filter(col("user_id").isNotNull)
+      // fan = true — the round-16 sf0.1 opt-out (paired 2.827 s without
+      // vs 3.258 s with: the exchange taxes ~20 sub-second stages at
+      // the latency floor) was REVERSED by the sf1 measurement: paired
+      // reps=3, fan=false 12.06 s vs fan=true 6.91 s — at data sizes
+      // where the JSON/session derivations dominate, the user_id
+      // exchange is the session family's own distribution and the
+      // narrow scan is the bottleneck. The ~+0.4 s sf0.1 floor cost is
+      // accepted for the at-scale shape. (Plan cuts were also tried and
+      // measured NO better: 3.45 s with both engaged+depth
+      // localCheckpointed, 3.17 s depth-only, 3.07 base.)
+      val ev = Tables(s, dir).events(fan = true).filter(col("user_id").isNotNull)
       // stage 1: sessionize (q36), session revenue in exact cents
       val sessions = graft.streaming.EventStreams.sessionWindowAgg(
         ev, gap = "6 hours",
